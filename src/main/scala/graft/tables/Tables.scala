@@ -1,0 +1,38 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata star schema (see
+  * TESTDATA.md). Parquet scans here are the leaves of every plan, so
+  * all column pruning / filter pushdown flows through these.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
+    * natively; with `spark.sql.legacy.parquet.nanosAsLong=true` it
+    * arrives as a nano-precision long. Truncate to micros (same as
+    * DuckDB's nanos handling) and expose as TIMESTAMP_NTZ.
+    */
+  private def fixNanos(df: DataFrame, colName: String): DataFrame =
+    df.schema.find(_.name == colName) match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn(colName,
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.col(colName) / 1000 cast org.apache.spark.sql.types.LongType)
+            .cast("timestamp_ntz"))
+      case _ => df
+    }
+
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = fixNanos(load(spark, dir, "events"), "ts")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}
