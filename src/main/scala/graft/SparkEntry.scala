@@ -10,6 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     graft.analytics.Queries,
+    graft.cdc.CdcQueries,
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,221 @@
+package graft.cdc
+
+import graft.{QueryDef, QueryModule}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC operator block: every capability of the reference pipeline,
+  * exercised against the correctness gate by synthesizing CDC
+  * envelopes deterministically from `events` and letting the DuckDB
+  * oracle compute the expected result directly from `events` — a
+  * serialize→parse→apply defect anywhere shows up as a hash mismatch.
+  */
+object CdcQueries extends QueryModule {
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  private def tmpRoot(name: String, dir: String): String =
+    s"target/graft_tmp/${name}_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+
+  // latest row per user among a filtered subset, ordered by (ts, event_id)
+  private def latestPerUser(df: DataFrame): DataFrame =
+    Precombine.latestByKey(
+      df.select("user_id", "event_id", "event_type", "value", "ts"),
+      Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id", "event_type", "value")
+
+  private val latestSqlTemplate =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events %s) WHERE rn = 1""".stripMargin
+
+  // -- envelope round trips ------------------------------------------------
+
+  private def debeziumParse(s: SparkSession, dir: String): DataFrame = {
+    val parsed = Debezium.parse(Debezium.synthesizeFromEvents(events(s, dir)))
+    CdcModel.decodePayload(parsed, Debezium.eventsPayloadSchema,
+        keep = Seq("opclass", "db", "tbl", "ts_ms"))
+      .select("opclass", "db", "tbl", "ts_ms", "event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  private val debeziumParseSql =
+    """SELECT CASE WHEN event_type = 'signup' THEN 'I'
+      |            WHEN event_type = 'error' THEN 'D'
+      |            ELSE 'U' END AS opclass,
+      |  'graftdb' AS db,
+      |  'events_' || CAST(user_id % 3 AS VARCHAR) AS tbl,
+      |  epoch_ms(ts) AS ts_ms,
+      |  event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  private def dmsParse(s: SparkSession, dir: String): DataFrame = {
+    val parsed = Dms.parse(Dms.synthesizeFromEvents(events(s, dir)))
+    CdcModel.decodePayload(parsed, Debezium.eventsPayloadSchema,
+        keep = Seq("opclass", "db", "tbl", "ts_ms"))
+      .select("opclass", "db", "tbl", "ts_ms", "event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  // -- routing -------------------------------------------------------------
+
+  private def opSplit(s: SparkSession, dir: String): DataFrame =
+    Debezium.parse(Debezium.synthesizeFromEvents(events(s, dir)))
+      .groupBy("tbl", "opclass").agg(count(lit(1)).as("n"))
+      .orderBy("tbl", "opclass")
+
+  private val opSplitSql =
+    """SELECT 'events_' || CAST(user_id % 3 AS VARCHAR) AS tbl,
+      |  CASE WHEN event_type = 'signup' THEN 'I'
+      |       WHEN event_type = 'error' THEN 'D'
+      |       ELSE 'U' END AS opclass,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def demux(s: SparkSession, dir: String): DataFrame =
+    CdcModel.routes(Debezium.parse(Debezium.synthesizeFromEvents(events(s, dir))))
+      .orderBy("db", "tbl")
+
+  private val demuxSql =
+    """SELECT DISTINCT 'graftdb' AS db, 'events_' || CAST(user_id % 3 AS VARCHAR) AS tbl
+      |FROM events ORDER BY db, tbl""".stripMargin
+
+  // -- precombine ----------------------------------------------------------
+
+  private def latestByKey(s: SparkSession, dir: String): DataFrame =
+    latestPerUser(events(s, dir)).orderBy("user_id")
+
+  private val latestByKeySql = latestSqlTemplate.format("") + "\nORDER BY user_id"
+
+  private def latestMultiKey(s: SparkSession, dir: String): DataFrame =
+    Precombine.latestByKey(
+      events(s, dir).select("user_id", "event_type", "event_id", "value", "ts"),
+      Seq("user_id", "event_type"), Seq("ts", "event_id"))
+      .select("user_id", "event_type", "event_id", "value")
+      .orderBy("user_id", "event_type")
+
+  private val latestMultiKeySql =
+    """SELECT user_id, event_type, event_id, value FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // -- merge apply through the real MergeTable IO path ---------------------
+
+  private def applyUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).cache()
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    val base = latestPerUser(ev.filter(col("event_id") < cut))
+    val changes = latestPerUser(ev.filter(col("event_id") >= cut))
+    val root = tmpRoot("apply_upsert", dir)
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    t.upsert(changes)
+    val out = t.read().orderBy("user_id")
+    ev.unpersist()
+    out
+  }
+
+  private val applyUpsertSql =
+    """WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
+      |base AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id < (SELECT c FROM cut)) WHERE rn = 1),
+      |changes AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id >= (SELECT c FROM cut)) WHERE rn = 1)
+      |SELECT user_id, event_id, event_type, value FROM changes
+      |UNION ALL
+      |SELECT b.* FROM base b
+      |WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.user_id = b.user_id)
+      |ORDER BY user_id""".stripMargin
+
+  private def applyDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = latestPerUser(events(s, dir))
+    val root = tmpRoot("apply_delete", dir)
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    t.delete(base.filter(col("event_type") === "error").select("user_id"))
+    t.read().orderBy("user_id")
+  }
+
+  private val applyDeleteSql =
+    s"""SELECT * FROM (
+       |${latestSqlTemplate.format("")}
+       |) WHERE event_type <> 'error' ORDER BY user_id""".stripMargin
+
+  private def applyFull(s: SparkSession, dir: String): DataFrame = {
+    val parsed = Debezium.parse(Debezium.synthesizeFromEvents(events(s, dir)))
+    val decoded = CdcModel.decodePayload(parsed, Debezium.eventsPayloadSchema,
+      keep = Seq("opclass", "ts_ms"))
+    val root = tmpRoot("apply_full", dir)
+    MergeTable.drop(root)
+    val t = new MergeTable(s, root, Seq("user_id"))
+    t.applyChanges(decoded, ordering = Seq("ts_ms", "event_id"), metaCols = Seq("ts_ms"))
+    t.read().select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+  }
+
+  private val applyFullSql =
+    """WITH del AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+      |upd AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_type IN ('click','view','purchase')) WHERE rn = 1),
+      |ins AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'signup') WHERE rn = 1),
+      |merged AS (
+      |  SELECT * FROM upd
+      |  UNION ALL
+      |  SELECT i.* FROM ins i WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.user_id = i.user_id))
+      |SELECT m.user_id, m.event_id, m.event_type, m.value FROM merged m
+      |WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.user_id = m.user_id)
+      |ORDER BY m.user_id""".stripMargin
+
+  // -- schema evolution ----------------------------------------------------
+
+  private def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val oldRows = ev.filter(col("event_id") % 2 === 0).select("event_id", "user_id", "value")
+    val newRows = ev.filter(col("event_id") % 2 === 1).select("event_id", "user_id", "value", "event_type")
+    val root = tmpRoot("schema_evolution", dir)
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(s, root, Seq("event_id"), initial = Some(oldRows))
+    t.append(newRows)
+    t.read().agg(
+      count(lit(1)).as("n_rows"),
+      count(col("event_type")).as("n_typed"),
+      countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val schemaEvolutionSql =
+    """SELECT count(*) AS n_rows, count(event_type) AS n_typed,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM (
+      |  SELECT event_id, user_id, value, NULL AS event_type FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT event_id, user_id, value, event_type FROM events WHERE event_id % 2 = 1)""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("debezium_parse", debeziumParse, Some(debeziumParseSql)),
+    QueryDef("dms_parse", dmsParse, Some(debeziumParseSql)), // same normal form → same oracle
+    QueryDef("cdc_op_split", opSplit, Some(opSplitSql)),
+    QueryDef("cdc_demux", demux, Some(demuxSql)),
+    QueryDef("cdc_latest_by_key", latestByKey, Some(latestByKeySql)),
+    QueryDef("cdc_latest_multi_key", latestMultiKey, Some(latestMultiKeySql)),
+    QueryDef("cdc_apply_upsert", applyUpsert, Some(applyUpsertSql)),
+    QueryDef("cdc_apply_delete", applyDelete, Some(applyDeleteSql)),
+    QueryDef("cdc_apply_full", applyFull, Some(applyFullSql)),
+    QueryDef("schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
+  )
+}

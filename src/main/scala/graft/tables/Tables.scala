@@ -18,9 +18,11 @@ object Tables {
   private def fixNanos(df: DataFrame, colName: String): DataFrame =
     df.schema.find(_.name == colName) match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        // integral `div`, NOT `/`: long / int promotes to double, which
+        // cannot represent nanosecond-epoch magnitudes exactly
         df.withColumn(colName,
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.col(colName) / 1000 cast org.apache.spark.sql.types.LongType)
+            org.apache.spark.sql.functions.expr(s"`$colName` div 1000"))
             .cast("timestamp_ntz"))
       case _ => df
     }

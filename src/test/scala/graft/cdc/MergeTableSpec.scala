@@ -1,0 +1,83 @@
+package graft.cdc
+
+import graft.SparkSpec
+
+class MergeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val root = s"target/test_tmp/$name"
+    MergeTable.drop(root)
+    root
+  }
+
+  test("createIfAbsent seeds initial state; read returns snapshot") {
+    val t = MergeTable.createIfAbsent(spark, freshRoot("seed"), Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    assert(t.read().as[(Long, String)].collect().sorted === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("upsert updates matched keys and inserts new ones") {
+    val t = MergeTable.createIfAbsent(spark, freshRoot("upsert"), Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    t.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"))
+    assert(t.read().as[(Long, String)].collect().sorted === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("delete removes only the given keys") {
+    val t = MergeTable.createIfAbsent(spark, freshRoot("delete"), Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")))
+    t.delete(Seq(2L).toDF("id"))
+    assert(t.read().as[(Long, String)].collect().sorted === Seq((1L, "a"), (3L, "c")))
+  }
+
+  test("append evolves schema; old rows read with null backfill") {
+    val t = MergeTable.createIfAbsent(spark, freshRoot("evolve"), Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")))
+    t.append(Seq((2L, "b", 9.5)).toDF("id", "v", "extra"))
+    val rows = t.read().select("id", "v", "extra").as[(Long, String, Option[Double])].collect().sortBy(_._1)
+    assert(rows === Seq((1L, "a", None), (2L, "b", Some(9.5))))
+  }
+
+  test("upsert with evolved change schema carries new column") {
+    val t = MergeTable.createIfAbsent(spark, freshRoot("evolve_upsert"), Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    t.upsert(Seq((2L, "B", 1.5)).toDF("id", "v", "extra"))
+    val rows = t.read().select("id", "v", "extra").as[(Long, String, Option[Double])].collect().sortBy(_._1)
+    assert(rows === Seq((1L, "a", None), (2L, "B", Some(1.5))))
+  }
+
+  test("multi-column primary keys") {
+    val t = MergeTable.createIfAbsent(spark, freshRoot("multikey"), Seq("db", "id"),
+      initial = Some(Seq(("x", 1L, "a"), ("y", 1L, "b")).toDF("db", "id", "v")))
+    t.upsert(Seq(("x", 1L, "A")).toDF("db", "id", "v"))
+    val rows = t.read().as[(String, Long, String)].collect().sorted
+    assert(rows === Seq(("x", 1L, "A"), ("y", 1L, "b")))
+  }
+
+  test("versions are atomic: commits advance the pointer") {
+    val root = freshRoot("versions")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.read().count() === 3)
+    val manifests = new java.io.File(s"$root/manifests").list().sorted
+    assert(manifests.length === 3)
+  }
+
+  test("applyChanges folds I/U/D with precombine ordering") {
+    val root = freshRoot("applychanges")
+    val t = new MergeTable(spark, root, Seq("id"))
+    val batch = Seq(
+      ("I", 1L, "ins-1", 100L),
+      ("I", 2L, "ins-2", 100L),
+      ("U", 1L, "upd-1-old", 150L),
+      ("U", 1L, "upd-1-new", 200L), // later ts wins
+      ("D", 2L, "del-2", 300L),
+    ).toDF("opclass", "id", "v", "ts_ms")
+    t.applyChanges(batch, ordering = Seq("ts_ms"))
+    val rows = t.read().select("id", "v").as[(Long, String)].collect().sorted
+    assert(rows === Seq((1L, "upd-1-new")))
+  }
+}
