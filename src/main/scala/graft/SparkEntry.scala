@@ -11,6 +11,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     graft.analytics.Queries,
     graft.cdc.CdcQueries,
+    graft.ops.TextQueries,
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,205 @@
+package graft.ops
+
+import graft.{QueryDef, QueryModule}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup query block over `documents`. */
+object TextQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  // -- token counting ------------------------------------------------------
+
+  private def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.wordCount(col("text")).as("n_words"))
+      .orderBy("doc_id")
+
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- quality features ----------------------------------------------------
+
+  private def quality(s: SparkSession, dir: String): DataFrame = {
+    val nWords = TextAnalysis.wordCount(col("text"))
+    val charSum = TextAnalysis.wordCharSum(col("text"))
+    val stops = TextAnalysis.stopwordCount(col("text"))
+    val stopRatio = stops.cast("double") / nWords
+    val score = least(nWords.cast("double") / 100.0, lit(1.0)) * (lit(1.0) - stopRatio)
+    docs(s, dir).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(charSum.cast("double") / nWords, 4).as("mean_word_len"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(score, 4).as("score"))
+      .orderBy("doc_id")
+  }
+
+  private val qualitySql = {
+    val stopList = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |f AS (
+       |  SELECT doc_id, len(ws) AS n_words,
+       |    CAST(list_aggregate(list_transform(ws, x -> len(x)), 'sum') AS BIGINT) AS char_sum,
+       |    len(list_filter(ws, x -> x IN ($stopList))) AS stops
+       |  FROM w)
+       |SELECT doc_id, n_words,
+       |  round(CAST(char_sum AS DOUBLE) / n_words, 4) AS mean_word_len,
+       |  round(CAST(stops AS DOUBLE) / n_words, 4) AS stop_ratio,
+       |  round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+       |        * (1.0 - CAST(stops AS DOUBLE) / n_words), 4) AS score
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // -- language guess ------------------------------------------------------
+
+  private def langid(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("guess"))
+      .orderBy("doc_id")
+
+  private val langidSql = {
+    def hits(lang: String): String = {
+      val set = TextAnalysis.LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(ws, x -> x IN ($set)))"
+    }
+    val langs = TextAnalysis.LangMarkers.map(_._1) // de, en, es, fr, zh
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |h AS (
+       |  SELECT doc_id, ${langs.map(l => s"${hits(l)} AS h_$l").mkString(",\n    ")}
+       |  FROM w)
+       |SELECT doc_id,
+       |  CASE $cases
+       |    ELSE '${langs.last}' END AS guess
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  // -- fingerprints --------------------------------------------------------
+
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- dedup ---------------------------------------------------------------
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(s, dir), "doc_id", "text").orderBy("keep_id")
+
+  private val dedupExactSql =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  private def dedupFingerprint(s: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintGroups(docs(s, dir), "doc_id", "text").orderBy("fp")
+
+  private val dedupFingerprintSql =
+    """SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id
+      |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin
+
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(docs(s, dir), "doc_id", "text", shingleK = 3, threshold = 0.2)
+      .orderBy("doc_a", "doc_b")
+
+  private def simhashQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  // -- n-gram Jaccard near-dup within blocks -------------------------------
+
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "source", "n_chars", "text")
+    val pairs = d.as("a").join(d.as("b"),
+        col("a.source") === col("b.source") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 20 &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    Dedup.ngramJaccard(pairs, docs(s, dir), "doc_id", "text", k = 3)
+      .filter(col("jaccard") >= 0.1)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val ngramJaccardSql =
+    """WITH w AS (
+      |  SELECT doc_id, source, n_chars,
+      |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN len(ws) >= 3 THEN
+      |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)])
+      |    ELSE [array_to_string(ws, ' ')] END AS gs
+      |  FROM w),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.gs AS ga, b.gs AS gb
+      |  FROM sh a JOIN sh b
+      |    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 20
+      |   AND a.doc_id < b.doc_id),
+      |scored AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_distinct(list_concat(ga, gb))) AS union_n,
+      |    len(ga) + len(gb) - len(list_distinct(list_concat(ga, gb))) AS inter_n
+      |  FROM pairs)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(inter_n AS DOUBLE) / union_n, 4) AS jaccard
+      |FROM scored
+      |WHERE CAST(inter_n AS DOUBLE) / union_n >= 0.1
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -- corpus n-gram top-k -------------------------------------------------
+
+  private def ngramTopk(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val grams = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array())
+    docs(s, dir).select(explode(grams).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(20)
+  }
+
+  private val ngramTopkSql =
+    """WITH w AS (
+      |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+      |g AS (
+      |  SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
+      |  FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+      |  WHERE len(ws) >= 3)
+      |SELECT ngram, count(*) AS n FROM g
+      |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
+    QueryDef("text_quality", quality, Some(qualitySql)),
+    QueryDef("text_langid", langid, Some(langidSql)),
+    QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("dedup_fingerprint", dedupFingerprint, Some(dedupFingerprintSql)),
+    QueryDef("dedup_minhash_lsh", minhashLsh, None),
+    QueryDef("dedup_simhash", simhashQ, None),
+    QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardSql)),
+    QueryDef("docs_ngram_topk", ngramTopk, Some(ngramTopkSql)),
+  )
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langGuess discriminates real multilingual text") {
+    val samples = Seq(
+      (1L, "the cat is on the mat and it is a fine day", "en"),
+      (2L, "le chat est dans la maison et les oiseaux", "fr"),
+      (3L, "el gato es una mascota por como los perros", "es"),
+      (4L, "der hund und die katze das ist mit nicht ein", "de"),
+    ).toDF("doc_id", "text", "expected")
+    val out = samples.withColumn("guess", TextAnalysis.langGuess($"text"))
+      .filter($"guess" === $"expected")
+    assert(out.count() === 4)
+  }
+
+  test("rolling fingerprint matches a reference computation") {
+    val fp = Seq(Tuple1("ab")).toDF("text")
+      .select(TextAnalysis.rollingFingerprint($"text")).as[Long].head()
+    // (0*31+97)=97; (97*31+98)=3105
+    assert(fp === 3105L)
+  }
+
+  test("word shingles: distinct k-grams, short docs degrade to one shingle") {
+    val out = Seq(Tuple1("a b c d"), Tuple1("x y")).toDF("text")
+      .select(Dedup.wordShingles($"text", 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq("x y"))
+  }
+
+  test("minhash est_jaccard approximates true jaccard for near-dup docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val near = base.replace("gamma", "graft") // small perturbation
+    val far = "one two three four five six seven eight nine ten " * 5
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(df, "doc_id", "text", shingleK = 3, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("lsh candidates recall exact-jaccard pairs on the corpus sample") {
+    val docs = Tables.documents(spark, sfDir).limit(200).cache()
+    // ground truth: all-pairs exact jaccard >= 0.5 (tiny sample, ok to brute force)
+    val ids = docs.select($"doc_id").as[Long].collect().toSet
+    val pairsAll = docs.as("a").crossJoin(docs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val truth = Dedup.ngramJaccard(pairsAll, docs, "doc_id", "text", 3)
+      .filter($"jaccard" >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", 3, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // every true near-dup pair must be recalled by LSH at the lower threshold
+    assert(truth.subsetOf(cands), s"missed: ${truth.diff(cands)}")
+    docs.unpersist()
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    val near = base.replace("kappa", "graft")
+    val far = "one two three four five six seven eight nine ten " * 10
+    val out = Dedup.simhash(
+      Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // one substituted word out of ten must perturb far fewer bits than
+    // a fully disjoint vocabulary
+    assert(hamming(out(0), out(1)) < hamming(out(0), out(2)))
+    assert(hamming(out(0), out(1)) <= 16)
+  }
+}
