@@ -12,6 +12,7 @@ object SparkEntry {
     graft.analytics.Queries,
     graft.cdc.CdcQueries,
     graft.ops.TextQueries,
+    graft.ops.SimilarityQueries,
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

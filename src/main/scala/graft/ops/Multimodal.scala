@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: treat image/audio/video as opaque
+  * `BINARY` columns with typed metadata, processed in partition-sized
+  * batches.
+  *
+  * The Spark-side machinery here — schema, batching shape,
+  * partition-parallel feature extraction, feature-vector output — is
+  * real and tested. The *decoder* is a clearly-marked deterministic
+  * STUB (this container has no image/audio codecs): a production
+  * pipeline swaps [[decodeStub]] for a real codec call without
+  * touching anything else.
+  */
+object Multimodal {
+
+  /** Attach a synthetic media payload to each document: the UTF-8
+    * bytes of its text standing in for an encoded image, plus typed
+    * metadata the way a real ingest would carry (width/height/format).
+    */
+  def synthesizeMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        col("n_chars").cast("int").as("width"),
+        (col("doc_id") % 256).cast("int").as("height"),
+        lit("fake/v1").as("format")).as("meta"))
+
+  /** STUB decoder: a deterministic 8-dim feature vector from raw
+    * bytes (length, moments, class histogram). Replace with a real
+    * image/audio decoder at the marked line; the batching and schema
+    * contract stay the same.
+    */
+  private[ops] def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    // <<< real codec goes here: e.g. JPEG decode + CNN embedding >>>
+    if (bytes == null || bytes.isEmpty) return Array.fill(8)(0.0f)
+    val n = bytes.length
+    var sum = 0L; var sumSq = 0L
+    var vowels = 0; var spaces = 0; var digits = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      sum += b; sumSq += b.toLong * b
+      b match {
+        case 'a' | 'e' | 'i' | 'o' | 'u' => vowels += 1
+        case ' ' => spaces += 1
+        case d if d >= '0' && d <= '9' => digits += 1
+        case _ =>
+      }
+      i += 1
+    }
+    val mean = sum.toDouble / n
+    val variance = sumSq.toDouble / n - mean * mean
+    Array(n.toFloat, mean.toFloat, variance.toFloat,
+      vowels.toFloat / n, spaces.toFloat / n, digits.toFloat / n,
+      (bytes.head & 0xff).toFloat, (bytes.last & 0xff).toFloat)
+  }
+
+  /** Partition-parallel feature extraction over the media column.
+    * `mapPartitions` keeps per-batch decoder state (real codecs are
+    * expensive to construct) and processes rows streaming — the same
+    * shape `mapInPandas` batches give a Python pipeline.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init would happen here
+        rows.map { case (id, bytes) => (id, decodeStub(bytes)) }
+      }
+      .toDF("doc_id", "features")
+  }
+}

@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Scale design: the query set is always the broadcast side; the
+  * corpus never shuffles for scoring. Brute force is the correctness
+  * baseline (exact, one corpus scan per query batch); LSH and IVF are
+  * the 100 TB paths — they bound the candidate set per query so the
+  * per-query work is a small fraction of the corpus.
+  */
+object Similarity {
+
+  /** Codegen'd cosine similarity (see [[graft.functions.CosineSimilarity]]). */
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    GraftFunctions.register(spark)
+    call_function("graft_cosine", a, b)
+  }
+
+  /** Exact top-k cosine neighbors of each query vector over the whole
+    * corpus. Queries are broadcast; scores are ranked on the rounded
+    * value with an id tie-break so results are engine-deterministic.
+    */
+  def bruteForceTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(spark, col("qe"), col("embedding")), 6).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  // ---- random-hyperplane LSH --------------------------------------------
+
+  val NumPlanes = 8
+
+  /** Deterministic pseudo-random hyperplanes (seeded LCG), dim x planes. */
+  private[ops] def planes(dim: Int): Array[Array[Double]] = {
+    var state = 20240812L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Array.fill(NumPlanes)(Array.fill(dim)(next()))
+  }
+
+  /** Bit-signature of an embedding under the fixed hyperplanes: bit p
+    * = sign(v · plane_p). One long-typed bucket key per row.
+    */
+  def lshSignature(emb: Column, dim: Int): Column = {
+    val ps = planes(dim)
+    (0 until NumPlanes).map { p =>
+      val plane = typedLit(ps(p).toSeq)
+      val dot = aggregate(
+        zip_with(emb, plane, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k via LSH bucketing with hamming-1 multiprobe:
+    * candidates are corpus rows whose signature matches any of the
+    * query's probe signatures (its own bucket plus each one-bit
+    * flip). At scale this turns an O(|corpus|) scan per query into
+    * NumPlanes+1 bucket lookups; recall is measured against brute
+    * force in ScalaTest.
+    */
+  def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int, dim: Int): DataFrame = {
+    val probeSigs = array((lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p))).map(m =>
+      lshSignature(col("qe"), dim).bitwiseXOR(m)): _*)
+    val qSig = queries.withColumn("sig", explode(probeSigs))
+    val cSig = corpus.withColumn("sig", lshSignature(col("embedding"), dim))
+    val scored = cSig.join(broadcast(qSig), Seq("sig"))
+      .dropDuplicates("query_id", "vec_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(spark, col("qe"), col("embedding")), 6).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  // ---- IVF (inverted-file) ----------------------------------------------
+
+  /** IVF-style ANN: a fixed, deterministic centroid set (the
+    * `nCells` lowest vec_ids — a stand-in for a k-means codebook,
+    * which would be trained offline at scale), corpus partitioned by
+    * nearest centroid, queries probing the `nProbe` nearest cells.
+    */
+  def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+              k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](1) }
+
+    def cellScores(v: Column): Column = array(cents.map { case (i, c) =>
+      struct(round(cosine(spark, v, typedLit(c)), 6).as("s"), lit(i).as("cell"))
+    }: _*)
+
+    val assigned = corpus.withColumn("cell", array_max(cellScores(col("embedding"))).getField("cell"))
+    val probes = queries.withColumn("probe_cells",
+        slice(reverse(array_sort(cellScores(col("qe")))), 1, nProbe))
+      .withColumn("cell", explode(transform(col("probe_cells"), p => p.getField("cell"))))
+      .drop("probe_cells")
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(spark, col("qe"), col("embedding")), 6).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  /** k-NN join inside equality blocks (here: label) — each left row
+    * gets its k nearest right rows sharing the blocking key. The join
+    * is a plain shuffled equi-join on the block key; no all-pairs work
+    * crosses blocks.
+    */
+  def knnJoinWithinBlocks(spark: SparkSession, left: DataFrame, right: DataFrame,
+                          blockCol: String, k: Int): DataFrame = {
+    val scored = right.join(broadcast(left), Seq(blockCol))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(spark, col("qe"), col("embedding")), 6).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  /** Near-duplicate pairs by cosine within equality blocks. */
+  def nearDupPairs(spark: SparkSession, vectors: DataFrame, blockCol: String,
+                   threshold: Double): DataFrame = {
+    val a = vectors.select(col(blockCol), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = vectors.select(col(blockCol), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq(blockCol))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", round(cosine(spark, col("ea"), col("eb")), 6))
+      .filter(col("score") >= threshold)
+      .select("vec_a", "vec_b", "score")
+  }
+}

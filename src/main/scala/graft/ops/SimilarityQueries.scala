@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.{QueryDef, QueryModule}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search + multimodal query block over `embeddings`. */
+object SimilarityQueries extends QueryModule {
+
+  private val Dim = 64
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  private def queries(s: SparkSession, dir: String, n: Int): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+
+  private def queriesWithLabel(s: SparkSession, dir: String, n: Int): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("label"), col("embedding").as("qe"))
+
+  // -- exact brute-force top-k (oracle) ------------------------------------
+
+  private def annBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5)
+      .orderBy("query_id", "rank")
+
+  private val annBruteSql =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_cosine_similarity(qe, ce), 6) AS score
+      |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM s)
+      |SELECT query_id, neighbor_id, rank, score FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // -- k-NN join within label blocks (oracle) ------------------------------
+
+  private def knnJoin(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoinWithinBlocks(s, queriesWithLabel(s, dir, 50), corpus(s, dir),
+        blockCol = "label", k = 3)
+      .orderBy("query_id", "rank")
+
+  private val knnJoinSql =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qe
+      |  FROM embeddings WHERE vec_id < 50),
+      |s AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q.qe, c.embedding::DOUBLE[]), 6) AS score
+      |  FROM q JOIN embeddings c ON q.label = c.label AND q.query_id <> c.vec_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM s)
+      |SELECT query_id, neighbor_id, rank, score FROM r
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // -- embedding near-dup pairs within label blocks (oracle) ---------------
+
+  private def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(s, corpus(s, dir), blockCol = "label", threshold = 0.3)
+      .orderBy("vec_a", "vec_b")
+
+  private val embedNearDupSql =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  // -- approximate paths (rows-only; recall asserted in ScalaTest) ---------
+
+  private def annLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5, dim = Dim)
+      .orderBy("query_id", "rank")
+
+  private def annIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5)
+      .orderBy("query_id", "rank")
+
+  // -- multimodal plumbing (rows-only; shape asserted in ScalaTest) --------
+
+  private def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeMedia(Tables.documents(s, dir))
+    Multimodal.extractFeatures(s, media)
+      .select(col("doc_id"),
+        round(element_at(col("features"), 1), 2).as("n_bytes"),
+        round(element_at(col("features"), 2), 2).as("mean_byte"),
+        round(element_at(col("features"), 4), 4).as("vowel_ratio"))
+      .orderBy("doc_id")
+  }
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("ann_bruteforce_topk", annBrute, Some(annBruteSql)),
+    QueryDef("knn_join", knnJoin, Some(knnJoinSql)),
+    QueryDef("dedup_embedding", embedNearDup, Some(embedNearDupSql)),
+    QueryDef("ann_lsh_topk", annLsh, None),
+    QueryDef("ann_ivf_topk", annIvf, None),
+    QueryDef("media_features", mediaFeatures, None),
+  )
+}
