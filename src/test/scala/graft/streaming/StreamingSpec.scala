@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc.{Debezium, MergeTable, TableConfig}
+import graft.tables.Tables
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val p = s"target/test_tmp/stream_$name"
+    MergeTable.drop(p)
+    p
+  }
+
+  test("cdc pipeline: file stream of debezium envelopes lands in MergeTables") {
+    val root = fresh("cdc_e2e")
+    val srcDir = s"$root/in"
+    Files.createDirectories(Paths.get(srcDir))
+
+    // stage deterministic envelopes from events as one json-lines file
+    // (small slice so some users have no 'error' event and survive the
+    // delete fold)
+    val ev = Tables.events(spark, sfDir).limit(100).cache()
+    Debezium.synthesizeFromEvents(ev).coalesce(1)
+      .write.mode("overwrite").text(s"$srcDir/batch0")
+
+    val pipeline = new CdcPipeline(
+      spark,
+      parse = df => Debezium.parse(df, "value"),
+      tablesRoot = s"$root/tables",
+      configs = Seq(
+        TableConfig(db = "graftdb", table = "events_0", primaryKey = Seq("user_id")),
+        TableConfig(db = "graftdb", table = "events_1", primaryKey = Seq("user_id")),
+        TableConfig(db = "graftdb", table = "events_2", primaryKey = Seq("user_id"))),
+      databaseName = "graftdb")
+
+    val source = spark.readStream.schema("value STRING").text(s"$srcDir/*")
+    val q = pipeline.start(source, checkpoint = s"$root/ckpt")
+    q.awaitTermination(120000)
+
+    // every user routed to exactly one table (user_id % 3); final state
+    // per user is the latest non-delete event, absent if latest op class
+    // split leaves only deletes for a user whose last event was an error
+    val t0 = new MergeTable(spark, s"$root/tables/graftdb/events_0", Seq("user_id"))
+    val t1 = new MergeTable(spark, s"$root/tables/graftdb/events_1", Seq("user_id"))
+    val t2 = new MergeTable(spark, s"$root/tables/graftdb/events_2", Seq("user_id"))
+    assert(t0.exists && t1.exists && t2.exists)
+    val landed = t0.read().unionByName(t1.read(), true)
+      .unionByName(t2.read(), true)
+    // expected survivors: users with >=1 non-error event and 0 error events
+    val errUsers = ev.filter($"event_type" === "error")
+      .select($"user_id").distinct().as[Long].collect().toSet
+    val expected = ev.filter($"event_type" =!= "error")
+      .select($"user_id").distinct().as[Long].collect().toSet -- errUsers
+    assert(expected.nonEmpty, "test slice produced no survivors; enlarge/shift the slice")
+    assert(landed.select($"user_id").as[Long].collect().toSet === expected)
+    // routing respected
+    assert(t1.read().filter($"user_id" % 3 =!= 1).count() === 0)
+    ev.unpersist()
+  }
+
+  test("streaming windowed aggregation with watermark matches batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sfDir).limit(500)
+      .select($"ts".cast("timestamp"), $"event_type", $"value")
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    mem.addData(events.as[(java.sql.Timestamp, String, Double)].collect().toSeq: _*)
+
+    val out = StreamOps.hourlyCounts(mem.toDF().toDF("ts", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hourly_stream")
+      .select($"hour_ts".cast("long"), $"event_type", $"n", $"sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = events
+      .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select($"hour_ts".cast("long"), $"event_type", $"n", $"sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("streaming dedup within watermark drops re-deliveries") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    mem.addData(
+      (ts(0), 1L, "a"), (ts(1), 1L, "a-dup"), (ts(2), 2L, "b"),
+      (ts(3), 1L, "a-dup2"), (ts(4), 3L, "c"))
+
+    val out = StreamOps.dedupWithinWatermark(
+      mem.toDF().toDF("ts", "k", "v"), "ts", Seq("k"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val vs = spark.table("dedup_stream").select($"v").as[String].collect().toSet
+    assert(vs === Set("a", "b", "c"))
+  }
+
+  test("kafka source options mirror the reference connector settings") {
+    val opts = KafkaCdcSource.options("broker:9092", "t1,t2", "job1", "earliest")
+    assert(opts("subscribe") === "t1,t2")
+    assert(opts("kafka.consumer.commit.groupid") === "group-job1")
+    assert(opts("startingOffsets") === "earliest")
+    assert(opts("maxOffsetsPerTrigger") === "200000")
+    val tsOpts = KafkaCdcSource.options("b", "t", "j", "2024-01-01T00:00:00")
+    assert(tsOpts.contains("startingTimestamp") && !tsOpts.contains("startingOffsets"))
+  }
+}
