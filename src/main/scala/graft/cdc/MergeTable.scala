@@ -130,13 +130,31 @@ final class MergeTable(spark: SparkSession, root: String, val keys: Seq[String])
     */
   def applyChanges(batch: DataFrame, ordering: Seq[String], metaCols: Seq[String] = Nil): Unit = {
     val drops = if (metaCols.nonEmpty) metaCols else ordering
+    if (!exists) {
+      // Fast path for a fresh table: the stepwise semantics (inserts,
+      // then upserts replacing matched keys, then deletes) collapse to
+      // one aggregation + one anti-join + ONE table write, instead of
+      // three full write-read cycles. Upserts outrank inserts for the
+      // same key regardless of timestamp — same outcome as the
+      // stepwise path, where the upsert merge replaces whatever the
+      // insert phase wrote.
+      val inserts = batch.filter(col("opclass") === CdcModel.OpInsert)
+        .drop("opclass").withColumn("_pri", lit(0))
+      val upserts = batch.filter(col("opclass") === CdcModel.OpUpsert)
+        .drop("opclass").withColumn("_pri", lit(1))
+      val deletes = batch.filter(col("opclass") === CdcModel.OpDelete)
+      val latest = Precombine.latestByKey(
+        inserts.unionByName(upserts, allowMissingColumns = true),
+        keys, "_pri" +: ordering).drop("_pri").drop(drops: _*)
+      val result = latest.join(
+        deletes.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      upsert(result)
+      return
+    }
     val inserts = batch.filter(col("opclass") === CdcModel.OpInsert).drop("opclass")
     val upserts = batch.filter(col("opclass") === CdcModel.OpUpsert).drop("opclass")
     val deletes = batch.filter(col("opclass") === CdcModel.OpDelete).drop("opclass")
-    if (!inserts.isEmpty) {
-      if (exists) append(inserts.drop(drops: _*))
-      else upsert(Precombine.latestByKey(inserts, keys, ordering).drop(drops: _*))
-    }
+    if (!inserts.isEmpty) append(inserts.drop(drops: _*))
     if (!upserts.isEmpty)
       upsert(Precombine.latestByKey(upserts, keys, ordering).drop(drops: _*))
     if (!deletes.isEmpty)

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count of common elements between two SORTED long arrays — a
+  * two-pointer merge scan compiled into whole-stage codegen. With
+  * per-document shingle sets sorted once, pairwise set intersection
+  * costs O(|a|+|b|) primitive comparisons instead of the hash-set
+  * build that `array_intersect`/`array_union` pay per pair.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"expects two ARRAY<BIGINT>, got $l / $r")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c"); val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Word k-grams as strings, built in one compiled pass (the
+  * interpreted `transform(sequence(...), i -> concat_ws(...))`
+  * formulation pays two lambda frames plus string re-copies per
+  * gram). Short inputs (< k words) yield the single all-words gram,
+  * matching Dedup.wordShingles semantics; grams are NOT deduped.
+  */
+case class WordNGrams(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects ARRAY<STRING>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  private def gram(words: ArrayData, start: Int, len: Int): UTF8String = {
+    val parts = new Array[UTF8String](2 * len - 1)
+    var j = 0
+    while (j < len) {
+      parts(2 * j) = words.getUTF8String(start + j)
+      if (j < len - 1) parts(2 * j + 1) = UTF8String.fromString(" ")
+      j += 1
+    }
+    UTF8String.concat(parts: _*)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val kk = math.min(k, n)
+    val out = new Array[Any](math.max(n - k + 1, 1))
+    var i = 0
+    while (i < out.length) { out(i) = gram(words, i, kk); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  // eval path only: the per-gram UTF8String.concat dominates, so
+  // codegen would buy little; the expression is still ~10x cheaper
+  // than the lambda formulation. Marked CodegenFallback-style via
+  // genCode delegation.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordNGrams", this, classOf[WordNGrams].getName)
+    nullSafeCodeGen(ctx, ev, words => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.evalWords($words);
+       """.stripMargin
+    })
+  }
+
+  /** Public entry for generated code. */
+  def evalWords(words: ArrayData): ArrayData =
+    nullSafeEval(words).asInstanceOf[ArrayData]
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

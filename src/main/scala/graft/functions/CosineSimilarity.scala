@@ -82,12 +82,44 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier("graft_cosine")
-    if (!registry.functionExists(ident)) {
+    val cosIdent = FunctionIdentifier("graft_cosine")
+    if (!registry.functionExists(cosIdent)) {
       registry.registerFunction(
-        ident,
+        cosIdent,
         new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
         (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+    }
+    val mhIdent = FunctionIdentifier("graft_minhash")
+    if (!registry.functionExists(mhIdent)) {
+      registry.registerFunction(
+        mhIdent,
+        new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+        (children: Seq[Expression]) =>
+          MinHashSignature(children.head,
+            graft.ops.Dedup.permA.toSeq, graft.ops.Dedup.permB.toSeq))
+    }
+    val mhwIdent = FunctionIdentifier("graft_minhash_words")
+    if (!registry.functionExists(mhwIdent)) {
+      registry.registerFunction(
+        mhwIdent,
+        new ExpressionInfo(classOf[MinHashWords].getName, "graft_minhash_words"),
+        (children: Seq[Expression]) =>
+          MinHashWords(children.head, k = 3,
+            graft.ops.Dedup.permA.toSeq, graft.ops.Dedup.permB.toSeq))
+    }
+    val sicIdent = FunctionIdentifier("graft_sorted_intersect_count")
+    if (!registry.functionExists(sicIdent)) {
+      registry.registerFunction(
+        sicIdent,
+        new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
+        (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1)))
+    }
+    val ngIdent = FunctionIdentifier("graft_word_trigrams")
+    if (!registry.functionExists(ngIdent)) {
+      registry.registerFunction(
+        ngIdent,
+        new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_trigrams"),
+        (children: Seq[Expression]) => WordNGrams(children.head, k = 3))
     }
   }
 }

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused shingle-hash + MinHash signature over a word array.
+  *
+  * One codegen pass does what previously took four interpreted
+  * higher-order stages (k-gram string concat → distinct → xxhash64 →
+  * per-permutation minima): hash each word once (XXH64 over its
+  * UTF-8 bytes), combine k consecutive word hashes arithmetically
+  * into a shingle value mod 2^31-1, and fold every shingle into the
+  * `numPerms` universal-hash minima. No shingle strings are ever
+  * materialized — at 100 TB that also removes the dominant memory
+  * traffic of the dedup pipeline, not just the lambda overhead.
+  *
+  * Duplicate shingles cannot affect a min, so no dedup step is
+  * needed. Docs shorter than k words contribute their single
+  * all-words shingle; empty docs yield the zero signature.
+  */
+case class MinHashWords(child: Expression, k: Int, permA: Seq[Long], permB: Seq[Long])
+    extends UnaryExpression {
+
+  private val prime = 2147483647L // 2^31 - 1
+  private val seed = 42L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_minhash_words expects ARRAY<STRING>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_words"
+
+  @transient private lazy val aArr: Array[Long] = permA.toArray
+  @transient private lazy val bArr: Array[Long] = permB.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      wh(i) = Math.floorMod(
+        XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, seed), prime)
+      i += 1
+    }
+    val nShingles = if (n == 0) 0 else math.max(n - k + 1, 1)
+    val kk = math.min(k, n)
+    val shingles = new Array[Long](nShingles)
+    var s = 0
+    while (s < nShingles) {
+      var sh = 0L
+      var j = 0
+      while (j < kk) { sh = (sh * 31 + wh(s + j)) % prime; j += 1 }
+      shingles(s) = sh
+      s += 1
+    }
+    val out = new Array[Long](aArr.length)
+    var p = 0
+    while (p < aArr.length) {
+      var m = Long.MaxValue
+      val a = aArr(p); val b = bArr(p)
+      var t = 0
+      while (t < nShingles) {
+        val h = (a * shingles(t) + b) % prime
+        if (h < m) m = h
+        t += 1
+      }
+      out(p) = if (nShingles == 0) 0L else m
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("permA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("permB", bArr, "long[]")
+    val xxh = classOf[XXH64].getName
+    val utf8 = classOf[UTF8String].getName
+    nullSafeCodeGen(ctx, ev, words => {
+      val n = ctx.freshName("n"); val wh = ctx.freshName("wh")
+      val i = ctx.freshName("i"); val w = ctx.freshName("w")
+      val out = ctx.freshName("out"); val nsh = ctx.freshName("nsh")
+      val kk = ctx.freshName("kk"); val p = ctx.freshName("p")
+      val m = ctx.freshName("m"); val s = ctx.freshName("s")
+      val shs = ctx.freshName("shs"); val sh = ctx.freshName("sh")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val t = ctx.freshName("t")
+      s"""
+         |int $n = $words.numElements();
+         |long[] $wh = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $utf8 $w = $words.getUTF8String($i);
+         |  $wh[$i] = java.lang.Math.floorMod(
+         |    $xxh.hashUnsafeBytes($w.getBaseObject(), $w.getBaseOffset(), $w.numBytes(), ${seed}L),
+         |    ${prime}L);
+         |}
+         |int $nsh = ($n == 0) ? 0 : java.lang.Math.max($n - $k + 1, 1);
+         |int $kk = java.lang.Math.min($k, $n);
+         |long[] $shs = new long[$nsh];
+         |for (int $s = 0; $s < $nsh; $s++) {
+         |  long $sh = 0L;
+         |  for (int $j = 0; $j < $kk; $j++) { $sh = ($sh * 31 + $wh[$s + $j]) % ${prime}L; }
+         |  $shs[$s] = $sh;
+         |}
+         |long[] $out = new long[$aRef.length];
+         |for (int $p = 0; $p < $aRef.length; $p++) {
+         |  long $m = Long.MAX_VALUE;
+         |  for (int $t = 0; $t < $nsh; $t++) {
+         |    long $h = ($aRef[$p] * $shs[$t] + $bRef[$p]) % ${prime}L;
+         |    if ($h < $m) $m = $h;
+         |  }
+         |  $out[$p] = ($nsh == 0) ? 0L : $m;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

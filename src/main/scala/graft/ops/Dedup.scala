@@ -51,24 +51,24 @@ object Dedup {
   val NumPerms = 64
   val LshBands = 16 // 16 bands x 4 rows
   private val MersennePrime = 2147483647L // 2^31 - 1
-  private[ops] val (permA, permB): (Array[Long], Array[Long]) = {
+  val (permA, permB): (Array[Long], Array[Long]) = {
     var state = 42L
     def next(): Long = { state = (state * 6364136223846793005L + 1442695040888963407L); (state >>> 33) % (MersennePrime - 1) + 1 }
     (Array.fill(NumPerms)(next()), Array.fill(NumPerms)(next()))
   }
 
-  /** MinHash signature (array of 64 ints) from a shingle-string array.
-    * Shingles are first hashed to 31-bit ints (xxhash64 masked), then
-    * each permutation takes the min of (a*s + b) mod p — all inside
-    * long range.
+  /** MinHash signature (array of 64 longs) from a shingle-string
+    * array. Shingles are hashed to 31-bit values (xxhash64 mod p),
+    * then the signature minima are computed by the codegen'd
+    * [[graft.functions.MinHashSignature]] expression — a compiled
+    * perms × shingles loop. The interpreted higher-order formulation
+    * of the same computation was ~100× slower and dominated the whole
+    * dedup pipeline.
     */
-  def minhashSignature(shingles: Column): Column = {
-    val aLit = array(permA.map(lit): _*)
-    val bLit = array(permB.map(lit): _*)
+  def minhashSignature(spark: org.apache.spark.sql.SparkSession, shingles: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
     val hashed = transform(shingles, s => pmod(xxhash64(s), lit(MersennePrime)))
-    transform(sequence(lit(0), lit(NumPerms - 1)), i =>
-      array_min(transform(hashed, s =>
-        pmod(element_at(aLit, i + 1) * s + element_at(bLit, i + 1), lit(MersennePrime)))))
+    call_function("graft_minhash", hashed)
   }
 
   /** Banded LSH bucket keys: one 64-bit key per band (hash of the
@@ -86,11 +86,17 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    require(shingleK == 3, "registered graft_minhash_words is fixed at k=3")
     val sigs = docs
       .select(col(idCol).as("doc_id"),
-        minhashSignature(wordShingles(col(textCol), shingleK)).as("sig"))
+        call_function("graft_minhash_words", TextAnalysis.words(col(textCol))).as("sig"))
+    // cache: the signature subtree feeds both sides of the self-join,
+    // and signatures are tiny (64 longs/doc) relative to their compute
     val buckets = sigs
       .select(col("doc_id"), col("sig"), posexplode(lshBandKeys(col("sig"))).as(Seq("band", "key")))
+      .cache()
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -128,13 +134,66 @@ object Dedup {
 
   // ---- n-gram Jaccard verification --------------------------------------
 
+  /** Exact k-gram Jaccard for all qualifying pairs inside blocking
+    * keys: shingle sets are hashed to longs and SORTED once per doc,
+    * the blocked self-join then scores each pair with a codegen'd
+    * two-pointer merge ([[graft.functions.SortedIntersectCount]]) —
+    * O(|a|+|b|) primitive comparisons per pair, no per-pair hash sets.
+    * (An inverted-index co-occurrence formulation is asymptotically
+    * nicer on hapax-heavy natural text, but on small-vocabulary
+    * corpora frequent shingles make its join quadratic; the sorted
+    * merge is robust to both.)
+    */
+  def jaccardPairsBlocked(docs: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, maxCharDiff: Int, charsCol: String,
+                          k: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    require(k == 3, "registered graft_word_trigrams is fixed at k=3")
+    // shingle sets: compiled trigram build, hashed+sorted, cached once
+    // (tiny: one long per distinct shingle) — both join sides and the
+    // bucketed probe reuse it instead of recomputing the text pipeline
+    val ws = TextAnalysis.words(col(textCol))
+    val grams = when(size(ws) >= k, call_function("graft_word_trigrams", ws))
+      .otherwise(array(concat_ws(" ", ws)))
+    val sh = docs.select(col(idCol).as("_id"), col(blockCol).as("_blk"), col(charsCol).as("_nc"),
+        array_sort(array_distinct(transform(grams, s => xxhash64(s)))).as("_sh"))
+      .withColumn("_size", size(col("_sh")))
+      .withColumn("_bkt", floor(col("_nc") / maxCharDiff))
+      .cache()
+    // equi-join includes a chars bucket so the |Δchars| window prunes
+    // pairs inside the join key, not as a post-filter: the a-side
+    // probes its own bucket and both neighbors
+    val aSide = sh.withColumn("_jb", explode(array(col("_bkt") - 1, col("_bkt"), col("_bkt") + 1)))
+    val pairs = aSide.as("a").join(sh.as("b"),
+      col("a._jb") === col("b._bkt") &&
+        col("a._blk") === col("b._blk") &&
+        abs(col("a._nc") - col("b._nc")) <= maxCharDiff &&
+        col("a._id") < col("b._id"))
+    pairs
+      .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"),
+        col("a._size").as("sa"), col("b._size").as("sb"),
+        call_function("graft_sorted_intersect_count", col("a._sh"), col("b._sh")).as("inter_n"))
+      .withColumn("union_n", col("sa") + col("sb") - col("inter_n"))
+      .withColumn("jaccard", col("inter_n").cast("double") / col("union_n"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter_n", "union_n", "jaccard")
+  }
+
   /** Exact word-k-gram Jaccard for a candidate pair set (columns
     * doc_a, doc_b) against the docs table. Distinct-shingle semantics
     * on both sides; inter/union derived from sizes so engines agree.
+    * Use for small candidate sets (e.g. LSH output); use
+    * [[jaccardPairsByIndex]] for whole-corpus pair generation.
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("_id"), wordShingles(col(textCol), k).as("_sh"))
+    // shingles are hashed to longs before the pair join: set sizes (and
+    // therefore Jaccard) are preserved modulo xxhash64 collisions
+    // (~n^2/2^64, negligible), and the per-pair union/intersect works
+    // on 8-byte keys instead of full shingle strings
+    val sh = docs.select(col(idCol).as("_id"),
+      array_distinct(transform(wordShingles(col(textCol), k), s => xxhash64(s))).as("_sh"))
     pairs
       .join(sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sh", "sh_b"), "doc_b")

@@ -126,18 +126,12 @@ object TextQueries extends QueryModule {
 
   // -- n-gram Jaccard near-dup within blocks -------------------------------
 
-  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select("doc_id", "source", "n_chars", "text")
-    val pairs = d.as("a").join(d.as("b"),
-        col("a.source") === col("b.source") &&
-          abs(col("a.n_chars") - col("b.n_chars")) <= 20 &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    Dedup.ngramJaccard(pairs, docs(s, dir), "doc_id", "text", k = 3)
-      .filter(col("jaccard") >= 0.1)
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsBlocked(docs(s, dir), "doc_id", "text",
+        blockCol = "source", maxCharDiff = 20, charsCol = "n_chars",
+        k = 3, threshold = 0.1)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   private val ngramJaccardSql =
     """WITH w AS (
@@ -169,10 +163,11 @@ object TextQueries extends QueryModule {
   // -- corpus n-gram top-k -------------------------------------------------
 
   private def ngramTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val ws = TextAnalysis.words(col("text"))
-    val grams = when(size(ws) >= 3,
-      transform(sequence(lit(1), size(ws) - 2), i =>
-        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+    // compiled trigram builder; keep only true trigrams to mirror the
+    // oracle (short docs contribute nothing)
+    val grams = when(size(ws) >= 3, call_function("graft_word_trigrams", ws))
       .otherwise(array())
     docs(s, dir).select(explode(grams).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
