@@ -105,19 +105,34 @@ object CdcQueries extends QueryModule {
 
   // -- merge apply through the real MergeTable IO path ---------------------
 
-  private def applyUpsert(s: SparkSession, dir: String): DataFrame = {
+  private def applyUpsertWith(variant: String, mode: String, buckets: Option[Int])(
+      s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).cache()
     val cut = ev.agg(max("event_id")).head().getLong(0) / 2
     val base = latestPerUser(ev.filter(col("event_id") < cut))
     val changes = latestPerUser(ev.filter(col("event_id") >= cut))
-    val root = tmpRoot("apply_upsert", dir)
+    val root = tmpRoot(s"apply_upsert_$variant", dir)
     MergeTable.drop(root)
-    val t = MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    val t = MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base),
+      mode = mode, numBuckets = buckets)
     t.upsert(changes)
-    val out = t.read().orderBy("user_id")
+    val out = t.read().select("user_id", "event_id", "event_type", "value").orderBy("user_id")
     ev.unpersist()
     out
   }
+
+  private def applyUpsert(s: SparkSession, dir: String): DataFrame =
+    applyUpsertWith("cow", MergeTable.CopyOnWrite, None)(s, dir)
+
+  /** Same semantics through the merge-on-read path: delta commit +
+    * read-time reconciliation must produce the identical table.
+    */
+  private def applyUpsertMor(s: SparkSession, dir: String): DataFrame =
+    applyUpsertWith("mor", MergeTable.MergeOnRead, None)(s, dir)
+
+  /** Same semantics through the bucketed partition-scoped COW path. */
+  private def applyUpsertBucketed(s: SparkSession, dir: String): DataFrame =
+    applyUpsertWith("bucketed", MergeTable.CopyOnWrite, Some(8))(s, dir)
 
   private val applyUpsertSql =
     """WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
@@ -214,6 +229,8 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_latest_by_key", latestByKey, Some(latestByKeySql)),
     QueryDef("cdc_latest_multi_key", latestMultiKey, Some(latestMultiKeySql)),
     QueryDef("cdc_apply_upsert", applyUpsert, Some(applyUpsertSql)),
+    QueryDef("cdc_apply_upsert_mor", applyUpsertMor, Some(applyUpsertSql)),
+    QueryDef("cdc_apply_upsert_bucketed", applyUpsertBucketed, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete", applyDelete, Some(applyDeleteSql)),
     QueryDef("cdc_apply_full", applyFull, Some(applyFullSql)),
     QueryDef("schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),

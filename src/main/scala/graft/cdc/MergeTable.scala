@@ -8,39 +8,62 @@ import scala.jdk.CollectionConverters._
 
 /** Parquet-backed lake table with the write semantics the reference
   * gets from Iceberg: create-if-absent, append with schema evolution,
-  * MERGE-style upsert, and key-delete — re-expressed for core Spark.
+  * MERGE-style upsert, key-delete — plus the two write strategies the
+  * reference configures per table (tables.json `write.merge.mode`):
+  *
+  *  - '''copy-on-write''' (default): upsert/delete rewrite the live
+  *    data (matched rows replaced in place); reads are plain scans.
+  *  - '''merge-on-read''': upsert/delete append small delta
+  *    directories (deletes as tombstones); reads reconcile base +
+  *    deltas (latest per key wins, tombstones drop) and deltas are
+  *    auto-compacted into a new base after `maxDeltas` commits.
+  *    Write-cheap, read-heavier — the right trade for high-rate CDC.
+  *
+  * Orthogonally, '''hash bucketing''' (`numBuckets`) makes
+  * copy-on-write partition-scoped: data lives in per-bucket
+  * directories keyed by hash(primary key), and upsert/delete rewrite
+  * ONLY the buckets containing touched keys. At 100 TB a CDC batch
+  * touching 0.1% of keys rewrites ~tens of buckets, not the table.
   *
   * Reference semantics being matched:
   *  - append w/ merge-schema: transaction_log_util.py:216-218
   *  - MERGE INTO ... WHEN MATCHED UPDATE SET * / NOT MATCHED INSERT *:
   *    transaction_log_util.py:279-284
   *  - DELETE FROM ... WHERE EXISTS(pk match): transaction_log_util.py:326-327
+  *  - COW/MOR per-table modes: aws-emr-serverless/iceberg/config/tables.json
   *
   * Layout (all paths under `root`):
   * {{{
-  *   data/<uuid>/part-*.parquet   immutable data directories
-  *   manifests/v<NNNNN>.txt      newline list of live data dir names
-  *   _LATEST                     current manifest name (atomic pointer)
+  *   data/<uuid>/...               immutable data directories
+  *   manifests/v<NNNNN>.txt        typed entries, one per line:
+  *                                   base:<dir>     live base data
+  *                                   delta:<dir>    MOR delta (commit order)
+  *                                   b<i>:<subdir>  bucket i's live dir
+  *   _LATEST                       current manifest name (atomic pointer)
   * }}}
   * Commits are atomic: write data dir → write manifest → same-dir
-  * rename of the pointer file (atomic on POSIX). Readers resolve the
-  * pointer once and only ever see fully-written manifests — the same
-  * snapshot-isolation idea Iceberg implements with its metadata tree.
-  *
-  * Scale notes: `append` is O(batch) — it only writes the new files
-  * and a manifest. `upsert`/`delete` are copy-on-write: one shuffled
-  * join keyed on the PK rewrites the table (matched rows replaced,
-  * unmatched kept). CDC batches are small relative to the table, so
-  * the changes side is broadcast when it fits; partition-scoped
-  * rewrite (only rewrite files containing matched keys) is the
-  * planned merge-on-read/r2 refinement — the manifest layout already
-  * supports replacing a subset of data dirs.
+  * rename of the pointer (atomic on POSIX). Readers resolve the
+  * pointer once and only see fully-written manifests — the snapshot-
+  * isolation idea Iceberg implements with its metadata tree.
   */
-final class MergeTable(spark: SparkSession, root: String, val keys: Seq[String]) {
+final class MergeTable(
+    spark: SparkSession,
+    root: String,
+    val keys: Seq[String],
+    val mode: String = MergeTable.CopyOnWrite,
+    val numBuckets: Option[Int] = None,
+    val maxDeltas: Int = 8) {
+
+  require(numBuckets.isEmpty || mode == MergeTable.CopyOnWrite,
+    "bucketing is a copy-on-write layout; combine with merge-on-read is not supported")
+
   private val rootPath = Paths.get(root)
   private val dataDir = rootPath.resolve("data")
   private val manifestDir = rootPath.resolve("manifests")
   private val pointer = rootPath.resolve("_LATEST")
+
+  private val Tombstone = "_graft_tombstone"
+  private val BucketCol = "_graft_bucket"
 
   // -- metadata ------------------------------------------------------------
 
@@ -49,21 +72,31 @@ final class MergeTable(spark: SparkSession, root: String, val keys: Seq[String])
       Some(manifestDir.resolve(new String(Files.readAllBytes(pointer)).trim))
     else None
 
-  private def liveDirs(): Seq[String] =
+  /** Typed manifest entries in commit order. Bare lines are bases
+    * (backward compat with the original format).
+    */
+  private def entries(): Seq[(String, String)] =
     currentManifest() match {
       case Some(m) if Files.exists(m) =>
         new String(Files.readAllBytes(m)).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+          .map { line =>
+            line.split(":", 2) match {
+              case Array(tag, dir) => (tag, dir)
+              case Array(dir) => ("base", dir)
+            }
+          }
       case _ => Nil
     }
 
-  private def commit(dirs: Seq[String]): Unit = {
+  private def commit(newEntries: Seq[(String, String)]): Unit = {
     Files.createDirectories(manifestDir)
     val version = currentManifest() match {
       case Some(m) => m.getFileName.toString.stripPrefix("v").stripSuffix(".txt").toLong + 1
       case None => 1L
     }
     val name = f"v$version%05d.txt"
-    Files.write(manifestDir.resolve(name), dirs.mkString("\n").getBytes)
+    val body = newEntries.map { case (t, d) => s"$t:$d" }.mkString("\n")
+    Files.write(manifestDir.resolve(name), body.getBytes)
     val tmp = rootPath.resolve(s"_LATEST.tmp.${UUID.randomUUID()}")
     Files.write(tmp, name.getBytes)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -75,69 +108,171 @@ final class MergeTable(spark: SparkSession, root: String, val keys: Seq[String])
     dir
   }
 
-  def exists: Boolean = Files.exists(pointer)
-
-  /** Snapshot read of the current table state. `mergeSchema` unions
-    * the schemas of all live data dirs, so appends that added columns
-    * are visible with nulls back-filled — the reference's
-    * accept-any-schema behavior.
-    */
-  def read(): DataFrame = {
-    val dirs = liveDirs()
-    require(dirs.nonEmpty, s"MergeTable at $root is empty/uninitialized")
+  private def readDirs(dirs: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true")
       .parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
+
+  def exists: Boolean = Files.exists(pointer)
+
+  private def bucketExpr = pmod(xxhash64(keys.map(col): _*), lit(numBuckets.get))
+
+  // -- read ----------------------------------------------------------------
+
+  /** Snapshot read. COW: plain scan of live dirs. MOR: reconcile base
+    * + ordered deltas (latest per key, tombstones drop). `mergeSchema`
+    * unions schemas so appends that added columns read with nulls
+    * back-filled — the reference's accept-any-schema behavior.
+    */
+  def read(): DataFrame = {
+    val es = entries()
+    require(es.nonEmpty, s"MergeTable at $root is empty/uninitialized")
+    val deltas = es.filter(_._1 == "delta")
+    if (deltas.isEmpty) readDirs(es.map(_._2))
+    else {
+      val baseDirs = es.filter(_._1 == "base").map(_._2)
+      val parts =
+        (if (baseDirs.nonEmpty) Seq(readDirs(baseDirs).withColumn("_graft_seq", lit(0))) else Nil) ++
+          deltas.zipWithIndex.map { case ((_, d), i) =>
+            readDirs(Seq(d)).withColumn("_graft_seq", lit(i + 1))
+          }
+      val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      val reconciled = Precombine.latestByKey(unioned, keys, Seq("_graft_seq"))
+      val dropped =
+        if (reconciled.columns.contains(Tombstone))
+          reconciled.filter(!coalesce(col(Tombstone), lit(false))).drop(Tombstone)
+        else reconciled
+      dropped.drop("_graft_seq")
+    }
   }
 
   // -- writes --------------------------------------------------------------
 
   /** Append-only insert with schema evolution: new files only, no
-    * rewrite of existing data (O(batch) at any table size).
+    * rewrite of existing data (O(batch) at any table size). In MOR
+    * mode appended rows join reconciliation like any delta (so the
+    * table converges to one row per key); bucketed tables route
+    * appends through upsert to keep the bucket invariant.
     */
-  def append(df: DataFrame): Unit =
-    commit(liveDirs() :+ writeData(df))
+  def append(df: DataFrame): Unit = {
+    if (numBuckets.isDefined) { upsert(df); return }
+    mode match {
+      case MergeTable.MergeOnRead => commit(entries() :+ ("delta" -> writeData(df)))
+      case _ => commit(entries() :+ ("base" -> writeData(df)))
+    }
+  }
 
   /** MERGE-style upsert: `changes` must already be deduped to one row
     * per key (use [[Precombine.latestByKey]]). Matched keys take the
-    * change row, unmatched existing rows are kept, brand-new keys are
-    * inserted. Schemas are unioned (allowMissingColumns) so a change
-    * batch with added columns evolves the table.
+    * change row, unmatched existing rows are kept, new keys insert.
+    * Schemas union (allowMissingColumns) so added columns evolve the
+    * table.
+    *
+    * COW: full rewrite (one join). Bucketed COW: only buckets
+    * containing changed keys are rewritten. MOR: O(batch) delta
+    * append + periodic compaction.
     */
-  def upsert(changes: DataFrame): Unit = {
-    val result =
-      if (!exists) changes
+  def upsert(changes: DataFrame): Unit = mode match {
+    case MergeTable.MergeOnRead =>
+      // first write seeds the base; subsequent upserts are deltas
+      if (!exists) commit(Seq("base" -> writeData(changes)))
       else {
-        val current = read()
-        val keep = current.join(
-          broadcast(changes.select(keys.map(col): _*)), keys, "left_anti")
-        changes.unionByName(keep, allowMissingColumns = true)
+        commit(entries() :+ ("delta" -> writeData(changes)))
+        maybeCompact()
       }
-    commit(Seq(writeData(result)))
+    case _ if numBuckets.isDefined => bucketedMerge(changes, isDelete = false)
+    case _ =>
+      val result =
+        if (!exists) changes
+        else {
+          val current = read()
+          val keep = current.join(
+            broadcast(changes.select(keys.map(col): _*)), keys, "left_anti")
+          changes.unionByName(keep, allowMissingColumns = true)
+        }
+      commit(Seq("base" -> writeData(result)))
   }
 
   /** Key-delete: drop all rows whose PK appears in `deleteKeys`. */
   def delete(deleteKeys: DataFrame): Unit = {
     require(exists, s"cannot delete from uninitialized table $root")
-    val result = read().join(
-      broadcast(deleteKeys.select(keys.map(col): _*).distinct()), keys, "left_anti")
-    commit(Seq(writeData(result)))
+    mode match {
+      case MergeTable.MergeOnRead =>
+        val tombstones = deleteKeys.select(keys.map(col): _*).distinct()
+          .withColumn(Tombstone, lit(true))
+        commit(entries() :+ ("delta" -> writeData(tombstones)))
+        maybeCompact()
+      case _ if numBuckets.isDefined => bucketedMerge(deleteKeys, isDelete = true)
+      case _ =>
+        val result = read().join(
+          broadcast(deleteKeys.select(keys.map(col): _*).distinct()), keys, "left_anti")
+        commit(Seq("base" -> writeData(result)))
+    }
   }
+
+  /** Partition-scoped merge: rewrite only the buckets whose keys are
+    * touched by this batch. One write job; untouched buckets keep
+    * their existing directories.
+    */
+  private def bucketedMerge(changes: DataFrame, isDelete: Boolean): Unit = {
+    val n = numBuckets.get
+    val tagged = changes.withColumn(BucketCol, bucketExpr)
+    val affected = tagged.select(BucketCol).distinct()
+      .collect().map(_.getLong(0)).toSet // bounded by numBuckets
+    val current = entries().toMap // tag -> dir; bucket entries are b<i>
+    val affectedDirs = affected.toSeq.sorted
+      .flatMap(i => current.get(s"b$i").map(i -> _))
+    val base =
+      if (affectedDirs.isEmpty) None
+      else Some(readDirs(affectedDirs.map(_._2)).withColumn(BucketCol, bucketExpr))
+    val result =
+      if (isDelete)
+        base.map(_.join(broadcast(tagged.select(keys.map(col): _*).distinct()), keys, "left_anti"))
+          .getOrElse(return)
+      else base match {
+        case None => tagged
+        case Some(b) =>
+          val keep = b.join(broadcast(tagged.select(keys.map(col): _*)), keys, "left_anti")
+          tagged.unionByName(keep, allowMissingColumns = true)
+      }
+    val dir = UUID.randomUUID().toString
+    result.write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol)
+      .parquet(dataDir.resolve(dir).toString)
+    // manifest: affected buckets move to the new dir (buckets emptied
+    // by deletes vanish); untouched buckets keep their old entries
+    val written = Option(dataDir.resolve(dir).toFile.list()).getOrElse(Array.empty)
+      .filter(_.startsWith(s"$BucketCol="))
+      .map(s => s.stripPrefix(s"$BucketCol=").toLong).toSet
+    val untouched = current.toSeq.filterNot { case (t, _) =>
+      t.startsWith("b") && affected.contains(t.stripPrefix("b").toLong)
+    }
+    val updated = written.toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i")
+    commit(untouched ++ updated)
+  }
+
+  /** Fold deltas into a single base (MOR housekeeping). */
+  def compact(): Unit = {
+    val reconciled = read()
+    commit(Seq("base" -> writeData(reconciled)))
+  }
+
+  private def maybeCompact(): Unit =
+    if (entries().count(_._1 == "delta") >= maxDeltas) compact()
 
   /** Apply a full normalized change batch (opclass I/U/D) in
     * reference order — inserts appended, upserts merged, deletes
     * applied (processBatch structure, transaction_log_util.py:86-168).
-    * `ordering` are the precombine columns (e.g. ts_ms).
+    * `ordering` are the precombine columns (e.g. ts_ms); `metaCols`
+    * are envelope-only columns to drop from the stored rows.
     */
   def applyChanges(batch: DataFrame, ordering: Seq[String], metaCols: Seq[String] = Nil): Unit = {
     val drops = if (metaCols.nonEmpty) metaCols else ordering
     if (!exists) {
       // Fast path for a fresh table: the stepwise semantics (inserts,
       // then upserts replacing matched keys, then deletes) collapse to
-      // one aggregation + one anti-join + ONE table write, instead of
-      // three full write-read cycles. Upserts outrank inserts for the
-      // same key regardless of timestamp — same outcome as the
-      // stepwise path, where the upsert merge replaces whatever the
-      // insert phase wrote.
+      // one aggregation + one anti-join + ONE table write. Upserts
+      // outrank inserts for the same key regardless of timestamp —
+      // same outcome as the stepwise path.
       val inserts = batch.filter(col("opclass") === CdcModel.OpInsert)
         .drop("opclass").withColumn("_pri", lit(0))
       val upserts = batch.filter(col("opclass") === CdcModel.OpUpsert)
@@ -163,15 +298,25 @@ final class MergeTable(spark: SparkSession, root: String, val keys: Seq[String])
 }
 
 object MergeTable {
+  val CopyOnWrite = "copy-on-write"
+  val MergeOnRead = "merge-on-read"
+
   /** Create-if-absent, seeding with `initial` when the table is new —
     * the reference's CREATE TABLE IF NOT EXISTS + first append
     * (transaction_log_util.py:202-218).
     */
-  def createIfAbsent(spark: SparkSession, root: String, keys: Seq[String], initial: Option[DataFrame] = None): MergeTable = {
-    val t = new MergeTable(spark, root, keys)
+  def createIfAbsent(spark: SparkSession, root: String, keys: Seq[String],
+                     initial: Option[DataFrame] = None,
+                     mode: String = CopyOnWrite,
+                     numBuckets: Option[Int] = None): MergeTable = {
+    val t = new MergeTable(spark, root, keys, mode, numBuckets)
     if (!t.exists) initial.foreach(df => t.upsert(df))
     t
   }
+
+  /** Open honoring a reference-style table config (write modes). */
+  def forConfig(spark: SparkSession, root: String, conf: TableConfig): MergeTable =
+    new MergeTable(spark, root, conf.primaryKey, mode = conf.writeMergeMode)
 
   /** Destroy all table state (test helper). */
   def drop(root: String): Unit = {

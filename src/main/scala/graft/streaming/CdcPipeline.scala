@@ -41,7 +41,7 @@ final class CdcPipeline(
         val schema = CdcModel.inferPayloadSchema(spark, changes, "payload")
         val decoded = TableConfig.applyTimestampFields(
           CdcModel.decodePayload(changes, schema, keep = Seq("opclass", "ts_ms")), conf)
-        val table = new MergeTable(spark, s"$tablesRoot/$databaseName/$tbl", conf.primaryKey)
+        val table = MergeTable.forConfig(spark, s"$tablesRoot/$databaseName/$tbl", conf)
         val ordering = "ts_ms" +: conf.precombineKey.toSeq
         table.applyChanges(decoded, ordering = ordering, metaCols = Seq("ts_ms"))
       }

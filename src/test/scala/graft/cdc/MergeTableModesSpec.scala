@@ -1,0 +1,96 @@
+package graft.cdc
+
+import graft.SparkSpec
+
+class MergeTableModesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val root = s"target/test_tmp/modes_$name"
+    MergeTable.drop(root)
+    root
+  }
+
+  test("merge-on-read: upserts and deletes land as deltas, reads reconcile") {
+    val root = fresh("mor")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")),
+      mode = MergeTable.MergeOnRead)
+    t.upsert(Seq((2L, "B"), (4L, "d")).toDF("id", "v"))
+    t.delete(Seq(3L).toDF("id"))
+    // base + 2 deltas on disk, reconciliation hides all of it
+    val manifests = new java.io.File(s"$root/manifests").list().sorted
+    val lastManifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/manifests/${manifests.last}")))
+    assert(lastManifest.linesIterator.count(_.startsWith("delta:")) === 2)
+    assert(t.read().as[(Long, String)].collect().sorted ===
+      Seq((1L, "a"), (2L, "B"), (4L, "d")))
+  }
+
+  test("merge-on-read: later delta wins for the same key") {
+    val root = fresh("mor_order")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "v0")).toDF("id", "v")), mode = MergeTable.MergeOnRead)
+    t.upsert(Seq((1L, "v1")).toDF("id", "v"))
+    t.upsert(Seq((1L, "v2")).toDF("id", "v"))
+    assert(t.read().as[(Long, String)].collect() === Seq((1L, "v2")))
+  }
+
+  test("merge-on-read: auto-compaction folds deltas into a base") {
+    val root = fresh("mor_compact")
+    val t = new MergeTable(spark, root, Seq("id"), MergeTable.MergeOnRead, maxDeltas = 3)
+    t.upsert(Seq((1L, "a")).toDF("id", "v")) // seeds the base
+    t.upsert(Seq((2L, "b")).toDF("id", "v"))
+    t.upsert(Seq((3L, "c")).toDF("id", "v"))
+    t.upsert(Seq((1L, "A")).toDF("id", "v")) // 3rd delta -> compaction
+    val manifests = new java.io.File(s"$root/manifests").list().sorted
+    val last = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/manifests/${manifests.last}")))
+    assert(last.linesIterator.forall(_.startsWith("base:")), last)
+    assert(t.read().as[(Long, String)].collect().sorted ===
+      Seq((1L, "A"), (2L, "b"), (3L, "c")))
+  }
+
+  test("bucketed: upsert rewrites only affected buckets") {
+    val root = fresh("bucketed")
+    val rows = (0L until 64L).map(i => (i, s"v$i"))
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(rows.toDF("id", "v")), numBuckets = Some(8))
+    val before = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_LATEST")))
+    val beforeEntries = scala.io.Source.fromFile(
+      s"$root/manifests/$before").getLines().toSeq.sorted
+
+    t.upsert(Seq((5L, "V5")).toDF("id", "v"))
+
+    val after = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_LATEST")))
+    val afterEntries = scala.io.Source.fromFile(
+      s"$root/manifests/$after").getLines().toSeq.sorted
+    // exactly one bucket entry changed
+    assert(beforeEntries.size === afterEntries.size)
+    assert(beforeEntries.intersect(afterEntries).size === beforeEntries.size - 1)
+    // content correct
+    val got = t.read().as[(Long, String)].collect().toMap
+    assert(got.size === 64 && got(5L) === "V5" && got(6L) === "v6")
+  }
+
+  test("bucketed: delete drains keys, emptied buckets leave the manifest") {
+    val root = fresh("bucketed_del")
+    val rows = (0L until 32L).map(i => (i, s"v$i"))
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(rows.toDF("id", "v")), numBuckets = Some(4))
+    t.delete((0L until 32L).toDF("id")) // delete everything
+    val after = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_LATEST")))
+    val afterEntries = scala.io.Source.fromFile(s"$root/manifests/$after").getLines().toSeq
+    assert(afterEntries.isEmpty, afterEntries)
+  }
+
+  test("forConfig honors the reference write.merge.mode") {
+    val conf = TableConfig(db = "d", table = "t", primaryKey = Seq("id"),
+      writeMergeMode = "merge-on-read")
+    val t = MergeTable.forConfig(spark, fresh("forconfig"), conf)
+    assert(t.mode === MergeTable.MergeOnRead)
+  }
+}
