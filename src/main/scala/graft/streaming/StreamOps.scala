@@ -1,7 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Open-session accumulator for [[StreamOps.sessionizeStream]]. */
+case class OpenSession(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
+
+/** A closed session emitted downstream. */
+case class ClosedSession(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
 
 /** Streaming analytics building blocks: watermarked windowed
   * aggregation and within-watermark dedup. Batch-equivalent semantics
@@ -30,4 +37,56 @@ object StreamOps {
                            watermarkDelay: String = "1 hour"): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Gap-based sessionization with CUSTOM state
+    * (`flatMapGroupsWithState`): per user, events extend the open
+    * session while gaps stay under `gapMinutes`; a larger gap closes
+    * and emits the session, and event-time timeout flushes open
+    * sessions once the watermark passes their horizon. State is one
+    * small record per active user — bounded by the watermark, not by
+    * history. Input needs columns (user_id LONG, ts TIMESTAMP).
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+                       watermarkDelay: String = "30 minutes"): Dataset[ClosedSession] = {
+    val gapMs = gapMinutes * 60000L
+    implicit val closedEnc = Encoders.product[ClosedSession]
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val rowEnc = Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP)
+    implicit val keyEnc = Encoders.scalaLong
+
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(s.userId, s.startMs, s.endMs, s.nEvents))
+          } else {
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            ts.foreach { t =>
+              open match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  open = Some(s.copy(endMs = math.max(s.endMs, t), nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += ClosedSession(s.userId, s.startMs, s.endMs, s.nEvents)
+                  open = Some(OpenSession(userId, t, t, 1))
+                case None =>
+                  open = Some(OpenSession(userId, t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+        })
+  }
 }
