@@ -356,6 +356,25 @@ object Queries extends QueryModule {
       |  CAST(sum(CASE WHEN t_purchase > t_click AND t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
       |FROM f""".stripMargin
 
+  // -- skew-salted join (5 hot keys spread over 16 salts) ------------------
+  private def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+    val dim = Tables.events(s, dir).groupBy("event_type")
+      .agg(round(avg("value"), 4).as("type_avg"))
+    graft.ops.Skew.saltedJoin(ev, dim, "event_type", col("event_id"), salts = 16)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(abs(col("value") - col("type_avg"))), 2).as("sum_abs_dev"))
+      .orderBy("event_type")
+  }
+
+  private val skewSaltedJoinSql =
+    """WITH dim AS (
+      |  SELECT event_type, round(avg(value),4) AS type_avg FROM events GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n,
+      |  round(sum(abs(e.value - d.type_avg)),2) AS sum_abs_dev
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3, Some(q3Sql)),
@@ -370,5 +389,6 @@ object Queries extends QueryModule {
     QueryDef("events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
     QueryDef("events_json_extract", eventsJson, Some(eventsJsonSql)),
     QueryDef("events_funnel", eventsFunnel, Some(eventsFunnelSql)),
+    QueryDef("skew_salted_join", skewSaltedJoin, Some(skewSaltedJoinSql)),
   )
 }
