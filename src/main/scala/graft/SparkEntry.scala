@@ -10,6 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     graft.analytics.Queries,
+    graft.analytics.Queries2,
     graft.cdc.CdcQueries,
     graft.ops.TextQueries,
     graft.ops.SimilarityQueries,
