@@ -123,11 +123,31 @@ object Queries2 extends QueryModule {
       |FROM counts JOIN norms ON counts.label = norms.label
       |ORDER BY counts.label""".stripMargin
 
+  // -- custom top-k-per-key physical operator ------------------------------
+  private def topkCustom(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(Tables.orders(s, dir),
+        keyCols = Seq("o_orderpriority"),
+        ordering = Seq(col("o_totalprice"), -col("o_orderkey")), k = 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("rank"),
+        round(col("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderpriority", "rank")
+
+  private val topkCustomSql =
+    """SELECT o_orderpriority, o_orderkey, rank, round(o_totalprice,2) AS total_price
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3
+      |ORDER BY o_orderpriority, rank""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q4_order_priority", q4, Some(q4Sql)),
     QueryDef("q16_supplier_counts", q16, Some(q16Sql)),
     QueryDef("q19_disjunctive_preds", q19, Some(q19Sql)),
     QueryDef("events_retention", retention, Some(retentionSql)),
     QueryDef("embed_centroids", centroids, Some(centroidsSql)),
+    QueryDef("topk_custom_operator", topkCustom, Some(topkCustomSql)),
   )
 }

@@ -29,8 +29,9 @@ object Similarity {
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(spark, col("qe"), col("embedding")), 6).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // custom bounded-heap top-k operator: no per-group sort (see graft.plans.TopK)
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("score"), -col("neighbor_id")), k)
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
@@ -126,8 +127,8 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(spark, col("qe"), col("embedding")), 6).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("score"), -col("neighbor_id")), k)
       .select("query_id", "neighbor_id", "rank", "score")
   }
 

@@ -1,0 +1,22 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Narrow bridge to `private[sql]` constructors the public API does
+  * not expose: building a DataFrame from a custom LogicalPlan and
+  * unwrapping a Column to its Catalyst Expression. This is the
+  * standard extension seam for libraries that add their own logical
+  * operators (Spark's own connectors use the same package-scoped
+  * access); everything else in graft stays on public API.
+  */
+object GraftSqlBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.queryExecution.logical
+}
