@@ -256,6 +256,19 @@ final class MergeTable(
     commit(Seq("base" -> writeData(reconciled)))
   }
 
+  /** Remove data directories no longer referenced by the current
+    * manifest (Iceberg-style expire/vacuum). Readers of the current
+    * snapshot are unaffected; time travel to pre-vacuum manifests is
+    * given up, which is the standard retention trade-off.
+    */
+  def vacuum(): Int = {
+    val live = entries().map(_._2.split("/", 2)(0)).toSet
+    val onDisk = Option(dataDir.toFile.list()).getOrElse(Array.empty)
+    val orphans = onDisk.filterNot(live.contains)
+    orphans.foreach(d => MergeTable.drop(dataDir.resolve(d).toString))
+    orphans.length
+  }
+
   private def maybeCompact(): Unit =
     if (entries().count(_._1 == "delta") >= maxDeltas) compact()
 

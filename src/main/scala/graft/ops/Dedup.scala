@@ -111,6 +111,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  // ---- transitive dup clusters ------------------------------------------
+
+  /** Connected components over a candidate-pair edge list (columns
+    * doc_a, doc_b): iterative min-label propagation — each node
+    * repeatedly adopts the smallest label among itself and its
+    * neighbors until a fixpoint. Iteration count is bounded by the
+    * component diameter (near-dup clusters are shallow), each round is
+    * one join + one aggregation on the edge list only, and results are
+    * deterministic (cluster id = min doc id in the component).
+    *
+    * This is what turns pairwise near-dup evidence into dedup
+    * decisions: keep one doc per cluster, drop the rest.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not cache): iterative self-referencing plans
+    // grow exponentially unless the lineage is truncated each round
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = sym.join(labels, sym("dst") === labels("id"))
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("cluster"))
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over word unigrams (occurrence-weighted): bit i of

@@ -160,6 +160,49 @@ object TextQueries extends QueryModule {
       |WHERE CAST(inter_n AS DOUBLE) / union_n >= 0.1
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -- transitive dup clusters over jaccard candidate pairs ----------------
+
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairsBlocked(docs(s, dir), "doc_id", "text",
+        blockCol = "source", maxCharDiff = 20, charsCol = "n_chars",
+        k = 3, threshold = 0.1)
+      .select("doc_a", "doc_b")
+    Dedup.connectedComponents(pairs).orderBy("doc_id")
+  }
+
+  private val dedupClustersSql =
+    """WITH RECURSIVE
+      |w AS (
+      |  SELECT doc_id, source, n_chars,
+      |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN len(ws) >= 3 THEN
+      |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)])
+      |    ELSE [array_to_string(ws, ' ')] END AS gs
+      |  FROM w),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(a.gs) + len(b.gs) - len(list_distinct(list_concat(a.gs, b.gs))) AS inter_n,
+      |    len(list_distinct(list_concat(a.gs, b.gs))) AS union_n
+      |  FROM sh a JOIN sh b
+      |    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 20
+      |   AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  WHERE CAST(inter_n AS DOUBLE) / union_n >= 0.1
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs
+      |  WHERE CAST(inter_n AS DOUBLE) / union_n >= 0.1),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+      |SELECT id AS doc_id, min(comp) AS cluster
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // -- corpus n-gram top-k -------------------------------------------------
 
   private def ngramTopk(s: SparkSession, dir: String): DataFrame = {
@@ -195,6 +238,7 @@ object TextQueries extends QueryModule {
     QueryDef("dedup_minhash_lsh", minhashLsh, None),
     QueryDef("dedup_simhash", simhashQ, None),
     QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardSql)),
+    QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QueryDef("docs_ngram_topk", ngramTopk, Some(ngramTopkSql)),
   )
 }
