@@ -23,8 +23,9 @@ object CdcQueries extends QueryModule {
     synthCache.getOrElseUpdate((System.identityHashCode(s), dir),
       Debezium.synthesizeFromEvents(events(s, dir)).cache())
 
+  // absolute: the driver may launch Verify/Bench from any CWD
   private def tmpRoot(name: String, dir: String): String =
-    s"target/graft_tmp/${name}_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    s"/root/repo/target/graft_tmp/${name}_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
 
   // latest row per user among a filtered subset, ordered by (ts, event_id)
   private def latestPerUser(df: DataFrame): DataFrame =

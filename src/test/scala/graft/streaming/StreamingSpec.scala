@@ -63,6 +63,30 @@ class StreamingSpec extends SparkSpec {
     ev.unpersist()
   }
 
+  test("cdc pipeline skips malformed envelopes without failing the batch") {
+    val root = fresh("cdc_garbage")
+    val srcDir = s"$root/in"
+    Files.createDirectories(Paths.get(srcDir))
+    val ev = Tables.events(spark, sfDir).filter($"event_type" === "click").limit(20)
+    val good = Debezium.synthesizeFromEvents(ev).as[String].collect()
+    val garbage = Seq("not json at all", """{"op":"u"}""", """{"after": 12}""", "")
+    import scala.jdk.CollectionConverters._
+    Files.write(Paths.get(s"$srcDir/mixed.txt"), (garbage ++ good ++ garbage).asJava)
+
+    val pipeline = new CdcPipeline(
+      spark, df => Debezium.parse(df, "value"), s"$root/tables",
+      (0 to 2).map(i => TableConfig(db = "graftdb", table = s"events_$i", primaryKey = Seq("user_id"))),
+      "graftdb")
+    val q = pipeline.start(
+      spark.readStream.schema("value STRING").text(s"$srcDir/*"), s"$root/ckpt")
+    q.awaitTermination(120000)
+
+    val landed = (0 to 2).map(i => new MergeTable(spark, s"$root/tables/graftdb/events_$i", Seq("user_id")))
+      .filter(_.exists).map(_.read()).reduce(_.unionByName(_, true))
+    val expectedUsers = ev.select($"user_id").distinct().as[Long].collect().toSet
+    assert(landed.select($"user_id").as[Long].collect().toSet === expectedUsers)
+  }
+
   test("streaming windowed aggregation with watermark matches batch computation") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, sfDir).limit(500)
