@@ -11,6 +11,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     graft.analytics.Queries,
     graft.analytics.Queries2,
+    graft.analytics.Queries3,
     graft.cdc.CdcQueries,
     graft.ops.TextQueries,
     graft.ops.SimilarityQueries,
