@@ -20,6 +20,16 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
   def wordCount(text: Column): Column = size(words(text))
 
+  /** BPE-ish subword units: maximal vowel runs and consonant runs.
+    * The two character classes are disjoint, so greedy matching gives
+    * identical tokenizations in any regex engine — a deterministic
+    * stand-in for learned-merge subword tokenizers, with the same
+    * count-scaling behavior.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("[aeiou]+|[bcdfghjklmnpqrstvwxyz]+"), lit(0)))
+
   /** Sum of word lengths (for mean word length). */
   def wordCharSum(text: Column): Column =
     aggregate(transform(words(text), w => length(w)), lit(0L), (acc, x) => acc + x)

@@ -16,13 +16,15 @@ object TextQueries extends QueryModule {
     docs(s, dir).select(
       col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-      TextAnalysis.wordCount(col("text")).as("n_words"))
+      TextAnalysis.wordCount(col("text")).as("n_words"),
+      TextAnalysis.subwordCount(col("text")).as("n_subwords"))
       .orderBy("doc_id")
 
   private val tokenCountSql =
     """SELECT doc_id,
       |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-      |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words
+      |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+      |  len(regexp_extract_all(lower(text), '[aeiou]+|[bcdfghjklmnpqrstvwxyz]+')) AS n_subwords
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // -- quality features ----------------------------------------------------

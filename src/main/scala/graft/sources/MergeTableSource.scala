@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.cdc.MergeTable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Spark data source for MergeTable snapshots:
+  * `spark.read.format("mergetable").option("path", root).load()`.
+  *
+  * Reads resolve the table's atomic manifest pointer once, so a load
+  * is a consistent snapshot even while writers commit. Column pruning
+  * and filter pushdown are forwarded to the underlying parquet scan
+  * (the relation re-applies requested columns/filters on the inner
+  * DataFrame, so `PushedFilters` still reach the files). MOR tables
+  * reconcile deltas on read exactly like [[MergeTable.read]].
+  */
+class MergeTableSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "mergetable"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("mergetable source requires option 'path'"))
+    val keys = parameters.get("keys").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("id"))
+    val mode = parameters.getOrElse("mode", MergeTable.CopyOnWrite)
+    new MergeTableRelation(sqlContext, path, keys, mode)
+  }
+}
+
+class MergeTableRelation(
+    override val sqlContext: SQLContext,
+    path: String,
+    keys: Seq[String],
+    mode: String) extends BaseRelation with PrunedFilteredScan {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+  private def table: MergeTable = new MergeTable(spark, path, keys, mode)
+
+  override lazy val schema: StructType = table.read().schema
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val base = table.read()
+    val filtered = filters.foldLeft(base) { (df, f) =>
+      translate(f).map(df.filter).getOrElse(df)
+    }
+    val pruned =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.head, requiredColumns.tail: _*)
+    pruned.rdd
+  }
+
+  // translate DSv1 filters back to Column predicates so they reach the
+  // parquet scan of the inner DataFrame; untranslated filters are
+  // still applied by Spark above this relation
+  private def translate(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === v)
+      case GreaterThan(a, v) => Some(col(a) > v)
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+      case LessThan(a, v) => Some(col(a) < v)
+      case LessThanOrEqual(a, v) => Some(col(a) <= v)
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case And(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+      case Or(l, r) => for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+      case Not(c) => translate(c).map(!_)
+      case _ => None
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.cdc.MergeTable
+
+class MergeTableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spark.read.format(mergetable) reads a snapshot with pruning and pushdown") {
+    val root = "target/test_tmp/source_read"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some((1L to 100L).map(i => (i, s"v$i", i * 1.5)).toDF("id", "v", "score")))
+    t.upsert(Seq((5L, "V5", 0.0)).toDF("id", "v", "score"))
+
+    val df = spark.read.format("mergetable").option("path", root).load()
+    assert(df.columns.toSeq === Seq("id", "v", "score"))
+    assert(df.count() === 100)
+
+    val filtered = df.filter($"id" <= 10).select("id", "v")
+    val rows = filtered.as[(Long, String)].collect().toMap
+    assert(rows.size === 10 && rows(5L) === "V5" && rows(6L) === "v6")
+  }
+
+  test("source reads a merge-on-read table with delta reconciliation") {
+    val root = "target/test_tmp/source_mor"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      mode = MergeTable.MergeOnRead)
+    t.upsert(Seq((2L, "B")).toDF("id", "v"))
+    t.delete(Seq(1L).toDF("id"))
+
+    val df = spark.read.format("mergetable")
+      .option("path", root).option("mode", MergeTable.MergeOnRead).load()
+    assert(df.as[(Long, String)].collect().toSeq === Seq((2L, "B")))
+  }
+
+  test("missing path option fails with a clear message") {
+    val err = intercept[Exception] {
+      spark.read.format("mergetable").load()
+    }
+    assert(err.getMessage.contains("path"))
+  }
+}
