@@ -42,9 +42,42 @@ case class TopKPerKeyNode(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, ordering, k, rankAttr, child) =>
-      TopKPerKeyExec(keys, ordering, k, rankAttr, planLater(child)) :: Nil
+      // partial/final split, like partial aggregation: the map-side
+      // operator prunes to <= k candidates per (partition, key), so
+      // the exchange the final operator requires only ever shuffles
+      // the per-mapper winners — not every row
+      val partial = TopKPartialExec(keys, ordering, k, planLater(child))
+      TopKPerKeyExec(keys, ordering, k, rankAttr, partial) :: Nil
     case _ => Nil
   }
+}
+
+/** Map-side pruning: keep the top k candidates per key within each
+  * input partition. A superset of the global per-key top k always
+  * survives, so the final operator's result is unchanged while the
+  * shuffle shrinks from O(rows) to O(mappers · keys · k).
+  */
+case class TopKPartialExec(
+    keys: Seq[Expression],
+    ordering: Seq[Expression],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      TopKPerKey.heapsPerKey(iter, keys, ordering, k, childOutput)
+        .flatMap { case (_, heap) =>
+          val drained: Seq[(InternalRow, UnsafeRow)] = heap.dequeueAll
+          drained.iterator.map(p => p._2: InternalRow)
+        }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
 }
 
 case class TopKPerKeyExec(
@@ -64,51 +97,65 @@ case class TopKPerKeyExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val numParts = k
     child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(keys, childOutput)
-      val ordExpr = BindReferences.bindReference(
-        CreateStruct.create(ordering), childOutput)
-      val ordType = ordExpr.dataType.asInstanceOf[StructType]
-      // descending lexicographic: invert the natural struct ordering
-      val natural = InterpretedOrdering.forSchema(ordType.map(_.dataType))
-      implicit val heapOrd: Ordering[(InternalRow, UnsafeRow)] =
-        Ordering.by[(InternalRow, UnsafeRow), InternalRow](_._1)(natural.reverse)
-      // min-heap of size k per key (head = currently-worst kept row)
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(InternalRow, UnsafeRow)]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        val ord = ordExpr.eval(row).asInstanceOf[InternalRow]
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = mutable.PriorityQueue.empty[(InternalRow, UnsafeRow)]
-            heaps.put(key.copy(), h)
-            h
-        }
-        if (heap.size < numParts) {
-          heap.enqueue((ord.copy(), row.copy().asInstanceOf[UnsafeRow]))
-        } else if (natural.compare(ord, heap.head._1) > 0) {
-          heap.dequeue()
-          heap.enqueue((ord.copy(), row.copy().asInstanceOf[UnsafeRow]))
-        }
-      }
       val joiner = new JoinedRow
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val outProj = UnsafeProjection.create(output, childOutput :+ rankAttr)
-      heaps.iterator.flatMap { case (_, heap) =>
-        val sorted = heap.dequeueAll.toIndexedSeq // worst-first
-        sorted.reverseIterator.zipWithIndex.map { case ((_, row), i) =>
-          rankRow.update(0, i + 1)
-          outProj(joiner(row, rankRow))
+      TopKPerKey.heapsPerKey(iter, keys, ordering, k, childOutput)
+        .flatMap { case (_, heap) =>
+          val sorted = heap.dequeueAll.toIndexedSeq // worst-first
+          sorted.reverseIterator.zipWithIndex.map { case ((_, row), i) =>
+            rankRow.update(0, i + 1)
+            outProj(joiner(row, rankRow))
+          }
         }
-      }
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
+}
+
+/** Shared per-partition heap pass used by both the partial and final
+  * operators: min-heap of k candidates per key, descending
+  * lexicographic struct ordering.
+  */
+object TopKPerKey {
+  def heapsPerKey(
+      iter: Iterator[InternalRow],
+      keys: Seq[Expression],
+      ordering: Seq[Expression],
+      k: Int,
+      childOutput: Seq[Attribute]): Iterator[(UnsafeRow, mutable.PriorityQueue[(InternalRow, UnsafeRow)])] = {
+    val keyProj = UnsafeProjection.create(keys, childOutput)
+    val ordExpr = BindReferences.bindReference(CreateStruct.create(ordering), childOutput)
+    val ordType = ordExpr.dataType.asInstanceOf[StructType]
+    // descending lexicographic: invert the natural struct ordering
+    val natural = InterpretedOrdering.forSchema(ordType.map(_.dataType))
+    implicit val heapOrd: Ordering[(InternalRow, UnsafeRow)] =
+      Ordering.by[(InternalRow, UnsafeRow), InternalRow](_._1)(natural.reverse)
+    // min-heap of size k per key (head = currently-worst kept row)
+    val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(InternalRow, UnsafeRow)]]
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      val ord = ordExpr.eval(row).asInstanceOf[InternalRow]
+      val heap = heaps.get(key) match {
+        case Some(h) => h
+        case None =>
+          val h = mutable.PriorityQueue.empty[(InternalRow, UnsafeRow)]
+          heaps.put(key.copy(), h)
+          h
+      }
+      if (heap.size < k) {
+        heap.enqueue((ord.copy(), row.copy().asInstanceOf[UnsafeRow]))
+      } else if (natural.compare(ord, heap.head._1) > 0) {
+        heap.dequeue()
+        heap.enqueue((ord.copy(), row.copy().asInstanceOf[UnsafeRow]))
+      }
+    }
+    heaps.iterator
+  }
 }
 
 /** Public API for the operator. */
