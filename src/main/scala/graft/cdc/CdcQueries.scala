@@ -206,6 +206,49 @@ object CdcQueries extends QueryModule {
       |WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.user_id = m.user_id)
       |ORDER BY m.user_id""".stripMargin
 
+  // -- change feed (time travel diff) --------------------------------------
+
+  /** Outbound CDC: apply base then changes as two commits, then read
+    * the change feed between the versions. Must reconstruct exactly
+    * the I/U rows of the second commit (no deletes in this path).
+    */
+  private def changeFeed(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).cache()
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    val base = latestPerUser(ev.filter(col("event_id") < cut))
+    val changes = latestPerUser(ev.filter(col("event_id") >= cut))
+    val root = tmpRoot("change_feed", dir)
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    t.upsert(changes)
+    val out = t.changesBetween(1, t.versions().max)
+      .select("user_id", "event_id", "event_type", "value", "_change")
+      .orderBy("user_id")
+    ev.unpersist()
+    out
+  }
+
+  private val changeFeedSql =
+    """WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
+      |base AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id < (SELECT c FROM cut)) WHERE rn = 1),
+      |changes AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id >= (SELECT c FROM cut)) WHERE rn = 1)
+      |SELECT c.user_id, c.event_id, c.event_type, c.value,
+      |  CASE WHEN b.user_id IS NULL THEN 'I' ELSE 'U' END AS _change
+      |FROM changes c LEFT JOIN base b ON c.user_id = b.user_id
+      |WHERE b.user_id IS NULL
+      |   OR b.event_id IS DISTINCT FROM c.event_id
+      |   OR b.event_type IS DISTINCT FROM c.event_type
+      |   OR b.value IS DISTINCT FROM c.value
+      |ORDER BY c.user_id""".stripMargin
+
   // -- schema evolution ----------------------------------------------------
 
   private def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
@@ -241,6 +284,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert_mor", applyUpsertMor, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_bucketed", applyUpsertBucketed, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete", applyDelete, Some(applyDeleteSql)),
+    QueryDef("cdc_change_feed", changeFeed, Some(changeFeedSql)),
     QueryDef("cdc_apply_full", applyFull, Some(applyFullSql)),
     QueryDef("schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
   )

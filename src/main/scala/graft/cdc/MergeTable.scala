@@ -114,6 +114,26 @@ final class MergeTable(
 
   def exists: Boolean = Files.exists(pointer)
 
+  /** Committed version numbers, ascending (manifests are immutable —
+    * this is the time-travel index).
+    */
+  def versions(): Seq[Long] =
+    Option(manifestDir.toFile.list()).getOrElse(Array.empty)
+      .filter(_.matches("v\\d+\\.txt"))
+      .map(_.stripPrefix("v").stripSuffix(".txt").toLong).sorted.toSeq
+
+  private def entriesAt(version: Long): Seq[(String, String)] = {
+    val m = manifestDir.resolve(f"v$version%05d.txt")
+    require(Files.exists(m), s"no version $version at $root")
+    new String(Files.readAllBytes(m)).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { line =>
+        line.split(":", 2) match {
+          case Array(tag, dir) => (tag, dir)
+          case Array(dir) => ("base", dir)
+        }
+      }
+  }
+
   private def bucketExpr = pmod(xxhash64(keys.map(col): _*), lit(numBuckets.get))
 
   // -- read ----------------------------------------------------------------
@@ -123,8 +143,42 @@ final class MergeTable(
     * unions schemas so appends that added columns read with nulls
     * back-filled — the reference's accept-any-schema behavior.
     */
-  def read(): DataFrame = {
-    val es = entries()
+  def read(): DataFrame = readEntries(entries())
+
+  /** Time travel: snapshot as of a committed version (manifests are
+    * never rewritten, so any un-vacuumed version stays readable).
+    */
+  def readVersion(version: Long): DataFrame = readEntries(entriesAt(version))
+
+  /** Change feed between two committed versions: one row per changed
+    * key with `_change` = I (inserted), U (updated), D (deleted) and
+    * the row image (after-image for I/U, before-image for D) — the
+    * outbound counterpart of the CDC ingestion path, computed as a
+    * single full-outer join of the two snapshots on the primary key.
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    val before = readVersion(fromVersion)
+    val after = readVersion(toVersion)
+    val common = before.columns.intersect(after.columns).filterNot(keys.contains).toSeq
+    val b = before.select((keys ++ common).map(col): _*)
+      .withColumn("_b", lit(true))
+      .withColumnsRenamed(common.map(c => c -> s"_b_$c").toMap)
+    val a = after.select((keys ++ common).map(col): _*)
+      .withColumn("_a", lit(true))
+    val joined = b.join(a, keys, "full_outer")
+    val changed =
+      if (common.isEmpty) lit(false)
+      else common.map(c => !(col(c) <=> col(s"_b_$c"))).reduce(_ || _)
+    joined.select(
+      keys.map(col) ++
+        common.map(c => coalesce(col(c), col(s"_b_$c")).as(c)) :+
+        when(col("_b").isNull, CdcModel.OpInsert)
+          .when(col("_a").isNull, CdcModel.OpDelete)
+          .otherwise(CdcModel.OpUpsert).as("_change"): _*)
+      .filter(col("_change") =!= CdcModel.OpUpsert || changed)
+  }
+
+  private def readEntries(es: Seq[(String, String)]): DataFrame = {
     require(es.nonEmpty, s"MergeTable at $root is empty/uninitialized")
     val deltas = es.filter(_._1 == "delta")
     if (deltas.isEmpty) readDirs(es.map(_._2))

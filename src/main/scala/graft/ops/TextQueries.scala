@@ -103,6 +103,23 @@ object TextQueries extends QueryModule {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- normalization -------------------------------------------------------
+
+  private def normalize(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      md5(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))).as("norm_fp"),
+      length(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))).as("norm_len"))
+      .orderBy("doc_id")
+
+  private val normalizeSql =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp,
+      |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // -- dedup ---------------------------------------------------------------
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -235,6 +252,7 @@ object TextQueries extends QueryModule {
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("text_normalize", normalize, Some(normalizeSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_fingerprint", dedupFingerprint, Some(dedupFingerprintSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, None),

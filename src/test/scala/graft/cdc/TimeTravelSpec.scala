@@ -1,0 +1,40 @@
+package graft.cdc
+
+import graft.SparkSpec
+
+class TimeTravelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readVersion: every committed snapshot stays readable") {
+    val root = "target/test_tmp/timetravel"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    t.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"))
+    t.delete(Seq(1L).toDF("id"))
+
+    assert(t.versions() === Seq(1L, 2L, 3L))
+    assert(t.readVersion(1).as[(Long, String)].collect().sorted ===
+      Seq((1L, "a"), (2L, "b")))
+    assert(t.readVersion(2).as[(Long, String)].collect().sorted ===
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(t.readVersion(3).as[(Long, String)].collect().sorted ===
+      Seq((2L, "B"), (3L, "c")))
+  }
+
+  test("changesBetween emits I/U/D change feed with row images") {
+    val root = "target/test_tmp/changefeed"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b"), (4L, "same")).toDF("id", "v")))
+    t.upsert(Seq((2L, "B"), (3L, "c"), (4L, "same")).toDF("id", "v"))
+    t.delete(Seq(1L).toDF("id"))
+
+    val changes = t.changesBetween(1, t.versions().max)
+      .select("id", "v", "_change").as[(Long, String, String)].collect().sortBy(_._1)
+    assert(changes === Seq(
+      (1L, "a", "D"),   // deleted, before-image
+      (2L, "B", "U"),   // updated, after-image
+      (3L, "c", "I")))  // inserted; key 4 unchanged -> absent
+  }
+}
