@@ -19,4 +19,11 @@ object GraftSqlBridge {
 
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.logical
+
+  def buildPlannerStrategies(ext: SparkSessionExtensions, spark: SparkSession): Seq[execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+
+  def registerFunctions(ext: SparkSessionExtensions,
+                        registry: catalyst.analysis.FunctionRegistry): catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(registry)
 }
