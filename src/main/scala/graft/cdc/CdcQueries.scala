@@ -206,6 +206,49 @@ object CdcQueries extends QueryModule {
       |WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.user_id = m.user_id)
       |ORDER BY m.user_id""".stripMargin
 
+  // -- data source read path -----------------------------------------------
+
+  /** Same state as cdc_apply_upsert, but read back through the
+    * registered `mergetable` data source with a pushed filter — the
+    * gate verifies the format() read path end to end.
+    */
+  private def sourceRead(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).cache()
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    val base = latestPerUser(ev.filter(col("event_id") < cut))
+    val changes = latestPerUser(ev.filter(col("event_id") >= cut))
+    val root = tmpRoot("source_read", dir)
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    t.upsert(changes)
+    ev.unpersist()
+    s.read.format("mergetable").option("path", root).load()
+      .filter(col("event_type") =!= "error")
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  private val sourceReadSql =
+    """WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
+      |base AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id < (SELECT c FROM cut)) WHERE rn = 1),
+      |changes AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id >= (SELECT c FROM cut)) WHERE rn = 1),
+      |merged AS (
+      |  SELECT user_id, event_id, event_type, value FROM changes
+      |  UNION ALL
+      |  SELECT b.* FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.user_id = b.user_id))
+      |SELECT user_id, event_id, event_type, value FROM merged
+      |WHERE event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   // -- change feed (time travel diff) --------------------------------------
 
   /** Outbound CDC: apply base then changes as two commits, then read
@@ -285,6 +328,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert_bucketed", applyUpsertBucketed, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete", applyDelete, Some(applyDeleteSql)),
     QueryDef("cdc_change_feed", changeFeed, Some(changeFeedSql)),
+    QueryDef("mergetable_source_read", sourceRead, Some(sourceReadSql)),
     QueryDef("cdc_apply_full", applyFull, Some(applyFullSql)),
     QueryDef("schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
   )
