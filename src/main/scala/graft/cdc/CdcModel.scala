@@ -35,9 +35,14 @@ object CdcModel {
     * (and across executors), so it stays correct when a batch mixes
     * old- and new-schema rows.
     */
-  def inferPayloadSchema(spark: SparkSession, df: DataFrame, column: String): org.apache.spark.sql.types.StructType = {
+  def inferPayloadSchema(spark: SparkSession, df: DataFrame, column: String,
+                         sampleRows: Int = 1000): org.apache.spark.sql.types.StructType = {
     import spark.implicits._
-    val strings: Dataset[String] = df.select(col(column)).na.drop().as[String]
+    // bounded sample: inference cost must not scale with batch size
+    // (the reference's first-row sampling is O(1) but misses fields;
+    // a capped multi-row sample unions schemas at fixed cost)
+    val strings: Dataset[String] =
+      df.select(col(column)).na.drop().limit(sampleRows).as[String]
     spark.read.json(strings).schema
   }
 
