@@ -36,14 +36,17 @@ object CdcModel {
     * old- and new-schema rows.
     */
   def inferPayloadSchema(spark: SparkSession, df: DataFrame, column: String,
-                         sampleRows: Int = 1000): org.apache.spark.sql.types.StructType = {
+                         sampleRows: Option[Int] = None): org.apache.spark.sql.types.StructType = {
     import spark.implicits._
-    // bounded sample: inference cost must not scale with batch size
-    // (the reference's first-row sampling is O(1) but misses fields;
-    // a capped multi-row sample unions schemas at fixed cost)
-    val strings: Dataset[String] =
-      df.select(col(column)).na.drop().limit(sampleRows).as[String]
-    spark.read.json(strings).schema
+    // default: union schemas across the WHOLE batch, so a field that
+    // appears in any row is never silently dropped (the reference's
+    // first-row sampling loses such fields). Micro-batches are already
+    // bounded by the source's rate limit, so full-batch inference is
+    // one extra bounded pass; pass sampleRows to cap it explicitly
+    // when the schema is known to be stable.
+    val payloads = df.select(col(column)).na.drop()
+    val sampled = sampleRows.fold(payloads)(n => payloads.limit(n))
+    spark.read.json(sampled.as[String]).schema
   }
 
   /** Decode the JSON payload of a normalized change stream with an

@@ -166,16 +166,23 @@ final class MergeTable(
     val a = after.select((keys ++ common).map(col): _*)
       .withColumn("_a", lit(true))
     val joined = b.join(a, keys, "full_outer")
+    // compare RAW after vs before values (null-safe) — coalescing here
+    // would both hide updates that set a column to NULL and emit the
+    // stale before-value as the after-image
     val changed =
       if (common.isEmpty) lit(false)
       else common.map(c => !(col(c) <=> col(s"_b_$c"))).reduce(_ || _)
-    joined.select(
-      keys.map(col) ++
-        common.map(c => coalesce(col(c), col(s"_b_$c")).as(c)) :+
-        when(col("_b").isNull, CdcModel.OpInsert)
-          .when(col("_a").isNull, CdcModel.OpDelete)
-          .otherwise(CdcModel.OpUpsert).as("_change"): _*)
+    val changeOp = when(col("_b").isNull, CdcModel.OpInsert)
+      .when(col("_a").isNull, CdcModel.OpDelete)
+      .otherwise(CdcModel.OpUpsert)
+    joined
+      .withColumn("_change", changeOp)
       .filter(col("_change") =!= CdcModel.OpUpsert || changed)
+      .select(
+        keys.map(col) ++
+          common.map(c =>
+            when(col("_a").isNull, col(s"_b_$c")).otherwise(col(c)).as(c)) :+
+          col("_change"): _*)
   }
 
   private def readEntries(es: Seq[(String, String)]): DataFrame = {
@@ -297,8 +304,12 @@ final class MergeTable(
     val written = Option(dataDir.resolve(dir).toFile.list()).getOrElse(Array.empty)
       .filter(_.startsWith(s"$BucketCol="))
       .map(s => s.stripPrefix(s"$BucketCol=").toLong).toSet
+    // only b<digits> tags are bucket entries; a non-bucketed layout
+    // (base:/delta: entries) opened with numBuckets is a caller error
+    require(current.keys.forall(_.matches("b\\d+")),
+      s"table at $root has a non-bucketed layout; migrate before opening with numBuckets")
     val untouched = current.toSeq.filterNot { case (t, _) =>
-      t.startsWith("b") && affected.contains(t.stripPrefix("b").toLong)
+      affected.contains(t.stripPrefix("b").toLong)
     }
     val updated = written.toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i")
     commit(untouched ++ updated)
@@ -356,7 +367,13 @@ final class MergeTable(
     val inserts = batch.filter(col("opclass") === CdcModel.OpInsert).drop("opclass")
     val upserts = batch.filter(col("opclass") === CdcModel.OpUpsert).drop("opclass")
     val deletes = batch.filter(col("opclass") === CdcModel.OpDelete).drop("opclass")
-    if (!inserts.isEmpty) append(inserts.drop(drops: _*))
+    // precombine inserts too: within-batch duplicate keys (snapshot 'r'
+    // plus 'c', or retried inserts) must not leave duplicate-PK rows —
+    // keeps both paths consistent (the fresh-table fast path above
+    // already dedups) at the cost of diverging from the reference's
+    // raw append of insert batches
+    if (!inserts.isEmpty)
+      append(Precombine.latestByKey(inserts, keys, ordering).drop(drops: _*))
     if (!upserts.isEmpty)
       upsert(Precombine.latestByKey(upserts, keys, ordering).drop(drops: _*))
     if (!deletes.isEmpty)

@@ -71,9 +71,13 @@ object Similarity {
     * force in ScalaTest.
     */
   def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int, dim: Int): DataFrame = {
-    val probeSigs = array((lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p))).map(m =>
-      lshSignature(col("qe"), dim).bitwiseXOR(m)): _*)
-    val qSig = queries.withColumn("sig", explode(probeSigs))
+    // compute the signature once per query row, then derive the probe
+    // set by XOR-ing bit masks — not one signature evaluation per probe
+    val masks = (lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p)))
+    val qSig = queries
+      .withColumn("_sig0", lshSignature(col("qe"), dim))
+      .withColumn("sig", explode(array(masks.map(m => col("_sig0").bitwiseXOR(m)): _*)))
+      .drop("_sig0")
     val cSig = corpus.withColumn("sig", lshSignature(col("embedding"), dim))
     val scored = cSig.join(broadcast(qSig), Seq("sig"))
       .dropDuplicates("query_id", "vec_id")

@@ -23,9 +23,14 @@ class MergeTableSource extends RelationProvider with DataSourceRegister {
                               parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("mergetable source requires option 'path'"))
-    val keys = parameters.get("keys").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("id"))
+    val keys = parameters.get("keys").map(_.split(",").map(_.trim).toSeq)
     val mode = parameters.getOrElse("mode", MergeTable.CopyOnWrite)
-    new MergeTableRelation(sqlContext, path, keys, mode)
+    // MOR reads reconcile deltas BY KEY — a guessed key silently
+    // collapses rows on the wrong column, so it must be explicit
+    if (mode == MergeTable.MergeOnRead && keys.isEmpty)
+      throw new IllegalArgumentException(
+        "mergetable source requires option 'keys' when mode=merge-on-read")
+    new MergeTableRelation(sqlContext, path, keys.getOrElse(Seq("id")), mode)
   }
 }
 
@@ -36,12 +41,16 @@ class MergeTableRelation(
     mode: String) extends BaseRelation with PrunedFilteredScan {
 
   private def spark: SparkSession = sqlContext.sparkSession
-  private def table: MergeTable = new MergeTable(spark, path, keys, mode)
 
-  override lazy val schema: StructType = table.read().schema
+  // resolve the manifest pointer ONCE per relation: schema and every
+  // buildScan read the same committed snapshot even while writers
+  // commit (or vacuum) concurrently
+  private lazy val snapshot = new MergeTable(spark, path, keys, mode).read()
+
+  override lazy val schema: StructType = snapshot.schema
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val base = table.read()
+    val base = snapshot
     val filtered = filters.foldLeft(base) { (df, f) =>
       translate(f).map(df.filter).getOrElse(df)
     }

@@ -83,7 +83,11 @@ object StreamOps {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
+              // clamp: an allowed-late event can open a session whose
+              // horizon is already behind the watermark, and
+              // setTimeoutTimestamp rejects past timestamps
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.endMs + gapMs, wm + 1))
             }
             closed.result().iterator
           }

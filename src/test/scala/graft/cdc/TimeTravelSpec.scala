@@ -22,6 +22,18 @@ class TimeTravelSpec extends SparkSpec {
       Seq((2L, "B"), (3L, "c")))
   }
 
+  test("changesBetween reports updates that set a column to NULL") {
+    val root = "target/test_tmp/changefeed_null"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, Option("alice"))).toDF("id", "v")))
+    t.upsert(Seq((1L, Option.empty[String])).toDF("id", "v"))
+    val changes = t.changesBetween(1, t.versions().max)
+      .select("id", "v", "_change").as[(Long, Option[String], String)].collect()
+    // the NULL-ing update must appear, with the NULL as the after-image
+    assert(changes === Seq((1L, None, "U")), changes.mkString(", "))
+  }
+
   test("changesBetween emits I/U/D change feed with row images") {
     val root = "target/test_tmp/changefeed"
     MergeTable.drop(root)

@@ -31,8 +31,15 @@ class MergeTableSourceSpec extends SparkSpec {
     t.upsert(Seq((2L, "B")).toDF("id", "v"))
     t.delete(Seq(1L).toDF("id"))
 
+    // MOR reconciliation requires explicit keys
+    val noKeys = intercept[IllegalArgumentException] {
+      spark.read.format("mergetable")
+        .option("path", root).option("mode", MergeTable.MergeOnRead).load()
+    }
+    assert(noKeys.getMessage.contains("keys"))
     val df = spark.read.format("mergetable")
-      .option("path", root).option("mode", MergeTable.MergeOnRead).load()
+      .option("path", root).option("mode", MergeTable.MergeOnRead)
+      .option("keys", "id").load()
     assert(df.as[(Long, String)].collect().toSeq === Seq((2L, "B")))
   }
 
