@@ -22,12 +22,19 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // noop sink, not count(): count() lets Catalyst prune projected
+      // expressions, understating per-column compute cost
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query caches must not leak into the next timing: leaked
+      // caches evict each other across a 57-query suite and inflate
+      // multi-job queries 10× (round-1 cdc_apply_full)
+      Caches.clear()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
 /** Analytics block: TPC-H-shaped queries over the star schema plus
   * event-log analytics (windows, sessions, JSON, funnels).
   *
-  * Scale notes (100 TB): every dimension join uses an explicit
-  * `broadcast()` (region/nation/customer/supplier/part are dimension-
-  * sized at any SF); fact-fact joins shuffle on their join key once;
-  * aggregates are declarative so Catalyst does map-side partial
-  * aggregation; all numeric outputs are rounded so results are stable
-  * across summation orders.
+  * Scale notes (100 TB): explicit `broadcast()` only on TRUE
+  * dimensions — region/nation/supplier/part, which stay dimension-
+  * sized at any SF. orders and customer GROW with SF (tens of GB at
+  * 100×), so their joins shuffle on the join key and AQE is left to
+  * broadcast at runtime when a filtered side is genuinely small —
+  * a forced broadcast there is a guaranteed driver/executor OOM at
+  * scale. Aggregates are declarative so Catalyst does map-side
+  * partial aggregation; all numeric outputs are rounded so results
+  * are stable across summation orders.
   *
   * Capability parity target: the analytics surface a lake populated by
   * the reference pipeline (norrishuang/cdc-data-lake-pyspark) would be
@@ -62,7 +65,9 @@ object Queries extends QueryModule {
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") > lit("1998-03-15 00:00:00"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+    // orders and customer scale with SF: shuffle joins (AQE may still
+    // broadcast the filtered sides at runtime when actually small)
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -95,8 +100,10 @@ object Queries extends QueryModule {
       .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00") && col("o_orderdate") < lit("1997-01-01 00:00:00"))
       .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    // facts (lineitem, orders, customer) shuffle on their keys; only
+    // the true dims (supplier, nation, region) are forced broadcasts
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -147,8 +154,8 @@ object Queries extends QueryModule {
       .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -178,7 +185,7 @@ object Queries extends QueryModule {
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00") && col("l_shipdate") < lit("1997-01-01 00:00:00"))
       .select("l_orderkey", "l_linestatus")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
         sum(when(col("l_linestatus") === "F", 1).otherwise(0)).as("f_lines"),
@@ -223,8 +230,8 @@ object Queries extends QueryModule {
       .filter(col("qty") > 120)
     val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
-    bigOrders.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    bigOrders.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
         round(col("o_totalprice"), 2).as("total_price"), round(col("qty"), 2).as("sum_qty"))
@@ -246,7 +253,7 @@ object Queries extends QueryModule {
   // -- top-k per group via window ------------------------------------------
   private def topCustomers(s: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
+      .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment", "c_custkey")
       .agg(round(sum("o_totalprice"), 2).as("total_spend"))

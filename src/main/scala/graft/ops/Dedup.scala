@@ -93,10 +93,10 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         call_function("graft_minhash_words", TextAnalysis.words(col(textCol))).as("sig"))
     // cache: the signature subtree feeds both sides of the self-join,
-    // and signatures are tiny (64 longs/doc) relative to their compute
-    val buckets = sigs
-      .select(col("doc_id"), col("sig"), posexplode(lshBandKeys(col("sig"))).as(Seq("band", "key")))
-      .cache()
+    // and signatures are tiny (64 longs/doc) relative to their compute.
+    // Registered so the harness unpersists it after the query's action
+    val buckets = graft.Caches.register(sigs
+      .select(col("doc_id"), col("sig"), posexplode(lshBandKeys(col("sig"))).as(Seq("band", "key"))))
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -192,11 +192,11 @@ object Dedup {
     val ws = TextAnalysis.words(col(textCol))
     val grams = when(size(ws) >= k, call_function("graft_word_trigrams", ws))
       .otherwise(array(concat_ws(" ", ws)))
-    val sh = docs.select(col(idCol).as("_id"), col(blockCol).as("_blk"), col(charsCol).as("_nc"),
-        array_sort(array_distinct(transform(grams, s => xxhash64(s)))).as("_sh"))
-      .withColumn("_size", size(col("_sh")))
-      .withColumn("_bkt", floor(col("_nc") / maxCharDiff))
-      .cache()
+    val sh = graft.Caches.register(
+      docs.select(col(idCol).as("_id"), col(blockCol).as("_blk"), col(charsCol).as("_nc"),
+          array_sort(array_distinct(transform(grams, s => xxhash64(s)))).as("_sh"))
+        .withColumn("_size", size(col("_sh")))
+        .withColumn("_bkt", floor(col("_nc") / maxCharDiff)))
     // equi-join includes a chars bucket so the |Δchars| window prunes
     // pairs inside the join key, not as a post-filter: the a-side
     // probes its own bucket and both neighbors
