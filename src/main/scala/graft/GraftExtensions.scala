@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSignature, MinHashWords, SortedIntersectCount, WordNGrams}
+import graft.functions.{CosineSimilarity, GraftFunctions, HyperplaneSignature, MinHashSignature, MinHashWords, SortedIntersectCount, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_word_trigrams"),
       info("graft_word_trigrams", classOf[WordNGrams]),
       (children: Seq[Expression]) => WordNGrams(children.head, 3)))
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_sig"),
+      info("graft_hyperplane_sig", classOf[HyperplaneSignature]),
+      GraftFunctions.hyperplaneBuilder))
   }
 }

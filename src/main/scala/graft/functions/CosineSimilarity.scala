@@ -80,6 +80,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * are callable via `call_function` / SQL by name. Idempotent.
   */
 object GraftFunctions {
+
+  /** graft_hyperplane_sig(emb, dim): dim must be a foldable int — the
+    * plane matrix is fixed at plan time, exactly like the minhash
+    * permutation constants.
+    */
+  private[graft] def hyperplaneBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "graft_hyperplane_sig expects (embedding, dim)")
+    require(children(1).foldable, "graft_hyperplane_sig dim must be a literal")
+    val dim = children(1).eval().asInstanceOf[Number].intValue()
+    HyperplaneSignature(children.head,
+      graft.ops.Similarity.planes(dim).map(_.toSeq).toSeq)
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val cosIdent = FunctionIdentifier("graft_cosine")
@@ -120,6 +133,13 @@ object GraftFunctions {
         ngIdent,
         new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_trigrams"),
         (children: Seq[Expression]) => WordNGrams(children.head, k = 3))
+    }
+    val hpIdent = FunctionIdentifier("graft_hyperplane_sig")
+    if (!registry.functionExists(hpIdent)) {
+      registry.registerFunction(
+        hpIdent,
+        new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
+        hyperplaneBuilder(_))
     }
   }
 }

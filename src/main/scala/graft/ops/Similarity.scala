@@ -40,7 +40,7 @@ object Similarity {
   val NumPlanes = 8
 
   /** Deterministic pseudo-random hyperplanes (seeded LCG), dim x planes. */
-  private[ops] def planes(dim: Int): Array[Array[Double]] = {
+  private[graft] def planes(dim: Int): Array[Array[Double]] = {
     var state = 20240812L
     def next(): Double = {
       state = state * 6364136223846793005L + 1442695040888963407L
@@ -50,17 +50,15 @@ object Similarity {
   }
 
   /** Bit-signature of an embedding under the fixed hyperplanes: bit p
-    * = sign(v · plane_p). One long-typed bucket key per row.
+    * = sign(v · plane_p). One long-typed bucket key per row, computed
+    * by the codegen'd [[graft.functions.HyperplaneSignature]] — a
+    * single fused loop. (The previous interpreted `zip_with` +
+    * `aggregate` formulation ran 8 higher-order traversals per row —
+    * the per-row hot loop of the 100 TB ANN path.)
     */
-  def lshSignature(emb: Column, dim: Int): Column = {
-    val ps = planes(dim)
-    (0 until NumPlanes).map { p =>
-      val plane = typedLit(ps(p).toSeq)
-      val dot = aggregate(
-        zip_with(emb, plane, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << p)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
+  def lshSignature(spark: SparkSession, emb: Column, dim: Int): Column = {
+    GraftFunctions.register(spark)
+    call_function("graft_hyperplane_sig", emb, lit(dim))
   }
 
   /** Approximate top-k via LSH bucketing with hamming-1 multiprobe:
@@ -75,17 +73,18 @@ object Similarity {
     // set by XOR-ing bit masks — not one signature evaluation per probe
     val masks = (lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p)))
     val qSig = queries
-      .withColumn("_sig0", lshSignature(col("qe"), dim))
+      .withColumn("_sig0", lshSignature(spark, col("qe"), dim))
       .withColumn("sig", explode(array(masks.map(m => col("_sig0").bitwiseXOR(m)): _*)))
       .drop("_sig0")
-    val cSig = corpus.withColumn("sig", lshSignature(col("embedding"), dim))
+    val cSig = corpus.withColumn("sig", lshSignature(spark, col("embedding"), dim))
     val scored = cSig.join(broadcast(qSig), Seq("sig"))
       .dropDuplicates("query_id", "vec_id")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(spark, col("qe"), col("embedding")), 6).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // bounded-heap top-k per query (no per-group full sort)
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("score"), -col("neighbor_id")), k)
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
@@ -115,8 +114,9 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(spark, col("qe"), col("embedding")), 6).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // bounded-heap top-k per query (no per-group full sort)
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("score"), -col("neighbor_id")), k)
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
@@ -136,12 +136,30 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
-  /** Near-duplicate pairs by cosine within equality blocks. */
-  def nearDupPairs(spark: SparkSession, vectors: DataFrame, blockCol: String,
+  /** Near-duplicate pairs: LSH candidate generation (hyperplane
+    * signatures, hamming ≤ 1 via multiprobe) + EXACT cosine scoring.
+    *
+    * Candidates are pairs whose signatures differ in at most one bit
+    * — the a-side probes its own bucket plus each one-bit flip, so
+    * each qualifying pair is produced by exactly one probe and no
+    * all-pairs join exists anywhere in the plan. Work is linear in
+    * corpus size plus the intra-bucket pair blowup (buckets are
+    * corpus/2^NumPlanes on neutral data), which is the shape that
+    * survives 100 TB; the previous label-blocked all-pairs was
+    * O(n²/blocks).
+    */
+  def nearDupPairs(spark: SparkSession, vectors: DataFrame, dim: Int,
                    threshold: Double): DataFrame = {
-    val a = vectors.select(col(blockCol), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = vectors.select(col(blockCol), col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    a.join(b, Seq(blockCol))
+    // signature subtree feeds both sides of the self-join
+    val sigd = graft.Caches.register(vectors
+      .select(col("vec_id"), col("embedding"),
+        lshSignature(spark, col("embedding"), dim).as("sig")))
+    val masks = (lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p)))
+    val a = sigd.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      explode(array(masks.map(m => col("sig").bitwiseXOR(m)): _*)).as("probe"))
+    val b = sigd.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("sig").as("probe"))
+    a.join(b, Seq("probe"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("score", round(cosine(spark, col("ea"), col("eb")), 6))
       .filter(col("score") >= threshold)

@@ -65,19 +65,35 @@ object SimilarityQueries extends QueryModule {
       |SELECT query_id, neighbor_id, rank, score FROM r
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  // -- embedding near-dup pairs within label blocks (oracle) ---------------
+  // -- embedding near-dup pairs via LSH candidates (oracle) ----------------
 
   private def embedNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(s, corpus(s, dir), blockCol = "label", threshold = 0.3)
+    Similarity.nearDupPairs(s, corpus(s, dir), dim = Dim, threshold = 0.3)
       .orderBy("vec_a", "vec_b")
 
-  private val embedNearDupSql =
-    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
-      |FROM embeddings a JOIN embeddings b
-      |  ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
-      |ORDER BY vec_a, vec_b""".stripMargin
+  /** Oracle mirrors the LSH candidate rule exactly: DuckDB recomputes
+    * each vector's hyperplane signature from the SAME plane constants
+    * (emitted as literals from the single Scala source of truth) and
+    * takes pairs at hamming ≤ 1, scored with exact cosine — so the
+    * hash compare verifies signature computation, candidate
+    * generation, and scoring end to end.
+    */
+  private val embedNearDupSql = {
+    val ps = Similarity.planes(Dim)
+    val sigExpr = (0 until Similarity.NumPlanes).map { p =>
+      val lits = ps(p).map(java.lang.Double.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(e, $lits::DOUBLE[]) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sigs AS (SELECT vec_id, e,
+       |  CAST($sigExpr AS BIGINT) AS sig FROM v)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_cosine_similarity(a.e, b.e), 6) AS score
+       |FROM sigs a JOIN sigs b
+       |  ON a.vec_id < b.vec_id AND bit_count(xor(a.sig, b.sig)) <= 1
+       |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   // -- approximate paths (rows-only; recall asserted in ScalaTest) ---------
 

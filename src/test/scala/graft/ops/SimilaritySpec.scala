@@ -88,6 +88,82 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  // the interpreted higher-order formulation HyperplaneSignature
+  // replaced — kept here as the semantic reference
+  private def interpretedSignature(emb: org.apache.spark.sql.Column, dim: Int) = {
+    val ps = Similarity.planes(dim)
+    (0 until Similarity.NumPlanes).map { p =>
+      val plane = typedLit(ps(p).toSeq)
+      val dot = aggregate(zip_with(emb, plane, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  test("hyperplane signature expression matches the interpreted formulation") {
+    val df = Tables.embeddings(spark, sfDir)
+    val mismatches = df.select(
+        Similarity.lshSignature(spark, $"embedding", 64).as("native"),
+        interpretedSignature($"embedding", 64).as("interp"))
+      .filter($"native" =!= $"interp").count()
+    assert(mismatches === 0)
+  }
+
+  test("hyperplane signature expression runs in whole-stage codegen and is faster") {
+    GraftFunctions.register(spark)
+    val base = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val n = 40000L
+    val wide = base.crossJoin(spark.range(n / base.count() + 1)).limit(n.toInt)
+      .select($"embedding").cache()
+    wide.count()
+    val plan = wide.select(Similarity.lshSignature(spark, $"embedding", 64).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_hyperplane_sig"), plan)
+    def time(f: => Unit): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+    def run(c: org.apache.spark.sql.Column): Double =
+      time(wide.select(c.as("s")).agg(sum($"s")).collect())
+    run(Similarity.lshSignature(spark, $"embedding", 64)) // JIT/codegen warm-up
+    run(interpretedSignature($"embedding", 64))
+    val native = (1 to 3).map(_ => run(Similarity.lshSignature(spark, $"embedding", 64))).min
+    val interp = (1 to 3).map(_ => run(interpretedSignature($"embedding", 64))).min
+    info(f"hyperplane signature over $n rows: codegen $native%.3fs vs interpreted $interp%.3fs (${interp / native}%.1fx)")
+    wide.unpersist()
+    // conservative CI bound; measured speedup is recorded in SURVEY §5
+    assert(native * 2 < interp, f"expected >=2x, got codegen=$native%.3fs interpreted=$interp%.3fs")
+  }
+
+  test("nearDupPairs: LSH candidates are hamming<=1 and scored exactly") {
+    val corpus = clustered(4, 50)
+    val out = Similarity.nearDupPairs(spark, corpus, dim = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.nonEmpty)
+    // every emitted pair: signatures within hamming 1 of each other,
+    // and the score equals the exact cosine of the two vectors
+    val sigs = corpus.select($"vec_id",
+        Similarity.lshSignature(spark, $"embedding", 16).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    out.keys.foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 1, s"pair ($a,$b)")
+    }
+    val exact = corpus.as("a").crossJoin(corpus.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        round(call_function("graft_cosine", $"a.embedding", $"b.embedding"), 6).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    out.foreach { case (pair, score) =>
+      assert(exact(pair) === score && score >= 0.3, s"$pair -> $score vs ${exact(pair)}")
+    }
+    // emitted pairs are exactly the qualifying hamming<=1 subset
+    val expected = exact.filter { case ((a, b), c) =>
+      c >= 0.3 && java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 1
+    }
+    assert(out.keySet === expected.keySet)
+    val recall = out.size.toDouble / math.max(exact.count(_._2 >= 0.3), 1)
+    info(f"nearDupPairs recall vs exact all-pairs at 0.3: $recall%.2f (${out.size}/${exact.count(_._2 >= 0.3)})")
+  }
+
   test("multimodal pipeline: schema, batching, deterministic features") {
     val media = Multimodal.synthesizeMedia(Tables.documents(spark, sfDir).limit(50))
     assert(media.schema("media").dataType.typeName === "binary")
