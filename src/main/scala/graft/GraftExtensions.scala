@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_hyperplane_sig"),
       info("graft_hyperplane_sig", classOf[HyperplaneSignature]),
       GraftFunctions.hyperplaneBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", classOf[graft.functions.SimHash64]),
+      (children: Seq[Expression]) => graft.functions.SimHash64(children.head)))
   }
 }

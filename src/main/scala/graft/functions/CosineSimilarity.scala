@@ -141,5 +141,12 @@ object GraftFunctions {
         new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
         hyperplaneBuilder(_))
     }
+    val shIdent = FunctionIdentifier("graft_simhash")
+    if (!registry.functionExists(shIdent)) {
+      registry.registerFunction(
+        shIdent,
+        new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+        (children: Seq[Expression]) => SimHash64(children.head))
+    }
   }
 }

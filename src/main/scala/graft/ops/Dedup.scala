@@ -149,23 +149,40 @@ object Dedup {
 
   // ---- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash over word unigrams (occurrence-weighted): bit i of
-    * the output is the sign of the sum of ±1 contributions from each
-    * word's hash bit i. Computed as 64 conditional-sum aggregations —
-    * wide but fully codegen'd, one shuffle on the doc id.
+  /** 62-bit SimHash over word unigrams (occurrence-weighted), one
+    * codegen pass per row ([[graft.functions.SimHash64]]) — a pure
+    * map over the corpus, no explode/shuffle/64-column aggregation
+    * (the previous formulation shuffled every word occurrence).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = docs.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.words(col(textCol))).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
-    }
-    val agg = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val hashExpr = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), hashExpr.as("simhash"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+      call_function("graft_simhash", TextAnalysis.words(col(textCol))).as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs, hamming-bucketed: the 62-bit
+    * signature is banded into 4×16-bit keys; docs sharing ANY band
+    * key become candidates (pigeonhole: every pair at hamming ≤ 3
+    * differs in at most 3 of 4 bands, so it shares at least one),
+    * then candidates are kept at exact `bit_count(xor) <= tau`.
+    * Work is linear in corpus size plus intra-bucket pairs — the
+    * same banded-LSH shape as minhash, never all-pairs.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   tau: Int = 3): DataFrame = {
+    require(tau <= 3, "4x16 banding only guarantees recall for hamming <= 3")
+    val sigs = graft.Caches.register(simhash(docs, idCol, textCol))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b") // a pair may share several bands
+      .filter(col("hamming") <= tau)
   }
 
   // ---- n-gram Jaccard verification --------------------------------------

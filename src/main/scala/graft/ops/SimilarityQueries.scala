@@ -105,17 +105,43 @@ object SimilarityQueries extends QueryModule {
     Similarity.ivfTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5)
       .orderBy("query_id", "rank")
 
-  // -- multimodal plumbing (rows-only; shape asserted in ScalaTest) --------
+  // -- multimodal plumbing (decode stub; featurization oracled) ------------
 
+  /** The gate output recovers INTEGER quantities from the stub's
+    * float features (count = round(ratio · n) is exact while
+    * n · count < 2^23), so the DuckDB compare is immune to
+    * float-vs-double rounding at .xx5 boundaries while still
+    * verifying the whole mapPartitions decode path: payload length,
+    * byte sum (mean·n), class counts (ratio·n), first/last byte.
+    */
   private def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.synthesizeMedia(Tables.documents(s, dir))
+    def f(i: Int) = element_at(col("features"), i).cast("double")
     Multimodal.extractFeatures(s, media)
       .select(col("doc_id"),
-        round(element_at(col("features"), 1), 2).as("n_bytes"),
-        round(element_at(col("features"), 2), 2).as("mean_byte"),
-        round(element_at(col("features"), 4), 4).as("vowel_ratio"))
+        f(1).cast("long").as("n_bytes"),
+        round(f(2) * f(1)).cast("long").as("byte_sum"),
+        round(f(4) * f(1)).cast("long").as("n_vowels"),
+        round(f(5) * f(1)).cast("long").as("n_spaces"),
+        round(f(6) * f(1)).cast("long").as("n_digits"),
+        f(7).cast("long").as("first_byte"),
+        f(8).cast("long").as("last_byte"))
       .orderBy("doc_id")
   }
+
+  /** DuckDB recomputes the stub features from the same UTF-8 payload
+    * (documents are pure ASCII, so `ascii(c)` IS the byte value).
+    */
+  private val mediaFeaturesSql =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  CAST(list_sum([ascii(c)::BIGINT FOR c IN string_split(text, '')]) AS BIGINT) AS byte_sum,
+      |  CAST(strlen(text) - strlen(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels,
+      |  CAST(strlen(text) - strlen(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+      |  CAST(strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+      |  CAST(ascii(left(text, 1)) AS BIGINT) AS first_byte,
+      |  CAST(ascii(right(text, 1)) AS BIGINT) AS last_byte
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("ann_bruteforce_topk", annBrute, Some(annBruteSql)),
@@ -123,6 +149,6 @@ object SimilarityQueries extends QueryModule {
     QueryDef("dedup_embedding", embedNearDup, Some(embedNearDupSql)),
     QueryDef("ann_lsh_topk", annLsh, None),
     QueryDef("ann_ivf_topk", annIvf, None),
-    QueryDef("media_features", mediaFeatures, None),
+    QueryDef("media_features", mediaFeatures, Some(mediaFeaturesSql)),
   )
 }

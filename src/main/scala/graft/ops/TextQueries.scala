@@ -143,6 +143,57 @@ object TextQueries extends QueryModule {
   private def simhashQ(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** DuckDB recomputes the full SimHash: per word, the same two
+    * mod-prime polynomial byte-folds (`list_reduce` over the word's
+    * chars — documents are pure ASCII so `ascii(c)` IS the byte),
+    * then the 62 sign-of-±1-sum bits. One source of truth with
+    * [[graft.functions.SimHash64]]; a drift anywhere (word split,
+    * hash constants, tie rule) hash-mismatches the gate.
+    */
+  private val simhashSigsCte = {
+    val bitTerms = (0 until 62).map { j =>
+      s"(CASE WHEN sum(CASE WHEN (hw >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""w AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN string_split(word, '')]),
+       |      (acc, c) -> (acc * 31 + c) % 2147483647)
+       |    + list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN string_split(word, '')]),
+       |      (acc, c) -> (acc * 37 + c) % 2147483629) * 2147483648 AS hw
+       |  FROM w),
+       |sigs AS (
+       |  SELECT d.doc_id, COALESCE(b.simhash, 0) AS simhash
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+       |    FROM h GROUP BY doc_id) b ON d.doc_id = b.doc_id)""".stripMargin
+  }
+
+  private val simhashSql =
+    s"""WITH $simhashSigsCte
+       |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin
+
+  private def simhashPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", tau = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** Banded candidate rule mirrored exactly: pairs sharing any 16-bit
+    * band, kept at hamming ≤ 3 (`bit_count(xor(...))`).
+    */
+  private val simhashPairsSql = {
+    val bandEq = (0 until 4).map(b =>
+      s"(a.simhash >> ${16 * b}) & 65535 = (b.simhash >> ${16 * b}) & 65535").mkString("\n   OR ")
+    s"""WITH $simhashSigsCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       | AND ($bandEq)
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // -- n-gram Jaccard near-dup within blocks -------------------------------
 
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
@@ -256,7 +307,8 @@ object TextQueries extends QueryModule {
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_fingerprint", dedupFingerprint, Some(dedupFingerprintSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, None),
-    QueryDef("dedup_simhash", simhashQ, None),
+    QueryDef("dedup_simhash", simhashQ, Some(simhashSql)),
+    QueryDef("dedup_simhash_pairs", simhashPairsQ, Some(simhashPairsSql)),
     QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardSql)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QueryDef("docs_ngram_topk", ngramTopk, Some(ngramTopkSql)),

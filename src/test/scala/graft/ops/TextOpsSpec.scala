@@ -75,4 +75,18 @@ class TextOpsSpec extends SparkSpec {
     assert(hamming(out(0), out(1)) < hamming(out(0), out(2)))
     assert(hamming(out(0), out(1)) <= 16)
   }
+
+  test("simhashPairs: banding recalls every pair at hamming <= tau") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", tau = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    // ground truth from all-pairs over the signatures (test-only scale)
+    val sigs = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect()
+    val truth = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+    assert(pairs.toSet === truth) // 4x16 banding is lossless for tau <= 3
+  }
 }
