@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectResolutionRule(session => new graft.sources.ResolveMergeTableDml(session))
     def info(name: String, clazz: Class[_]) = new ExpressionInfo(clazz.getName, name)
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", classOf[CosineSimilarity]),

@@ -15,6 +15,10 @@ object GraftSession {
       .appName(appName)
       .master(master)
       .config("spark.sql.session.timeZone", "UTC")
+      // full extension surface (planner strategy, native functions,
+      // MERGE INTO / DELETE FROM resolution for mergetable targets) —
+      // the same wiring a cluster gets from spark.sql.extensions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")

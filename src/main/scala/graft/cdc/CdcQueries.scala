@@ -164,6 +164,48 @@ object CdcQueries extends QueryModule {
       |WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.user_id = b.user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Same state transition as cdc_apply_upsert, but driven through
+    * the SQL surface the reference actually uses (MERGE INTO … WHEN
+    * MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *,
+    * transaction_log_util.py:279-301) — hash-matched against the same
+    * oracle, so SQL and API paths are proven equivalent.
+    */
+  private def applyUpsertViaSql(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).cache()
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    val base = latestPerUser(ev.filter(col("event_id") < cut))
+    val changes = latestPerUser(ev.filter(col("event_id") >= cut))
+    val root = tmpRoot("apply_upsert_via_sql", dir)
+    MergeTable.drop(root)
+    MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    s.read.format("mergetable").option("path", root).option("keys", "user_id").load()
+      .createOrReplaceTempView("graft_merge_target")
+    changes.createOrReplaceTempView("graft_merge_source")
+    s.sql(
+      """MERGE INTO graft_merge_target t USING graft_merge_source s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = new MergeTable(s, root, Seq("user_id")).read()
+      .select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+    ev.unpersist()
+    out
+  }
+
+  /** DELETE FROM … WHERE, through SQL (reference surface:
+    * transaction_log_util.py:304-334); same oracle as cdc_apply_delete.
+    */
+  private def applyDeleteViaSql(s: SparkSession, dir: String): DataFrame = {
+    val base = latestPerUser(events(s, dir))
+    val root = tmpRoot("apply_delete_via_sql", dir)
+    MergeTable.drop(root)
+    MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    s.read.format("mergetable").option("path", root).option("keys", "user_id").load()
+      .createOrReplaceTempView("graft_delete_target")
+    s.sql("DELETE FROM graft_delete_target WHERE event_type = 'error'")
+    new MergeTable(s, root, Seq("user_id")).read().orderBy("user_id")
+  }
+
   private def applyDelete(s: SparkSession, dir: String): DataFrame = {
     val base = latestPerUser(events(s, dir))
     val root = tmpRoot("apply_delete", dir)
@@ -336,6 +378,8 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert_mor", applyUpsertMor, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_bucketed", applyUpsertBucketed, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete", applyDelete, Some(applyDeleteSql)),
+    QueryDef("cdc_apply_upsert_sql", applyUpsertViaSql, Some(applyUpsertSql)),
+    QueryDef("cdc_apply_delete_sql", applyDeleteViaSql, Some(applyDeleteSql)),
     QueryDef("cdc_change_feed", changeFeed, Some(changeFeedSql)),
     QueryDef("mergetable_source_read", sourceRead, Some(sourceReadSql)),
     QueryDef("cdc_apply_full", applyFull, Some(applyFullSql)),

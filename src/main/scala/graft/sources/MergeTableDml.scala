@@ -1,0 +1,166 @@
+package graft.sources
+
+import graft.cdc.MergeTable
+import org.apache.spark.sql.{GraftSqlBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions.col
+
+/** SQL DML surface for MergeTable — the reference applies CDC through
+  * `spark.sql("MERGE INTO … WHEN MATCHED UPDATE SET * WHEN NOT
+  * MATCHED INSERT *")` (transaction_log_util.py:279-301) and
+  * `DELETE FROM …` (transaction_log_util.py:304-334); this analyzer
+  * rule gives mergetable targets the same surface.
+  *
+  * Injected via [[graft.GraftExtensions]] (the pre-row-level-ops
+  * extension pattern Iceberg's Spark extensions used for MERGE): a
+  * resolution rule rewrites `MergeIntoTable` / `DeleteFromTable`
+  * whose target is a mergetable relation into a runnable command
+  * backed by the table's transactional upsert/delete, which handle
+  * COW, MOR, and bucketed layouts uniformly.
+  *
+  * Supported forms (the reference's surface):
+  *  - MERGE … ON <all PK equalities> WHEN MATCHED THEN UPDATE SET *
+  *    WHEN NOT MATCHED THEN INSERT *          → upsert
+  *  - MERGE … WHEN MATCHED THEN DELETE         → key delete
+  *  - MERGE … WHEN NOT MATCHED THEN INSERT *   → insert-only
+  *  - DELETE FROM t WHERE <predicate>          → predicate delete
+  * Anything else (conditional actions, partial SET lists, non-PK
+  * merge conditions) throws with a clear message rather than running
+  * with silently different semantics.
+  */
+class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case m: MergeIntoTable if m.targetTable.resolved && m.sourceTable.resolved =>
+      mergeTarget(m.targetTable) match {
+        case Some(rel) => rewriteMerge(m, rel)
+        case None => m
+      }
+    case d @ DeleteFromTable(t, cond) if t.resolved =>
+      mergeTarget(t) match {
+        case Some(rel) =>
+          MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
+            Filter(cond, t), MergeTableDmlCommand.Delete)
+        case None => d
+      }
+  }
+
+  private def mergeTarget(plan: LogicalPlan): Option[MergeTableRelation] = plan match {
+    case SubqueryAlias(_, child) => mergeTarget(child)
+    case v: View => mergeTarget(v.child)
+    case lr: LogicalRelation => lr.relation match {
+      case r: MergeTableRelation => Some(r)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def rewriteMerge(m: MergeIntoTable, rel: MergeTableRelation): LogicalPlan = {
+    def fail(msg: String): Nothing =
+      throw new UnsupportedOperationException(s"MERGE INTO mergetable: $msg")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+    val condCols = keyEqualities(m.mergeCondition)
+      .getOrElse(fail(s"merge condition must be a conjunction of primary-key " +
+        s"equalities on (${rel.keys.mkString(", ")}), got: ${m.mergeCondition.sql}"))
+    if (condCols.map(_.toLowerCase).toSet != rel.keys.map(_.toLowerCase).toSet)
+      fail(s"merge condition covers (${condCols.mkString(", ")}) but the table's " +
+        s"primary key is (${rel.keys.mkString(", ")})")
+    val kind = (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(u), Seq(i)) if isUpdateAll(u) && isInsertAll(i) =>
+        MergeTableDmlCommand.Upsert
+      case (Seq(DeleteAction(None)), Seq()) =>
+        MergeTableDmlCommand.Delete
+      case (Seq(), Seq(i)) if isInsertAll(i) =>
+        MergeTableDmlCommand.InsertOnly
+      case _ =>
+        fail("supported forms: WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
+          "THEN INSERT *; WHEN MATCHED THEN DELETE; WHEN NOT MATCHED THEN INSERT *")
+    }
+    MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
+      m.sourceTable, kind)
+  }
+
+  /** Column names from a conjunction of same-name equality predicates
+    * (`t.k = s.k [AND …]`), or None if any conjunct has another shape.
+    * Works on both unresolved (first analyzer pass) and resolved attrs.
+    */
+  private def keyEqualities(e: Expression): Option[Seq[String]] = e match {
+    case And(l, r) => for (a <- keyEqualities(l); b <- keyEqualities(r)) yield a ++ b
+    case EqualTo(l, r) =>
+      (attrName(l), attrName(r)) match {
+        case (Some(a), Some(b)) if a.equalsIgnoreCase(b) => Some(Seq(a))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: Attribute => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case _ => None
+  }
+
+  /** UPDATE SET * — either still star-form or already expanded by the
+    * analyzer into an identity column mapping.
+    */
+  private def isUpdateAll(a: MergeAction): Boolean = a match {
+    case UpdateStarAction(None) => true
+    case UpdateAction(None, assignments, _) => assignmentsAreIdentity(assignments)
+    case _ => false
+  }
+
+  private def isInsertAll(a: MergeAction): Boolean = a match {
+    case InsertStarAction(None) => true
+    case InsertAction(None, assignments) => assignmentsAreIdentity(assignments)
+    case _ => false
+  }
+
+  private def assignmentsAreIdentity(assignments: Seq[Assignment]): Boolean =
+    assignments.forall { as =>
+      (attrName(as.key), attrName(as.value)) match {
+        case (Some(k), Some(v)) => k.equalsIgnoreCase(v)
+        case _ => false
+      }
+    }
+}
+
+/** Eagerly-executed DML against a MergeTable root. The source plan is
+  * captured at analysis time and re-analyzed at run — for Delete it is
+  * `Filter(cond, target)`, so `DELETE FROM t WHERE p` reads the
+  * current snapshot, keeps rows matching p, and deletes their keys.
+  */
+case class MergeTableDmlCommand(
+    path: String,
+    keys: Seq[String],
+    mode: String,
+    numBuckets: Option[Int],
+    source: LogicalPlan,
+    kind: String) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = GraftSqlBridge.ofRows(session, source)
+    val t = new MergeTable(session, path, keys, mode, numBuckets)
+    kind match {
+      case MergeTableDmlCommand.Upsert => t.upsert(src)
+      case MergeTableDmlCommand.InsertOnly =>
+        t.upsert(src.join(t.read().select(keys.map(col): _*), keys, "left_anti"))
+      case MergeTableDmlCommand.Delete =>
+        t.delete(src.select(keys.map(col): _*).distinct())
+    }
+    Seq.empty
+  }
+}
+
+object MergeTableDmlCommand {
+  val Upsert = "upsert"
+  val InsertOnly = "insert_only"
+  val Delete = "delete"
+}

@@ -30,22 +30,24 @@ class MergeTableSource extends RelationProvider with DataSourceRegister {
     if (mode == MergeTable.MergeOnRead && keys.isEmpty)
       throw new IllegalArgumentException(
         "mergetable source requires option 'keys' when mode=merge-on-read")
-    new MergeTableRelation(sqlContext, path, keys.getOrElse(Seq("id")), mode)
+    val buckets = parameters.get("buckets").map(_.toInt)
+    new MergeTableRelation(sqlContext, path, keys.getOrElse(Seq("id")), mode, buckets)
   }
 }
 
 class MergeTableRelation(
     override val sqlContext: SQLContext,
-    path: String,
-    keys: Seq[String],
-    mode: String) extends BaseRelation with PrunedFilteredScan {
+    val path: String,
+    val keys: Seq[String],
+    val mode: String,
+    val numBuckets: Option[Int] = None) extends BaseRelation with PrunedFilteredScan {
 
   private def spark: SparkSession = sqlContext.sparkSession
 
   // resolve the manifest pointer ONCE per relation: schema and every
   // buildScan read the same committed snapshot even while writers
   // commit (or vacuum) concurrently
-  private lazy val snapshot = new MergeTable(spark, path, keys, mode).read()
+  private lazy val snapshot = new MergeTable(spark, path, keys, mode, numBuckets).read()
 
   override lazy val schema: StructType = snapshot.schema
 

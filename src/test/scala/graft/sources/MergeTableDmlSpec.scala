@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.cdc.MergeTable
+
+class MergeTableDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String): (String, MergeTable) = {
+    val root = s"target/test_tables/dml_$name"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "name", "v")))
+    (root, t)
+  }
+
+  private def view(root: String, name: String): Unit =
+    spark.read.format("mergetable").option("path", root).load()
+      .createOrReplaceTempView(name)
+
+  test("SQL MERGE INTO: UPDATE SET * / INSERT * is a transactional upsert") {
+    val (root, t) = freshTable("merge_upsert")
+    view(root, "dml_target")
+    Seq((2L, "B", 200L), (4L, "d", 40L)).toDF("id", "name", "v")
+      .createOrReplaceTempView("dml_source")
+    spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
+  test("SQL MERGE INTO: WHEN MATCHED THEN DELETE removes matched keys") {
+    val (root, t) = freshTable("merge_delete")
+    view(root, "dml_target")
+    Seq(Tuple1(2L), Tuple1(9L)).toDF("id").createOrReplaceTempView("dml_source")
+    spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "a", 10L), (3L, "c", 30L)))
+  }
+
+  test("SQL MERGE INTO: insert-only merge adds only new keys") {
+    val (root, t) = freshTable("merge_insert_only")
+    view(root, "dml_target")
+    Seq((2L, "CHANGED", 999L), (5L, "e", 50L)).toDF("id", "name", "v")
+      .createOrReplaceTempView("dml_source")
+    spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (5L, "e", 50L)))
+  }
+
+  test("SQL DELETE FROM with predicate deletes matching rows' keys") {
+    val (root, t) = freshTable("delete_where")
+    view(root, "dml_target")
+    spark.sql("DELETE FROM dml_target WHERE v >= 20 AND name <> 'c'")
+    assert(t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "a", 10L), (3L, "c", 30L)))
+  }
+
+  test("unsupported MERGE shapes fail loudly, not silently") {
+    val (root, _) = freshTable("merge_bad")
+    view(root, "dml_target")
+    Seq((2L, "B", 200L)).toDF("id", "name", "v").createOrReplaceTempView("dml_source")
+    // non-PK merge condition
+    val e1 = intercept[Exception](spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.name = s.name
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(e1.getMessage.contains("primary key"), e1.getMessage)
+    // partial SET list
+    val e2 = intercept[Exception](spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v + 1""".stripMargin))
+    assert(e2.getMessage.contains("supported forms"), e2.getMessage)
+  }
+
+  test("SQL MERGE INTO a merge-on-read table goes through the delta path") {
+    val root = "target/test_tables/dml_mor"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, 10L), (2L, 20L)).toDF("id", "v")),
+      mode = MergeTable.MergeOnRead)
+    spark.read.format("mergetable").option("path", root)
+      .option("keys", "id").option("mode", MergeTable.MergeOnRead).load()
+      .createOrReplaceTempView("dml_target")
+    Seq((2L, 200L), (3L, 30L)).toDF("id", "v").createOrReplaceTempView("dml_source")
+    spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(t.read().orderBy("id").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 200L), (3L, 30L)))
+    // the SQL write appended a delta, it did not rewrite the base
+    assert(t.versions().size === 2)
+  }
+}
