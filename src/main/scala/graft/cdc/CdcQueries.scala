@@ -117,7 +117,8 @@ object CdcQueries extends QueryModule {
 
   // -- merge apply through the real MergeTable IO path ---------------------
 
-  private def applyUpsertWith(variant: String, mode: String, buckets: Option[Int])(
+  private def applyUpsertWith(variant: String, mode: String, buckets: Option[Int],
+      compactAfter: Boolean = false)(
       s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).cache()
     val cut = ev.agg(max("event_id")).head().getLong(0) / 2
@@ -128,6 +129,7 @@ object CdcQueries extends QueryModule {
     val t = MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base),
       mode = mode, numBuckets = buckets)
     t.upsert(changes)
+    if (compactAfter) t.compact()
     val out = t.read().select("user_id", "event_id", "event_type", "value").orderBy("user_id")
     ev.unpersist()
     out
@@ -145,6 +147,14 @@ object CdcQueries extends QueryModule {
   /** Same semantics through the bucketed partition-scoped COW path. */
   private def applyUpsertBucketed(s: SparkSession, dir: String): DataFrame =
     applyUpsertWith("bucketed", MergeTable.CopyOnWrite, Some(8))(s, dir)
+
+  /** Same semantics through bucketed MOR: bucket-partitioned seed,
+    * flat delta upsert, then per-bucket compaction (`compactAfter`)
+    * so the gate hashes the post-compaction bucket layout.
+    */
+  private def applyUpsertMorBucketed(s: SparkSession, dir: String): DataFrame =
+    applyUpsertWith("mor_bucketed", MergeTable.MergeOnRead, Some(8),
+      compactAfter = true)(s, dir)
 
   private val applyUpsertSql =
     """WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
@@ -377,6 +387,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert", applyUpsert, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_mor", applyUpsertMor, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_bucketed", applyUpsertBucketed, Some(applyUpsertSql)),
+    QueryDef("cdc_apply_upsert_mor_bucketed", applyUpsertMorBucketed, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete", applyDelete, Some(applyDeleteSql)),
     QueryDef("cdc_apply_upsert_sql", applyUpsertViaSql, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete_sql", applyDeleteViaSql, Some(applyDeleteSql)),

@@ -19,11 +19,13 @@ import scala.jdk.CollectionConverters._
   *    auto-compacted into a new base after `maxDeltas` commits.
   *    Write-cheap, read-heavier — the right trade for high-rate CDC.
   *
-  * Orthogonally, '''hash bucketing''' (`numBuckets`) makes
-  * copy-on-write partition-scoped: data lives in per-bucket
-  * directories keyed by hash(primary key), and upsert/delete rewrite
-  * ONLY the buckets containing touched keys. At 100 TB a CDC batch
-  * touching 0.1% of keys rewrites ~tens of buckets, not the table.
+  * Orthogonally, '''hash bucketing''' (`numBuckets`) makes writes
+  * partition-scoped: data lives in per-bucket directories keyed by
+  * hash(primary key). Under COW, upsert/delete rewrite ONLY the
+  * buckets containing touched keys; under MOR, deltas stay O(batch)
+  * and compaction rewrites only the buckets the pending deltas
+  * touch. At 100 TB a CDC batch touching 0.1% of keys pays for
+  * ~tens of buckets, not the table.
   *
   * Reference semantics being matched:
   *  - append w/ merge-schema: transaction_log_util.py:216-218
@@ -54,8 +56,9 @@ final class MergeTable(
     val numBuckets: Option[Int] = None,
     val maxDeltas: Int = 8) {
 
-  require(numBuckets.isEmpty || mode == MergeTable.CopyOnWrite,
-    "bucketing is a copy-on-write layout; combine with merge-on-read is not supported")
+  // numBuckets composes with either mode: bucketed COW rewrites only
+  // touched buckets; bucketed MOR appends flat deltas and compacts
+  // only the buckets those deltas touch.
 
   private val rootPath = Paths.get(root)
   private val dataDir = rootPath.resolve("data")
@@ -190,7 +193,8 @@ final class MergeTable(
     val deltas = es.filter(_._1 == "delta")
     if (deltas.isEmpty) readDirs(es.map(_._2))
     else {
-      val baseDirs = es.filter(_._1 == "base").map(_._2)
+      // bucketed MOR: b<i> entries are per-bucket bases
+      val baseDirs = es.filter(e => e._1 == "base" || e._1.matches("b\\d+")).map(_._2)
       val parts =
         (if (baseDirs.nonEmpty) Seq(readDirs(baseDirs).withColumn("_graft_seq", lit(0))) else Nil) ++
           deltas.zipWithIndex.map { case ((_, d), i) =>
@@ -234,9 +238,12 @@ final class MergeTable(
     */
   def upsert(changes: DataFrame): Unit = mode match {
     case MergeTable.MergeOnRead =>
-      // first write seeds the base; subsequent upserts are deltas
-      if (!exists) commit(Seq("base" -> writeData(changes)))
-      else {
+      // first write seeds the base (bucket-partitioned when bucketed);
+      // subsequent upserts are flat O(batch) deltas either way
+      if (!exists) {
+        if (numBuckets.isDefined) seedBucketed(changes)
+        else commit(Seq("base" -> writeData(changes)))
+      } else {
         commit(entries() :+ ("delta" -> writeData(changes)))
         maybeCompact()
       }
@@ -301,9 +308,7 @@ final class MergeTable(
       .parquet(dataDir.resolve(dir).toString)
     // manifest: affected buckets move to the new dir (buckets emptied
     // by deletes vanish); untouched buckets keep their old entries
-    val written = Option(dataDir.resolve(dir).toFile.list()).getOrElse(Array.empty)
-      .filter(_.startsWith(s"$BucketCol="))
-      .map(s => s.stripPrefix(s"$BucketCol=").toLong).toSet
+    val written = listBuckets(dir)
     // only b<digits> tags are bucket entries; a non-bucketed layout
     // (base:/delta: entries) opened with numBuckets is a caller error
     require(current.keys.forall(_.matches("b\\d+")),
@@ -315,10 +320,50 @@ final class MergeTable(
     commit(untouched ++ updated)
   }
 
-  /** Fold deltas into a single base (MOR housekeeping). */
-  def compact(): Unit = {
-    val reconciled = read()
-    commit(Seq("base" -> writeData(reconciled)))
+  private def listBuckets(dir: String): Set[Long] =
+    Option(dataDir.resolve(dir).toFile.list()).getOrElse(Array.empty)
+      .filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toLong).toSet
+
+  /** First write of a bucketed table: one bucket-partitioned job. */
+  private def seedBucketed(df: DataFrame): Unit = {
+    val dir = UUID.randomUUID().toString
+    df.withColumn(BucketCol, bucketExpr)
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(dataDir.resolve(dir).toString)
+    commit(listBuckets(dir).toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i"))
+  }
+
+  /** Fold deltas into the base (MOR housekeeping). Bucketed tables
+    * compact ONLY the buckets the pending deltas touch — at 100 TB a
+    * compaction pays for the dirty buckets, not the table.
+    */
+  def compact(): Unit =
+    if (numBuckets.isDefined) compactBuckets()
+    else commit(Seq("base" -> writeData(read())))
+
+  private def compactBuckets(): Unit = {
+    val es = entries()
+    val deltaEntries = es.filter(_._1 == "delta")
+    if (deltaEntries.isEmpty) return
+    val bucketDirs = es.filter(_._1.matches("b\\d+")).toMap
+    val deltas = readDirs(deltaEntries.map(_._2))
+    val affected = deltas.select(bucketExpr.as(BucketCol)).distinct()
+      .collect().map(_.getLong(0)).toSet // bounded by numBuckets
+    val affectedBase = affected.toSeq.sorted
+      .flatMap(i => bucketDirs.get(s"b$i")).map("base" -> _)
+    // reconcile ONLY the dirty buckets' bases against the deltas
+    // (every delta row hashes into an affected bucket by definition)
+    val reconciled = readEntries(affectedBase ++ deltaEntries)
+    val dir = UUID.randomUUID().toString
+    reconciled.withColumn(BucketCol, bucketExpr)
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(dataDir.resolve(dir).toString)
+    val written = listBuckets(dir)
+    val untouched = es.filter { case (t, _) =>
+      t.matches("b\\d+") && !affected.contains(t.stripPrefix("b").toLong)
+    }
+    commit(untouched ++ written.toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i"))
   }
 
   /** Remove data directories no longer referenced by the current

@@ -1,0 +1,119 @@
+package graft.sources
+
+import graft.cdc.MergeTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.StreamingShim
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Streaming read of a MergeTable's outbound change feed — the
+  * `readStream` counterpart of [[MergeTable.changesBetween]], so a
+  * downstream consumer can tail the lake table incrementally the way
+  * the reference's Iceberg tables feed follow-on jobs.
+  *
+  * Offsets are committed table versions: each micro-batch covers a
+  * version range `(start, end]` and emits that range's NET key-level
+  * changes (`_change` = I/U/D, after-image for I/U, before-image for
+  * D) plus `_commit_version` = the range's end version. Rate limiting
+  * is by version count (`maxVersionsPerBatch`), the natural unit for
+  * a table whose commits are CDC batches — one version's changes are
+  * one ingest batch, so the cap bounds per-trigger work regardless of
+  * row width.
+  *
+  * The feed is computed reader-side (two-snapshot diff per range), so
+  * writers stay O(batch) — MOR commits are not taxed with change-row
+  * bookkeeping, the consumer pays for exactly the ranges it pulls.
+  *
+  * Restart semantics: offsets serialize as version numbers, so a
+  * checkpointed query resumes from its committed version; manifests
+  * are immutable and never rewritten (vacuum drops only unreferenced
+  * data dirs), so any un-vacuumed range stays replayable.
+  */
+class MergeTableChangeFeedSource(
+    spark: SparkSession,
+    path: String,
+    keys: Seq[String],
+    mode: String,
+    numBuckets: Option[Int],
+    startingVersion: Long,
+    maxVersionsPerBatch: Long) extends Source {
+
+  private val table = new MergeTable(spark, path, keys, mode, numBuckets)
+
+  // highest version already advertised to the engine; monotone, synced
+  // forward by getBatch/commit after a checkpoint restart
+  private var exposed: Long = startingVersion
+
+  override val schema: StructType =
+    MergeTableChangeFeedSource.feedSchema(spark, path, keys, mode, numBuckets)
+
+  override def getOffset: Option[Offset] = {
+    val vs = table.versions()
+    if (vs.isEmpty || vs.last <= startingVersion) None
+    else {
+      exposed = math.min(vs.last, exposed + maxVersionsPerBatch)
+      Some(LongOffset(exposed))
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(asVersion).getOrElse(startingVersion)
+    val to = asVersion(end)
+    exposed = math.max(exposed, to)
+    val changes = table.changesBetween(from, to).withColumn("_commit_version", lit(to))
+    // align to the declared schema: columns added by later schema
+    // evolution read as nulls for ranges that predate them
+    val aligned = changes.select(schema.fields.map { f =>
+      if (changes.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    StreamingShim.asStreaming(aligned)
+  }
+
+  private def asVersion(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong // checkpointed SerializedOffset
+  }
+
+  override def commit(end: Offset): Unit = { exposed = math.max(exposed, asVersion(end)) }
+
+  override def stop(): Unit = ()
+}
+
+object MergeTableChangeFeedSource {
+
+  /** Change-feed schema: snapshot columns (keys first) + `_change`
+    * (I/U/D) + `_commit_version`. Fixed at stream start from the
+    * current snapshot schema.
+    */
+  def feedSchema(spark: SparkSession, path: String, keys: Seq[String],
+                 mode: String, numBuckets: Option[Int]): StructType = {
+    val snap = new MergeTable(spark, path, keys, mode, numBuckets).read().schema
+    val keyFields = keys.map(k => snap(k))
+    val rest = snap.fields.filterNot(f => keys.contains(f.name)).toSeq
+    StructType((keyFields ++ rest) :+
+      StructField("_change", StringType) :+ StructField("_commit_version", LongType))
+  }
+
+  /** Parse provider options shared by sourceSchema/createSource. */
+  private[sources] def fromOptions(spark: SparkSession,
+                                   parameters: Map[String, String]): MergeTableChangeFeedSource = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("mergetable stream requires option 'path'"))
+    val keys = parameters.get("keys").map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "mergetable stream requires option 'keys' (the change feed diffs by primary key)"))
+    val mode = parameters.getOrElse("mode", MergeTable.CopyOnWrite)
+    val buckets = parameters.get("buckets").map(_.toInt)
+    val t = new MergeTable(spark, path, keys, mode, buckets)
+    // default: only changes committed after stream creation
+    val startingVersion = parameters.get("startingVersion").map(_.toLong)
+      .getOrElse(t.versions().lastOption.getOrElse(0L))
+    val maxVersions = parameters.get("maxVersionsPerBatch").map(_.toLong)
+      .getOrElse(Long.MaxValue / 4)
+    new MergeTableChangeFeedSource(spark, path, keys, mode, buckets,
+      startingVersion, maxVersions)
+  }
+}

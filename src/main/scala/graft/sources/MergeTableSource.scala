@@ -3,7 +3,8 @@ package graft.sources
 import graft.cdc.MergeTable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Spark data source for MergeTable snapshots:
@@ -15,9 +16,28 @@ import org.apache.spark.sql.types.StructType
   * (the relation re-applies requested columns/filters on the inner
   * DataFrame, so `PushedFilters` still reach the files). MOR tables
   * reconcile deltas on read exactly like [[MergeTable.read]].
+  *
+  * The same format name also serves `spark.readStream` — a streaming
+  * tail of the table's change feed (see
+  * [[MergeTableChangeFeedSource]]): options `path`, `keys` (required),
+  * `startingVersion` (default: current latest — new changes only),
+  * `maxVersionsPerBatch` (rate limit per micro-batch).
   */
-class MergeTableSource extends RelationProvider with DataSourceRegister {
+class MergeTableSource extends RelationProvider with DataSourceRegister with StreamSourceProvider {
   override def shortName(): String = "mergetable"
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), MergeTableChangeFeedSource.fromOptions(sqlContext.sparkSession, parameters).schema)
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source =
+    MergeTableChangeFeedSource.fromOptions(sqlContext.sparkSession, parameters)
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

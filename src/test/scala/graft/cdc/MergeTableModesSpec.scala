@@ -87,6 +87,34 @@ class MergeTableModesSpec extends SparkSpec {
     assert(afterEntries.isEmpty, afterEntries)
   }
 
+  test("bucketed MOR: deltas reconcile, compaction touches only dirty buckets") {
+    val root = fresh("mor_bucketed")
+    val rows = (0L until 64L).map(i => (i, s"v$i"))
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(rows.toDF("id", "v")),
+      mode = MergeTable.MergeOnRead, numBuckets = Some(8))
+    t.upsert(Seq((5L, "V5"), (100L, "new")).toDF("id", "v"))
+    t.delete(Seq(6L).toDF("id"))
+    // pre-compaction read reconciles base buckets + flat deltas
+    val got = t.read().as[(Long, String)].collect().toMap
+    assert(got.size === 64 && got(5L) === "V5" && got(100L) === "new" && !got.contains(6L))
+
+    val before = scala.io.Source.fromFile(s"$root/manifests/" + new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/_LATEST"))))
+      .getLines().toSeq
+    assert(before.count(_.startsWith("delta:")) === 2)
+    t.compact()
+    val after = scala.io.Source.fromFile(s"$root/manifests/" + new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/_LATEST"))))
+      .getLines().toSeq
+    // deltas folded away; only the buckets hit by keys 5/100/6 moved
+    assert(after.forall(_.matches("b\\d+:.*")), after)
+    val beforeBuckets = before.filter(_.startsWith("b")).sorted
+    val untouchedKept = after.sorted.intersect(beforeBuckets)
+    assert(untouchedKept.size >= beforeBuckets.size - 3, (beforeBuckets, after))
+    assert(t.read().as[(Long, String)].collect().toMap === got)
+  }
+
   test("forConfig honors the reference write.merge.mode") {
     val conf = TableConfig(db = "d", table = "t", primaryKey = Seq("id"),
       writeMergeMode = "merge-on-read")

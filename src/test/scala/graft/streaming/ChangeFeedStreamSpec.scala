@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc.MergeTable
+import org.apache.spark.sql.streaming.Trigger
+
+class ChangeFeedStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val root = s"target/test_tmp/feedstream_$name"
+    MergeTable.drop(root)
+    root
+  }
+
+  test("streamed change feed reproduces the batch change feed version by version") {
+    val root = fresh("replay")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))) // v1
+    t.upsert(Seq((2L, "B"), (4L, "d")).toDF("id", "v")) // v2: U(2), I(4)
+    t.delete(Seq(1L).toDF("id")) // v3: D(1)
+    t.upsert(Seq((4L, "D")).toDF("id", "v")) // v4: U(4)
+
+    val stream = spark.readStream.format("mergetable")
+      .option("path", root).option("keys", "id")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerBatch", "1")
+      .load()
+    val q = stream.writeStream.format("memory")
+      .queryName("feed_replay").outputMode("append")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+
+      // with maxVersionsPerBatch=1 each micro-batch is one version's
+      // diff — together they must equal the per-version batch feeds
+      val streamed = spark.table("feed_replay")
+        .as[(Long, String, String, Long)].collect().toSet
+      val expected = (2L to 4L).flatMap { v =>
+        t.changesBetween(v - 1, v).withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
+          .as[(Long, String, String, Long)].collect()
+      }.toSet
+      assert(streamed === expected)
+      assert(streamed.map(_._4) === Set(2L, 3L, 4L)) // one batch per version
+
+      // commits made while the stream runs are picked up incrementally
+      t.upsert(Seq((5L, "e")).toDF("id", "v")) // v5: I(5)
+      q.processAllAvailable()
+      val afterLive = spark.table("feed_replay")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(afterLive -- streamed === Set((5L, "e", "I", 5L)))
+    } finally q.stop()
+  }
+
+  test("default startingVersion tails only post-creation commits") {
+    val root = fresh("tail")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")))
+    t.upsert(Seq((2L, "b")).toDF("id", "v")) // history the stream must skip
+
+    val stream = spark.readStream.format("mergetable")
+      .option("path", root).option("keys", "id").load()
+    val q = stream.writeStream.format("memory")
+      .queryName("feed_tail").outputMode("append")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_tail").isEmpty) // nothing from history
+      t.upsert(Seq((1L, "A2"), (9L, "z")).toDF("id", "v"))
+      q.processAllAvailable()
+      val got = spark.table("feed_tail").as[(Long, String, String, Long)].collect().toSet
+      assert(got.map(r => (r._1, r._2, r._3)) === Set((1L, "A2", "U"), (9L, "z", "I")))
+    } finally q.stop()
+  }
+}
