@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // whole-stage codegen emits fresh classes per query; a 61-query
+  // suite overflows the default 240m code cache and the JIT silently
+  // stops compiling — per-row hot loops then run interpreted
+  "-XX:ReservedCodeCacheSize=1g",
 )

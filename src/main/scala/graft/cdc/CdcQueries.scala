@@ -22,9 +22,12 @@ object CdcQueries extends QueryModule {
   // each other mid-pipeline
   private val synthCache = scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
   graft.Caches.onClear(() => synthCache.clear())
+  // Tables.parallel: envelope synthesis + parse are per-row JSON
+  // codecs — pinned to ONE task by the single-split testdata file
+  // unless parallelism is restored first (no-op on multi-split input)
   private def debeziumEnvelopes(s: SparkSession, dir: String): DataFrame =
     synthCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      graft.Caches.register(Debezium.synthesizeFromEvents(events(s, dir))))
+      graft.Caches.register(Debezium.synthesizeFromEvents(Tables.parallel(events(s, dir)))))
 
   // absolute: the driver may launch Verify/Bench from any CWD
   private def tmpRoot(name: String, dir: String): String =
@@ -64,7 +67,7 @@ object CdcQueries extends QueryModule {
       |FROM events ORDER BY event_id""".stripMargin
 
   private def dmsParse(s: SparkSession, dir: String): DataFrame = {
-    val parsed = Dms.parse(Dms.synthesizeFromEvents(events(s, dir)))
+    val parsed = Dms.parse(Dms.synthesizeFromEvents(Tables.parallel(events(s, dir))))
     CdcModel.decodePayload(parsed, Debezium.eventsPayloadSchema,
         keep = Seq("opclass", "db", "tbl", "ts_ms"))
       .select("opclass", "db", "tbl", "ts_ms", "event_id", "user_id", "event_type", "value")

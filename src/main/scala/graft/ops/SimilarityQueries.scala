@@ -10,8 +10,11 @@ object SimilarityQueries extends QueryModule {
 
   private val Dim = 64
 
+  // Tables.parallel: the corpus side does per-row vector math
+  // (signatures, cosine) — restore parallelism when the scan
+  // collapsed to one split (no-op on multi-split input)
   private def corpus(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    Tables.parallel(Tables.embeddings(s, dir))
 
   private def queries(s: SparkSession, dir: String, n: Int): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < n)
@@ -115,7 +118,7 @@ object SimilarityQueries extends QueryModule {
     * byte sum (mean·n), class counts (ratio·n), first/last byte.
     */
   private def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.synthesizeMedia(Tables.documents(s, dir))
+    val media = Multimodal.synthesizeMedia(Tables.parallel(Tables.documents(s, dir)))
     def f(i: Int) = element_at(col("features"), i).cast("double")
     Multimodal.extractFeatures(s, media)
       .select(col("doc_id"),

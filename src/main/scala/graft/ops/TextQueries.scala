@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
 /** Text-analysis + dedup query block over `documents`. */
 object TextQueries extends QueryModule {
 
-  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  // Tables.parallel: every query here runs per-row text compute
+  // (signatures, n-grams, regex) — a single-split scan would pin it
+  // to one task (no-op when the corpus arrives in many splits)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(Tables.documents(s, dir))
 
   // -- token counting ------------------------------------------------------
 

@@ -27,6 +27,22 @@ object Tables {
       case _ => df
     }
 
+  /** Restore worker parallelism ahead of a CPU-heavy per-row stage
+    * (JSON codecs, hash signatures) when the source collapsed to
+    * fewer splits than cores — the testdata tables are single-file /
+    * single-row-group parquet, which pins the whole stage to one
+    * task. No-op when the scan already has enough partitions, so at
+    * production scale (inputs in thousands of splits) this never
+    * introduces a shuffle; use it only where per-row compute, not
+    * the scan, dominates.
+    */
+  def parallel(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch planning handles this
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
