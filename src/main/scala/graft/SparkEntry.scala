@@ -15,6 +15,7 @@ object SparkEntry {
     graft.cdc.CdcQueries,
     graft.ops.TextQueries,
     graft.ops.SimilarityQueries,
+    graft.ops.CorpusQueries,
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

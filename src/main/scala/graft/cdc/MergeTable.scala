@@ -160,8 +160,10 @@ final class MergeTable(
     * single full-outer join of the two snapshots on the primary key.
     */
   def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
-    val before = readVersion(fromVersion)
     val after = readVersion(toVersion)
+    // version 0 = the empty table before the first commit, so a feed
+    // can replay history from the beginning (everything starts as I)
+    val before = if (fromVersion == 0L) after.limit(0) else readVersion(fromVersion)
     val common = before.columns.intersect(after.columns).filterNot(keys.contains).toSeq
     val b = before.select((keys ++ common).map(col): _*)
       .withColumn("_b", lit(true))

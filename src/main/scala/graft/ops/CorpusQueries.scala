@@ -1,0 +1,243 @@
+package graft.ops
+
+import graft.{QueryDef, QueryModule}
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation query block: the operators a large-scale
+  * training-data pipeline runs between raw text and training shards —
+  * repetition/quality signals, deterministic splits, stratified
+  * sampling, PII scrubbing, weighted source mixing, context-window
+  * chunking. All are pure column pipelines (no UDFs), hash-oracled in
+  * DuckDB, and shaped for 100 TB: per-row compute parallelizes with
+  * the scan; the only shuffles are the per-key aggregations and the
+  * per-stratum windows, both on bounded-cardinality keys.
+  *
+  * Cross-engine determinism rests on md5: Spark's
+  * `conv(substring(md5(x),1,6),16,10)` equals DuckDB's
+  * `('0x'||substr(md5(x),1,6))::BIGINT` for the same input string, so
+  * split/sample/mix decisions are bit-identical on both engines.
+  */
+object CorpusQueries extends QueryModule {
+
+  // per-row heavy (word explodes, regex, hashes) — restore scan
+  // parallelism on single-split staging (no-op on real multi-split input)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(Tables.documents(s, dir))
+
+  /** Stable per-document bucket in [0, 100): the md5-prefix trick
+    * above, salted so independent decisions don't correlate.
+    */
+  private def hashBucket(salt: String, key: Column): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 6), 16, 10)
+      .cast("long") % 100
+
+  private def sqlBucket(salt: String, key: String): String =
+    s"(('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 6))::BIGINT % 100)"
+
+  // -- repetition signals (Gopher-style quality filters) -------------------
+
+  /** Word- and bigram-repetition features: the "fraction of the
+    * document that is its own most common n-gram" signals used to
+    * drop template/boilerplate pages from training corpora. Explode →
+    * two-level aggregation; partial aggregation keeps the shuffle at
+    * (doc, gram) cardinality.
+    */
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val uni = base.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_words"), count(lit(1)).as("n_unique"), max("c").as("top_word_n"))
+    val bigrams = base.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
+    uni.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_unique"),
+        round(col("n_unique") / col("n_words"), 6).as("frac_unique"),
+        round(col("top_word_n") / col("n_words"), 6).as("top_word_frac"),
+        round(coalesce(col("top_bigram_n") / col("n_bigrams"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |wc AS (SELECT doc_id, x, count(*) AS c FROM w, unnest(ws) AS t(x) GROUP BY 1, 2),
+      |uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |  CAST(count(*) AS BIGINT) AS n_unique, max(c) AS top_word_n FROM wc GROUP BY 1),
+      |bgc AS (
+      |  SELECT doc_id, bg, count(*) AS c
+      |  FROM w, unnest(list_transform(range(len(ws) - 1),
+      |    i -> ws[i + 1] || ' ' || ws[i + 2])) AS t(bg)
+      |  GROUP BY 1, 2),
+      |bgs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  max(c) AS top_bigram_n FROM bgc GROUP BY 1)
+      |SELECT uni.doc_id, n_words, n_unique,
+      |  round(n_unique / n_words, 6) AS frac_unique,
+      |  round(top_word_n / n_words, 6) AS top_word_frac,
+      |  round(coalesce(top_bigram_n / n_bigrams, 0.0), 6) AS top_bigram_frac
+      |FROM uni LEFT JOIN bgs ON uni.doc_id = bgs.doc_id
+      |ORDER BY uni.doc_id""".stripMargin
+
+  // -- deterministic train/val/test split ----------------------------------
+
+  /** Hash-split: every engine, every run, every shard assigns each
+    * document to the same split — no global sort, no sampling state;
+    * at 100 TB the split is a per-row expression on the scan.
+    */
+  private def split80(s: SparkSession, dir: String): DataFrame = {
+    val b = hashBucket("split", col("doc_id"))
+    docs(s, dir)
+      .select(col("lang"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
+  }
+
+  private val split80Sql =
+    s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       |  lang, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM (SELECT lang, ${sqlBucket("split", "doc_id")} AS b FROM documents)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -- stratified deterministic sample -------------------------------------
+
+  /** ~10% per-language sample, deterministic: rank documents inside
+    * each stratum by a stable hash and keep the first ceil(n/10).
+    * One shuffle on the stratum key; stratum skew is bounded by the
+    * language distribution, and the rank window never materializes
+    * the text (ids + hash only).
+    */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit("sample"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("lang").orderBy("h")
+    docs(s, dir).select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rn") <= ceil(col("n") / 10.0))
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rank_in_stratum"))
+      .orderBy("doc_id")
+  }
+
+  private val sampleStratifiedSql =
+    """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank_in_stratum FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY md5('sample' || CAST(doc_id AS VARCHAR))) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |WHERE rn <= ceil(n / 10.0) ORDER BY doc_id""".stripMargin
+
+  // -- PII scrubbing --------------------------------------------------------
+
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** Regex redaction of emails/phone numbers with per-doc match
+    * counts. The testdata corpus contains no natural PII, so each doc
+    * is deterministically decorated with synthetic contact strings
+    * first — the oracle applies the identical decoration, making the
+    * count and the scrubbed-text fingerprint non-vacuous at every SF.
+    * Patterns are restricted to the regex subset Java and RE2 agree
+    * on, so both engines see identical matches.
+    */
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val decorated = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val scrubbed = regexp_replace(
+      regexp_replace(decorated, EmailPat, "[EMAIL]"), PhonePat, "[PHONE]")
+    docs(s, dir).select(col("doc_id"),
+      size(regexp_extract_all(decorated, lit(EmailPat), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(decorated, lit(PhonePat), lit(0))).cast("long").as("n_phones"),
+      length(scrubbed).cast("long").as("n_chars_scrubbed"),
+      md5(scrubbed).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val piiScrubSql = {
+    val decorated = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+    s"""WITH d AS (SELECT doc_id, $decorated AS t FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(strlen(regexp_replace(regexp_replace(t, '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g')) AS BIGINT) AS n_chars_scrubbed,
+       |  md5(regexp_replace(regexp_replace(t, '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g')) AS scrub_md5
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  // -- weighted source mixing ----------------------------------------------
+
+  /** Data mixing: each source gets a sampling weight (here a
+    * deterministic 25/50/75/100% by source number) and documents are
+    * kept by an independent hash draw — the standard way to re-weight
+    * corpus components without a shuffle: keep/drop is a per-row
+    * expression, counts verify the realized mix.
+    */
+  private def mixWeighted(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val wPct = (pmod(srcNum, lit(4)) + 1) * 25
+    val keep = hashBucket("mix", col("doc_id")) < wPct
+    docs(s, dir)
+      .select(col("source"), wPct.cast("long").as("weight_pct"), keep.cast("long").as("k"))
+      .groupBy("source", "weight_pct")
+      .agg(count(lit(1)).as("n_docs"), sum("k").as("n_kept"))
+      .orderBy("source")
+  }
+
+  private val mixWeightedSql =
+    s"""SELECT source,
+       |  CAST((CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 25 AS BIGINT) AS weight_pct,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN ${sqlBucket("mix", "doc_id")} < (CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents GROUP BY 1, 2 ORDER BY source""".stripMargin
+
+  // -- context-window chunking ---------------------------------------------
+
+  private val ChunkWords = 50
+
+  /** Fixed-budget chunking: split each document into 50-word windows
+    * (the context-window sharding step before tokenization). Pure
+    * per-row explode — chunk count is derived, no state, no shuffle;
+    * chunk text is fingerprinted rather than materialized in the
+    * output.
+    */
+  private def chunk(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_chunks", expr(s"(size(ws) + ${ChunkWords - 1}) div $ChunkWords"))
+    val piece = slice(col("ws"), col("chunk_id") * ChunkWords + 1, lit(ChunkWords))
+    base.select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(piece).cast("long").as("n_chunk_words"),
+        md5(array_join(piece, " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val chunkSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (SELECT doc_id, ws, i FROM w,
+       |  unnest(range((len(ws) + ${ChunkWords - 1}) // $ChunkWords)) AS t(i))
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       |  CAST(len(list_slice(ws, i * $ChunkWords + 1, least((i + 1) * $ChunkWords, len(ws)))) AS BIGINT) AS n_chunk_words,
+       |  md5(array_to_string(list_slice(ws, i * $ChunkWords + 1, least((i + 1) * $ChunkWords, len(ws))), ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("docs_repetition", repetition, Some(repetitionSql)),
+    QueryDef("docs_split", split80, Some(split80Sql)),
+    QueryDef("docs_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    QueryDef("docs_pii_scrub", piiScrub, Some(piiScrubSql)),
+    QueryDef("docs_mix_weighted", mixWeighted, Some(mixWeightedSql)),
+    QueryDef("docs_chunk", chunk, Some(chunkSql)),
+  )
+}

@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.cdc.{MergeTable, Precombine}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions.col
+
+/** Streaming write into a MergeTable —
+  * `df.writeStream.format("mergetable").option("path", root)
+  * .option("keys", "id")...start()` — the inbound counterpart of the
+  * change-feed source, so the lake table is a first-class streaming
+  * sink the way the reference's Iceberg tables are
+  * (kafka-iceberg-streaming-emrserverless-v2.py:218-225 reaches the
+  * same shape through foreachBatch).
+  *
+  * Two apply modes (option `apply`):
+  *  - `upsert` (default): every micro-batch row is an after-image;
+  *    rows are precombined to one per key (by the `ordering` columns
+  *    if given, else arbitrary-but-deterministic max) and MERGEd.
+  *  - `changes`: rows are normalized change events carrying an
+  *    `opclass` column (I/U/D) — the batch folds through
+  *    [[MergeTable.applyChanges]] with `ordering` as the precombine
+  *    columns.
+  *
+  * Exactly-once: MergeTable commits are atomic and the engine replays
+  * a failed batch from the checkpoint; both apply modes are
+  * idempotent per batch (upsert/delete of the same rows converges to
+  * the same state), so replay is safe. The batch is cached for the
+  * duration of the apply because a merge consumes it more than once.
+  */
+class MergeTableSink(
+    path: String,
+    keys: Seq[String],
+    mode: String,
+    numBuckets: Option[Int],
+    applyMode: String,
+    ordering: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // rewrap: the engine hands a DataFrame over the streaming plan,
+    // which cannot be the subject of new (batch) queries directly
+    val batch = org.apache.spark.sql.graft.StreamingShim.asBatch(data).persist()
+    try {
+      if (batch.isEmpty) return
+      val table = new MergeTable(data.sparkSession, path, keys, mode, numBuckets)
+      applyMode match {
+        case "changes" =>
+          table.applyChanges(batch, ordering = ordering, metaCols = ordering)
+        case _ =>
+          val deduped =
+            if (ordering.nonEmpty)
+              Precombine.latestByKey(batch, keys, ordering).drop(ordering: _*)
+            else batch.dropDuplicates(keys)
+          table.upsert(deduped)
+      }
+    } finally batch.unpersist()
+  }
+
+  override def toString: String = s"MergeTableSink[$path]"
+}
+
+object MergeTableSink {
+  private[sources] def fromOptions(parameters: Map[String, String]): MergeTableSink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("mergetable sink requires option 'path'"))
+    val keys = parameters.get("keys").map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "mergetable sink requires option 'keys' (merge is by primary key)"))
+    val mode = parameters.getOrElse("mode", MergeTable.CopyOnWrite)
+    val buckets = parameters.get("buckets").map(_.toInt)
+    val applyMode = parameters.getOrElse("apply", "upsert")
+    require(applyMode == "upsert" || applyMode == "changes",
+      s"mergetable sink option 'apply' must be upsert|changes, got $applyMode")
+    val ordering = parameters.get("ordering")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    if (applyMode == "changes") require(ordering.nonEmpty,
+      "mergetable sink apply=changes requires option 'ordering' (precombine columns)")
+    new MergeTableSink(path, keys, mode, buckets, applyMode, ordering)
+  }
+}

@@ -3,8 +3,9 @@ package graft.sources
 import graft.cdc.MergeTable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Spark data source for MergeTable snapshots:
@@ -23,8 +24,15 @@ import org.apache.spark.sql.types.StructType
   * `startingVersion` (default: current latest — new changes only),
   * `maxVersionsPerBatch` (rate limit per micro-batch).
   */
-class MergeTableSource extends RelationProvider with DataSourceRegister with StreamSourceProvider {
+class MergeTableSource extends RelationProvider with DataSourceRegister
+    with StreamSourceProvider with StreamSinkProvider {
   override def shortName(): String = "mergetable"
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink =
+    MergeTableSink.fromOptions(parameters)
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],

@@ -17,4 +17,16 @@ object StreamingShim {
     classic.sparkSession.internalCreateDataFrame(
       classic.queryExecution.toRdd, classic.schema, isStreaming = true)
   }
+
+  /** The inverse problem on the sink side: the DataFrame handed to a
+    * v1 `Sink.addBatch` still wraps the streaming logical plan, so any
+    * new query over it trips the batch-analysis check. Re-expose the
+    * micro-batch's physical result as a plain batch DataFrame (the
+    * technique Spark's own FileStreamSink uses via executedPlan).
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, classic.schema, isStreaming = false)
+  }
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val q = graft.SparkEntry.queries
+
+  test("docs_split is deterministic and ~80/10/10") {
+    val counts = q("docs_split")(spark, sfDir)
+      .groupBy("split").agg(sum("n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    val total = counts.values.sum.toDouble
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") / total > 0.7 && counts("train") / total < 0.9)
+    // rerun produces the identical assignment (hash, not rand)
+    val again = q("docs_split")(spark, sfDir)
+      .groupBy("split").agg(sum("n_docs").as("n")).as[(String, Long)].collect().toMap
+    assert(again === counts)
+  }
+
+  test("docs_sample_stratified keeps ceil(n/10) per language") {
+    val docs = Tables.documents(spark, sfDir)
+    val perLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = q("docs_sample_stratified")(spark, sfDir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    perLang.foreach { case (lang, n) =>
+      assert(sampled.getOrElse(lang, 0L) === math.ceil(n / 10.0).toLong, s"lang=$lang")
+    }
+  }
+
+  test("docs_chunk covers every word exactly once") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+    val chunked = q("docs_chunk")(spark, sfDir)
+      .groupBy("doc_id").agg(sum("n_chunk_words").as("n_words_chunked"),
+        count(lit(1)).as("n_chunks"))
+    val joined = docs.join(chunked, "doc_id")
+    assert(joined.filter(col("n_words") =!= col("n_words_chunked")).isEmpty)
+    // every chunk but possibly the last is full
+    val bad = q("docs_chunk")(spark, sfDir)
+      .withColumn("max_chunk", max("chunk_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(col("chunk_id") < col("max_chunk") && col("n_chunk_words") =!= 50)
+    assert(bad.isEmpty)
+  }
+
+  test("docs_pii_scrub removes every synthetic contact string") {
+    val out = q("docs_pii_scrub")(spark, sfDir)
+    assert(out.filter(col("n_emails") < 1 || col("n_phones") < 1).isEmpty)
+    // scrub fingerprints differ from raw text fingerprints (something was replaced)
+    val raw = Tables.documents(spark, sfDir).select(col("doc_id"), md5(col("text")).as("m"))
+    assert(out.join(raw, "doc_id").filter(col("scrub_md5") === col("m")).isEmpty)
+  }
+
+  test("docs_mix_weighted keeps roughly the configured fraction per source") {
+    val rows = q("docs_mix_weighted")(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Long, Long)].collect()
+    rows.foreach { case (source, wPct, n, kept) =>
+      val expected = n * wPct / 100.0
+      // hash draw: binomial tolerance, generous at small n
+      assert(math.abs(kept - expected) <= math.max(5, 4 * math.sqrt(expected)),
+        s"$source w=$wPct n=$n kept=$kept")
+    }
+    assert(rows.filter(_._2 == 100L).forall(r => r._3 == r._4)) // weight 100 keeps all
+  }
+
+  test("docs_repetition flags a constructed boilerplate document") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    crafted.createOrReplaceTempView("crafted_docs")
+    // same feature construction as the query, applied to crafted rows
+    val ws = split(col("text"), " ")
+    val uni = crafted.select(col("doc_id"), explode(ws).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_words"), max("c").as("top"))
+      .select(col("doc_id"), (col("top") / col("n_words")).as("top_word_frac"))
+      .as[(Long, Double)].collect().toMap
+    assert(uni(1L) === 1.0 && uni(2L) < 0.2)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc.MergeTable
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+class MergeTableSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val root = s"target/test_tmp/sink_$name"
+    MergeTable.drop(root)
+    root
+  }
+
+  test("upsert sink: micro-batches merge by key, later batch wins") {
+    val root = fresh("upsert")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val q = in.toDF().toDF("id", "v", "seq")
+      .writeStream.format("mergetable")
+      .option("path", root).option("keys", "id").option("ordering", "seq")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      in.addData((1L, "a", 1L), (2L, "b", 1L), (1L, "a2", 2L)) // batch dedup: a2 wins
+      q.processAllAvailable()
+      in.addData((2L, "B", 3L), (3L, "c", 3L))
+      q.processAllAvailable()
+      val got = new MergeTable(spark, root, Seq("id")).read()
+        .as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "a2", 2L -> "B", 3L -> "c"))
+    } finally q.stop()
+  }
+
+  test("changes sink: I/U/D events fold through applyChanges") {
+    val root = fresh("changes")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, String, Long)]
+    val q = in.toDF().toDF("opclass", "id", "v", "ts_ms")
+      .writeStream.format("mergetable")
+      .option("path", root).option("keys", "id")
+      .option("apply", "changes").option("ordering", "ts_ms")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      in.addData(("I", 1L, "a", 1L), ("I", 2L, "b", 1L), ("I", 3L, "c", 1L))
+      q.processAllAvailable()
+      in.addData(("U", 2L, "B", 2L), ("D", 3L, "", 2L), ("I", 4L, "d", 2L))
+      q.processAllAvailable()
+      val got = new MergeTable(spark, root, Seq("id")).read()
+        .select("id", "v").as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "a", 2L -> "B", 4L -> "d"))
+    } finally q.stop()
+  }
+
+  test("sink round-trips into the change-feed source") {
+    val root = fresh("roundtrip")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val sink = in.toDF().toDF("id", "v")
+      .writeStream.format("mergetable")
+      .option("path", root).option("keys", "id")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      sink.processAllAvailable()
+      // tail the same table's outbound feed from its first version
+      val feed = spark.readStream.format("mergetable")
+        .option("path", root).option("keys", "id")
+        .option("startingVersion", "0").load()
+      val tail = feed.writeStream.format("memory").queryName("sink_rt")
+        .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+      try {
+        in.addData((1L, "A"), (3L, "c"))
+        sink.processAllAvailable()
+        tail.processAllAvailable()
+        val got = spark.table("sink_rt").select("id", "v", "_change")
+          .as[(Long, String, String)].collect().toSet
+        assert(got === Set((1L, "a", "I"), (2L, "b", "I"), (1L, "A", "U"), (3L, "c", "I")))
+      } finally tail.stop()
+    } finally sink.stop()
+  }
+}
