@@ -21,6 +21,11 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // `graft.db.t` SQL identifiers over MergeTables (time travel,
+      // INSERT/MERGE/DELETE) — root is overridable per deployment
+      .config("spark.sql.catalog.graft", "graft.sources.MergeTableCatalog")
+      .config("spark.sql.catalog.graft.root",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "target/graft_warehouse"))
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

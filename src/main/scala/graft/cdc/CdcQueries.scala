@@ -205,6 +205,36 @@ object CdcQueries extends QueryModule {
     out
   }
 
+  /** Same state transition again, but through a catalog identifier
+    * (`MERGE INTO graft.gate.<t>`) — the reference's actual addressing
+    * mode (`glue_catalog.db.table`,
+    * kafka-iceberg-streaming-emrserverless-v2.py): CREATE TABLE +
+    * INSERT seed + MERGE all via SQL, read back via the catalog.
+    */
+  private def applyUpsertViaCatalog(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).cache()
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    val base = latestPerUser(ev.filter(col("event_id") < cut))
+    val changes = latestPerUser(ev.filter(col("event_id") >= cut))
+    val tbl = "upsert_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+    s.sql(s"DROP TABLE IF EXISTS graft.gate.$tbl")
+    s.sql(s"""CREATE TABLE graft.gate.$tbl
+              (user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE)
+              TBLPROPERTIES('keys'='user_id')""")
+    base.createOrReplaceTempView("graft_catalog_base")
+    changes.createOrReplaceTempView("graft_catalog_changes")
+    s.sql(s"INSERT INTO graft.gate.$tbl SELECT user_id, event_id, event_type, value FROM graft_catalog_base")
+    s.sql(s"""MERGE INTO graft.gate.$tbl t USING graft_catalog_changes s
+              ON t.user_id = s.user_id
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+    val out = s.table(s"graft.gate.$tbl")
+      .select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+    ev.unpersist()
+    out
+  }
+
   /** DELETE FROM … WHERE, through SQL (reference surface:
     * transaction_log_util.py:304-334); same oracle as cdc_apply_delete.
     */
@@ -393,6 +423,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert_mor_bucketed", applyUpsertMorBucketed, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete", applyDelete, Some(applyDeleteSql)),
     QueryDef("cdc_apply_upsert_sql", applyUpsertViaSql, Some(applyUpsertSql)),
+    QueryDef("cdc_apply_upsert_catalog", applyUpsertViaCatalog, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete_sql", applyDeleteViaSql, Some(applyDeleteSql)),
     QueryDef("cdc_change_feed", changeFeed, Some(changeFeedSql)),
     QueryDef("mergetable_source_read", sourceRead, Some(sourceReadSql)),

@@ -91,8 +91,22 @@ final class MergeTable(
       case _ => Nil
     }
 
+  private val metaPath = rootPath.resolve("_META.json")
+
+  /** Self-describing table: keys/mode/buckets persist next to the data
+    * so a catalog (or another session) can open the table without
+    * out-of-band knowledge — the role Iceberg's table metadata plays.
+    * Written once on first commit; callers opening via
+    * [[MergeTable.open]] get the recorded configuration.
+    */
+  private def persistMeta(): Unit = if (!Files.exists(metaPath)) {
+    Files.createDirectories(rootPath)
+    MergeTable.writeMeta(root, MergeTable.Meta(keys, mode, numBuckets, None))
+  }
+
   private def commit(newEntries: Seq[(String, String)]): Unit = {
     Files.createDirectories(manifestDir)
+    persistMeta()
     val version = currentManifest() match {
       case Some(m) => m.getFileName.toString.stripPrefix("v").stripSuffix(".txt").toLong + 1
       case None => 1L
@@ -431,6 +445,48 @@ final class MergeTable(
 object MergeTable {
   val CopyOnWrite = "copy-on-write"
   val MergeOnRead = "merge-on-read"
+
+  /** Persisted table configuration (`_META.json` at the table root).
+    * `schemaJson` is only set for catalog-created tables that have a
+    * declared schema before their first commit.
+    */
+  final case class Meta(keys: Seq[String], mode: String,
+                        numBuckets: Option[Int], schemaJson: Option[String])
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def writeMeta(root: String, meta: Meta): Unit = {
+    val node = mapper.createObjectNode()
+    val ks = node.putArray("keys")
+    meta.keys.foreach(ks.add)
+    node.put("mode", meta.mode)
+    meta.numBuckets.foreach(node.put("buckets", _))
+    meta.schemaJson.foreach(node.put("schema", _))
+    Files.createDirectories(Paths.get(root))
+    Files.write(Paths.get(root).resolve("_META.json"),
+      mapper.writeValueAsBytes(node))
+  }
+
+  def readMeta(root: String): Option[Meta] = {
+    val p = Paths.get(root).resolve("_META.json")
+    if (!Files.exists(p)) None
+    else {
+      val n = mapper.readTree(Files.readAllBytes(p))
+      import scala.jdk.CollectionConverters._
+      Some(Meta(
+        n.get("keys").elements().asScala.map(_.asText).toSeq,
+        Option(n.get("mode")).map(_.asText).getOrElse(CopyOnWrite),
+        Option(n.get("buckets")).map(_.asInt),
+        Option(n.get("schema")).map(_.asText)))
+    }
+  }
+
+  /** Open an existing table from its persisted metadata. */
+  def open(spark: SparkSession, root: String): MergeTable = {
+    val meta = readMeta(root).getOrElse(
+      throw new IllegalArgumentException(s"no MergeTable metadata at $root"))
+    new MergeTable(spark, root, meta.keys, meta.mode, meta.numBuckets)
+  }
 
   /** Create-if-absent, seeding with `initial` when the table is new —
     * the reference's CREATE TABLE IF NOT EXISTS + first append

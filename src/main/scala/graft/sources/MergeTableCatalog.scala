@@ -1,0 +1,250 @@
+package graft.sources
+
+import graft.cdc.MergeTable
+import java.nio.file.{Files, Paths}
+import java.util
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** Catalog plugin exposing MergeTables as first-class SQL
+  * identifiers — the surface the reference gets from Iceberg's
+  * `glue_catalog.db.table` (spark.sql.catalog.* registration in
+  * aws-emr-serverless/iceberg/kafka-iceberg-streaming-emrserverless-v2.py):
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.sources.MergeTableCatalog
+  *   spark.sql.catalog.graft.root = /path/to/warehouse
+  *
+  *   SELECT * FROM graft.db.t                      -- snapshot read
+  *   SELECT * FROM graft.db.t VERSION AS OF 3      -- time travel
+  *   SELECT * FROM graft.db.t TIMESTAMP AS OF ...  -- commit-time travel
+  *   INSERT INTO graft.db.t SELECT ...             -- append
+  *   MERGE INTO graft.db.t USING s ON ...          -- via ResolveMergeTableDml
+  *   DELETE FROM graft.db.t WHERE ...              -- via ResolveMergeTableDml
+  *   CREATE / DROP TABLE graft.db.t
+  * }}}
+  *
+  * Layout: `<root>/<namespace>/<table>`, one MergeTable per directory,
+  * self-described by its `_META.json` (keys/mode/buckets, plus the
+  * declared schema for tables created empty). Reads and writes go
+  * through the DSv2 V1 fallbacks onto the existing relation — the
+  * same snapshot-consistent scan (with pushdown) and transactional
+  * commits as the `mergetable` format, so every layout (COW, MOR,
+  * bucketed) behaves identically under catalog identifiers.
+  */
+class MergeTableCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var root: String = "target/graft_warehouse"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(root)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def tablePath(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$root/", "/", "")
+
+  // -- tables ---------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get(namespace.mkString(s"$root/", "/", ""))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.exists(p.resolve("_META.json")))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    MergeTable.readMeta(tablePath(ident)).isDefined
+
+  override def loadTable(ident: Identifier): Table = loadVersioned(ident, None)
+
+  /** `VERSION AS OF <v>` — version strings are committed manifest numbers. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadVersioned(ident, Some(version.toLong))
+
+  /** `TIMESTAMP AS OF <ts>` — resolved to the last version whose
+    * manifest was committed at or before the timestamp (micros).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = tablePath(ident)
+    val manifests = Paths.get(path).resolve("manifests")
+    if (!Files.isDirectory(manifests)) throw new NoSuchTableException(ident)
+    val at = Files.list(manifests).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.txt"))
+      .filter(p => Files.getLastModifiedTime(p).toInstant.toEpochMilli * 1000L <= timestamp)
+      .map(_.getFileName.toString.stripPrefix("v").stripSuffix(".txt").toLong)
+      .maxOption
+      .getOrElse(throw new NoSuchTableException(ident))
+    loadVersioned(ident, Some(at))
+  }
+
+  private def loadVersioned(ident: Identifier, version: Option[Long]): Table = {
+    val path = tablePath(ident)
+    val meta = MergeTable.readMeta(path).getOrElse(throw new NoSuchTableException(ident))
+    new MergeTableV2(ident, path, meta, version)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty, "mergetable catalog tables are unpartitioned " +
+      "(use the 'buckets' property for hash bucketing)")
+    val props = properties.asScala
+    val keys = props.get("keys").map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "CREATE TABLE requires TBLPROPERTIES('keys'='pk1[,pk2…]')"))
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"primary key column '$k' is not in the schema"))
+    val meta = MergeTable.Meta(
+      keys,
+      props.getOrElse("mode", MergeTable.CopyOnWrite),
+      props.get("buckets").map(_.toInt),
+      Some(schema.json))
+    MergeTable.writeMeta(tablePath(ident), meta)
+    new MergeTableV2(ident, tablePath(ident), meta, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (!tableExists(ident)) false
+    else { MergeTable.drop(tablePath(ident)); true }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolves automatically on write")
+
+  override def renameTable(old: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // -- namespaces (directories under root) ----------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) Array.empty
+    else Files.list(r).iterator().asScala.filter(Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(Paths.get(namespace.mkString(s"$root/", "/", "")))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    Files.createDirectories(Paths.get(namespace.mkString(s"$root/", "/", "")))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = Paths.get(namespace.mkString(s"$root/", "/", ""))
+    if (!Files.isDirectory(p)) false
+    else if (!cascade && Files.list(p).iterator().hasNext)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    else { MergeTable.drop(p.toString); true }
+  }
+}
+
+/** DSv2 table over a MergeTable root: reads through the existing
+  * snapshot-consistent relation (V1Scan keeps column/filter pushdown),
+  * appends through the table's transactional commit (V1Write).
+  */
+class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
+                   version: Option[Long]) extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def relation(pinned: Option[Long]): MergeTableRelation =
+    new MergeTableRelation(spark.sqlContext, path, meta.keys, meta.mode,
+      meta.numBuckets, pinned,
+      meta.schemaJson.map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]))
+
+  override def name(): String = (ident.namespace() :+ ident.name()).mkString(".")
+
+  /** Target handle for MERGE INTO / DELETE FROM resolution. */
+  private[sources] def dmlTarget: DmlTarget = {
+    require(version.isEmpty, "cannot run DML against a time-travel snapshot")
+    DmlTarget(path, meta.keys, meta.mode, meta.numBuckets)
+  }
+
+  override lazy val schema: StructType = relation(version).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("keys", meta.keys.mkString(","))
+    m.put("mode", meta.mode)
+    meta.numBuckets.foreach(b => m.put("buckets", b.toString))
+    m
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+      private var required: StructType = schema
+      private var pushed: Array[Filter] = Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
+      // the relation re-applies these on its inner DataFrame, where
+      // they reach the parquet scan; report all as pushed
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = { pushed = filters; Array.empty }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val rel = relation(version)
+          val cols = required.fieldNames
+          val fs = pushed
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = required
+            override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+              rel.buildScan(cols, fs)
+          }.asInstanceOf[T]
+        }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(version.isEmpty, "cannot write to a time-travel snapshot")
+              require(!overwrite, "INSERT OVERWRITE is not supported; use MERGE INTO")
+              val t = new MergeTable(data.sparkSession, path, meta.keys,
+                meta.mode, meta.numBuckets)
+              t.append(data)
+            }
+          }
+      }
+    }
+}

@@ -50,17 +50,23 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
       }
   }
 
-  private def mergeTarget(plan: LogicalPlan): Option[MergeTableRelation] = plan match {
+  private def mergeTarget(plan: LogicalPlan): Option[DmlTarget] = plan match {
     case SubqueryAlias(_, child) => mergeTarget(child)
     case v: View => mergeTarget(v.child)
     case lr: LogicalRelation => lr.relation match {
-      case r: MergeTableRelation => Some(r)
+      case r: MergeTableRelation =>
+        Some(DmlTarget(r.path, r.keys, r.mode, r.numBuckets))
       case _ => None
     }
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case t: MergeTableV2 => Some(t.dmlTarget)
+        case _ => None
+      }
     case _ => None
   }
 
-  private def rewriteMerge(m: MergeIntoTable, rel: MergeTableRelation): LogicalPlan = {
+  private def rewriteMerge(m: MergeIntoTable, rel: DmlTarget): LogicalPlan = {
     def fail(msg: String): Nothing =
       throw new UnsupportedOperationException(s"MERGE INTO mergetable: $msg")
     if (m.notMatchedBySourceActions.nonEmpty)
@@ -129,6 +135,13 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 }
+
+/** What DML needs to know about a target, whichever surface resolved
+  * it: the `mergetable` format (DSv1 relation) or a `graft.db.t`
+  * catalog identifier (DSv2 relation).
+  */
+private[sources] case class DmlTarget(path: String, keys: Seq[String],
+                                      mode: String, numBuckets: Option[Int])
 
 /** Eagerly-executed DML against a MergeTable root. The source plan is
   * captured at analysis time and re-analyzed at run — for Delete it is

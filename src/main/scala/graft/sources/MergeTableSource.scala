@@ -68,14 +68,21 @@ class MergeTableRelation(
     val path: String,
     val keys: Seq[String],
     val mode: String,
-    val numBuckets: Option[Int] = None) extends BaseRelation with PrunedFilteredScan {
+    val numBuckets: Option[Int] = None,
+    val version: Option[Long] = None,
+    val declaredSchema: Option[StructType] = None) extends BaseRelation with PrunedFilteredScan {
 
   private def spark: SparkSession = sqlContext.sparkSession
 
   // resolve the manifest pointer ONCE per relation: schema and every
   // buildScan read the same committed snapshot even while writers
-  // commit (or vacuum) concurrently
-  private lazy val snapshot = new MergeTable(spark, path, keys, mode, numBuckets).read()
+  // commit (or vacuum) concurrently; `version` pins a time-travel read
+  private lazy val snapshot = {
+    val t = new MergeTable(spark, path, keys, mode, numBuckets)
+    if (!t.exists && declaredSchema.isDefined)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declaredSchema.get)
+    else version.map(t.readVersion).getOrElse(t.read())
+  }
 
   override lazy val schema: StructType = snapshot.schema
 

