@@ -277,6 +277,72 @@ object TextQueries extends QueryModule {
       |SELECT id AS doc_id, min(comp) AS cluster
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // -- end-to-end dedup decision: pairs → clusters → keep list -------------
+
+  /** The full dedup pipeline as one decision query: candidate pairs
+    * (blocked 3-gram Jaccard) → transitive clusters → keep the
+    * smallest doc_id per cluster, drop the rest — reported as kept/
+    * dropped counts per source. This is the query a corpus build
+    * actually runs; the oracle recomputes the identical decision with
+    * a recursive CTE, so candidate generation, clustering, AND the
+    * keep rule are all hash-verified together.
+    */
+  private def dedupKeepList(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairsBlocked(docs(s, dir), "doc_id", "text",
+        blockCol = "source", maxCharDiff = 20, charsCol = "n_chars",
+        k = 3, threshold = 0.1)
+      .select("doc_a", "doc_b")
+    val dropped = Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"), lit(1L).as("is_dropped"))
+    // no broadcast hint: the drop list can be a large fraction of the
+    // corpus at scale — shuffle on doc_id, AQE broadcasts when small
+    docs(s, dir).join(dropped, Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - col("n_dropped")).as("n_kept"), col("n_dropped"))
+      .orderBy("source")
+  }
+
+  private val dedupKeepListSql =
+    """WITH RECURSIVE
+      |w AS (
+      |  SELECT doc_id, source, n_chars,
+      |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN len(ws) >= 3 THEN
+      |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)])
+      |    ELSE [array_to_string(ws, ' ')] END AS gs
+      |  FROM w),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(a.gs) + len(b.gs) - len(list_distinct(list_concat(a.gs, b.gs))) AS inter_n,
+      |    len(list_distinct(list_concat(a.gs, b.gs))) AS union_n
+      |  FROM sh a JOIN sh b
+      |    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 20
+      |   AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  WHERE CAST(inter_n AS DOUBLE) / union_n >= 0.1
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs
+      |  WHERE CAST(inter_n AS DOUBLE) / union_n >= 0.1),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      |drops AS (SELECT id FROM reach GROUP BY id HAVING id <> min(comp))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) - count(d.id) AS BIGINT) AS n_kept,
+      |  CAST(count(d.id) AS BIGINT) AS n_dropped
+      |FROM documents LEFT JOIN drops d ON documents.doc_id = d.id
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // -- corpus n-gram top-k -------------------------------------------------
 
   private def ngramTopk(s: SparkSession, dir: String): DataFrame = {
@@ -315,6 +381,7 @@ object TextQueries extends QueryModule {
     QueryDef("dedup_simhash_pairs", simhashPairsQ, Some(simhashPairsSql)),
     QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardSql)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    QueryDef("dedup_keep_list", dedupKeepList, Some(dedupKeepListSql)),
     QueryDef("docs_ngram_topk", ngramTopk, Some(ngramTopkSql)),
   )
 }

@@ -38,6 +38,31 @@ object StreamOps {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream inner join: match events from two
+    * live streams on a key within a bounded event-time window (here:
+    * right-side rows joining left-side rows at most `windowMinutes`
+    * later). Both watermarks plus the time-range condition make the
+    * join state PROVABLY bounded — Spark drops buffered rows once
+    * the other side's watermark passes their match horizon. This is
+    * the enrich-a-click-stream-with-impressions shape; without the
+    * range condition the state would grow forever.
+    */
+  def joinWithinWindow(left: DataFrame, right: DataFrame, key: String,
+                       windowMinutes: Int,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+      .select(col(key).as("k"), col("ts").as("l_ts"),
+        struct(left.columns.map(col): _*).as("l"))
+    val r = right.withWatermark("ts", watermarkDelay)
+      .select(col(key).as("rk"), col("ts").as("r_ts"),
+        struct(right.columns.map(col): _*).as("r"))
+    l.join(r,
+      col("k") === col("rk") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("k").as(key), col("l_ts"), col("r_ts"), col("l"), col("r"))
+  }
+
   /** Gap-based sessionization with CUSTOM state
     * (`flatMapGroupsWithState`): per user, events extend the open
     * session while gaps stay under `gapMinutes`; a larger gap closes

@@ -111,6 +111,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream join matches only within the event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(3600_000L * 24 + min * 60_000L)
+    val impressions = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamOps.joinWithinWindow(
+      impressions.toDF().toDF("user_id", "ts", "ad"),
+      clicks.toDF().toDF("user_id", "ts", "target"),
+      key = "user_id", windowMinutes = 5)
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      impressions.addData((1L, ts(0), "adA"), (2L, ts(0), "adB"), (3L, ts(0), "adC"))
+      clicks.addData(
+        (1L, ts(3), "pageA"),   // within 5 min -> match
+        (2L, ts(9), "pageB"),   // too late -> no match
+        (4L, ts(2), "pageD"))   // no impression -> no match
+      q.processAllAvailable()
+      // advance both watermarks far past the horizon so state flushes
+      impressions.addData((9L, ts(120), "adZ"))
+      clicks.addData((9L, ts(121), "pageZ"))
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .select($"user_id", $"l.ad", $"r.target")
+        .as[(Long, String, String)].collect().toSet
+      assert(got === Set((1L, "adA", "pageA"), (9L, "adZ", "pageZ")))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops re-deliveries") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
