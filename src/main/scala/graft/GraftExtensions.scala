@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, GraftFunctions, HyperplaneSignature, MinHashSignature, MinHashWords, SortedIntersectCount, WordNGrams}
+import graft.functions.{CosineSimilarity, GraftFunctions, HyperplaneSignature, MinHashSignature, MinHashWords, SignatureAgreement, SortedIntersectCount, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_sorted_intersect_count"),
       info("graft_sorted_intersect_count", classOf[SortedIntersectCount]),
       (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_sig_agreement"),
+      info("graft_sig_agreement", classOf[SignatureAgreement]),
+      (children: Seq[Expression]) => SignatureAgreement(children.head, children(1))))
     ext.injectFunction((FunctionIdentifier("graft_word_trigrams"),
       info("graft_word_trigrams", classOf[WordNGrams]),
       (children: Seq[Expression]) => WordNGrams(children.head, 3)))

@@ -127,6 +127,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
         (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1)))
     }
+    val sagIdent = FunctionIdentifier("graft_sig_agreement")
+    if (!registry.functionExists(sagIdent)) {
+      registry.registerFunction(
+        sagIdent,
+        new ExpressionInfo(classOf[SignatureAgreement].getName, "graft_sig_agreement"),
+        (children: Seq[Expression]) => SignatureAgreement(children.head, children(1)))
+    }
     val ngIdent = FunctionIdentifier("graft_word_trigrams")
     if (!registry.functionExists(ngIdent)) {
       registry.registerFunction(

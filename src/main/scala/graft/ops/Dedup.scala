@@ -105,8 +105,8 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     pairs
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / NumPerms)
+        call_function("graft_sig_agreement", col("sig_a"), col("sig_b"))
+          .cast("double") / NumPerms)
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }

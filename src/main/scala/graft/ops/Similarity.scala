@@ -90,16 +90,45 @@ object Similarity {
 
   // ---- IVF (inverted-file) ----------------------------------------------
 
-  /** IVF-style ANN: a fixed, deterministic centroid set (the
-    * `nCells` lowest vec_ids — a stand-in for a k-means codebook,
-    * which would be trained offline at scale), corpus partitioned by
-    * nearest centroid, queries probing the `nProbe` nearest cells.
+  /** Lloyd's k-means codebook over the corpus: deterministic seed
+    * (lowest vec_ids), `iters` rounds of assign + element-wise mean.
+    * Each round is one distributed aggregation; only the
+    * nCells × dim means ever reach the driver (bounded, ~1k values).
+    * Centroids are rounded so the distributed float-summation order
+    * cannot leak into assignments. At 100 TB the trainer runs on a
+    * sample with the identical computation.
+    */
+  def kmeansCentroids(spark: SparkSession, corpus: DataFrame, embCol: String,
+                      nCells: Int, iters: Int = 2): Seq[(Int, Seq[Float])] = {
+    var cents: Seq[(Int, Seq[Float])] = corpus.orderBy("vec_id").limit(nCells)
+      .select(col(embCol)).collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](0) }.toSeq
+    for (_ <- 1 to iters) {
+      def cellScores(v: Column): Column = array(cents.map { case (i, c) =>
+        struct(round(cosine(spark, v, typedLit(c)), 6).as("s"), lit(i).as("cell"))
+      }: _*)
+      val means = corpus
+        .withColumn("cell", array_max(cellScores(col(embCol))).getField("cell"))
+        .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg("v").as("m"))
+        .collect() // bounded: nCells × dim rows
+        .groupBy(_.getInt(0))
+      cents = cents.map { case (i, old) =>
+        i -> means.get(i).map(_.sortBy(_.getInt(1))
+            .map(r => math.rint(r.getDouble(2) * 10000).toFloat / 10000f).toSeq)
+          .getOrElse(old) // an emptied cell keeps its previous centroid
+      }
+    }
+    cents
+  }
+
+  /** IVF-style ANN: k-means codebook (trained inline, deterministic),
+    * corpus partitioned by nearest centroid, queries probing the
+    * `nProbe` nearest cells.
     */
   def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
               k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](1) }
+    val cents = kmeansCentroids(spark, corpus, "embedding", nCells)
 
     def cellScores(v: Column): Column = array(cents.map { case (i, c) =>
       struct(round(cosine(spark, v, typedLit(c)), 6).as("s"), lit(i).as("cell"))

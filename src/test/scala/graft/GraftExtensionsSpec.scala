@@ -22,7 +22,8 @@ class GraftExtensionsSpec extends SparkSpec {
     val registry = new SimpleFunctionRegistry
     org.apache.spark.sql.GraftSqlBridge.registerFunctions(ext, registry)
     val expected = Seq("graft_cosine", "graft_minhash", "graft_minhash_words",
-      "graft_sorted_intersect_count", "graft_word_trigrams", "graft_hyperplane_sig")
+      "graft_sorted_intersect_count", "graft_word_trigrams", "graft_hyperplane_sig",
+      "graft_sig_agreement", "graft_simhash")
     expected.foreach { name =>
       assert(registry.functionExists(FunctionIdentifier(name)), s"missing $name")
     }
