@@ -12,6 +12,7 @@ object SparkEntry {
     graft.analytics.Queries,
     graft.analytics.Queries2,
     graft.analytics.Queries3,
+    graft.analytics.Queries4,
     graft.cdc.CdcQueries,
     graft.ops.TextQueries,
     graft.ops.SimilarityQueries,
