@@ -32,4 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // compiling — per-row hot loops then run interpreted (measured:
   // 240m default ~40% slower suite, 1g still ~15% slower than 2g)
   "-XX:ReservedCodeCacheSize=2g",
+  // batch throughput beats pause latency here: one JVM, 32 threads,
+  // no interactive consumers of short pauses
+  "-XX:+UseParallelGC",
 )
