@@ -24,8 +24,10 @@ object GraftSession {
       // `graft.db.t` SQL identifiers over MergeTables (time travel,
       // INSERT/MERGE/DELETE) — root is overridable per deployment
       .config("spark.sql.catalog.graft", "graft.sources.MergeTableCatalog")
+      // absolute: Verify/Bench may be launched from any CWD (same
+      // anchoring as CdcQueries.tmpRoot)
       .config("spark.sql.catalog.graft.root",
-        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "target/graft_warehouse"))
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/root/repo/target/graft_warehouse"))
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

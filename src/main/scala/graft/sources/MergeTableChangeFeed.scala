@@ -51,9 +51,14 @@ class MergeTableChangeFeedSource(
 
   override def getOffset: Option[Offset] = {
     val vs = table.versions()
-    if (vs.isEmpty || vs.last <= startingVersion) None
+    if (vs.isEmpty) None
     else {
-      exposed = math.min(vs.last, exposed + maxVersionsPerBatch)
+      // always advertise (never None once the table exists): after a
+      // checkpoint restart the engine's committed offset may be BELOW
+      // our startingVersion (versions committed while the stream was
+      // down) — advertising exposed lets the engine schedule the
+      // catch-up batch (committed, exposed] instead of skipping it
+      exposed = math.max(exposed, math.min(vs.last, exposed + maxVersionsPerBatch))
       Some(LongOffset(exposed))
     }
   }
@@ -62,6 +67,9 @@ class MergeTableChangeFeedSource(
     val from = start.map(asVersion).getOrElse(startingVersion)
     val to = asVersion(end)
     exposed = math.max(exposed, to)
+    if (from >= to) // fresh start aligns on startingVersion: empty batch
+      return StreamingShim.asStreaming(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     val changes = table.changesBetween(from, to).withColumn("_commit_version", lit(to))
     // align to the declared schema: columns added by later schema
     // evolution read as nulls for ranges that predate them

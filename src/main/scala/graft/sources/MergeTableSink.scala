@@ -18,9 +18,8 @@ import org.apache.spark.sql.functions.col
   *    rows are precombined to one per key (by the `ordering` columns
   *    if given, else arbitrary-but-deterministic max) and MERGEd.
   *  - `changes`: rows are normalized change events carrying an
-  *    `opclass` column (I/U/D) — the batch folds through
-  *    [[MergeTable.applyChanges]] with `ordering` as the precombine
-  *    columns.
+  *    `opclass` column (I/U/D) — inserts and updates merge as keyed
+  *    upserts (precombined on `ordering`), deletes apply last.
   *
   * Exactly-once: MergeTable commits are atomic and the engine replays
   * a failed batch from the checkpoint; both apply modes are
@@ -45,7 +44,17 @@ class MergeTableSink(
       val table = new MergeTable(data.sparkSession, path, keys, mode, numBuckets)
       applyMode match {
         case "changes" =>
-          table.applyChanges(batch, ordering = ordering, metaCols = ordering)
+          // fold I and U together as keyed upserts (NOT applyChanges'
+          // append path: appending inserts is how the reference does
+          // it, but a checkpoint-replayed append would duplicate rows
+          // — upsert/delete make replay idempotent), deletes last
+          val upserts = batch.filter(col("opclass") =!= graft.cdc.CdcModel.OpDelete)
+            .drop("opclass")
+          if (!upserts.isEmpty)
+            table.upsert(Precombine.latestByKey(upserts, keys, ordering).drop(ordering: _*))
+          val deletes = batch.filter(col("opclass") === graft.cdc.CdcModel.OpDelete)
+          if (!deletes.isEmpty)
+            table.delete(deletes.select(keys.map(col): _*))
         case _ =>
           val deduped =
             if (ordering.nonEmpty)

@@ -52,6 +52,41 @@ class ChangeFeedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restarted stream catches up versions committed while it was down") {
+    val root = fresh("catchup")
+    val ckpt = s"$root/ckpt"
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v"))) // v1
+    val outDir = s"$root/out"
+    // file sink: the memory sink cannot recover from a checkpoint
+    def startStream() = spark.readStream.format("mergetable")
+      .option("path", root).option("keys", "id").load()
+      .writeStream.format("parquet").option("path", outDir)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(50)).start()
+
+    val q1 = startStream()
+    try {
+      t.upsert(Seq((2L, "b")).toDF("id", "v")) // v2, delivered live
+      q1.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() === 1)
+    } finally q1.stop()
+
+    t.upsert(Seq((3L, "c")).toDF("id", "v")) // v3: committed while down
+    t.upsert(Seq((2L, "B")).toDF("id", "v")) // v4: committed while down
+
+    val q2 = startStream() // fresh source instance, same checkpoint
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .filter($"_commit_version" > 2)
+        .select("id", "v", "_change").as[(Long, String, String)].collect().toSet
+      // net changes of the missed range (v2 -> v4)
+      assert(got === Set((3L, "c", "I"), (2L, "B", "U")))
+    } finally q2.stop()
+  }
+
   test("default startingVersion tails only post-creation commits") {
     val root = fresh("tail")
     val t = MergeTable.createIfAbsent(spark, root, Seq("id"),

@@ -57,6 +57,22 @@ class MergeTableSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replaying a batch leaves the table unchanged (checkpoint recovery)") {
+    val root = fresh("replay")
+    val sink = new graft.sources.MergeTableSink(root, Seq("id"),
+      MergeTable.CopyOnWrite, None, "changes", Seq("ts_ms"))
+    val batch = Seq(("I", 1L, "a", 1L), ("I", 2L, "b", 1L), ("U", 1L, "A", 2L))
+      .toDF("opclass", "id", "v", "ts_ms")
+    sink.addBatch(0, batch)
+    val first = new MergeTable(spark, root, Seq("id")).read()
+      .select("id", "v").as[(Long, String)].collect().toMap
+    sink.addBatch(0, batch) // engine replays batch 0 after a crash
+    val second = new MergeTable(spark, root, Seq("id")).read()
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(first === Map(1L -> "A", 2L -> "b"))
+    assert(second === first) // no duplicated inserts
+  }
+
   test("sink round-trips into the change-feed source") {
     val root = fresh("roundtrip")
     implicit val sqlCtx = spark.sqlContext
