@@ -508,7 +508,10 @@ object MergeTable {
   /** Destroy all table state (test helper). */
   def drop(root: String): Unit = {
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p) // close: one leaked FD per directory otherwise
+        try s.iterator().asScala.toList.foreach(rm) finally s.close()
+      }
       Files.deleteIfExists(p)
     }
     rm(Paths.get(root))

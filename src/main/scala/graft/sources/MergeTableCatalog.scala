@@ -54,6 +54,14 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces {
 
   private def spark: SparkSession = SparkSession.active
 
+  // Files.list returns a stream backed by an open directory FD —
+  // always close it (a long-lived session serving catalog queries
+  // would otherwise leak one FD per listing)
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def tablePath(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(s"$root/", "/", "")
 
@@ -62,7 +70,7 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get(namespace.mkString(s"$root/", "/", ""))
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dir).iterator().asScala
+    listDir(dir)
       .filter(p => Files.exists(p.resolve("_META.json")))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
@@ -84,7 +92,7 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces {
     val path = tablePath(ident)
     val manifests = Paths.get(path).resolve("manifests")
     if (!Files.isDirectory(manifests)) throw new NoSuchTableException(ident)
-    val at = Files.list(manifests).iterator().asScala
+    val at = listDir(manifests)
       .filter(_.getFileName.toString.matches("v\\d+\\.txt"))
       .filter(p => Files.getLastModifiedTime(p).toInstant.toEpochMilli * 1000L <= timestamp)
       .map(_.getFileName.toString.stripPrefix("v").stripSuffix(".txt").toLong)
@@ -136,7 +144,7 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(): Array[Array[String]] = {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) Array.empty
-    else Files.list(r).iterator().asScala.filter(Files.isDirectory(_))
+    else listDir(r).filter(Files.isDirectory(_))
       .map(p => Array(p.getFileName.toString)).toArray
   }
 
@@ -162,7 +170,7 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = Paths.get(namespace.mkString(s"$root/", "/", ""))
     if (!Files.isDirectory(p)) false
-    else if (!cascade && Files.list(p).iterator().hasNext)
+    else if (!cascade && listDir(p).nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
     else { MergeTable.drop(p.toString); true }
   }
@@ -177,9 +185,12 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
 
   private def spark: SparkSession = SparkSession.active
 
-  private def relation(pinned: Option[Long]): MergeTableRelation =
+  // ONE relation per loaded table: schema resolution and every scan
+  // of this Table instance read the same pinned snapshot, even while
+  // writers commit between analysis and execution
+  private lazy val pinnedRelation: MergeTableRelation =
     new MergeTableRelation(spark.sqlContext, path, meta.keys, meta.mode,
-      meta.numBuckets, pinned,
+      meta.numBuckets, version,
       meta.schemaJson.map(j =>
         org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]))
 
@@ -191,7 +202,7 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     DmlTarget(path, meta.keys, meta.mode, meta.numBuckets)
   }
 
-  override lazy val schema: StructType = relation(version).schema
+  override lazy val schema: StructType = pinnedRelation.schema
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
@@ -210,16 +221,22 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
       private var pushed: Array[Filter] = Array.empty
 
       override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
-      // the relation re-applies these on its inner DataFrame, where
-      // they reach the parquet scan; report all as pushed
-      override def pushFilters(filters: Array[Filter]): Array[Filter] = { pushed = filters; Array.empty }
+      // accept ONLY filters the relation can translate onto its inner
+      // DataFrame; the rest go back to the engine, which evaluates
+      // them above the scan — claiming an untranslatable filter as
+      // pushed would silently drop the predicate
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (ok, rejected) = filters.partition(f => pinnedRelation.translate(f).isDefined)
+        pushed = ok
+        rejected
+      }
       override def pushedFilters(): Array[Filter] = pushed
 
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = required
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
-          val rel = relation(version)
+          val rel = pinnedRelation
           val cols = required.fieldNames
           val fs = pushed
           new BaseRelation with TableScan {

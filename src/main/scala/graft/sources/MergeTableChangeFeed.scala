@@ -38,13 +38,42 @@ class MergeTableChangeFeedSource(
     mode: String,
     numBuckets: Option[Int],
     startingVersion: Long,
-    maxVersionsPerBatch: Long) extends Source {
+    maxVersionsPerBatch: Long,
+    metadataPath: String) extends Source {
 
   private val table = new MergeTable(spark, path, keys, mode, numBuckets)
 
-  // highest version already advertised to the engine; monotone, synced
-  // forward by getBatch/commit after a checkpoint restart
-  private var exposed: Long = startingVersion
+  // The engine never tells a restarted v1 source its committed offset,
+  // so the high-water version persists in the stream's own metadata
+  // dir (the FileStreamSource pattern): without it, a restart would
+  // re-expose already-committed ranges (offset regression) or skip
+  // versions committed while the stream was down.
+  private val highWaterFile =
+    if (metadataPath.isEmpty) None
+    else Some(new org.apache.hadoop.fs.Path(metadataPath, "graft-high-water"))
+  private def hadoopFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readHighWater(): Option[Long] = highWaterFile.flatMap { p =>
+    val fs = hadoopFs(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in)).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeHighWater(v: Long): Unit = highWaterFile.foreach { p =>
+    val fs = hadoopFs(p)
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes) finally out.close()
+  }
+
+  // highest version already advertised to the engine; monotone, seeded
+  // from the persisted high-water on restart, synced forward by
+  // getBatch, persisted by commit
+  private var exposed: Long = math.max(startingVersion, readHighWater().getOrElse(Long.MinValue))
 
   override val schema: StructType =
     MergeTableChangeFeedSource.feedSchema(spark, path, keys, mode, numBuckets)
@@ -85,7 +114,10 @@ class MergeTableChangeFeedSource(
     case other => other.json.trim.toLong // checkpointed SerializedOffset
   }
 
-  override def commit(end: Offset): Unit = { exposed = math.max(exposed, asVersion(end)) }
+  override def commit(end: Offset): Unit = {
+    exposed = math.max(exposed, asVersion(end))
+    writeHighWater(exposed)
+  }
 
   override def stop(): Unit = ()
 }
@@ -107,7 +139,8 @@ object MergeTableChangeFeedSource {
 
   /** Parse provider options shared by sourceSchema/createSource. */
   private[sources] def fromOptions(spark: SparkSession,
-                                   parameters: Map[String, String]): MergeTableChangeFeedSource = {
+                                   parameters: Map[String, String],
+                                   metadataPath: String = ""): MergeTableChangeFeedSource = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("mergetable stream requires option 'path'"))
     val keys = parameters.get("keys").map(_.split(",").map(_.trim).toSeq)
@@ -122,6 +155,6 @@ object MergeTableChangeFeedSource {
     val maxVersions = parameters.get("maxVersionsPerBatch").map(_.toLong)
       .getOrElse(Long.MaxValue / 4)
     new MergeTableChangeFeedSource(spark, path, keys, mode, buckets,
-      startingVersion, maxVersions)
+      startingVersion, maxVersions, metadataPath)
   }
 }

@@ -69,6 +69,32 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewriteMerge(m: MergeIntoTable, rel: DmlTarget): LogicalPlan = {
     def fail(msg: String): Nothing =
       throw new UnsupportedOperationException(s"MERGE INTO mergetable: $msg")
+    // identity assignments must take the value from the SOURCE side:
+    // `SET v = t.v` (keep target's value) shares the name `v` but is
+    // NOT star-form, and running it as an upsert would silently
+    // overwrite with the source's value
+    def valueFromSource(e: Expression): Boolean = e match {
+      case a: Attribute => m.sourceTable.outputSet.contains(a)
+      case u: UnresolvedAttribute => u.nameParts.length == 1 // unqualified only
+      case _ => false
+    }
+    def assignmentsAreStar(assignments: Seq[Assignment]): Boolean =
+      assignments.forall { as =>
+        (attrName(as.key), attrName(as.value)) match {
+          case (Some(k), Some(v)) => k.equalsIgnoreCase(v) && valueFromSource(as.value)
+          case _ => false
+        }
+      }
+    def isUpdateAll(a: MergeAction): Boolean = a match {
+      case UpdateStarAction(None) => true
+      case UpdateAction(None, assignments, _) => assignmentsAreStar(assignments)
+      case _ => false
+    }
+    def isInsertAll(a: MergeAction): Boolean = a match {
+      case InsertStarAction(None) => true
+      case InsertAction(None, assignments) => assignmentsAreStar(assignments)
+      case _ => false
+    }
     if (m.notMatchedBySourceActions.nonEmpty)
       fail("WHEN NOT MATCHED BY SOURCE is not supported")
     val condCols = keyEqualities(m.mergeCondition)
@@ -112,28 +138,6 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** UPDATE SET * — either still star-form or already expanded by the
-    * analyzer into an identity column mapping.
-    */
-  private def isUpdateAll(a: MergeAction): Boolean = a match {
-    case UpdateStarAction(None) => true
-    case UpdateAction(None, assignments, _) => assignmentsAreIdentity(assignments)
-    case _ => false
-  }
-
-  private def isInsertAll(a: MergeAction): Boolean = a match {
-    case InsertStarAction(None) => true
-    case InsertAction(None, assignments) => assignmentsAreIdentity(assignments)
-    case _ => false
-  }
-
-  private def assignmentsAreIdentity(assignments: Seq[Assignment]): Boolean =
-    assignments.forall { as =>
-      (attrName(as.key), attrName(as.value)) match {
-        case (Some(k), Some(v)) => k.equalsIgnoreCase(v)
-        case _ => false
-      }
-    }
 }
 
 /** What DML needs to know about a target, whichever surface resolved
@@ -162,13 +166,31 @@ case class MergeTableDmlCommand(
     val src = GraftSqlBridge.ofRows(session, source)
     val t = new MergeTable(session, path, keys, mode, numBuckets)
     kind match {
-      case MergeTableDmlCommand.Upsert => t.upsert(src)
+      case MergeTableDmlCommand.Upsert =>
+        t.upsert(requireUniqueKeys(src))
       case MergeTableDmlCommand.InsertOnly =>
-        t.upsert(src.join(t.read().select(keys.map(col): _*), keys, "left_anti"))
+        t.upsert(requireUniqueKeys(src)
+          .join(t.read().select(keys.map(col): _*), keys, "left_anti"))
       case MergeTableDmlCommand.Delete =>
         t.delete(src.select(keys.map(col): _*).distinct())
     }
     Seq.empty
+  }
+
+  /** MERGE cardinality check (the error Iceberg/Delta raise): a source
+    * with duplicate join keys would silently write duplicate-PK rows
+    * through upsert. One aggregation, short-circuited at one row.
+    */
+  private def requireUniqueKeys(src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val dup = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .filter(org.apache.spark.sql.functions.col("_n") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalStateException(
+        s"MERGE INTO mergetable: source has multiple rows for key " +
+          s"(${keys.mkString(", ")}) = (${dup.head.toSeq.dropRight(1).mkString(", ")}); " +
+          "precombine the source to one row per key first")
+    src
   }
 }
 

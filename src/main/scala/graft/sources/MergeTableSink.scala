@@ -44,22 +44,30 @@ class MergeTableSink(
       val table = new MergeTable(data.sparkSession, path, keys, mode, numBuckets)
       applyMode match {
         case "changes" =>
-          // fold I and U together as keyed upserts (NOT applyChanges'
-          // append path: appending inserts is how the reference does
-          // it, but a checkpoint-replayed append would duplicate rows
-          // — upsert/delete make replay idempotent), deletes last
-          val upserts = batch.filter(col("opclass") =!= graft.cdc.CdcModel.OpDelete)
-            .drop("opclass")
-          if (!upserts.isEmpty)
-            table.upsert(Precombine.latestByKey(upserts, keys, ordering).drop(ordering: _*))
-          val deletes = batch.filter(col("opclass") === graft.cdc.CdcModel.OpDelete)
-          if (!deletes.isEmpty)
-            table.delete(deletes.select(keys.map(col): _*))
+          // one precombine across ALL op classes decides each key's
+          // FINAL event by `ordering` — then losers of the same key
+          // are gone, a final D deletes, anything else upserts. (NOT
+          // applyChanges' append path: a checkpoint-replayed append
+          // would duplicate rows; and deletes must not be applied
+          // blindly after upserts or D-then-reinsert within one batch
+          // would lose the newer row.)
+          val finalPerKey = Precombine.latestByKey(batch, keys, ordering)
+          val upserts = finalPerKey.filter(col("opclass") =!= graft.cdc.CdcModel.OpDelete)
+            .drop("opclass").drop(ordering: _*)
+          if (!upserts.isEmpty) table.upsert(upserts)
+          val deletes = finalPerKey.filter(col("opclass") === graft.cdc.CdcModel.OpDelete)
+          if (!deletes.isEmpty) table.delete(deletes.select(keys.map(col): _*))
         case _ =>
+          // no ordering option → order by ALL non-key columns: an
+          // arbitrary-but-DETERMINISTIC winner, so a replayed batch
+          // commits the identical row (dropDuplicates' survivor
+          // depends on partition order and would break replay)
+          val ord = if (ordering.nonEmpty) ordering
+            else batch.columns.filterNot(keys.contains).toSeq
           val deduped =
-            if (ordering.nonEmpty)
-              Precombine.latestByKey(batch, keys, ordering).drop(ordering: _*)
-            else batch.dropDuplicates(keys)
+            if (ord.isEmpty) batch.dropDuplicates(keys) // keys-only schema
+            else Precombine.latestByKey(batch, keys, ord)
+              .drop(ordering: _*) // user-supplied ordering cols are meta; data cols stay
           table.upsert(deduped)
       }
     } finally batch.unpersist()

@@ -45,7 +45,7 @@ class MergeTableSource extends RelationProvider with DataSourceRegister
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): Source =
-    MergeTableChangeFeedSource.fromOptions(sqlContext.sparkSession, parameters)
+    MergeTableChangeFeedSource.fromOptions(sqlContext.sparkSession, parameters, metadataPath)
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -99,8 +99,9 @@ class MergeTableRelation(
 
   // translate DSv1 filters back to Column predicates so they reach the
   // parquet scan of the inner DataFrame; untranslated filters are
-  // still applied by Spark above this relation
-  private def translate(f: Filter): Option[org.apache.spark.sql.Column] = {
+  // still applied by Spark above this relation (DSv1) or must be
+  // handed back to the engine by the catalog ScanBuilder (DSv2)
+  private[sources] def translate(f: Filter): Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.sources._
     f match {

@@ -17,9 +17,6 @@ object GraftSqlBridge {
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
-  def column(e: Expression): Column =
-    classic.ExpressionUtils.column(e)
-
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.logical
 

@@ -63,6 +63,51 @@ class MergeTableCatalogSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") || df.count() == 1) // scan reached
   }
 
+  test("filters the relation cannot translate are still applied (LIKE)") {
+    fresh("cat5")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat5")
+    spark.sql("""CREATE TABLE graft.cat5.s (id BIGINT, name STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.cat5.s VALUES (1,'apple'), (2,'banana'), (3,'apricot')")
+    // LIKE 'a%' → StringStartsWith, which the relation can't translate;
+    // the ScanBuilder must hand it back to the engine, not swallow it
+    val got = spark.sql("SELECT name FROM graft.cat5.s WHERE name LIKE 'a%'")
+      .as[String].collect().sorted
+    assert(got === Seq("apple", "apricot"))
+  }
+
+  test("MERGE with duplicate source keys fails instead of corrupting the table") {
+    fresh("cat6")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat6")
+    spark.sql("""CREATE TABLE graft.cat6.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.cat6.t VALUES (1, 'a')")
+    Seq((2L, "x"), (2L, "y")).toDF("id", "v").createOrReplaceTempView("dup_src")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.cat6.t t USING dup_src s ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e.getMessage.contains("multiple rows"), e.getMessage)
+  }
+
+  test("UPDATE SET with a target-side value is rejected, not silently run as SET *") {
+    fresh("cat7")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat7")
+    spark.sql("""CREATE TABLE graft.cat7.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.cat7.t VALUES (1, 'keep')")
+    Seq((1L, "overwrite")).toDF("id", "v").createOrReplaceTempView("tv_src")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.cat7.t t USING tv_src s ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET v = t.v""")
+    }
+    assert(e.getMessage.contains("supported forms") ||
+      e.getMessage.contains("MERGE INTO mergetable"), e.getMessage)
+    // and the table is untouched
+    assert(spark.table("graft.cat7.t").as[(Long, String)].head() === (1L, "keep"))
+  }
+
   test("catalog table honors MOR and bucketed properties") {
     fresh("cat4")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat4")

@@ -57,6 +57,21 @@ class MergeTableSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delete-then-reinsert of a key within one batch keeps the newer row") {
+    val root = fresh("dthenI")
+    val sink = new graft.sources.MergeTableSink(root, Seq("id"),
+      MergeTable.CopyOnWrite, None, "changes", Seq("ts_ms"))
+    sink.addBatch(0, Seq(("I", 1L, "a", 1L), ("I", 2L, "b", 1L)).toDF("opclass", "id", "v", "ts_ms"))
+    // key 1: deleted at ts 2, re-created at ts 3 — final state must be the re-insert;
+    // key 2: updated at ts 2, deleted at ts 3 — final state must be gone
+    sink.addBatch(1, Seq(
+      ("D", 1L, "", 2L), ("I", 1L, "a2", 3L),
+      ("U", 2L, "B", 2L), ("D", 2L, "", 3L)).toDF("opclass", "id", "v", "ts_ms"))
+    val got = new MergeTable(spark, root, Seq("id")).read()
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a2"))
+  }
+
   test("replaying a batch leaves the table unchanged (checkpoint recovery)") {
     val root = fresh("replay")
     val sink = new graft.sources.MergeTableSink(root, Seq("id"),
