@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectResolutionRule(session => new graft.sources.ResolveMergeTableDml(session))
+    ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
     def info(name: String, clazz: Class[_]) = new ExpressionInfo(clazz.getName, name)
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", classOf[CosineSimilarity]),

@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.cdc.MergeTable
+import org.apache.spark.sql.{GraftSqlBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+/** Maintenance-SQL parser extension — the statements Iceberg/Delta add
+  * with their own parser delegates (`VACUUM t`, `OPTIMIZE t`):
+  *
+  * {{{
+  *   VACUUM graft.db.t    -- drop data dirs unreferenced by the
+  *                        -- current manifest (expire old snapshots)
+  *   COMPACT graft.db.t   -- fold MOR deltas into the base
+  *                        -- (per-bucket when the table is bucketed)
+  * }}}
+  *
+  * Everything that is not one of these two shapes delegates verbatim
+  * to Spark's parser, so the extension is purely additive. Injected
+  * via `GraftExtensions` (`injectParser`).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val Maintenance =
+    """(?is)\s*(VACUUM|COMPACT)\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Maintenance(op, catalog, ident) =>
+      MergeTableMaintenanceCommand(op.toLowerCase, catalog,
+        ident.split('.').toSeq)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] = delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+}
+
+/** VACUUM → number of expired data directories; COMPACT → deltas
+  * folded (0 when the table had none pending).
+  */
+case class MergeTableMaintenanceCommand(op: String, catalogName: String,
+                                        ident: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val catalog = GraftSqlBridge.catalogPlugin(session, catalogName) match {
+      case c: MergeTableCatalog => c
+      case other => throw new UnsupportedOperationException(
+        s"$op targets a mergetable catalog; '$catalogName' is ${other.getClass.getName}")
+    }
+    val path = catalog.pathForIdent(ident)
+    val t = MergeTable.open(session, path)
+    val n: Long = op match {
+      case "vacuum" => t.vacuum().toLong
+      case "compact" =>
+        val before = t.versions().size
+        t.compact()
+        (t.versions().size - before).toLong
+    }
+    Seq(Row(n))
+  }
+}

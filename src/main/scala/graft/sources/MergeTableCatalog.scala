@@ -65,6 +65,10 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces {
   private def tablePath(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(s"$root/", "/", "")
 
+  /** Resolve `db.t` parts to this catalog's table root (maintenance SQL). */
+  private[sources] def pathForIdent(parts: Seq[String]): String =
+    parts.mkString(s"$root/", "/", "")
+
   // -- tables ---------------------------------------------------------------
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

@@ -17,6 +17,9 @@ object GraftSqlBridge {
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  def catalogPlugin(spark: SparkSession, name: String): connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager.catalog(name)
+
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.logical
 

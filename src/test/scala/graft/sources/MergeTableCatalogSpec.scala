@@ -108,6 +108,29 @@ class MergeTableCatalogSpec extends SparkSpec {
     assert(spark.table("graft.cat7.t").as[(Long, String)].head() === (1L, "keep"))
   }
 
+  test("VACUUM and COMPACT maintenance SQL") {
+    fresh("cat8")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat8")
+    spark.sql("""CREATE TABLE graft.cat8.m (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id','mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.cat8.m VALUES (1,'a')") // base
+    spark.sql("INSERT INTO graft.cat8.m VALUES (2,'b')") // delta
+    spark.sql("INSERT INTO graft.cat8.m VALUES (1,'A')") // delta
+    spark.sql("COMPACT graft.cat8.m") // folds the deltas into one base
+    val root = "target/graft_warehouse/cat8/m"
+    val manifests = new java.io.File(s"$root/manifests").list().sorted
+    val last = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/manifests/${manifests.last}")))
+    assert(last.linesIterator.forall(_.startsWith("base:")), last)
+    // old versions' data dirs become unreferenced → vacuum removes them
+    val removed = spark.sql("VACUUM graft.cat8.m").as[Long].head()
+    assert(removed >= 2, s"expected >=2 expired dirs, got $removed")
+    assert(spark.table("graft.cat8.m").as[(Long, String)].collect().sorted ===
+      Seq((1L, "A"), (2L, "b")))
+    // ordinary SQL still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) === 2)
+  }
+
   test("catalog table honors MOR and bucketed properties") {
     fresh("cat4")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat4")
