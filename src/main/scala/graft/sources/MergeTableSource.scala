@@ -59,7 +59,9 @@ class MergeTableSource extends RelationProvider with DataSourceRegister
       throw new IllegalArgumentException(
         "mergetable source requires option 'keys' when mode=merge-on-read")
     val buckets = parameters.get("buckets").map(_.toInt)
-    new MergeTableRelation(sqlContext, path, keys.getOrElse(Seq("id")), mode, buckets)
+    // time travel parity with the catalog's VERSION AS OF
+    val version = parameters.get("versionAsOf").map(_.toLong)
+    new MergeTableRelation(sqlContext, path, keys.getOrElse(Seq("id")), mode, buckets, version)
   }
 }
 

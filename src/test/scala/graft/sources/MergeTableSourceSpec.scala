@@ -43,6 +43,19 @@ class MergeTableSourceSpec extends SparkSpec {
     assert(df.as[(Long, String)].collect().toSeq === Seq((2L, "B")))
   }
 
+  test("versionAsOf option reads an earlier snapshot") {
+    val root = "target/test_tmp/source_tt"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "v1")).toDF("id", "v"))) // version 1
+    t.upsert(Seq((1L, "v2")).toDF("id", "v")) // version 2
+    val old = spark.read.format("mergetable")
+      .option("path", root).option("versionAsOf", "1").load()
+    assert(old.as[(Long, String)].collect() === Seq((1L, "v1")))
+    val now = spark.read.format("mergetable").option("path", root).load()
+    assert(now.as[(Long, String)].collect() === Seq((1L, "v2")))
+  }
+
   test("missing path option fails with a clear message") {
     val err = intercept[Exception] {
       spark.read.format("mergetable").load()
