@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.cdc.MergeTable
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{count, lit, round, sum}
 import org.apache.spark.sql.streaming.Trigger
 
 class MergeTableSinkSpec extends SparkSpec {
@@ -86,6 +87,30 @@ class MergeTableSinkSpec extends SparkSpec {
       .select("id", "v").as[(Long, String)].collect().toMap
     assert(first === Map(1L -> "A", 2L -> "b"))
     assert(second === first) // no duplicated inserts
+  }
+
+  test("update-mode aggregation stream maintains a serving table") {
+    val root = fresh("serving")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val agg = in.toDF().toDF("k", "v")
+      .groupBy("k").agg(count(lit(1)).as("n"), round(sum("v"), 2).as("s"))
+    // update mode emits each changed key's NEW aggregate per batch;
+    // keyed upserts turn that into an always-current serving table
+    val q = agg.writeStream.format("mergetable")
+      .outputMode("update")
+      .option("path", root).option("keys", "k")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      in.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      in.addData((1L, 3.0), (3L, 7.0))
+      q.processAllAvailable()
+      val got = new MergeTable(spark, root, Seq("k")).read()
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === Set((1L, 3L, 6.0), (2L, 1L, 5.0), (3L, 1L, 7.0)))
+    } finally q.stop()
   }
 
   test("sink round-trips into the change-feed source") {
