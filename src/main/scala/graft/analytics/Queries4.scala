@@ -112,6 +112,31 @@ object Queries4 extends QueryModule {
       |  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
       |GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  // -- Q13: customer order-count distribution ------------------------------
+
+  /** Left-outer join with an extra join-side predicate, then a
+    * two-level aggregation (count per customer → distribution of
+    * counts). Zero-order customers must survive the outer join — the
+    * shape that breaks if the filter is wrongly pushed below the
+    * join's null-producing side.
+    */
+  private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+    t(s, dir, "customer")
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Sql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   // -- Q22: prospects (above-average balance, never ordered) ---------------
 
   /** Anti-join + scalar aggregate: customers whose balance beats the
@@ -147,6 +172,7 @@ object Queries4 extends QueryModule {
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q7_volume_shipping", q7VolumeShipping, Some(q7Sql)),
     QueryDef("q8_market_share", q8MarketShare, Some(q8Sql)),
+    QueryDef("q13_order_distribution", q13OrderDistribution, Some(q13Sql)),
     QueryDef("q22_prospects", q22Prospects, Some(q22Sql)),
   )
 }
