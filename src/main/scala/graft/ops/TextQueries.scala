@@ -277,6 +277,44 @@ object TextQueries extends QueryModule {
       |SELECT id AS doc_id, min(comp) AS cluster
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // -- benchmark decontamination -------------------------------------------
+
+  /** Eval-set contamination scan: flag corpus documents sharing ≥ τ
+    * distinct word trigrams with a benchmark/eval set (here: the
+    * first 20 docs as a stand-in). The benchmark's gram set is tiny
+    * and broadcast; the corpus side explodes compiled trigrams and
+    * the semi-join + per-doc distinct count never shuffles the text —
+    * the shape that scans 100 TB against a fixed eval suite.
+    */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val ws = TextAnalysis.words(col("text"))
+    val grams = when(size(ws) >= 3, call_function("graft_word_trigrams", ws))
+      .otherwise(array())
+    val d = docs(s, dir)
+    val benchGrams = d.filter(col("doc_id") < 20)
+      .select(explode(grams).as("g")).distinct()
+    d.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .join(broadcast(benchGrams), Seq("g")) // eval suite: genuinely small
+      .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= 2)
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |  FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)),
+      |bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 20)
+      |SELECT doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared_grams
+      |FROM g JOIN bench ON g.g = bench.g
+      |WHERE doc_id >= 20
+      |GROUP BY doc_id HAVING count(DISTINCT g.g) >= 2
+      |ORDER BY doc_id""".stripMargin
+
   // -- end-to-end dedup decision: pairs → clusters → keep list -------------
 
   /** The full dedup pipeline as one decision query: candidate pairs
@@ -382,6 +420,7 @@ object TextQueries extends QueryModule {
     QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardSql)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QueryDef("dedup_keep_list", dedupKeepList, Some(dedupKeepListSql)),
+    QueryDef("docs_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("docs_ngram_topk", ngramTopk, Some(ngramTopkSql)),
   )
 }
