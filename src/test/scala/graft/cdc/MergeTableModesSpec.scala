@@ -115,6 +115,43 @@ class MergeTableModesSpec extends SparkSpec {
     assert(t.read().as[(Long, String)].collect().toMap === got)
   }
 
+  test("bucketed COW: upsert with a new column evolves the schema") {
+    val root = fresh("bucketed_evolve")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some((0L until 16L).map(i => (i, s"v$i")).toDF("id", "v")),
+      numBuckets = Some(4))
+    t.upsert(Seq((1L, "V1", "extra")).toDF("id", "v", "note"))
+    val got = t.read()
+    assert(got.columns.sorted === Array("id", "note", "v"))
+    val rows = got.select("id", "v", "note").as[(Long, String, Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) === (("V1", Some("extra"))))
+    assert(rows(2L) === (("v2", None))) // untouched bucketmate: null backfill
+    assert(rows.size === 16)
+  }
+
+  test("bucketed MOR: deleting a whole bucket removes it at compaction") {
+    val root = fresh("mor_bucket_drain")
+    val rows = (0L until 16L).map(i => (i, s"v$i"))
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(rows.toDF("id", "v")),
+      mode = MergeTable.MergeOnRead, numBuckets = Some(4))
+    // find every key in bucket 0 and tombstone all of them
+    val spark2 = spark
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val bucket0 = rows.map(_._1).filter { id =>
+      spark2.range(1).select(pmod(xxhash64(lit(id)), lit(4))).head().getLong(0) == 0L
+    }
+    assert(bucket0.nonEmpty)
+    t.delete(bucket0.toDF("id"))
+    t.compact()
+    val after = scala.io.Source.fromFile(s"$root/manifests/" + new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/_LATEST"))))
+      .getLines().toSeq
+    assert(!after.exists(_.startsWith("b0:")), after)
+    assert(t.read().count() === 16L - bucket0.size)
+  }
+
   test("forConfig honors the reference write.merge.mode") {
     val conf = TableConfig(db = "d", table = "t", primaryKey = Seq("id"),
       writeMergeMode = "merge-on-read")
