@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // min over N runs per query: a single wall-clock sample on a shared
+    // host records contention as fake regressions (round-2 artifact
+    // showed 47s for a 5k-row groupBy; re-run measured 0.9s). The min
+    // is the least-contended sample; per-run spread is emitted so noise
+    // shows up as variance, not as a plan problem.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     // one config source of truth: GraftSession — see Verify.scala
     val spark = graft.GraftSession.builder("graft-bench", s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,26 +27,32 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) => wanted.forall(_.contains(n)) }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune projected
-      // expressions, understating per-column compute cost
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink, not count(): count() lets Catalyst prune projected
+        // expressions, understating per-column compute cost
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+        }
+        // per-query caches must not leak into the next timing: leaked
+        // caches evict each other across a 70-query suite and inflate
+        // multi-job queries 10× (round-1 cdc_apply_full)
+        Caches.clear()
+        (System.nanoTime() - t0) / 1e9
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // per-query caches must not leak into the next timing: leaked
-      // caches evict each other across a 57-query suite and inflate
-      // multi-job queries 10× (round-1 cdc_apply_full)
-      Caches.clear()
-      name -> dt
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val spreads = results.map { case (k, v) =>
+      s"\"" + k + "\":" + f"${v.max - v.min}%.3f" }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"run_spread":$spreads,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -110,19 +110,23 @@ object CorpusQueries extends QueryModule {
 
   /** ~10% per-language sample, deterministic: rank documents inside
     * each stratum by a stable hash and keep the first ceil(n/10).
-    * One shuffle on the stratum key; stratum skew is bounded by the
-    * language distribution, and the rank window never materializes
-    * the text (ids + hash only).
+    *
+    * The rank is a distributed prefix COUNT ([[PrefixSum]]) — a rank
+    * window partitioned by `lang` (5 values) would sort each stratum
+    * on a single reducer at any scale. Here the only per-row shuffle
+    * is one range-repartition; stratum totals come from the same
+    * bounded subtotal pass (max rank per lang), so the result is
+    * bit-identical to the window formulation without its ceiling.
     */
   private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = md5(concat(lit("sample"), col("doc_id").cast("string")))
-    val w = Window.partitionBy("lang").orderBy("h")
-    docs(s, dir).select(col("doc_id"), col("lang"), h.as("h"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    val slim = docs(s, dir).select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("_one", lit(1L))
+    val ranked = PrefixSum.runningTotal(slim, "lang", Seq("h"), "_one", "rn")
+    val totals = ranked.groupBy("lang").agg(max("rn").as("n"))
+    ranked.join(broadcast(totals), "lang")
       .filter(col("rn") <= ceil(col("n") / 10.0))
-      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rank_in_stratum"))
+      .select(col("doc_id"), col("lang"), col("rn").as("rank_in_stratum"))
       .orderBy("doc_id")
   }
 
@@ -238,18 +242,19 @@ object CorpusQueries extends QueryModule {
 
   /** Assign documents to training shards of ~500 tokens per source:
     * a running token total in stable doc_id order places each doc in
-    * the shard where its first token lands. One window shuffle on the
-    * source key; at 100 TB the same computation runs per source
-    * partition and shard ids stay deterministic across engines and
-    * runs (no RNG, no coordinator).
+    * the shard where its first token lands.
+    *
+    * The running total is a distributed prefix sum ([[PrefixSum]]) —
+    * a window partitioned by `source` would serialize each source
+    * onto one reducer (5 sources at 100 TB = 5 straggler tasks doing
+    * a full per-source sort). Shard ids stay deterministic across
+    * engines and runs (the global (source, doc_id) order defines
+    * them; no RNG, no coordinator).
     */
   private def packShards(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = size(split(col("text"), " "))
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(s, dir).select(col("doc_id"), col("source"), toks.as("n_tokens"))
-      .withColumn("cum", sum("n_tokens").over(w))
+    val toks = size(split(col("text"), " ")).cast("long")
+    val slim = docs(s, dir).select(col("doc_id"), col("source"), toks.as("n_tokens"))
+    PrefixSum.runningTotal(slim, "source", Seq("doc_id"), "n_tokens", "cum")
       .withColumn("shard_id", floor((col("cum") - col("n_tokens")) / ShardTokens))
       .groupBy("source", "shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))

@@ -90,6 +90,30 @@ class CorpusSpec extends SparkSpec {
     assert(total === expected)
   }
 
+  test("PrefixSum.runningTotal matches the window formulation row for row") {
+    import org.apache.spark.sql.expressions.Window
+    val toks = size(split(col("text"), " ")).cast("long")
+    val slim = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), toks.as("n_tokens"))
+    val viaPrefix = PrefixSum.runningTotal(slim, "source", Seq("doc_id"), "n_tokens", "cum")
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = slim.withColumn("cum", sum("n_tokens").over(w))
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    assert(viaPrefix === viaWindow)
+    graft.Caches.clear()
+  }
+
+  test("pack_shards and sample_stratified plans contain no per-group window") {
+    Seq("docs_pack_shards", "docs_sample_stratified").foreach { n =>
+      val plan = q(n)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("RunningWindowFunction") && !plan.contains(" Window "),
+        s"$n still plans a window:\n$plan")
+      graft.Caches.clear()
+    }
+  }
+
   test("docs_repetition flags a constructed boilerplate document") {
     import spark.implicits._
     val crafted = Seq(
