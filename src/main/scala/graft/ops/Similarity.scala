@@ -36,8 +36,22 @@ object Similarity {
   }
 
   // ---- random-hyperplane LSH --------------------------------------------
+  //
+  // One 64-plane signature (one fused codegen pass per row), consumed
+  // as NumBands independent 16-bit hash tables — the banded-signature
+  // layout minhash LSH uses (Dedup.lshBandKeys). A pair/query-match is
+  // a candidate iff SOME band's 16-bit sub-signature is within hamming
+  // 1 (multiprobe). Effective bucket space is 2^16 per band — with a
+  // single flat 8-bit table (the previous design) candidate volume on
+  // neutral data was ~9n²/2^8, i.e. still quadratic at 10^9 vectors;
+  // banding caps any one table's collision rate at ~17·(n/2^16)
+  // candidates per row while the band union keeps recall high for
+  // genuinely-near pairs (P[candidate] ≈ 1-(1-p_band)^4, p_band =
+  // p^16 + 16·p^15(1-p) for per-bit agreement p).
 
-  val NumPlanes = 8
+  val NumPlanes = 64
+  val NumBands = 4
+  val BandBits = 16 // NumPlanes / NumBands; one hash table per band
 
   /** Deterministic pseudo-random hyperplanes (seeded LCG), dim x planes. */
   private[graft] def planes(dim: Int): Array[Array[Double]] = {
@@ -50,36 +64,84 @@ object Similarity {
   }
 
   /** Bit-signature of an embedding under the fixed hyperplanes: bit p
-    * = sign(v · plane_p). One long-typed bucket key per row, computed
+    * = sign(v · plane_p). One long-typed signature per row, computed
     * by the codegen'd [[graft.functions.HyperplaneSignature]] — a
-    * single fused loop. (The previous interpreted `zip_with` +
-    * `aggregate` formulation ran 8 higher-order traversals per row —
-    * the per-row hot loop of the 100 TB ANN path.)
+    * single fused loop over a flattened plane matrix (the per-row hot
+    * loop of the 100 TB ANN path).
     */
   def lshSignature(spark: SparkSession, emb: Column, dim: Int): Column = {
     GraftFunctions.register(spark)
     call_function("graft_hyperplane_sig", emb, lit(dim))
   }
 
-  /** Approximate top-k via LSH bucketing with hamming-1 multiprobe:
-    * candidates are corpus rows whose signature matches any of the
-    * query's probe signatures (its own bucket plus each one-bit
-    * flip). At scale this turns an O(|corpus|) scan per query into
-    * NumPlanes+1 bucket lookups; recall is measured against brute
-    * force in ScalaTest.
+  /** Band `b`'s sub-signature, truncated to its `bits` low planes. */
+  private def bandKey(sig: Column, b: Int, bits: Int): Column =
+    shiftrightunsigned(sig, BandBits * b).bitwiseAND(lit((1L << bits) - 1))
+
+  /** Composite join key: band id in the high bits, band value below —
+    * one long-typed shuffle/probe key instead of a (band, key) pair.
     */
-  def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int, dim: Int): DataFrame = {
-    // compute the signature once per query row, then derive the probe
-    // set by XOR-ing bit masks — not one signature evaluation per probe
-    val masks = (lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p)))
+  private def tableKey(sig: Column, b: Int, bits: Int): Column =
+    lit(b.toLong << BandBits) + bandKey(sig, b, bits)
+
+  /** Probe keys for one side of a match: each band's own bucket plus
+    * every one-bit flip within the band — hamming ≤ 1 multiprobe.
+    */
+  private def probeKeys(sig: Column, bits: Int): Seq[Column] =
+    for {
+      b <- 0 until NumBands
+      m <- 0L +: (0 until bits).map(i => 1L << i)
+    } yield tableKey(sig, b, bits).bitwiseXOR(lit(m))
+
+  /** True iff no band BEFORE `band` also qualifies (hamming ≤ 1 on its
+    * `bits` low planes) — makes multi-band emission exactly-once
+    * without a dedup shuffle: each qualifying pair survives only via
+    * its first qualifying band.
+    */
+  private def firstQualifyingBand(band: Column, sigA: Column, sigB: Column, bits: Int): Column = {
+    val x = sigA.bitwiseXOR(sigB)
+    (0 until NumBands).map { bp =>
+      lit(bp) >= band || bit_count(bandKey(x, bp, bits)) > 1
+    }.reduce(_ && _)
+  }
+
+  /** Per-table bit width sized to the corpus: ~4 rows per bucket,
+    * clamped to [8, BandBits]. A fixed-width table is wrong at both
+    * ends — 8 bits is quadratic at 10^9 rows, 16 bits finds nothing
+    * at 10^3 — so the index adapts the way any ANN build step does
+    * (one count job, bounded output, deterministic).
+    */
+  private def autoBits(n: Long): Int = {
+    val b = math.ceil(math.log(math.max(n, 2L) / 4.0) / math.log(2)).toInt
+    math.min(BandBits, math.max(8, b))
+  }
+
+  /** Approximate top-k via banded LSH: the corpus side publishes one
+    * key per band (4 slim rows/vector), the query side probes each
+    * band's bucket plus its one-bit flips. Corpus never shuffles —
+    * the probe set is broadcast and candidates flow straight into the
+    * bounded-heap top-k. At scale this turns an O(|corpus|) scan per
+    * query into NumBands·(bits+1) bucket lookups over 2^bits-bucket
+    * tables; recall is measured against brute force in ScalaTest.
+    */
+  def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              bitsPerTable: Option[Int] = None): DataFrame = {
+    val bits = bitsPerTable.getOrElse(autoBits(corpus.count()))
+    // compute the signature once per side, then derive keys/probes by
+    // shift/XOR — not one signature evaluation per probe
     val qSig = queries
-      .withColumn("_sig0", lshSignature(spark, col("qe"), dim))
-      .withColumn("sig", explode(array(masks.map(m => col("_sig0").bitwiseXOR(m)): _*)))
-      .drop("_sig0")
-    val cSig = corpus.withColumn("sig", lshSignature(spark, col("embedding"), dim))
-    val scored = cSig.join(broadcast(qSig), Seq("sig"))
-      .dropDuplicates("query_id", "vec_id")
+      .withColumn("_qsig", lshSignature(spark, col("qe"), dim))
+      .withColumn("bkey", explode(array(probeKeys(col("_qsig"), bits): _*)))
+    val cSig = corpus
+      .withColumn("_csig", lshSignature(spark, col("embedding"), dim))
+      .withColumn("bkey", explode(array(
+        (0 until NumBands).map(b => tableKey(col("_csig"), b, bits)): _*)))
+    val scored = cSig.join(broadcast(qSig), Seq("bkey"))
       .filter(col("query_id") =!= col("vec_id"))
+      // exactly-once across bands (no dedup shuffle): keep a match
+      // only via its first qualifying band
+      .filter(firstQualifyingBand(shiftrightunsigned(col("bkey"), BandBits),
+        col("_qsig"), col("_csig"), bits))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(spark, col("qe"), col("embedding")), 6).as("score"))
     // bounded-heap top-k per query (no per-group full sort)
@@ -165,31 +227,49 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
-  /** Near-duplicate pairs: LSH candidate generation (hyperplane
-    * signatures, hamming ≤ 1 via multiprobe) + EXACT cosine scoring.
+  /** Banded-LSH candidate pairs (ids only): pairs of vectors some band
+    * of whose signatures is within hamming 1. The probe/publish rows
+    * carry ONLY (vec_id, sig, key) — 16-byte rows — so candidate
+    * generation never shuffles an embedding, and the first-qualifying-
+    * band filter makes emission exactly-once with no dedup shuffle.
+    * Exposed for the candidate-volume ScalaTest.
+    */
+  private[graft] def bandedCandidatePairs(sigd: DataFrame): DataFrame = {
+    val slim = sigd.select(col("vec_id"), col("sig"))
+    val a = slim.select(col("vec_id").as("vec_a"), col("sig").as("sig_a"),
+      explode(array(probeKeys(col("sig"), BandBits): _*)).as("bkey"))
+    val b = slim.select(col("vec_id").as("vec_b"), col("sig").as("sig_b"),
+      explode(array((0 until NumBands).map(bd =>
+        tableKey(col("sig"), bd, BandBits)): _*)).as("bkey"))
+    a.join(b, Seq("bkey"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(firstQualifyingBand(shiftrightunsigned(col("bkey"), BandBits),
+        col("sig_a"), col("sig_b"), BandBits))
+      .select("vec_a", "vec_b")
+  }
+
+  /** Near-duplicate pairs: banded-LSH candidate generation (some band
+    * within hamming ≤ 1 via multiprobe) + EXACT cosine scoring.
     *
-    * Candidates are pairs whose signatures differ in at most one bit
-    * — the a-side probes its own bucket plus each one-bit flip, so
-    * each qualifying pair is produced by exactly one probe and no
-    * all-pairs join exists anywhere in the plan. Work is linear in
-    * corpus size plus the intra-bucket pair blowup (buckets are
-    * corpus/2^NumPlanes on neutral data), which is the shape that
-    * survives 100 TB; the previous label-blocked all-pairs was
-    * O(n²/blocks).
+    * Work is linear in corpus size plus the intra-bucket pair blowup —
+    * buckets are n/2^BandBits per band on neutral data, so candidate
+    * volume is ~NumBands·(BandBits+1)·n²/2^17, 512× fewer than the
+    * previous flat 8-plane table — and no all-pairs join exists
+    * anywhere in the plan. Embeddings are attached to the (small)
+    * candidate set by two hash joins for exact rescoring; candidate
+    * generation itself moves only 16-byte rows.
     */
   def nearDupPairs(spark: SparkSession, vectors: DataFrame, dim: Int,
                    threshold: Double): DataFrame = {
-    // signature subtree feeds both sides of the self-join
+    // signature subtree feeds both candidate sides and both rescoring
+    // joins; signatures are tiny (one long/vector) relative to compute
     val sigd = graft.Caches.register(vectors
       .select(col("vec_id"), col("embedding"),
         lshSignature(spark, col("embedding"), dim).as("sig")))
-    val masks = (lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p)))
-    val a = sigd.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      explode(array(masks.map(m => col("sig").bitwiseXOR(m)): _*)).as("probe"))
-    val b = sigd.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("sig").as("probe"))
-    a.join(b, Seq("probe"))
-      .filter(col("vec_a") < col("vec_b"))
+    val cand = bandedCandidatePairs(sigd)
+    val ea = sigd.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val eb = sigd.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
       .withColumn("score", round(cosine(spark, col("ea"), col("eb")), 6))
       .filter(col("score") >= threshold)
       .select("vec_a", "vec_b", "score")

@@ -74,26 +74,33 @@ object SimilarityQueries extends QueryModule {
     Similarity.nearDupPairs(s, corpus(s, dir), dim = Dim, threshold = 0.3)
       .orderBy("vec_a", "vec_b")
 
-  /** Oracle mirrors the LSH candidate rule exactly: DuckDB recomputes
-    * each vector's hyperplane signature from the SAME plane constants
-    * (emitted as literals from the single Scala source of truth) and
-    * takes pairs at hamming ≤ 1, scored with exact cosine — so the
-    * hash compare verifies signature computation, candidate
-    * generation, and scoring end to end.
+  /** Oracle mirrors the banded LSH candidate rule exactly: DuckDB
+    * recomputes each vector's four 16-bit band sub-signatures from the
+    * SAME plane constants (emitted as literals from the single Scala
+    * source of truth) and takes pairs where ANY band is within
+    * hamming 1, scored with exact cosine — so the hash compare
+    * verifies signature computation, banding, candidate generation,
+    * and scoring end to end. (The Spark side's first-qualifying-band
+    * trick only dedups emission; the emitted SET is exactly this.)
     */
   private val embedNearDupSql = {
     val ps = Similarity.planes(Dim)
-    val sigExpr = (0 until Similarity.NumPlanes).map { p =>
-      val lits = ps(p).map(java.lang.Double.toString).mkString("[", ",", "]")
+    def bandExpr(band: Int): String = (0 until Similarity.BandBits).map { p =>
+      val lits = ps(band * Similarity.BandBits + p)
+        .map(java.lang.Double.toString).mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product(e, $lits::DOUBLE[]) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("\n      + ")
+    val bandCols = (0 until Similarity.NumBands)
+      .map(b => s"CAST(${bandExpr(b)} AS BIGINT) AS b$b").mkString(",\n  ")
+    val anyBand = (0 until Similarity.NumBands)
+      .map(b => s"bit_count(xor(a.b$b, b.b$b)) <= 1").mkString(" OR ")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |sigs AS (SELECT vec_id, e,
-       |  CAST($sigExpr AS BIGINT) AS sig FROM v)
+       |  $bandCols FROM v)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  round(list_cosine_similarity(a.e, b.e), 6) AS score
        |FROM sigs a JOIN sigs b
-       |  ON a.vec_id < b.vec_id AND bit_count(xor(a.sig, b.sig)) <= 1
+       |  ON a.vec_id < b.vec_id AND ($anyBand)
        |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
   }

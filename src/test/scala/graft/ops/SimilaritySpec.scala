@@ -64,16 +64,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("lsh topk recalls most true neighbors on clustered data") {
+  test("lsh topk recalls most true neighbors on clustered data at full 2^16 tables") {
     val corpus = clustered(4, 50)
     val qs = corpus.filter($"vec_id" % 20 === 0)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
     val exact = Similarity.bruteForceTopK(spark, qs, corpus, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val approx = Similarity.lshTopK(spark, qs, corpus, k = 5, dim = 16)
+    // bitsPerTable forced to the full 16 — recall must hold at 2^16
+    // effective buckets per band, not only at the small-corpus width
+    // the auto-sizing would pick
+    val approx = Similarity.lshTopK(spark, qs, corpus, k = 5, dim = 16,
+        bitsPerTable = Some(16))
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall")
+    info(f"banded lsh recall at 4x16-bit tables on clustered corpus: ${recall}%.2f")
+  }
+
+  test("lsh topk auto-sizes table width to the corpus and still fills k") {
+    val corpus = clustered(4, 50)
+    val qs = corpus.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    // 200 vectors → 8-bit tables; the point is the query returns a
+    // full top-k (small corpora must not fall into empty 2^16 buckets)
+    val out = Similarity.lshTopK(spark, qs, corpus, k = 5, dim = 16)
+      .groupBy("query_id").count().as[(Long, Long)].collect()
+    assert(out.nonEmpty && out.forall(_._2 === 5L), out.mkString(","))
   }
 
   test("ivf topk recalls most true neighbors on clustered data") {
@@ -121,8 +137,10 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("graft_hyperplane_sig"), plan)
     def time(f: => Unit): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+    // bit_count, not sum(s): 64-bit signatures span the long range and
+    // a 40k-row ANSI sum of them overflows
     def run(c: org.apache.spark.sql.Column): Double =
-      time(wide.select(c.as("s")).agg(sum($"s")).collect())
+      time(wide.select(c.as("s")).agg(sum(bit_count($"s"))).collect())
     run(Similarity.lshSignature(spark, $"embedding", 64)) // JIT/codegen warm-up
     run(interpretedSignature($"embedding", 64))
     val native = (1 to 3).map(_ => run(Similarity.lshSignature(spark, $"embedding", 64))).min
@@ -133,18 +151,26 @@ class SimilaritySpec extends SparkSpec {
     assert(native * 2 < interp, f"expected >=2x, got codegen=$native%.3fs interpreted=$interp%.3fs")
   }
 
-  test("nearDupPairs: LSH candidates are hamming<=1 and scored exactly") {
+  // the banded candidate rule, restated independently: some 16-bit
+  // band of the two signatures is within hamming 1
+  private def someBandClose(sa: Long, sb: Long): Boolean =
+    (0 until Similarity.NumBands).exists { b =>
+      java.lang.Long.bitCount(((sa ^ sb) >>> (Similarity.BandBits * b)) & 0xFFFFL) <= 1
+    }
+
+  test("nearDupPairs: banded candidates, exactly-once emission, exact scores") {
     val corpus = clustered(4, 50)
-    val out = Similarity.nearDupPairs(spark, corpus, dim = 16, threshold = 0.3)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(out.nonEmpty)
-    // every emitted pair: signatures within hamming 1 of each other,
-    // and the score equals the exact cosine of the two vectors
+    val rows = Similarity.nearDupPairs(spark, corpus, dim = 16, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // exactly-once: no pair emitted twice despite 4 bands qualifying
+    assert(rows.map(_._1).distinct.length === rows.length, "duplicate pair emitted")
+    val out = rows.toMap
     val sigs = corpus.select($"vec_id",
         Similarity.lshSignature(spark, $"embedding", 16).as("sig"))
       .as[(Long, Long)].collect().toMap
     out.keys.foreach { case (a, b) =>
-      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 1, s"pair ($a,$b)")
+      assert(someBandClose(sigs(a), sigs(b)), s"pair ($a,$b) shares no close band")
     }
     val exact = corpus.as("a").crossJoin(corpus.as("b"))
       .filter($"a.vec_id" < $"b.vec_id")
@@ -155,13 +181,29 @@ class SimilaritySpec extends SparkSpec {
     out.foreach { case (pair, score) =>
       assert(exact(pair) === score && score >= 0.3, s"$pair -> $score vs ${exact(pair)}")
     }
-    // emitted pairs are exactly the qualifying hamming<=1 subset
+    // emitted pairs are exactly the qualifying banded subset
     val expected = exact.filter { case ((a, b), c) =>
-      c >= 0.3 && java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 1
+      c >= 0.3 && someBandClose(sigs(a), sigs(b))
     }
     assert(out.keySet === expected.keySet)
     val recall = out.size.toDouble / math.max(exact.count(_._2 >= 0.3), 1)
     info(f"nearDupPairs recall vs exact all-pairs at 0.3: $recall%.2f (${out.size}/${exact.count(_._2 >= 0.3)})")
+  }
+
+  test("banded LSH candidate volume is far below all-pairs on uniform embeddings") {
+    // sf0.1 embeddings are near-uniform: the regime where a too-coarse
+    // table degenerates toward all-pairs. With 4 x 16-bit tables the
+    // candidate set must stay orders of magnitude under n^2/2.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select($"vec_id", $"embedding")
+    val n = emb.count()
+    val sigd = emb.withColumn("sig", Similarity.lshSignature(spark, $"embedding", 64))
+    val cands = Similarity.bandedCandidatePairs(sigd).count()
+    val allPairs = n * (n - 1) / 2
+    info(s"banded LSH candidates on uniform n=$n: $cands of $allPairs all-pairs " +
+      f"(${cands.toDouble / allPairs * 100}%.3f%%)")
+    assert(cands > 0, "candidate generation produced nothing at all")
+    assert(cands < allPairs / 100, s"$cands candidates is not sublinear vs $allPairs")
   }
 
   test("multimodal pipeline: schema, batching, deterministic features") {
