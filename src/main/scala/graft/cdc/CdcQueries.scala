@@ -205,6 +205,59 @@ object CdcQueries extends QueryModule {
     out
   }
 
+  /** Partial-SET MERGE (the most-used non-star MERGE form in
+    * Iceberg/Delta practice): update ONE column from a source-side
+    * expression, keep every other target column, insert unmatched
+    * keys. Compiled by [[graft.sources.ResolveMergeTableDml]] into a
+    * read-modify-upsert; the oracle recomputes the same final state,
+    * so the hash verifies that untouched columns really came from the
+    * target and assigned ones from the source expression.
+    */
+  private def applyUpsertPartialViaSql(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).cache()
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    val base = latestPerUser(ev.filter(col("event_id") < cut))
+    val changes = latestPerUser(ev.filter(col("event_id") >= cut))
+    val root = tmpRoot("apply_upsert_partial", dir)
+    MergeTable.drop(root)
+    MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    s.read.format("mergetable").option("path", root).option("keys", "user_id").load()
+      .createOrReplaceTempView("graft_partial_target")
+    changes.createOrReplaceTempView("graft_partial_source")
+    s.sql(
+      """MERGE INTO graft_partial_target t USING graft_partial_source s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET value = s.value * 2
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = new MergeTable(s, root, Seq("user_id")).read()
+      .select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+    ev.unpersist()
+    out
+  }
+
+  private val applyUpsertPartialSql =
+    """WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
+      |base AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id < (SELECT c FROM cut)) WHERE rn = 1),
+      |changes AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id >= (SELECT c FROM cut)) WHERE rn = 1)
+      |SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT b.user_id, b.event_id, b.event_type, c.value * 2 AS value
+      |  FROM base b JOIN changes c ON b.user_id = c.user_id
+      |  UNION ALL
+      |  SELECT b.user_id, b.event_id, b.event_type, b.value FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.user_id = b.user_id)
+      |  UNION ALL
+      |  SELECT c.user_id, c.event_id, c.event_type, c.value FROM changes c
+      |  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.user_id = c.user_id))
+      |ORDER BY user_id""".stripMargin
+
   /** Same state transition again, but through a catalog identifier
     * (`MERGE INTO graft.gate.<t>`) — the reference's actual addressing
     * mode (`glue_catalog.db.table`,
@@ -423,6 +476,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert_mor_bucketed", applyUpsertMorBucketed, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete", applyDelete, Some(applyDeleteSql)),
     QueryDef("cdc_apply_upsert_sql", applyUpsertViaSql, Some(applyUpsertSql)),
+    QueryDef("cdc_apply_upsert_partial", applyUpsertPartialViaSql, Some(applyUpsertPartialSql)),
     QueryDef("cdc_apply_upsert_catalog", applyUpsertViaCatalog, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete_sql", applyDeleteViaSql, Some(applyDeleteSql)),
     QueryDef("cdc_change_feed", changeFeed, Some(changeFeedSql)),

@@ -153,6 +153,24 @@ final class MergeTable(
 
   private def bucketExpr = pmod(xxhash64(keys.map(col): _*), lit(numBuckets.get))
 
+  /** The change batch's key set for COW anti-joins, broadcast when
+    * small. Key-only and O(batch) — bounded by maxOffsetsPerTrigger in
+    * the streaming path — but an unbounded batch API caller could OOM
+    * the driver with a forced broadcast, so above
+    * `graft.mergetable.broadcastKeyLimit` keys (default 4M) the hint
+    * is dropped and the join shuffles instead (AQE still picks the
+    * cheapest strategy). The size probe counts at most limit+1 key
+    * rows, so it never materializes a huge batch to decide.
+    */
+  private def keySet(changes: DataFrame, dedup: Boolean = false): DataFrame = {
+    val projected = changes.select(keys.map(col): _*)
+    val k = if (dedup) projected.distinct() else projected
+    val limit = spark.conf.getOption("graft.mergetable.broadcastKeyLimit")
+      .map(_.toLong).getOrElse(4000000L)
+    val small = k.limit(math.min(limit + 1, Int.MaxValue.toLong).toInt).count() <= limit
+    if (small) broadcast(k) else k
+  }
+
   // -- read ----------------------------------------------------------------
 
   /** Snapshot read. COW: plain scan of live dirs. MOR: reconcile base
@@ -269,8 +287,7 @@ final class MergeTable(
         if (!exists) changes
         else {
           val current = read()
-          val keep = current.join(
-            broadcast(changes.select(keys.map(col): _*)), keys, "left_anti")
+          val keep = current.join(keySet(changes), keys, "left_anti")
           changes.unionByName(keep, allowMissingColumns = true)
         }
       commit(Seq("base" -> writeData(result)))
@@ -287,8 +304,7 @@ final class MergeTable(
         maybeCompact()
       case _ if numBuckets.isDefined => bucketedMerge(deleteKeys, isDelete = true)
       case _ =>
-        val result = read().join(
-          broadcast(deleteKeys.select(keys.map(col): _*).distinct()), keys, "left_anti")
+        val result = read().join(keySet(deleteKeys, dedup = true), keys, "left_anti")
         commit(Seq("base" -> writeData(result)))
     }
   }
@@ -310,12 +326,12 @@ final class MergeTable(
       else Some(readDirs(affectedDirs.map(_._2)).withColumn(BucketCol, bucketExpr))
     val result =
       if (isDelete)
-        base.map(_.join(broadcast(tagged.select(keys.map(col): _*).distinct()), keys, "left_anti"))
+        base.map(_.join(keySet(tagged, dedup = true), keys, "left_anti"))
           .getOrElse(return)
       else base match {
         case None => tagged
         case Some(b) =>
-          val keep = b.join(broadcast(tagged.select(keys.map(col): _*)), keys, "left_anti")
+          val keep = b.join(keySet(tagged), keys, "left_anti")
           tagged.unionByName(keep, allowMissingColumns = true)
       }
     val dir = UUID.randomUUID().toString
@@ -480,6 +496,40 @@ object MergeTable {
         Option(n.get("schema")).map(_.asText)))
     }
   }
+
+  /** Latest committed version whose manifest was written at or before
+    * the given epoch-micros timestamp — the commit-time-travel index
+    * (manifest files are immutable, so their mtime IS the commit
+    * time). None when the table has no commit that old.
+    */
+  def versionAtTimestamp(root: String, micros: Long): Option[Long] = {
+    val manifests = Paths.get(root).resolve("manifests")
+    if (!Files.isDirectory(manifests)) None
+    else {
+      val s = Files.list(manifests)
+      try s.iterator().asScala.toList
+        .filter(_.getFileName.toString.matches("v\\d+\\.txt"))
+        .filter(p => Files.getLastModifiedTime(p).toInstant.toEpochMilli * 1000L <= micros)
+        .map(_.getFileName.toString.stripPrefix("v").stripSuffix(".txt").toLong)
+        .maxOption
+      finally s.close()
+    }
+  }
+
+  /** Reader-facing timestamp parse: epoch millis (all digits) or an
+    * ISO-8601 instant / `yyyy-MM-dd[ T]HH:mm:ss` local datetime
+    * interpreted as UTC — the forms Delta's `timestampAsOf` accepts.
+    */
+  def parseTimestampMicros(s: String): Long =
+    if (s.trim.matches("\\d+")) s.trim.toLong * 1000L
+    else {
+      val t = s.trim.replace(' ', 'T')
+      val instant =
+        try java.time.Instant.parse(t)
+        catch { case _: Exception =>
+          java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC) }
+      instant.toEpochMilli * 1000L
+    }
 
   /** Open an existing table from its persisted metadata. */
   def open(spark: SparkSession, root: String): MergeTable = {

@@ -93,14 +93,7 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces {
     * manifest was committed at or before the timestamp (micros).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val path = tablePath(ident)
-    val manifests = Paths.get(path).resolve("manifests")
-    if (!Files.isDirectory(manifests)) throw new NoSuchTableException(ident)
-    val at = listDir(manifests)
-      .filter(_.getFileName.toString.matches("v\\d+\\.txt"))
-      .filter(p => Files.getLastModifiedTime(p).toInstant.toEpochMilli * 1000L <= timestamp)
-      .map(_.getFileName.toString.stripPrefix("v").stripSuffix(".txt").toLong)
-      .maxOption
+    val at = MergeTable.versionAtTimestamp(tablePath(ident), timestamp)
       .getOrElse(throw new NoSuchTableException(ident))
     loadVersioned(ident, Some(at))
   }

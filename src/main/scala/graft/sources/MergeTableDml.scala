@@ -4,6 +4,7 @@ import graft.cdc.MergeTable
 import org.apache.spark.sql.{GraftSqlBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -78,13 +79,20 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case u: UnresolvedAttribute => u.nameParts.length == 1 // unqualified only
       case _ => false
     }
-    def assignmentsAreStar(assignments: Seq[Assignment]): Boolean =
+    // identity assignments are only equivalent to SET * when they
+    // cover EVERY target column: `SET v = s.v` on a wider table is a
+    // partial update (other columns keep the target's values), and
+    // running it as a whole-row upsert would silently replace them
+    def assignmentsAreStar(assignments: Seq[Assignment]): Boolean = {
+      val assigned = assignments.flatMap(a => attrName(a.key)).map(_.toLowerCase).toSet
+      m.targetTable.output.forall(a => assigned.contains(a.name.toLowerCase)) &&
       assignments.forall { as =>
         (attrName(as.key), attrName(as.value)) match {
           case (Some(k), Some(v)) => k.equalsIgnoreCase(v) && valueFromSource(as.value)
           case _ => false
         }
       }
+    }
     def isUpdateAll(a: MergeAction): Boolean = a match {
       case UpdateStarAction(None) => true
       case UpdateAction(None, assignments, _) => assignmentsAreStar(assignments)
@@ -103,19 +111,90 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
     if (condCols.map(_.toLowerCase).toSet != rel.keys.map(_.toLowerCase).toSet)
       fail(s"merge condition covers (${condCols.mkString(", ")}) but the table's " +
         s"primary key is (${rel.keys.mkString(", ")})")
-    val kind = (m.matchedActions, m.notMatchedActions) match {
+    (m.matchedActions, m.notMatchedActions) match {
       case (Seq(u), Seq(i)) if isUpdateAll(u) && isInsertAll(i) =>
-        MergeTableDmlCommand.Upsert
+        MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
+          m.sourceTable, MergeTableDmlCommand.Upsert)
       case (Seq(DeleteAction(None)), Seq()) =>
-        MergeTableDmlCommand.Delete
+        MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
+          m.sourceTable, MergeTableDmlCommand.Delete)
       case (Seq(), Seq(i)) if isInsertAll(i) =>
-        MergeTableDmlCommand.InsertOnly
+        MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
+          m.sourceTable, MergeTableDmlCommand.InsertOnly)
+      case (Seq(UpdateAction(None, assignments, _)), nm)
+          if assignments.nonEmpty &&
+            (nm.isEmpty || (nm.length == 1 && isInsertAll(nm.head))) =>
+        // partial SET (Iceberg's most-used non-star MERGE form):
+        // compiled to a read-modify-upsert — target snapshot joined to
+        // the source on the PK, assigned columns replaced, untouched
+        // columns projected through; unmatched source rows (INSERT *)
+        // union in via an anti-join
+        val src = partialUpdateSource(m, rel, assignments, fail, insertNew = nm.nonEmpty)
+        MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
+          src, MergeTableDmlCommand.Upsert)
       case _ =>
-        fail("supported forms: WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
-          "THEN INSERT *; WHEN MATCHED THEN DELETE; WHEN NOT MATCHED THEN INSERT *")
+        fail("supported forms: WHEN MATCHED THEN UPDATE SET * | SET col = expr " +
+          "[WHEN NOT MATCHED THEN INSERT *]; WHEN MATCHED THEN DELETE; " +
+          "WHEN NOT MATCHED THEN INSERT *")
     }
-    MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
-      m.sourceTable, kind)
+  }
+
+  /** The upsert source for a partial-SET MERGE: matched target rows
+    * with assigned columns replaced by source-side expressions (all
+    * other columns keep the target's values), plus — when INSERT * is
+    * present — source rows for unmatched keys. SET values may be any
+    * expression over SOURCE columns; references to target columns are
+    * rejected rather than silently mis-bound.
+    */
+  private def partialUpdateSource(m: MergeIntoTable, rel: DmlTarget,
+      assignments: Seq[Assignment], fail: String => Nothing,
+      insertNew: Boolean): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
+    val target = m.targetTable
+    val source = m.sourceTable
+    def aliasOf(p: LogicalPlan): Option[String] = p match {
+      case SubqueryAlias(id, _) => Some(id.name)
+      case _ => None
+    }
+    val srcAlias = aliasOf(source)
+    val tgtAlias = aliasOf(target)
+    def resolveToSource(e: Expression): Expression = e.transformUp {
+      case a: Attribute if target.outputSet.contains(a) =>
+        fail(s"SET value references target column ${a.name}; " +
+          "partial SET supports expressions over the source only")
+      case u: UnresolvedAttribute =>
+        if (u.nameParts.length == 2 && tgtAlias.exists(_.equalsIgnoreCase(u.nameParts.head)))
+          fail(s"SET value references target column ${u.name}; " +
+            "partial SET supports expressions over the source only")
+        val qualOk = u.nameParts.length == 1 ||
+          (u.nameParts.length == 2 && srcAlias.exists(_.equalsIgnoreCase(u.nameParts.head)))
+        if (!qualOk) fail(s"cannot resolve ${u.name} against the MERGE source")
+        source.output.find(_.name.equalsIgnoreCase(u.nameParts.last))
+          .getOrElse(fail(s"cannot resolve ${u.name} against the MERGE source"))
+    }
+    val setByName: Map[String, Expression] = assignments.map { as =>
+      val k = attrName(as.key).getOrElse(fail(s"unsupported SET key: ${as.key.sql}"))
+      if (rel.keys.exists(_.equalsIgnoreCase(k)))
+        fail(s"cannot SET primary-key column $k")
+      if (!target.output.exists(_.name.equalsIgnoreCase(k)))
+        fail(s"SET column $k is not a column of the target table")
+      k.toLowerCase -> resolveToSource(as.value)
+    }.toMap
+    val joined = Join(target, source, Inner, Some(m.mergeCondition), JoinHint.NONE)
+    val updated = Project(target.output.map { a =>
+      setByName.get(a.name.toLowerCase)
+        .map(e => Alias(Cast(e, a.dataType), a.name)()).getOrElse(a)
+    }, joined)
+    if (!insertNew) updated
+    else {
+      val anti = Join(source, target, LeftAnti, Some(m.mergeCondition), JoinHint.NONE)
+      val inserted = Project(target.output.map { a =>
+        val s = source.output.find(_.name.equalsIgnoreCase(a.name))
+          .getOrElse(fail(s"INSERT * requires source column ${a.name}"))
+        Alias(Cast(s, a.dataType), a.name)()
+      }, anti)
+      Union(Seq(updated, inserted))
+    }
   }
 
   /** Column names from a conjunction of same-name equality predicates

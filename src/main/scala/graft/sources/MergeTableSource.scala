@@ -59,8 +59,15 @@ class MergeTableSource extends RelationProvider with DataSourceRegister
       throw new IllegalArgumentException(
         "mergetable source requires option 'keys' when mode=merge-on-read")
     val buckets = parameters.get("buckets").map(_.toInt)
-    // time travel parity with the catalog's VERSION AS OF
+    // time travel parity with the catalog's VERSION AS OF / TIMESTAMP
+    // AS OF: a timestamp resolves to the latest commit at or before it
     val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        val micros = MergeTable.parseTimestampMicros(ts)
+        MergeTable.versionAtTimestamp(path, micros).getOrElse(
+          throw new IllegalArgumentException(
+            s"mergetable at $path has no commit at or before timestampAsOf=$ts"))
+      })
     new MergeTableRelation(sqlContext, path, keys.getOrElse(Seq("id")), mode, buckets, version)
   }
 }

@@ -31,6 +31,28 @@ class MergeTableSpec extends SparkSpec {
     assert(t.read().as[(Long, String)].collect().sorted === Seq((1L, "a"), (3L, "c")))
   }
 
+  test("COW upsert/delete above the broadcast key limit fall back to a shuffle join") {
+    spark.conf.set("graft.mergetable.broadcastKeyLimit", "2")
+    try {
+      val t = MergeTable.createIfAbsent(spark, freshRoot("bigbatch"), Seq("id"),
+        initial = Some(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")))
+      // 3 changed keys > limit 2 → un-broadcast path; results must match
+      t.upsert(Seq((2L, "B"), (3L, "C"), (5L, "e")).toDF("id", "v"))
+      assert(t.read().as[(Long, String)].collect().sorted ===
+        Seq((1L, "a"), (2L, "B"), (3L, "C"), (4L, "d"), (5L, "e")))
+      t.delete(Seq(1L, 3L, 5L).toDF("id"))
+      assert(t.read().as[(Long, String)].collect().sorted ===
+        Seq((2L, "B"), (4L, "d")))
+      // bucketed COW takes the same guarded path
+      val tb = MergeTable.createIfAbsent(spark, freshRoot("bigbatch_bkt"), Seq("id"),
+        initial = Some(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")),
+        numBuckets = Some(4))
+      tb.upsert(Seq((2L, "B"), (3L, "C"), (5L, "e")).toDF("id", "v"))
+      assert(tb.read().as[(Long, String)].collect().sorted ===
+        Seq((1L, "a"), (2L, "B"), (3L, "C"), (4L, "d"), (5L, "e")))
+    } finally spark.conf.unset("graft.mergetable.broadcastKeyLimit")
+  }
+
   test("append evolves schema; old rows read with null backfill") {
     val t = MergeTable.createIfAbsent(spark, freshRoot("evolve"), Seq("id"),
       initial = Some(Seq((1L, "a")).toDF("id", "v")))

@@ -63,6 +63,46 @@ class MergeTableDmlSpec extends SparkSpec {
       Seq((1L, "a", 10L), (3L, "c", 30L)))
   }
 
+  test("partial SET updates only the assigned column; INSERT * adds new keys") {
+    val (root, t) = freshTable("merge_partial")
+    view(root, "dml_target")
+    Seq((2L, "IGNORED", 100L), (4L, "d", 40L)).toDF("id", "name", "v")
+      .createOrReplaceTempView("dml_source")
+    spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v + 1
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq
+    // id 2: v from the SET expression, name kept from the TARGET;
+    // id 4: whole row inserted from the source
+    assert(out === Seq((1L, "a", 10L), (2L, "b", 101L), (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
+  test("partial SET without an insert clause leaves unmatched source rows out") {
+    val (root, t) = freshTable("merge_partial_noins")
+    view(root, "dml_target")
+    Seq((3L, "x", 300L), (9L, "z", 900L)).toDF("id", "name", "v")
+      .createOrReplaceTempView("dml_source")
+    spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET name = upper(s.name)""".stripMargin)
+    val out = t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "X", 30L)))
+  }
+
+  test("identity assignment on a subset of columns is partial, not star") {
+    val (root, t) = freshTable("merge_partial_identity")
+    view(root, "dml_target")
+    Seq((2L, "SHOULD_NOT_LAND", 222L)).toDF("id", "name", "v")
+      .createOrReplaceTempView("dml_source")
+    // `SET v = s.v` on a 3-column table must keep the target's name
+    spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val out = t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "a", 10L), (2L, "b", 222L), (3L, "c", 30L)))
+  }
+
   test("unsupported MERGE shapes fail loudly, not silently") {
     val (root, _) = freshTable("merge_bad")
     view(root, "dml_target")
@@ -72,11 +112,21 @@ class MergeTableDmlSpec extends SparkSpec {
       """MERGE INTO dml_target t USING dml_source s ON t.name = s.name
         |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
     assert(e1.getMessage.contains("primary key"), e1.getMessage)
-    // partial SET list
+    // SET of a primary-key column
     val e2 = intercept[Exception](spark.sql(
       """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
-        |WHEN MATCHED THEN UPDATE SET t.v = s.v + 1""".stripMargin))
-    assert(e2.getMessage.contains("supported forms"), e2.getMessage)
+        |WHEN MATCHED THEN UPDATE SET id = s.id + 1""".stripMargin))
+    assert(e2.getMessage.contains("primary-key"), e2.getMessage)
+    // SET value referencing the target side
+    val e3 = intercept[Exception](spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = t.v + 1""".stripMargin))
+    assert(e3.getMessage.contains("target column"), e3.getMessage)
+    // conditional matched action
+    val e4 = intercept[Exception](spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED AND s.v > 5 THEN UPDATE SET *""".stripMargin))
+    assert(e4.getMessage.contains("supported forms"), e4.getMessage)
   }
 
   test("SQL MERGE INTO a merge-on-read table goes through the delta path") {

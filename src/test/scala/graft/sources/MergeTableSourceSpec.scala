@@ -56,6 +56,34 @@ class MergeTableSourceSpec extends SparkSpec {
     assert(now.as[(Long, String)].collect() === Seq((1L, "v2")))
   }
 
+  test("timestampAsOf option resolves to the latest commit at or before t") {
+    val root = "target/test_tmp/source_ts_tt"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "v1")).toDF("id", "v"))) // version 1
+    Thread.sleep(50) // manifest mtimes are millisecond-granular
+    val between = System.currentTimeMillis()
+    Thread.sleep(50)
+    t.upsert(Seq((1L, "v2")).toDF("id", "v")) // version 2
+    val old = spark.read.format("mergetable")
+      .option("path", root).option("timestampAsOf", between.toString).load()
+    assert(old.as[(Long, String)].collect() === Seq((1L, "v1")))
+    val now = spark.read.format("mergetable")
+      .option("path", root)
+      .option("timestampAsOf", System.currentTimeMillis().toString).load()
+    assert(now.as[(Long, String)].collect() === Seq((1L, "v2")))
+    // a timestamp before the first commit is an explicit error
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("mergetable")
+        .option("path", root).option("timestampAsOf", "1000").load()
+    }
+    assert(err.getMessage.contains("no commit"), err.getMessage)
+    // ISO datetime form parses too (far future → latest snapshot)
+    val iso = spark.read.format("mergetable")
+      .option("path", root).option("timestampAsOf", "2099-01-01 00:00:00").load()
+    assert(iso.as[(Long, String)].collect() === Seq((1L, "v2")))
+  }
+
   test("missing path option fails with a clear message") {
     val err = intercept[Exception] {
       spark.read.format("mergetable").load()

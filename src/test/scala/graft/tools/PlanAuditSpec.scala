@@ -1,0 +1,125 @@
+package graft.tools
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, IsNotNull}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** The "would this plan survive 100×?" audit as a regression gate
+  * (the manual version lives in [[PlanAudit]]):
+  *
+  *  (a) no broadcast whose build side is an unfiltered fact-table
+  *      scan — broadcasting an SF-scaled table OOMs the driver at
+  *      production scale even when it fits at test SF;
+  *  (b) headline-query scans reach parquet with pushed filters — a
+  *      selective query that scans every row pays the full 100 TB;
+  *  (c) no window partitioned ONLY by bounded-cardinality keys — such
+  *      a window serializes each group onto one reducer at any scale
+  *      (the defect PrefixSum exists to avoid).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // tables whose row counts scale with SF — never broadcast raw
+  private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
+  // columns with a handful of distinct values at every SF
+  private val boundedCols = Set("source", "lang", "split")
+
+  /** Physical plans of every gate query that builds one without table
+    * side effects (cdc/mergetable queries create and mutate tables at
+    * construction). AQE is disabled during planning so exchanges are
+    * visible as plain nodes.
+    */
+  private lazy val audited: Seq[(String, SparkPlan)] = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // disable SIZE-based broadcasts: testdata tables are tiny, so
+    // stats would legitimately broadcast them here but not at scale.
+    // What remains after this is explicit broadcast() hints — exactly
+    // the decisions that must be right independent of SF.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.SparkEntry.queries.toSeq
+        .filterNot { case (n, _) =>
+          n.startsWith("cdc_") || n.startsWith("mergetable") || n == "schema_evolution" }
+        .sortBy(_._1)
+        .map { case (n, fn) =>
+          val p = fn(spark, sfDir).queryExecution.executedPlan
+          graft.Caches.clear()
+          n -> p
+        }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
+  /** Name of a fact table this subtree scans with no real pushed
+    * predicate (IsNotNull from join keys doesn't count), crossing
+    * caches but stopping at cardinality-reducing nodes (aggregates,
+    * limits, top-k): a broadcast above those is bounded regardless of
+    * the scan below.
+    */
+  private def rawFactScan(p: SparkPlan): Option[String] = p match {
+    case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => None
+    case l if l.nodeName.contains("Limit") || l.nodeName.contains("TopK") ||
+      l.nodeName.contains("TakeOrdered") => None
+    case s: FileSourceScanExec =>
+      val path = s.relation.location.rootPaths.mkString(",")
+      factTables.find(t => path.contains(s"$t.parquet"))
+        .filterNot(_ => s.dataFilters.exists(f => !f.isInstanceOf[IsNotNull]))
+    case im: InMemoryTableScanExec => rawFactScan(im.relation.cachedPlan)
+    case other => other.children.view.flatMap(rawFactScan).headOption
+  }
+
+  test("no broadcast builds from an unfiltered fact-table scan") {
+    audited.foreach { case (n, plan) =>
+      plan.foreach {
+        case b: BroadcastExchangeExec =>
+          rawFactScan(b.child).foreach { t =>
+            fail(s"$n broadcasts fact table $t with no pushed predicate:\n$plan")
+          }
+        case _ => ()
+      }
+    }
+  }
+
+  test("headline selective queries push filters down to the parquet scan") {
+    val expected = Seq(
+      "q6_revenue_change" -> "lineitem",
+      "q14_promo_revenue" -> "lineitem",
+      "q12_priority_shipping" -> "lineitem",
+      "q3_shipping_priority" -> "orders")
+    val byName = audited.toMap
+    expected.foreach { case (q, table) =>
+      val plan = byName(q)
+      val pushed = plan.collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.mkString(",").contains(s"$table.parquet") =>
+          s.metadata.getOrElse("PushedFilters", "[]")
+      }
+      assert(pushed.nonEmpty, s"$q has no $table scan:\n$plan")
+      assert(pushed.exists(_ != "[]"),
+        s"$q scans $table without pushed filters:\n$plan")
+    }
+  }
+
+  test("no window partitioned only by bounded-cardinality keys") {
+    audited.foreach { case (n, plan) =>
+      plan.foreach {
+        case w: WindowExec =>
+          val allBounded = w.partitionSpec.nonEmpty && w.partitionSpec.forall {
+            case a: AttributeReference => boundedCols.contains(a.name.toLowerCase)
+            case _ => false
+          }
+          assert(!allBounded,
+            s"$n windows over bounded partition key(s) ${w.partitionSpec.mkString(", ")} " +
+              s"— one reducer per group at any scale:\n$plan")
+        case _ => ()
+      }
+    }
+  }
+}
