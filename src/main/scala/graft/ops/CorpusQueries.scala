@@ -273,6 +273,39 @@ object CorpusQueries extends QueryModule {
        |        FROM documents))
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- KMV distinct-count sketch -------------------------------------------
+
+  /** Distinct word-trigram cardinality per source, exact AND by KMV
+    * sketch ([[Sketches.kmvDistinct]]): the "how many distinct
+    * n-grams / URLs / docs does this corpus slice hold" question that
+    * exact distinct cannot answer at 100 TB but a k-longs-per-group
+    * sketch can. The estimate is a deterministic function of the
+    * input set (md5-prefix hashes), so the oracle reproduces BOTH
+    * columns bit-for-bit — a sketch whose correctness is
+    * hash-verifiable cross-engine, unlike HLL.
+    */
+  private def sketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val grams = docs(s, dir).select(col("source"),
+      explode(call_function("graft_word_trigrams", split(col("text"), " "))).as("gram"))
+    Sketches.kmvDistinct(grams, "source", "gram").orderBy("source")
+  }
+
+  private val sketchDistinctSql = {
+    val k = Sketches.DefaultK
+    s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT DISTINCT source, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+       |      FROM w, unnest(range(len(ws) - 2)) AS t(i)),
+       |d AS (SELECT DISTINCT source, ('0x' || substr(md5(gram), 1, 12))::BIGINT AS h FROM g),
+       |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM d),
+       |kth AS (SELECT source, h AS hk FROM r WHERE rn = $k),
+       |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct FROM d GROUP BY 1)
+       |SELECT ex.source, exact_distinct,
+       |  round(coalesce(${k - 1} * 281474976710656.0 / hk, exact_distinct::DOUBLE), 2) AS kmv_estimate
+       |FROM ex LEFT JOIN kth ON ex.source = kth.source
+       |ORDER BY ex.source""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("docs_repetition", repetition, Some(repetitionSql)),
     QueryDef("docs_split", split80, Some(split80Sql)),
@@ -281,5 +314,6 @@ object CorpusQueries extends QueryModule {
     QueryDef("docs_mix_weighted", mixWeighted, Some(mixWeightedSql)),
     QueryDef("docs_chunk", chunk, Some(chunkSql)),
     QueryDef("docs_pack_shards", packShards, Some(packShardsSql)),
+    QueryDef("sketch_distinct_ngrams", sketchDistinct, Some(sketchDistinctSql)),
   )
 }

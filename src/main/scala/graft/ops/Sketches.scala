@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketches.
+  *
+  * KMV (k-minimum-values): the classic distinct-count sketch — hash
+  * every element to a uniform value, keep the k smallest DISTINCT
+  * hashes per group, estimate |D| ≈ (k-1)/u_k where u_k is the k-th
+  * smallest hash normalized to (0,1]. Per-group state is k longs no
+  * matter how large the group (the property that matters at 100 TB),
+  * sketches of disjoint shards merge by keeping the k smallest of the
+  * union, and — unlike HyperLogLog — the estimate is a pure
+  * deterministic function of the input set, so an independent engine
+  * computing the same hash reproduces it bit-for-bit (the DuckDB
+  * oracle does exactly that).
+  *
+  * The hash is the md5-prefix trick used by the split/mix operators
+  * (48-bit value, identical in Spark and DuckDB); u_k = h_k / 2^48 is
+  * a dyadic rational, exact in double, and IEEE division makes the
+  * estimate itself engine-identical.
+  */
+object Sketches {
+
+  val DefaultK = 64
+
+  private val TwoPow48 = 281474976710656.0 // 2^48, exact in double
+
+  /** 48-bit engine-portable uniform hash of a string column. */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Per-group KMV distinct-count estimate next to the exact count
+    * (the exact count is what the estimate is judged against; at
+    * production scale one would keep only the sketch side).
+    *
+    * `elems` must be (group, elem) rows; duplicates are fine. The
+    * k smallest distinct hashes are selected by the bounded-heap
+    * [[graft.plans.TopK]] operator — partial heaps merge map-side, so
+    * the only full shuffle is the distinct on (group, hash): 16-byte
+    * rows, never the element strings.
+    */
+  def kmvDistinct(elems: DataFrame, groupCol: String, elemCol: String,
+                  k: Int = DefaultK): DataFrame = {
+    // distinct hashes, not distinct elements: the sketch dedupes in
+    // hash space (collisions at n²/2^48 are the sketch's own error
+    // floor), so full element strings never shuffle
+    val hashes = elems
+      .select(col(groupCol), portableHash(col(elemCol)).as("h"))
+      .distinct()
+    val kth = graft.plans.TopK.perKey(hashes, Seq(groupCol), Seq(-col("h")), k)
+      .filter(col("rank") === k)
+      .select(col(groupCol), col("h").as("hk"))
+    hashes.groupBy(groupCol).agg(count(lit(1)).as("exact_distinct"))
+      .join(kth, Seq(groupCol), "left")
+      .select(col(groupCol), col("exact_distinct"),
+        // fewer than k distinct values → the sketch IS the exact set
+        round(coalesce(lit((k - 1).toDouble) * lit(TwoPow48) / col("hk"),
+          col("exact_distinct").cast("double")), 2).as("kmv_estimate"))
+  }
+}

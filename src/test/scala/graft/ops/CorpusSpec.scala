@@ -114,6 +114,23 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("KMV sketch estimate tracks exact cardinality within sketch error") {
+    val rows = q("sketch_distinct_ngrams")(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, exact, est) =>
+      // k=64 → relative stderr ~1/sqrt(62) ≈ 12.7%; 50% is a ~4σ bound
+      assert(math.abs(est - exact) / exact < 0.5, s"$src exact=$exact est=$est")
+    }
+  }
+
+  test("KMV with fewer than k distinct values degrades to the exact count") {
+    val df = Seq(("a", "x"), ("a", "y"), ("a", "x"), ("b", "z")).toDF("g", "e")
+    val out = Sketches.kmvDistinct(df, "g", "e").orderBy("g")
+      .as[(String, Long, Double)].collect()
+    assert(out === Seq(("a", 2L, 2.0), ("b", 1L, 1.0)))
+  }
+
   test("docs_repetition flags a constructed boilerplate document") {
     import spark.implicits._
     val crafted = Seq(
