@@ -359,6 +359,36 @@ object CdcQueries extends QueryModule {
     * registered `mergetable` data source with a pushed filter — the
     * gate verifies the format() read path end to end.
     */
+  /** Stats-pruned read off a z-order-clustered table: seed from the
+    * latest-per-user state, OPTIMIZE ZORDER by (user_id, event_id)
+    * into multiple files, then read back through the source with a
+    * selective user_id predicate — the scan consults footer min/max
+    * and opens only matching files ([[graft.cdc.FileStats]]), and the
+    * oracle proves skipped files never hide matching rows.
+    */
+  private def clusteredRead(s: SparkSession, dir: String): DataFrame = {
+    val base = latestPerUser(events(s, dir))
+    val root = tmpRoot("clustered_read", dir)
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    t.cluster(Seq("user_id", "event_id"), targetFiles = 8)
+    val cut = base.agg(max("user_id")).head().getLong(0) / 2
+    s.read.format("mergetable").option("path", root).load()
+      .filter(col("user_id") <= cut)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  private val clusteredReadSql =
+    """WITH latest AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1)
+      |SELECT user_id, event_id, event_type, value FROM latest
+      |WHERE user_id <= (SELECT max(user_id) // 2 FROM latest)
+      |ORDER BY user_id""".stripMargin
+
   private def sourceRead(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).cache()
     val cut = ev.agg(max("event_id")).head().getLong(0) / 2
@@ -481,6 +511,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_delete_sql", applyDeleteViaSql, Some(applyDeleteSql)),
     QueryDef("cdc_change_feed", changeFeed, Some(changeFeedSql)),
     QueryDef("mergetable_source_read", sourceRead, Some(sourceReadSql)),
+    QueryDef("mergetable_clustered_read", clusteredRead, Some(clusteredReadSql)),
     QueryDef("cdc_apply_full", applyFull, Some(applyFullSql)),
     QueryDef("schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
   )

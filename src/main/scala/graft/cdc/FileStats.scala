@@ -1,0 +1,172 @@
+package graft.cdc
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import scala.jdk.CollectionConverters._
+
+/** Per-file column min/max statistics for MergeTable data — the role
+  * Iceberg's manifest-level stats play: a selective read consults the
+  * stats index and opens only the files whose range can match, so scan
+  * cost follows the PREDICATE's selectivity instead of the table size
+  * (the difference between touching 3 files and 30,000 at 100 TB).
+  *
+  * Stats are read once from parquet footers at commit time (the
+  * writer just produced the files; footers are O(files), not O(rows))
+  * and persisted as `stats/<dir>.json` beside the manifests. Readers
+  * treat stats as advisory: a file without stats is always kept, so
+  * pre-stats commits and exotic column types degrade to a full scan,
+  * never to a wrong answer.
+  */
+object FileStats {
+
+  /** (min, max, type-tag) per top-level column, per file (relative
+    * path). Only types with a total order both engines agree on are
+    * recorded: integral, floating, and UTF-8 string.
+    */
+  type Stats = Map[String, Map[String, (String, String, String)]]
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Collect footer stats for every parquet file under `dataDir/dir`
+    * (recursive — bucketed layouts nest `bucket=i/` subdirs).
+    */
+  def collect(dataDir: Path, dir: String): Stats = {
+    val root = dataDir.resolve(dir)
+    val conf = new Configuration()
+    listParquet(root).flatMap { f =>
+      try {
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          val perCol = blocks.flatMap(_.getColumns.asScala)
+            .filter(_.getPath.size() == 1) // top-level columns only
+            .groupBy(_.getPath.toDotString)
+            .flatMap { case (name, chunks) =>
+              val stats = chunks.map(_.getStatistics)
+              if (stats.exists(s => s == null || !s.hasNonNullValue)) None
+              else {
+                val typed = stats.map(s => (s.genericGetMin, s.genericGetMax))
+                val tag = typeTag(typed.head._1)
+                tag.map { t =>
+                  val mins = typed.map(v => render(v._1)).toSeq
+                  val maxs = typed.map(v => render(v._2)).toSeq
+                  name -> ((reduceMin(mins, t), reduceMax(maxs, t), t))
+                }
+              }
+            }
+          if (perCol.isEmpty) None
+          else Some(root.relativize(f).toString -> perCol)
+        } finally reader.close()
+      } catch { case _: Throwable => None } // advisory: skip unreadable footers
+    }.toMap
+  }
+
+  private def listParquet(p: Path): Seq[Path] =
+    if (!Files.isDirectory(p)) Nil
+    else {
+      val s = Files.walk(p)
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      finally s.close()
+    }
+
+  /** Parquet files under a directory, recursive (shared with readers). */
+  def listParquetFiles(p: Path): Seq[Path] = listParquet(p)
+
+  private def typeTag(v: Any): Option[String] = v match {
+    case _: java.lang.Long | _: java.lang.Integer => Some("i")
+    case _: java.lang.Double | _: java.lang.Float => Some("f")
+    case _: Binary => Some("s")
+    case _ => None
+  }
+
+  private def render(v: Any): String = v match {
+    case b: Binary => b.toStringUsingUTF8
+    case other => other.toString
+  }
+
+  private def reduceMin(vs: Seq[String], tag: String): String = tag match {
+    case "i" => vs.map(_.toLong).min.toString
+    case "f" => vs.map(_.toDouble).min.toString
+    case _ => vs.min
+  }
+
+  private def reduceMax(vs: Seq[String], tag: String): String = tag match {
+    case "i" => vs.map(_.toLong).max.toString
+    case "f" => vs.map(_.toDouble).max.toString
+    case _ => vs.max
+  }
+
+  // -- persistence ----------------------------------------------------------
+
+  def write(root: Path, dir: String, stats: Stats): Unit = {
+    if (stats.isEmpty) return
+    val node = mapper.createObjectNode()
+    stats.foreach { case (file, cols) =>
+      val fn = node.putObject(file)
+      cols.foreach { case (c, (mn, mx, t)) =>
+        val cn = fn.putObject(c)
+        cn.put("min", mn); cn.put("max", mx); cn.put("t", t)
+      }
+    }
+    val statsDir = root.resolve("stats")
+    Files.createDirectories(statsDir)
+    // data dirs are uuid-named but may nest (bucketed "uuid/bucket=i")
+    Files.write(statsDir.resolve(flatName(dir)), mapper.writeValueAsBytes(node))
+  }
+
+  def read(root: Path, dir: String): Option[Stats] = {
+    val p = root.resolve("stats").resolve(flatName(dir))
+    if (!Files.exists(p)) None
+    else try {
+      val node = mapper.readTree(Files.readAllBytes(p))
+      Some(node.fields().asScala.map { e =>
+        e.getKey -> e.getValue.fields().asScala.map { c =>
+          c.getKey -> ((c.getValue.get("min").asText,
+            c.getValue.get("max").asText, c.getValue.get("t").asText))
+        }.toMap
+      }.toMap)
+    } catch { case _: Throwable => None }
+  }
+
+  private def flatName(dir: String): String =
+    dir.replace('/', '_').replace('=', '_') + ".json"
+
+  // -- pruning --------------------------------------------------------------
+
+  /** True iff a file with the given column ranges can contain a row
+    * matching the filter. Unknown filters and columns without stats
+    * keep the file (advisory semantics).
+    */
+  def mayMatch(cols: Map[String, (String, String, String)],
+               filter: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def rng(a: String): Option[(String, String, String)] = cols.get(a)
+    def cmp(v: Any, bound: String, tag: String): Int = tag match {
+      case "i" => BigDecimal(v.toString).compare(BigDecimal(bound))
+      case "f" => BigDecimal(v.toString).compare(BigDecimal(bound))
+      case _ => v.toString.compareTo(bound)
+    }
+    filter match {
+      case EqualTo(a, v) => rng(a).forall { case (mn, mx, t) =>
+        try cmp(v, mn, t) >= 0 && cmp(v, mx, t) <= 0 catch { case _: Throwable => true } }
+      case GreaterThan(a, v) => rng(a).forall { case (_, mx, t) =>
+        try cmp(v, mx, t) < 0 catch { case _: Throwable => true } }
+      case GreaterThanOrEqual(a, v) => rng(a).forall { case (_, mx, t) =>
+        try cmp(v, mx, t) <= 0 catch { case _: Throwable => true } }
+      case LessThan(a, v) => rng(a).forall { case (mn, _, t) =>
+        try cmp(v, mn, t) > 0 catch { case _: Throwable => true } }
+      case LessThanOrEqual(a, v) => rng(a).forall { case (mn, _, t) =>
+        try cmp(v, mn, t) >= 0 catch { case _: Throwable => true } }
+      case In(a, vs) => rng(a).forall { case (mn, mx, t) =>
+        try vs.exists(v => cmp(v, mn, t) >= 0 && cmp(v, mx, t) <= 0)
+        catch { case _: Throwable => true } }
+      case And(l, r) => mayMatch(cols, l) && mayMatch(cols, r)
+      case Or(l, r) => mayMatch(cols, l) || mayMatch(cols, r)
+      case _ => true
+    }
+  }
+}

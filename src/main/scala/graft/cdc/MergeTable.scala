@@ -122,8 +122,17 @@ final class MergeTable(
   private def writeData(df: DataFrame): String = {
     val dir = UUID.randomUUID().toString
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.resolve(dir).toString)
+    recordStats(dir)
     dir
   }
+
+  /** Footer-derived per-file min/max beside the manifests — O(files)
+    * at commit time, consulted by stats-pruned reads. Advisory: a
+    * failure to collect must never fail the commit.
+    */
+  private def recordStats(dir: String): Unit =
+    try FileStats.write(rootPath, dir, FileStats.collect(dataDir, dir))
+    catch { case _: Throwable => () }
 
   private def readDirs(dirs: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true")
@@ -341,6 +350,7 @@ final class MergeTable(
     // manifest: affected buckets move to the new dir (buckets emptied
     // by deletes vanish); untouched buckets keep their old entries
     val written = listBuckets(dir)
+    written.foreach(i => recordStats(s"$dir/$BucketCol=$i"))
     // only b<digits> tags are bucket entries; a non-bucketed layout
     // (base:/delta: entries) opened with numBuckets is a caller error
     require(current.keys.forall(_.matches("b\\d+")),
@@ -363,7 +373,9 @@ final class MergeTable(
     df.withColumn(BucketCol, bucketExpr)
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(dataDir.resolve(dir).toString)
-    commit(listBuckets(dir).toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i"))
+    val written = listBuckets(dir)
+    written.foreach(i => recordStats(s"$dir/$BucketCol=$i"))
+    commit(written.toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i"))
   }
 
   /** Fold deltas into the base (MOR housekeeping). Bucketed tables
@@ -392,6 +404,7 @@ final class MergeTable(
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(dataDir.resolve(dir).toString)
     val written = listBuckets(dir)
+    written.foreach(i => recordStats(s"$dir/$BucketCol=$i"))
     val untouched = es.filter { case (t, _) =>
       t.matches("b\\d+") && !affected.contains(t.stripPrefix("b").toLong)
     }
@@ -407,9 +420,67 @@ final class MergeTable(
     val live = entries().map(_._2.split("/", 2)(0)).toSet
     val onDisk = Option(dataDir.toFile.list()).getOrElse(Array.empty)
     val orphans = onDisk.filterNot(live.contains)
-    orphans.foreach(d => MergeTable.drop(dataDir.resolve(d).toString))
+    val statsDir = rootPath.resolve("stats")
+    orphans.foreach { d =>
+      MergeTable.drop(dataDir.resolve(d).toString)
+      // this dir's stats files share its uuid prefix (flattened names)
+      Option(statsDir.toFile.list()).getOrElse(Array.empty)
+        .filter(_.startsWith(d))
+        .foreach(f => Files.deleteIfExists(statsDir.resolve(f)))
+    }
     orphans.length
   }
+
+  // -- stats-pruned reads & clustering -------------------------------------
+
+  /** Current manifest entries, exposed so a reader can pin ONE pointer
+    * resolution across schema, scan, and stats pruning.
+    */
+  private[graft] def currentEntries(): Seq[(String, String)] = entries()
+
+  private[graft] def readFrom(es: Seq[(String, String)]): DataFrame = readEntries(es)
+
+  /** The snapshot's parquet files with their per-file column ranges,
+    * for stats-pruned scans — or None when the snapshot has MOR deltas
+    * (pruning rows BEFORE key reconciliation would resurrect
+    * overwritten/deleted rows, so delta-bearing reads always scan
+    * fully; compaction restores prunability). Files without recorded
+    * stats surface an empty map and are always kept.
+    */
+  def prunableFiles(es: Seq[(String, String)]): Option[Seq[(Path, Map[String, (String, String, String)])]] = {
+    if (es.isEmpty || es.exists(_._1 == "delta")) None
+    else Some(es.flatMap { case (_, d) =>
+      val stats = FileStats.read(rootPath, d)
+      val base = dataDir.resolve(d)
+      FileStats.listParquetFiles(base).map { f =>
+        f -> stats.flatMap(_.get(base.relativize(f).toString)).getOrElse(Map.empty)
+      }
+    })
+  }
+
+  /** Z-order clustering (the OPTIMIZE ZORDER maintenance op): rewrite
+    * the snapshot range-partitioned and sorted by the interleaved
+    * z-value of `cols`, so per-file min/max ranges become tight on
+    * EVERY clustering column and stats pruning serves predicates on
+    * any of them. Numeric columns only; `targetFiles` bounds the file
+    * count (default: shuffle partitions). Like compact(), this is a
+    * whole-snapshot rewrite — schedule it, don't run it per batch.
+    */
+  def cluster(cols: Seq[String], targetFiles: Int = 0): Unit = {
+    require(exists, s"cannot cluster uninitialized table $root")
+    require(numBuckets.isEmpty, "cluster() conflicts with a hash-bucketed layout")
+    val snap = read()
+    val z = MergeTable.zValue(snap, cols)
+    val p = if (targetFiles > 0) targetFiles
+      else spark.sessionState.conf.numShufflePartitions
+    val clustered = snap.withColumn(ZCol, z)
+      .repartitionByRange(p, col(ZCol))
+      .sortWithinPartitions(ZCol)
+      .drop(ZCol)
+    commit(Seq("base" -> writeData(clustered)))
+  }
+
+  private val ZCol = "_graft_zvalue"
 
   private def maybeCompact(): Unit =
     if (entries().count(_._1 == "delta") >= maxDeltas) compact()
@@ -530,6 +601,39 @@ object MergeTable {
           java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC) }
       instant.toEpochMilli * 1000L
     }
+
+  /** Interleaved-bit z-value of up to 4 numeric columns: each column
+    * linearly scaled to 16 bits against its observed min/max (one
+    * bounded aggregation), bit j of column i landing at position
+    * j·n + i — the standard space-filling-curve key that keeps file
+    * ranges tight on every clustering dimension simultaneously, where
+    * a lexicographic sort is tight only on the first. Pure column
+    * expression; stays in whole-stage codegen.
+    */
+  private[cdc] def zValue(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && cols.size <= 4, "z-order supports 1-4 columns")
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column $c must be numeric, got $dt")
+    }
+    val n = cols.size
+    // one bounded aggregation for the scaling ranges: 2·n doubles
+    val aggExprs = cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val row = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    def bounds(i: Int): (Double, Double) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = bounds(i)
+      val span = if (mx > mn) mx - mn else 1.0
+      least(greatest(
+        (((col(c).cast("double") - mn) / span) * 65535.0).cast("long"), lit(0L)), lit(65535L))
+    }
+    scaled.zipWithIndex.map { case (s, i) =>
+      (0 until 16).map { j =>
+        shiftleft(shiftrightunsigned(s, j).bitwiseAND(lit(1L)), j * n + i)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
 
   /** Open an existing table from its persisted metadata. */
   def open(spark: SparkSession, root: String): MergeTable = {

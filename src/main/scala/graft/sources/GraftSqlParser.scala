@@ -13,13 +13,15 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * with their own parser delegates (`VACUUM t`, `OPTIMIZE t`):
   *
   * {{{
-  *   VACUUM graft.db.t    -- drop data dirs unreferenced by the
-  *                        -- current manifest (expire old snapshots)
-  *   COMPACT graft.db.t   -- fold MOR deltas into the base
-  *                        -- (per-bucket when the table is bucketed)
+  *   VACUUM graft.db.t                    -- drop data dirs unreferenced by
+  *                                        -- the current manifest
+  *   COMPACT graft.db.t                   -- fold MOR deltas into the base
+  *                                        -- (per-bucket when bucketed)
+  *   OPTIMIZE graft.db.t ZORDER BY (a, b) -- rewrite the snapshot clustered
+  *                                        -- on the interleaved z-value
   * }}}
   *
-  * Everything that is not one of these two shapes delegates verbatim
+  * Everything that is not one of these shapes delegates verbatim
   * to Spark's parser, so the extension is purely additive. Injected
   * via `GraftExtensions` (`injectParser`).
   */
@@ -27,11 +29,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Maintenance =
     """(?is)\s*(VACUUM|COMPACT)\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ZORDER\s+BY\s*\(\s*([a-zA-Z0-9_\s,]+?)\s*\)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Maintenance(op, catalog, ident) =>
       MergeTableMaintenanceCommand(op.toLowerCase, catalog,
         ident.split('.').toSeq)
+    case Optimize(catalog, ident, cols) =>
+      MergeTableMaintenanceCommand("optimize", catalog, ident.split('.').toSeq,
+        cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -46,10 +53,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 /** VACUUM → number of expired data directories; COMPACT → deltas
-  * folded (0 when the table had none pending).
+  * folded (0 when the table had none pending); OPTIMIZE ZORDER →
+  * number of clustered files written.
   */
 case class MergeTableMaintenanceCommand(op: String, catalogName: String,
-                                        ident: Seq[String]) extends LeafRunnableCommand {
+                                        ident: Seq[String],
+                                        zorderCols: Seq[String] = Nil) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("affected", LongType, nullable = false)())
@@ -68,6 +77,9 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
         val before = t.versions().size
         t.compact()
         (t.versions().size - before).toLong
+      case "optimize" =>
+        t.cluster(zorderCols)
+        t.prunableFiles(t.currentEntries()).map(_.size.toLong).getOrElse(0L)
     }
     Seq(Row(n))
   }

@@ -83,20 +83,29 @@ class MergeTableRelation(
 
   private def spark: SparkSession = sqlContext.sparkSession
 
-  // resolve the manifest pointer ONCE per relation: schema and every
-  // buildScan read the same committed snapshot even while writers
-  // commit (or vacuum) concurrently; `version` pins a time-travel read
+  private lazy val table = new MergeTable(spark, path, keys, mode, numBuckets)
+
+  // resolve the manifest pointer ONCE per relation: schema, every
+  // buildScan, and stats pruning all read the same committed snapshot
+  // even while writers commit (or vacuum) concurrently; `version` pins
+  // a time-travel read (which skips the stats-pruning fast path)
+  private lazy val pinnedEntries: Seq[(String, String)] =
+    if (version.isEmpty && table.exists) table.currentEntries() else Nil
+
   private lazy val snapshot = {
-    val t = new MergeTable(spark, path, keys, mode, numBuckets)
-    if (!t.exists && declaredSchema.isDefined)
+    if (!table.exists && declaredSchema.isDefined)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declaredSchema.get)
-    else version.map(t.readVersion).getOrElse(t.read())
+    else version.map(table.readVersion).getOrElse(table.readFrom(pinnedEntries))
   }
 
   override lazy val schema: StructType = snapshot.schema
 
+  // the snapshot's files + per-file column ranges when the layout
+  // permits file skipping (COW, no pending deltas)
+  private lazy val statFiles = table.prunableFiles(pinnedEntries)
+
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val base = snapshot
+    val base = prunedSnapshot(filters).getOrElse(snapshot)
     val filtered = filters.foldLeft(base) { (df, f) =>
       translate(f).map(df.filter).getOrElse(df)
     }
@@ -105,6 +114,31 @@ class MergeTableRelation(
       else filtered.select(requiredColumns.head, requiredColumns.tail: _*)
     pruned.rdd
   }
+
+  /** Stats-pruned scan: keep only files whose footer min/max ranges
+    * can match every pushed filter (Iceberg-manifest-style file
+    * skipping — scan cost follows predicate selectivity, not table
+    * size). None = no pruning possible or nothing pruned; the fixed
+    * snapshot schema backfills columns missing from older files.
+    */
+  private def prunedSnapshot(filters: Array[Filter]): Option[org.apache.spark.sql.DataFrame] = {
+    if (filters.isEmpty || version.isDefined) return None
+    statFiles.flatMap { files =>
+      val kept = files.filter { case (_, st) =>
+        st.isEmpty || filters.forall(f => graft.cdc.FileStats.mayMatch(st, f))
+      }
+      if (kept.size == files.size) None
+      else if (kept.isEmpty)
+        Some(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+      else Some(spark.read.schema(schema).parquet(kept.map(_._1.toString): _*))
+    }
+  }
+
+  /** Files a scan with these filters would open (test/audit hook). */
+  private[graft] def candidateFiles(filters: Array[Filter]): Option[Seq[String]] =
+    statFiles.map(_.filter { case (_, st) =>
+      st.isEmpty || filters.forall(f => graft.cdc.FileStats.mayMatch(st, f))
+    }.map(_._1.toString))
 
   // translate DSv1 filters back to Column predicates so they reach the
   // parquet scan of the inner DataFrame; untranslated filters are

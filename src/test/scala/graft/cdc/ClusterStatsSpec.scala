@@ -1,0 +1,108 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, LessThanOrEqual}
+
+/** File-level min/max stats + z-order clustering: the
+  * Iceberg-manifest capabilities that make selective reads open only
+  * the files whose range can match.
+  */
+class ClusterStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val root = s"target/test_tmp/cs_$name"
+    MergeTable.drop(root)
+    root
+  }
+
+  test("commits record per-file min/max stats from parquet footers") {
+    val root = freshRoot("stats")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some((0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")))
+    val files = t.prunableFiles(t.currentEntries())
+    assert(files.isDefined && files.get.nonEmpty)
+    // every file carries an id range consistent with its contents
+    files.get.foreach { case (f, st) =>
+      assert(st.contains("id"), s"$f missing id stats")
+      val (mn, mx, tag) = st("id")
+      assert(tag === "i" && mn.toLong >= 0L && mx.toLong <= 99L && mn.toLong <= mx.toLong)
+    }
+    // string column stats recorded too
+    assert(files.get.forall(_._2.get("v").forall(_._3 == "s")))
+  }
+
+  test("cluster() tightens per-file ranges; equality scan opens one file") {
+    val root = freshRoot("cluster1")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(spark.range(10000).select(col("id"),
+        (col("id") % 7).as("v"))))
+    t.cluster(Seq("id"), targetFiles = 8)
+    val files = t.prunableFiles(t.currentEntries()).get
+    assert(files.size === 8, s"expected 8 clustered files, got ${files.size}")
+    // disjoint id ranges → a point lookup admits exactly one file
+    val hit = files.count { case (_, st) => FileStats.mayMatch(st, EqualTo("id", 4242L)) }
+    assert(hit === 1, s"point lookup should hit 1 of 8 files, hit $hit")
+    // a range predicate admits proportionally few files
+    val lo = files.count { case (_, st) => FileStats.mayMatch(st, LessThanOrEqual("id", 999L)) }
+    assert(lo <= 2, s"id<=999 over 8 even files should keep <=2, kept $lo")
+    // clustering must not change the data
+    assert(t.read().count() === 10000L)
+    assert(t.read().agg(sum("id")).head().getLong(0) === (0L until 10000L).sum)
+  }
+
+  test("z-order on two columns prunes on EITHER column alone") {
+    val root = freshRoot("zorder")
+    // 100x100 grid: lexicographic (a, b) clustering would leave every
+    // file's b-range at [0,99]; z-order keeps both dimensions tight
+    val grid = spark.range(10000).select(
+      (col("id") / 100).cast("long").as("a"),
+      (col("id") % 100).cast("long").as("b"))
+    val t = MergeTable.createIfAbsent(spark, root, Seq("a", "b"), initial = Some(grid))
+    t.cluster(Seq("a", "b"), targetFiles = 16)
+    val files = t.prunableFiles(t.currentEntries()).get
+    assert(files.size === 16)
+    val onA = files.count { case (_, st) => FileStats.mayMatch(st, LessThanOrEqual("a", 10L)) }
+    val onB = files.count { case (_, st) => FileStats.mayMatch(st, LessThanOrEqual("b", 10L)) }
+    assert(onA < 16, s"a<=10 pruned nothing ($onA of 16)")
+    assert(onB < 16, s"b<=10 pruned nothing ($onB of 16) — z-order property lost")
+  }
+
+  test("pruned reads through the source return exactly the right rows") {
+    val root = freshRoot("prunedread")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(spark.range(5000).select(col("id"), (col("id") * 2).as("v"))))
+    t.cluster(Seq("id"), targetFiles = 8)
+    val df = spark.read.format("mergetable").option("path", root).load()
+    val got = df.filter(col("id") === 1234L).select("v").as[Long].collect()
+    assert(got.toSeq === Seq(2468L))
+    // an impossible predicate prunes every file and returns empty
+    assert(df.filter(col("id") === -5L).isEmpty)
+    // unfiltered read unaffected
+    assert(df.count() === 5000L)
+  }
+
+  test("MOR snapshots with pending deltas never take the pruned path") {
+    val root = freshRoot("mor_noprune")
+    val t = new MergeTable(spark, root, Seq("id"), MergeTable.MergeOnRead)
+    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.upsert(Seq((2L, "B")).toDF("id", "v")) // delta pending
+    assert(t.prunableFiles(t.currentEntries()).isEmpty)
+    // compaction folds deltas → prunable again
+    t.compact()
+    assert(t.prunableFiles(t.currentEntries()).isDefined)
+  }
+
+  test("vacuum removes stats of dropped data directories") {
+    val root = freshRoot("vacuum_stats")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")))
+    t.upsert(Seq((1L, "A")).toDF("id", "v")) // old base now unreferenced
+    val statsDir = java.nio.file.Paths.get(root, "stats")
+    val before = statsDir.toFile.list().length
+    assert(t.vacuum() >= 1)
+    assert(statsDir.toFile.list().length < before)
+    assert(t.read().as[(Long, String)].collect() === Seq((1L, "A")))
+  }
+}

@@ -131,6 +131,21 @@ class MergeTableCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) === 2)
   }
 
+  test("OPTIMIZE ZORDER BY rewrites the table clustered and keeps results") {
+    fresh("cat9")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat9")
+    spark.sql("""CREATE TABLE graft.cat9.z (id BIGINT, v BIGINT)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.range(1000).selectExpr("id", "id * 3 AS v")
+      .createOrReplaceTempView("cat9_seed")
+    spark.sql("INSERT INTO graft.cat9.z SELECT id, v FROM cat9_seed")
+    val files = spark.sql("OPTIMIZE graft.cat9.z ZORDER BY (id, v)").as[Long].head()
+    assert(files >= 1, s"optimize reported $files files")
+    assert(spark.table("graft.cat9.z").count() === 1000L)
+    assert(spark.table("graft.cat9.z").where("id = 77").selectExpr("v")
+      .as[Long].collect().toSeq === Seq(231L))
+  }
+
   test("catalog table honors MOR and bucketed properties") {
     fresh("cat4")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat4")
