@@ -35,6 +35,29 @@ object Queries3 extends QueryModule {
       |  ON e.user_id = s.user_id AND e.ts >= s.ts
       |ORDER BY e.event_id""".stripMargin
 
+  // -- bucketed range join: clicks in the hour before each purchase --------
+  private def windowJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts")
+    graft.ops.RangeJoin.joinWindowBefore(purchases, clicks,
+        keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        windowSeconds = 3600, matchedCol = "click_ts")
+      .groupBy("user_id", "event_id")
+      .agg(count("click_ts").as("n_clicks_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val windowJoinSql =
+    """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, p.event_id, CAST(count(c.ts) AS BIGINT) AS n_clicks_1h
+      |FROM p LEFT JOIN c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- exact percentiles ---------------------------------------------------
   private def percentiles(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -118,6 +141,7 @@ object Queries3 extends QueryModule {
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("events_asof_signup", asofSignup, Some(asofSignupSql)),
+    QueryDef("events_window_join", windowJoin, Some(windowJoinSql)),
     QueryDef("events_percentiles", percentiles, Some(percentilesSql)),
     QueryDef("orders_rollup", ordersRollup, Some(ordersRollupSql)),
     QueryDef("events_pivot", eventsPivot, Some(eventsPivotSql)),

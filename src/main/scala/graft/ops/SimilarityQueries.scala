@@ -105,6 +105,49 @@ object SimilarityQueries extends QueryModule {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // -- int8 embedding quantization -----------------------------------------
+
+  /** Per-vector 8-bit quantization (the 4× storage cut a 10^9-vector
+    * store takes before ANN indexing): linear [min,max] → 256 levels
+    * with FLOOR bucketing — floor, not round, because IEEE floor /
+    * divide / multiply are exactly specified, so the quantized codes,
+    * their checksum, and the reconstruction error are bit-identical
+    * in any engine evaluating the same formula (round-half ties are
+    * not). Output verifies codes (checksum), range metadata, and the
+    * max absolute reconstruction error, which is bounded by scale/2.
+    */
+  private def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val mn = array_min(e)
+    val mx = array_max(e)
+    val scale = when(mx > mn, (mx - mn) / 256.0).otherwise(lit(1.0))
+    val q = transform(e, x => least(floor((x - mn) / scale), lit(255L)))
+    val errs = zip_with(e, q, (x, qq) =>
+      abs(x - (mn + (qq.cast("double") + 0.5) * scale)))
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      round(mn, 6).as("qmin"),
+      round(mx, 6).as("qmax"),
+      aggregate(q, lit(0L), (a, x) => a + x).as("q_checksum"),
+      round(array_max(errs), 6).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  private val embedQuantizeSql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |b AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v),
+      |s AS (SELECT vec_id, e, mn, mx,
+      |  CASE WHEN mx > mn THEN (mx - mn) / 256.0 ELSE 1.0 END AS sc FROM b),
+      |q AS (SELECT vec_id, mn, mx,
+      |  list_transform(e, x -> least(floor((x - mn) / sc)::BIGINT, 255)) AS qs,
+      |  list_transform(e, x ->
+      |    abs(x - (mn + (least(floor((x - mn) / sc)::BIGINT, 255) + 0.5) * sc))) AS errs
+      |  FROM s)
+      |SELECT vec_id, round(mn, 6) AS qmin, round(mx, 6) AS qmax,
+      |  CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_checksum,
+      |  round(list_max(errs), 6) AS max_abs_err
+      |FROM q ORDER BY vec_id""".stripMargin
+
   // -- approximate paths (rows-only; recall asserted in ScalaTest) ---------
 
   private def annLsh(s: SparkSession, dir: String): DataFrame =
@@ -157,6 +200,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("ann_bruteforce_topk", annBrute, Some(annBruteSql)),
     QueryDef("knn_join", knnJoin, Some(knnJoinSql)),
     QueryDef("dedup_embedding", embedNearDup, Some(embedNearDupSql)),
+    QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     QueryDef("ann_lsh_topk", annLsh, None),
     QueryDef("ann_ivf_topk", annIvf, None),
     QueryDef("media_features", mediaFeatures, Some(mediaFeaturesSql)),

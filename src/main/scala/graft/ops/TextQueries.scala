@@ -406,6 +406,78 @@ object TextQueries extends QueryModule {
       |SELECT ngram, count(*) AS n FROM g
       |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin
 
+  // -- end-to-end corpus filter decision -----------------------------------
+
+  /** The filter DECISION a training-corpus build actually applies —
+    * the quality/repetition/language signals composed into one
+    * keep/drop verdict per document with the first failing rule as
+    * the reason (Gopher/C4-style gating). Signals reuse the exact
+    * column expressions of `text_quality`/`text_langid` and the
+    * repetition aggregation of `docs_repetition`; thresholds are set
+    * so every reason fires on testdata (non-vacuous at both gate
+    * SFs). One word-level aggregation + per-row expressions — the
+    * whole verdict is a single pass at any scale.
+    */
+  private def filterPipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+    val rep = base.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg((max("c").cast("double") / sum("c")).as("top_word_frac"))
+    val nWords = TextAnalysis.wordCount(col("text"))
+    val stopRatio = TextAnalysis.stopwordCount(col("text")).cast("double") / nWords
+    val score = least(nWords.cast("double") / 100.0, lit(1.0)) * (lit(1.0) - stopRatio)
+    val sig = base.select(col("doc_id"), col("lang"), nWords.as("n_words"),
+      score.as("score"), TextAnalysis.langGuess(col("text")).as("guess"))
+    val reason = when(col("n_words") < 25, "too_short")
+      .when(col("top_word_frac") > 0.14, "repetitive")
+      .when(col("score") < 0.30, "low_quality")
+      .when(col("guess") =!= col("lang"), "lang_mismatch")
+      .otherwise("ok")
+    sig.join(rep, "doc_id")
+      .select(col("doc_id"), reason.as("reason"))
+      .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"))
+      .orderBy("doc_id")
+  }
+
+  private val filterPipelineSql = {
+    val stopList = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+    def hits(lang: String): String = {
+      val set = TextAnalysis.LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(ws, x -> x IN ($set)))"
+    }
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH ws AS (
+       |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |sig AS (
+       |  SELECT doc_id, lang, len(ws) AS n_words,
+       |    CAST(len(list_filter(ws, x -> x IN ($stopList))) AS DOUBLE) / len(ws) AS stop_ratio,
+       |    ${langs.map(l => s"${hits(l)} AS h_$l").mkString(",\n    ")}
+       |  FROM ws),
+       |rep AS (
+       |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac FROM (
+       |    SELECT doc_id, x, count(*) AS c
+       |    FROM documents, unnest(string_split(text, ' ')) AS t(x) GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |g AS (
+       |  SELECT doc_id, lang, n_words, top_word_frac,
+       |    least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * (1.0 - stop_ratio) AS score,
+       |    CASE $cases ELSE '${langs.last}' END AS guess
+       |  FROM sig JOIN rep USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_words < 25 THEN 'too_short'
+       |         WHEN top_word_frac > 0.14 THEN 'repetitive'
+       |         WHEN score < 0.30 THEN 'low_quality'
+       |         WHEN guess <> lang THEN 'lang_mismatch'
+       |         ELSE 'ok' END AS reason
+       |  FROM g)
+       |SELECT doc_id, (reason = 'ok') AS keep, reason FROM r ORDER BY doc_id""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
@@ -422,5 +494,6 @@ object TextQueries extends QueryModule {
     QueryDef("dedup_keep_list", dedupKeepList, Some(dedupKeepListSql)),
     QueryDef("docs_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("docs_ngram_topk", ngramTopk, Some(ngramTopkSql)),
+    QueryDef("docs_filter_pipeline", filterPipeline, Some(filterPipelineSql)),
   )
 }
