@@ -155,5 +155,12 @@ object GraftFunctions {
         new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
         (children: Seq[Expression]) => SimHash64(children.head))
     }
+    val qsIdent = FunctionIdentifier("graft_quantize_stats")
+    if (!registry.functionExists(qsIdent)) {
+      registry.registerFunction(
+        qsIdent,
+        new ExpressionInfo(classOf[QuantizeStats].getName, "graft_quantize_stats"),
+        (children: Seq[Expression]) => QuantizeStats(children.head))
+    }
   }
 }

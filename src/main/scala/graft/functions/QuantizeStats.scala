@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused int8-quantization statistics of a float embedding:
+  * struct(qmin, qmax, q_checksum, max_abs_err) in two tight loops —
+  * min/max pass, then floor-bucket codes + reconstruction error.
+  *
+  * Replaces a five-HOF column formulation (cast-transform, array_min,
+  * array_max, code transform, error zip_with + aggregate) whose
+  * per-element lambda interpretation made it the slowest query in the
+  * suite (8.2s at sf0.1 vs ~1s for comparable vector ops). Semantics
+  * are bit-identical to the HOF form: doubles widened from floats,
+  * scale = (max-min)/256 (1.0 for constant vectors), code =
+  * min(floor((x-min)/scale), 255), error vs mid-bucket
+  * reconstruction — all IEEE-exact, so the DuckDB oracle still
+  * hash-matches.
+  *
+  * Like [[WordNGrams]], codegen delegates to a compiled method: the
+  * loop body runs as JIT-hot bytecode either way, and the struct
+  * construction dominates what expression fusion could save.
+  */
+case class QuantizeStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_quantize_stats expects ARRAY<FLOAT>, got $t")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("qmin", DoubleType, nullable = false),
+    StructField("qmax", DoubleType, nullable = false),
+    StructField("q_checksum", LongType, nullable = false),
+    StructField("max_abs_err", DoubleType, nullable = false)))
+
+  override def prettyName: String = "graft_quantize_stats"
+
+  def evalStats(input: Any): InternalRow = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n == 0) return new GenericInternalRow(Array[Any](0.0, 0.0, 0L, 0.0))
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    val scale = if (mx > mn) (mx - mn) / 256.0 else 1.0
+    var sum = 0L
+    var err = 0.0
+    i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      var q = math.floor((x - mn) / scale).toLong
+      if (q > 255L) q = 255L
+      sum += q
+      val e = math.abs(x - (mn + (q + 0.5) * scale))
+      if (e > err) err = e
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](mn, mx, sum, err))
+  }
+
+  override protected def nullSafeEval(input: Any): Any = evalStats(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("quantizeStats", this, classOf[QuantizeStats].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.evalStats($v);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

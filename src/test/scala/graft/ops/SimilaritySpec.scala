@@ -206,6 +206,27 @@ class SimilaritySpec extends SparkSpec {
     assert(cands < allPairs / 100, s"$cands candidates is not sublinear vs $allPairs")
   }
 
+  test("quantize stats expression matches the higher-order formulation exactly") {
+    GraftFunctions.register(spark)
+    // the interpreted five-HOF chain QuantizeStats replaced — kept as
+    // the semantic reference (exact double equality expected: both
+    // evaluate the identical IEEE formula)
+    val e = transform($"embedding", x => x.cast("double"))
+    val mn = array_min(e)
+    val mx = array_max(e)
+    val scale = when(mx > mn, (mx - mn) / 256.0).otherwise(lit(1.0))
+    val q = transform(e, x => least(floor((x - mn) / scale), lit(255L)))
+    val errs = zip_with(e, q, (x, qq) => abs(x - (mn + (qq.cast("double") + 0.5) * scale)))
+    val st = call_function("graft_quantize_stats", $"embedding")
+    val mismatches = Tables.embeddings(spark, sfDir).select(
+        (st.getField("qmin") === mn &&
+          st.getField("qmax") === mx &&
+          st.getField("q_checksum") === aggregate(q, lit(0L), (a, x) => a + x) &&
+          st.getField("max_abs_err") === array_max(errs)).as("ok"))
+      .filter(!$"ok").count()
+    assert(mismatches === 0)
+  }
+
   test("multimodal pipeline: schema, batching, deterministic features") {
     val media = Multimodal.synthesizeMedia(Tables.documents(spark, sfDir).limit(50))
     assert(media.schema("media").dataType.typeName === "binary")
