@@ -13,6 +13,7 @@ object SparkEntry {
     graft.analytics.Queries2,
     graft.analytics.Queries3,
     graft.analytics.Queries4,
+    graft.analytics.Queries5,
     graft.cdc.CdcQueries,
     graft.ops.TextQueries,
     graft.ops.SimilarityQueries,

@@ -1,0 +1,138 @@
+package graft.analytics
+
+import graft.{QueryDef, QueryModule}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fourth analytics block: the remaining TPC-H shapes expressible on
+  * the testdata star schema (which has no partsupp table, so Q2, Q9,
+  * Q11, and Q20 are out of reach by construction):
+  *
+  *  - Q15 top supplier: windowed revenue + max-revenue selection
+  *  - Q17 small-quantity revenue: correlated per-part average,
+  *    rationalized to exact integer/decimal arithmetic
+  *  - Q21 shape: EXISTS + NOT EXISTS double correlation (on the
+  *    available returnflag columns instead of commit/receipt dates)
+  */
+object Queries5 extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // -- Q15: top supplier by 3-month revenue --------------------------------
+
+  /** Revenue per supplier over one quarter; suppliers tied at the
+    * maximum. The max is a 1-row aggregate joined back (broadcast) —
+    * the scale shape for "rows equal to a global aggregate", no
+    * window over an unpartitioned frame.
+    */
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-06-01 00:00:00") &&
+        col("l_shipdate") < lit("1995-09-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      // decimal accumulation: float sums depend on partition order
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("double"), 2).as("total_revenue"))
+    val top = rev.agg(max("total_revenue").as("mx"))
+    rev.join(broadcast(top), col("total_revenue") === col("mx")).drop("mx")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q15Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1995-09-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // -- Q17: small-quantity-order revenue -----------------------------------
+
+  /** Average yearly revenue lost if small orders (below 20% of the
+    * part's average quantity) were not taken. The correlated
+    * per-part average is one aggregation joined back; the comparison
+    * `qty < 0.2 · sum/cnt` is rationalized to
+    * `5 · qty · cnt < sum` in exact decimal arithmetic, so the
+    * boundary can never flip between engines the way a float average
+    * can.
+    */
+  private def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val brandParts = broadcast(t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#1").select("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("pp_key"))
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sumq"),
+        count(lit(1)).as("cnt"))
+    li.join(brandParts, col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("pp_key"))
+      .filter(col("l_quantity").cast("decimal(18,6)") * 5 * col("cnt") < col("sumq"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double") / 7.0, 2).as("avg_yearly"))
+  }
+
+  private val q17Sql =
+    """WITH pp AS (
+      |  SELECT l_partkey AS pp_key,
+      |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sumq,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY 1)
+      |SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#1'
+      |JOIN pp ON l.l_partkey = pp.pp_key
+      |WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * 5 * cnt < sumq""".stripMargin
+
+  // -- Q21 shape: doubly-correlated EXISTS / NOT EXISTS ---------------------
+
+  /** Q21's join skeleton on the available columns: suppliers with a
+    * returned (R) lineitem on a finalized order where ANOTHER
+    * supplier participated (EXISTS, left-semi with a non-equi
+    * residual) but NO other supplier also returned (NOT EXISTS,
+    * left-anti) — the lone-failure supplier list. Semi/anti joins on
+    * the order key, never a per-order nested loop.
+    */
+  private def q21LoneFailures(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    val l1 = li.filter(col("l_returnflag") === "R")
+    val ordersF = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    l1.join(ordersF, col("l_orderkey") === col("o_orderkey"))
+      .join(l2, col("o2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("o3") === col("l_orderkey") && col("s3") =!= col("l_suppkey"), "left_anti")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+  }
+
+  private val q21Sql =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q15_top_supplier", q15TopSupplier, Some(q15Sql)),
+    QueryDef("q17_small_quantity", q17SmallQuantity, Some(q17Sql)),
+    QueryDef("q21_lone_failures", q21LoneFailures, Some(q21Sql)),
+  )
+}
