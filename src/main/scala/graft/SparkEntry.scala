@@ -18,6 +18,7 @@ object SparkEntry {
     graft.ops.TextQueries,
     graft.ops.SimilarityQueries,
     graft.ops.CorpusQueries,
+    graft.ops.SearchQueries,
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

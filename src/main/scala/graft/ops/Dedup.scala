@@ -31,6 +31,29 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
 
+  /** Incremental-ingest dedup: collapse `batch` to one row per
+    * fingerprint (lowest id survives), then anti-join fingerprints
+    * already present in `index`. Text never shuffles — the batch
+    * groups on its md5 and the index contributes only a fingerprint
+    * column; with the index stored fingerprint-keyed (e.g. a bucketed
+    * MergeTable) the anti-join co-locates without a new shuffle.
+    */
+  def incrementalKeep(batch: DataFrame, index: DataFrame,
+                      idCol: String, textCol: String): DataFrame =
+    incrementalKeepFps(batch, index.select(md5(col(textCol)).as("fp")),
+      idCol, textCol)
+
+  /** [[incrementalKeep]] against an index that is already a
+    * fingerprint column (e.g. a fingerprint-keyed MergeTable store
+    * maintained across ingest batches). */
+  def incrementalKeepFps(batch: DataFrame, indexFps: DataFrame,
+                         idCol: String, textCol: String): DataFrame =
+    batch
+      .groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .join(indexFps.select("fp"), Seq("fp"), "left_anti")
+      .select(col("keep_id"), col("fp"))
+
   // ---- shingling ---------------------------------------------------------
 
   /** Distinct word k-shingles as strings (lowercased alpha words). */

@@ -1,0 +1,194 @@
+package graft.ops
+
+import graft.{QueryDef, QueryModule}
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval + incremental-ingest queries over `documents`:
+  * TF-IDF term extraction, BM25 keyword search, and dedup of an
+  * incoming batch against a historical fingerprint index.
+  *
+  * Scoring note: both ranking formulas use RATIONAL idf weights
+  * (`(N+1)/(df+1)` and BM25's `(N-df+0.5)/(df+0.5)`) instead of the
+  * textbook `ln(...)` wrappers. IEEE-754 requires +,-,*,/ to be
+  * correctly rounded, so every score here is bit-identical between
+  * Spark and DuckDB; `ln` is only 1-ulp accurate per libm and could
+  * flip a ranking between engines. The log is monotone in the
+  * rational, so for a FIXED query/corpus the relative order of idf
+  * weights is unchanged.
+  */
+object SearchQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(Tables.documents(s, dir))
+
+  // -- TF-IDF top terms per document ---------------------------------------
+
+  /** Top-3 terms per document by (log-free) TF-IDF. Token-level work
+    * is two aggregations: (doc,term) counts, then term→df; the
+    * doc-count scalar joins back as a broadcast 1-row aggregate. The
+    * per-document ranking runs on [[graft.plans.TopK]] (bounded-heap
+    * partial/final, no global sort); doc_id is an unbounded partition
+    * key, so the shape holds at any corpus size.
+    */
+  private def tfidfTopk(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tf = d
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    // vocabulary scales with the corpus: term→df is a plain shuffle
+    // join (AQE turns it into a broadcast when the vocab is small)
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((col("n_docs").cast("double") + lit(1.0)) /
+            (col("df").cast("double") + lit(1.0))))
+    graft.plans.TopK.perKey(scored,
+        keyCols = Seq("doc_id"),
+        ordering = Seq(col("score"), col("term")), k = 3)
+      .select(col("doc_id"), col("term"), col("rank"),
+        round(col("score"), 4).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tfidfSql =
+    """WITH tf AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |  FROM documents),
+      |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+      |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tfc.term,
+      |    CAST(tf AS DOUBLE) *
+      |      ((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS score
+      |  FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n)
+      |SELECT doc_id, term,
+      |  CAST(row_number() OVER (PARTITION BY doc_id
+      |                          ORDER BY score DESC, term DESC) AS INT) AS rank,
+      |  round(score, 4) AS tfidf
+      |FROM scored
+      |QUALIFY rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // -- BM25 keyword search ---------------------------------------------------
+
+  private val QueryTerms = Seq("vector", "stream", "hash")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** Top-10 documents for a fixed keyword query under BM25
+    * (k1=1.2, b=0.75, rational idf). The corpus-side work is one
+    * word-count aggregation (doc lengths) plus a query-term-filtered
+    * (doc,term) aggregation — the filter cuts the token stream to the
+    * query vocabulary BEFORE any shuffle. df (|query| rows) and the
+    * N/avgdl scalars join back as broadcast aggregates. Per-term
+    * partial scores accumulate in decimal so the 3-term sum is
+    * order-independent, then a global top-10 via TakeOrdered.
+    */
+  private def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val terms = d.select(col("doc_id"),
+      explode(TextAnalysis.words(col("text"))).as("term"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val qtf = terms.filter(col("term").isInCollection(QueryTerms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val norm = (col("tf").cast("double") * lit(K1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / col("avgdl"))))
+    qtf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * norm).cast("decimal(28,12)").as("part"))
+      .groupBy("doc_id").agg(sum("part").as("acc"))
+      .select(col("doc_id"), round(col("acc").cast("double"), 4).as("bm25"),
+        col("acc"))
+      .orderBy(col("acc").desc, col("doc_id")).limit(10)
+      .drop("acc")
+  }
+
+  private val bm25Sql = {
+    val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+       |qtf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM w
+       |  WHERE term IN ($termList) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM dl),
+       |parts AS (
+       |  SELECT qtf.doc_id,
+       |    CAST(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+       |           (CAST(df AS DOUBLE) + 0.5)) *
+       |         ((CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
+       |           (CAST(tf AS DOUBLE) +
+       |            $K1 * (${1.0 - B} + $B * (CAST(dl.dl AS DOUBLE) / avgdl))))
+       |      AS DECIMAL(28,12)) AS part
+       |  FROM qtf JOIN df ON qtf.term = df.term
+       |  JOIN dl ON qtf.doc_id = dl.doc_id
+       |  CROSS JOIN stats)
+       |SELECT doc_id, round(CAST(sum(part) AS DOUBLE), 4) AS bm25
+       |FROM parts GROUP BY doc_id
+       |ORDER BY sum(part) DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  // -- incremental dedup against a fingerprint index -------------------------
+
+  /** The continuous-ingest dedup shape: an incoming batch is deduped
+    * WITHIN itself (keep the lowest doc_id per fingerprint) and then
+    * against the historical index with a fingerprint anti-join — full
+    * text never shuffles, and the index side moves only its (fp) key
+    * column. The testdata corpus has no exact duplicates, so the
+    * batch is decorated deterministically: re-crawled copies of index
+    * docs (doc_id+1000000) must all drop, in-batch copies of fresh
+    * docs (doc_id+2000000) must collapse onto the original.
+    */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val index = d.filter(col("doc_id") % 5 =!= 0)
+    val fresh = d.filter(col("doc_id") % 5 === 0)
+    val recrawl = index.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val inBatchDup = fresh.filter(col("doc_id") % 3 === 1)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    val batch = fresh.unionByName(recrawl).unionByName(inBatchDup)
+    Dedup.incrementalKeep(batch, index, "doc_id", "text")
+      .orderBy("keep_id")
+  }
+
+  private val dedupIncrementalSql =
+    """WITH batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents
+      |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents
+      |  WHERE doc_id % 5 = 0 AND doc_id % 3 = 1),
+      |grouped AS (
+      |  SELECT md5(text) AS fp, min(doc_id) AS keep_id
+      |  FROM batch GROUP BY 1)
+      |SELECT keep_id, fp FROM grouped
+      |WHERE fp NOT IN (
+      |  SELECT md5(text) FROM documents WHERE doc_id % 5 <> 0)
+      |ORDER BY keep_id""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("docs_tfidf_topk", tfidfTopk, Some(tfidfSql)),
+    QueryDef("docs_bm25_search", bm25Search, Some(bm25Sql)),
+    QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+  )
+}
