@@ -43,5 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash", classOf[graft.functions.SimHash64]),
       (children: Seq[Expression]) => graft.functions.SimHash64(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_window_hashes"),
+      info("graft_window_hashes", classOf[graft.functions.WindowHashes]),
+      GraftFunctions.windowHashesBuilder))
   }
 }

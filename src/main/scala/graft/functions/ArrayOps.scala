@@ -100,6 +100,81 @@ case class SignatureAgreement(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Rolling polynomial hashes of every w-word window over a document,
+  * in ONE pass per document: given the per-word hash values (already
+  * reduced mod P), emits the n-w+1 window hashes where
+  * H_i = Σ_j v_{i+j}·B^{w-1-j} mod P — the Rabin–Karp recurrence
+  * H_{i+1} = (H_i − v_i·B^{w-1})·B + v_{i+w} keeps the cost O(n)
+  * regardless of window width, where the naive per-window fold is
+  * O(n·w) (a 20× token blowup at w=20). Equals a left fold
+  * `(acc·B + v) mod P` over each window, which is what the DuckDB
+  * oracle recomputes directly. Inputs shorter than w emit no windows.
+  */
+case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "window width must be >= 1")
+
+  import WindowHashes.{B, P}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects ARRAY<BIGINT>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  // B^(w-1) mod P, fixed at plan time
+  private val pw: Long = {
+    var r = 1L; var i = 1
+    while (i < w) { r = r * B % P; i += 1 }
+    r
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vs = input.asInstanceOf[ArrayData]
+    val n = vs.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Long](n - w + 1)
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * B + vs.getLong(i)) % P; i += 1 }
+    out(0) = h
+    var pos = 1
+    while (pos <= n - w) {
+      // all intermediates stay below 2^62: h < P ≈ 2^30, v·pw < P² ≈ 2^60
+      h = (((h - vs.getLong(pos - 1) * pw % P + P) % P) * B + vs.getLong(pos + w - 1)) % P
+      out(pos) = h
+      pos += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("windowHashes", this, classOf[WindowHashes].getName)
+    nullSafeCodeGen(ctx, ev, vs => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.evalHashes($vs);
+       """.stripMargin
+    })
+  }
+
+  /** Public entry for generated code. */
+  def evalHashes(vs: ArrayData): ArrayData =
+    nullSafeEval(vs).asInstanceOf[ArrayData]
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WindowHashes {
+  /** Same base/modulus as TextAnalysis.rollingFingerprint, so the
+    * DuckDB fold `(acc*31 + v) % 1000000007` reproduces every hash.
+    */
+  val B = 31L
+  val P = 1000000007L
+}
+
 /** Word k-grams as strings, built in one compiled pass (the
   * interpreted `transform(sequence(...), i -> concat_ws(...))`
   * formulation pays two lambda frames plus string re-copies per

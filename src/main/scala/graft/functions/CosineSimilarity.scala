@@ -162,5 +162,21 @@ object GraftFunctions {
         new ExpressionInfo(classOf[QuantizeStats].getName, "graft_quantize_stats"),
         (children: Seq[Expression]) => QuantizeStats(children.head))
     }
+    val whIdent = FunctionIdentifier("graft_window_hashes")
+    if (!registry.functionExists(whIdent)) {
+      registry.registerFunction(
+        whIdent,
+        new ExpressionInfo(classOf[WindowHashes].getName, "graft_window_hashes"),
+        windowHashesBuilder(_))
+    }
+  }
+
+  /** graft_window_hashes(hashes, w): w must be a foldable int — the
+    * rolling power B^(w-1) is fixed at plan time.
+    */
+  private[graft] def windowHashesBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "graft_window_hashes expects (hashes, w)")
+    require(children(1).foldable, "graft_window_hashes w must be a literal")
+    WindowHashes(children.head, children(1).eval().asInstanceOf[Number].intValue())
   }
 }

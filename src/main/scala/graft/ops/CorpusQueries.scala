@@ -306,6 +306,46 @@ object CorpusQueries extends QueryModule {
        |ORDER BY ex.source""".stripMargin
   }
 
+  // -- deterministic quantile sketch ---------------------------------------
+
+  /** Per-event-type value quantiles from a 256-row deterministic
+    * hash-sample ([[Sketches.sampleQuantiles]]): the bounded-state
+    * companion to exact `events_percentiles` — per-group state is k
+    * (hash, value) pairs at any group size and shard samples merge by
+    * union, which is what quantile estimation over 100 TB needs
+    * (exact percentile must collect every value per group). The
+    * sample membership is a deterministic function of event_ids, so
+    * the oracle reproduces the ESTIMATES bit-for-bit; accuracy vs the
+    * exact quantiles is asserted in ScalaTest.
+    */
+  private def sketchQuantiles(s: SparkSession, dir: String): DataFrame =
+    Sketches.sampleQuantiles(Tables.events(s, dir),
+        groupCol = "event_type", keyCol = "event_id", valCol = "value")
+      .orderBy("event_type")
+
+  private val sketchQuantilesSql = {
+    val k = 256
+    def pick(q: Double, name: String) =
+      s"vs[CAST(ceil($q * m) AS INT)] AS $name"
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+       |    value AS v
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, h, v,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+       |  FROM h),
+       |s AS (
+       |  SELECT event_type, list_sort(list(v)) AS vs, count(*) AS m
+       |  FROM r WHERE rn <= $k GROUP BY 1)
+       |SELECT event_type, m AS n_sampled,
+       |  ${pick(0.5, "p50")},
+       |  ${pick(0.9, "p90")},
+       |  ${pick(0.99, "p99")}
+       |FROM s ORDER BY event_type""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("docs_repetition", repetition, Some(repetitionSql)),
     QueryDef("docs_split", split80, Some(split80Sql)),
@@ -315,5 +355,6 @@ object CorpusQueries extends QueryModule {
     QueryDef("docs_chunk", chunk, Some(chunkSql)),
     QueryDef("docs_pack_shards", packShards, Some(packShardsSql)),
     QueryDef("sketch_distinct_ngrams", sketchDistinct, Some(sketchDistinctSql)),
+    QueryDef("sketch_quantiles", sketchQuantiles, Some(sketchQuantilesSql)),
   )
 }

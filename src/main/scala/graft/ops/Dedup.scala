@@ -256,6 +256,52 @@ object Dedup {
       .select("doc_a", "doc_b", "inter_n", "union_n", "jaccard")
   }
 
+  // ---- cross-document substring dedup ------------------------------------
+
+  /** Per-document duplicated-substring statistics: every w-word window
+    * is fingerprinted with a Rabin–Karp rolling hash (one compiled
+    * O(tokens) pass per doc — [[graft.functions.WindowHashes]]), and a
+    * window counts as duplicated when its hash also occurs in ANOTHER
+    * document. This is the window-hash form of exact substring dedup
+    * for training corpora (long shared spans — boilerplate, licenses,
+    * mirrored articles — that document-level fingerprints miss because
+    * the surrounding text differs).
+    *
+    * Scale shape: after the compiled hash pass, only (doc_id, hash)
+    * longs ever shuffle — the aggregation is hash-keyed exactly like
+    * fingerprint dedup, so work is proportional to token count at any
+    * corpus size (the suffix-array formulations of substring dedup
+    * don't distribute; window hashes are the shuffle-bounded
+    * equivalent with resolution w).
+    *
+    * Returns one row per document with ≥ 1 window: total windows,
+    * duplicated windows, and the dup flag.
+    */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import graft.functions.WindowHashes.P
+    // per-word portable hash (md5-prefix mod P) so an independent
+    // engine reproduces every window hash bit-for-bit
+    val wordHashes = transform(TextAnalysis.words(col(textCol)),
+      word => conv(substring(md5(word), 1, 12), 16, 10).cast("long") % P)
+    val wh = graft.Caches.register(
+      docs.select(col(idCol).as("_id"),
+        explode(call_function("graft_window_hashes", wordHashes, lit(w))).as("_h")))
+    // hashes present in >= 2 distinct docs; (doc, hash) longs only
+    val shared = wh.distinct()
+      .groupBy("_h").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") > 1)
+      .select("_h")
+    val totals = wh.groupBy("_id").agg(count(lit(1)).as("n_windows"))
+    val dups = wh.join(shared, "_h")
+      .groupBy("_id").agg(count(lit(1)).as("_ndup"))
+    totals.join(dups, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_windows"),
+        coalesce(col("_ndup"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("_ndup"), lit(0L)) > 0).as("has_dup"))
+  }
+
   /** Exact word-k-gram Jaccard for a candidate pair set (columns
     * doc_a, doc_b) against the docs table. Distinct-shingle semantics
     * on both sides; inter/union derived from sizes so engines agree.

@@ -186,9 +186,68 @@ object SearchQueries extends QueryModule {
       |  SELECT md5(text) FROM documents WHERE doc_id % 5 <> 0)
       |ORDER BY keep_id""".stripMargin
 
+  // -- cross-document substring dedup ----------------------------------------
+
+  private val SubW = 20
+
+  /** 40 alpha-only filler words appended to every doc_id % 11 == 4
+    * document: the corpus has no naturally shared ≥20-word spans, so a
+    * deterministic shared tail makes both outcomes (windows inside the
+    * tail duplicated across ~1/11 of docs, windows spanning the
+    * junction unique) non-vacuous. Same literal in the SQL oracle.
+    */
+  private val Boiler = (0 until 40)
+    .map(i => s"boiler${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    .mkString(" ")
+
+  /** Duplicated-substring scan: every 20-word window fingerprinted by
+    * a compiled Rabin–Karp rolling pass, windows shared across
+    * documents counted per doc — the window-hash form of exact
+    * substring dedup (doc-level fingerprints can't see a shared
+    * license block inside otherwise-distinct pages). Only (doc, hash)
+    * longs shuffle; text never does.
+    */
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 11 === 4, concat(col("text"), lit(" " + Boiler)))
+        .otherwise(col("text")).as("text"))
+    Dedup.substringDupStats(d, "doc_id", "text", w = SubW).orderBy("doc_id")
+  }
+
+  private val dedupSubstringSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 4 THEN text || ' $Boiler' ELSE text END AS text
+       |  FROM documents),
+       |ws AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+       |      w -> ('0x' || substr(md5(w), 1, 12))::BIGINT % 1000000007) AS hs
+       |  FROM d),
+       |pos AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(hs) - ${SubW - 1})) AS i, hs
+       |  FROM ws WHERE len(hs) >= $SubW),
+       |wh AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+${SubW - 1}]),
+       |      (a, x) -> (a * 31 + x) % 1000000007) AS h
+       |  FROM pos),
+       |shared AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wh)
+       |  GROUP BY h HAVING count(*) > 1),
+       |totals AS (SELECT doc_id, count(*) AS n_windows FROM wh GROUP BY 1),
+       |dups AS (
+       |  SELECT doc_id, count(*) AS n_dup FROM wh JOIN shared USING (h) GROUP BY 1)
+       |SELECT totals.doc_id, n_windows,
+       |  coalesce(n_dup, 0) AS n_dup_windows,
+       |  coalesce(n_dup, 0) > 0 AS has_dup
+       |FROM totals LEFT JOIN dups ON totals.doc_id = dups.doc_id
+       |ORDER BY totals.doc_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("docs_tfidf_topk", tfidfTopk, Some(tfidfSql)),
     QueryDef("docs_bm25_search", bm25Search, Some(bm25Sql)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    QueryDef("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
   )
 }

@@ -274,4 +274,45 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select("vec_a", "vec_b", "score")
   }
+
+  // ---- semantic (cluster-then-compare) near-dup ---------------------------
+
+  /** SemDeDup-shaped semantic dedup: assign every vector to its
+    * nearest centroid (broadcast — the corpus never shuffles for
+    * assignment), then emit near-dup pairs ONLY within a cluster,
+    * scored by exact cosine. Clusters bound the quadratic comparison
+    * work the way LSH buckets do, but by SEMANTIC locality: two
+    * paraphrases land in the same cluster even when no hash bucket
+    * would pair them.
+    *
+    * `centroids` must be (cluster_id, centroid) rows, small enough to
+    * broadcast — at production scale the [[kmeansCentroids]] codebook
+    * (cluster count grows with the corpus, keeping cluster sizes — and
+    * so the per-cluster pair blowup — bounded). The gate query instead
+    * picks deterministic medoids so the full decision (assignment +
+    * pairing + scores) is reproducible by the DuckDB oracle; Lloyd's
+    * iterations average floats and are not oracle-exact.
+    *
+    * Assignment maximizes the ROUNDED cosine with a cluster-id
+    * tie-break, so the argmax is engine-deterministic.
+    */
+  def semanticNearDupPairs(spark: SparkSession, vectors: DataFrame,
+                           centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = vectors
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cluster_id"),
+        round(cosine(spark, col("embedding"), col("centroid")), 6).as("cscore"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cluster_id"), col("embedding")),
+        struct(col("cscore"), -col("cluster_id"))).as("best"))
+      .select(col("vec_id"), col("best.cluster_id").as("cluster"),
+        col("best.embedding").as("e"))
+    val a = assigned.select(col("vec_id").as("vec_a"), col("cluster"), col("e").as("ea"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("cluster"), col("e").as("eb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", round(cosine(spark, col("ea"), col("eb")), 6))
+      .filter(col("score") >= threshold)
+      .select("vec_a", "vec_b", "cluster", "score")
+  }
 }

@@ -105,6 +105,51 @@ object SimilarityQueries extends QueryModule {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // -- semantic (cluster-then-compare) near-dup ----------------------------
+
+  private val SemClusters = 10
+  private val SemThreshold = 0.25
+
+  /** SemDeDup-shaped dedup gate: 10 deterministic medoids (the
+    * vectors with the smallest portable hash of vec_id — a seeded
+    * sample, so the oracle can recompute them), nearest-medoid
+    * assignment, exact-cosine pairs within clusters. See
+    * [[Similarity.semanticNearDupPairs]] for why medoids, not Lloyd's
+    * means, anchor the GATE query.
+    */
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val v = corpus(s, dir)
+    val medoids = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"),
+        conv(substring(md5(col("vec_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("_h"))
+      .orderBy(col("_h"), col("cluster_id")).limit(SemClusters)
+      .drop("_h")
+    Similarity.semanticNearDupPairs(s, v, medoids, SemThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val dedupSemanticSql =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |med AS (
+       |  SELECT vec_id AS cid, e AS ce FROM v
+       |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+       |    vec_id
+       |  LIMIT $SemClusters),
+       |asn AS (
+       |  SELECT vec_id, cid, e FROM (
+       |    SELECT v.vec_id, med.cid, v.e,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(list_cosine_similarity(v.e, med.ce), 6) DESC,
+       |          med.cid) AS rn
+       |    FROM v CROSS JOIN med)
+       |  WHERE rn = 1)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid AS cluster,
+       |  round(list_cosine_similarity(a.e, b.e), 6) AS score
+       |FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= $SemThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   // -- int8 embedding quantization -----------------------------------------
 
   /** Per-vector 8-bit quantization (the 4× storage cut a 10^9-vector
@@ -199,6 +244,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("ann_bruteforce_topk", annBrute, Some(annBruteSql)),
     QueryDef("knn_join", knnJoin, Some(knnJoinSql)),
     QueryDef("dedup_embedding", embedNearDup, Some(embedNearDupSql)),
+    QueryDef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     QueryDef("ann_lsh_topk", annLsh, None),
     QueryDef("ann_ivf_topk", annIvf, None),

@@ -59,4 +59,41 @@ object Sketches {
         round(coalesce(lit((k - 1).toDouble) * lit(TwoPow48) / col("hk"),
           col("exact_distinct").cast("double")), 2).as("kmv_estimate"))
   }
+
+  /** Per-group quantile estimates from a deterministic bounded sample:
+    * the k rows with the smallest portable hash of `keyCol` form a
+    * uniform sample of the group (the KMV idea applied to rows instead
+    * of distinct values), and quantiles are read off the sorted sample
+    * by nearest rank. Per-group state is k (hash, value) pairs no
+    * matter how large the group, samples of disjoint shards merge by
+    * keeping the k smallest of the union (same property that makes
+    * KMV 100 TB-safe), and — unlike t-digest/percentile_approx — the
+    * estimate is a pure deterministic function of the input, so the
+    * DuckDB oracle reproduces every output bit-for-bit. Groups smaller
+    * than k degrade to exact nearest-rank quantiles.
+    *
+    * The sample selection runs on the bounded-heap
+    * [[graft.plans.TopK]] operator — partial heaps merge map-side, so
+    * no per-group sort and no full shuffle of the group's rows; the
+    * only full-width movement is the k sampled values per group.
+    */
+  def sampleQuantiles(rows: DataFrame, groupCol: String, keyCol: String,
+                      valCol: String, k: Int = 256,
+                      qs: Seq[(String, Double)] =
+                        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)): DataFrame = {
+    val hashed = rows.select(col(groupCol),
+      portableHash(col(keyCol).cast("string")).as("h"), col(valCol).as("v"))
+    // rank 1 = smallest hash (ties by value, so the selected multiset
+    // is engine-independent even across hash collisions)
+    val sample = graft.plans.TopK.perKey(hashed, Seq(groupCol),
+      Seq(-col("h"), -col("v")), k)
+    val agg = sample.groupBy(groupCol)
+      .agg(sort_array(collect_list(col("v"))).as("vs"), count(lit(1)).as("m"))
+    val qCols = qs.map { case (name, q) =>
+      // nearest-rank: index ceil(q·m); values pass through unrounded,
+      // so equality with the oracle is exact
+      element_at(col("vs"), ceil(lit(q) * col("m")).cast("int")).as(name)
+    }
+    agg.select(col(groupCol) +: col("m").as("n_sampled") +: qCols: _*)
+  }
 }

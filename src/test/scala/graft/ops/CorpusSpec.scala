@@ -131,6 +131,34 @@ class CorpusSpec extends SparkSpec {
     assert(out === Seq(("a", 2L, 2.0), ("b", 1L, 1.0)))
   }
 
+  test("sketch quantiles track exact quantiles within sample error") {
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("e50"),
+        expr("percentile(value, 0.9)").as("e90"))
+      .as[(String, Double, Double)].collect()
+      .map { case (k, v, w) => k -> (v, w) }.toMap
+    val est = q("sketch_quantiles")(spark, sfDir)
+      .select($"event_type", $"p50", $"p90")
+      .as[(String, Double, Double)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (et, p50, p90) =>
+      val (e50, e90) = exact(et)
+      // 256-row sample: nearest-rank error is a few percentile points;
+      // the value-scale tolerance below is generous but not vacuous
+      assert(math.abs(p50 - e50) <= 0.15 * math.max(math.abs(e50), 1.0), s"$et p50")
+      assert(math.abs(p90 - e90) <= 0.15 * math.max(math.abs(e90), 1.0), s"$et p90")
+    }
+  }
+
+  test("sketch quantiles: a group smaller than k is exact nearest-rank") {
+    val rows = (1 to 100).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val out = Sketches.sampleQuantiles(rows, "g", "id", "v", k = 256)
+      .select($"n_sampled", $"p50", $"p90", $"p99")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(out === ((100L, 50.0, 90.0, 99.0)))
+  }
+
   test("docs_repetition flags a constructed boilerplate document") {
     import spark.implicits._
     val crafted = Seq(

@@ -227,6 +227,37 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("semantic near-dup: within-cluster pairs equal the naive computation") {
+    val v = Tables.embeddings(spark, sfDir).limit(120)
+      .select($"vec_id", $"embedding").cache()
+    val medoids = v.limit(4)
+      .select($"vec_id".as("cluster_id"), $"embedding".as("centroid"))
+    val got = Similarity.semanticNearDupPairs(spark, v, medoids, threshold = 0.1)
+      .select($"vec_a", $"vec_b", $"cluster", $"score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    // naive ground truth on the driver (test-only scale)
+    val vecs = v.as[(Long, Array[Float])].collect()
+    val meds = medoids.as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val assign = vecs.map { case (id, e) =>
+      val best = meds.map { case (cid, ce) => (r6(cos(e, ce)), cid) }
+        .minBy { case (s, cid) => (-s, cid) }
+      id -> (best._2, e)
+    }.toMap
+    val truth = (for {
+      (a, (ca, ea)) <- assign.toSeq; (b, (cb, eb)) <- assign.toSeq
+      if a < b && ca == cb
+      s = r6(cos(ea, eb)) if s >= 0.1
+    } yield (a, b, ca, s)).toSet
+    assert(got.nonEmpty && got === truth)
+  }
+
   test("multimodal pipeline: schema, batching, deterministic features") {
     val media = Multimodal.synthesizeMedia(Tables.documents(spark, sfDir).limit(50))
     assert(media.schema("media").dataType.typeName === "binary")

@@ -89,4 +89,52 @@ class TextOpsSpec extends SparkSpec {
     } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
     assert(pairs.toSet === truth) // 4x16 banding is lossless for tau <= 3
   }
+
+  test("window hashes: rolling pass equals the direct per-window fold") {
+    import graft.functions.WindowHashes.{B, P}
+    // alpha-only words: TextAnalysis.words extracts [a-z]+ runs
+    val words = (1 to 50).map(i => s"w${('a' + i % 17).toChar}")
+    val hs = words.map { w =>
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5hex, 16) % P
+    }
+    val w = 20
+    val direct = (0 to hs.length - w).map { i =>
+      hs.slice(i, i + w).foldLeft(0L)((a, x) => (a * B + x) % P)
+    }
+    graft.functions.GraftFunctions.register(spark)
+    val out = Seq(words.mkString(" ")).toDF("text")
+      .select(call_function("graft_window_hashes",
+        transform(TextAnalysis.words($"text"),
+          c => conv(substring(md5(c), 1, 12), 16, 10).cast("long") % P),
+        lit(w)).as("whs"))
+      .as[Seq[Long]].collect().head
+    assert(out === direct)
+    // shorter than the window -> no windows
+    val short = Seq("one two three").toDF("text")
+      .select(call_function("graft_window_hashes",
+        transform(TextAnalysis.words($"text"),
+          c => conv(substring(md5(c), 1, 12), 16, 10).cast("long") % P),
+        lit(w)).as("whs"))
+      .as[Seq[Long]].collect().head
+    assert(short.isEmpty)
+  }
+
+  test("dedup_substring flags every decorated doc with the full shared tail") {
+    val out = graft.SparkEntry.queries("dedup_substring")(spark, sfDir)
+      .select($"doc_id", $"n_dup_windows", $"has_dup")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    val flagged = out.filter(_._3).map(_._1).toSet
+    val decorated = out.map(_._1).filter(_ % 11 == 4).toSet
+    // every doc carrying the 40-word boilerplate tail is flagged, and
+    // at least its 21 windows fully inside the tail count as shared
+    // (the corpus also shares some natural 20-word spans — those docs
+    // may be flagged too, which is the operator doing its job)
+    assert(decorated.nonEmpty && decorated.subsetOf(flagged))
+    out.filter(r => decorated(r._1)).foreach { case (id, nDup, _) =>
+      assert(nDup >= 21L, s"doc $id")
+    }
+  }
 }
