@@ -205,6 +205,69 @@ object CdcQueries extends QueryModule {
     out
   }
 
+  /** The general conditional-MERGE surface in its canonical CDC use:
+    * a delete-flag batch applied in ONE statement — matched rows whose
+    * change is a `signup` event are deleted, other matched rows
+    * accumulate (`SET value = t.value + s.value`, the read-modify
+    * form), and unmatched non-signup changes insert. Compiled by
+    * [[graft.sources.ResolveMergeTableDml.generalMerge]] into one
+    * outer join with first-match CASE routing; the oracle recomputes
+    * the same final state, verifying clause order, conditions, both
+    * delete paths, and the read-modify arithmetic end to end.
+    */
+  private def applyMergeConditional(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).cache()
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    // base excludes every 7th user so the NOT MATCHED clauses are
+    // non-vacuous at every SF (at sf0.01+ all users are active in both
+    // halves, so without the carve-out nothing would ever insert)
+    val base = latestPerUser(
+      ev.filter(col("event_id") < cut && col("user_id") % 7 =!= 3))
+    val changes = latestPerUser(ev.filter(col("event_id") >= cut))
+    val root = tmpRoot("apply_merge_conditional", dir)
+    MergeTable.drop(root)
+    MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    s.read.format("mergetable").option("path", root).option("keys", "user_id").load()
+      .createOrReplaceTempView("graft_cond_target")
+    changes.createOrReplaceTempView("graft_cond_source")
+    s.sql(
+      """MERGE INTO graft_cond_target t USING graft_cond_source s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED AND s.event_type = 'signup' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET value = t.value + s.value
+        |WHEN NOT MATCHED AND s.event_type <> 'signup' THEN INSERT *""".stripMargin)
+    val out = new MergeTable(s, root, Seq("user_id")).read()
+      .select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+    ev.unpersist()
+    out
+  }
+
+  private val applyMergeConditionalSql =
+    """WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
+      |base AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events
+      |    WHERE event_id < (SELECT c FROM cut) AND user_id % 7 <> 3) WHERE rn = 1),
+      |changes AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id >= (SELECT c FROM cut)) WHERE rn = 1)
+      |SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT b.user_id, b.event_id, b.event_type, b.value + c.value AS value
+      |  FROM base b JOIN changes c ON b.user_id = c.user_id
+      |  WHERE c.event_type <> 'signup'
+      |  UNION ALL
+      |  SELECT b.user_id, b.event_id, b.event_type, b.value FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.user_id = b.user_id)
+      |  UNION ALL
+      |  SELECT c.user_id, c.event_id, c.event_type, c.value FROM changes c
+      |  WHERE c.event_type <> 'signup'
+      |    AND NOT EXISTS (SELECT 1 FROM base b WHERE b.user_id = c.user_id))
+      |ORDER BY user_id""".stripMargin
+
   /** Partial-SET MERGE (the most-used non-star MERGE form in
     * Iceberg/Delta practice): update ONE column from a source-side
     * expression, keep every other target column, insert unmatched
@@ -507,6 +570,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_delete", applyDelete, Some(applyDeleteSql)),
     QueryDef("cdc_apply_upsert_sql", applyUpsertViaSql, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_partial", applyUpsertPartialViaSql, Some(applyUpsertPartialSql)),
+    QueryDef("cdc_apply_merge_conditional", applyMergeConditional, Some(applyMergeConditionalSql)),
     QueryDef("cdc_apply_upsert_catalog", applyUpsertViaCatalog, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete_sql", applyDeleteViaSql, Some(applyDeleteSql)),
     QueryDef("cdc_change_feed", changeFeed, Some(changeFeedSql)),

@@ -24,15 +24,21 @@ import org.apache.spark.sql.functions.col
   * backed by the table's transactional upsert/delete, which handle
   * COW, MOR, and bucketed layouts uniformly.
   *
-  * Supported forms (the reference's surface):
+  * Fast paths (the reference's surface — compile straight to the
+  * table's keyed primitives, no read-modify join):
   *  - MERGE … ON <all PK equalities> WHEN MATCHED THEN UPDATE SET *
   *    WHEN NOT MATCHED THEN INSERT *          → upsert
   *  - MERGE … WHEN MATCHED THEN DELETE         → key delete
   *  - MERGE … WHEN NOT MATCHED THEN INSERT *   → insert-only
   *  - DELETE FROM t WHERE <predicate>          → predicate delete
-  * Anything else (conditional actions, partial SET lists, non-PK
-  * merge conditions) throws with a clear message rather than running
-  * with silently different semantics.
+  * Every other ANSI MERGE form — conditional actions
+  * (`WHEN MATCHED AND c THEN …`), multiple matched/not-matched
+  * clauses, partial SET lists (values may reference BOTH sides, e.g.
+  * `SET v = t.v + s.inc`), `WHEN NOT MATCHED BY SOURCE UPDATE/DELETE`
+  * — compiles through [[generalMerge]] into one first-match-per-row
+  * plan that routes each row to upsert or delete. Only non-PK merge
+  * conditions and SET/INSERT of primary-key-violating shapes are
+  * rejected, loudly.
   */
 class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -103,98 +109,198 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case InsertAction(None, assignments) => assignmentsAreStar(assignments)
       case _ => false
     }
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported")
     val condCols = keyEqualities(m.mergeCondition)
       .getOrElse(fail(s"merge condition must be a conjunction of primary-key " +
         s"equalities on (${rel.keys.mkString(", ")}), got: ${m.mergeCondition.sql}"))
     if (condCols.map(_.toLowerCase).toSet != rel.keys.map(_.toLowerCase).toSet)
       fail(s"merge condition covers (${condCols.mkString(", ")}) but the table's " +
         s"primary key is (${rel.keys.mkString(", ")})")
-    (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(u), Seq(i)) if isUpdateAll(u) && isInsertAll(i) =>
+    (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
+      case (Seq(u), Seq(i), Seq()) if isUpdateAll(u) && isInsertAll(i) =>
         MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
           m.sourceTable, MergeTableDmlCommand.Upsert)
-      case (Seq(DeleteAction(None)), Seq()) =>
+      case (Seq(DeleteAction(None)), Seq(), Seq()) =>
         MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
           m.sourceTable, MergeTableDmlCommand.Delete)
-      case (Seq(), Seq(i)) if isInsertAll(i) =>
+      case (Seq(), Seq(i), Seq()) if isInsertAll(i) =>
         MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
           m.sourceTable, MergeTableDmlCommand.InsertOnly)
-      case (Seq(UpdateAction(None, assignments, _)), nm)
-          if assignments.nonEmpty &&
-            (nm.isEmpty || (nm.length == 1 && isInsertAll(nm.head))) =>
-        // partial SET (Iceberg's most-used non-star MERGE form):
-        // compiled to a read-modify-upsert — target snapshot joined to
-        // the source on the PK, assigned columns replaced, untouched
-        // columns projected through; unmatched source rows (INSERT *)
-        // union in via an anti-join
-        val src = partialUpdateSource(m, rel, assignments, fail, insertNew = nm.nonEmpty)
-        MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
-          src, MergeTableDmlCommand.Upsert)
       case _ =>
-        fail("supported forms: WHEN MATCHED THEN UPDATE SET * | SET col = expr " +
-          "[WHEN NOT MATCHED THEN INSERT *]; WHEN MATCHED THEN DELETE; " +
-          "WHEN NOT MATCHED THEN INSERT *")
+        // the general ANSI surface: conditional / multiple clauses,
+        // partial SET (both-sides expressions), NOT MATCHED BY SOURCE
+        MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
+          generalMerge(m, rel, fail), MergeTableDmlCommand.Apply)
     }
   }
 
-  /** The upsert source for a partial-SET MERGE: matched target rows
-    * with assigned columns replaced by source-side expressions (all
-    * other columns keep the target's values), plus — when INSERT * is
-    * present — source rows for unmatched keys. SET values may be any
-    * expression over SOURCE columns; references to target columns are
-    * rejected rather than silently mis-bound.
+  /** The general ANSI MERGE compiler: ONE outer join of target and
+    * source (the plan shape Iceberg/Delta use for MERGE — the target
+    * is scanned once, no branch union, no relation duplication) under
+    * one Project whose rows carry the target schema plus a routing
+    * column `_op` (`U` → upsert, `D` → delete key, `K` → no clause
+    * claimed the row; dropped by the command).
+    *
+    * Row membership comes from constant-true marker columns projected
+    * under each join side (null after a non-matching outer join), so
+    * nullable data columns can't confuse the clause groups. The join
+    * type is the cheapest that feeds the clauses present: inner for
+    * matched-only, right-outer when INSERT clauses need unmatched
+    * source rows, left-outer for NOT MATCHED BY SOURCE, full-outer
+    * for both.
+    *
+    * Every clause group folds into ONE SQL CASE chain in clause order
+    * (first match wins, matching ANSI MERGE), and every target column
+    * gets a CASE aligned on the SAME chain — update/insert values for
+    * its clause, the target's value under DELETE clauses — so a row's
+    * values always come from the clause that claimed it. SET values
+    * and matched conditions may reference both sides
+    * (`SET v = t.v + s.inc` is the read-modify-write form);
+    * NOT MATCHED clauses must reference only the source and
+    * NOT MATCHED BY SOURCE only the target (checked here — in an
+    * outer join the other side is null, which would silently evaluate
+    * instead of failing). Unassigned non-key columns under an INSERT
+    * clause insert NULL. SET of a PK column and INSERT clauses that
+    * don't assign the full PK are rejected.
     */
-  private def partialUpdateSource(m: MergeIntoTable, rel: DmlTarget,
-      assignments: Seq[Assignment], fail: String => Nothing,
-      insertNew: Boolean): LogicalPlan = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
+  private def generalMerge(m: MergeIntoTable, rel: DmlTarget,
+      fail: String => Nothing): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, CaseWhen, Cast, IsNotNull, Literal, Not}
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, RightOuter}
     val target = m.targetTable
     val source = m.sourceTable
+    val tCols = target.output
+
     def aliasOf(p: LogicalPlan): Option[String] = p match {
       case SubqueryAlias(id, _) => Some(id.name)
       case _ => None
     }
-    val srcAlias = aliasOf(source)
-    val tgtAlias = aliasOf(target)
-    def resolveToSource(e: Expression): Expression = e.transformUp {
-      case a: Attribute if target.outputSet.contains(a) =>
-        fail(s"SET value references target column ${a.name}; " +
-          "partial SET supports expressions over the source only")
-      case u: UnresolvedAttribute =>
-        if (u.nameParts.length == 2 && tgtAlias.exists(_.equalsIgnoreCase(u.nameParts.head)))
-          fail(s"SET value references target column ${u.name}; " +
-            "partial SET supports expressions over the source only")
-        val qualOk = u.nameParts.length == 1 ||
-          (u.nameParts.length == 2 && srcAlias.exists(_.equalsIgnoreCase(u.nameParts.head)))
-        if (!qualOk) fail(s"cannot resolve ${u.name} against the MERGE source")
-        source.output.find(_.name.equalsIgnoreCase(u.nameParts.last))
-          .getOrElse(fail(s"cannot resolve ${u.name} against the MERGE source"))
+    def cond(a: MergeAction): Expression = a.condition.getOrElse(Literal(true))
+    // the analyzer may have ALIGNED the assignment list (identity
+    // assignments added for untouched columns, PK included) before
+    // this rule fires. A same-named attribute assigned to a PK column
+    // is a no-op whichever side it names: the ON clause already pins
+    // t.pk = s.pk on matched rows, and NOT-MATCHED-BY-SOURCE rows have
+    // no source. Anything else targeting a PK column is a key rewrite
+    // and is rejected. PK values are then always taken from the target
+    // attribute itself, so stale aligned references never reach the
+    // plan.
+    def identityOnKey(k: String, v: Expression): Boolean = v match {
+      case a: Attribute => a.name.equalsIgnoreCase(k)
+      case u: UnresolvedAttribute => u.nameParts.last.equalsIgnoreCase(k)
+      case _ => false
     }
-    val setByName: Map[String, Expression] = assignments.map { as =>
+    def checkAssignments(assignments: Seq[Assignment]): Unit = assignments.foreach { as =>
       val k = attrName(as.key).getOrElse(fail(s"unsupported SET key: ${as.key.sql}"))
-      if (rel.keys.exists(_.equalsIgnoreCase(k)))
+      if (rel.keys.exists(_.equalsIgnoreCase(k)) && !identityOnKey(k, as.value))
         fail(s"cannot SET primary-key column $k")
-      if (!target.output.exists(_.name.equalsIgnoreCase(k)))
+      if (!tCols.exists(_.name.equalsIgnoreCase(k)))
         fail(s"SET column $k is not a column of the target table")
-      k.toLowerCase -> resolveToSource(as.value)
-    }.toMap
-    val joined = Join(target, source, Inner, Some(m.mergeCondition), JoinHint.NONE)
-    val updated = Project(target.output.map { a =>
-      setByName.get(a.name.toLowerCase)
-        .map(e => Alias(Cast(e, a.dataType), a.name)()).getOrElse(a)
-    }, joined)
-    if (!insertNew) updated
-    else {
-      val anti = Join(source, target, LeftAnti, Some(m.mergeCondition), JoinHint.NONE)
-      val inserted = Project(target.output.map { a =>
-        val s = source.output.find(_.name.equalsIgnoreCase(a.name))
-          .getOrElse(fail(s"INSERT * requires source column ${a.name}"))
-        Alias(Cast(s, a.dataType), a.name)()
-      }, anti)
-      Union(Seq(updated, inserted))
     }
+    // one-sided clauses silently see NULLs for the other side after the
+    // outer join — reject the reference instead of mis-evaluating
+    def requireNoRefs(e: Expression, side: LogicalPlan, clause: String): Unit = {
+      val alias = aliasOf(side)
+      e.foreach {
+        case a: Attribute if side.outputSet.contains(a) =>
+          fail(s"$clause may not reference column ${a.name} of the other side")
+        case u: UnresolvedAttribute
+            if u.nameParts.length == 2 && alias.exists(_.equalsIgnoreCase(u.nameParts.head)) =>
+          fail(s"$clause may not reference column ${u.name} of the other side")
+        case _ => ()
+      }
+    }
+    def assigned(assignments: Seq[Assignment], a: Attribute): Option[Expression] =
+      assignments.find(as => attrName(as.key).exists(_.equalsIgnoreCase(a.name)))
+        .map(as => Cast(as.value, a.dataType))
+    // UPDATE clauses: PK assignments are identity-only (checked above),
+    // so the PK value always comes from the target attribute itself —
+    // aligned assignments may carry stale attribute references
+    def assignedOrTarget(assignments: Seq[Assignment], a: Attribute): Expression =
+      if (rel.keys.exists(_.equalsIgnoreCase(a.name))) a
+      else assigned(assignments, a).getOrElse(a)
+    def sourceCol(name: String): Attribute =
+      source.output.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(fail(s"INSERT/SET * requires source column $name"))
+    def opOf(a: MergeAction): String = a match {
+      case _: DeleteAction => MergeTableDmlCommand.OpDelete
+      case _ => MergeTableDmlCommand.OpUpsert
+    }
+
+    m.matchedActions.foreach {
+      case UpdateAction(_, assignments, _) => checkAssignments(assignments)
+      case _: UpdateStarAction | _: DeleteAction => ()
+      case other => fail(s"unsupported WHEN MATCHED action: $other")
+    }
+    m.notMatchedActions.foreach {
+      case InsertAction(c, assignments) =>
+        val names = assignments.flatMap(as => attrName(as.key)).map(_.toLowerCase).toSet
+        if (!rel.keys.forall(k => names.contains(k.toLowerCase)))
+          fail(s"INSERT must assign every primary-key column (${rel.keys.mkString(", ")})")
+        (c.toSeq ++ assignments.map(_.value))
+          .foreach(requireNoRefs(_, target, "WHEN NOT MATCHED"))
+      case InsertStarAction(c) =>
+        c.foreach(requireNoRefs(_, target, "WHEN NOT MATCHED"))
+      case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    m.notMatchedBySourceActions.foreach {
+      case UpdateAction(c, assignments, _) =>
+        checkAssignments(assignments)
+        (c.toSeq ++ assignments.map(_.value))
+          .foreach(requireNoRefs(_, source, "WHEN NOT MATCHED BY SOURCE"))
+      case DeleteAction(c) =>
+        c.foreach(requireNoRefs(_, source, "WHEN NOT MATCHED BY SOURCE"))
+      case other => fail(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
+
+    val tgtMark = Alias(Literal(true), "_graft_tgt_m")()
+    val srcMark = Alias(Literal(true), "_graft_src_m")()
+    val joinType = (m.notMatchedActions.nonEmpty, m.notMatchedBySourceActions.nonEmpty) match {
+      case (true, true) => FullOuter
+      case (true, false) => RightOuter
+      case (false, true) => LeftOuter
+      case (false, false) => Inner
+    }
+    val joined = Join(
+      Project(target.output :+ tgtMark, target),
+      Project(source.output :+ srcMark, source),
+      joinType, Some(m.mergeCondition), JoinHint.NONE)
+    val tgtPresent: Expression = IsNotNull(tgtMark.toAttribute)
+    val srcPresent: Expression = IsNotNull(srcMark.toAttribute)
+
+    // (guard, op, value-of-target-column) per clause, in ANSI order
+    val chain: Seq[(Expression, String, Attribute => Expression)] =
+      m.matchedActions.map { act =>
+        val value: Attribute => Expression = act match {
+          case UpdateStarAction(_) => a => Cast(sourceCol(a.name), a.dataType)
+          case UpdateAction(_, assignments, _) => a => assignedOrTarget(assignments, a)
+          case _ => a => a // DELETE: key columns from the target row
+        }
+        (And(And(tgtPresent, srcPresent), cond(act)), opOf(act), value)
+      } ++
+      m.notMatchedActions.map { act =>
+        val value: Attribute => Expression = act match {
+          case InsertStarAction(_) => a => Cast(sourceCol(a.name), a.dataType)
+          case InsertAction(_, assignments) =>
+            a => assigned(assignments, a).getOrElse(Literal.create(null, a.dataType))
+          case _ => a => a
+        }
+        (And(And(srcPresent, Not(tgtPresent)), cond(act)),
+          MergeTableDmlCommand.OpUpsert, value)
+      } ++
+      m.notMatchedBySourceActions.map { act =>
+        val value: Attribute => Expression = act match {
+          case UpdateAction(_, assignments, _) => a => assignedOrTarget(assignments, a)
+          case _ => a => a
+        }
+        (And(And(tgtPresent, Not(srcPresent)), cond(act)), opOf(act), value)
+      }
+    if (chain.isEmpty) fail("MERGE needs at least one WHEN clause")
+    val opExpr = CaseWhen(chain.map { case (g, o, _) => g -> Literal(o) },
+      Some(Literal(MergeTableDmlCommand.OpKeep)))
+    val cols = tCols.map { a =>
+      Alias(CaseWhen(chain.map { case (g, _, v) => g -> v(a) }, Some(a)), a.name)()
+    }
+    Project(cols :+ Alias(opExpr, MergeTableDmlCommand.OpCol)(), joined)
   }
 
   /** Column names from a conjunction of same-name equality predicates
@@ -252,6 +358,21 @@ case class MergeTableDmlCommand(
           .join(t.read().select(keys.map(col): _*), keys, "left_anti"))
       case MergeTableDmlCommand.Delete =>
         t.delete(src.select(keys.map(col): _*).distinct())
+      case MergeTableDmlCommand.Apply =>
+        // general MERGE: rows routed by `_op` (see generalMerge).
+        // localCheckpoint: the routing plan embeds the CURRENT target
+        // snapshot — materialize it once so the upsert commit can't
+        // change what the delete pass reads, and the cardinality
+        // check, upsert, and delete don't re-run the joins
+        val all = src.filter(col(MergeTableDmlCommand.OpCol) =!=
+          MergeTableDmlCommand.OpKeep).localCheckpoint()
+        requireUniqueKeys(all)
+        val ups = all.filter(col(MergeTableDmlCommand.OpCol) ===
+          MergeTableDmlCommand.OpUpsert).drop(MergeTableDmlCommand.OpCol)
+        val dels = all.filter(col(MergeTableDmlCommand.OpCol) ===
+          MergeTableDmlCommand.OpDelete).select(keys.map(col): _*)
+        if (!ups.isEmpty) t.upsert(ups)
+        if (!dels.isEmpty) t.delete(dels)
     }
     Seq.empty
   }
@@ -277,4 +398,14 @@ object MergeTableDmlCommand {
   val Upsert = "upsert"
   val InsertOnly = "insert_only"
   val Delete = "delete"
+  val Apply = "apply"
+
+  /** Routing column + values for the general-MERGE plan. A matched
+    * row claimed by no clause routes to `K` and is dropped — per-key
+    * uniqueness is checked across the claimed rows only.
+    */
+  val OpCol = "_op"
+  val OpUpsert = "U"
+  val OpDelete = "D"
+  val OpKeep = "K"
 }

@@ -103,6 +103,65 @@ class MergeTableDmlSpec extends SparkSpec {
     assert(out === Seq((1L, "a", 10L), (2L, "b", 222L), (3L, "c", 30L)))
   }
 
+  test("SET value may reference the target side (read-modify-write)") {
+    val (root, t) = freshTable("merge_rmw")
+    view(root, "dml_target")
+    Seq((2L, "B", 7L), (3L, "C", 1L)).toDF("id", "name", "v")
+      .createOrReplaceTempView("dml_source")
+    spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.v""".stripMargin)
+    assert(t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "a", 10L), (2L, "b", 27L), (3L, "c", 31L)))
+  }
+
+  test("conditional clauses: the CDC delete-flag MERGE form") {
+    val (root, t) = freshTable("merge_cdc_flag")
+    view(root, "dml_target")
+    // op D → delete; otherwise upsert; never insert a bare delete
+    Seq((1L, "A1", 100L, "U"), (2L, "gone", 0L, "D"),
+        (4L, "d", 40L, "U"), (5L, "never", 0L, "D"))
+      .toDF("id", "name", "v", "op").createOrReplaceTempView("dml_source")
+    spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET name = s.name, v = s.v
+        |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (id, name, v)
+        |  VALUES (s.id, s.name, s.v)""".stripMargin)
+    assert(t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "A1", 100L), (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
+  test("first matching clause wins when conditions overlap") {
+    val (root, t) = freshTable("merge_first_match")
+    view(root, "dml_target")
+    Seq((2L, "both", 200L)).toDF("id", "name", "v")
+      .createOrReplaceTempView("dml_source")
+    // both conditions true for id=2 — the first clause must claim it
+    spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED AND s.v > 100 THEN UPDATE SET v = s.v
+        |WHEN MATCHED AND s.v > 0 THEN DELETE""".stripMargin)
+    assert(t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "a", 10L), (2L, "b", 200L), (3L, "c", 30L)))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE updates and deletes unmatched target rows") {
+    val (root, t) = freshTable("merge_nmbs")
+    view(root, "dml_target")
+    Seq((2L, "B", 200L)).toDF("id", "name", "v")
+      .createOrReplaceTempView("dml_source")
+    // full sync: matched keys take the source row, absent keys with
+    // small v are dropped, other absent keys get flagged
+    spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED BY SOURCE AND t.v < 15 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'stale'""".stripMargin)
+    assert(t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((2L, "B", 200L), (3L, "stale", 30L)))
+  }
+
   test("unsupported MERGE shapes fail loudly, not silently") {
     val (root, _) = freshTable("merge_bad")
     view(root, "dml_target")
@@ -117,16 +176,22 @@ class MergeTableDmlSpec extends SparkSpec {
       """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET id = s.id + 1""".stripMargin))
     assert(e2.getMessage.contains("primary-key"), e2.getMessage)
-    // SET value referencing the target side
+    // INSERT that skips a primary-key column
     val e3 = intercept[Exception](spark.sql(
       """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
-        |WHEN MATCHED THEN UPDATE SET v = t.v + 1""".stripMargin))
-    assert(e3.getMessage.contains("target column"), e3.getMessage)
-    // conditional matched action
+        |WHEN NOT MATCHED THEN INSERT (name, v) VALUES (s.name, s.v)""".stripMargin))
+    assert(e3.getMessage.contains("primary-key"), e3.getMessage)
+    // NOT MATCHED clause referencing the target side (null after the
+    // outer join — must fail, not silently evaluate)
     val e4 = intercept[Exception](spark.sql(
       """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
-        |WHEN MATCHED AND s.v > 5 THEN UPDATE SET *""".stripMargin))
-    assert(e4.getMessage.contains("supported forms"), e4.getMessage)
+        |WHEN NOT MATCHED AND t.v > 0 THEN INSERT *""".stripMargin))
+    assert(e4.getMessage.contains("other side"), e4.getMessage)
+    // NOT MATCHED BY SOURCE clause referencing the source side
+    val e5 = intercept[Exception](spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE""".stripMargin))
+    assert(e5.getMessage.contains("other side"), e5.getMessage)
   }
 
   test("SQL MERGE INTO a merge-on-read table goes through the delta path") {
