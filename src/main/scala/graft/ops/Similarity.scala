@@ -211,6 +211,111 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** IVF-PQ ANN — the memory-bounded scale path: the IVF codebook
+    * prunes the corpus to `nProbe` cells, product quantization
+    * replaces each candidate's dim floats with M one-byte codes
+    * (32× compression at dim=64/M=8 — what lets a 10^9-vector index
+    * live in RAM), and scoring is ADC: the query precomputes an M×K
+    * lookup table once, every candidate costs M array lookups, zero
+    * float math. The top `rerank` ADC candidates per query join back
+    * to their exact vectors for true-cosine rescoring, then the final
+    * top-k. Ranking quality is recall-defined (rows-only gate query;
+    * recall vs brute force asserted in ScalaTest, like ann_ivf).
+    *
+    * The PQ codebook here is picked deterministically (subvectors of
+    * the first K corpus vectors — the seeding k-means-lite uses too);
+    * at production scale the sub-centroids come from per-subspace
+    * k-means on a sample, with the identical encode/LUT/ADC kernels.
+    *
+    * Scale shape: codes are computed in one compiled pass over the
+    * corpus (no shuffle), candidate generation reuses the IVF cell
+    * join (queries broadcast, corpus never shuffles), ADC runs inside
+    * whole-stage codegen, and only (query, neighbor, code-score) rows
+    * reach the bounded-heap top-k. The exact-rescore join moves just
+    * rerank × queries rows.
+    */
+  def ivfPqTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                k: Int, nCells: Int = 16, nProbe: Int = 4,
+                numSub: Int = 8, numCodes: Int = 16, rerank: Int = 64): DataFrame = {
+    import graft.functions.{PqAdc, PqEncode, PqLut}
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val cents = kmeansCentroids(spark, corpus, "embedding", nCells)
+    // deterministic PQ codebook seeds: a UNIFORM hash-picked sample
+    // (smallest md5 of vec_id), not the first ids — contiguous ids are
+    // usually correlated (one source, one cluster) and a codebook
+    // drawn from one region can't represent the rest of the space.
+    // Bounded driver collect: numCodes × dim floats.
+    val seeds = corpus
+      .orderBy(conv(substring(md5(col("vec_id").cast("string")), 1, 12), 16, 10)
+        .cast("long"), col("vec_id"))
+      .limit(numCodes)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    val dim = seeds.head.length
+    val sub = dim / numSub
+    var codebook: Seq[Seq[Seq[Double]]] = (0 until numSub).map { mi =>
+      seeds.toSeq.map(s => s.slice(mi * sub, (mi + 1) * sub).map(_.toDouble).toSeq)
+    }
+    // per-subspace Lloyd's refinement (PQ training): one compiled
+    // encode pass assigns every subvector, means come back as
+    // numSub × numCodes × sub rows — bounded driver traffic, exactly
+    // the kmeansCentroids shape. Means round to 4 decimals so the
+    // codebook is stable across partitionings (same trick as the IVF
+    // codebook); emptied codes keep their previous centroid.
+    for (_ <- 1 to 2) {
+      val cb = codebook
+      val means = corpus
+        .select(column(PqEncode(expression(col("embedding")), cb)).as("codes"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select((col("pos") / sub).cast("int").as("mi"),
+          element_at(col("codes"), (col("pos") / sub).cast("int") + 1).as("code"),
+          col("pos").as("pos"), col("v"))
+        .groupBy("mi", "code", "pos").agg(avg("v").as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+          (math.rint(r.getDouble(3) * 10000) / 10000))
+        .toMap
+      codebook = codebook.zipWithIndex.map { case (codes, mi) =>
+        codes.zipWithIndex.map { case (old, c) =>
+          val updated = (0 until sub).map(i => means.get((mi, c, mi * sub + i)))
+          if (updated.forall(_.isDefined)) updated.map(_.get) else old
+        }
+      }
+    }
+
+    def cellScores(v: Column): Column = array(cents.map { case (i, c) =>
+      struct(round(cosine(spark, v, typedLit(c)), 6).as("s"), lit(i).as("cell"))
+    }: _*)
+
+    // corpus side: cell + PQ codes, one compiled pass, embeddings dropped
+    val encoded = corpus
+      .withColumn("cell", array_max(cellScores(col("embedding"))).getField("cell"))
+      .select(col("vec_id"), col("cell"),
+        column(PqEncode(expression(col("embedding")), codebook)).as("codes"))
+    // query side: probed cells + ADC lookup table, computed once per query
+    val probes = queries
+      .withColumn("lut", column(PqLut(expression(col("qe")), codebook)))
+      .withColumn("probe_cells",
+        slice(reverse(array_sort(cellScores(col("qe")))), 1, nProbe))
+      .withColumn("cell", explode(transform(col("probe_cells"), p => p.getField("cell"))))
+      .select(col("query_id"), col("cell"), col("lut"))
+    val adc = encoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        column(PqAdc(expression(col("codes")), expression(col("lut")), numCodes)).as("adc"))
+    val shortlist = graft.plans.TopK.perKey(adc, Seq("query_id"),
+        Seq(col("adc"), -col("neighbor_id")), rerank)
+      .select("query_id", "neighbor_id")
+    // exact rescore of the shortlist only
+    val exact = shortlist
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(spark, col("qe"), col("embedding")), 6).as("score"))
+    graft.plans.TopK.perKey(exact, Seq("query_id"),
+        Seq(col("score"), -col("neighbor_id")), k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
   /** k-NN join inside equality blocks (here: label) — each left row
     * gets its k nearest right rows sharing the blocking key. The join
     * is a plain shuffled equi-join on the block key; no all-pairs work

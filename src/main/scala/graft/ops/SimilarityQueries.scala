@@ -202,6 +202,10 @@ object SimilarityQueries extends QueryModule {
     Similarity.ivfTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5)
       .orderBy("query_id", "rank")
 
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5)
+      .orderBy("query_id", "rank")
+
   // -- multimodal plumbing (decode stub; featurization oracled) ------------
 
   /** The gate output recovers INTEGER quantities from the stub's
@@ -248,6 +252,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     QueryDef("ann_lsh_topk", annLsh, None),
     QueryDef("ann_ivf_topk", annIvf, None),
+    QueryDef("ann_ivfpq_topk", annIvfPq, None),
     QueryDef("media_features", mediaFeatures, Some(mediaFeaturesSql)),
   )
 }

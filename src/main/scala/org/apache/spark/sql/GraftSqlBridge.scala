@@ -17,6 +17,12 @@ object GraftSqlBridge {
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Wrap a Catalyst Expression as a public Column — for expressions
+    * whose constants are computed at plan-build time (e.g. a trained
+    * PQ codebook) and so can't go through the function registry.
+    */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
   def catalogPlugin(spark: SparkSession, name: String): connector.catalog.CatalogPlugin =
     spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager.catalog(name)
 

@@ -104,6 +104,57 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("pq adc score equals the query dot the reconstructed vector exactly") {
+    import graft.functions.{PqAdc, PqEncode, PqLut}
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val df = Tables.embeddings(spark, sfDir).limit(64)
+      .select($"vec_id", $"embedding").cache()
+    val seeds = df.orderBy("vec_id").limit(16).select($"embedding")
+      .collect().map(_.getSeq[Float](0))
+    val numSub = 8; val sub = seeds.head.length / numSub
+    val codebook: Seq[Seq[Seq[Double]]] = (0 until numSub).map { mi =>
+      seeds.toSeq.map(s => s.slice(mi * sub, (mi + 1) * sub).map(_.toDouble).toSeq)
+    }
+    val q = df.limit(1).select($"embedding".as("qe")).collect().head.getSeq[Float](0)
+    // driver-side LUT for q — lut[m*16+c] = q_m · centroid_mc
+    val lut = (0 until numSub).flatMap { mi =>
+      (0 until 16).map { c =>
+        (0 until sub).map(i => codebook(mi)(c)(i) * q(mi * sub + i)).sum
+      }
+    }
+    val got = df.select($"vec_id",
+        column(PqAdc(expression(column(PqEncode(expression($"embedding"), codebook))),
+          expression(typedLit(lut)), 16)).as("adc"))
+      .as[(Long, Double)].collect().toMap
+    val codes = df.select($"vec_id",
+        column(PqEncode(expression($"embedding"), codebook)).as("codes"))
+      .as[(Long, Seq[Int])].collect()
+    codes.foreach { case (id, cs) =>
+      val expected = cs.zipWithIndex.map { case (c, mi) =>
+        (0 until sub).map(i => codebook(mi)(c)(i) * q(mi * sub + i)).sum
+      }.sum
+      assert(math.abs(got(id) - expected) < 1e-9, s"vec $id")
+    }
+    df.unpersist()
+  }
+
+  test("ivf-pq topk recalls most true neighbors on clustered data") {
+    val corpus = clustered(4, 50, dim = 16)
+    val qs = corpus.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val exact = Similarity.bruteForceTopK(spark, qs, corpus, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // rerank is the recall/cost knob: on this corpus same-cluster ADC
+    // scores are nearly tied (jitter ≪ quantization step), so the
+    // shortlist must cover a cluster's worth of candidates
+    val approx = Similarity.ivfPqTopK(spark, qs, corpus, k = 5,
+        nCells = 8, nProbe = 4, numSub = 4, numCodes = 16, rerank = 48)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"ivf-pq recall on clustered corpus: $recall%.2f")
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   // the interpreted higher-order formulation HyperplaneSignature
   // replaced — kept here as the semantic reference
   private def interpretedSignature(emb: org.apache.spark.sql.Column, dim: Int) = {

@@ -146,6 +146,29 @@ class MergeTableDmlSpec extends SparkSpec {
       Seq((1L, "a", 10L), (2L, "b", 200L), (3L, "c", 30L)))
   }
 
+  test("general merge compiles to ONE join — no branch-per-clause union") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Union}
+    val (root, _) = freshTable("merge_one_join")
+    view(root, "dml_target")
+    Seq((2L, "B", 200L, "U")).toDF("id", "name", "v", "op")
+      .createOrReplaceTempView("dml_source")
+    val parsed = spark.sessionState.sqlParser.parsePlan(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+        |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (id, name, v)
+        |  VALUES (s.id, s.name, s.v)""".stripMargin)
+    val analyzed = spark.sessionState.analyzer.execute(parsed)
+    val cmd = analyzed.collectFirst { case c: MergeTableDmlCommand => c }
+    assert(cmd.isDefined, s"expected MergeTableDmlCommand, got:\n${analyzed.treeString}")
+    def count(p: LogicalPlan)(f: PartialFunction[LogicalPlan, Boolean]): Int =
+      p.collect(f).size
+    // the target is scanned once: one join, no union of per-clause
+    // branches (which would re-scan the table per clause group)
+    assert(count(cmd.get.source) { case _: Join => true } === 1)
+    assert(count(cmd.get.source) { case _: Union => true } === 0)
+  }
+
   test("WHEN NOT MATCHED BY SOURCE updates and deletes unmatched target rows") {
     val (root, t) = freshTable("merge_nmbs")
     view(root, "dml_target")
