@@ -306,6 +306,49 @@ object CorpusQueries extends QueryModule {
        |ORDER BY ex.source""".stripMargin
   }
 
+  // -- count-min frequency sketch ------------------------------------------
+
+  /** Count-min word-frequency estimates for the corpus's 20 heaviest
+    * words ([[Sketches.countMinTable]]): d×w counters of state however
+    * large the vocabulary, shard sketches merge by addition — the
+    * heavy-hitter counting story at 100 TB, where exact counts shuffle
+    * the whole vocabulary. Salted-md5 bucket hashes make the sketch a
+    * pure function of the input multiset, so the oracle reproduces
+    * every estimate bit-for-bit; the CM guarantee (estimate ≥ exact,
+    * bounded overestimate) is asserted in ScalaTest.
+    */
+  private def sketchCountMin(s: SparkSession, dir: String): DataFrame = {
+    val words = graft.Caches.register(
+      docs(s, dir).select(explode(TextAnalysis.words(col("text"))).as("w")))
+    val table = Sketches.countMinTable(words, "w")
+    val top = words.groupBy("w").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("w")).limit(20)
+    Sketches.cmEstimates(top, table, "w")
+      .orderBy(col("exact_n").desc, col("w"))
+  }
+
+  private val sketchCountMinSql = {
+    def bucket(saltedElem: String) =
+      s"('0x' || substr(md5($saltedElem), 1, 12))::BIGINT % 256"
+    s"""WITH wds AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents),
+       |tbl AS (
+       |  SELECT j, ${bucket("'cm' || CAST(j AS VARCHAR) || ':' || w")} AS bucket,
+       |    count(*) AS n
+       |  FROM wds CROSS JOIN unnest([0, 1, 2, 3]) AS t(j)
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT w, count(*) AS exact_n FROM wds
+       |  GROUP BY 1 ORDER BY exact_n DESC, w LIMIT 20)
+       |SELECT top.w, top.exact_n, min(coalesce(n, 0)) AS cm_estimate
+       |FROM top CROSS JOIN unnest([0, 1, 2, 3]) AS q(j)
+       |LEFT JOIN tbl ON tbl.j = q.j
+       |  AND tbl.bucket = ${bucket("'cm' || CAST(q.j AS VARCHAR) || ':' || top.w")}
+       |GROUP BY 1, 2
+       |ORDER BY exact_n DESC, w""".stripMargin
+  }
+
   // -- deterministic quantile sketch ---------------------------------------
 
   /** Per-event-type value quantiles from a 256-row deterministic
@@ -356,5 +399,6 @@ object CorpusQueries extends QueryModule {
     QueryDef("docs_pack_shards", packShards, Some(packShardsSql)),
     QueryDef("sketch_distinct_ngrams", sketchDistinct, Some(sketchDistinctSql)),
     QueryDef("sketch_quantiles", sketchQuantiles, Some(sketchQuantilesSql)),
+    QueryDef("sketch_countmin_words", sketchCountMin, Some(sketchCountMinSql)),
   )
 }

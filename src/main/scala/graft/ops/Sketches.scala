@@ -60,6 +60,49 @@ object Sketches {
           col("exact_distinct").cast("double")), 2).as("kmv_estimate"))
   }
 
+  /** Count-min sketch: frequency estimation with d×w counters of
+    * state no matter how many distinct elements flow through — the
+    * heavy-hitter counting primitive at 100 TB, where exact per-token
+    * counts would shuffle the full vocabulary. Each of the d rows
+    * hashes every element into w buckets and counts; an element's
+    * estimate is the MINIMUM of its d bucket counts (always ≥ the true
+    * count; collisions only inflate). Sketches of disjoint shards
+    * merge by adding counters.
+    *
+    * The d hash functions are salted md5 prefixes, so the whole
+    * sketch — and every estimate read from it — is a deterministic
+    * pure function of the input multiset, reproducible bit-for-bit by
+    * the DuckDB oracle (the same property the KMV and quantile
+    * sketches exploit).
+    *
+    * Returns the d×w counter table as (row, bucket, n) — the caller
+    * joins query elements against it ([[cmEstimates]]).
+    */
+  def countMinTable(elems: DataFrame, elemCol: String,
+                    d: Int = 4, w: Int = 256): DataFrame =
+    elems.select(posexplode(cmBuckets(col(elemCol), d, w)).as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("n"))
+
+  /** The d salted bucket hashes of an element, as an array column. */
+  private def cmBuckets(e: Column, d: Int, w: Int): Column =
+    array((0 until d).map { j =>
+      conv(substring(md5(concat(lit(s"cm$j:"), e)), 1, 12), 16, 10)
+        .cast("long") % w
+    }: _*)
+
+  /** Count-min estimates for a set of query elements: look up each
+    * element's d buckets in the counter table and take the min. The
+    * counter table is tiny (d×w rows) and broadcasts; absent buckets
+    * count zero.
+    */
+  def cmEstimates(queryElems: DataFrame, table: DataFrame, elemCol: String,
+                  d: Int = 4, w: Int = 256): DataFrame =
+    queryElems
+      .select(col("*"), posexplode(cmBuckets(col(elemCol), d, w)).as(Seq("row", "bucket")))
+      .join(broadcast(table), Seq("row", "bucket"), "left")
+      .groupBy(queryElems.columns.map(col).toSeq: _*)
+      .agg(min(coalesce(col("n"), lit(0L))).as("cm_estimate"))
+
   /** Per-group quantile estimates from a deterministic bounded sample:
     * the k rows with the smallest portable hash of `keyCol` form a
     * uniform sample of the group (the KMV idea applied to rows instead

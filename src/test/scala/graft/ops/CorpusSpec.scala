@@ -159,6 +159,23 @@ class CorpusSpec extends SparkSpec {
     assert(out === ((100L, 50.0, 90.0, 99.0)))
   }
 
+  test("count-min estimates never undercount and overestimate is bounded") {
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(TextAnalysis.words(col("text"))).as("w"))
+    val total = words.count()
+    val rows = q("sketch_countmin_words")(spark, sfDir)
+      .select($"w", $"exact_n", $"cm_estimate")
+      .as[(String, Long, Long)].collect()
+    assert(rows.length === 20)
+    rows.foreach { case (w, exact, est) =>
+      // the one-sided CM guarantee: estimates never undercount
+      assert(est >= exact, s"$w undercounted: $est < $exact")
+      // expected bucket load is total/256; 8x slack keeps this
+      // meaningful without being flaky
+      assert(est - exact <= total / 32, s"$w overestimate ${est - exact}")
+    }
+  }
+
   test("docs_repetition flags a constructed boilerplate document") {
     import spark.implicits._
     val crafted = Seq(
