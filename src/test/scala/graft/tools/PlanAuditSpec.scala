@@ -107,6 +107,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("no all-pairs join between two unfiltered fact-table scans") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // cartesian/nested-loop joins are legitimate when one side is
+    // bounded (a limited query set, a 10-row medoid table, a 1-row
+    // aggregate); they are catastrophic when BOTH sides scale with
+    // the corpus — that's n² of a 100 TB table
+    audited.foreach { case (n, plan) =>
+      plan.foreach {
+        case j: CartesianProductExec =>
+          (rawFactScan(j.left), rawFactScan(j.right)) match {
+            case (Some(l), Some(r)) =>
+              fail(s"$n cartesian-joins unfiltered fact tables $l × $r:\n$plan")
+            case _ => ()
+          }
+        case j: BroadcastNestedLoopJoinExec =>
+          (rawFactScan(j.left), rawFactScan(j.right)) match {
+            case (Some(l), Some(r)) =>
+              fail(s"$n nested-loop-joins unfiltered fact tables $l × $r:\n$plan")
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+  }
+
   test("no window partitioned only by bounded-cardinality keys") {
     audited.foreach { case (n, plan) =>
       plan.foreach {
