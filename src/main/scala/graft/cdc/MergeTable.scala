@@ -75,12 +75,24 @@ final class MergeTable(
       Some(manifestDir.resolve(new String(Files.readAllBytes(pointer)).trim))
     else None
 
+  /** The table version whose entries the current operation read —
+    * the optimistic-concurrency base [[commit]] CASes against. Every
+    * mutator re-reads the manifest (via [[entries]] or [[read]])
+    * before building its commit, so the conflict window spans the
+    * whole read-modify-write including the data write.
+    */
+  @volatile private var readVersion: Long = 0L
+
+  private def manifestVersion(m: Path): Long =
+    m.getFileName.toString.stripPrefix("v").stripSuffix(".txt").toLong
+
   /** Typed manifest entries in commit order. Bare lines are bases
     * (backward compat with the original format).
     */
   private def entries(): Seq[(String, String)] =
     currentManifest() match {
       case Some(m) if Files.exists(m) =>
+        readVersion = manifestVersion(m)
         new String(Files.readAllBytes(m)).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
           .map { line =>
             line.split(":", 2) match {
@@ -88,7 +100,9 @@ final class MergeTable(
               case Array(dir) => ("base", dir)
             }
           }
-      case _ => Nil
+      case _ =>
+        readVersion = 0L
+        Nil
     }
 
   private val metaPath = rootPath.resolve("_META.json")
@@ -104,19 +118,33 @@ final class MergeTable(
     MergeTable.writeMeta(root, MergeTable.Meta(keys, mode, numBuckets, None))
   }
 
+  /** Atomic commit with optimistic concurrency: the new manifest is
+    * `readVersion + 1` created with CREATE_NEW — if a concurrent
+    * writer claimed that version first (manifest file exists, whether
+    * or not its pointer move landed yet), the create fails and the
+    * commit raises instead of silently overwriting the other writer's
+    * manifest or basing the new snapshot on stale entries (the
+    * lost-update anomaly; Iceberg's commit CAS plays the same role).
+    * The caller re-reads and retries.
+    */
   private def commit(newEntries: Seq[(String, String)]): Unit = {
     Files.createDirectories(manifestDir)
     persistMeta()
-    val version = currentManifest() match {
-      case Some(m) => m.getFileName.toString.stripPrefix("v").stripSuffix(".txt").toLong + 1
-      case None => 1L
-    }
+    val version = readVersion + 1
     val name = f"v$version%05d.txt"
     val body = newEntries.map { case (t, d) => s"$t:$d" }.mkString("\n")
-    Files.write(manifestDir.resolve(name), body.getBytes)
+    try Files.write(manifestDir.resolve(name), body.getBytes,
+      java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit to $root: version $version was committed by another " +
+            "writer after this operation read the table; re-read and retry")
+    }
     val tmp = rootPath.resolve(s"_LATEST.tmp.${UUID.randomUUID()}")
     Files.write(tmp, name.getBytes)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    readVersion = version
   }
 
   private def writeData(df: DataFrame): String = {

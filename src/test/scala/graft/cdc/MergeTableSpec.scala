@@ -88,6 +88,29 @@ class MergeTableSpec extends SparkSpec {
     assert(manifests.length === 3)
   }
 
+  test("concurrent commit raises instead of silently losing an update") {
+    val root = freshRoot("occ")
+    val t = new MergeTable(spark, root, Seq("id"))
+    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // a concurrent writer has claimed the next version: its manifest
+    // exists but its pointer move hasn't landed yet (the worst-case
+    // interleaving — a plain write would overwrite it, and basing the
+    // commit on the old pointer would drop the other writer's rows)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/manifests/v00002.txt"),
+      "base:claimed-by-other-writer".getBytes)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // the table still reads cleanly at the version this writer saw
+    assert(t.read().count() === 2)
+    // after the conflict clears, a retry (which re-reads) succeeds
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/manifests/v00002.txt"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.read().count() === 3)
+  }
+
   test("applyChanges folds I/U/D with precombine ordering") {
     val root = freshRoot("applychanges")
     val t = new MergeTable(spark, root, Seq("id"))
