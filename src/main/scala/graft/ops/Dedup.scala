@@ -208,6 +208,57 @@ object Dedup {
       .filter(col("hamming") <= tau)
   }
 
+  /** Continuous-ingest NEAR-dup: the [[incrementalKeep]] shape for
+    * near-duplicates. The historical index holds one 62-bit SimHash
+    * per document (16 bytes/doc — 10^9 docs index in ~16 GB); an
+    * incoming batch drops a doc when its signature is within hamming
+    * `tau` of ANY index signature, or of an EARLIER doc in the same
+    * batch (smaller id wins, compared against all earlier batch docs
+    * regardless of their own keep outcome — deterministic and
+    * engine-reproducible, no iterative dependency).
+    *
+    * Candidates come from the 4×16-bit band join (lossless for
+    * tau ≤ 3 by pigeonhole), so the work is linear in batch+index
+    * size plus intra-bucket pairs, and full text never shuffles —
+    * only (id, signature, band key) rows move.
+    *
+    * Returns one row per batch doc: its signature, the minimum
+    * hamming to the index and to earlier batch docs (-1 = none within
+    * tau), and the keep decision.
+    */
+  def incrementalNearDup(batch: DataFrame, indexSigs: DataFrame,
+                         idCol: String, textCol: String, tau: Int = 3): DataFrame = {
+    require(tau <= 3, "4x16 banding only guarantees recall for hamming <= 3")
+    val bs = graft.Caches.register(simhash(batch, idCol, textCol))
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "key")))
+    val bBands = banded(bs)
+    val iBands = banded(indexSigs.select(col(idCol).as("doc_id"), col("simhash")))
+      .select(col("simhash").as("idx_sig"), col("band"), col("key"))
+    val vsIndex = bBands.join(iBands, Seq("band", "key"))
+      .select(col("doc_id"),
+        bit_count(col("simhash").bitwiseXOR(col("idx_sig"))).as("h"))
+      .filter(col("h") <= tau)
+      .groupBy("doc_id").agg(min("h").as("index_hamming"))
+    val within = bBands.as("a")
+      .join(bBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .filter(col("h") <= tau)
+      .groupBy("doc_id").agg(min("h").as("batch_hamming"))
+    bs.join(vsIndex, Seq("doc_id"), "left")
+      .join(within, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("index_hamming"), lit(-1)).cast("int").as("index_hamming"),
+        coalesce(col("batch_hamming"), lit(-1)).cast("int").as("batch_hamming"),
+        (col("index_hamming").isNull && col("batch_hamming").isNull).as("keep"))
+  }
+
   // ---- n-gram Jaccard verification --------------------------------------
 
   /** Exact k-gram Jaccard for all qualifying pairs inside blocking

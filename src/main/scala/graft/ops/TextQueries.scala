@@ -154,26 +154,33 @@ object TextQueries extends QueryModule {
     * [[graft.functions.SimHash64]]; a drift anywhere (word split,
     * hash constants, tie rule) hash-mismatches the gate.
     */
-  private val simhashSigsCte = {
+  /** DuckDB recomputation of the 62-bit SimHash for an arbitrary
+    * (doc_id, text) relation `src`, emitting CTEs `<p>w`, `<p>h`, and
+    * `<p>sigs` — parameterized so one oracle can signature several
+    * document sets (e.g. a decorated batch AND a historical index).
+    */
+  private def simhashSigsCteFor(src: String, p: String): String = {
     val bitTerms = (0 until 62).map { j =>
       s"(CASE WHEN sum(CASE WHEN (hw >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("\n      + ")
-    s"""w AS (
+    s"""${p}w AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-       |  FROM documents),
-       |h AS (
+       |  FROM $src),
+       |${p}h AS (
        |  SELECT doc_id,
        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN string_split(word, '')]),
        |      (acc, c) -> (acc * 31 + c) % 2147483647)
        |    + list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN string_split(word, '')]),
        |      (acc, c) -> (acc * 37 + c) % 2147483629) * 2147483648 AS hw
-       |  FROM w),
-       |sigs AS (
+       |  FROM ${p}w),
+       |${p}sigs AS (
        |  SELECT d.doc_id, COALESCE(b.simhash, 0) AS simhash
-       |  FROM documents d LEFT JOIN (
+       |  FROM $src d LEFT JOIN (
        |    SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
-       |    FROM h GROUP BY doc_id) b ON d.doc_id = b.doc_id)""".stripMargin
+       |    FROM ${p}h GROUP BY doc_id) b ON d.doc_id = b.doc_id)""".stripMargin
   }
+
+  private val simhashSigsCte = simhashSigsCteFor("documents", "")
 
   private val simhashSql =
     s"""WITH $simhashSigsCte
@@ -197,6 +204,65 @@ object TextQueries extends QueryModule {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // -- incremental near-dup against a signature index ----------------------
+
+  /** Continuous-ingest near-dup ([[Dedup.incrementalNearDup]]): the
+    * corpus has no natural near-duplicates, so the batch is decorated
+    * with one-word-appended re-crawls of index docs and of in-batch
+    * originals — each lands within a few hamming bits of its source.
+    * The oracle recomputes BOTH signature sets and takes min hamming
+    * over ALL pairs at ≤ τ (no band condition), so the hash also
+    * certifies that 4×16 banding is lossless at τ ≤ 3 on this data.
+    */
+  private val NearMark = " nearduplicatemarker"
+
+  private def dedupIncrementalNear(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val index = d.filter(col("doc_id") % 5 =!= 0)
+    val fresh = d.filter(col("doc_id") % 5 === 0)
+    val recrawl = index.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(NearMark)).as("text"))
+    val inBatch = fresh.filter(col("doc_id") % 3 === 1)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit(NearMark)).as("text"))
+    val batch = fresh.unionByName(recrawl).unionByName(inBatch)
+    Dedup.incrementalNearDup(batch, Dedup.simhash(index, "doc_id", "text"),
+        "doc_id", "text", tau = 3)
+      .orderBy("doc_id")
+  }
+
+  private val dedupIncrementalNearSql =
+    s"""WITH idx AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || '$NearMark' FROM documents
+       |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || '$NearMark' FROM documents
+       |  WHERE doc_id % 5 = 0 AND doc_id % 3 = 1),
+       |${simhashSigsCteFor("batch", "b")},
+       |${simhashSigsCteFor("idx", "i")},
+       |vs_index AS (
+       |  SELECT b.doc_id, min(bit_count(xor(b.simhash, i.simhash))) AS h
+       |  FROM bsigs b JOIN isigs i ON bit_count(xor(b.simhash, i.simhash)) <= 3
+       |  GROUP BY 1),
+       |within AS (
+       |  SELECT a.doc_id, min(bit_count(xor(a.simhash, b.simhash))) AS h
+       |  FROM bsigs a JOIN bsigs b
+       |    ON b.doc_id < a.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+       |  GROUP BY 1)
+       |SELECT s.doc_id, s.simhash,
+       |  CAST(coalesce(v.h, -1) AS INTEGER) AS index_hamming,
+       |  CAST(coalesce(w.h, -1) AS INTEGER) AS batch_hamming,
+       |  v.h IS NULL AND w.h IS NULL AS keep
+       |FROM bsigs s
+       |LEFT JOIN vs_index v ON s.doc_id = v.doc_id
+       |LEFT JOIN within w ON s.doc_id = w.doc_id
+       |ORDER BY s.doc_id""".stripMargin
 
   // -- n-gram Jaccard near-dup within blocks -------------------------------
 
@@ -489,6 +555,7 @@ object TextQueries extends QueryModule {
     QueryDef("dedup_minhash_lsh", minhashLsh, None),
     QueryDef("dedup_simhash", simhashQ, Some(simhashSql)),
     QueryDef("dedup_simhash_pairs", simhashPairsQ, Some(simhashPairsSql)),
+    QueryDef("dedup_incremental_near", dedupIncrementalNear, Some(dedupIncrementalNearSql)),
     QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardSql)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QueryDef("dedup_keep_list", dedupKeepList, Some(dedupKeepListSql)),

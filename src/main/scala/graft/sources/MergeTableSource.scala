@@ -51,14 +51,22 @@ class MergeTableSource extends RelationProvider with DataSourceRegister
                               parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("mergetable source requires option 'path'"))
+    // the table self-describes via _META.json (written on first
+    // commit); explicit options override, absent options fall back to
+    // the recorded configuration — NOT to a guessed default, which
+    // would silently hand DML/MOR-reconciliation the wrong key
+    val meta = MergeTable.readMeta(path)
     val keys = parameters.get("keys").map(_.split(",").map(_.trim).toSeq)
-    val mode = parameters.getOrElse("mode", MergeTable.CopyOnWrite)
+      .orElse(meta.map(_.keys))
+    val mode = parameters.get("mode")
+      .orElse(meta.map(_.mode)).getOrElse(MergeTable.CopyOnWrite)
     // MOR reads reconcile deltas BY KEY — a guessed key silently
-    // collapses rows on the wrong column, so it must be explicit
+    // collapses rows on the wrong column, so it must be known
     if (mode == MergeTable.MergeOnRead && keys.isEmpty)
       throw new IllegalArgumentException(
         "mergetable source requires option 'keys' when mode=merge-on-read")
     val buckets = parameters.get("buckets").map(_.toInt)
+      .orElse(meta.flatMap(_.numBuckets))
     // time travel parity with the catalog's VERSION AS OF / TIMESTAMP
     // AS OF: a timestamp resolves to the latest commit at or before it
     val version = parameters.get("versionAsOf").map(_.toLong)

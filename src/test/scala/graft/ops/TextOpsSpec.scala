@@ -90,6 +90,35 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.toSet === truth) // 4x16 banding is lossless for tau <= 3
   }
 
+  test("incremental near-dup drops decorated re-crawls via the right path") {
+    val out = graft.SparkEntry.queries("dedup_incremental_near")(spark, sfDir)
+      .select($"doc_id", $"index_hamming", $"batch_hamming", $"keep")
+      .as[(Long, Int, Int, Boolean)].collect()
+    assert(out.nonEmpty)
+    val byId = out.map(r => r._1 -> r).toMap
+    // every one-word-appended re-crawl of an index doc must be caught
+    // by the index path (its source signature is in the index)
+    // appending one word moves a LONG doc a bit or two but can push a
+    // short doc past τ (bit sums near zero flip easily), so the
+    // decorated classes assert majority capture, not universal — the
+    // per-row decision itself is certified exactly by the DuckDB
+    // oracle
+    val recrawls = out.filter(r => r._1 >= 1000000 && r._1 < 2000000)
+    assert(recrawls.nonEmpty)
+    val caughtByIndex = recrawls.count(r => r._2 >= 0 && !r._4)
+    assert(caughtByIndex >= recrawls.length * 6 / 10,
+      s"only $caughtByIndex/${recrawls.length} re-crawls caught by the index")
+    val inBatch = out.filter(_._1 >= 2000000)
+    assert(inBatch.nonEmpty)
+    val caughtWithin = inBatch.count(r => r._3 >= 0 && !r._4)
+    assert(caughtWithin >= inBatch.length * 6 / 10,
+      s"only $caughtWithin/${inBatch.length} in-batch copies caught")
+    // caught matches are genuinely near: within the τ=3 radius
+    out.foreach { case (id, ih, bh, _) =>
+      assert(ih <= 3 && bh <= 3, s"$id reported hamming beyond tau")
+    }
+  }
+
   test("window hashes: rolling pass equals the direct per-window fold") {
     import graft.functions.WindowHashes.{B, P}
     // alpha-only words: TextAnalysis.words extracts [a-z]+ runs

@@ -146,6 +146,26 @@ class MergeTableDmlSpec extends SparkSpec {
       Seq((1L, "a", 10L), (2L, "b", 200L), (3L, "c", 30L)))
   }
 
+  test("conditional merge with a composite primary key") {
+    val root = "target/test_tables/dml_cond_multikey"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("a", "b"),
+      initial = Some(Seq((1L, "x", 10L), (1L, "y", 20L), (2L, "x", 30L))
+        .toDF("a", "b", "v")))
+    spark.read.format("mergetable").option("path", root).load()
+      .createOrReplaceTempView("mk_target")
+    Seq((1L, "x", 5L, "U"), (1L, "y", 0L, "D"), (3L, "z", 99L, "U"))
+      .toDF("a", "b", "v", "op").createOrReplaceTempView("mk_source")
+    spark.sql(
+      """MERGE INTO mk_target t USING mk_source s
+        |ON t.a = s.a AND t.b = s.b
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+        |WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (a, b, v) VALUES (s.a, s.b, s.v)""".stripMargin)
+    assert(t.read().orderBy("a", "b").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "x", 15L), (2L, "x", 30L), (3L, "z", 99L)))
+  }
+
   test("general merge compiles to ONE join — no branch-per-clause union") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Union}
     val (root, _) = freshTable("merge_one_join")

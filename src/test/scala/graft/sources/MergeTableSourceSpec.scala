@@ -31,16 +31,25 @@ class MergeTableSourceSpec extends SparkSpec {
     t.upsert(Seq((2L, "B")).toDF("id", "v"))
     t.delete(Seq(1L).toDF("id"))
 
-    // MOR reconciliation requires explicit keys
-    val noKeys = intercept[IllegalArgumentException] {
-      spark.read.format("mergetable")
-        .option("path", root).option("mode", MergeTable.MergeOnRead).load()
-    }
-    assert(noKeys.getMessage.contains("keys"))
+    // the table self-describes: keys AND mode resolve from _META.json,
+    // so a bare path reads with full MOR reconciliation
+    val df0 = spark.read.format("mergetable").option("path", root).load()
+    assert(df0.as[(Long, String)].collect().toSeq === Seq((2L, "B")))
     val df = spark.read.format("mergetable")
       .option("path", root).option("mode", MergeTable.MergeOnRead)
       .option("keys", "id").load()
     assert(df.as[(Long, String)].collect().toSeq === Seq((2L, "B")))
+    // without _META (legacy/bare table) MOR still refuses to guess keys
+    val metaBackup = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/_META.json"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/_META.json"))
+    try {
+      val noKeys = intercept[IllegalArgumentException] {
+        spark.read.format("mergetable")
+          .option("path", root).option("mode", MergeTable.MergeOnRead).load()
+      }
+      assert(noKeys.getMessage.contains("keys"))
+    } finally java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_META.json"), metaBackup)
   }
 
   test("versionAsOf option reads an earlier snapshot") {
