@@ -70,10 +70,21 @@ final class MergeTable(
 
   // -- metadata ------------------------------------------------------------
 
-  private def currentManifest(): Option[Path] =
-    if (Files.exists(pointer))
-      Some(manifestDir.resolve(new String(Files.readAllBytes(pointer)).trim))
-    else None
+  /** The current snapshot = the HIGHEST-versioned manifest file. The
+    * manifest's atomic appearance in `manifests/` IS the commit point
+    * (the Delta-log rule): a writer that crashes after creating its
+    * manifest has still committed (its data dirs were fully written
+    * first), and one that crashes before has left nothing visible —
+    * so no crash can wedge later writers. `_LATEST` is kept as a
+    * best-effort convenience pointer, not the source of truth.
+    */
+  private def currentManifest(): Option[Path] = {
+    val names = Option(manifestDir.toFile.list()).getOrElse(Array.empty[String])
+      .filter(_.matches("v\\d+\\.txt"))
+    if (names.isEmpty) None
+    else Some(manifestDir.resolve(
+      names.maxBy(_.stripPrefix("v").stripSuffix(".txt").toLong)))
+  }
 
   /** The table version whose entries the current operation read —
     * the optimistic-concurrency base [[commit]] CASes against. Every
@@ -118,14 +129,15 @@ final class MergeTable(
     MergeTable.writeMeta(root, MergeTable.Meta(keys, mode, numBuckets, None))
   }
 
-  /** Atomic commit with optimistic concurrency: the new manifest is
-    * `readVersion + 1` created with CREATE_NEW — if a concurrent
-    * writer claimed that version first (manifest file exists, whether
-    * or not its pointer move landed yet), the create fails and the
-    * commit raises instead of silently overwriting the other writer's
-    * manifest or basing the new snapshot on stale entries (the
-    * lost-update anomaly; Iceberg's commit CAS plays the same role).
-    * The caller re-reads and retries.
+  /** Atomic commit with optimistic concurrency: the manifest body is
+    * staged to a temp file and hard-linked into the `readVersion + 1`
+    * slot — POSIX link() is atomic and fails if the target exists, so
+    * exactly ONE writer can claim a version (Iceberg's commit CAS
+    * role) and readers can never observe a half-written manifest. A
+    * loser learns a concurrent writer committed after this operation
+    * read the table and raises instead of silently overwriting the
+    * other manifest or publishing a snapshot built from stale entries
+    * (the lost-update anomaly). The caller re-reads and retries.
     */
   private def commit(newEntries: Seq[(String, String)]): Unit = {
     Files.createDirectories(manifestDir)
@@ -133,14 +145,18 @@ final class MergeTable(
     val version = readVersion + 1
     val name = f"v$version%05d.txt"
     val body = newEntries.map { case (t, d) => s"$t:$d" }.mkString("\n")
-    try Files.write(manifestDir.resolve(name), body.getBytes,
-      java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+    val staged = manifestDir.resolve(s".staged.${UUID.randomUUID()}")
+    Files.write(staged, body.getBytes)
+    try Files.createLink(manifestDir.resolve(name), staged)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(staged)
         throw new java.util.ConcurrentModificationException(
           s"concurrent commit to $root: version $version was committed by another " +
             "writer after this operation read the table; re-read and retry")
-    }
+    } finally Files.deleteIfExists(staged)
+    // best-effort convenience pointer (NOT the commit point — see
+    // currentManifest); still atomic so its readers never see torn text
     val tmp = rootPath.resolve(s"_LATEST.tmp.${UUID.randomUUID()}")
     Files.write(tmp, name.getBytes)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -166,7 +182,15 @@ final class MergeTable(
     spark.read.option("mergeSchema", "true")
       .parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
 
-  def exists: Boolean = Files.exists(pointer)
+  def exists: Boolean = currentManifest().isDefined
+
+  /** Test hooks: pretend this instance last read `v` and attempt a
+    * raw commit on that base, so specs can exercise the commit CAS
+    * without a second thread.
+    */
+  private[cdc] def forceReadVersion(v: Long): Unit = readVersion = v
+  private[cdc] def commitProbe(newEntries: Seq[(String, String)]): Unit =
+    commit(newEntries)
 
   /** Committed version numbers, ascending (manifests are immutable —
     * this is the time-travel index).
@@ -292,7 +316,11 @@ final class MergeTable(
   def append(df: DataFrame): Unit = {
     if (numBuckets.isDefined) { upsert(df); return }
     mode match {
-      case MergeTable.MergeOnRead => commit(entries() :+ ("delta" -> writeData(df)))
+      case MergeTable.MergeOnRead =>
+        commit(entries() :+ ("delta" -> writeData(df)))
+        // append-only MOR workloads must hit the same delta bound as
+        // upserts, or reads reconcile an unbounded chain
+        maybeCompact()
       case _ => commit(entries() :+ ("base" -> writeData(df)))
     }
   }
@@ -356,6 +384,12 @@ final class MergeTable(
     val affected = tagged.select(BucketCol).distinct()
       .collect().map(_.getLong(0)).toSet // bounded by numBuckets
     val current = entries().toMap // tag -> dir; bucket entries are b<i>
+    // only b<digits> tags are bucket entries; a non-bucketed layout
+    // (base:/delta: entries) opened with numBuckets is a caller error —
+    // validated BEFORE the rewrite so a misconfigured open fails fast
+    // instead of after a full wasted data write
+    require(current.keys.forall(_.matches("b\\d+")),
+      s"table at $root has a non-bucketed layout; migrate before opening with numBuckets")
     val affectedDirs = affected.toSeq.sorted
       .flatMap(i => current.get(s"b$i").map(i -> _))
     val base =
@@ -379,10 +413,6 @@ final class MergeTable(
     // by deletes vanish); untouched buckets keep their old entries
     val written = listBuckets(dir)
     written.foreach(i => recordStats(s"$dir/$BucketCol=$i"))
-    // only b<digits> tags are bucket entries; a non-bucketed layout
-    // (base:/delta: entries) opened with numBuckets is a caller error
-    require(current.keys.forall(_.matches("b\\d+")),
-      s"table at $root has a non-bucketed layout; migrate before opening with numBuckets")
     val untouched = current.toSeq.filterNot { case (t, _) =>
       affected.contains(t.stripPrefix("b").toLong)
     }

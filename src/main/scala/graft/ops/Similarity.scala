@@ -251,6 +251,13 @@ object Similarity {
       .limit(numCodes)
       .select(col("embedding")).collect().map(_.getSeq[Float](0))
     val dim = seeds.head.length
+    require(dim % numSub == 0,
+      s"PQ requires dim divisible by numSub (dim=$dim, numSub=$numSub): an " +
+        "indivisible split would silently drop the trailing components from " +
+        "every code, LUT, and score")
+    // a corpus smaller than numCodes yields a smaller codebook — the
+    // ADC stride must match the ACTUAL code count, not the requested
+    val kActual = seeds.length
     val sub = dim / numSub
     var codebook: Seq[Seq[Seq[Double]]] = (0 until numSub).map { mi =>
       seeds.toSeq.map(s => s.slice(mi * sub, (mi + 1) * sub).map(_.toDouble).toSeq)
@@ -301,7 +308,7 @@ object Similarity {
     val adc = encoded.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        column(PqAdc(expression(col("codes")), expression(col("lut")), numCodes)).as("adc"))
+        column(PqAdc(expression(col("codes")), expression(col("lut")), kActual)).as("adc"))
     val shortlist = graft.plans.TopK.perKey(adc, Seq("query_id"),
         Seq(col("adc"), -col("neighbor_id")), rerank)
       .select("query_id", "neighbor_id")

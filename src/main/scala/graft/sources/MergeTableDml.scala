@@ -109,22 +109,58 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
       case InsertAction(None, assignments) => assignmentsAreStar(assignments)
       case _ => false
     }
-    val condCols = keyEqualities(m.mergeCondition)
+    // each equality must pair the TARGET's column with the SOURCE's:
+    // `ON t.id = t.id` (always true) names the PK but is a cartesian
+    // match under ANSI semantics — compiling it to a keyed upsert
+    // would silently invent results no compliant engine produces
+    def crossSides(l: Expression, r: Expression): Boolean = {
+      def side(e: Expression, p: LogicalPlan): Boolean = e match {
+        case a: Attribute => p.outputSet.contains(a)
+        case _ => false
+      }
+      (l, r) match {
+        case (la: Attribute, ra: Attribute) =>
+          (side(la, m.targetTable) && side(ra, m.sourceTable)) ||
+            (side(la, m.sourceTable) && side(ra, m.targetTable))
+        case (lu: UnresolvedAttribute, ru: UnresolvedAttribute) =>
+          // both qualified by the SAME alias = same side, reject; a
+          // differing or missing qualifier is left to resolution
+          // (same-name ambiguity between sides errors loudly there)
+          !(lu.nameParts.length == 2 && ru.nameParts.length == 2 &&
+            lu.nameParts.head.equalsIgnoreCase(ru.nameParts.head))
+        case _ => true // mixed resolution state: defer to the analyzer
+      }
+    }
+    val condCols = keyEqualities(m.mergeCondition, crossSides)
       .getOrElse(fail(s"merge condition must be a conjunction of primary-key " +
-        s"equalities on (${rel.keys.mkString(", ")}), got: ${m.mergeCondition.sql}"))
+        s"equalities joining target and source on (${rel.keys.mkString(", ")}), " +
+        s"got: ${m.mergeCondition.sql}"))
     if (condCols.map(_.toLowerCase).toSet != rel.keys.map(_.toLowerCase).toSet)
       fail(s"merge condition covers (${condCols.mkString(", ")}) but the table's " +
         s"primary key is (${rel.keys.mkString(", ")})")
+    // ANSI MERGE writes the TARGET's columns: a source carrying extra
+    // columns must not silently widen the table through the fast-path
+    // upsert (whose API-level schema evolution is a CDC feature, not a
+    // SQL-MERGE one) — project the source to the target schema by name
+    def sourceAsTarget: LogicalPlan = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
+      val source = m.sourceTable
+      Project(m.targetTable.output.map { a =>
+        val s = source.output.find(_.name.equalsIgnoreCase(a.name))
+          .getOrElse(fail(s"INSERT/UPDATE SET * requires source column ${a.name}"))
+        Alias(Cast(s, a.dataType), a.name)()
+      }, source)
+    }
     (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
       case (Seq(u), Seq(i), Seq()) if isUpdateAll(u) && isInsertAll(i) =>
         MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
-          m.sourceTable, MergeTableDmlCommand.Upsert)
+          sourceAsTarget, MergeTableDmlCommand.Upsert)
       case (Seq(DeleteAction(None)), Seq(), Seq()) =>
         MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
           m.sourceTable, MergeTableDmlCommand.Delete)
       case (Seq(), Seq(i), Seq()) if isInsertAll(i) =>
         MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
-          m.sourceTable, MergeTableDmlCommand.InsertOnly)
+          sourceAsTarget, MergeTableDmlCommand.InsertOnly)
       case _ =>
         // the general ANSI surface: conditional / multiple clauses,
         // partial SET (both-sides expressions), NOT MATCHED BY SOURCE
@@ -304,14 +340,17 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Column names from a conjunction of same-name equality predicates
-    * (`t.k = s.k [AND …]`), or None if any conjunct has another shape.
+    * (`t.k = s.k [AND …]`), or None if any conjunct has another shape
+    * or fails `sides` (the target-column-vs-source-column check).
     * Works on both unresolved (first analyzer pass) and resolved attrs.
     */
-  private def keyEqualities(e: Expression): Option[Seq[String]] = e match {
-    case And(l, r) => for (a <- keyEqualities(l); b <- keyEqualities(r)) yield a ++ b
+  private def keyEqualities(e: Expression,
+      sides: (Expression, Expression) => Boolean): Option[Seq[String]] = e match {
+    case And(l, r) =>
+      for (a <- keyEqualities(l, sides); b <- keyEqualities(r, sides)) yield a ++ b
     case EqualTo(l, r) =>
       (attrName(l), attrName(r)) match {
-        case (Some(a), Some(b)) if a.equalsIgnoreCase(b) => Some(Seq(a))
+        case (Some(a), Some(b)) if a.equalsIgnoreCase(b) && sides(l, r) => Some(Seq(a))
         case _ => None
       }
     case _ => None
@@ -354,10 +393,15 @@ case class MergeTableDmlCommand(
       case MergeTableDmlCommand.Upsert =>
         t.upsert(requireUniqueKeys(src))
       case MergeTableDmlCommand.InsertOnly =>
-        t.upsert(requireUniqueKeys(src)
+        // an empty (created-but-never-committed) table has no keys to
+        // anti-join against — every source row is unmatched
+        if (!t.exists) t.upsert(requireUniqueKeys(src))
+        else t.upsert(requireUniqueKeys(src)
           .join(t.read().select(keys.map(col): _*), keys, "left_anti"))
       case MergeTableDmlCommand.Delete =>
-        t.delete(src.select(keys.map(col): _*).distinct())
+        // deleting from an empty table matches nothing: a no-op, not
+        // an error (ANSI DELETE/MERGE-DELETE semantics)
+        if (t.exists) t.delete(src.select(keys.map(col): _*).distinct())
       case MergeTableDmlCommand.Apply =>
         // general MERGE: rows routed by `_op` (see generalMerge).
         // localCheckpoint: the routing plan embeds the CURRENT target

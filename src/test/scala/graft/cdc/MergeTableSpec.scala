@@ -92,23 +92,37 @@ class MergeTableSpec extends SparkSpec {
     val root = freshRoot("occ")
     val t = new MergeTable(spark, root, Seq("id"))
     t.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
-    // a concurrent writer has claimed the next version: its manifest
-    // exists but its pointer move hasn't landed yet (the worst-case
-    // interleaving — a plain write would overwrite it, and basing the
-    // commit on the old pointer would drop the other writer's rows)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$root/manifests/v00002.txt"),
-      "base:claimed-by-other-writer".getBytes)
+    val t2 = new MergeTable(spark, root, Seq("id"))
+    t2.append(Seq((3L, "c")).toDF("id", "v")) // v2 by another writer
+    // this instance believes it last read v1 (the CAS window: its
+    // entries were read before t2's commit landed); committing on
+    // that stale base must raise, not drop t2's row
+    t.forceReadVersion(1L)
     val e = intercept[java.util.ConcurrentModificationException] {
-      t.append(Seq((3L, "c")).toDF("id", "v"))
+      t.commitProbe(Seq("base" -> "stale-snapshot"))
     }
     assert(e.getMessage.contains("concurrent commit"))
-    // the table still reads cleanly at the version this writer saw
-    assert(t.read().count() === 2)
-    // after the conflict clears, a retry (which re-reads) succeeds
-    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/manifests/v00002.txt"))
-    t.append(Seq((3L, "c")).toDF("id", "v"))
-    assert(t.read().count() === 3)
+    // a retry re-reads (v2) and lands cleanly as v3 with ALL rows
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    assert(t.read().count() === 4)
+  }
+
+  test("a writer crashing before its pointer update cannot wedge the table") {
+    val root = freshRoot("occ_crash")
+    val t = new MergeTable(spark, root, Seq("id"))
+    t.upsert(Seq((1L, "a")).toDF("id", "v"))
+    val t2 = new MergeTable(spark, root, Seq("id"))
+    t2.append(Seq((2L, "b")).toDF("id", "v")) // commits v2 ...
+    // ... but "crashes" before its convenience-pointer update landed
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_LATEST"), "v00001.txt".getBytes)
+    // manifest existence is the commit point: readers see v2, and the
+    // next writer commits v3 — no permanent conflict loop
+    val t3 = new MergeTable(spark, root, Seq("id"))
+    assert(t3.read().count() === 2)
+    t3.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t3.read().count() === 3)
+    assert(t3.versions() === Seq(1L, 2L, 3L))
   }
 
   test("applyChanges folds I/U/D with precombine ordering") {

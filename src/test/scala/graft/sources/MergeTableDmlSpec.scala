@@ -235,6 +235,28 @@ class MergeTableDmlSpec extends SparkSpec {
       """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
         |WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE""".stripMargin))
     assert(e5.getMessage.contains("other side"), e5.getMessage)
+    // a same-side merge condition names the PK but is a cartesian
+    // match under ANSI — must be rejected, not run as a keyed upsert
+    val e6 = intercept[Exception](spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = t.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(e6.getMessage.contains("target and source"), e6.getMessage)
+  }
+
+  test("extra source columns do not widen the target through MERGE") {
+    val (root, t) = freshTable("merge_no_widen")
+    view(root, "dml_target")
+    Seq((2L, "B", 200L, "EXTRA")).toDF("id", "name", "v", "surplus")
+      .createOrReplaceTempView("dml_source")
+    spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // ANSI MERGE writes the target's columns; the source-only column
+    // must not evolve the table schema through the fast-path upsert
+    assert(t.read().columns.toSeq === Seq("id", "name", "v"))
+    assert(t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L)))
   }
 
   test("SQL MERGE INTO a merge-on-read table goes through the delta path") {
