@@ -294,8 +294,11 @@ object CorpusQueries extends QueryModule {
   private val sketchDistinctSql = {
     val k = Sketches.DefaultK
     s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
-       |g AS (SELECT DISTINCT source, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
-       |      FROM w, unnest(range(len(ws) - 2)) AS t(i)),
+       |g AS (SELECT DISTINCT source, unnest(
+       |        CASE WHEN len(ws) >= 3 THEN
+       |          [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]
+       |        ELSE [array_to_string(ws, ' ')] END) AS gram
+       |      FROM w),
        |d AS (SELECT DISTINCT source, ('0x' || substr(md5(gram), 1, 12))::BIGINT AS h FROM g),
        |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM d),
        |kth AS (SELECT source, h AS hk FROM r WHERE rn = $k),

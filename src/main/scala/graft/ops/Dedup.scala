@@ -112,14 +112,16 @@ object Dedup {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     require(shingleK == 3, "registered graft_minhash_words is fixed at k=3")
-    val sigs = docs
-      .select(col(idCol).as("doc_id"),
-        call_function("graft_minhash_words", TextAnalysis.words(col(textCol))).as("sig"))
     // cache: the signature subtree feeds both sides of the self-join,
     // and signatures are tiny (64 longs/doc) relative to their compute.
-    // Registered so the harness unpersists it after the query's action
-    val buckets = graft.Caches.register(sigs
-      .select(col("doc_id"), col("sig"), posexplode(lshBandKeys(col("sig"))).as(Seq("band", "key"))))
+    // Register the PRE-explode signatures — caching the exploded
+    // buckets would copy every signature array 16x (once per band);
+    // the per-side posexplode over cached rows is trivial to recompute
+    val sigs = graft.Caches.register(docs
+      .select(col(idCol).as("doc_id"),
+        call_function("graft_minhash_words", TextAnalysis.words(col(textCol))).as("sig")))
+    val buckets = sigs
+      .select(col("doc_id"), col("sig"), posexplode(lshBandKeys(col("sig"))).as(Seq("band", "key")))
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -191,14 +193,25 @@ object Dedup {
     * Work is linear in corpus size plus intra-bucket pairs — the
     * same banded-LSH shape as minhash, never all-pairs.
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   tau: Int = 3): DataFrame = {
-    require(tau <= 3, "4x16 banding only guarantees recall for hamming <= 3")
-    val sigs = graft.Caches.register(simhash(docs, idCol, textCol))
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+  /** One hash table per 16-bit band of a (doc_id, simhash) frame —
+    * the SINGLE definition of the 4×16 banding both simhashPairs and
+    * incrementalNearDup candidate-join on (pigeonhole: lossless for
+    * hamming ≤ 3, which [[requireBandedTau]] enforces).
+    */
+  private def simhashBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "key")))
+
+  private def requireBandedTau(tau: Int): Unit =
+    require(tau <= 3, "4x16 banding only guarantees recall for hamming <= 3")
+
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   tau: Int = 3): DataFrame = {
+    requireBandedTau(tau)
+    val sigs = graft.Caches.register(simhash(docs, idCol, textCol))
+    val banded = simhashBands(sigs)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -228,15 +241,10 @@ object Dedup {
     */
   def incrementalNearDup(batch: DataFrame, indexSigs: DataFrame,
                          idCol: String, textCol: String, tau: Int = 3): DataFrame = {
-    require(tau <= 3, "4x16 banding only guarantees recall for hamming <= 3")
+    requireBandedTau(tau)
     val bs = graft.Caches.register(simhash(batch, idCol, textCol))
-    def banded(sigs: DataFrame): DataFrame =
-      sigs.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
-          .as(Seq("band", "key")))
-    val bBands = banded(bs)
-    val iBands = banded(indexSigs.select(col(idCol).as("doc_id"), col("simhash")))
+    val bBands = simhashBands(bs)
+    val iBands = simhashBands(indexSigs.select(col(idCol).as("doc_id"), col("simhash")))
       .select(col("simhash").as("idx_sig"), col("band"), col("key"))
     val vsIndex = bBands.join(iBands, Seq("band", "key"))
       .select(col("doc_id"),
