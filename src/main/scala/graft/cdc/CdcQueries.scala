@@ -29,9 +29,15 @@ object CdcQueries extends QueryModule {
     synthCache.getOrElseUpdate((System.identityHashCode(s), dir),
       graft.Caches.register(Debezium.synthesizeFromEvents(Tables.parallel(events(s, dir)))))
 
-  // absolute: the driver may launch Verify/Bench from any CWD
+  // absolute, captured at class-load from the launch CWD (the driver
+  // may chdir later); overridable for checkouts whose target dir is
+  // elsewhere
+  private val tmpBase: String = sys.props.get("graft.tmp.dir")
+    .getOrElse(java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
+      .toAbsolutePath.resolve("target").resolve("graft_tmp").toString)
+
   private def tmpRoot(name: String, dir: String): String =
-    s"/root/repo/target/graft_tmp/${name}_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    s"$tmpBase/${name}_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
 
   // latest row per user among a filtered subset, ordered by (ts, event_id)
   private def latestPerUser(df: DataFrame): DataFrame =

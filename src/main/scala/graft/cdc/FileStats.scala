@@ -49,9 +49,9 @@ object FileStats {
               val stats = chunks.map(_.getStatistics)
               if (stats.exists(s => s == null || !s.hasNonNullValue)) None
               else {
-                val typed = stats.map(s => (s.genericGetMin, s.genericGetMax))
-                val tag = typeTag(typed.head._1)
+                val tag = typeTag(chunks.head.getPrimitiveType)
                 tag.map { t =>
+                  val typed = stats.map(s => (s.genericGetMin, s.genericGetMax))
                   val mins = typed.map(v => render(v._1)).toSeq
                   val maxs = typed.map(v => render(v._2)).toSeq
                   name -> ((reduceMin(mins, t), reduceMax(maxs, t), t))
@@ -76,11 +76,21 @@ object FileStats {
   /** Parquet files under a directory, recursive (shared with readers). */
   def listParquetFiles(p: Path): Seq[Path] = listParquet(p)
 
-  private def typeTag(v: Any): Option[String] = v match {
-    case _: java.lang.Long | _: java.lang.Integer => Some("i")
-    case _: java.lang.Double | _: java.lang.Float => Some("f")
-    case _: Binary => Some("s")
-    case _ => None
+  /** Tag from the parquet schema, not the stat value: a BINARY column
+    * is only "s" when annotated as a UTF-8 string — raw binary min/max
+    * would round-trip lossily through a string render, so those
+    * columns are left stats-less (kept on every read).
+    */
+  private def typeTag(prim: org.apache.parquet.schema.PrimitiveType): Option[String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    prim.getPrimitiveTypeName match {
+      case INT32 | INT64 => Some("i")
+      case FLOAT | DOUBLE => Some("f")
+      case BINARY
+        if prim.getLogicalTypeAnnotation.isInstanceOf[
+          org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] => Some("s")
+      case _ => None
+    }
   }
 
   private def render(v: Any): String = v match {
@@ -88,16 +98,34 @@ object FileStats {
     case other => other.toString
   }
 
+  /** Unsigned lexicographic UTF-8 byte order — the order parquet uses
+    * for string min/max. Java's String.compareTo (UTF-16 code units)
+    * disagrees above the BMP, which would make pruning drop matching
+    * files.
+    */
+  private[cdc] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def reduceMin(vs: Seq[String], tag: String): String = tag match {
     case "i" => vs.map(_.toLong).min.toString
     case "f" => vs.map(_.toDouble).min.toString
-    case _ => vs.min
+    case _ => vs.reduce((a, b) => if (utf8Cmp(a, b) <= 0) a else b)
   }
 
   private def reduceMax(vs: Seq[String], tag: String): String = tag match {
     case "i" => vs.map(_.toLong).max.toString
     case "f" => vs.map(_.toDouble).max.toString
-    case _ => vs.max
+    case _ => vs.reduce((a, b) => if (utf8Cmp(a, b) >= 0) a else b)
   }
 
   // -- persistence ----------------------------------------------------------
@@ -146,9 +174,14 @@ object FileStats {
     import org.apache.spark.sql.sources._
     def rng(a: String): Option[(String, String, String)] = cols.get(a)
     def cmp(v: Any, bound: String, tag: String): Int = tag match {
-      case "i" => BigDecimal(v.toString).compare(BigDecimal(bound))
-      case "f" => BigDecimal(v.toString).compare(BigDecimal(bound))
-      case _ => v.toString.compareTo(bound)
+      case "i" | "f" => BigDecimal(v.toString).compare(BigDecimal(bound))
+      case _ => v match {
+        case s: String => utf8Cmp(s, bound)
+        // non-string value against string stats (shouldn't occur now
+        // that raw-binary columns are untagged) — throw; every caller
+        // catches and keeps the file
+        case other => sys.error(s"non-string value for string stats: ${other.getClass}")
+      }
     }
     filter match {
       case EqualTo(a, v) => rng(a).forall { case (mn, mx, t) =>

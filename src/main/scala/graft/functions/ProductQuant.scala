@@ -78,7 +78,10 @@ case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
         val base = (mi * k + c) * sub
         val voff = mi * sub
         while (i < sub) {
-          val diff = flat(base + i) - v.getFloat(voff + i)
+          // null slots count as 0.0f (explicit: ArrayData.getFloat's
+          // null read is representation-dependent)
+          val x = if (v.isNullAt(voff + i)) 0.0f else v.getFloat(voff + i)
+          val diff = flat(base + i) - x
           d += diff * diff
           i += 1
         }
@@ -139,7 +142,10 @@ case class PqLut(child: Expression, codebook: Seq[Seq[Seq[Double]]])
         var i = 0
         val base = (mi * k + c) * sub
         val voff = mi * sub
-        while (i < sub) { dot += flat(base + i) * v.getFloat(voff + i); i += 1 }
+        while (i < sub) { // null slots count as 0.0f, as in PqEncode
+          val x = if (v.isNullAt(voff + i)) 0.0f else v.getFloat(voff + i)
+          dot += flat(base + i) * x; i += 1
+        }
         out(mi * k + c) = dot
         c += 1
       }

@@ -44,27 +44,35 @@ case class QuantizeStats(child: Expression) extends UnaryExpression {
   def evalStats(input: Any): InternalRow = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
-    if (n == 0) return new GenericInternalRow(Array[Any](0.0, 0.0, 0L, 0.0))
+    // null slots are skipped, matching array_min/array_max null
+    // semantics (ArrayData.getFloat would silently read them as 0.0f)
     var mn = Double.PositiveInfinity
     var mx = Double.NegativeInfinity
+    var nonNull = 0
     var i = 0
     while (i < n) {
-      val x = v.getFloat(i).toDouble
-      if (x < mn) mn = x
-      if (x > mx) mx = x
+      if (!v.isNullAt(i)) {
+        val x = v.getFloat(i).toDouble
+        if (x < mn) mn = x
+        if (x > mx) mx = x
+        nonNull += 1
+      }
       i += 1
     }
+    if (nonNull == 0) return new GenericInternalRow(Array[Any](0.0, 0.0, 0L, 0.0))
     val scale = if (mx > mn) (mx - mn) / 256.0 else 1.0
     var sum = 0L
     var err = 0.0
     i = 0
     while (i < n) {
-      val x = v.getFloat(i).toDouble
-      var q = math.floor((x - mn) / scale).toLong
-      if (q > 255L) q = 255L
-      sum += q
-      val e = math.abs(x - (mn + (q + 0.5) * scale))
-      if (e > err) err = e
+      if (!v.isNullAt(i)) {
+        val x = v.getFloat(i).toDouble
+        var q = math.floor((x - mn) / scale).toLong
+        if (q > 255L) q = 255L
+        sum += q
+        val e = math.abs(x - (mn + (q + 0.5) * scale))
+        if (e > err) err = e
+      }
       i += 1
     }
     new GenericInternalRow(Array[Any](mn, mx, sum, err))

@@ -71,26 +71,35 @@ object TextQueries extends QueryModule {
     docs(s, dir).select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("guess"))
       .orderBy("doc_id")
 
-  private val langidSql = {
-    def hits(lang: String): String = {
-      val set = TextAnalysis.LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(ws, x -> x IN ($set)))"
-    }
-    val langs = TextAnalysis.LangMarkers.map(_._1) // de, en, es, fr, zh
-    val cases = langs.init.zipWithIndex.map { case (l, i) =>
-      val conds = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
+  // language-ID SQL fragments shared by text_langid and
+  // docs_filter_pipeline — one source of truth for the marker-count
+  // expressions and the tie-break CASE chain
+  private val langNames = TextAnalysis.LangMarkers.map(_._1) // de, en, es, fr, zh
+
+  private def langHits(lang: String): String = {
+    val set = TextAnalysis.LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(ws, x -> x IN ($set)))"
+  }
+
+  private val langHitCols: String =
+    langNames.map(l => s"${langHits(l)} AS h_$l").mkString(",\n    ")
+
+  private val langGuessCase: String = {
+    val cases = langNames.init.zipWithIndex.map { case (l, i) =>
+      val conds = langNames.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
-    }.mkString("\n    ")
+    }.mkString(" ")
+    s"CASE $cases ELSE '${langNames.last}' END"
+  }
+
+  private val langidSql =
     s"""WITH w AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
        |h AS (
-       |  SELECT doc_id, ${langs.map(l => s"${hits(l)} AS h_$l").mkString(",\n    ")}
+       |  SELECT doc_id, $langHitCols
        |  FROM w)
-       |SELECT doc_id,
-       |  CASE $cases
-       |    ELSE '${langs.last}' END AS guess
+       |SELECT doc_id, $langGuessCase AS guess
        |FROM h ORDER BY doc_id""".stripMargin
-  }
 
   // -- fingerprints --------------------------------------------------------
 
@@ -109,14 +118,15 @@ object TextQueries extends QueryModule {
 
   // -- normalization -------------------------------------------------------
 
-  private def normalize(s: SparkSession, dir: String): DataFrame =
+  private def normalize(s: SparkSession, dir: String): DataFrame = {
+    // one bound normalization chain feeding both outputs — norm_fp and
+    // norm_len must describe the SAME string
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
     docs(s, dir).select(
-      col("doc_id"),
-      md5(trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))).as("norm_fp"),
-      length(trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))).as("norm_len"))
+      col("doc_id"), md5(norm).as("norm_fp"), length(norm).as("norm_len"))
       .orderBy("doc_id")
+  }
 
   private val normalizeSql =
     """SELECT doc_id,
@@ -310,9 +320,13 @@ object TextQueries extends QueryModule {
     Dedup.connectedComponents(pairs).orderBy("doc_id")
   }
 
-  private val dedupClustersSql =
-    """WITH RECURSIVE
-      |w AS (
+  /** Shingle → candidate-pair → edge → reachability CTE chain shared
+    * verbatim by dedup_clusters and dedup_keep_list: one source of
+    * truth for the shingle rule (len >= 3 / whole-doc fallback), the
+    * blocking keys, and the 0.1 jaccard cutoff.
+    */
+  private val dupReachCtes =
+    """w AS (
       |  SELECT doc_id, source, n_chars,
       |    regexp_extract_all(lower(text), '[a-z]+') AS ws
       |  FROM documents),
@@ -339,9 +353,13 @@ object TextQueries extends QueryModule {
       |reach(id, comp) AS (
       |  SELECT id, id FROM nodes
       |  UNION
-      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
-      |SELECT id AS doc_id, min(comp) AS cluster
-      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE
+       |$dupReachCtes
+       |SELECT id AS doc_id, min(comp) AS cluster
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   // -- benchmark decontamination -------------------------------------------
 
@@ -411,41 +429,14 @@ object TextQueries extends QueryModule {
   }
 
   private val dedupKeepListSql =
-    """WITH RECURSIVE
-      |w AS (
-      |  SELECT doc_id, source, n_chars,
-      |    regexp_extract_all(lower(text), '[a-z]+') AS ws
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, source, n_chars,
-      |    CASE WHEN len(ws) >= 3 THEN
-      |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)])
-      |    ELSE [array_to_string(ws, ' ')] END AS gs
-      |  FROM w),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    len(a.gs) + len(b.gs) - len(list_distinct(list_concat(a.gs, b.gs))) AS inter_n,
-      |    len(list_distinct(list_concat(a.gs, b.gs))) AS union_n
-      |  FROM sh a JOIN sh b
-      |    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 20
-      |   AND a.doc_id < b.doc_id),
-      |edges AS (
-      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |  WHERE CAST(inter_n AS DOUBLE) / union_n >= 0.1
-      |  UNION ALL
-      |  SELECT doc_b, doc_a FROM pairs
-      |  WHERE CAST(inter_n AS DOUBLE) / union_n >= 0.1),
-      |nodes AS (SELECT DISTINCT src AS id FROM edges),
-      |reach(id, comp) AS (
-      |  SELECT id, id FROM nodes
-      |  UNION
-      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
-      |drops AS (SELECT id FROM reach GROUP BY id HAVING id <> min(comp))
-      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(count(*) - count(d.id) AS BIGINT) AS n_kept,
-      |  CAST(count(d.id) AS BIGINT) AS n_dropped
-      |FROM documents LEFT JOIN drops d ON documents.doc_id = d.id
-      |GROUP BY source ORDER BY source""".stripMargin
+    s"""WITH RECURSIVE
+       |$dupReachCtes,
+       |drops AS (SELECT id FROM reach GROUP BY id HAVING id <> min(comp))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) - count(d.id) AS BIGINT) AS n_kept,
+       |  CAST(count(d.id) AS BIGINT) AS n_dropped
+       |FROM documents LEFT JOIN drops d ON documents.doc_id = d.id
+       |GROUP BY source ORDER BY source""".stripMargin
 
   // -- corpus n-gram top-k -------------------------------------------------
 
@@ -507,21 +498,12 @@ object TextQueries extends QueryModule {
 
   private val filterPipelineSql = {
     val stopList = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
-    def hits(lang: String): String = {
-      val set = TextAnalysis.LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(ws, x -> x IN ($set)))"
-    }
-    val langs = TextAnalysis.LangMarkers.map(_._1)
-    val cases = langs.init.zipWithIndex.map { case (l, i) =>
-      val conds = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
-      s"WHEN $conds THEN '$l'"
-    }.mkString("\n      ")
     s"""WITH ws AS (
        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
        |sig AS (
        |  SELECT doc_id, lang, len(ws) AS n_words,
        |    CAST(len(list_filter(ws, x -> x IN ($stopList))) AS DOUBLE) / len(ws) AS stop_ratio,
-       |    ${langs.map(l => s"${hits(l)} AS h_$l").mkString(",\n    ")}
+       |    $langHitCols
        |  FROM ws),
        |rep AS (
        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_word_frac FROM (
@@ -531,7 +513,7 @@ object TextQueries extends QueryModule {
        |g AS (
        |  SELECT doc_id, lang, n_words, top_word_frac,
        |    least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * (1.0 - stop_ratio) AS score,
-       |    CASE $cases ELSE '${langs.last}' END AS guess
+       |    $langGuessCase AS guess
        |  FROM sig JOIN rep USING (doc_id)),
        |r AS (
        |  SELECT doc_id,

@@ -54,20 +54,31 @@ class MergeTableChangeFeedSource(
   private def hadoopFs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // Tolerant read: an empty/torn/corrupt file (crash mid-write on a
+  // filesystem without atomic rename) degrades to "no high water" —
+  // the stream re-seeds from startingVersion and the engine's own
+  // checkpointed offset still guards against re-processing.
   private def readHighWater(): Option[Long] = highWaterFile.flatMap { p =>
-    val fs = hadoopFs(p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in)).trim.toLong)
-      finally in.close()
-    }
+    try {
+      val fs = hadoopFs(p)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in)).trim.toLongOption
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
   }
 
+  // Temp-file + rename so a crash mid-write never truncates the
+  // previous high water in place (the FileStreamSource pattern).
   private def writeHighWater(v: Long): Unit = highWaterFile.foreach { p =>
     val fs = hadoopFs(p)
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
   }
 
   // highest version already advertised to the engine; monotone, seeded
@@ -87,7 +98,12 @@ class MergeTableChangeFeedSource(
       // our startingVersion (versions committed while the stream was
       // down) — advertising exposed lets the engine schedule the
       // catch-up batch (committed, exposed] instead of skipping it
-      exposed = math.max(exposed, math.min(vs.last, exposed + maxVersionsPerBatch))
+      // saturating add: a huge user-supplied cap ("unlimited") must
+      // not wrap negative and freeze the stream
+      val reach =
+        if (exposed > 0 && maxVersionsPerBatch > Long.MaxValue - exposed) Long.MaxValue
+        else exposed + maxVersionsPerBatch
+      exposed = math.max(exposed, math.min(vs.last, reach))
       Some(LongOffset(exposed))
     }
   }
@@ -152,7 +168,7 @@ object MergeTableChangeFeedSource {
     // default: only changes committed after stream creation
     val startingVersion = parameters.get("startingVersion").map(_.toLong)
       .getOrElse(t.versions().lastOption.getOrElse(0L))
-    val maxVersions = parameters.get("maxVersionsPerBatch").map(_.toLong)
+    val maxVersions = parameters.get("maxVersionsPerBatch").map(v => math.max(1L, v.toLong))
       .getOrElse(Long.MaxValue / 4)
     new MergeTableChangeFeedSource(spark, path, keys, mode, buckets,
       startingVersion, maxVersions, metadataPath)

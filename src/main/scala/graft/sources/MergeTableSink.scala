@@ -38,39 +38,47 @@ class MergeTableSink(
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // rewrap: the engine hands a DataFrame over the streaming plan,
     // which cannot be the subject of new (batch) queries directly
-    val batch = org.apache.spark.sql.graft.StreamingShim.asBatch(data).persist()
-    try {
-      if (batch.isEmpty) return
-      val table = new MergeTable(data.sparkSession, path, keys, mode, numBuckets)
-      applyMode match {
-        case "changes" =>
-          // one precombine across ALL op classes decides each key's
-          // FINAL event by `ordering` — then losers of the same key
-          // are gone, a final D deletes, anything else upserts. (NOT
-          // applyChanges' append path: a checkpoint-replayed append
-          // would duplicate rows; and deletes must not be applied
-          // blindly after upserts or D-then-reinsert within one batch
-          // would lose the newer row.)
-          val finalPerKey = Precombine.latestByKey(batch, keys, ordering)
+    val batch = org.apache.spark.sql.graft.StreamingShim.asBatch(data)
+    val table = new MergeTable(data.sparkSession, path, keys, mode, numBuckets)
+    applyMode match {
+      case "changes" =>
+        // one precombine across ALL op classes decides each key's
+        // FINAL event by `ordering` — then losers of the same key
+        // are gone, a final D deletes, anything else upserts. (NOT
+        // applyChanges' append path: a checkpoint-replayed append
+        // would duplicate rows; and deletes must not be applied
+        // blindly after upserts or D-then-reinsert within one batch
+        // would lose the newer row.)
+        // Persist the POST-aggregation frame: every consumer below
+        // (two isEmpty probes, the merge join, the delete) would
+        // otherwise re-run the precombine shuffle per action.
+        val finalPerKey = Precombine.latestByKey(batch, keys, ordering).persist()
+        try {
           val upserts = finalPerKey.filter(col("opclass") =!= graft.cdc.CdcModel.OpDelete)
             .drop("opclass").drop(ordering: _*)
           if (!upserts.isEmpty) table.upsert(upserts)
           val deletes = finalPerKey.filter(col("opclass") === graft.cdc.CdcModel.OpDelete)
-          if (!deletes.isEmpty) table.delete(deletes.select(keys.map(col): _*))
-        case _ =>
-          // no ordering option → order by ALL non-key columns: an
-          // arbitrary-but-DETERMINISTIC winner, so a replayed batch
-          // commits the identical row (dropDuplicates' survivor
-          // depends on partition order and would break replay)
-          val ord = if (ordering.nonEmpty) ordering
-            else batch.columns.filterNot(keys.contains).toSeq
-          val deduped =
-            if (ord.isEmpty) batch.dropDuplicates(keys) // keys-only schema
-            else Precombine.latestByKey(batch, keys, ord)
-              .drop(ordering: _*) // user-supplied ordering cols are meta; data cols stay
-          table.upsert(deduped)
-      }
-    } finally batch.unpersist()
+          // deletes against a never-created table are a no-op (the
+          // rows can't exist) — a delete-only first batch, e.g. from
+          // a compacted topic's tombstones, must not crash the stream
+          if (!deletes.isEmpty && table.exists)
+            table.delete(deletes.select(keys.map(col): _*))
+        } finally finalPerKey.unpersist()
+      case _ =>
+        // no ordering option → order by ALL non-key columns: an
+        // arbitrary-but-DETERMINISTIC winner, so a replayed batch
+        // commits the identical row (dropDuplicates' survivor
+        // depends on partition order and would break replay)
+        val ord = if (ordering.nonEmpty) ordering
+          else batch.columns.filterNot(keys.contains).toSeq
+        val deduped =
+          (if (ord.isEmpty) batch.dropDuplicates(keys) // keys-only schema
+           else Precombine.latestByKey(batch, keys, ord)
+             .drop(ordering: _*)) // user-supplied ordering cols are meta; data cols stay
+            .persist() // upsert consumes it more than once (key count + merge)
+        try { if (!deduped.isEmpty) table.upsert(deduped) }
+        finally deduped.unpersist()
+    }
   }
 
   override def toString: String = s"MergeTableSink[$path]"

@@ -94,6 +94,33 @@ class ClusterStatsSpec extends SparkSpec {
     assert(t.prunableFiles(t.currentEntries()).isDefined)
   }
 
+  test("string pruning uses parquet's UTF-8 byte order, not UTF-16") {
+    // U+FFFD sorts AFTER U+1F600 in Java's UTF-16 code-unit order but
+    // BEFORE it in parquet's unsigned UTF-8 byte order — a Java-order
+    // comparison would prune the file containing the matching row
+    val root = freshRoot("utf8")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "�"), (2L, "😀")).toDF("id", "v").coalesce(1)))
+    val files = t.prunableFiles(t.currentEntries()).get
+    assert(files.size === 1 && files.forall(_._2.contains("v")))
+    files.foreach { case (f, st) =>
+      assert(FileStats.mayMatch(st, EqualTo("v", "�")),
+        s"$f pruned away the row it contains (UTF-16 vs UTF-8 order)")
+    }
+    // sanity: a value outside the range still prunes
+    assert(files.forall(st => !FileStats.mayMatch(st._2, EqualTo("v", "A"))))
+  }
+
+  test("raw binary columns get no stats (lossy string render would misprune)") {
+    val root = freshRoot("binstats")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, Array[Byte](1, 2)), (2L, Array[Byte](3, 4))).toDF("id", "b")))
+    val files = t.prunableFiles(t.currentEntries()).get
+    assert(files.nonEmpty)
+    assert(files.forall(!_._2.contains("b")), "binary column must not carry stats")
+    assert(files.forall(_._2.contains("id")))
+  }
+
   test("vacuum removes stats of dropped data directories") {
     val root = freshRoot("vacuum_stats")
     val t = MergeTable.createIfAbsent(spark, root, Seq("id"),

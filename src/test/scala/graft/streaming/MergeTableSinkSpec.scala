@@ -73,6 +73,21 @@ class MergeTableSinkSpec extends SparkSpec {
     assert(got === Map(1L -> "a2"))
   }
 
+  test("delete-only first batch on a fresh table is a no-op, not a crash") {
+    // a new pipeline tailing a compacted topic can see only tombstones
+    // first — the rows don't exist, so the deletes must drop silently
+    val root = fresh("donly")
+    val sink = new graft.sources.MergeTableSink(root, Seq("id"),
+      MergeTable.CopyOnWrite, None, "changes", Seq("ts_ms"))
+    sink.addBatch(0, Seq(("D", 1L, "", 1L), ("D", 2L, "", 1L)).toDF("opclass", "id", "v", "ts_ms"))
+    assert(!new MergeTable(spark, root, Seq("id")).exists)
+    // the table still initializes normally afterwards
+    sink.addBatch(1, Seq(("I", 1L, "a", 2L)).toDF("opclass", "id", "v", "ts_ms"))
+    val got = new MergeTable(spark, root, Seq("id")).read()
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a"))
+  }
+
   test("replaying a batch leaves the table unchanged (checkpoint recovery)") {
     val root = fresh("replay")
     val sink = new graft.sources.MergeTableSink(root, Seq("id"),
