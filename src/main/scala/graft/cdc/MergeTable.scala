@@ -442,7 +442,14 @@ final class MergeTable(
     */
   def compact(): Unit =
     if (numBuckets.isDefined) compactBuckets()
-    else commit(Seq("base" -> writeData(read())))
+    else {
+      // no-op when already one base and nothing pending: a scheduled
+      // COMPACT on an idle COW table must not rewrite the whole
+      // snapshot (and must report 0 versions, per the SQL contract)
+      val es = entries()
+      if (es.exists(_._1 == "delta") || es.count(_._1 == "base") > 1)
+        commit(Seq("base" -> writeData(read())))
+    }
 
   private def compactBuckets(): Unit = {
     val es = entries()
@@ -543,11 +550,17 @@ final class MergeTable(
   private def maybeCompact(): Unit =
     if (entries().count(_._1 == "delta") >= maxDeltas) compact()
 
-  /** Apply a full normalized change batch (opclass I/U/D) in
-    * reference order — inserts appended, upserts merged, deletes
-    * applied (processBatch structure, transaction_log_util.py:86-168).
-    * `ordering` are the precombine columns (e.g. ts_ms); `metaCols`
-    * are envelope-only columns to drop from the stored rows.
+  /** Apply a full normalized change batch (opclass I/U/D) with the
+    * reference's outcome — inserts land, upserts replace matched keys
+    * (outranking same-key inserts), deletes remove keys (processBatch
+    * structure, transaction_log_util.py:86-168). `ordering` are the
+    * precombine columns (e.g. ts_ms); `metaCols` are envelope-only
+    * columns to drop from the stored rows.
+    *
+    * Every commit this makes is IDEMPOTENT (upsert of the same rows /
+    * delete of the same keys converges): a checkpoint-replayed
+    * micro-batch — foreachBatch is at-least-once — reapplies to the
+    * identical table state instead of appending duplicate-PK rows.
     */
   def applyChanges(batch: DataFrame, ordering: Seq[String], metaCols: Seq[String] = Nil): Unit = {
     val drops = if (metaCols.nonEmpty) metaCols else ordering
@@ -570,18 +583,22 @@ final class MergeTable(
       upsert(result)
       return
     }
-    val inserts = batch.filter(col("opclass") === CdcModel.OpInsert).drop("opclass")
-    val upserts = batch.filter(col("opclass") === CdcModel.OpUpsert).drop("opclass")
-    val deletes = batch.filter(col("opclass") === CdcModel.OpDelete).drop("opclass")
-    // precombine inserts too: within-batch duplicate keys (snapshot 'r'
-    // plus 'c', or retried inserts) must not leave duplicate-PK rows —
-    // keeps both paths consistent (the fresh-table fast path above
-    // already dedups) at the cost of diverging from the reference's
-    // raw append of insert batches
-    if (!inserts.isEmpty)
-      append(Precombine.latestByKey(inserts, keys, ordering).drop(drops: _*))
-    if (!upserts.isEmpty)
-      upsert(Precombine.latestByKey(upserts, keys, ordering).drop(drops: _*))
+    // Existing table: same combination as the fresh path (inserts ∪
+    // upserts priority-precombined → ONE upsert; deletes → one
+    // delete). Two idempotent commits instead of the reference's
+    // stepwise append+merge+delete: an append of inserts would
+    // duplicate PK rows on micro-batch replay AND whenever a
+    // re-inserted key already exists — upsert gives the same final
+    // state per key without either hazard.
+    val inserts = batch.filter(col("opclass") === CdcModel.OpInsert)
+      .drop("opclass").withColumn("_pri", lit(0))
+    val upserts = batch.filter(col("opclass") === CdcModel.OpUpsert)
+      .drop("opclass").withColumn("_pri", lit(1))
+    val deletes = batch.filter(col("opclass") === CdcModel.OpDelete)
+    val merged = Precombine.latestByKey(
+      inserts.unionByName(upserts, allowMissingColumns = true),
+      keys, "_pri" +: ordering).drop("_pri").drop(drops: _*)
+    if (!merged.isEmpty) upsert(merged)
     if (!deletes.isEmpty)
       delete(deletes.select(keys.map(col): _*))
   }

@@ -373,14 +373,16 @@ object Similarity {
     */
   def nearDupPairs(spark: SparkSession, vectors: DataFrame, dim: Int,
                    threshold: Double): DataFrame = {
-    // signature subtree feeds both candidate sides and both rescoring
-    // joins; signatures are tiny (one long/vector) relative to compute
-    val sigd = graft.Caches.register(vectors
-      .select(col("vec_id"), col("embedding"),
-        lshSignature(spark, col("embedding"), dim).as("sig")))
-    val cand = bandedCandidatePairs(sigd)
-    val ea = sigd.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val eb = sigd.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    // signature subtree feeds both candidate sides; cache ONLY
+    // (vec_id, sig) — 16 bytes/vector — never the embedding column,
+    // which would pin the whole corpus in storage memory. The two
+    // rescoring joins re-read embeddings from the source, touching
+    // only the (small) candidate set.
+    val sigs = graft.Caches.register(vectors
+      .select(col("vec_id"), lshSignature(spark, col("embedding"), dim).as("sig")))
+    val cand = bandedCandidatePairs(sigs)
+    val ea = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val eb = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
       .withColumn("score", round(cosine(spark, col("ea"), col("eb")), 6))
       .filter(col("score") >= threshold)

@@ -128,6 +128,10 @@ object TopKPerKey {
       k: Int,
       childOutput: Seq[Attribute]): Iterator[(UnsafeRow, mutable.PriorityQueue[(InternalRow, UnsafeRow)])] = {
     val keyProj = UnsafeProjection.create(keys, childOutput)
+    // normalize child rows to UnsafeRow — a child plan bottoming out
+    // in an RDD scan emits GenericInternalRows, which a bare cast
+    // would crash on
+    val rowProj = UnsafeProjection.create(childOutput, childOutput)
     val ordExpr = BindReferences.bindReference(CreateStruct.create(ordering), childOutput)
     val ordType = ordExpr.dataType.asInstanceOf[StructType]
     // descending lexicographic: invert the natural struct ordering
@@ -148,10 +152,10 @@ object TopKPerKey {
           h
       }
       if (heap.size < k) {
-        heap.enqueue((ord.copy(), row.copy().asInstanceOf[UnsafeRow]))
+        heap.enqueue((ord.copy(), rowProj(row).copy()))
       } else if (natural.compare(ord, heap.head._1) > 0) {
         heap.dequeue()
-        heap.enqueue((ord.copy(), row.copy().asInstanceOf[UnsafeRow]))
+        heap.enqueue((ord.copy(), rowProj(row).copy()))
       }
     }
     heaps.iterator

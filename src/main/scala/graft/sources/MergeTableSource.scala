@@ -76,7 +76,16 @@ class MergeTableSource extends RelationProvider with DataSourceRegister
           throw new IllegalArgumentException(
             s"mergetable at $path has no commit at or before timestampAsOf=$ts"))
       })
-    new MergeTableRelation(sqlContext, path, keys.getOrElse(Seq("id")), mode, buckets, version)
+    // catalog-created-empty tables record their schema in _META.json;
+    // threading it through makes the pre-first-insert read return an
+    // empty frame instead of failing schema resolution
+    val declared = meta.flatMap(_.schemaJson)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+    new MergeTableRelation(sqlContext, path,
+      keys.getOrElse(throw new IllegalArgumentException(
+        s"mergetable at $path has no _META.json and no 'keys' option — the key " +
+          "columns drive DML and MOR reconciliation and must not be guessed")),
+      mode, buckets, version, declared)
   }
 }
 

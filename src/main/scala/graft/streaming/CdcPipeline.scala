@@ -16,8 +16,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * reference's datatables.collect()). Each table's changes are then
   * filtered from the cached batch and applied with one precombine +
   * one merge join. Rate limiting (maxOffsetsPerTrigger-style) belongs
-  * on the source options; checkpointing makes the loop exactly-once
-  * into the atomic MergeTable commits.
+  * on the source options. foreachBatch is at-least-once; end-to-end
+  * the loop is effectively-once because every commit applyChanges
+  * makes is idempotent (upsert/delete of the same batch converges),
+  * so a checkpoint-replayed batchId re-lands the identical state.
   */
 final class CdcPipeline(
     spark: SparkSession,
@@ -74,13 +76,16 @@ object KafkaCdcSource {
       startingOffset: String = "latest",
       maxOffsetsPerTrigger: Long = 200000L,
       maxPartitionFetchBytes: Long = 10485760L): Map[String, String] = {
+    // consumer-level settings need the "kafka." prefix — Spark's
+    // provider forwards only prefixed entries to the consumer and
+    // silently drops unknown plain options
     val base = Map(
       "kafka.bootstrap.servers" -> bootstrapServers,
       "subscribe" -> topics,
-      "kafka.consumer.commit.groupid" -> s"group-$jobName",
+      "kafka.group.id" -> s"group-$jobName",
       "failOnDataLoss" -> "false",
       "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString,
-      "max.partition.fetch.bytes" -> maxPartitionFetchBytes.toString)
+      "kafka.max.partition.fetch.bytes" -> maxPartitionFetchBytes.toString)
     if (startingOffset == "earliest" || startingOffset == "latest")
       base + ("startingOffsets" -> startingOffset)
     else

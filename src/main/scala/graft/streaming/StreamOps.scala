@@ -92,29 +92,41 @@ object StreamOps {
             state.remove()
             Iterator(ClosedSession(s.userId, s.startMs, s.endMs, s.nEvents))
           } else {
-            val ts = rows.map(_._2.getTime).toArray.sorted
-            var open = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            ts.foreach { t =>
-              open match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  open = Some(s.copy(endMs = math.max(s.endMs, t), nEvents = s.nEvents + 1))
-                case Some(s) =>
-                  closed += ClosedSession(s.userId, s.startMs, s.endMs, s.nEvents)
-                  open = Some(OpenSession(userId, t, t, 1))
-                case None =>
-                  open = Some(OpenSession(userId, t, t, 1))
-              }
+            // Interval merge, not a left-to-right fold against endMs:
+            // allowed-late events may precede the open session, and a
+            // fold's `t - endMs <= gap` test (negative for early
+            // events) would absorb arbitrarily-old events without
+            // moving startMs. Treating the open session as one
+            // interval among the batch's instants and merging in
+            // sorted order reproduces batch sessionization: an early
+            // event within gap of the session start EXTENDS the start;
+            // one beyond it forms (and immediately closes) its own
+            // earlier session.
+            val ivs = (state.getOption.map(s => (s.startMs, s.endMs, s.nEvents)).toList
+              ++ rows.map { r => val t = r._2.getTime; (t, t, 1L) })
+              .sortBy(iv => (iv._1, iv._2))
+            if (ivs.isEmpty) Iterator.empty
+            else {
+            val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            ivs.foreach { iv =>
+              if (merged.nonEmpty && iv._1 - merged.last._2 <= gapMs) {
+                val last = merged.last
+                merged(merged.size - 1) =
+                  (last._1, math.max(last._2, iv._2), last._3 + iv._3)
+              } else merged += iv
             }
-            open.foreach { s =>
-              state.update(s)
-              // clamp: an allowed-late event can open a session whose
-              // horizon is already behind the watermark, and
-              // setTimeoutTimestamp rejects past timestamps
-              val wm = state.getCurrentWatermarkMs()
-              state.setTimeoutTimestamp(math.max(s.endMs + gapMs, wm + 1))
+            // all but the latest interval are closed by a gap; the
+            // latest stays open awaiting more events or timeout
+            val closed = merged.init.map(iv => ClosedSession(userId, iv._1, iv._2, iv._3))
+            val s = OpenSession(userId, merged.last._1, merged.last._2, merged.last._3)
+            state.update(s)
+            // clamp: an allowed-late event can open a session whose
+            // horizon is already behind the watermark, and
+            // setTimeoutTimestamp rejects past timestamps
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(s.endMs + gapMs, wm + 1))
+            closed.iterator
             }
-            closed.result().iterator
           }
         })
   }

@@ -125,6 +125,38 @@ class MergeTableSpec extends SparkSpec {
     assert(t3.versions() === Seq(1L, 2L, 3L))
   }
 
+  test("applyChanges replay converges: no duplicate keys from re-applied batches") {
+    val root = freshRoot("applyreplay")
+    val t = new MergeTable(spark, root, Seq("id"))
+    t.applyChanges(Seq(("I", 1L, "a", 100L), ("I", 2L, "b", 100L))
+      .toDF("opclass", "id", "v", "ts_ms"), ordering = Seq("ts_ms"))
+    // batch 2 re-inserts an existing key (crawler re-emit), updates,
+    // and deletes a missing key
+    val batch2 = Seq(("I", 1L, "a-re", 200L), ("U", 2L, "B", 200L), ("D", 3L, "x", 200L))
+      .toDF("opclass", "id", "v", "ts_ms")
+    t.applyChanges(batch2, ordering = Seq("ts_ms"))
+    val once = t.read().select("id", "v").as[(Long, String)].collect().sorted
+    assert(once === Seq((1L, "a-re"), (2L, "B")), "re-insert must replace, not duplicate")
+    // foreachBatch is at-least-once: the same batch replayed after a
+    // crash must land the identical state
+    t.applyChanges(batch2, ordering = Seq("ts_ms"))
+    val twice = t.read().select("id", "v").as[(Long, String)].collect().sorted
+    assert(twice === once)
+  }
+
+  test("compact on an idle single-base COW table is a no-op") {
+    val root = freshRoot("compactidle")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")))
+    val before = t.versions()
+    t.compact() // nothing pending: must not rewrite the snapshot
+    assert(t.versions() === before)
+    t.append(Seq((2L, "b")).toDF("id", "v")) // second base → compactable
+    t.compact()
+    assert(t.versions().size === before.size + 2)
+    assert(t.read().count() === 2)
+  }
+
   test("applyChanges folds I/U/D with precombine ordering") {
     val root = freshRoot("applychanges")
     val t = new MergeTable(spark, root, Seq("id"))

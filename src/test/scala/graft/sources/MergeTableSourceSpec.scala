@@ -99,4 +99,26 @@ class MergeTableSourceSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("path"))
   }
+
+  test("no _META.json and no keys option fails instead of guessing a key") {
+    val root = "target/test_tmp/source_nokeys"
+    MergeTable.drop(root)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("mergetable").option("path", root).load()
+    }
+    assert(err.getMessage.contains("keys"))
+  }
+
+  test("catalog-created empty table reads as an empty frame through format()") {
+    val root = "target/test_tmp/source_declared"
+    MergeTable.drop(root)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING")
+    // what CREATE TABLE records before any insert: meta with schema only
+    MergeTable.writeMeta(root,
+      MergeTable.Meta(Seq("k"), MergeTable.CopyOnWrite, None, Some(schema.json)))
+    val df = spark.read.format("mergetable").option("path", root).load()
+    assert(df.schema === schema)
+    assert(df.count() === 0)
+  }
 }

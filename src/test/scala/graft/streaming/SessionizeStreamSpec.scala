@@ -40,6 +40,39 @@ class SessionizeStreamSpec extends SparkSpec {
     assert(sessions(1).startMs === ts("2024-01-01 12:00:00").getTime)
   }
 
+  test("allowed-late out-of-order events extend the session start or form earlier sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = StreamOps.sessionizeStream(
+      mem.toDF().toDF("user_id", "ts"), gapMinutes = 10, watermarkDelay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+
+    mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable() // open session [10:00, 10:05]; watermark 09:35
+    // both above the watermark, both BEFORE the open session:
+    //  09:52 is within the 10-min gap of the session start → extends it
+    //  09:37 is beyond the gap of 09:52 → its own earlier session
+    mem.addData((1L, ts("2024-01-01 09:52:00")), (1L, ts("2024-01-01 09:37:00")))
+    q.processAllAvailable()
+    // watermark pusher flushes user 1's open session
+    mem.addData((9L, ts("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+    mem.addData((9L, ts("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions_ooo").as[ClosedSession].collect()
+      .filter(_.userId == 1L).sortBy(_.startMs)
+    assert(sessions.length === 2, sessions.mkString(", "))
+    assert(sessions(0).startMs === ts("2024-01-01 09:37:00").getTime)
+    assert(sessions(0).nEvents === 1)
+    assert(sessions(1).startMs === ts("2024-01-01 09:52:00").getTime,
+      "early event within gap of the session start must move the start back")
+    assert(sessions(1).endMs === ts("2024-01-01 10:05:00").getTime)
+    assert(sessions(1).nEvents === 3)
+  }
+
   test("events far behind the watermark do not resurrect flushed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]

@@ -162,9 +162,14 @@ class StreamingSpec extends SparkSpec {
   test("kafka source options mirror the reference connector settings") {
     val opts = KafkaCdcSource.options("broker:9092", "t1,t2", "job1", "earliest")
     assert(opts("subscribe") === "t1,t2")
-    assert(opts("kafka.consumer.commit.groupid") === "group-job1")
+    assert(opts("kafka.group.id") === "group-job1")
     assert(opts("startingOffsets") === "earliest")
     assert(opts("maxOffsetsPerTrigger") === "200000")
+    // consumer-level settings must carry the "kafka." prefix or
+    // Spark's provider silently drops them
+    assert(opts("kafka.max.partition.fetch.bytes") === "10485760")
+    assert(!opts.keys.exists(k => k == "max.partition.fetch.bytes"
+      || k == "kafka.consumer.commit.groupid"))
     val tsOpts = KafkaCdcSource.options("b", "t", "j", "2024-01-01T00:00:00")
     assert(tsOpts.contains("startingTimestamp") && !tsOpts.contains("startingOffsets"))
   }
