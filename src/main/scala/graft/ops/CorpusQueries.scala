@@ -273,6 +273,61 @@ object CorpusQueries extends QueryModule {
        |        FROM documents))
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- fixed-length sequence packing ---------------------------------------
+
+  private val SeqTokens = 512
+
+  /** Concat-and-chunk sequence packing — the step that turns a
+    * document corpus into fixed-length training sequences: documents
+    * concatenate in deterministic (doc_id) order into one token
+    * stream, chunked every `SeqTokens` tokens; a document spans every
+    * sequence its token range overlaps. Output per sequence: how many
+    * documents contribute and how many tokens land in it (= SeqTokens
+    * except the tail).
+    *
+    * The stream offset is the same distributed prefix sum as
+    * `docs_pack_shards` (no single-reducer window), and the
+    * doc→sequence fan-out is a bounded explode (total output rows =
+    * total_tokens / SeqTokens). Deterministic — no RNG, no
+    * coordinator — so shard-parallel packing runs agree.
+    */
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("long")
+    val slim = docs(s, dir).select(col("doc_id"), toks.as("n_tokens"))
+      .withColumn("_g", lit(0))
+    val cum = PrefixSum.runningTotal(slim, "_g", Seq("doc_id"), "n_tokens", "cum")
+    val start = col("cum") - col("n_tokens")
+    cum
+      .withColumn("seq_id", explode(sequence(
+        floor(start / SeqTokens), floor((col("cum") - 1) / SeqTokens))))
+      .withColumn("in_seq",
+        least(col("cum"), (col("seq_id") + 1) * SeqTokens)
+          - greatest(col("cum") - col("n_tokens"), col("seq_id") * SeqTokens))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("in_seq").as("n_tokens"))
+      .orderBy("seq_id")
+  }
+
+  private val packSequencesSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t),
+       |x AS (
+       |  SELECT doc_id, n_tokens, cum,
+       |    unnest(generate_series(
+       |      CAST(floor((cum - n_tokens) / $SeqTokens.0) AS BIGINT),
+       |      CAST(floor((cum - 1) / $SeqTokens.0) AS BIGINT))) AS seq_id
+       |  FROM c)
+       |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(least(cum, (seq_id + 1) * $SeqTokens)
+       |           - greatest(cum - n_tokens, seq_id * $SeqTokens)) AS BIGINT) AS n_tokens
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- KMV distinct-count sketch -------------------------------------------
 
   /** Distinct word-trigram cardinality per source, exact AND by KMV
@@ -400,6 +455,7 @@ object CorpusQueries extends QueryModule {
     QueryDef("docs_mix_weighted", mixWeighted, Some(mixWeightedSql)),
     QueryDef("docs_chunk", chunk, Some(chunkSql)),
     QueryDef("docs_pack_shards", packShards, Some(packShardsSql)),
+    QueryDef("docs_pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("sketch_distinct_ngrams", sketchDistinct, Some(sketchDistinctSql)),
     QueryDef("sketch_quantiles", sketchQuantiles, Some(sketchQuantilesSql)),
     QueryDef("sketch_countmin_words", sketchCountMin, Some(sketchCountMinSql)),

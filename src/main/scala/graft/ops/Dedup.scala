@@ -54,6 +54,63 @@ object Dedup {
       .join(indexFps.select("fp"), Seq("fp"), "left_anti")
       .select(col("keep_id"), col("fp"))
 
+  // ---- bloom prefilter ---------------------------------------------------
+
+  /** Probes per fingerprint in [[bloomPrefilter]]. */
+  val BloomProbes = 4
+
+  private def bloomPos(fp: Column, i: Int, bits: Long): Column =
+    conv(substring(md5(concat(lit(s"bloom$i"), fp)), 1, 6), 16, 10)
+      .cast("long") % bits
+
+  /** Broadcast bloom prefilter for incremental dedup: classify each
+    * batch row as `new` (bloom miss — definitely not in the index),
+    * `dup` (bloom hit, confirmed by the exact join) or
+    * `false_positive` (bloom hit, refuted).
+    *
+    * The scale shape this buys: the bloom table is FIXED SIZE
+    * (`lanes` longs) whatever the index cardinality, built by one
+    * per-lane bit-OR aggregation and shipped as a literal array — so
+    * the expensive exact join against the 10^9-row historical index
+    * runs only for the maybe-duplicate sliver of the batch, and the
+    * definitely-new majority never shuffles at all. Every hash is a
+    * salted md5 prefix, so bloom bits — and therefore every status —
+    * are a pure function of the input set, reproducible cross-engine.
+    */
+  def bloomPrefilter(batch: DataFrame, index: DataFrame,
+                     idCol: String, textCol: String, lanes: Int = 1024): DataFrame = {
+    val bits = lanes * 64L
+    val histFps = index.select(md5(col(textCol)).as("fp")).distinct()
+    val probes = histFps.select(explode(array(
+      (0 until BloomProbes).map(i => bloomPos(col("fp"), i, bits)): _*)).as("pos"))
+    // lanes × 8 bytes of driver state regardless of index size — the
+    // standard bounded sketch collect (like the count-min table)
+    val laneBits = new Array[Long](lanes)
+    probes
+      .groupBy(floor(col("pos") / 64).cast("int").as("lane"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("b"))
+      .collect()
+      .foreach(r => laneBits(r.getInt(0)) = r.getLong(1))
+    val lanesLit = typedlit(laneBits.toSeq)
+    var marked = batch.select(col(idCol), md5(col(textCol)).as("fp"))
+    (0 until BloomProbes).foreach { i =>
+      marked = marked.withColumn(s"_p$i", bloomPos(col("fp"), i, bits))
+    }
+    val hit = (0 until BloomProbes).map { i =>
+      element_at(lanesLit, floor(col(s"_p$i") / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (col(s"_p$i") % 64).cast("int"))) =!= 0
+    }.reduce(_ && _)
+    val flagged = marked.withColumn("_maybe", hit)
+    // only the maybe rows pay the exact-index join
+    val maybes = flagged.filter(col("_maybe"))
+      .join(histFps.select(col("fp"), lit(1L).as("_hit")), Seq("fp"), "left")
+      .select(col(idCol),
+        when(col("_hit").isNotNull, "dup").otherwise("false_positive").as("status"))
+    val news = flagged.filter(!col("_maybe"))
+      .select(col(idCol), lit("new").as("status"))
+    maybes.unionByName(news)
+  }
+
   // ---- shingling ---------------------------------------------------------
 
   /** Distinct word k-shingles as strings (lowercased alpha words). */

@@ -186,6 +186,63 @@ object SearchQueries extends QueryModule {
       |  SELECT md5(text) FROM documents WHERE doc_id % 5 <> 0)
       |ORDER BY keep_id""".stripMargin
 
+  // -- bloom-prefiltered incremental dedup -----------------------------------
+
+  /** Same batch-vs-history construction as `dedup_incremental`, but
+    * through the broadcast bloom prefilter ([[Dedup.bloomPrefilter]]):
+    * per batch doc, `new` / `dup` / `false_positive`. The bloom bits
+    * are salted-md5-positioned, so the DuckDB oracle rebuilds the
+    * identical 1024-long table and certifies every status — including
+    * that the definitely-new majority never needed the index join.
+    */
+  private def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val index = d.filter(col("doc_id") % 5 =!= 0)
+    val fresh = d.filter(col("doc_id") % 5 === 0)
+    val recrawl = index.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val batch = fresh.unionByName(recrawl)
+    Dedup.bloomPrefilter(batch, index, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private val dedupBloomSql = {
+    val probes = (0 until Dedup.BloomProbes).map(_.toString).mkString(", ")
+    s"""WITH hist AS (
+       |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0),
+       |lanes AS (
+       |  -- bit 63: DuckDB range-checks << into the sign bit; Spark's
+       |  -- shiftleft(1L, 63) is Long.MinValue, so spell that out
+       |  SELECT pos // 64 AS lane,
+       |    bit_or(CASE WHEN pos % 64 = 63 THEN (-9223372036854775807 - 1)
+       |           ELSE 1::BIGINT << CAST(pos % 64 AS INT) END) AS lanebits
+       |  FROM (SELECT (('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || fp), 1, 6))::BIGINT
+       |                 % 65536) AS pos
+       |        FROM hist, unnest([$probes]) AS t(i))
+       |  GROUP BY 1),
+       |batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents
+       |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 3),
+       |bfp AS (SELECT doc_id, md5(text) AS fp FROM batch),
+       |pr AS (
+       |  SELECT doc_id, fp,
+       |    (('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || fp), 1, 6))::BIGINT
+       |      % 65536) AS pos
+       |  FROM bfp, unnest([$probes]) AS t(i)),
+       |hits AS (
+       |  SELECT doc_id, fp,
+       |    count(*) FILTER (WHERE (lanebits >> CAST(pos % 64 AS INT)) & 1 = 1) AS nset
+       |  FROM pr LEFT JOIN lanes ON lanes.lane = pos // 64
+       |  GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CASE WHEN nset < ${Dedup.BloomProbes} THEN 'new'
+       |       WHEN fp IN (SELECT fp FROM hist) THEN 'dup'
+       |       ELSE 'false_positive' END AS status
+       |FROM hits ORDER BY doc_id""".stripMargin
+  }
+
   // -- cross-document substring dedup ----------------------------------------
 
   private val SubW = 20
@@ -248,6 +305,7 @@ object SearchQueries extends QueryModule {
     QueryDef("docs_tfidf_topk", tfidfTopk, Some(tfidfSql)),
     QueryDef("docs_bm25_search", bm25Search, Some(bm25Sql)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    QueryDef("dedup_bloom_prefilter", dedupBloom, Some(dedupBloomSql)),
     QueryDef("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
   )
 }

@@ -90,6 +90,53 @@ class CorpusSpec extends SparkSpec {
     assert(total === expected)
   }
 
+  test("docs_pack_sequences: every sequence but the last is exactly full") {
+    val rows = q("docs_pack_sequences")(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1) === (0L until rows.length).toArray.toSeq, "seq ids not contiguous")
+    rows.dropRight(1).foreach { case (id, nDocs, nToks) =>
+      assert(nToks === 512L, s"seq $id holds $nToks tokens, expected 512")
+      assert(nDocs >= 1L)
+    }
+    assert(rows.last._3 <= 512L && rows.last._3 >= 1L)
+    // token stream conserved: no token dropped or double-counted
+    val total = rows.map(_._3).sum
+    val expected = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(sum(size(split(col("text"), " ")))).as[Long].head()
+    assert(total === expected)
+  }
+
+  test("bloom prefilter: no false negatives, and a tiny table forces false positives") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.01").select("doc_id", "text")
+    val index = d.filter(col("doc_id") % 5 =!= 0)
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .unionByName(index.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val indexed = index.select(md5(col("text"))).as[String].collect().toSet
+    val fpOf = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    // production-size table: every status consistent with ground truth
+    val full = Dedup.bloomPrefilter(batch, index, "doc_id", "text")
+      .as[(Long, String)].collect()
+    full.foreach { case (id, status) =>
+      val inIndex = indexed.contains(fpOf(id))
+      if (inIndex) assert(status === "dup", s"doc $id: indexed fp classified $status")
+      else assert(status === "new" || status === "false_positive")
+    }
+    assert(full.count(_._2 == "dup") > 0)
+    // 64-bit table (lanes=1): saturates, so every new doc becomes a
+    // false positive — the exact verify still rescues correctness
+    val tiny = Dedup.bloomPrefilter(batch, index, "doc_id", "text", lanes = 1)
+      .as[(Long, String)].collect()
+    tiny.foreach { case (id, status) =>
+      if (indexed.contains(fpOf(id))) assert(status === "dup")
+      else assert(status !== "dup")
+    }
+    assert(tiny.count(_._2 == "false_positive") > 0,
+      "a saturated 64-bit bloom must produce false positives")
+  }
+
   test("PrefixSum.runningTotal matches the window formulation row for row") {
     import org.apache.spark.sql.expressions.Window
     val toks = size(split(col("text"), " ")).cast("long")
