@@ -24,10 +24,12 @@ object GraftSession {
       // `graft.db.t` SQL identifiers over MergeTables (time travel,
       // INSERT/MERGE/DELETE) — root is overridable per deployment
       .config("spark.sql.catalog.graft", "graft.sources.MergeTableCatalog")
-      // absolute: Verify/Bench may be launched from any CWD (same
-      // anchoring as CdcQueries.tmpRoot)
+      // absolute, anchored to the launch CWD (same anchoring as
+      // CdcQueries.tmpRoot) — Verify/Bench may chdir later
       .config("spark.sql.catalog.graft.root",
-        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/root/repo/target/graft_warehouse"))
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+          java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
+            .toAbsolutePath.resolve("target").resolve("graft_warehouse").toString))
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * event-log analytics (windows, sessions, JSON, funnels).
   *
   * Scale notes (100 TB): explicit `broadcast()` only on TRUE
-  * dimensions — region/nation/supplier/part, which stay dimension-
-  * sized at any SF. orders and customer GROW with SF (tens of GB at
-  * 100×), so their joins shuffle on the join key and AQE is left to
-  * broadcast at runtime when a filtered side is genuinely small —
-  * a forced broadcast there is a guaranteed driver/executor OOM at
-  * scale. Aggregates are declarative so Catalyst does map-side
+  * dimensions — region (5 rows) and nation (25 rows), whose
+  * cardinality is fixed by the schema. EVERY generated table —
+  * lineitem, orders, customer, part, supplier — grows linearly with
+  * SF, so their joins shuffle on the join key and AQE is left to
+  * broadcast at runtime when a (possibly filtered) side is genuinely
+  * small — a forced broadcast there is a guaranteed driver/executor
+  * OOM at scale. Aggregates are declarative so Catalyst does map-side
   * partial aggregation; all numeric outputs are rounded so results
   * are stable across summation orders.
   *
@@ -104,7 +105,7 @@ object Queries extends QueryModule {
     // the true dims (supplier, nation, region) are forced broadcasts
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
@@ -209,7 +210,7 @@ object Queries extends QueryModule {
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00") && col("l_shipdate") < lit("1997-01-01 00:00:00"))
       .select("l_partkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .agg(round(
         lit(100.0) * sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
           / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_revenue"))

@@ -42,7 +42,7 @@ object Queries2 extends QueryModule {
     val part = Tables.part(s, dir).filter(col("p_size") >= 20)
       .select("p_partkey", "p_brand", "p_type")
     Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type")
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
@@ -61,7 +61,7 @@ object Queries2 extends QueryModule {
   private def q19(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(s, dir).select("p_partkey", "p_brand", "p_type", "p_size")
     Tables.lineitem(s, dir).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 20) && col("p_size").between(1, 10)) ||
         (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 30) && col("p_size").between(1, 15)) ||

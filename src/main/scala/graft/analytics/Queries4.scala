@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * testdata schema supports — bi-directional nation trade (Q7),
   * market share with a two-role dimension (Q8), and the
   * anti-join + scalar-subquery prospect scan (Q22). Scale shape:
-  * facts (lineitem, orders, customer) shuffle on their join keys
-  * under AQE; only true dims (nation, region, filtered part) carry
-  * broadcast hints.
+  * every SF-scaled table (lineitem, orders, customer, supplier,
+  * part) shuffles on its join keys under AQE; only the fixed-size
+  * dims (nation, region) carry broadcast hints.
   */
 object Queries4 extends QueryModule {
 
@@ -35,7 +35,7 @@ object Queries4 extends QueryModule {
         pmod(col("n_nationkey"), lit(5)).as("c_grp")))
     li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(n1, col("s_nationkey") === col("s_nkey"))
       .join(n2, col("c_nationkey") === col("c_nkey"))
       .filter((col("s_grp") === 1 && col("c_grp") === 2) ||
@@ -75,14 +75,14 @@ object Queries4 extends QueryModule {
       .select(col("n_nationkey").as("c_nkey")))
     val suppNation = broadcast(t(s, dir, "nation")
       .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
-    val promoParts = broadcast(t(s, dir, "part")
-      .filter(col("p_type") === "PROMO").select("p_partkey"))
+    val promoParts = t(s, dir, "part")
+      .filter(col("p_type") === "PROMO").select("p_partkey")
     t(s, dir, "lineitem")
       .join(promoParts, col("l_partkey") === col("p_partkey"))
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(asiaNations, col("c_nationkey") === col("c_nkey"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(suppNation, col("s_nationkey") === col("s_nkey"))
       .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
       .groupBy(year(col("o_orderdate")).as("o_year"))
@@ -148,8 +148,15 @@ object Queries4 extends QueryModule {
     */
   private def q22Prospects(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
-    val threshold = cust.filter(col("c_acctbal") > 0)
-      .agg(avg("c_acctbal")).head().getDouble(0) // scalar, bounded
+    val avgRow = cust.filter(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal")).head() // scalar, bounded
+    // null average (no positive balances) → empty result, matching
+    // the oracle's NULL scalar subquery, not an NPE
+    if (avgRow.isNullAt(0))
+      return cust.filter(lit(false))
+        .groupBy(col("c_nationkey").as("nation_key"))
+        .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+    val threshold = avgRow.getDouble(0)
     val recent = t(s, dir, "orders")
       .filter(col("o_orderdate") >= "2000-01-01")
       .select(col("o_custkey").as("c_custkey"))

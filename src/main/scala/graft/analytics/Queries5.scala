@@ -37,7 +37,7 @@ object Queries5 extends QueryModule {
         .cast("decimal(18,6)")).cast("double"), 2).as("total_revenue"))
     val top = rev.agg(max("total_revenue").as("mx"))
     rev.join(broadcast(top), col("total_revenue") === col("mx")).drop("mx")
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")
   }
@@ -67,8 +67,8 @@ object Queries5 extends QueryModule {
     */
   private def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val brandParts = broadcast(t(s, dir, "part")
-      .filter(col("p_brand") === "Brand#1").select("p_partkey"))
+    val brandParts = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#1").select("p_partkey")
     val perPart = li.groupBy(col("l_partkey").as("pp_key"))
       .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sumq"),
         count(lit(1)).as("cnt"))
@@ -111,7 +111,7 @@ object Queries5 extends QueryModule {
     l1.join(ordersF, col("l_orderkey") === col("o_orderkey"))
       .join(l2, col("o2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"), "left_semi")
       .join(l3, col("o3") === col("l_orderkey") && col("s3") =!= col("l_suppkey"), "left_anti")
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name").agg(count(lit(1)).as("numwait"))
       .orderBy(desc("numwait"), col("s_name"))
       .limit(20)

@@ -46,7 +46,13 @@ object CdcModel {
     // when the schema is known to be stable.
     val payloads = df.select(col(column)).na.drop()
     val sampled = sampleRows.fold(payloads)(n => payloads.limit(n))
-    spark.read.json(sampled.as[String]).schema
+    // DROPMALFORMED: one truncated payload must not grow a
+    // _corrupt_record column that schema-evolves into the target
+    // table; the defensive filter covers readers that record the
+    // corrupt column anyway
+    val corruptCol = spark.conf.get("spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
+    val inferred = spark.read.option("mode", "DROPMALFORMED").json(sampled.as[String]).schema
+    org.apache.spark.sql.types.StructType(inferred.filterNot(_.name == corruptCol))
   }
 
   /** Decode the JSON payload of a normalized change stream with an

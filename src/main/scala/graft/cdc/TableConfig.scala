@@ -31,14 +31,20 @@ object TableConfig {
 
   private def fromNode(n: JsonNode): TableConfig = {
     def opt(field: String): Option[JsonNode] = Option(n.get(field))
-    val tsFields = opt("timestamp.fields").map { f =>
+    // accept both the array and comma-string forms for every
+    // multi-valued field (an array reaching asText() would silently
+    // become "")
+    def multi(f: JsonNode): Seq[String] =
       if (f.isArray) f.elements().asScala.map(_.asText()).toSeq
       else f.asText().split(",").map(_.trim).toSeq
-    }.getOrElse(Nil)
+    val tsFields = opt("timestamp.fields").map(multi).getOrElse(Nil)
+    def required(field: String): String = opt(field).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException(
+        s"tables.json entry missing required field '$field': $n"))
     TableConfig(
-      db = n.get("db").asText(),
-      table = n.get("table").asText(),
-      primaryKey = opt("primary_key").map(_.asText().split(",").map(_.trim).toSeq).getOrElse(Seq("id")),
+      db = required("db"),
+      table = required("table"),
+      primaryKey = opt("primary_key").map(multi).getOrElse(Seq("id")),
       precombineKey = opt("precombine_key").map(_.asText()),
       timestampFields = tsFields,
       formatVersion = opt("format-version").map(_.asInt()).getOrElse(2),

@@ -28,14 +28,22 @@ object AsOf {
       keyCols: Seq[String], leftTs: String, rightTs: String,
       valueCol: String, asofCol: String = "asof_value"): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the carried value is WRAPPED in a struct: the struct is non-null
+    // for every right row even when the value itself is null, so
+    // "latest right row carries a null value" stays distinguishable
+    // from "no preceding right row" (a bare column would let
+    // ignoreNulls skip past the newest row to an older stale value)
+    val rvType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("v", right.schema(valueCol).dataType)))
     val tagged =
       left.withColumn("_ts", col(leftTs)).withColumn("_tag", lit(1))
-        .withColumn("_rv", lit(null).cast(right.schema(valueCol).dataType))
+        .withColumn("_rv", lit(null).cast(rvType))
         .select((keyCols ++ Seq("_ts", "_tag", "_rv") ++ leftCols.filterNot(keyCols.contains)).map(col): _*)
     val riders =
       right.select(
         keyCols.map(col) ++ Seq(
-          col(rightTs).as("_ts"), lit(0).as("_tag"), col(valueCol).as("_rv")): _*)
+          col(rightTs).as("_ts"), lit(0).as("_tag"),
+          struct(col(valueCol).as("v")).as("_rv")): _*)
     val unioned = tagged.unionByName(riders, allowMissingColumns = true)
     // right rows sort before left rows at equal ts, so "at or before"
     // includes exact-timestamp matches
@@ -43,8 +51,9 @@ object AsOf {
       .orderBy(col("_ts"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(asofCol, last(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("_carried", last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
+      .withColumn(asofCol, col("_carried.v"))
       .select((leftCols :+ asofCol).map(col): _*)
   }
 }

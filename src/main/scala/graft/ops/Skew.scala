@@ -26,6 +26,8 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltSource: Column, salts: Int): DataFrame = {
+    // pmod by 0 is null in non-ANSI mode → every row silently dropped
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val saltedBig = big.withColumn("_salt", pmod(xxhash64(saltSource), lit(salts)))
     val saltedSmall = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts - 1L))))

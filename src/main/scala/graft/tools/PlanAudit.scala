@@ -24,8 +24,12 @@ object PlanAudit {
       .filter(n => wanted.forall(_.contains(n)))
     names.foreach { n =>
       try {
-        val plan = graft.SparkEntry.queries(n)(spark, sfDir)
-          .queryExecution.executedPlan.toString
+        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        // GRAFT_AUDIT_EXECUTE=1: run the query first so the printed
+        // plan is AQE's FINAL plan (runtime broadcast conversions,
+        // skew splits), not the initial static one
+        if (sys.env.get("GRAFT_AUDIT_EXECUTE").contains("1")) df.count()
+        val plan = df.queryExecution.executedPlan.toString
         val skeleton = plan.linesIterator
           .filter(l => l.contains("Join") || l.contains("Exchange") ||
             l.contains("WholeStageCodegen") || l.contains("TopKPerKey"))

@@ -23,7 +23,9 @@ import org.apache.spark.sql.execution.window.WindowExec
 class PlanAuditSpec extends SparkSpec {
 
   // tables whose row counts scale with SF — never broadcast raw
-  private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
+  // (every generated table except the fixed-cardinality nation/region)
+  private val factTables = Seq("lineitem", "orders", "customer", "part",
+    "supplier", "events", "documents", "embeddings")
   // columns with a handful of distinct values at every SF
   private val boundedCols = Set("source", "lang", "split")
 
