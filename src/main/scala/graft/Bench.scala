@@ -27,29 +27,37 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) => wanted.forall(_.contains(n)) }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      // failed runs are EXCLUDED from timing: a query that degrades
+      // into a fast error would otherwise record ~0s and improve the
+      // headline total exactly when something broke
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune projected
         // expressions, understating per-column compute cost
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) {
-            failed += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) {
+              failed += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            }
+            false
           }
-        }
         // per-query caches must not leak into the next timing: leaked
         // caches evict each other across a 70-query suite and inflate
         // multi-job queries 10× (round-1 cdc_apply_full)
         Caches.clear()
-        (System.nanoTime() - t0) / 1e9
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       name -> times
-    }
+    }.filter(_._2.nonEmpty)
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // and a comma decimal separator would corrupt the JSON line
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, v) =>
-      s"\"" + k + "\":" + f"${v.max - v.min}%.3f" }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + fmt(v.max - v.min) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"run_spread":$spreads,"errors":$errs,"sf":"$sfDir"}""")

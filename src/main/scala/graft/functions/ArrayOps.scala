@@ -191,25 +191,34 @@ case class WordNGrams(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_ngrams"
 
-  private def gram(words: ArrayData, start: Int, len: Int): UTF8String = {
+  private def gram(words: Array[UTF8String], start: Int, len: Int): UTF8String = {
     val parts = new Array[UTF8String](2 * len - 1)
     var j = 0
     while (j < len) {
-      parts(2 * j) = words.getUTF8String(start + j)
-      if (j < len - 1) parts(2 * j + 1) = UTF8String.fromString(" ")
+      parts(2 * j) = words(start + j)
+      if (j < len - 1) parts(2 * j + 1) = WordNGrams.Space
       j += 1
     }
     UTF8String.concat(parts: _*)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
-    val n = words.numElements()
+    val arr = input.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    // compact out null elements: a null word would make concat return
+    // null — an illegal element under the declared containsNull=false
+    val words = new Array[UTF8String](total)
+    var n = 0
+    var i = 0
+    while (i < total) {
+      if (!arr.isNullAt(i)) { words(n) = arr.getUTF8String(i); n += 1 }
+      i += 1
+    }
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val kk = math.min(k, n)
     val out = new Array[Any](math.max(n - k + 1, 1))
-    var i = 0
-    while (i < out.length) { out(i) = gram(words, i, kk); i += 1 }
+    var s = 0
+    while (s < out.length) { out(s) = gram(words, s, kk); s += 1 }
     new GenericArrayData(out)
   }
 
@@ -233,4 +242,11 @@ case class WordNGrams(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object WordNGrams {
+  /** Shared separator — one constant instead of (k-1) allocations per
+    * gram on the corpus-wide hot path.
+    */
+  private[functions] val Space: UTF8String = UTF8String.fromString(" ")
 }

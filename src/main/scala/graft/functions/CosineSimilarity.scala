@@ -50,7 +50,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm/empty input → 0.0, not 0/0 = NaN: Spark orders NaN
+    // above every double, so a NaN score would top every top-k and
+    // pass every >= threshold filter
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,15 +64,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double x = (double) $a.getFloat($i);
-         |  double y = (double) $b.getFloat($i);
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = $denom == 0.0 ? 0.0 : $dot / $denom;
        """.stripMargin
     })
 
@@ -93,81 +101,50 @@ object GraftFunctions {
       graft.ops.Similarity.planes(dim).map(_.toSeq).toSeq)
   }
 
+  private def arity1(name: String, f: Expression => Expression): Seq[Expression] => Expression =
+    cs => {
+      require(cs.length == 1, s"$name expects 1 argument, got ${cs.length}")
+      f(cs.head)
+    }
+
+  private def arity2(name: String, f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    cs => {
+      require(cs.length == 2, s"$name expects 2 arguments, got ${cs.length}")
+      f(cs(0), cs(1))
+    }
+
+  /** Single source of truth for every native function: (name,
+    * implementing class, builder). Consumed by BOTH registration
+    * paths — programmatic [[register]] and the config-driven
+    * [[graft.GraftExtensions]] — so they cannot drift apart.
+    */
+  private[graft] val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", classOf[CosineSimilarity],
+      arity2("graft_cosine", CosineSimilarity(_, _))),
+    ("graft_minhash", classOf[MinHashSignature],
+      arity1("graft_minhash",
+        MinHashSignature(_, graft.ops.Dedup.permA.toSeq, graft.ops.Dedup.permB.toSeq))),
+    ("graft_minhash_words", classOf[MinHashWords],
+      arity1("graft_minhash_words",
+        MinHashWords(_, 3, graft.ops.Dedup.permA.toSeq, graft.ops.Dedup.permB.toSeq))),
+    ("graft_sorted_intersect_count", classOf[SortedIntersectCount],
+      arity2("graft_sorted_intersect_count", SortedIntersectCount(_, _))),
+    ("graft_sig_agreement", classOf[SignatureAgreement],
+      arity2("graft_sig_agreement", SignatureAgreement(_, _))),
+    ("graft_word_trigrams", classOf[WordNGrams],
+      arity1("graft_word_trigrams", WordNGrams(_, 3))),
+    ("graft_hyperplane_sig", classOf[HyperplaneSignature], hyperplaneBuilder(_)),
+    ("graft_simhash", classOf[SimHash64], arity1("graft_simhash", SimHash64(_))),
+    ("graft_quantize_stats", classOf[QuantizeStats],
+      arity1("graft_quantize_stats", QuantizeStats(_))),
+    ("graft_window_hashes", classOf[WindowHashes], windowHashesBuilder(_)))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val cosIdent = FunctionIdentifier("graft_cosine")
-    if (!registry.functionExists(cosIdent)) {
-      registry.registerFunction(
-        cosIdent,
-        new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-        (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
-    }
-    val mhIdent = FunctionIdentifier("graft_minhash")
-    if (!registry.functionExists(mhIdent)) {
-      registry.registerFunction(
-        mhIdent,
-        new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
-        (children: Seq[Expression]) =>
-          MinHashSignature(children.head,
-            graft.ops.Dedup.permA.toSeq, graft.ops.Dedup.permB.toSeq))
-    }
-    val mhwIdent = FunctionIdentifier("graft_minhash_words")
-    if (!registry.functionExists(mhwIdent)) {
-      registry.registerFunction(
-        mhwIdent,
-        new ExpressionInfo(classOf[MinHashWords].getName, "graft_minhash_words"),
-        (children: Seq[Expression]) =>
-          MinHashWords(children.head, k = 3,
-            graft.ops.Dedup.permA.toSeq, graft.ops.Dedup.permB.toSeq))
-    }
-    val sicIdent = FunctionIdentifier("graft_sorted_intersect_count")
-    if (!registry.functionExists(sicIdent)) {
-      registry.registerFunction(
-        sicIdent,
-        new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
-        (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1)))
-    }
-    val sagIdent = FunctionIdentifier("graft_sig_agreement")
-    if (!registry.functionExists(sagIdent)) {
-      registry.registerFunction(
-        sagIdent,
-        new ExpressionInfo(classOf[SignatureAgreement].getName, "graft_sig_agreement"),
-        (children: Seq[Expression]) => SignatureAgreement(children.head, children(1)))
-    }
-    val ngIdent = FunctionIdentifier("graft_word_trigrams")
-    if (!registry.functionExists(ngIdent)) {
-      registry.registerFunction(
-        ngIdent,
-        new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_trigrams"),
-        (children: Seq[Expression]) => WordNGrams(children.head, k = 3))
-    }
-    val hpIdent = FunctionIdentifier("graft_hyperplane_sig")
-    if (!registry.functionExists(hpIdent)) {
-      registry.registerFunction(
-        hpIdent,
-        new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
-        hyperplaneBuilder(_))
-    }
-    val shIdent = FunctionIdentifier("graft_simhash")
-    if (!registry.functionExists(shIdent)) {
-      registry.registerFunction(
-        shIdent,
-        new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-        (children: Seq[Expression]) => SimHash64(children.head))
-    }
-    val qsIdent = FunctionIdentifier("graft_quantize_stats")
-    if (!registry.functionExists(qsIdent)) {
-      registry.registerFunction(
-        qsIdent,
-        new ExpressionInfo(classOf[QuantizeStats].getName, "graft_quantize_stats"),
-        (children: Seq[Expression]) => QuantizeStats(children.head))
-    }
-    val whIdent = FunctionIdentifier("graft_window_hashes")
-    if (!registry.functionExists(whIdent)) {
-      registry.registerFunction(
-        whIdent,
-        new ExpressionInfo(classOf[WindowHashes].getName, "graft_window_hashes"),
-        windowHashesBuilder(_))
+    all.foreach { case (name, clazz, builder) =>
+      val ident = FunctionIdentifier(name)
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, new ExpressionInfo(clazz.getName, name), builder)
     }
   }
 

@@ -41,13 +41,19 @@ case class MinHashWords(child: Expression, k: Int, permA: Seq[Long], permB: Seq[
 
   override protected def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[ArrayData]
-    val n = words.numElements()
-    val wh = new Array[Long](n)
+    val total = words.numElements()
+    val wh = new Array[Long](total)
+    // compact: null elements are skipped (not words; getUTF8String
+    // would NPE), so n below counts real words only
+    var n = 0
     var i = 0
-    while (i < n) {
-      val w = words.getUTF8String(i)
-      wh(i) = Math.floorMod(
-        XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, seed), prime)
+    while (i < total) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        wh(n) = Math.floorMod(
+          XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, seed), prime)
+        n += 1
+      }
       i += 1
     }
     val nShingles = if (n == 0) 0 else math.max(n - k + 1, 1)
@@ -92,12 +98,15 @@ case class MinHashWords(child: Expression, k: Int, permA: Seq[Long], permB: Seq[
       val shs = ctx.freshName("shs"); val sh = ctx.freshName("sh")
       val j = ctx.freshName("j"); val h = ctx.freshName("h")
       val t = ctx.freshName("t")
+      val tot = ctx.freshName("tot")
       s"""
-         |int $n = $words.numElements();
-         |long[] $wh = new long[$n];
-         |for (int $i = 0; $i < $n; $i++) {
+         |int $tot = $words.numElements();
+         |long[] $wh = new long[$tot];
+         |int $n = 0;
+         |for (int $i = 0; $i < $tot; $i++) {
+         |  if ($words.isNullAt($i)) continue;
          |  $utf8 $w = $words.getUTF8String($i);
-         |  $wh[$i] = java.lang.Math.floorMod(
+         |  $wh[$n++] = java.lang.Math.floorMod(
          |    $xxh.hashUnsafeBytes($w.getBaseObject(), $w.getBaseOffset(), $w.numBytes(), ${seed}L),
          |    ${prime}L);
          |}

@@ -39,6 +39,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val cnt = new Array[Int](Bits)
     var i = 0
     while (i < n) {
+      // null elements are skipped — not words, and getUTF8String
+      // would NPE on them (SQL callers can pass any array)
+      if (words.isNullAt(i)) { i += 1 }
+      else {
       val w = words.getUTF8String(i)
       var h1 = 0L; var h2 = 0L
       var j = 0
@@ -52,6 +56,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       var t = 0
       while (t < Bits) { if (((h >>> t) & 1L) == 1L) cnt(t) += 1 else cnt(t) -= 1; t += 1 }
       i += 1
+      }
     }
     var sig = 0L
     var t = 0
@@ -72,6 +77,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int $n = $words.numElements();
          |int[] $cnt = new int[$Bits];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($words.isNullAt($i)) continue;
          |  $utf8 $w = $words.getUTF8String($i);
          |  long $h1 = 0L; long $h2 = 0L;
          |  for (int $j = 0; $j < $w.numBytes(); $j++) {

@@ -53,7 +53,13 @@ object TextAnalysis {
 
   def markerHits(text: Column, lang: String): Column = {
     val set = LangMarkers.toMap.apply(lang)
-    size(filter(words(text), w => w.isin(set.map(x => x: Any): _*)))
+    // zh markers are single CJK characters — `words` extracts [a-z]+
+    // only, so count marker-CHARACTER occurrences instead (otherwise
+    // h_zh is always 0 and pure-Chinese text would label as the
+    // first latin language)
+    if (lang == "zh")
+      call_function("regexp_count", text, lit(s"[${set.mkString}]")).cast("int")
+    else size(filter(words(text), w => w.isin(set.map(x => x: Any): _*)))
   }
 
   /** Deterministic argmax over marker hits with fixed priority order

@@ -77,8 +77,14 @@ object TextQueries extends QueryModule {
   private val langNames = TextAnalysis.LangMarkers.map(_._1) // de, en, es, fr, zh
 
   private def langHits(lang: String): String = {
-    val set = TextAnalysis.LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
-    s"len(list_filter(ws, x -> x IN ($set)))"
+    val markers = TextAnalysis.LangMarkers.toMap.apply(lang)
+    // zh: character-occurrence count over the raw text, mirroring
+    // TextAnalysis.markerHits (CJK never matches the [a-z]+ words)
+    if (lang == "zh") s"len(regexp_extract_all(text, '[${markers.mkString}]'))"
+    else {
+      val set = markers.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(ws, x -> x IN ($set)))"
+    }
   }
 
   private val langHitCols: String =
@@ -94,7 +100,7 @@ object TextQueries extends QueryModule {
 
   private val langidSql =
     s"""WITH w AS (
-       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
        |h AS (
        |  SELECT doc_id, $langHitCols
        |  FROM w)
@@ -499,7 +505,7 @@ object TextQueries extends QueryModule {
   private val filterPipelineSql = {
     val stopList = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
     s"""WITH ws AS (
-       |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |  SELECT doc_id, lang, text, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
        |sig AS (
        |  SELECT doc_id, lang, len(ws) AS n_words,
        |    CAST(len(list_filter(ws, x -> x IN ($stopList))) AS DOUBLE) / len(ws) AS stop_ratio,

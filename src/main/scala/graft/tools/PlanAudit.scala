@@ -27,8 +27,11 @@ object PlanAudit {
         val df = graft.SparkEntry.queries(n)(spark, sfDir)
         // GRAFT_AUDIT_EXECUTE=1: run the query first so the printed
         // plan is AQE's FINAL plan (runtime broadcast conversions,
-        // skew splits), not the initial static one
-        if (sys.env.get("GRAFT_AUDIT_EXECUTE").contains("1")) df.count()
+        // skew splits), not the initial static one. Must execute THIS
+        // df's own QueryExecution — df.count() would build a new one
+        // and leave this plan un-finalized
+        if (sys.env.get("GRAFT_AUDIT_EXECUTE").contains("1"))
+          df.queryExecution.toRdd.count()
         val plan = df.queryExecution.executedPlan.toString
         val skeleton = plan.linesIterator
           .filter(l => l.contains("Join") || l.contains("Exchange") ||

@@ -21,9 +21,11 @@ class GraftExtensionsSpec extends SparkSpec {
 
     val registry = new SimpleFunctionRegistry
     org.apache.spark.sql.GraftSqlBridge.registerFunctions(ext, registry)
-    val expected = Seq("graft_cosine", "graft_minhash", "graft_minhash_words",
-      "graft_sorted_intersect_count", "graft_word_trigrams", "graft_hyperplane_sig",
-      "graft_sig_agreement", "graft_simhash")
+    // the complete shared table: extensions and programmatic register
+    // consume the same list, so EVERY function must resolve here
+    val expected = graft.functions.GraftFunctions.all.map(_._1)
+    assert(expected.size >= 10)
+    assert(expected.contains("graft_quantize_stats"), "registry table lost an entry")
     expected.foreach { name =>
       assert(registry.functionExists(FunctionIdentifier(name)), s"missing $name")
     }

@@ -50,6 +50,37 @@ class SimilaritySpec extends SparkSpec {
     assert(df.as[Double].collect().forall(c => math.abs(c - 1.0) < 1e-9))
   }
 
+  test("cosine of zero-norm or null-bearing inputs is 0, never NaN") {
+    GraftFunctions.register(spark)
+    // NaN would sort ABOVE every real score and pass every >= filter
+    val rows = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)), // zero norm left
+      (Array[Float](), Array[Float]()),       // empty
+      (Array(1.0f, 1.0f), Array(0.0f, 0.0f)), // zero norm right
+    ).toDF("a", "b")
+    val out = rows.select(call_function("graft_cosine", $"a", $"b").as("c"))
+      .as[Double].collect()
+    assert(out.forall(_ == 0.0), out.mkString(", "))
+  }
+
+  test("string-array functions skip null elements instead of crashing") {
+    GraftFunctions.register(spark)
+    val df = Seq(Tuple1(Seq[String]("alpha", null, "beta", "gamma", null)))
+      .toDF("ws")
+    val sig = df.select(call_function("graft_simhash", $"ws")).as[Long].head()
+    val sigClean = Seq(Tuple1(Seq("alpha", "beta", "gamma"))).toDF("ws")
+      .select(call_function("graft_simhash", $"ws")).as[Long].head()
+    assert(sig === sigClean, "simhash must treat null elements as absent")
+    val grams = df.select(call_function("graft_word_trigrams", $"ws"))
+      .as[Seq[String]].head()
+    assert(grams === Seq("alpha beta gamma"))
+    assert(grams.forall(_ != null), "containsNull=false output must hold")
+    val mh = df.select(call_function("graft_minhash_words", $"ws")).as[Seq[Long]].head()
+    val mhClean = Seq(Tuple1(Seq("alpha", "beta", "gamma"))).toDF("ws")
+      .select(call_function("graft_minhash_words", $"ws")).as[Seq[Long]].head()
+    assert(mh === mhClean)
+  }
+
   test("brute force topk: exact ranking, descending scores") {
     val corpus = clustered(4, 25)
     val qs = corpus.filter($"vec_id" < 3)

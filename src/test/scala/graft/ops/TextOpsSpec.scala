@@ -13,10 +13,11 @@ class TextOpsSpec extends SparkSpec {
       (2L, "le chat est dans la maison et les oiseaux", "fr"),
       (3L, "el gato es una mascota por como los perros", "es"),
       (4L, "der hund und die katze das ist mit nicht ein", "de"),
+      (5L, "我是在这里的人，我不知道他有没有来，和我们一起了。", "zh"),
     ).toDF("doc_id", "text", "expected")
     val out = samples.withColumn("guess", TextAnalysis.langGuess($"text"))
       .filter($"guess" === $"expected")
-    assert(out.count() === 4)
+    assert(out.count() === 5)
   }
 
   test("rolling fingerprint matches a reference computation") {
