@@ -87,6 +87,64 @@ class ChangeFeedStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("a torn high-water file degrades gracefully instead of crash-looping") {
+    val root = fresh("tornhw")
+    val ckpt = s"$root/ckpt"
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v"))) // v1
+    val outDir = s"$root/out"
+    def startStream() = spark.readStream.format("mergetable")
+      .option("path", root).option("keys", "id").load()
+      .writeStream.format("parquet").option("path", outDir)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(50)).start()
+
+    val q1 = startStream()
+    try {
+      t.upsert(Seq((2L, "b")).toDF("id", "v")) // v2
+      q1.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() === 1)
+    } finally q1.stop()
+
+    // simulate a crash mid-write: the high-water file exists but is
+    // empty — restart must fall back to startingVersion + the
+    // engine's checkpointed offset, not throw NumberFormatException
+    val hw = java.nio.file.Paths.get(ckpt, "sources", "0", "graft-high-water")
+    assert(java.nio.file.Files.exists(hw), s"expected high-water at $hw")
+    java.nio.file.Files.write(hw, Array.empty[Byte])
+
+    t.upsert(Seq((3L, "c")).toDF("id", "v")) // v3, committed while down
+    val q2 = startStream()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("id", "v", "_change").as[(Long, String, String)].collect().toSet
+      assert(got.contains((3L, "c", "I")), s"missed catch-up after torn file: $got")
+    } finally q2.stop()
+  }
+
+  test("an 'unlimited' maxVersionsPerBatch cap does not freeze the stream") {
+    val root = fresh("bigcap")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")))
+    t.upsert(Seq((2L, "b")).toDF("id", "v"))
+    // Long.MaxValue would previously wrap the exposed+cap addition
+    // negative, so getOffset never advanced and no batch was scheduled
+    val stream = spark.readStream.format("mergetable")
+      .option("path", root).option("keys", "id")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerBatch", Long.MaxValue.toString)
+      .load()
+    val q = stream.writeStream.format("memory")
+      .queryName("feed_bigcap").outputMode("append")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_bigcap").count() === 1) // the v2 insert
+    } finally q.stop()
+  }
+
   test("default startingVersion tails only post-creation commits") {
     val root = fresh("tail")
     val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
