@@ -307,6 +307,28 @@ final class MergeTable(
 
   // -- writes --------------------------------------------------------------
 
+  /** Run a mutation, retrying on optimistic-concurrency conflicts
+    * (another writer claimed the version this instance was about to
+    * commit). Every mutator re-reads the manifest on entry, so a
+    * retry recomputes against the winning writer's snapshot; and
+    * upsert/delete/append of the same batch are idempotent per batch,
+    * so re-running a partially-applied multi-commit operation (e.g.
+    * applyChanges) converges. This is Iceberg's commit-retry loop,
+    * surfaced as an explicit combinator.
+    */
+  def withRetry[T](maxAttempts: Int = 5)(op: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return op
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Append-only insert with schema evolution: new files only, no
     * rewrite of existing data (O(batch) at any table size). In MOR
     * mode appended rows join reconciliation like any delta (so the

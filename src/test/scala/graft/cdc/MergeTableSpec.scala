@@ -107,6 +107,33 @@ class MergeTableSpec extends SparkSpec {
     assert(t.read().count() === 4)
   }
 
+  test("withRetry: racing writers all land under the commit-retry loop") {
+    val root = freshRoot("occ_retry")
+    MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((0L, "seed")).toDF("id", "v")))
+    // 4 threads × 3 appends of disjoint keys, each through withRetry:
+    // every CAS loser re-reads and retries, so no row may vanish
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futures = (1 to 4).map { w =>
+      Future {
+        val t = new MergeTable(spark, root, Seq("id"))
+        (1 to 3).foreach { i =>
+          val key = (w * 100 + i).toLong
+          t.withRetry(maxAttempts = 20) {
+            t.append(Seq((key, s"w$w-$i")).toDF("id", "v"))
+          }
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    val t = new MergeTable(spark, root, Seq("id"))
+    assert(t.read().count() === 13, "a concurrent commit lost an update")
+    assert(t.versions().size === 13)
+  }
+
   test("a writer crashing before its pointer update cannot wedge the table") {
     val root = freshRoot("occ_crash")
     val t = new MergeTable(spark, root, Seq("id"))
