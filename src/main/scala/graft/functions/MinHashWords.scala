@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -10,13 +10,21 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Fused shingle-hash + MinHash signature over a word array.
   *
   * One codegen pass does what previously took four interpreted
-  * higher-order stages (k-gram string concat → distinct → xxhash64 →
-  * per-permutation minima): hash each word once (XXH64 over its
-  * UTF-8 bytes), combine k consecutive word hashes arithmetically
-  * into a shingle value mod 2^31-1, and fold every shingle into the
-  * `numPerms` universal-hash minima. No shingle strings are ever
-  * materialized — at 100 TB that also removes the dominant memory
-  * traffic of the dedup pipeline, not just the lambda overhead.
+  * higher-order stages (k-gram string concat → distinct → hash →
+  * per-permutation minima): hash each word once (first 48 bits of its
+  * md5 — portable, see below), combine k consecutive word hashes
+  * arithmetically into a shingle value mod 2^31-1, and fold every
+  * shingle into the `numPerms` universal-hash minima. No shingle
+  * strings are ever materialized — at 100 TB that also removes the
+  * dominant memory traffic of the dedup pipeline, not just the
+  * lambda overhead.
+  *
+  * The word hash is the md5 48-bit prefix rather than xxhash64 so the
+  * ENTIRE minhash pipeline (signatures, band keys, candidate pairs,
+  * estimated jaccard) is a pure function of the input reproducible in
+  * any engine with md5 — DuckDB computes the identical value as
+  * `('0x' || substr(md5(w), 1, 12))::BIGINT % p`, which is what
+  * upgrades `dedup_minhash_lsh` from rows-only to hash-oracled.
   *
   * Duplicate shingles cannot affect a min, so no dedup step is
   * needed. Docs shorter than k words contribute their single
@@ -26,7 +34,6 @@ case class MinHashWords(child: Expression, k: Int, permA: Seq[Long], permB: Seq[
     extends UnaryExpression {
 
   private val prime = 2147483647L // 2^31 - 1
-  private val seed = 42L
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -49,9 +56,7 @@ case class MinHashWords(child: Expression, k: Int, permA: Seq[Long], permB: Seq[
     var i = 0
     while (i < total) {
       if (!words.isNullAt(i)) {
-        val w = words.getUTF8String(i)
-        wh(n) = Math.floorMod(
-          XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, seed), prime)
+        wh(n) = MinHashWords.portableWordHash(words.getUTF8String(i), prime)
         n += 1
       }
       i += 1
@@ -87,7 +92,6 @@ case class MinHashWords(child: Expression, k: Int, permA: Seq[Long], permB: Seq[
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("permA", aArr, "long[]")
     val bRef = ctx.addReferenceObj("permB", bArr, "long[]")
-    val xxh = classOf[XXH64].getName
     val utf8 = classOf[UTF8String].getName
     nullSafeCodeGen(ctx, ev, words => {
       val n = ctx.freshName("n"); val wh = ctx.freshName("wh")
@@ -106,9 +110,7 @@ case class MinHashWords(child: Expression, k: Int, permA: Seq[Long], permB: Seq[
          |for (int $i = 0; $i < $tot; $i++) {
          |  if ($words.isNullAt($i)) continue;
          |  $utf8 $w = $words.getUTF8String($i);
-         |  $wh[$n++] = java.lang.Math.floorMod(
-         |    $xxh.hashUnsafeBytes($w.getBaseObject(), $w.getBaseOffset(), $w.numBytes(), ${seed}L),
-         |    ${prime}L);
+         |  $wh[$n++] = graft.functions.MinHashWords$$.MODULE$$.portableWordHash($w, ${prime}L);
          |}
          |int $nsh = ($n == 0) ? 0 : java.lang.Math.max($n - $k + 1, 1);
          |int $kk = java.lang.Math.min($k, $n);
@@ -134,4 +136,22 @@ case class MinHashWords(child: Expression, k: Int, permA: Seq[Long], permB: Seq[
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object MinHashWords {
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 48 bits of md5(word-bytes) as a non-negative long, mod
+    * `prime` — bit-identical to DuckDB's
+    * `('0x' || substr(md5(w), 1, 12))::BIGINT % prime`.
+    */
+  def portableWordHash(w: UTF8String, prime: Long): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(w.getBytes)
+    val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+    h % prime
+  }
 }

@@ -130,7 +130,8 @@ object Dedup {
     */
   val NumPerms = 64
   val LshBands = 16 // 16 bands x 4 rows
-  private val MersennePrime = 2147483647L // 2^31 - 1
+  val MinhashPrime = 2147483647L // 2^31 - 1 (Mersenne)
+  private val MersennePrime = MinhashPrime
   val (permA, permB): (Array[Long], Array[Long]) = {
     var state = 42L
     def next(): Long = { state = (state * 6364136223846793005L + 1442695040888963407L); (state >>> 33) % (MersennePrime - 1) + 1 }
@@ -151,15 +152,24 @@ object Dedup {
     call_function("graft_minhash", hashed)
   }
 
-  /** Banded LSH bucket keys: one 64-bit key per band (hash of the
-    * band's signature slice). Docs sharing ANY band key become
-    * candidate pairs.
+  /** Banded LSH bucket keys: one key per band — a polynomial fold of
+    * the band's signature slice seeded by the band index. Docs
+    * sharing ANY band key become candidate pairs. Portable (integer
+    * arithmetic only), so the oracle reproduces every bucket —
+    * unlike an xxhash64 of the slice, which only Spark can compute.
     */
   def lshBandKeys(signature: Column): Column = {
     val rows = NumPerms / LshBands
     transform(sequence(lit(0), lit(LshBands - 1)), b =>
-      xxhash64(b, concat_ws(",", slice(signature, b * rows + 1, lit(rows)))))
+      (0 until rows).foldLeft(b.cast("long")) { (acc, j) =>
+        (acc * 31 + element_at(signature, b * rows + j + 1)) % BandKeyPrime
+      })
   }
+
+  /** Band-fold modulus: acc < 2^30, sig values < 2^31, so every
+    * intermediate stays far below 2^63 in both engines.
+    */
+  val BandKeyPrime = 1000000007L
 
   /** Candidate near-dup pairs via banded LSH, scored by signature
     * agreement (estimated Jaccard), thresholded.

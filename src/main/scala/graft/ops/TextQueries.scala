@@ -160,6 +160,61 @@ object TextQueries extends QueryModule {
     Dedup.minhashCandidates(docs(s, dir), "doc_id", "text", shingleK = 3, threshold = 0.2)
       .orderBy("doc_a", "doc_b")
 
+  /** DuckDB recomputation of the ENTIRE minhash pipeline — portable
+    * md5-prefix word hashes, mod-prime shingle folds, the 64
+    * universal-hash minima (permutation constants injected from the
+    * one Scala source of truth), the seeded band folds, the
+    * same-band candidate join, and the agreement rescoring — so the
+    * gate certifies signatures, banding, candidate generation AND
+    * scores end to end (this query was rows-only while the word hash
+    * was xxhash64).
+    */
+  private val minhashLshSql = {
+    val p = Dedup.MinhashPrime
+    val bp = Dedup.BandKeyPrime
+    val perms = graft.ops.Dedup.permA.zip(graft.ops.Dedup.permB).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }.mkString(", ")
+    // band key: acc = b, then 4 steps of (acc*31 + sig[4b+j]) % bp
+    val bandFold = (1 to 4).foldLeft("CAST(b AS BIGINT)") { (acc, j) =>
+      s"(($acc * 31 + sig[4*b + $j]) % $bp)"
+    }
+    s"""WITH perms(p, a, b) AS (VALUES $perms),
+       |w AS (
+       |  SELECT doc_id, list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+       |    x -> ('0x' || substr(md5(x), 1, 12))::BIGINT % $p) AS wh
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(wh) = 0 THEN []
+       |         WHEN len(wh) >= 3 THEN
+       |           [(((wh[i]*31 + wh[i+1]) % $p)*31 + wh[i+2]) % $p FOR i IN range(1, len(wh) - 1)]
+       |         WHEN len(wh) = 2 THEN [(wh[1]*31 + wh[2]) % $p]
+       |         ELSE [wh[1]] END AS shs
+       |  FROM w),
+       |sigv AS (
+       |  SELECT doc_id, p.p AS perm,
+       |    CASE WHEN len(shs) = 0 THEN 0
+       |         ELSE list_min(list_transform(shs, s -> (p.a * s + p.b) % $p)) END AS m
+       |  FROM sh, perms p),
+       |sig AS (SELECT doc_id, list(m ORDER BY perm) AS sig FROM sigv GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, b, $bandFold AS key
+       |  FROM sig, range(0, 16) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    len([i FOR i IN range(1, 65) IF sa.sig[i] = sb.sig[i]]) AS agree
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = doc_a
+       |  JOIN sig sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, round(CAST(agree AS DOUBLE) / 64, 4) AS est_jaccard
+       |FROM scored WHERE CAST(agree AS DOUBLE) / 64 >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private def simhashQ(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
@@ -540,7 +595,7 @@ object TextQueries extends QueryModule {
     QueryDef("text_normalize", normalize, Some(normalizeSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_fingerprint", dedupFingerprint, Some(dedupFingerprintSql)),
-    QueryDef("dedup_minhash_lsh", minhashLsh, None),
+    QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_simhash", simhashQ, Some(simhashSql)),
     QueryDef("dedup_simhash_pairs", simhashPairsQ, Some(simhashPairsSql)),
     QueryDef("dedup_incremental_near", dedupIncrementalNear, Some(dedupIncrementalNearSql)),

@@ -36,9 +36,14 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("minhash est_jaccard approximates true jaccard for near-dup docs") {
-    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
-    val near = base.replace("gamma", "graft") // small perturbation
-    val far = "one two three four five six seven eight nine ten " * 5
+    // distinct ALPHA-only words (the [a-z]+ word extractor drops
+    // digits): realistic shingle sets — a repeated-vocabulary doc has
+    // ~10 distinct shingles and band hits become hash-luck
+    def w(prefix: String, i: Int) =
+      s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val base = (0 until 60).map(w("word", _)).mkString(" ")
+    val near = base.replace(w("word", 30), "graft") // one substitution in 60
+    val far = (0 until 60).map(w("other", _)).mkString(" ")
     val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
     val pairs = Dedup.minhashCandidates(df, "doc_id", "text", shingleK = 3, threshold = 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
