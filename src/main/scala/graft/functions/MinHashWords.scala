@@ -142,16 +142,27 @@ object MinHashWords {
   private val digests: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
+  // word→hash memo: vocabulary is Zipfian, so most md5 calls repeat;
+  // per-thread (expression objects are shared across tasks), bounded
+  // (cleared at 64k entries), keys copied out of reused row buffers
+  private val memo: ThreadLocal[java.util.HashMap[UTF8String, java.lang.Long]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[UTF8String, java.lang.Long]())
+
   /** First 48 bits of md5(word-bytes) as a non-negative long, mod
     * `prime` — bit-identical to DuckDB's
     * `('0x' || substr(md5(w), 1, 12))::BIGINT % prime`.
     */
   def portableWordHash(w: UTF8String, prime: Long): Long = {
+    val m = memo.get()
+    val cached = m.get(w)
+    if (cached != null) return cached.longValue()
     val md = digests.get()
     md.reset()
     val d = md.digest(w.getBytes)
-    val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
-      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
-    h % prime
+    val h = (((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)) % prime
+    if (m.size > 65536) m.clear()
+    m.put(w.clone(), java.lang.Long.valueOf(h))
+    h
   }
 }
