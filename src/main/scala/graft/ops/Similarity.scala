@@ -109,10 +109,14 @@ object Similarity {
     * clamped to [8, BandBits]. A fixed-width table is wrong at both
     * ends — 8 bits is quadratic at 10^9 rows, 16 bits finds nothing
     * at 10^3 — so the index adapts the way any ANN build step does
-    * (one count job, bounded output, deterministic).
+    * (one count job, bounded output, deterministic). INTEGER-only
+    * (smallest b with 2^b · 4 ≥ n): a float log2 could flip the
+    * ceiling by one ulp at exact powers of two, and the oracle must
+    * size its tables identically.
     */
-  private def autoBits(n: Long): Int = {
-    val b = math.ceil(math.log(math.max(n, 2L) / 4.0) / math.log(2)).toInt
+  private[graft] def autoBits(n: Long): Int = {
+    var b = 0
+    while (b < BandBits && (1L << b) * 4 < n) b += 1
     math.min(BandBits, math.max(8, b))
   }
 

@@ -83,15 +83,23 @@ object SimilarityQueries extends QueryModule {
     * and scoring end to end. (The Spark side's first-qualifying-band
     * trick only dedups emission; the emitted SET is exactly this.)
     */
-  private val embedNearDupSql = {
+  /** Per-band 16-bit sub-signature SQL over column `e`, from the SAME
+    * plane constants as the Scala side — shared by the near-dup and
+    * ann_lsh oracles.
+    */
+  private def bandSigCols: String = {
     val ps = Similarity.planes(Dim)
     def bandExpr(band: Int): String = (0 until Similarity.BandBits).map { p =>
       val lits = ps(band * Similarity.BandBits + p)
         .map(java.lang.Double.toString).mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product(e, $lits::DOUBLE[]) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("\n      + ")
-    val bandCols = (0 until Similarity.NumBands)
+    (0 until Similarity.NumBands)
       .map(b => s"CAST(${bandExpr(b)} AS BIGINT) AS b$b").mkString(",\n  ")
+  }
+
+  private val embedNearDupSql = {
+    val bandCols = bandSigCols
     val anyBand = (0 until Similarity.NumBands)
       .map(b => s"bit_count(xor(a.b$b, b.b$b)) <= 1").mkString(" OR ")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -192,11 +200,53 @@ object SimilarityQueries extends QueryModule {
       |  round(list_max(errs), 6) AS max_abs_err
       |FROM q ORDER BY vec_id""".stripMargin
 
-  // -- approximate paths (rows-only; recall asserted in ScalaTest) ---------
+  // -- approximate paths ----------------------------------------------------
+  // ann_lsh is fully hash-oracled (planes, banding, auto table width,
+  // candidate rule, and rescoring are all deterministic); the IVF
+  // paths stay rows-only because their k-means codebooks depend on
+  // distributed float-mean summation order — recall is asserted in
+  // ScalaTest instead.
 
   private def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5, dim = Dim)
       .orderBy("query_id", "rank")
+
+  /** DuckDB recomputes the whole LSH read path: the four 16-bit band
+    * sub-signatures from the shared plane literals, the integer
+    * corpus-sized table width (smallest b with 2^b·4 ≥ n, clamped to
+    * [8,16] — same integer formula as `Similarity.autoBits`), the
+    * any-band-within-hamming-1 candidate rule on the truncated bands
+    * (= bucket + one-bit-flip multiprobe), exact cosine rescoring,
+    * and the (score desc, neighbor asc) top-5 — so the gate certifies
+    * the approximate ALGORITHM bit-for-bit, not just row counts.
+    */
+  private val annLshSql = {
+    val bandCols = bandSigCols
+    val anyBand = (0 until Similarity.NumBands)
+      .map(b => s"bit_count(xor(q.b$b & m.mask, c.b$b & m.mask)) <= 1").mkString("\n      OR ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |m AS (
+       |  -- smallest b in [0,16] with 2^b*4 >= n (none -> 16), clamped to [8,16]
+       |  SELECT (1::BIGINT << least(16, greatest(8,
+       |    (SELECT coalesce(min(b), 16) FROM range(0, 17) r(b)
+       |     WHERE (1::BIGINT << b) * 4 >= (SELECT count(*) FROM embeddings))))) - 1 AS mask),
+       |sigs AS (SELECT vec_id, e,
+       |  $bandCols FROM v),
+       |q AS (SELECT vec_id AS query_id, e AS qe, b0, b1, b2, b3
+       |      FROM sigs WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.qe, c.e), 6) AS score
+       |  FROM q, m, sigs c
+       |  WHERE q.query_id <> c.vec_id AND (
+       |      $anyBand)),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, rank, score FROM r
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   private def annIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5)
@@ -250,7 +300,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("dedup_embedding", embedNearDup, Some(embedNearDupSql)),
     QueryDef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)),
-    QueryDef("ann_lsh_topk", annLsh, None),
+    QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf_topk", annIvf, None),
     QueryDef("ann_ivfpq_topk", annIvfPq, None),
     QueryDef("media_features", mediaFeatures, Some(mediaFeaturesSql)),
