@@ -160,9 +160,14 @@ object Similarity {
     * (lowest vec_ids), `iters` rounds of assign + element-wise mean.
     * Each round is one distributed aggregation; only the
     * nCells × dim means ever reach the driver (bounded, ~1k values).
-    * Centroids are rounded so the distributed float-summation order
-    * cannot leak into assignments. At 100 TB the trainer runs on a
-    * sample with the identical computation.
+    *
+    * Means are EXACT integer sums of elements quantized to 1e-4
+    * (`floor(v·10⁴ + ½)` — pure IEEE ops), divided once at the driver:
+    * integer addition commutes, so the codebook is a pure function of
+    * the input multiset — no partitioning/summation-order leak, and an
+    * external engine (the DuckDB oracle) reproduces every centroid
+    * bit-for-bit. At 100 TB the trainer runs on a sample with the
+    * identical computation.
     */
   def kmeansCentroids(spark: SparkSession, corpus: DataFrame, embCol: String,
                       nCells: Int, iters: Int = 2): Seq[(Int, Seq[Float])] = {
@@ -176,12 +181,14 @@ object Similarity {
       val means = corpus
         .withColumn("cell", array_max(cellScores(col(embCol))).getField("cell"))
         .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg("v").as("m"))
+        .groupBy("cell", "pos")
+        .agg(sum(floor(col("v").cast("double") * 1e4 + 0.5).cast("long")).as("qs"),
+          count(lit(1)).as("cnt"))
         .collect() // bounded: nCells × dim rows
         .groupBy(_.getInt(0))
       cents = cents.map { case (i, old) =>
         i -> means.get(i).map(_.sortBy(_.getInt(1))
-            .map(r => math.rint(r.getDouble(2) * 10000).toFloat / 10000f).toSeq)
+            .map(r => (r.getLong(2) / (r.getLong(3) * 1e4)).toFloat).toSeq)
           .getOrElse(old) // an emptied cell keeps its previous centroid
       }
     }
@@ -269,9 +276,10 @@ object Similarity {
     // per-subspace Lloyd's refinement (PQ training): one compiled
     // encode pass assigns every subvector, means come back as
     // numSub × numCodes × sub rows — bounded driver traffic, exactly
-    // the kmeansCentroids shape. Means round to 4 decimals so the
-    // codebook is stable across partitionings (same trick as the IVF
-    // codebook); emptied codes keep their previous centroid.
+    // the kmeansCentroids shape. Means are exact integer sums of
+    // 1e-4-quantized elements divided at the driver (same trick as
+    // the IVF codebook: commutative, partitioning-independent);
+    // emptied codes keep their previous centroid.
     for (_ <- 1 to 2) {
       val cb = codebook
       val means = corpus
@@ -280,10 +288,12 @@ object Similarity {
         .select((col("pos") / sub).cast("int").as("mi"),
           element_at(col("codes"), (col("pos") / sub).cast("int") + 1).as("code"),
           col("pos").as("pos"), col("v"))
-        .groupBy("mi", "code", "pos").agg(avg("v").as("m"))
+        .groupBy("mi", "code", "pos")
+        .agg(sum(floor(col("v").cast("double") * 1e4 + 0.5).cast("long")).as("qs"),
+          count(lit(1)).as("cnt"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
-          (math.rint(r.getDouble(3) * 10000) / 10000))
+          r.getLong(3) / (r.getLong(4) * 1e4))
         .toMap
       codebook = codebook.zipWithIndex.map { case (codes, mi) =>
         codes.zipWithIndex.map { case (old, c) =>

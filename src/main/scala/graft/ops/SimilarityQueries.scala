@@ -201,11 +201,12 @@ object SimilarityQueries extends QueryModule {
       |FROM q ORDER BY vec_id""".stripMargin
 
   // -- approximate paths ----------------------------------------------------
-  // ann_lsh is fully hash-oracled (planes, banding, auto table width,
-  // candidate rule, and rescoring are all deterministic); the IVF
-  // paths stay rows-only because their k-means codebooks depend on
-  // distributed float-mean summation order — recall is asserted in
-  // ScalaTest instead.
+  // ann_lsh and ann_ivf are fully hash-oracled (planes, banding, auto
+  // table width, k-means re-training on exact quantized integer sums —
+  // every step deterministic and engine-portable); only ann_ivfpq
+  // stays rows-only: its oracle would have to replay PQ encode/LUT/ADC
+  // on top of the k-means, and its ranking quality is recall-defined —
+  // asserted in ScalaTest instead.
 
   private def annLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5, dim = Dim)
@@ -251,6 +252,68 @@ object SimilarityQueries extends QueryModule {
   private def annIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5)
       .orderBy("query_id", "rank")
+
+  /** DuckDB re-trains the ENTIRE IVF index and replays the read path:
+    * the 16 seed centroids (lowest vec_ids), two unrolled Lloyd's
+    * rounds — assignment by rounded cosine with the same
+    * (score desc, cell desc) argmax tie-break, re-centering via exact
+    * BIGINT sums of 1e-4-quantized elements (`floor(x·10⁴+½)`, pure
+    * IEEE ops — the reason `kmeansCentroids` quantizes: integer
+    * addition commutes, so the codebook is partitioning-independent
+    * and externally reproducible), float-rounded centroid components,
+    * emptied cells inheriting their previous centroid — then the
+    * 4-cell probe, cell-join candidate generation, exact rescoring,
+    * and (score desc, neighbor asc) top-5. Every approximation the
+    * index makes is certified bit-for-bit, not just row counts.
+    */
+  private val annIvfSql = {
+    // one Lloyd's assignment: nearest (rounded-cosine, cell-desc
+    // tie-break) centroid from table `cents(cell, c)` for every vector
+    def assign(cents: String, name: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(list_cosine_similarity(v.e, c.c), 6) DESC, c.cell DESC) AS rn
+         |    FROM v CROSS JOIN $cents c) WHERE rn = 1)"""
+    // re-center: exact quantized BIGINT sums per (cell, pos), one
+    // float-rounded division per component, empty cells keep `prev`'s
+    def recenter(asn: String, prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT p.cell, coalesce(n.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cell, list(CAST(CAST(qs / (cnt * 10000.0) AS REAL) AS DOUBLE) ORDER BY pos) AS c
+         |    FROM (
+         |      SELECT cell, pos, sum(CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS qs, count(*) AS cnt
+         |      FROM (SELECT cell, unnest(range(1, len(e)+1)) AS pos, unnest(e) AS x FROM $asn)
+         |      GROUP BY cell, pos) GROUP BY cell) n USING (cell))"""
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |seed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS c
+       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+       |${assign("seed", "a1")},
+       |${recenter("a1", "seed", "c1")},
+       |${assign("c1", "a2")},
+       |${recenter("a2", "c1", "c2")},
+       |${assign("c2", "asn")},
+       |probe AS (
+       |  SELECT query_id, qe, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.e AS qe, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.e, c.c), 6) DESC, c.cell DESC) AS rn
+       |    FROM v q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qe, a.e), 6) AS score
+       |  FROM probe p JOIN asn a USING (cell)
+       |  WHERE p.query_id <> a.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, rank, score FROM r
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   private def annIvfPq(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfPqTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5)
@@ -301,7 +364,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
-    QueryDef("ann_ivf_topk", annIvf, None),
+    QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
     QueryDef("ann_ivfpq_topk", annIvfPq, None),
     QueryDef("media_features", mediaFeatures, Some(mediaFeaturesSql)),
   )
