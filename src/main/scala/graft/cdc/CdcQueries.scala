@@ -211,6 +211,42 @@ object CdcQueries extends QueryModule {
     out
   }
 
+  /** `UPDATE t SET … WHERE p` — the fourth DML verb, compiled by
+    * [[graft.sources.ResolveMergeTableDml]] into a read-modify-upsert
+    * that rewrites ONLY the matching keys' rows (COW joins on the key
+    * set; MOR would append a delta). The SET list mixes a
+    * self-referencing expression (`value = value * 2`, the
+    * read-modify form — doubling is IEEE-exact, so no rounding
+    * needed) with a constant assignment, and the WHERE predicate
+    * keeps a non-vacuous ~1/5 slice at every SF. The oracle
+    * recomputes the final table state.
+    */
+  private def applyUpdateViaSql(s: SparkSession, dir: String): DataFrame = {
+    val base = latestPerUser(events(s, dir))
+    val root = tmpRoot("apply_update_via_sql", dir)
+    MergeTable.drop(root)
+    MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    s.read.format("mergetable").option("path", root).option("keys", "user_id").load()
+      .createOrReplaceTempView("graft_update_target")
+    s.sql(
+      """UPDATE graft_update_target
+        |SET value = value * 2, event_type = 'adjusted'
+        |WHERE user_id % 5 = 2""".stripMargin)
+    new MergeTable(s, root, Seq("user_id")).read()
+      .select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+  }
+
+  private val applyUpdateSql =
+    """WITH base AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1)
+      |SELECT user_id, event_id,
+      |  CASE WHEN user_id % 5 = 2 THEN 'adjusted' ELSE event_type END AS event_type,
+      |  CASE WHEN user_id % 5 = 2 THEN value * 2 ELSE value END AS value
+      |FROM base ORDER BY user_id""".stripMargin
+
   /** The general conditional-MERGE surface in its canonical CDC use:
     * a delete-flag batch applied in ONE statement — matched rows whose
     * change is a `signup` event are deleted, other matched rows
@@ -579,6 +615,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_merge_conditional", applyMergeConditional, Some(applyMergeConditionalSql)),
     QueryDef("cdc_apply_upsert_catalog", applyUpsertViaCatalog, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete_sql", applyDeleteViaSql, Some(applyDeleteSql)),
+    QueryDef("cdc_apply_update_sql", applyUpdateViaSql, Some(applyUpdateSql)),
     QueryDef("cdc_change_feed", changeFeed, Some(changeFeedSql)),
     QueryDef("mergetable_source_read", sourceRead, Some(sourceReadSql)),
     QueryDef("mergetable_clustered_read", clusteredRead, Some(clusteredReadSql)),

@@ -246,6 +246,23 @@ final class MergeTable(
     */
   def readVersion(version: Long): DataFrame = readEntries(entriesAt(version))
 
+  /** Roll the table back to an earlier committed snapshot by
+    * COMMITTING a new version carrying the old version's entries —
+    * Delta's RESTORE shape: history only rolls forward, nothing is
+    * rewritten or deleted, so time travel still sees the undone
+    * versions and concurrent writers still race through the same
+    * commit CAS. Data the undone versions introduced merely becomes
+    * unreferenced, for [[vacuum]] to reclaim. Returns the NEW
+    * (post-restore) table version.
+    */
+  def restore(version: Long): Long = {
+    val target = entriesAt(version)
+    entries() // refresh readVersion — the optimistic-concurrency base
+    require(version <= readVersion, s"cannot restore $root to $version: latest is $readVersion")
+    commit(target)
+    readVersion
+  }
+
   /** Change feed between two committed versions: one row per changed
     * key with `_change` = I (inserted), U (updated), D (deleted) and
     * the row image (after-image for I/U, before-image for D) — the

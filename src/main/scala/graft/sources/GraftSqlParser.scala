@@ -19,6 +19,10 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *                                        -- (per-bucket when bucketed)
   *   OPTIMIZE graft.db.t ZORDER BY (a, b) -- rewrite the snapshot clustered
   *                                        -- on the interleaved z-value
+  *   RESTORE TABLE graft.db.t TO VERSION AS OF 3
+  *   RESTORE TABLE graft.db.t TO TIMESTAMP AS OF '2026-01-01 00:00:00'
+  *                                        -- roll back by committing the old
+  *                                        -- snapshot as a NEW version
   * }}}
   *
   * Everything that is not one of these shapes delegates verbatim
@@ -31,6 +35,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*(VACUUM|COMPACT)\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ZORDER\s+BY\s*\(\s*([a-zA-Z0-9_\s,]+?)\s*\)\s*;?\s*""".r
+  private val RestoreVersion =
+    """(?is)\s*RESTORE\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTimestamp =
+    """(?is)\s*RESTORE\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Maintenance(op, catalog, ident) =>
@@ -39,6 +47,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Optimize(catalog, ident, cols) =>
       MergeTableMaintenanceCommand("optimize", catalog, ident.split('.').toSeq,
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    case RestoreVersion(catalog, ident, v) =>
+      MergeTableMaintenanceCommand("restore", catalog, ident.split('.').toSeq,
+        restoreTo = Some(Left(v.toLong)))
+    case RestoreTimestamp(catalog, ident, ts) =>
+      MergeTableMaintenanceCommand("restore", catalog, ident.split('.').toSeq,
+        restoreTo = Some(Right(ts)))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -54,11 +68,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 /** VACUUM → number of expired data directories; COMPACT → deltas
   * folded (0 when the table had none pending); OPTIMIZE ZORDER →
-  * number of clustered files written.
+  * number of clustered files written; RESTORE → the new table version
+  * carrying the restored snapshot (a timestamp resolves to the latest
+  * commit at-or-before it, like the readers' `timestampAsOf`).
   */
 case class MergeTableMaintenanceCommand(op: String, catalogName: String,
                                         ident: Seq[String],
-                                        zorderCols: Seq[String] = Nil) extends LeafRunnableCommand {
+                                        zorderCols: Seq[String] = Nil,
+                                        restoreTo: Option[Either[Long, String]] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("affected", LongType, nullable = false)())
@@ -80,6 +97,16 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
       case "optimize" =>
         t.cluster(zorderCols)
         t.prunableFiles(t.currentEntries()).map(_.size.toLong).getOrElse(0L)
+      case "restore" =>
+        val version = restoreTo.get match {
+          case Left(v) => v
+          case Right(ts) =>
+            val micros = MergeTable.parseTimestampMicros(ts)
+            MergeTable.versionAtTimestamp(path, micros).getOrElse(
+              throw new IllegalArgumentException(
+                s"no commit at or before TIMESTAMP AS OF '$ts' at $path"))
+        }
+        t.restore(version)
     }
     Seq(Row(n))
   }

@@ -31,6 +31,7 @@ import org.apache.spark.sql.functions.col
   *  - MERGE … WHEN MATCHED THEN DELETE         → key delete
   *  - MERGE … WHEN NOT MATCHED THEN INSERT *   → insert-only
   *  - DELETE FROM t WHERE <predicate>          → predicate delete
+  *  - UPDATE t SET col = expr WHERE <predicate> → read-modify-upsert
   * Every other ANSI MERGE form — conditional actions
   * (`WHEN MATCHED AND c THEN …`), multiple matched/not-matched
   * clauses, partial SET lists (values may reference BOTH sides, e.g.
@@ -55,6 +56,49 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
             Filter(cond, t), MergeTableDmlCommand.Delete)
         case None => d
       }
+    case u @ UpdateTable(t, assignments, cond) if t.resolved =>
+      mergeTarget(t) match {
+        case Some(rel) => rewriteUpdate(t, assignments, cond, rel)
+        case None => u
+      }
+  }
+
+  /** `UPDATE t SET col = expr [WHERE p]` compiles to a read-modify-
+    * upsert: filter the current snapshot to the matching rows, project
+    * every target column — assigned columns take their SET expression
+    * (which may reference the row's own columns: `SET v = v + 1`),
+    * the rest pass through — and upsert the result by primary key.
+    * Only the matching keys' rows rewrite (COW joins on the key set;
+    * MOR appends a delta), not the table. SET of a PK column is a key
+    * rewrite, rejected loudly like in MERGE.
+    */
+  private def rewriteUpdate(t: LogicalPlan, assignments: Seq[Assignment],
+      cond: Option[Expression], rel: DmlTarget): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
+    def fail(msg: String): Nothing =
+      throw new UnsupportedOperationException(s"UPDATE mergetable: $msg")
+    assignments.foreach { as =>
+      val k = attrName(as.key).getOrElse(fail(s"unsupported SET key: ${as.key.sql}"))
+      val identity = as.value match {
+        case a: Attribute => a.name.equalsIgnoreCase(k)
+        case u: UnresolvedAttribute => u.nameParts.last.equalsIgnoreCase(k)
+        case _ => false
+      }
+      if (rel.keys.exists(_.equalsIgnoreCase(k)) && !identity)
+        fail(s"cannot SET primary-key column $k")
+      if (!t.output.exists(_.name.equalsIgnoreCase(k)))
+        fail(s"SET column $k is not a column of the target table")
+    }
+    val filtered = cond.map(Filter(_, t)).getOrElse(t)
+    val cols = t.output.map { a =>
+      // PK columns always pass through (identity SETs are no-ops)
+      val e = if (rel.keys.exists(_.equalsIgnoreCase(a.name))) a
+        else assignments.find(as => attrName(as.key).exists(_.equalsIgnoreCase(a.name)))
+          .map(as => Cast(as.value, a.dataType)).getOrElse(a: Expression)
+      Alias(e, a.name)()
+    }
+    MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
+      Project(cols, filtered), MergeTableDmlCommand.Upsert)
   }
 
   private def mergeTarget(plan: LogicalPlan): Option[DmlTarget] = plan match {

@@ -129,6 +129,30 @@ class MergeTableCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) === 2)
   }
 
+  test("RESTORE TABLE rolls back by committing the old snapshot forward") {
+    fresh("cat11")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat11")
+    spark.sql("""CREATE TABLE graft.cat11.r (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.cat11.r VALUES (1,'a'), (2,'b')") // v1
+    spark.sql("INSERT INTO graft.cat11.r VALUES (3,'c')")          // v2
+    spark.sql("DELETE FROM graft.cat11.r WHERE id = 1")            // v3
+    val newV = spark.sql("RESTORE TABLE graft.cat11.r TO VERSION AS OF 1").as[Long].head()
+    assert(newV === 4L, s"restore should commit a NEW version, got $newV")
+    assert(spark.table("graft.cat11.r").as[(Long, String)].collect().sorted ===
+      Seq((1L, "a"), (2L, "b")))
+    // history rolled forward, not rewritten: the undone snapshot is
+    // still readable via time travel
+    assert(spark.sql("SELECT * FROM graft.cat11.r VERSION AS OF 3")
+      .as[(Long, String)].collect().sorted === Seq((2L, "b"), (3L, "c")))
+    // a timestamp at-or-after the last commit restores the latest state
+    val t = MergeTable.open(spark, "target/graft_warehouse/cat11/r")
+    assert(t.versions() === Seq(1L, 2L, 3L, 4L))
+    val e = intercept[Exception](
+      spark.sql("RESTORE TABLE graft.cat11.r TO VERSION AS OF 99"))
+    assert(e.getMessage.contains("no version 99"))
+  }
+
   test("OPTIMIZE ZORDER BY rewrites the table clustered and keeps results") {
     fresh("cat9")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat9")

@@ -63,6 +63,37 @@ class MergeTableDmlSpec extends SparkSpec {
       Seq((1L, "a", 10L), (3L, "c", 30L)))
   }
 
+  test("SQL UPDATE with WHERE rewrites only matching rows, read-modify SET") {
+    val (root, t) = freshTable("update_where")
+    view(root, "dml_target")
+    spark.sql("UPDATE dml_target SET v = v + 5, name = 'up' WHERE id >= 2")
+    assert(t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "a", 10L), (2L, "up", 25L), (3L, "up", 35L)))
+  }
+
+  test("SQL UPDATE without WHERE touches every row; other columns pass through") {
+    val (root, t) = freshTable("update_all")
+    view(root, "dml_target")
+    spark.sql("UPDATE dml_target SET v = v * 2")
+    assert(t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "a", 20L), (2L, "b", 40L), (3L, "c", 60L)))
+  }
+
+  test("SQL UPDATE of a primary-key column is rejected loudly") {
+    val (root, _) = freshTable("update_pk")
+    view(root, "dml_target")
+    val e = intercept[Exception](spark.sql("UPDATE dml_target SET id = id + 1"))
+    assert(e.getMessage.contains("primary-key"))
+  }
+
+  test("SQL UPDATE matching no rows is a committed no-op") {
+    val (root, t) = freshTable("update_none")
+    view(root, "dml_target")
+    spark.sql("UPDATE dml_target SET v = 0 WHERE id > 100")
+    assert(t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+  }
+
   test("partial SET updates only the assigned column; INSERT * adds new keys") {
     val (root, t) = freshTable("merge_partial")
     view(root, "dml_target")
