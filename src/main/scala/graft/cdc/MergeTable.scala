@@ -263,6 +263,19 @@ final class MergeTable(
     readVersion
   }
 
+  /** Commit-log facts per version, oldest first: (version, commit
+    * wall-clock millis — the same manifest mtime that `timestampAsOf`
+    * resolves against — base entry count, delta entry count). Reports
+    * what the log actually records; no invented operation labels.
+    */
+  def history(): Seq[(Long, Long, Int, Int)] =
+    versions().map { v =>
+      val es = entriesAt(v)
+      val m = manifestDir.resolve(f"v$v%05d.txt")
+      (v, Files.getLastModifiedTime(m).toMillis,
+        es.count(_._1 == "base"), es.count(_._1 == "delta"))
+    }
+
   /** Change feed between two committed versions: one row per changed
     * key with `_change` = I (inserted), U (updated), D (deleted) and
     * the row image (after-image for I/U, before-image for D) — the

@@ -23,6 +23,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *   RESTORE TABLE graft.db.t TO TIMESTAMP AS OF '2026-01-01 00:00:00'
   *                                        -- roll back by committing the old
   *                                        -- snapshot as a NEW version
+  *   DESCRIBE HISTORY graft.db.t          -- the commit log: version,
+  *                                        -- commit time, entry counts
   * }}}
   *
   * Everything that is not one of these shapes delegates verbatim
@@ -39,6 +41,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTimestamp =
     """(?is)\s*RESTORE\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Maintenance(op, catalog, ident) =>
@@ -53,6 +57,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case RestoreTimestamp(catalog, ident, ts) =>
       MergeTableMaintenanceCommand("restore", catalog, ident.split('.').toSeq,
         restoreTo = Some(Right(ts)))
+    case History(catalog, ident) =>
+      MergeTableHistoryCommand(catalog, ident.split('.').toSeq)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -81,12 +87,7 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
     Seq(AttributeReference("affected", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
-    val catalog = GraftSqlBridge.catalogPlugin(session, catalogName) match {
-      case c: MergeTableCatalog => c
-      case other => throw new UnsupportedOperationException(
-        s"$op targets a mergetable catalog; '$catalogName' is ${other.getClass.getName}")
-    }
-    val path = catalog.pathForIdent(ident)
+    val path = GraftSqlParser.mergetablePath(session, catalogName, ident, op)
     val t = MergeTable.open(session, path)
     val n: Long = op match {
       case "vacuum" => t.vacuum().toLong
@@ -109,5 +110,40 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
         t.restore(version)
     }
     Seq(Row(n))
+  }
+}
+
+object GraftSqlParser {
+  private[sources] def mergetablePath(session: SparkSession, catalogName: String,
+      ident: Seq[String], op: String): String =
+    GraftSqlBridge.catalogPlugin(session, catalogName) match {
+      case c: MergeTableCatalog => c.pathForIdent(ident)
+      case other => throw new UnsupportedOperationException(
+        s"$op targets a mergetable catalog; '$catalogName' is ${other.getClass.getName}")
+    }
+}
+
+/** `DESCRIBE HISTORY graft.db.t` — the commit log, newest first:
+  * one row per committed version with the commit wall-clock time
+  * (the manifest mtime `TIMESTAMP AS OF` resolves against) and the
+  * snapshot's base/delta entry counts. Reports exactly what the log
+  * records — no invented operation labels.
+  */
+case class MergeTableHistoryCommand(catalogName: String,
+                                    ident: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at", org.apache.spark.sql.types.TimestampType,
+      nullable = false)(),
+    AttributeReference("base_entries", LongType, nullable = false)(),
+    AttributeReference("delta_entries", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.mergetablePath(session, catalogName, ident, "DESCRIBE HISTORY")
+    MergeTable.open(session, path).history().sortBy(-_._1).map {
+      case (v, millis, bases, deltas) =>
+        Row(v, new java.sql.Timestamp(millis), bases.toLong, deltas.toLong)
+    }
   }
 }

@@ -153,6 +153,26 @@ class MergeTableCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("no version 99"))
   }
 
+  test("DESCRIBE HISTORY lists the commit log newest first") {
+    fresh("cat12")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat12")
+    spark.sql("""CREATE TABLE graft.cat12.h (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id','mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.cat12.h VALUES (1,'a')") // v1: one delta
+    spark.sql("INSERT INTO graft.cat12.h VALUES (2,'b')") // v2: two deltas
+    spark.sql("COMPACT graft.cat12.h")                    // v3: folded base
+    val h = spark.sql("DESCRIBE HISTORY graft.cat12.h")
+      .selectExpr("version", "base_entries", "delta_entries")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(h === Seq((3L, 1L, 0L), (2L, 0L, 2L), (1L, 0L, 1L)))
+    // committed_at carries the manifest mtime TIMESTAMP AS OF resolves
+    // against: monotone non-decreasing along versions, none in the future
+    val ts = spark.sql("DESCRIBE HISTORY graft.cat12.h")
+      .selectExpr("version", "cast(committed_at AS LONG)")
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1).map(_._2)
+    assert(ts === ts.sorted && ts.forall(_ <= System.currentTimeMillis() / 1000 + 1))
+  }
+
   test("OPTIMIZE ZORDER BY rewrites the table clustered and keeps results") {
     fresh("cat9")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat9")
