@@ -6,6 +6,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
+/** A commit lost the optimistic-concurrency CAS: another writer
+  * claimed the version this operation was about to commit. Retry =
+  * re-read and re-apply ([[MergeTable.withRetry]]). Subclasses the
+  * JDK's ConcurrentModificationException for source compatibility,
+  * but carries its own type so the retry loop can't be tricked into
+  * re-running a mutation by an UNRELATED CME (e.g. a collection
+  * mutated during iteration inside the caller's closure) — Iceberg's
+  * CommitFailedException plays the same role.
+  */
+class CommitConflictException(msg: String)
+  extends java.util.ConcurrentModificationException(msg)
+
 /** Parquet-backed lake table with the write semantics the reference
   * gets from Iceberg: create-if-absent, append with schema evolution,
   * MERGE-style upsert, key-delete — plus the two write strategies the
@@ -97,6 +109,10 @@ final class MergeTable(
   private def manifestVersion(m: Path): Long =
     m.getFileName.toString.stripPrefix("v").stripSuffix(".txt").toLong
 
+  /** The one place the manifest filename format lives. */
+  private def manifestPath(version: Long): Path =
+    manifestDir.resolve(f"v$version%05d.txt")
+
   /** Typed manifest entries in commit order. Bare lines are bases
     * (backward compat with the original format).
     */
@@ -139,28 +155,34 @@ final class MergeTable(
     * other manifest or publishing a snapshot built from stale entries
     * (the lost-update anomaly). The caller re-reads and retries.
     */
-  private def commit(newEntries: Seq[(String, String)]): Unit = {
+  /** Returns the version this commit claimed — callers needing the
+    * committed version use the return value, not the shared
+    * `readVersion` (which a concurrent reader on the same instance
+    * may have advanced in the meantime).
+    */
+  private def commit(newEntries: Seq[(String, String)]): Long = {
     Files.createDirectories(manifestDir)
     persistMeta()
     val version = readVersion + 1
-    val name = f"v$version%05d.txt"
+    val target = manifestPath(version)
     val body = newEntries.map { case (t, d) => s"$t:$d" }.mkString("\n")
     val staged = manifestDir.resolve(s".staged.${UUID.randomUUID()}")
     Files.write(staged, body.getBytes)
-    try Files.createLink(manifestDir.resolve(name), staged)
+    try Files.createLink(target, staged)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(staged)
-        throw new java.util.ConcurrentModificationException(
+        throw new CommitConflictException(
           s"concurrent commit to $root: version $version was committed by another " +
             "writer after this operation read the table; re-read and retry")
     } finally Files.deleteIfExists(staged)
     // best-effort convenience pointer (NOT the commit point — see
     // currentManifest); still atomic so its readers never see torn text
     val tmp = rootPath.resolve(s"_LATEST.tmp.${UUID.randomUUID()}")
-    Files.write(tmp, name.getBytes)
+    Files.write(tmp, target.getFileName.toString.getBytes)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     readVersion = version
+    version
   }
 
   private def writeData(df: DataFrame): String = {
@@ -201,7 +223,7 @@ final class MergeTable(
       .map(_.stripPrefix("v").stripSuffix(".txt").toLong).sorted.toSeq
 
   private def entriesAt(version: Long): Seq[(String, String)] = {
-    val m = manifestDir.resolve(f"v$version%05d.txt")
+    val m = manifestPath(version)
     require(Files.exists(m), s"no version $version at $root")
     new String(Files.readAllBytes(m)).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
       .map { line =>
@@ -260,7 +282,6 @@ final class MergeTable(
     entries() // refresh readVersion — the optimistic-concurrency base
     require(version <= readVersion, s"cannot restore $root to $version: latest is $readVersion")
     commit(target)
-    readVersion
   }
 
   /** Commit-log facts per version, oldest first: (version, commit
@@ -271,8 +292,7 @@ final class MergeTable(
   def history(): Seq[(Long, Long, Int, Int)] =
     versions().map { v =>
       val es = entriesAt(v)
-      val m = manifestDir.resolve(f"v$v%05d.txt")
-      (v, Files.getLastModifiedTime(m).toMillis,
+      (v, Files.getLastModifiedTime(manifestPath(v)).toMillis,
         es.count(_._1 == "base"), es.count(_._1 == "delta"))
     }
 
@@ -351,7 +371,10 @@ final class MergeTable(
     while (true) {
       try return op
       catch {
-        case e: java.util.ConcurrentModificationException =>
+        // ONLY the dedicated conflict type: a generic JDK CME raised
+        // by unrelated code in the closure must surface, not silently
+        // re-run a side-effectful mutation
+        case e: CommitConflictException =>
           if (attempt >= maxAttempts) throw e
           attempt += 1
       }

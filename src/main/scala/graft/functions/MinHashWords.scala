@@ -151,18 +151,22 @@ object MinHashWords {
   /** First 48 bits of md5(word-bytes) as a non-negative long, mod
     * `prime` — bit-identical to DuckDB's
     * `('0x' || substr(md5(w), 1, 12))::BIGINT % prime`.
+    *
+    * The memo caches the PRE-mod 48-bit digest — a pure function of
+    * the word alone — so callers with different primes can never read
+    * each other's stale entries; the (cheap) mod applies per call.
     */
   def portableWordHash(w: UTF8String, prime: Long): Long = {
     val m = memo.get()
     val cached = m.get(w)
-    if (cached != null) return cached.longValue()
+    if (cached != null) return cached.longValue() % prime
     val md = digests.get()
     md.reset()
     val d = md.digest(w.getBytes)
-    val h = (((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
-      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)) % prime
+    val h48 = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
     if (m.size > 65536) m.clear()
-    m.put(w.clone(), java.lang.Long.valueOf(h))
-    h
+    m.put(w.clone(), java.lang.Long.valueOf(h48))
+    h48 % prime
   }
 }

@@ -77,6 +77,11 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
     def fail(msg: String): Nothing =
       throw new UnsupportedOperationException(s"UPDATE mergetable: $msg")
+    // ANSI rejects duplicate SET targets; silently keeping the first
+    // would write data a typo'd statement never asked for
+    val dup = assignments.flatMap(a => attrName(a.key)).map(_.toLowerCase)
+      .groupBy(identity).collectFirst { case (k, vs) if vs.size > 1 => k }
+    dup.foreach(k => fail(s"duplicate SET assignment to column $k"))
     assignments.foreach { as =>
       val k = attrName(as.key).getOrElse(fail(s"unsupported SET key: ${as.key.sql}"))
       val identity = as.value match {
@@ -98,7 +103,7 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
       Alias(e, a.name)()
     }
     MergeTableDmlCommand(rel.path, rel.keys, rel.mode, rel.numBuckets,
-      Project(cols, filtered), MergeTableDmlCommand.Upsert)
+      Project(cols, filtered), MergeTableDmlCommand.Update)
   }
 
   private def mergeTarget(plan: LogicalPlan): Option[DmlTarget] = plan match {
@@ -436,6 +441,11 @@ case class MergeTableDmlCommand(
     kind match {
       case MergeTableDmlCommand.Upsert =>
         t.upsert(requireUniqueKeys(src))
+      case MergeTableDmlCommand.Update =>
+        // UPDATE's source is a projection of the target snapshot —
+        // PK-unique by the table invariant, so the MERGE cardinality
+        // aggregation would be a full extra scan that can never fire
+        t.upsert(src)
       case MergeTableDmlCommand.InsertOnly =>
         // an empty (created-but-never-committed) table has no keys to
         // anti-join against — every source row is unmatched
@@ -484,6 +494,7 @@ case class MergeTableDmlCommand(
 
 object MergeTableDmlCommand {
   val Upsert = "upsert"
+  val Update = "update" // upsert of a target-snapshot projection: skips the cardinality check
   val InsertOnly = "insert_only"
   val Delete = "delete"
   val Apply = "apply"

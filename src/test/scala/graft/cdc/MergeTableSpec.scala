@@ -134,6 +134,21 @@ class MergeTableSpec extends SparkSpec {
     assert(t.versions().size === 13)
   }
 
+  test("withRetry does NOT retry an unrelated ConcurrentModificationException") {
+    val root = freshRoot("occ_scope")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((0L, "seed")).toDF("id", "v")))
+    var calls = 0
+    intercept[java.util.ConcurrentModificationException] {
+      t.withRetry(maxAttempts = 5) {
+        calls += 1
+        // a collection-iteration CME from user code, NOT a commit CAS
+        throw new java.util.ConcurrentModificationException("not a commit conflict")
+      }
+    }
+    assert(calls === 1, "an unrelated CME must surface, not re-run the mutation")
+  }
+
   test("a writer crashing before its pointer update cannot wedge the table") {
     val root = freshRoot("occ_crash")
     val t = new MergeTable(spark, root, Seq("id"))

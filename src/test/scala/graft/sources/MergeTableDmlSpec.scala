@@ -86,6 +86,14 @@ class MergeTableDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("primary-key"))
   }
 
+  test("SQL UPDATE with duplicate SET assignments is rejected loudly") {
+    val (root, _) = freshTable("update_dup_set")
+    view(root, "dml_target")
+    val e = intercept[Exception](
+      spark.sql("UPDATE dml_target SET v = 1, v = 2"))
+    assert(e.getMessage.contains("duplicate SET"))
+  }
+
   test("SQL UPDATE matching no rows is a committed no-op") {
     val (root, t) = freshTable("update_none")
     view(root, "dml_target")
