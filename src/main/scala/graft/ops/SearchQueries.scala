@@ -145,6 +145,77 @@ object SearchQueries extends QueryModule {
        |ORDER BY sum(part) DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  // -- bigram language-model likelihood scoring ------------------------------
+
+  /** Per-document bigram-LM likelihood — the KenLM-filter shape
+    * (score docs under a language model trained on the corpus, drop
+    * the tail): score = mean over the doc's bigram occurrences of
+    * p(t|h) = c(h,t)/c(h,·), the corpus-trained conditional. Perplexity
+    * uses mean log p; the mean probability is the log-free stand-in —
+    * same signals (ungrammatical/garbled word sequences score low),
+    * but only correctly-rounded IEEE ops (libm `ln` is 1-ulp and could
+    * flip scores between engines), so it's hash-oracled bit-for-bit.
+    *
+    * Scale shape: one (doc,h,t) aggregation over the bigram stream,
+    * model counts c(h,t)/c(h,·) derived by two more bounded
+    * aggregations and joined back on the bigram key (vocab² scales
+    * with the corpus: plain shuffle joins, AQE broadcasts when small).
+    * Per-doc partials accumulate in decimal so the sum is
+    * order-independent; text itself never shuffles, only (doc_id,
+    * hash-sized bigram, count) rows.
+    */
+  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val w = TextAnalysis.words(col("text"))
+    val n1 = greatest(size(w) - 1, lit(0))
+    val pairs = d.select(col("doc_id"), explode(zip_with(
+        slice(w, lit(1), n1), slice(w, lit(2), n1),
+        (a, b) => struct(a.as("h"), b.as("t")))).as("bg"))
+      .select(col("doc_id"), col("bg.h").as("h"), col("bg.t").as("t"))
+    val tf = pairs.groupBy("doc_id", "h", "t").agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy("h", "t").agg(sum("tf").as("c2"))
+    val c1 = c2.groupBy("h").agg(sum("c2").as("c1"))
+    // tf·c2 ≤ (corpus bigrams)² stays far under 2^53: the double
+    // product and division are IEEE-exact-rounded, so the decimal
+    // partials are engine-identical
+    val scored = tf.join(c2, Seq("h", "t")).join(c1, Seq("h"))
+      .select(col("doc_id"),
+        ((col("tf") * col("c2")).cast("double") / col("c1").cast("double"))
+          .cast("decimal(28,12)").as("part"),
+        col("tf"))
+      .groupBy("doc_id").agg(sum("part").as("acc"), sum("tf").as("n_bigrams"))
+    d.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("acc").cast("double") / col("n_bigrams").cast("double"), 4),
+          lit(0.0)).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  private val lmScoreSql =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS h, unnest(ws[2:len(ws)]) AS t
+      |  FROM w WHERE len(ws) >= 2),
+      |tf AS (SELECT doc_id, h, t, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+      |c2 AS (SELECT h, t, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1, 2),
+      |c1 AS (SELECT h, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      |parts AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(tf * c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS DECIMAL(28,12)) AS part,
+      |    tf
+      |  FROM tf JOIN c2 USING (h, t) JOIN c1 USING (h)),
+      |agg AS (
+      |  SELECT doc_id, sum(part) AS acc, CAST(sum(tf) AS BIGINT) AS n_bigrams
+      |  FROM parts GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(n_bigrams, 0) AS n_bigrams,
+      |  coalesce(round(CAST(acc AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 4), 0.0) AS lm_score
+      |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // -- incremental dedup against a fingerprint index -------------------------
 
   /** The continuous-ingest dedup shape: an incoming batch is deduped
@@ -304,6 +375,7 @@ object SearchQueries extends QueryModule {
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("docs_tfidf_topk", tfidfTopk, Some(tfidfSql)),
     QueryDef("docs_bm25_search", bm25Search, Some(bm25Sql)),
+    QueryDef("docs_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("dedup_bloom_prefilter", dedupBloom, Some(dedupBloomSql)),
     QueryDef("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),

@@ -125,6 +125,21 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("lm_score: probabilities bound every score in (0, 1], non-vacuous") {
+    val out = graft.SparkEntry.queries("docs_lm_score")(spark, sfDir)
+      .select("doc_id", "n_bigrams", "lm_score")
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // a mean of conditional probabilities can never leave (0, 1]; a
+    // doc with bigrams always has positive mass on its own bigrams
+    val scored = out.filter(_._2 > 0)
+    assert(scored.nonEmpty, "no doc had bigrams")
+    assert(scored.forall { case (_, _, sc) => sc > 0.0 && sc <= 1.0 },
+      s"scores escaped (0,1]: ${scored.filterNot(t => t._3 > 0 && t._3 <= 1).take(3).toSeq}")
+    // the model discriminates: corpus docs are not all equally likely
+    assert(scored.map(_._3).distinct.length > 10, "scores are degenerate")
+  }
+
   test("window hashes: rolling pass equals the direct per-window fold") {
     import graft.functions.WindowHashes.{B, P}
     // alpha-only words: TextAnalysis.words extracts [a-z]+ runs
