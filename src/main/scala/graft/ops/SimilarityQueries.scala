@@ -266,42 +266,52 @@ object SimilarityQueries extends QueryModule {
     * and (score desc, neighbor asc) top-5. Every approximation the
     * index makes is certified bit-for-bit, not just row counts.
     */
-  private val annIvfSql = {
-    // one Lloyd's assignment: nearest (rounded-cosine, cell-desc
-    // tie-break) centroid from table `cents(cell, c)` for every vector
-    def assign(cents: String, name: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, e, cell FROM (
-         |    SELECT v.vec_id, v.e, c.cell,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY round(list_cosine_similarity(v.e, c.c), 6) DESC, c.cell DESC) AS rn
-         |    FROM v CROSS JOIN $cents c) WHERE rn = 1)"""
-    // re-center: exact quantized BIGINT sums per (cell, pos), one
-    // float-rounded division per component, empty cells keep `prev`'s
-    def recenter(asn: String, prev: String, name: String): String =
-      s"""$name AS (
-         |  SELECT p.cell, coalesce(n.c, p.c) AS c
-         |  FROM $prev p LEFT JOIN (
-         |    SELECT cell, list(CAST(CAST(qs / (cnt * 10000.0) AS REAL) AS DOUBLE) ORDER BY pos) AS c
-         |    FROM (
-         |      SELECT cell, pos, sum(CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS qs, count(*) AS cnt
-         |      FROM (SELECT cell, unnest(range(1, len(e)+1)) AS pos, unnest(e) AS x FROM $asn)
-         |      GROUP BY cell, pos) GROUP BY cell) n USING (cell))"""
+  // one Lloyd's assignment: nearest (rounded-cosine, cell-desc
+  // tie-break) centroid from table `cents(cell, c)` for every vector
+  private def ivfAssign(cents: String, name: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT v.vec_id, v.e, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(list_cosine_similarity(v.e, c.c), 6) DESC, c.cell DESC) AS rn
+       |    FROM v CROSS JOIN $cents c) WHERE rn = 1)"""
+
+  // re-center: exact quantized BIGINT sums per (cell, pos), one
+  // float-rounded division per component, empty cells keep `prev`'s
+  private def ivfRecenter(asn: String, prev: String, name: String): String =
+    s"""$name AS (
+       |  SELECT p.cell, coalesce(n.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cell, list(CAST(CAST(qs / (cnt * 10000.0) AS REAL) AS DOUBLE) ORDER BY pos) AS c
+       |    FROM (
+       |      SELECT cell, pos, sum(CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS qs, count(*) AS cnt
+       |      FROM (SELECT cell, unnest(range(1, len(e)+1)) AS pos, unnest(e) AS x FROM $asn)
+       |      GROUP BY cell, pos) GROUP BY cell) n USING (cell))"""
+
+  /** Shared by the IVF and IVF-PQ oracles: re-train the IVF index
+    * (16 lowest-id seeds, two unrolled Lloyd's rounds) and derive the
+    * final corpus assignment `asn(vec_id, e, cell)` plus the 4-cell
+    * query probes `probe(query_id, qe, cell)`.
+    */
+  private val ivfIndexCtes: String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |seed AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS c
        |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
-       |${assign("seed", "a1")},
-       |${recenter("a1", "seed", "c1")},
-       |${assign("c1", "a2")},
-       |${recenter("a2", "c1", "c2")},
-       |${assign("c2", "asn")},
+       |${ivfAssign("seed", "a1")},
+       |${ivfRecenter("a1", "seed", "c1")},
+       |${ivfAssign("c1", "a2")},
+       |${ivfRecenter("a2", "c1", "c2")},
+       |${ivfAssign("c2", "asn")},
        |probe AS (
        |  SELECT query_id, qe, cell FROM (
        |    SELECT q.vec_id AS query_id, q.e AS qe, c.cell,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY round(list_cosine_similarity(q.e, c.c), 6) DESC, c.cell DESC) AS rn
-       |    FROM v q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rn <= 4),
+       |    FROM v q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rn <= 4)"""
+
+  private val annIvfSql = {
+    s"""$ivfIndexCtes,
        |cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |    round(list_cosine_similarity(p.qe, a.e), 6) AS score
@@ -318,6 +328,103 @@ object SimilarityQueries extends QueryModule {
   private def annIvfPq(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfPqTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5)
       .orderBy("query_id", "rank")
+
+  /** DuckDB re-trains the ENTIRE IVF-PQ index and replays the read
+    * path on top of the shared IVF CTEs: the 16 hash-picked PQ seeds
+    * (smallest md5(vec_id) 48-bit prefix — same `conv(substring(md5))`
+    * key as the Scala side), two per-subspace Lloyd's rounds (encode =
+    * nearest-L2 sub-centroid with an ordered left-fold distance and
+    * lowest-code tie-break; re-center = exact BIGINT sums of
+    * 1e-4-quantized components, emptied codes inherit), the final
+    * encode, the query ADC lookup tables (ordered-fold dot products),
+    * ADC scoring as an mi-ordered 8-term fold (matching `PqAdc`'s
+    * ascending loop), the (adc desc, neighbor asc) top-64 shortlist,
+    * exact-cosine rescoring, and the final top-5. Every float op is a
+    * correctly-rounded IEEE add/mul/div in a deterministic order, so
+    * the full compression→score→rerank pipeline is certified
+    * bit-for-bit.
+    */
+  private val annIvfPqSql = {
+    val Sub = 8   // components per subspace (dim 64 / numSub 8)
+    val NSub = 8  // subspaces
+    val NCodes = 16
+    // encode under codebook `cb(mi, c, comps)`: nearest sub-centroid
+    // by L2, distance = ordered left-fold of squared diffs (PqEncode's
+    // ascending accumulation), ties -> lowest code
+    def pqEncode(cb: String, name: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, mi, c FROM (
+         |    SELECT v.vec_id, cb.mi, cb.c,
+         |      row_number() OVER (PARTITION BY v.vec_id, cb.mi
+         |        ORDER BY list_reduce(
+         |          list_transform(range(1, ${Sub + 1}),
+         |            i -> (cb.comps[i] - v.e[cb.mi*$Sub + i]) * (cb.comps[i] - v.e[cb.mi*$Sub + i])),
+         |          (a, x) -> a + x) ASC, cb.c ASC) AS rn
+         |    FROM v CROSS JOIN $cb cb) WHERE rn = 1)"""
+    // re-center: exact quantized BIGINT sums per (mi, c, pos); a code
+    // with no assigned subvectors keeps `prev`'s sub-centroid. The PQ
+    // codebook stays DOUBLE (no float round-trip — unlike the IVF
+    // centroids, the Scala side never casts these to Float)
+    def pqRecenter(enc: String, prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT p.mi, p.c, coalesce(n.comps, p.comps) AS comps
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT mi, c, list(CAST(qs AS DOUBLE) / (cnt * 10000.0) ORDER BY pos) AS comps
+         |    FROM (
+         |      SELECT en.mi, en.c, u.pos,
+         |        sum(CAST(floor(u.x * 10000 + 0.5) AS BIGINT)) AS qs, count(*) AS cnt
+         |      FROM $enc en JOIN (
+         |        SELECT vec_id, unnest(range(0, ${NSub * Sub})) AS pos, unnest(e) AS x FROM v) u
+         |        ON en.vec_id = u.vec_id AND en.mi = u.pos // $Sub
+         |      GROUP BY 1, 2, 3)
+         |    GROUP BY mi, c) n ON p.mi = n.mi AND p.c = n.c)"""
+    s"""$ivfIndexCtes,
+       |pqseed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS INT) AS c, e
+       |  FROM (SELECT vec_id, e,
+       |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT AS hk
+       |        FROM v ORDER BY hk, vec_id LIMIT $NCodes)),
+       |cb0 AS (
+       |  SELECT mi, c, e[mi*$Sub + 1 : mi*$Sub + $Sub] AS comps
+       |  FROM pqseed CROSS JOIN (SELECT unnest(range(0, $NSub)) AS mi)),
+       |${pqEncode("cb0", "penc1")},
+       |${pqRecenter("penc1", "cb0", "cb1")},
+       |${pqEncode("cb1", "penc2")},
+       |${pqRecenter("penc2", "cb1", "cb2")},
+       |${pqEncode("cb2", "pencf")},
+       |lut AS (
+       |  SELECT p.query_id, cb.mi, cb.c,
+       |    list_reduce(list_transform(range(1, ${Sub + 1}),
+       |        i -> cb.comps[i] * p.qe[cb.mi*$Sub + i]),
+       |      (a, x) -> a + x) AS dot
+       |  FROM (SELECT DISTINCT query_id, qe FROM probe) p CROSS JOIN cb2 cb),
+       |adcp AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_reduce(list(l.dot ORDER BY l.mi), (a, x) -> a + x) AS adc
+       |  FROM probe p
+       |  JOIN asn a USING (cell)
+       |  JOIN pencf pc ON pc.vec_id = a.vec_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.mi = pc.mi AND l.c = pc.c
+       |  WHERE p.query_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+       |    FROM adcp) WHERE rn <= 64),
+       |resc AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    round(list_cosine_similarity(q.qe, c.e), 6) AS score
+       |  FROM short s
+       |  JOIN v c ON c.vec_id = s.neighbor_id
+       |  JOIN (SELECT DISTINCT query_id, qe FROM probe) q ON q.query_id = s.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM resc)
+       |SELECT query_id, neighbor_id, rank, score FROM r
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   // -- multimodal plumbing (decode stub; featurization oracled) ------------
 
@@ -365,7 +472,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
-    QueryDef("ann_ivfpq_topk", annIvfPq, None),
+    QueryDef("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),
     QueryDef("media_features", mediaFeatures, Some(mediaFeaturesSql)),
   )
 }
