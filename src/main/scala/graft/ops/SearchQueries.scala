@@ -89,7 +89,9 @@ object SearchQueries extends QueryModule {
     * partial scores accumulate in decimal so the 3-term sum is
     * order-independent, then a global top-10 via TakeOrdered.
     */
-  private def bm25Search(s: SparkSession, dir: String): DataFrame = {
+  /** BM25 accumulator per matching document — (doc_id, acc DECIMAL).
+    * Shared by the standalone search query and the hybrid-RRF leg. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val terms = d.select(col("doc_id"),
       explode(TextAnalysis.words(col("text"))).as("term"))
@@ -109,13 +111,19 @@ object SearchQueries extends QueryModule {
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), (idf * norm).cast("decimal(28,12)").as("part"))
       .groupBy("doc_id").agg(sum("part").as("acc"))
+  }
+
+  private def bm25Search(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir)
       .select(col("doc_id"), round(col("acc").cast("double"), 4).as("bm25"),
         col("acc"))
       .orderBy(col("acc").desc, col("doc_id")).limit(10)
       .drop("acc")
-  }
 
-  private val bm25Sql = {
+  /** Shared CTE prefix re-deriving the BM25 per-(doc,term) partial
+    * scores (`parts`) in DuckDB — used by the standalone search
+    * oracle and the hybrid-RRF oracle's lexical leg. */
+  private val bm25PartsCtes: String = {
     val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
     s"""WITH w AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
@@ -139,11 +147,89 @@ object SearchQueries extends QueryModule {
        |      AS DECIMAL(28,12)) AS part
        |  FROM qtf JOIN df ON qtf.term = df.term
        |  JOIN dl ON qtf.doc_id = dl.doc_id
-       |  CROSS JOIN stats)
+       |  CROSS JOIN stats)""".stripMargin
+  }
+
+  private val bm25Sql =
+    s"""$bm25PartsCtes
        |SELECT doc_id, round(CAST(sum(part) AS DOUBLE), 4) AS bm25
        |FROM parts GROUP BY doc_id
        |ORDER BY sum(part) DESC, doc_id LIMIT 10""".stripMargin
+
+  // -- hybrid retrieval: BM25 ⊕ dense cosine via reciprocal rank fusion ------
+
+  private val RrfK = 60.0
+  private val FuseDepth = 20
+
+  /** Hybrid retrieval — the production two-tower search shape: one
+    * query runs through BOTH the lexical BM25 ranker (documents.text)
+    * and the dense cosine ranker over the 1:1 `embeddings` table
+    * (vec_id 0's vector stands in for the encoded query), and the two
+    * top-20 rank lists fuse by reciprocal rank fusion
+    * `rrf = Σ_legs 1/(60 + rank)` — fusion over RANKS only, so the two
+    * scorers' incomparable score scales never meet.
+    *
+    * Scale shape: each leg is the already-bounded pipeline (BM25's
+    * query-term filter cuts the token stream before any shuffle; the
+    * dense leg broadcasts the single query vector so the corpus never
+    * shuffles), both rank lists come from the bounded-heap TopK
+    * operator (no window, no global sort), and the fusion join touches
+    * 2×20 rows. `1/(60+rank)` and the two-term sum are
+    * correctly-rounded IEEE ops in a fixed order → fully hash-oracled.
+    */
+  /** Fuse two (doc_id, <leg>_rank) lists by reciprocal rank fusion and
+    * keep the top `k` — a missing leg contributes 0. Exposed so the
+    * both-legs overlap path (a doc ranked by lexical AND dense) is
+    * unit-testable; the gate corpus' legs rarely overlap. */
+  private[ops] def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int): DataFrame =
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("dense_rank").cast("double")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+
+  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.plans.TopK.perKey(
+        bm25Scored(s, dir).withColumn("g", lit(1)), Seq("g"),
+        Seq(col("acc"), -col("doc_id")), FuseDepth, rankCol = "lex_rank")
+      .select(col("doc_id"), col("lex_rank"))
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val dense = graft.plans.TopK.perKey(
+        emb.crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            round(Similarity.cosine(s, col("qe"), col("embedding")), 6).as("dcos"))
+          .withColumn("g", lit(1)),
+        Seq("g"), Seq(col("dcos"), -col("doc_id")), FuseDepth, rankCol = "dense_rank")
+      .select(col("doc_id"), col("dense_rank"))
+    rrfFuse(lex, dense, k = 10)
   }
+
+  private val hybridRrfSql =
+    s"""$bm25PartsCtes,
+       |lex AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY sum(part) DESC, doc_id) AS INT) AS lex_rank
+       |  FROM parts GROUP BY doc_id
+       |  QUALIFY lex_rank <= $FuseDepth),
+       |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |dns AS (
+       |  SELECT vec_id AS doc_id,
+       |    CAST(row_number() OVER (
+       |      ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) DESC,
+       |        vec_id) AS INT) AS dense_rank
+       |  FROM embeddings CROSS JOIN qv
+       |  QUALIFY dense_rank <= $FuseDepth),
+       |fused AS (
+       |  SELECT coalesce(lex.doc_id, dns.doc_id) AS doc_id, lex_rank, dense_rank,
+       |    round(coalesce(CAST(1 AS DOUBLE) / ($RrfK + CAST(lex_rank AS DOUBLE)), 0.0) +
+       |          coalesce(CAST(1 AS DOUBLE) / ($RrfK + CAST(dense_rank AS DOUBLE)), 0.0),
+       |      6) AS rrf
+       |  FROM lex FULL JOIN dns ON lex.doc_id = dns.doc_id)
+       |SELECT doc_id, lex_rank, dense_rank, rrf
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
   // -- bigram language-model likelihood scoring ------------------------------
 
@@ -375,6 +461,7 @@ object SearchQueries extends QueryModule {
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("docs_tfidf_topk", tfidfTopk, Some(tfidfSql)),
     QueryDef("docs_bm25_search", bm25Search, Some(bm25Sql)),
+    QueryDef("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("docs_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("dedup_bloom_prefilter", dedupBloom, Some(dedupBloomSql)),
