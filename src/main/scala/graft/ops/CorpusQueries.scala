@@ -205,6 +205,77 @@ object CorpusQueries extends QueryModule {
        |  CAST(sum(CASE WHEN ${sqlBucket("mix", "doc_id")} < (CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM documents GROUP BY 1, 2 ORDER BY source""".stripMargin
 
+  // -- temperature-flattened source rebalancing ------------------------------
+
+  /** α=0.5 temperature sampling across sources — the multilingual /
+    * multi-source rebalancing shape (mT5's p_s ∝ n_s^α): the smallest
+    * source keeps everything and every larger source subsamples at
+    * `rate_s = sqrt(n_min / n_s)`, so realized counts flatten to
+    * ∝ sqrt(n_s) without any cross-source normalizing sum (a Σ n_t^α
+    * of doubles would be summation-order-dependent; the min is not).
+    * α=0.5 is the one temperature whose weight function (sqrt) is a
+    * correctly-rounded IEEE op, so every keep decision — a 48-bit
+    * md5-prefix uniform in [0,1) against the exact-divided rate — is
+    * bit-identical cross-engine and the whole realized mix
+    * hash-oracles.
+    *
+    * Scale shape: one bounded per-source count aggregation broadcast
+    * back; the keep decision is per-row; text never shuffles.
+    */
+  private def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic corpus is perfectly source-balanced, so the srcN
+    // labels regroup deterministically into four unequal families
+    // (6:2:1:1) — otherwise every rate is 1.0 and the flattening path
+    // is vacuous
+    val g = pmod(substring(col("source"), 4, 10).cast("int"), lit(8))
+    val group = when(g < 4, "web").when(g < 6, "wiki")
+      .when(g === 6, "books").otherwise("code")
+    val d = docs(s, dir).select(group.as("src_group"), col("doc_id"))
+    val counts = d.groupBy("src_group").agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min("n_docs").as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("src_group"), col("n_docs"),
+        sqrt(col("n_min").cast("double") / col("n_docs").cast("double")).as("rate"))
+    // exact uniform in [0,1): 48-bit md5 prefix (≤ 2^48 < 2^53 exact
+    // in double) scaled by the power-of-two 2^48 — no rounding anywhere
+    val u = conv(substring(md5(concat(lit("temp"), col("doc_id").cast("string"))), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(2, 48))
+    d.select(col("src_group"), u.as("u"))
+      .join(broadcast(rates), "src_group")
+      .select(col("src_group"), col("n_docs"), col("rate"),
+        (col("u") < col("rate")).cast("long").as("k"))
+      .groupBy("src_group", "n_docs", "rate")
+      .agg(sum("k").as("n_kept"))
+      .select(col("src_group"), col("n_docs"), round(col("rate"), 6).as("rate"),
+        col("n_kept"))
+      .orderBy("src_group")
+  }
+
+  private val mixTemperatureSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN CAST(substr(source, 4) AS INTEGER) % 8 < 4 THEN 'web'
+      |         WHEN CAST(substr(source, 4) AS INTEGER) % 8 < 6 THEN 'wiki'
+      |         WHEN CAST(substr(source, 4) AS INTEGER) % 8 = 6 THEN 'books'
+      |         ELSE 'code' END AS src_group
+      |  FROM documents),
+      |counts AS (SELECT src_group, count(*) AS n_docs FROM d GROUP BY 1),
+      |nmin AS (SELECT min(n_docs) AS n_min FROM counts),
+      |rates AS (
+      |  SELECT src_group, n_docs,
+      |    sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate
+      |  FROM counts CROSS JOIN nmin),
+      |kept AS (
+      |  SELECT d.src_group,
+      |    CAST(sum(CASE WHEN
+      |      CAST(('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE)
+      |        / 281474976710656.0 < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |  FROM d JOIN rates USING (src_group)
+      |  GROUP BY 1)
+      |SELECT src_group, CAST(n_docs AS BIGINT) AS n_docs, round(rate, 6) AS rate, n_kept
+      |FROM rates JOIN kept USING (src_group)
+      |ORDER BY src_group""".stripMargin
+
   // -- context-window chunking ---------------------------------------------
 
   private val ChunkWords = 50
@@ -453,6 +524,7 @@ object CorpusQueries extends QueryModule {
     QueryDef("docs_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("docs_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("docs_mix_weighted", mixWeighted, Some(mixWeightedSql)),
+    QueryDef("docs_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     QueryDef("docs_chunk", chunk, Some(chunkSql)),
     QueryDef("docs_pack_shards", packShards, Some(packShardsSql)),
     QueryDef("docs_pack_sequences", packSequences, Some(packSequencesSql)),

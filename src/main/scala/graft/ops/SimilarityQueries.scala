@@ -158,6 +158,94 @@ object SimilarityQueries extends QueryModule {
        |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= $SemThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // -- cluster topic labeling ----------------------------------------------
+
+  /** Top-3 characteristic terms per semantic cluster — the corpus
+    * exploration step after clustering ("what is cluster 7 about?"):
+    * nearest-medoid assignment over the embeddings (1:1 with
+    * `documents`), then a concentration score per (cluster, term) —
+    * `tf · (tf / total_tf)`, high only for terms that are frequent AND
+    * concentrated in the cluster, so evenly-spread background words
+    * self-demote (χ²-flavored, log-free → cross-engine-exact) — ranked
+    * by the bounded-heap TopK.
+    *
+    * Scale shape: assignment broadcasts the K medoids (corpus never
+    * shuffles); the term stats are two aggregations at
+    * (cluster, term) cardinality — text leaves the scan only as
+    * exploded term rows feeding a partial-aggregated groupBy.
+    */
+  private def clusterTopics(s: SparkSession, dir: String): DataFrame = {
+    val medoids = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"),
+        conv(substring(md5(col("vec_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("_h"))
+      .orderBy(col("_h"), col("cluster_id")).limit(SemClusters)
+      .drop("_h")
+    val assigned = Tables.embeddings(s, dir)
+      .crossJoin(broadcast(medoids))
+      .select(col("vec_id"), col("cluster_id"),
+        round(Similarity.cosine(s, col("embedding"), col("centroid")), 6).as("cscore"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cluster_id"), struct(col("cscore"), -col("cluster_id")))
+        .as("cluster"))
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    val tf = Tables.parallel(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+      .join(assigned.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .groupBy("cluster", "term").agg(count(lit(1)).as("tf"))
+    // concentration score tf·(tf/total): high only when a term is
+    // frequent AND its occurrences concentrate in this cluster, so
+    // evenly-spread background words (stopwords) self-demote by the
+    // ~1/K share factor — no absolute df cutoff that a small shared
+    // vocabulary would empty. tf² stays under 2^53 → IEEE-exact.
+    val tot = tf.groupBy("term").agg(sum("tf").as("tot"))
+    val scored = tf.join(tot, "term")
+      .select(col("cluster"), col("term"),
+        ((col("tf").cast("double") * col("tf").cast("double")) /
+          col("tot").cast("double")).as("score"))
+    graft.plans.TopK.perKey(scored, Seq("cluster"),
+        Seq(col("score"), col("term")), k = 3)
+      .join(broadcast(sizes), "cluster")
+      .select(col("cluster"), col("cluster_size"), col("term"), col("rank"),
+        round(col("score"), 4).as("topic_score"))
+      .orderBy("cluster", "rank")
+  }
+
+  private val clusterTopicsSql =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |med AS (
+       |  SELECT vec_id AS cid, e AS ce FROM v
+       |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+       |    vec_id
+       |  LIMIT $SemClusters),
+       |asn AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, med.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(list_cosine_similarity(v.e, med.ce), 6) DESC,
+       |          med.cid) AS rn
+       |    FROM v CROSS JOIN med)
+       |  WHERE rn = 1),
+       |sz AS (SELECT cid, count(*) AS cluster_size FROM asn GROUP BY 1),
+       |w AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT cid AS cluster, term, count(*) AS tf
+       |  FROM w JOIN asn ON w.doc_id = asn.vec_id GROUP BY 1, 2),
+       |tot AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tot FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT cluster, tf.term,
+       |    (CAST(tf AS DOUBLE) * CAST(tf AS DOUBLE)) / CAST(tot AS DOUBLE) AS score
+       |  FROM tf JOIN tot ON tf.term = tot.term)
+       |SELECT cluster, CAST(cluster_size AS BIGINT) AS cluster_size, term,
+       |  CAST(row_number() OVER (PARTITION BY cluster
+       |    ORDER BY score DESC, term DESC) AS INT) AS rank,
+       |  round(score, 4) AS topic_score
+       |FROM scored JOIN sz ON scored.cluster = sz.cid
+       |QUALIFY rank <= 3
+       |ORDER BY cluster, rank""".stripMargin
+
   // -- int8 embedding quantization -----------------------------------------
 
   /** Per-vector 8-bit quantization (the 4× storage cut a 10^9-vector
@@ -469,6 +557,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("knn_join", knnJoin, Some(knnJoinSql)),
     QueryDef("dedup_embedding", embedNearDup, Some(embedNearDupSql)),
     QueryDef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
+    QueryDef("docs_cluster_topics", clusterTopics, Some(clusterTopicsSql)),
     QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
