@@ -130,9 +130,64 @@ object Queries5 extends QueryModule {
       |      AND l3.l_returnflag = 'R')
       |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 
+  // -- market-basket pair mining --------------------------------------------
+
+  /** Frequent co-purchased part pairs with lift — the association-rule
+    * shape (recommendations, co-occurrence stats): distinct parts per
+    * order self-join within the order key, support counted per
+    * unordered pair, lift = support·N / (cnt_a·cnt_b) from exact
+    * integer counts (all products < 2^53 → the one double division is
+    * correctly rounded, cross-engine-exact). Top-20 by support.
+    *
+    * Scale shape: the self-join is an equi-join on the order key and
+    * fan-out is bounded by basket size squared (TPC-H baskets ≤ 7
+    * items), so candidate volume is linear in orders; per-pair counts
+    * partial-aggregate map-side; no per-order nested loop.
+    */
+  private def basketPairs(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val nOrders = t(s, dir, "orders").agg(count(lit(1)).as("n_orders"))
+    val partCnt = items.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
+    pairs
+      .join(partCnt.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a")), "part_a")
+      .join(partCnt.select(col("l_partkey").as("part_b"), col("cnt").as("cnt_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("support"),
+        round((col("support") * col("n_orders")).cast("double") /
+          (col("cnt_a") * col("cnt_b")).cast("double"), 4).as("lift"))
+      .orderBy(desc("support"), col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  private val basketPairsSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT count(*) AS n_orders FROM orders),
+      |pc AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2)
+      |SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+      |  round(CAST(support * n_orders AS DOUBLE) /
+      |        CAST(ca.cnt * cb.cnt AS DOUBLE), 4) AS lift
+      |FROM pairs
+      |JOIN pc ca ON ca.l_partkey = part_a
+      |JOIN pc cb ON cb.l_partkey = part_b
+      |CROSS JOIN n
+      |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q15_top_supplier", q15TopSupplier, Some(q15Sql)),
     QueryDef("q17_small_quantity", q17SmallQuantity, Some(q17Sql)),
     QueryDef("q21_lone_failures", q21LoneFailures, Some(q21Sql)),
+    QueryDef("basket_pairs", basketPairs, Some(basketPairsSql)),
   )
 }
