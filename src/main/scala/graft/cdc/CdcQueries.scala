@@ -553,6 +553,129 @@ object CdcQueries extends QueryModule {
     out
   }
 
+  /** Incremental materialized-view maintenance — the downstream
+    * consumer a change feed exists FOR: a pre-aggregated view (count +
+    * sum per group) is maintained by applying feed deltas (+ for
+    * I/U_post, − for U_pre/D) instead of re-aggregating the table.
+    * The gate pushes an upsert AND a delete commit through a real
+    * MergeTable, replays `changesBetween(…, updatePreImages = true)`,
+    * folds the deltas into the seed aggregate, and must hash-match an
+    * oracle that re-aggregates the FINAL table state from scratch —
+    * certifying the retraction algebra end to end. Sums accumulate in
+    * decimal (order-independent), cast to double only at the edge.
+    * At 100 TB this is the difference between touching O(changes)
+    * and O(table) per refresh; nothing here shuffles more than the
+    * feed and the group keys.
+    */
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).cache()
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    val base = latestPerUser(ev.filter(col("event_id") < cut))
+    val changes = latestPerUser(ev.filter(col("event_id") >= cut))
+    val root = tmpRoot("incremental_agg", dir)
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    t.upsert(changes)
+    t.delete(t.read().filter(col("user_id") % 7 === 0).select("user_id"))
+    val dec = col("value").cast("decimal(18,6)")
+    // the maintained view, seeded from the v1 snapshot (= base)
+    val agg0 = base.groupBy("event_type").agg(
+      count(lit(1)).as("n0"), sum(dec).as("v0"))
+    val feed = t.changesBetween(1, t.versions().max, updatePreImages = true)
+    val additive = col("_change").isin(CdcModel.OpInsert, "U_post")
+    val deltas = feed.groupBy("event_type").agg(
+      sum(when(additive, lit(1L)).otherwise(lit(-1L))).as("dn"),
+      sum(when(additive, dec).otherwise(-dec)).as("dv"))
+    val zero = lit(0).cast("decimal(28,6)")
+    val out = agg0.join(deltas, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+        round((coalesce(col("v0"), zero) + coalesce(col("dv"), zero))
+          .cast("double"), 3).as("total_value"))
+      .filter(col("n_rows") > 0)
+      .orderBy("event_type")
+    ev.unpersist()
+    out
+  }
+
+  private val incrementalAggSql =
+    """WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
+      |base AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id < (SELECT c FROM cut)) WHERE rn = 1),
+      |changes AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id >= (SELECT c FROM cut)) WHERE rn = 1),
+      |merged AS (
+      |  SELECT user_id, event_type, value FROM changes
+      |  UNION ALL
+      |  SELECT b.user_id, b.event_type, b.value FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.user_id = b.user_id))
+      |SELECT event_type, count(*) AS n_rows,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 3) AS total_value
+      |FROM merged WHERE user_id % 7 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** SCD Type-2 history build — the warehouse-standard consumer of a
+    * CDC stream: per key, consecutive equal values of the tracked
+    * attribute collapse into one validity interval
+    * [valid_from, valid_to), open-ended for the current row. Runs =
+    * lag-compare → running-sum run ids → one aggregation; every
+    * window partitions on `user_id` (unbounded cardinality — scales
+    * with the data, unlike a per-attribute window). Interval edges
+    * exported as epoch-ms so both engines truncate nanos identically.
+    */
+  private def scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = events(s, dir)
+      .select("user_id", "event_type", "ts", "event_id")
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull ||
+          lag("event_type", 1).over(w) =!= col("event_type"), 1).otherwise(0))
+      .withColumn("ver", sum("chg").over(wRun).cast("long"))
+    val hist = runs.groupBy("user_id", "ver").agg(
+      min("event_type").as("event_type"), // constant within a run
+      count(lit(1)).as("n_events"),
+      min("ts").as("vf"))
+    val wVer = Window.partitionBy("user_id").orderBy("ver")
+    hist
+      // session TZ is UTC (GraftSession), so NTZ→TIMESTAMP is identity
+      .withColumn("valid_from_ms", unix_millis(col("vf").cast("timestamp")))
+      .withColumn("valid_to_ms",
+        unix_millis(lead("vf", 1).over(wVer).cast("timestamp")))
+      .withColumn("is_current", lead("vf", 1).over(wVer).isNull)
+      .select("user_id", "ver", "event_type", "n_events",
+        "valid_from_ms", "valid_to_ms", "is_current")
+      .orderBy("user_id", "ver")
+  }
+
+  private val scd2Sql =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, event_type, ts,
+      |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ver
+      |  FROM ordered),
+      |hist AS (
+      |  SELECT user_id, ver, min(event_type) AS event_type,
+      |    count(*) AS n_events, min(ts) AS vf
+      |  FROM runs GROUP BY user_id, ver)
+      |SELECT user_id, ver, event_type, n_events,
+      |  epoch_ms(vf) AS valid_from_ms,
+      |  epoch_ms(lead(vf) OVER (PARTITION BY user_id ORDER BY ver)) AS valid_to_ms,
+      |  (lead(vf) OVER (PARTITION BY user_id ORDER BY ver) IS NULL) AS is_current
+      |FROM hist ORDER BY user_id, ver""".stripMargin
+
   private val changeFeedSql =
     """WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
       |base AS (
@@ -617,6 +740,8 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_delete_sql", applyDeleteViaSql, Some(applyDeleteSql)),
     QueryDef("cdc_apply_update_sql", applyUpdateViaSql, Some(applyUpdateSql)),
     QueryDef("cdc_change_feed", changeFeed, Some(changeFeedSql)),
+    QueryDef("cdc_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
+    QueryDef("cdc_scd2", scd2, Some(scd2Sql)),
     QueryDef("mergetable_source_read", sourceRead, Some(sourceReadSql)),
     QueryDef("mergetable_clustered_read", clusteredRead, Some(clusteredReadSql)),
     QueryDef("cdc_apply_full", applyFull, Some(applyFullSql)),

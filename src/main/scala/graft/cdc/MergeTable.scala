@@ -2,7 +2,7 @@ package graft.cdc
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
@@ -301,8 +301,17 @@ final class MergeTable(
     * the row image (after-image for I/U, before-image for D) — the
     * outbound counterpart of the CDC ingestion path, computed as a
     * single full-outer join of the two snapshots on the primary key.
+    *
+    * With `updatePreImages = true` each update instead emits TWO rows
+    * — `U_pre` (before-image) then `U_post` (after-image), the shape
+    * Delta's change-data-feed publishes — which is what downstream
+    * incremental aggregate maintenance needs: without the pre-image a
+    * consumer cannot retract the old value from a running sum. Still
+    * one join pass: the pre/post rows come from a 2-element explode
+    * of the already-joined row, not a second join of the snapshots.
     */
-  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+  def changesBetween(fromVersion: Long, toVersion: Long,
+      updatePreImages: Boolean = false): DataFrame = {
     val after = readVersion(toVersion)
     // version 0 = the empty table before the first commit, so a feed
     // can replay history from the beginning (everything starts as I)
@@ -323,14 +332,26 @@ final class MergeTable(
     val changeOp = when(col("_b").isNull, CdcModel.OpInsert)
       .when(col("_a").isNull, CdcModel.OpDelete)
       .otherwise(CdcModel.OpUpsert)
-    joined
+    val filtered = joined
       .withColumn("_change", changeOp)
       .filter(col("_change") =!= CdcModel.OpUpsert || changed)
-      .select(
+    if (!updatePreImages)
+      filtered.select(
         keys.map(col) ++
           common.map(c =>
             when(col("_a").isNull, col(s"_b_$c")).otherwise(col(c)).as(c)) :+
           col("_change"): _*)
+    else {
+      def img(change: Column, pre: Boolean): Column = struct(
+        (common.map(c => (if (pre) col(s"_b_$c") else col(c)).as(c)) :+
+          change.as("_change")): _*)
+      val rows = when(col("_b").isNull, array(img(lit(CdcModel.OpInsert), pre = false)))
+        .when(col("_a").isNull, array(img(lit(CdcModel.OpDelete), pre = true)))
+        .otherwise(array(img(lit("U_pre"), pre = true), img(lit("U_post"), pre = false)))
+      filtered
+        .select(keys.map(col) :+ explode(rows).as("_r"): _*)
+        .select(keys.map(col) ++ common.map(c => col(s"_r.$c")) :+ col("_r._change"): _*)
+    }
   }
 
   private def readEntries(es: Seq[(String, String)]): DataFrame = {

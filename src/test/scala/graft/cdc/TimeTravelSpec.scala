@@ -34,6 +34,24 @@ class TimeTravelSpec extends SparkSpec {
     assert(changes === Seq((1L, None, "U")), changes.mkString(", "))
   }
 
+  test("changesBetween with updatePreImages emits U_pre/U_post row pairs") {
+    val root = "target/test_tmp/changefeed_pre"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b"), (4L, "same")).toDF("id", "v")))
+    t.upsert(Seq((2L, "B"), (3L, "c"), (4L, "same")).toDF("id", "v"))
+    t.delete(Seq(1L).toDF("id"))
+
+    val changes = t.changesBetween(1, t.versions().max, updatePreImages = true)
+      .select("id", "v", "_change").as[(Long, String, String)].collect()
+      .sortBy(r => (r._1, r._3))
+    assert(changes === Seq(
+      (1L, "a", "D"),       // deleted, before-image
+      (2L, "B", "U_post"),  // assertion: the NEW value
+      (2L, "b", "U_pre"),   // retraction: the OLD value
+      (3L, "c", "I")))      // inserted; key 4 unchanged -> absent
+  }
+
   test("changesBetween emits I/U/D change feed with row images") {
     val root = "target/test_tmp/changefeed"
     MergeTable.drop(root)
