@@ -184,10 +184,103 @@ object Queries5 extends QueryModule {
       |CROSS JOIN n
       |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  // -- events_anomaly: daily-count outliers via exact integer z-score ------
+
+  /** Days whose event count deviates >2σ from that type's mean — the
+    * monitoring query every ingest pipeline runs. Scale shape:
+    * aggregate FIRST (100 TB of events → one row per (type, day),
+    * bounded by the calendar), then join the per-type moment sums
+    * back (broadcast: one row per type); no window at all, so no
+    * bounded-cardinality partition key to serialize on. The 2σ test
+    * is evaluated in exact integer algebra —
+    * (n·x − S)² > 4·(n·Q − S²) with S = Σx, Q = Σx² — in decimal(38)
+    * so it neither rounds (a float z-score at the boundary could flip
+    * engines) nor overflows BIGINT when daily counts reach 10⁹.
+    */
+  private def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("n_events").as("s"),
+      sum(big(col("n_events")) * big(col("n_events"))).as("q"))
+    val dev = big(col("n")) * big(col("n_events")) - big(col("s"))
+    val varScaled = big(col("n")) * col("q") - big(col("s")) * big(col("s"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        (dev * dev > lit(4) * varScaled).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  private val eventsAnomalySql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(n_events) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(n_events AS HUGEINT) * n_events) AS HUGEINT) AS q
+      |  FROM daily GROUP BY 1)
+      |SELECT d.event_type, d.day, d.n_events,
+      |  ((n * d.n_events - s) * (n * d.n_events - s) > 4 * (n * q - s * s))
+      |    AS is_anomaly
+      |FROM daily d JOIN stats USING (event_type)
+      |ORDER BY event_type, day""".stripMargin
+
+  // -- events_markov_transitions: behavior transition matrix ---------------
+
+  /** First-order Markov transition counts + probabilities between
+    * consecutive event types per user — the session-behavior model
+    * behind funnel and next-action analysis. The only window
+    * partitions on `user_id` (unbounded cardinality); the transition
+    * matrix itself is bounded by |types|², so the per-from totals
+    * join back as a broadcast. Probability = n/total in double after
+    * the exact integer counts — one correctly-rounded division per
+    * row, stable cross-engine.
+    */
+  private def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val seq = Tables.events(s, dir)
+      .select("user_id", "event_type", "ts", "event_id")
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val trans = seq
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val tot = trans.groupBy("from_type").agg(sum("n_trans").as("total"))
+    trans.join(broadcast(tot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        round(col("n_trans").cast("double") / col("total"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val eventsMarkovSql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT event_type AS from_type, to_type,
+      |    CAST(count(*) AS BIGINT) AS n_trans
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS total
+      |  FROM trans GROUP BY 1)
+      |SELECT t.from_type, t.to_type, t.n_trans,
+      |  round(CAST(t.n_trans AS DOUBLE) / tot.total, 6) AS p
+      |FROM trans t JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q15_top_supplier", q15TopSupplier, Some(q15Sql)),
     QueryDef("q17_small_quantity", q17SmallQuantity, Some(q17Sql)),
     QueryDef("q21_lone_failures", q21LoneFailures, Some(q21Sql)),
     QueryDef("basket_pairs", basketPairs, Some(basketPairsSql)),
+    QueryDef("events_anomaly", eventsAnomaly, Some(eventsAnomalySql)),
+    QueryDef("events_markov_transitions", eventsMarkov, Some(eventsMarkovSql)),
   )
 }

@@ -39,7 +39,8 @@ class MergeTableChangeFeedSource(
     numBuckets: Option[Int],
     startingVersion: Long,
     maxVersionsPerBatch: Long,
-    metadataPath: String) extends Source {
+    metadataPath: String,
+    updatePreImages: Boolean = false) extends Source {
 
   private val table = new MergeTable(spark, path, keys, mode, numBuckets)
 
@@ -115,7 +116,8 @@ class MergeTableChangeFeedSource(
     if (from >= to) // fresh start aligns on startingVersion: empty batch
       return StreamingShim.asStreaming(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-    val changes = table.changesBetween(from, to).withColumn("_commit_version", lit(to))
+    val changes = table.changesBetween(from, to, updatePreImages)
+      .withColumn("_commit_version", lit(to))
     // align to the declared schema: columns added by later schema
     // evolution read as nulls for ranges that predate them
     val aligned = changes.select(schema.fields.map { f =>
@@ -170,7 +172,11 @@ object MergeTableChangeFeedSource {
       .getOrElse(t.versions().lastOption.getOrElse(0L))
     val maxVersions = parameters.get("maxVersionsPerBatch").map(v => math.max(1L, v.toLong))
       .getOrElse(Long.MaxValue / 4)
+    // Delta-CDF-shaped feed: updates emit U_pre/U_post row pairs so a
+    // streaming consumer can maintain aggregates (retract old, assert
+    // new) — see MergeTable.changesBetween
+    val preImages = parameters.get("updatePreImages").exists(_.toBoolean)
     new MergeTableChangeFeedSource(spark, path, keys, mode, buckets,
-      startingVersion, maxVersions, metadataPath)
+      startingVersion, maxVersions, metadataPath, preImages)
   }
 }

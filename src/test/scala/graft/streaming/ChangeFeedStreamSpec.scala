@@ -52,6 +52,45 @@ class ChangeFeedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pre-image feed stream maintains an aggregate that equals recompute") {
+    val root = fresh("preimages")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 5L))
+        .toDF("id", "grp", "amt"))) // v1
+    t.upsert(Seq((2L, "x", 25L), (4L, "y", 7L)).toDF("id", "grp", "amt")) // v2
+    t.delete(Seq(1L).toDF("id")) // v3
+
+    val stream = spark.readStream.format("mergetable")
+      .option("path", root).option("keys", "id")
+      .option("startingVersion", "1")
+      .option("updatePreImages", "true")
+      .load()
+    val q = stream.writeStream.format("memory")
+      .queryName("feed_pre").outputMode("append")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      val feed = spark.table("feed_pre")
+        .as[(Long, String, Long, String, Long)].collect()
+      // updates arrive as retract/assert pairs
+      assert(feed.filter(_._4 == "U_pre").toSet === Set((2L, "x", 20L, "U_pre", 3L)))
+      assert(feed.filter(_._4 == "U_post").toSet === Set((2L, "x", 25L, "U_post", 3L)))
+      // folding the deltas into the v1 aggregate reproduces a full
+      // recompute of the final state — the streaming-maintenance use
+      val seed = t.readVersion(1).groupBy("grp")
+        .agg(org.apache.spark.sql.functions.sum("amt").as("total"))
+        .as[(String, Long)].collect().toMap
+      val maintained = feed.foldLeft(seed) { case (acc, (_, grp, amt, change, _)) =>
+        val sign = if (change == "I" || change == "U_post") 1L else -1L
+        acc + (grp -> (acc.getOrElse(grp, 0L) + sign * amt))
+      }
+      val recomputed = t.read().groupBy("grp")
+        .agg(org.apache.spark.sql.functions.sum("amt").as("total"))
+        .as[(String, Long)].collect().toMap
+      assert(maintained === recomputed)
+    } finally q.stop()
+  }
+
   test("restarted stream catches up versions committed while it was down") {
     val root = fresh("catchup")
     val ckpt = s"$root/ckpt"
