@@ -428,6 +428,53 @@ object Dedup {
         (coalesce(col("_ndup"), lit(0L)) > 0).as("has_dup"))
   }
 
+  /** Asymmetric containment pairs — the quote/subset case symmetric
+    * Jaccard misses: a short document wholly embedded in a long one
+    * scores containment(short→long) = 1.0 while its Jaccard stays
+    * arbitrarily low. Candidates are pairs sharing at least one
+    * w-word window hash (same compiled Rabin–Karp pass as
+    * [[substringDupStats]]), with hashes shared by more than
+    * `maxShare` documents dropped — the standard frequency cap that
+    * keeps a boilerplate window (license text, nav chrome) from
+    * exploding one bucket into |bucket|² candidate pairs at corpus
+    * scale. Scoring is exact distinct word-k-gram containment in both
+    * directions, intersection derived from set sizes over hashed
+    * grams so only (id, grams-hash-array) rows join — never text.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int, k: Int = 3, tau: Double = 0.8,
+                       maxShare: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import graft.functions.WindowHashes.P
+    val wordHashes = transform(TextAnalysis.words(col(textCol)),
+      word => conv(substring(md5(word), 1, 12), 16, 10).cast("long") % P)
+    val wh = graft.Caches.register(
+      docs.select(col(idCol).as("_id"),
+        explode(call_function("graft_window_hashes", wordHashes, lit(w))).as("_h"))
+        .distinct())
+    val usable = wh.groupBy("_h").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") > 1 && col("_nd") <= maxShare)
+      .select("_h")
+    val hits = wh.join(usable, "_h")
+    val pairs = hits.select(col("_h"), col("_id").as("doc_a"))
+      .join(hits.select(col("_h"), col("_id").as("doc_b")), "_h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sh = docs.select(col(idCol).as("_id"),
+      array_distinct(transform(wordShingles(col(textCol), k), s => xxhash64(s))).as("_sh"))
+    pairs
+      .join(sh.select(col("_id").as("doc_a"), col("_sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("_id").as("doc_b"), col("_sh").as("sh_b")), "doc_b")
+      .withColumn("n_a", size(col("sh_a")))
+      .withColumn("n_b", size(col("sh_b")))
+      .withColumn("inter_n",
+        col("n_a") + col("n_b") - size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("c_a", round(col("inter_n").cast("double") / col("n_a"), 6))
+      .withColumn("c_b", round(col("inter_n").cast("double") / col("n_b"), 6))
+      .filter(greatest(col("c_a"), col("c_b")) >= tau)
+      .select("doc_a", "doc_b", "n_a", "n_b", "inter_n", "c_a", "c_b")
+  }
+
   /** Exact word-k-gram Jaccard for a candidate pair set (columns
     * doc_a, doc_b) against the docs table. Distinct-shingle semantics
     * on both sides; inter/union derived from sizes so engines agree.

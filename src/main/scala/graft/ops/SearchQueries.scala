@@ -458,6 +458,80 @@ object SearchQueries extends QueryModule {
        |FROM totals LEFT JOIN dups ON totals.doc_id = dups.doc_id
        |ORDER BY totals.doc_id""".stripMargin
 
+  // -- asymmetric containment (quote detection) ------------------------------
+
+  /** Quote-detection gate: docs at doc_id % 13 == 6 embed the FULL
+    * text of doc_id − 3 (containment 1.0 regardless of Jaccard), and
+    * docs at doc_id % 13 == 9 embed only a 25-word prefix — enough to
+    * share 20-word windows and become candidates, but the containment
+    * score then passes τ only for short sources, so both filter
+    * outcomes are non-vacuous. The oracle recomputes window-hash
+    * candidates and gram-set containment from strings end to end.
+    */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select("doc_id", "text")
+    val src = base.select((col("doc_id") + 3).as("doc_id"), col("text").as("embedded"))
+    val d = base.join(src, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 6 && col("embedded").isNotNull,
+          concat(col("text"), lit(" "), col("embedded")))
+        .when(col("doc_id") % 13 === 9 && col("embedded").isNotNull,
+          concat(col("text"), lit(" "),
+            array_join(slice(TextAnalysis.words(col("embedded")), 1, 25), " ")))
+        .otherwise(col("text")).as("text"))
+    Dedup.containmentPairs(d, "doc_id", "text", w = SubW, tau = 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupContainmentSql =
+    s"""WITH src AS (SELECT doc_id + 3 AS doc_id, text AS embedded FROM documents),
+       |d AS (
+       |  SELECT d0.doc_id,
+       |    CASE WHEN d0.doc_id % 13 = 6 AND s.embedded IS NOT NULL
+       |           THEN d0.text || ' ' || s.embedded
+       |         WHEN d0.doc_id % 13 = 9 AND s.embedded IS NOT NULL
+       |           THEN d0.text || ' ' ||
+       |             array_to_string((regexp_extract_all(lower(s.embedded), '[a-z]+'))[1:25], ' ')
+       |         ELSE d0.text END AS text
+       |  FROM documents d0 LEFT JOIN src s ON d0.doc_id = s.doc_id),
+       |ws AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+       |      w -> ('0x' || substr(md5(w), 1, 12))::BIGINT % 1000000007) AS hs,
+       |    regexp_extract_all(lower(text), '[a-z]+') AS wlist
+       |  FROM d),
+       |pos AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(hs) - ${SubW - 1})) AS i, hs
+       |  FROM ws WHERE len(hs) >= $SubW),
+       |wh AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+${SubW - 1}]),
+       |      (a, x) -> (a * 31 + x) % 1000000007) AS h
+       |  FROM pos),
+       |usable AS (SELECT h FROM wh GROUP BY h HAVING count(*) > 1 AND count(*) <= 50),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM wh a JOIN usable u ON a.h = u.h JOIN wh b ON b.h = a.h
+       |  WHERE a.doc_id < b.doc_id),
+       |grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(wlist) >= 3 THEN
+       |      list_distinct([wlist[i] || ' ' || wlist[i+1] || ' ' || wlist[i+2]
+       |        FOR i IN range(1, len(wlist) - 1)])
+       |    ELSE [array_to_string(wlist, ' ')] END AS gs
+       |  FROM ws),
+       |scored AS (
+       |  SELECT doc_a, doc_b, len(ga.gs) AS n_a, len(gb.gs) AS n_b,
+       |    len(ga.gs) + len(gb.gs) - len(list_distinct(list_concat(ga.gs, gb.gs))) AS inter_n
+       |  FROM pairs JOIN grams ga ON ga.doc_id = doc_a JOIN grams gb ON gb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, n_a, n_b, inter_n,
+       |  round(CAST(inter_n AS DOUBLE) / n_a, 6) AS c_a,
+       |  round(CAST(inter_n AS DOUBLE) / n_b, 6) AS c_b
+       |FROM scored
+       |WHERE greatest(round(CAST(inter_n AS DOUBLE) / n_a, 6),
+       |               round(CAST(inter_n AS DOUBLE) / n_b, 6)) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("docs_tfidf_topk", tfidfTopk, Some(tfidfSql)),
     QueryDef("docs_bm25_search", bm25Search, Some(bm25Sql)),
@@ -466,5 +540,6 @@ object SearchQueries extends QueryModule {
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("dedup_bloom_prefilter", dedupBloom, Some(dedupBloomSql)),
     QueryDef("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
+    QueryDef("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
   )
 }
