@@ -134,6 +134,7 @@ object GraftFunctions {
     ("graft_word_trigrams", classOf[WordNGrams],
       arity1("graft_word_trigrams", WordNGrams(_, 3))),
     ("graft_hyperplane_sig", classOf[HyperplaneSignature], hyperplaneBuilder(_)),
+    ("graft_random_project", classOf[RandomProjection], randomProjectBuilder(_)),
     ("graft_simhash", classOf[SimHash64], arity1("graft_simhash", SimHash64(_))),
     ("graft_quantize_stats", classOf[QuantizeStats],
       arity1("graft_quantize_stats", QuantizeStats(_))),
@@ -146,6 +147,17 @@ object GraftFunctions {
       if (!registry.functionExists(ident))
         registry.registerFunction(ident, new ExpressionInfo(clazz.getName, name), builder)
     }
+  }
+
+  /** graft_random_project(emb, dim): dim must be a foldable int — the
+    * JL plane matrix is fixed at plan time, like the LSH planes.
+    */
+  private[graft] def randomProjectBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "graft_random_project expects (embedding, dim)")
+    require(children(1).foldable, "graft_random_project dim must be a literal")
+    val dim = children(1).eval().asInstanceOf[Number].intValue()
+    RandomProjection(children.head,
+      graft.ops.Similarity.projectionPlanes(dim).map(_.toSeq).toSeq)
   }
 
   /** graft_window_hashes(hashes, w): w must be a foldable int — the

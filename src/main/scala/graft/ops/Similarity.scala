@@ -63,6 +63,21 @@ object Similarity {
     Array.fill(NumPlanes)(Array.fill(dim)(next()))
   }
 
+  /** Output dimensionality of the JL random projection. */
+  val ProjDim = 16
+
+  /** Deterministic JL projection planes (own seed, same LCG): ProjDim
+    * rows of `dim` components, shared verbatim with the SQL oracle.
+    */
+  private[graft] def projectionPlanes(dim: Int): Array[Array[Double]] = {
+    var state = 20260813L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Array.fill(ProjDim)(Array.fill(dim)(next()))
+  }
+
   /** Bit-signature of an embedding under the fixed hyperplanes: bit p
     * = sign(v · plane_p). One long-typed signature per row, computed
     * by the codegen'd [[graft.functions.HyperplaneSignature]] — a

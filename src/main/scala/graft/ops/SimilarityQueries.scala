@@ -552,7 +552,38 @@ object SimilarityQueries extends QueryModule {
       |  CAST(ascii(right(text, 1)) AS BIGINT) AS last_byte
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- JL random projection (dim reduction) --------------------------------
+
+  /** 64→16 JL projection of every corpus vector, verified value by
+    * value: the projected array explodes to (vec_id, dim_j, val) rows
+    * and the oracle recomputes each dot product from the SAME plane
+    * literals ([[Similarity.projectionPlanes]]) — the compiled
+    * [[graft.functions.RandomProjection]] kernel accumulates in
+    * ascending component order, matching DuckDB's list_dot_product
+    * fold, so raw IEEE doubles agree before the 6 dp round.
+    */
+  private def embedProject(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    corpus(s, dir)
+      .select(col("vec_id"),
+        posexplode(call_function("graft_random_project", col("embedding"), lit(Dim))))
+      .select(col("vec_id"), col("pos").as("dim_j"),
+        round(col("col"), 6).as("val"))
+      .orderBy("vec_id", "dim_j")
+  }
+
+  private val embedProjectSql = {
+    val branches = Similarity.projectionPlanes(Dim).zipWithIndex.map { case (row, j) =>
+      val lits = row.map(java.lang.Double.toString).mkString("[", ",", "]")
+      s"SELECT vec_id, $j AS dim_j, round(list_dot_product(e, $lits::DOUBLE[]), 6) AS val FROM v"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+       |$branches
+       |ORDER BY vec_id, dim_j""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("embed_project", embedProject, Some(embedProjectSql)),
     QueryDef("ann_bruteforce_topk", annBrute, Some(annBruteSql)),
     QueryDef("knn_join", knnJoin, Some(knnJoinSql)),
     QueryDef("dedup_embedding", embedNearDup, Some(embedNearDupSql)),

@@ -81,6 +81,40 @@ class SimilaritySpec extends SparkSpec {
     assert(mh === mhClean)
   }
 
+  test("random projection equals the per-plane fold exactly, nulls as zero") {
+    GraftFunctions.register(spark)
+    val ps = Similarity.projectionPlanes(64)
+    val df = Tables.embeddings(spark, sfDir).limit(100)
+      .select($"vec_id", $"embedding")
+    // naive: one ascending-order fold per plane, same null convention
+    val naive = ps.map { row =>
+      val planeLit = array(row.map(lit): _*)
+      aggregate(
+        zip_with($"embedding", planeLit,
+          (x, p) => coalesce(x.cast("double"), lit(0.0)) * p),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val rows = df.select($"vec_id",
+        call_function("graft_random_project", $"embedding", lit(64)).as("proj"),
+        array(naive.toIndexedSeq: _*).as("expect"))
+      .select($"vec_id", $"proj", $"expect").collect()
+    rows.foreach { r =>
+      val proj = r.getSeq[Double](1)
+      val expect = r.getSeq[Double](2)
+      assert(proj.length === Similarity.ProjDim)
+      proj.zip(expect).foreach { case (a, b) => assert(a === b) } // bit-exact
+    }
+    // null elements count as 0.0, not NaN / crash
+    val withNull = Seq((1L, Array(Some(1.0f), None, Some(2.0f)))).toDF("id", "embedding")
+      .select(call_function("graft_random_project", $"embedding", lit(3)).as("p"))
+      .selectExpr("p[0]").as[Double].head()
+    val expectNull = 1.0 * ps(0)(0) + 2.0 * ps(0)(2)
+    // projectionPlanes(3) differs from (64): recompute with dim=3 planes
+    val ps3 = Similarity.projectionPlanes(3)
+    assert(withNull === 1.0 * ps3(0)(0) + 2.0 * ps3(0)(2))
+    assert(!withNull.isNaN && expectNull != 0.0) // sanity on the fixture
+  }
+
   test("brute force topk: exact ranking, descending scores") {
     val corpus = clustered(4, 25)
     val qs = corpus.filter($"vec_id" < 3)
