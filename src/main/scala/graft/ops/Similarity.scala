@@ -35,6 +35,38 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** Project-then-rescore ANN: both sides drop to ProjDim dims via the
+    * compiled JL kernel, candidates rank by PROJECTED cosine (¼ the
+    * flops and bytes of a full scan at dim 64 — the point at 10^9
+    * vectors, where the projected corpus fits in a quarter of the
+    * memory), the top `r` per query join back to the full vectors for
+    * exact rescoring. Deterministic end to end: projected scores
+    * round to 6 dp with a vec_id tie-break before selection, so the
+    * candidate SET (not just the final ranking) is reproducible by
+    * the oracle from the shared plane literals.
+    */
+  def projectTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                  dim: Int, r: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    def proj(c: Column): Column = call_function("graft_random_project", c, lit(dim))
+    val cp = corpus.select(col("vec_id"), proj(col("embedding")).as("cproj"))
+    val qp = queries.select(col("query_id"), proj(col("qe")).as("qproj"))
+    val cand = cp.join(broadcast(qp), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(spark, col("qproj"), col("cproj")), 6).as("pscore"))
+    val shortlist = graft.plans.TopK.perKey(cand, Seq("query_id"),
+        Seq(col("pscore"), -col("neighbor_id")), r)
+      .select("query_id", "neighbor_id")
+    val rescored = shortlist
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(spark, col("qe"), col("embedding")), 6).as("score"))
+    graft.plans.TopK.perKey(rescored, Seq("query_id"),
+        Seq(col("score"), -col("neighbor_id")), k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
   // ---- random-hyperplane LSH --------------------------------------------
   //
   // One 64-plane signature (one fused codegen pass per row), consumed

@@ -582,8 +582,59 @@ object SimilarityQueries extends QueryModule {
        |ORDER BY vec_id, dim_j""".stripMargin
   }
 
+  // -- project-then-rescore ANN --------------------------------------------
+
+  /** ANN through the JL projection: shortlist of 50 by projected
+    * cosine (16-dim compiled scoring — ¼ the flops/bytes of the full
+    * scan), exact rescore of the shortlist, top-5. The oracle replays
+    * projection, shortlist selection (rounded score + vec_id
+    * tie-break), rescoring, and ranking — certifying the approximate
+    * pipeline bit-for-bit, like ann_lsh/ann_ivf.
+    */
+  private def annProject(s: SparkSession, dir: String): DataFrame =
+    Similarity.projectTopK(s, queries(s, dir, 10), corpus(s, dir),
+        dim = Dim, r = 50, k = 5)
+      .orderBy("query_id", "rank")
+
+  private val annProjectSql = {
+    val projList = (e: String) => Similarity.projectionPlanes(Dim).map { row =>
+      val lits = row.map(java.lang.Double.toString).mkString("[", ",", "]")
+      s"list_dot_product($e, $lits::DOUBLE[])"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+       |  FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+       |qp AS (SELECT query_id, qe, ${projList("qe")} AS qproj FROM q),
+       |cp AS (SELECT vec_id, ce, ${projList("ce")} AS cproj FROM c),
+       |s AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(qproj, cproj), 6) AS pscore
+       |  FROM qp CROSS JOIN cp WHERE query_id <> vec_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY pscore DESC, neighbor_id)
+       |      AS prank
+       |  FROM s),
+       |resc AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |    round(list_cosine_similarity(q2.qe, c2.ce), 6) AS score
+       |  FROM short sh
+       |  JOIN qp q2 ON q2.query_id = sh.query_id
+       |  JOIN cp c2 ON c2.vec_id = sh.neighbor_id
+       |  WHERE sh.prank <= 50),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+       |      AS rank
+       |  FROM resc)
+       |SELECT query_id, neighbor_id, rank, score FROM r
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("embed_project", embedProject, Some(embedProjectSql)),
+    QueryDef("ann_project_topk", annProject, Some(annProjectSql)),
     QueryDef("ann_bruteforce_topk", annBrute, Some(annBruteSql)),
     QueryDef("knn_join", knnJoin, Some(knnJoinSql)),
     QueryDef("dedup_embedding", embedNearDup, Some(embedNearDupSql)),

@@ -146,6 +146,21 @@ class SimilaritySpec extends SparkSpec {
     info(f"banded lsh recall at 4x16-bit tables on clustered corpus: ${recall}%.2f")
   }
 
+  test("project topk recalls most true neighbors through the 16-dim shortlist") {
+    val corpus = clustered(4, 50)
+    val qs = corpus.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val exact = Similarity.bruteForceTopK(spark, qs, corpus, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.projectTopK(spark, qs, corpus, dim = 16, r = 20, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // a r=4k shortlist through the JL projection keeps most of the
+    // true top-k on clustered data
+    assert(recall >= 0.8, s"recall $recall")
+    info(f"project-then-rescore recall at r=20: ${recall}%.2f")
+  }
+
   test("lsh topk auto-sizes table width to the corpus and still fills k") {
     val corpus = clustered(4, 50)
     val qs = corpus.filter($"vec_id" % 20 === 0)
