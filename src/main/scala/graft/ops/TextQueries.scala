@@ -587,6 +587,44 @@ object TextQueries extends QueryModule {
        |SELECT doc_id, (reason = 'ok') AS keep, reason FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // -- BPE merge-pair counting (tokenizer training, round one) -------------
+
+  /** The inner statistic of BPE tokenizer training: frequency of every
+    * adjacent character pair across corpus word OCCURRENCES — the pair
+    * a first merge round would fuse. Scale shape: the corpus
+    * aggregates once to (word, count) — bounded by vocabulary, the
+    * shuffle carries words not documents — and pairs then explode from
+    * DISTINCT words only (pair work is vocabulary-sized, however big
+    * the corpus); the final pair table is alphabet²-bounded. Exact
+    * integer counts end to end; top-20 with a lexical tie-break.
+    */
+  private def bpePairCounts(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(explode(TextAnalysis.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("cnt"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("cnt").as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
+  private val bpePairCountsSql =
+    """WITH words AS (
+      |  SELECT w, count(*) AS cnt
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |        FROM documents)
+      |  GROUP BY w),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, strlen(w)),
+      |           i -> substr(w, CAST(i AS INT), 2))) AS pair, cnt
+      |  FROM words WHERE strlen(w) >= 2)
+      |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+      |FROM pairs GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
@@ -605,5 +643,6 @@ object TextQueries extends QueryModule {
     QueryDef("docs_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("docs_ngram_topk", ngramTopk, Some(ngramTopkSql)),
     QueryDef("docs_filter_pipeline", filterPipeline, Some(filterPipelineSql)),
+    QueryDef("bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
   )
 }

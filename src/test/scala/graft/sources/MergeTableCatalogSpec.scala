@@ -35,6 +35,23 @@ class MergeTableCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN graft.cat1").count() === 0)
   }
 
+  test("CREATE TABLE AS SELECT seeds a mergetable in one statement") {
+    fresh("cat14")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat14")
+    spark.sql("""CREATE TABLE graft.cat14.c TBLPROPERTIES('keys'='id')
+                 AS SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, v)""")
+    assert(spark.table("graft.cat14.c").as[(Int, String)].collect().sorted ===
+      Seq((1, "a"), (2, "b")))
+    // the CTAS result is a first-class mergetable: DML keeps working
+    spark.sql("""MERGE INTO graft.cat14.c t
+                 USING (SELECT 2 AS id, 'B' AS v) s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.table("graft.cat14.c").as[(Int, String)].collect().sorted ===
+      Seq((1, "a"), (2, "B")))
+    spark.sql("DROP TABLE graft.cat14.c")
+  }
+
   test("VERSION AS OF reads committed snapshots; TIMESTAMP AS OF resolves latest") {
     fresh("cat2")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat2")
