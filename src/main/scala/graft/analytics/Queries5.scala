@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.{QueryDef, QueryModule}
 import graft.tables.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fourth analytics block: the remaining TPC-H shapes expressible on
@@ -275,6 +275,44 @@ object Queries5 extends QueryModule {
       |FROM trans t JOIN tot USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  // -- privacy: k-anonymity audit ------------------------------------------
+
+  /** k-anonymity audit at TWO generalization levels — the privacy
+    * gate a training-data release runs, and the ladder an anonymizer
+    * walks: level 0 generalizes nationality to a 5-way region rollup
+    * (`c_nationkey % 5` standing in for nation→region), level 1 keeps
+    * the nation and adds an account-balance band — every equivalence
+    * class with fewer than k = 5 members is flagged re-identifiable.
+    * Coarse classes stay populated while fine ones go sparse, so both
+    * audit outcomes are non-vacuous at every SF. One
+    * bounded-cardinality aggregation per level (|QI value space| rows
+    * out, whatever the input size).
+    */
+  private def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    def audit(level: Int, nation: Column, bal: Column): DataFrame =
+      c.groupBy(nation.as("qi_nation"), col("c_mktsegment"), bal.as("bal_band"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(level).as("level"), col("qi_nation"), col("c_mktsegment"),
+          col("bal_band"), col("n"), (col("n") < 5).as("at_risk"))
+    audit(0, (col("c_nationkey") % 5).cast("int"), lit(null).cast("long"))
+      .unionAll(audit(1, col("c_nationkey").cast("int"),
+        floor(col("c_acctbal") / 2000).cast("long")))
+      .orderBy("level", "qi_nation", "c_mktsegment", "bal_band")
+  }
+
+  private val kAnonymitySql =
+    """SELECT 0 AS level, CAST(c_nationkey % 5 AS INT) AS qi_nation, c_mktsegment,
+      |  CAST(NULL AS BIGINT) AS bal_band,
+      |  CAST(count(*) AS BIGINT) AS n, (count(*) < 5) AS at_risk
+      |FROM customer GROUP BY 2, 3
+      |UNION ALL
+      |SELECT 1 AS level, CAST(c_nationkey AS INT) AS qi_nation, c_mktsegment,
+      |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+      |  CAST(count(*) AS BIGINT) AS n, (count(*) < 5) AS at_risk
+      |FROM customer GROUP BY 2, 3, 4
+      |ORDER BY level, qi_nation, c_mktsegment, bal_band NULLS FIRST""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q15_top_supplier", q15TopSupplier, Some(q15Sql)),
     QueryDef("q17_small_quantity", q17SmallQuantity, Some(q17Sql)),
@@ -282,5 +320,6 @@ object Queries5 extends QueryModule {
     QueryDef("basket_pairs", basketPairs, Some(basketPairsSql)),
     QueryDef("events_anomaly", eventsAnomaly, Some(eventsAnomalySql)),
     QueryDef("events_markov_transitions", eventsMarkov, Some(eventsMarkovSql)),
+    QueryDef("privacy_k_anonymity", kAnonymity, Some(kAnonymitySql)),
   )
 }

@@ -572,6 +572,23 @@ final class MergeTable(
     commit(untouched ++ written.toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i"))
   }
 
+  /** Expire old snapshots, keeping the newest `keepLast` manifests
+    * (Iceberg's expire_snapshots): time travel and change-feed replay
+    * below the horizon are given up — `readVersion(v)` /
+    * `changesBetween(v, …)` on an expired version fail with the
+    * standard "no version" error. Version NUMBERING is unaffected:
+    * the commit CAS targets readVersion+1 derived from the newest
+    * manifest, and expired files can never be re-created because
+    * versions only grow — so concurrent writers are safe. Pair with
+    * [[vacuum]] to also reclaim the expired snapshots' data dirs.
+    */
+  def expireSnapshots(keepLast: Int): Int = {
+    require(keepLast >= 1, "expireSnapshots must keep at least the current snapshot")
+    val expired = versions().dropRight(keepLast)
+    expired.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    expired.length
+  }
+
   /** Remove data directories no longer referenced by the current
     * manifest (Iceberg-style expire/vacuum). Readers of the current
     * snapshot are unaffected; time travel to pre-vacuum manifests is

@@ -25,6 +25,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *                                        -- snapshot as a NEW version
   *   DESCRIBE HISTORY graft.db.t          -- the commit log: version,
   *                                        -- commit time, entry counts
+  *   EXPIRE SNAPSHOTS graft.db.t KEEP 3   -- drop all but the newest 3
+  *                                        -- manifests (retention horizon)
   * }}}
   *
   * Everything that is not one of these shapes delegates verbatim
@@ -43,6 +45,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
+  private val Expire =
+    """(?is)\s*EXPIRE\s+SNAPSHOTS\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+KEEP\s+(\d+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Maintenance(op, catalog, ident) =>
@@ -59,6 +63,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         restoreTo = Some(Right(ts)))
     case History(catalog, ident) =>
       MergeTableHistoryCommand(catalog, ident.split('.').toSeq)
+    case Expire(catalog, ident, keep) =>
+      MergeTableMaintenanceCommand("expire", catalog, ident.split('.').toSeq,
+        expireKeep = Some(keep.toInt))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -81,7 +88,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 case class MergeTableMaintenanceCommand(op: String, catalogName: String,
                                         ident: Seq[String],
                                         zorderCols: Seq[String] = Nil,
-                                        restoreTo: Option[Either[Long, String]] = None) extends LeafRunnableCommand {
+                                        restoreTo: Option[Either[Long, String]] = None,
+                                        expireKeep: Option[Int] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("affected", LongType, nullable = false)())
@@ -98,6 +106,7 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
       case "optimize" =>
         t.cluster(zorderCols)
         t.prunableFiles(t.currentEntries()).map(_.size.toLong).getOrElse(0L)
+      case "expire" => t.expireSnapshots(expireKeep.get).toLong
       case "restore" =>
         val version = restoreTo.get match {
           case Left(v) => v

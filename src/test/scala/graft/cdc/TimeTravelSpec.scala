@@ -34,6 +34,29 @@ class TimeTravelSpec extends SparkSpec {
     assert(changes === Seq((1L, None, "U")), changes.mkString(", "))
   }
 
+  test("expireSnapshots trims the travel horizon but not the current state") {
+    val root = "target/test_tmp/expire"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")))
+    t.upsert(Seq((2L, "b")).toDF("id", "v"))
+    t.upsert(Seq((3L, "c")).toDF("id", "v"))
+    t.upsert(Seq((4L, "d")).toDF("id", "v"))
+
+    assert(t.expireSnapshots(keepLast = 2) === 2) // v1, v2 expired
+    assert(t.versions() === Seq(3L, 4L))
+    // current reads and surviving time travel are unaffected
+    assert(t.read().count() === 4)
+    assert(t.readVersion(3).count() === 3)
+    // the expired version is gone, with the standard error
+    val e = intercept[IllegalArgumentException](t.readVersion(1).count())
+    assert(e.getMessage.contains("no version"))
+    // version numbering keeps growing past the expired range
+    t.upsert(Seq((5L, "e")).toDF("id", "v"))
+    assert(t.versions() === Seq(3L, 4L, 5L))
+    assert(t.expireSnapshots(keepLast = 10) === 0) // nothing to expire
+  }
+
   test("changesBetween with updatePreImages emits U_pre/U_post row pairs") {
     val root = "target/test_tmp/changefeed_pre"
     MergeTable.drop(root)

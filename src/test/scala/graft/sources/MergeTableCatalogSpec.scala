@@ -170,6 +170,22 @@ class MergeTableCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("no version 99"))
   }
 
+  test("EXPIRE SNAPSHOTS KEEP n trims history through SQL") {
+    fresh("cat15")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat15")
+    spark.sql("""CREATE TABLE graft.cat15.e (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.cat15.e VALUES (1,'a')") // v1
+    spark.sql("INSERT INTO graft.cat15.e VALUES (2,'b')") // v2
+    spark.sql("INSERT INTO graft.cat15.e VALUES (3,'c')") // v3
+    val n = spark.sql("EXPIRE SNAPSHOTS graft.cat15.e KEEP 1")
+      .as[Long].head()
+    assert(n === 2)
+    assert(spark.sql("DESCRIBE HISTORY graft.cat15.e")
+      .selectExpr("version").as[Long].collect().toSeq === Seq(3L))
+    assert(spark.table("graft.cat15.e").count() === 3) // state intact
+  }
+
   test("DESCRIBE HISTORY lists the commit log newest first") {
     fresh("cat12")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat12")
