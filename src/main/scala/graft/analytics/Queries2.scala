@@ -88,6 +88,41 @@ object Queries2 extends QueryModule {
       .crossJoin(w1.join(w2, "user_id").agg(count(lit(1)).as("retained")))
   }
 
+  /** The full cohort retention triangle (the matrix behind every
+    * product-analytics retention chart): users cohorted by first-seen
+    * week, each (cohort, week-offset) cell counting the distinct
+    * users active that many weeks later. Scale shape: one distinct
+    * (user, week) projection, a per-user min, one equi-join on the
+    * unbounded user key — the output is bounded by weeks², and no
+    * window ever partitions on a bounded key. Offsets are exact
+    * integer day-diffs over week-truncated dates (multiples of 7, so
+    * the division is IEEE-exact in any engine).
+    */
+  private def cohortMatrix(s: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(s, dir)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val first = activity.groupBy("user_id").agg(min("week").as("cohort_week"))
+    activity.join(first, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val cohortMatrixSql =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |first AS (SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY 1)
+      |SELECT cohort_week,
+      |  CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM activity JOIN first USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val retentionSql =
     """WITH w1 AS (SELECT DISTINCT user_id FROM events
       |            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'),
@@ -147,6 +182,7 @@ object Queries2 extends QueryModule {
     QueryDef("q16_supplier_counts", q16, Some(q16Sql)),
     QueryDef("q19_disjunctive_preds", q19, Some(q19Sql)),
     QueryDef("events_retention", retention, Some(retentionSql)),
+    QueryDef("events_cohort_matrix", cohortMatrix, Some(cohortMatrixSql)),
     QueryDef("embed_centroids", centroids, Some(centroidsSql)),
     QueryDef("topk_custom_operator", topkCustom, Some(topkCustomSql)),
   )

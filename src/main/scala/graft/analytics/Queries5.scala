@@ -313,6 +313,62 @@ object Queries5 extends QueryModule {
       |FROM customer GROUP BY 2, 3, 4
       |ORDER BY level, qi_nation, c_mktsegment, bal_band NULLS FIRST""".stripMargin
 
+  // -- RFM segmentation ----------------------------------------------------
+
+  /** RFM customer segmentation (recency / frequency / monetary
+    * tertiles — the marketing-analytics staple): each metric is
+    * bucketed by GLOBAL rank, and the rank comes from the distributed
+    * prefix count ([[graft.ops.PrefixSum]]) — a global `ntile()`
+    * window has no partition key at all, i.e. one reducer sorting
+    * every customer at any scale; the prefix-rank formulation is the
+    * same numbers from one range shuffle per metric. Buckets are
+    * exact integer arithmetic ((rank−1)·3 div n); monetary totals
+    * accumulate in decimal and only the report edge casts to double.
+    */
+  private def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.PrefixSum
+    val per = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("r_date"),
+        count(lit(1)).as("f_cnt"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("m_sum"))
+    val g = per.withColumn("_g", lit(1)).withColumn("_one", lit(1L))
+    val ranked = Seq(
+      (Seq("r_date", "o_custkey"), "_rr"),
+      (Seq("f_cnt", "o_custkey"), "_rf"),
+      (Seq("m_sum", "o_custkey"), "_rm"))
+      .foldLeft(g) { case (df, (order, out)) =>
+        PrefixSum.runningTotal(df, "_g", order, "_one", out)
+      }
+    ranked.crossJoin(broadcast(per.agg(count(lit(1)).as("_n"))))
+      .withColumn("r_bucket", expr("((_rr - 1) * 3) div _n"))
+      .withColumn("f_bucket", expr("((_rf - 1) * 3) div _n"))
+      .withColumn("m_bucket", expr("((_rm - 1) * 3) div _n"))
+      .groupBy("r_bucket", "f_bucket", "m_bucket")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("m_sum").cast("double"), 2).as("total_m"))
+      .orderBy("r_bucket", "f_bucket", "m_bucket")
+  }
+
+  private val rfmSegmentsSql =
+    """WITH per AS (
+      |  SELECT o_custkey, CAST(max(o_orderdate) AS DATE) AS r_date,
+      |    CAST(count(*) AS BIGINT) AS f_cnt,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS m_sum
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT m_sum,
+      |    ((row_number() OVER (ORDER BY r_date, o_custkey) - 1) * 3)
+      |      // (SELECT count(*) FROM per) AS r_bucket,
+      |    ((row_number() OVER (ORDER BY f_cnt, o_custkey) - 1) * 3)
+      |      // (SELECT count(*) FROM per) AS f_bucket,
+      |    ((row_number() OVER (ORDER BY m_sum, o_custkey) - 1) * 3)
+      |      // (SELECT count(*) FROM per) AS m_bucket
+      |  FROM per)
+      |SELECT r_bucket, f_bucket, m_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(CAST(sum(m_sum) AS DOUBLE), 2) AS total_m
+      |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q15_top_supplier", q15TopSupplier, Some(q15Sql)),
     QueryDef("q17_small_quantity", q17SmallQuantity, Some(q17Sql)),
@@ -321,5 +377,6 @@ object Queries5 extends QueryModule {
     QueryDef("events_anomaly", eventsAnomaly, Some(eventsAnomalySql)),
     QueryDef("events_markov_transitions", eventsMarkov, Some(eventsMarkovSql)),
     QueryDef("privacy_k_anonymity", kAnonymity, Some(kAnonymitySql)),
+    QueryDef("orders_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
   )
 }
