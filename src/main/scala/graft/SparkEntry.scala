@@ -14,6 +14,7 @@ object SparkEntry {
     graft.analytics.Queries3,
     graft.analytics.Queries4,
     graft.analytics.Queries5,
+    graft.analytics.Queries6,
     graft.cdc.CdcQueries,
     graft.ops.TextQueries,
     graft.ops.SimilarityQueries,

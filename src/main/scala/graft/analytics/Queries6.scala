@@ -1,0 +1,207 @@
+package graft.analytics
+
+import graft.{QueryDef, QueryModule}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sixth analytics block: marketing/ops queries a production events
+  * pipeline runs daily — multi-touch attribution, time-decayed
+  * activity scoring, and the column-profile health report.
+  */
+object Queries6 extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // -- multi-touch attribution ---------------------------------------------
+
+  /** First-touch / last-touch attribution: each purchase credits the
+    * campaign (the `props.k` tag) of its earliest and latest
+    * click/view touch in the 72h before it. The purchase↔touch
+    * pairing is the bucketed band join ([[graft.ops.RangeJoin]]) — an
+    * EQUI-join on (user, 72h-bucket), linear in input, not the
+    * per-key nested loop Spark plans for a raw inequality join. The
+    * per-purchase argmin/argmax is `min/max(struct(ts, campaign))`
+    * (lexicographic, deterministic under ties); the final per-campaign
+    * matrix is two bounded-cardinality counts full-outer-joined.
+    */
+  private def attribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        get_json_object(col("props"), "$.k").cast("int").as("campaign"))
+    val pairs = graft.ops.RangeJoin.pairsWindowBefore(
+      purchases, touches, Seq("user_id"),
+      "ts", "touch_ts", 72 * 3600L, "t_ts", Seq("campaign"))
+    val attr = pairs.groupBy("event_id")
+      .agg(
+        min(struct(col("t_ts"), col("campaign"))).getField("campaign").as("first_c"),
+        max(struct(col("t_ts"), col("campaign"))).getField("campaign").as("last_c"))
+    val first = attr.groupBy(col("first_c").as("campaign"))
+      .agg(count(lit(1)).as("first_touch"))
+    val last = attr.groupBy(col("last_c").as("campaign"))
+      .agg(count(lit(1)).as("last_touch"))
+    first.join(last, Seq("campaign"), "full_outer")
+      .select(col("campaign"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"))
+      .orderBy("campaign")
+  }
+
+  private val attributionSql =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, ts AS touch_ts, CAST(props->>'k' AS INT) AS campaign
+      |      FROM events WHERE event_type IN ('click','view')),
+      |pairs AS (
+      |  SELECT p.event_id, t.touch_ts, t.campaign FROM p JOIN t
+      |  ON p.user_id = t.user_id
+      |    AND t.touch_ts >= p.ts - INTERVAL 72 HOUR AND t.touch_ts < p.ts),
+      |ranked AS (
+      |  SELECT event_id, campaign,
+      |    row_number() OVER (PARTITION BY event_id ORDER BY touch_ts ASC,  campaign ASC)  AS rf,
+      |    row_number() OVER (PARTITION BY event_id ORDER BY touch_ts DESC, campaign DESC) AS rl
+      |  FROM pairs),
+      |attr AS (SELECT event_id,
+      |    max(CASE WHEN rf = 1 THEN campaign END) AS first_c,
+      |    max(CASE WHEN rl = 1 THEN campaign END) AS last_c
+      |  FROM ranked GROUP BY 1),
+      |f AS (SELECT first_c AS campaign, CAST(count(*) AS BIGINT) AS first_touch FROM attr GROUP BY 1),
+      |l AS (SELECT last_c  AS campaign, CAST(count(*) AS BIGINT) AS last_touch  FROM attr GROUP BY 1)
+      |SELECT campaign,
+      |  coalesce(first_touch, 0) AS first_touch,
+      |  coalesce(last_touch, 0)  AS last_touch
+      |FROM f FULL JOIN l USING (campaign)
+      |ORDER BY campaign""".stripMargin
+
+  // -- time-decayed activity scores ----------------------------------------
+
+  /** Half-life-decayed campaign activity (the "trending" score):
+    * events are aggregated to (campaign, day) counts FIRST — at 100 TB
+    * the decay math runs over a campaigns×days table, not raw events —
+    * then each day is weighted by 2^(-weeks_ago) relative to the
+    * newest day in the data (a 1-row broadcast aggregate, no window).
+    * Weights are computed in INTEGER arithmetic (cnt·2^(10−wk), then
+    * one exact dyadic division by 2^10 at the report edge) so no
+    * float rounding can differ between engines.
+    */
+  private def decayedScores(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("campaign"),
+        to_date(col("ts")).as("d"))
+    val daily = e.groupBy("campaign", "d").agg(count(lit(1)).as("cnt"))
+    val anchor = daily.agg(max(col("d")).as("maxd"))
+    daily.crossJoin(broadcast(anchor))
+      .withColumn("wk", expr("datediff(maxd, d) div 7"))
+      .groupBy("campaign")
+      .agg((sum(expr("cnt * shiftleft(cast(1 as bigint), cast(10 - wk as int))"))
+        .cast("double") / 1024.0).as("decayed_score"))
+      .orderBy("campaign")
+  }
+
+  private val decayedScoresSql =
+    """WITH e AS (SELECT CAST(props->>'k' AS INT) AS campaign, CAST(ts AS DATE) AS d FROM events),
+      |daily AS (SELECT campaign, d, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |anchor AS (SELECT max(d) AS maxd FROM daily)
+      |SELECT campaign,
+      |  CAST(sum(cnt * (CAST(1 AS BIGINT) << CAST(10 - date_diff('day', d, maxd) // 7 AS INT))) AS DOUBLE)
+      |    / 1024.0 AS decayed_score
+      |FROM daily, anchor
+      |GROUP BY campaign ORDER BY campaign""".stripMargin
+
+  // -- column profile --------------------------------------------------------
+
+  /** The lineitem column-health profile ([[graft.ops.Profile]]): one
+    * scan, one expand-based multi-distinct aggregation, stacked to a
+    * row per column. Non-numeric min/max stay null — their rendering
+    * is engine-specific; the counts are not.
+    */
+  private def profileLineitem(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.columns(
+      t(s, dir, "lineitem"),
+      numericCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      otherCols = Seq("l_returnflag", "l_linestatus", "l_shipdate"))
+
+  private val profileLineitemSql = {
+    val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val others = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+    val parts = (numeric.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(count(*) - count($c) AS BIGINT) AS null_cnt,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num
+         |FROM lineitem""".stripMargin
+    } ++ others.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(count(*) - count($c) AS BIGINT) AS null_cnt,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+         |FROM lineitem""".stripMargin
+    })
+    parts.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  // -- referential-integrity audit -----------------------------------------
+
+  /** Foreign-key orphan audit across the star schema (the batch-promote
+    * gate): for each child→parent relation, total child rows and rows
+    * whose non-null FK has no parent. Each relation is one left join
+    * against the DISTINCT parent keys (dims broadcast; the fact-side
+    * checks shuffle on the key) collapsed straight into counts — no
+    * row-level output ever materializes. The events→customer relation
+    * is genuinely violated in the data (user ids are not customer
+    * keys), keeping the audit outcome non-vacuous.
+    */
+  private def auditReferential(s: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, fk: String,
+            parent: DataFrame, pk: String): DataFrame =
+      child.select(col(fk).as("_k"))
+        .join(parent.select(col(pk).as("_k")).distinct()
+          .withColumn("_hit", lit(1)), Seq("_k"), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          sum((col("_hit").isNull && col("_k").isNotNull).cast("long")).as("orphans"))
+        .select(lit(name).as("relation"), col("child_rows"), col("orphans"))
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+    val p = t(s, dir, "part"); val n = t(s, dir, "nation")
+    val r = t(s, dir, "region"); val e = Tables.events(s, dir)
+    Seq(
+      rel("customer.nation", c, "c_nationkey", n, "n_nationkey"),
+      rel("events.customer", e, "user_id", c, "c_custkey"),
+      rel("lineitem.orders", li, "l_orderkey", o, "o_orderkey"),
+      rel("lineitem.part", li, "l_partkey", p, "p_partkey"),
+      rel("lineitem.supplier", li, "l_suppkey", su, "s_suppkey"),
+      rel("nation.region", n, "n_regionkey", r, "r_regionkey"),
+      rel("orders.customer", o, "o_custkey", c, "c_custkey"),
+      rel("supplier.nation", su, "s_nationkey", n, "n_nationkey"),
+    ).reduce(_ unionByName _).orderBy("relation")
+  }
+
+  private val auditReferentialSql = {
+    val rels = Seq(
+      ("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("events.customer", "events", "user_id", "customer", "c_custkey"),
+      ("lineitem.orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation.region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders.customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier.nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+    rels.map { case (name, child, fk, parent, pk) =>
+      s"""SELECT '$name' AS relation, CAST(count(*) AS BIGINT) AS child_rows,
+         |  CAST(sum(CASE WHEN p._hit IS NULL AND c.$fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+         |FROM $child c LEFT JOIN (SELECT DISTINCT $pk, 1 AS _hit FROM $parent) p ON c.$fk = p.$pk""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_attribution", attribution, Some(attributionSql)),
+    QueryDef("events_decayed_scores", decayedScores, Some(decayedScoresSql)),
+    QueryDef("profile_lineitem", profileLineitem, Some(profileLineitemSql)),
+    QueryDef("audit_referential", auditReferential, Some(auditReferentialSql)),
+  )
+}

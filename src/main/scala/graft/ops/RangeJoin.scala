@@ -47,4 +47,32 @@ object RangeJoin {
       .drop("_rj_lb", "_rj_rb")
       .drop(keyCols.indices.map(i => s"_rj_k$i"): _*)
   }
+
+  /** Same bucketed band join, inner form, carrying right-side payload
+    * columns alongside the matched timestamp. Each output row is one
+    * (left row, in-window right row) pair; left rows with an empty
+    * window produce nothing — the attribution/correlation form, where
+    * downstream picks min/max over the matched payloads.
+    */
+  def pairsWindowBefore(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                        leftTs: String, rightTs: String, windowSeconds: Long,
+                        matchedCol: String, payloadCols: Seq[String]): DataFrame = {
+    val wMs = windowSeconds * 1000L
+    def bucketOf(c: Column): Column = floor(unix_millis(c.cast("timestamp")) / wMs)
+    val l = left.withColumn("_rj_lb", bucketOf(col(leftTs)))
+    val r = right.select(
+        keyCols.zipWithIndex.map { case (k, i) => col(k).as(s"_rj_k$i") } ++
+          (col(rightTs).as(matchedCol) +: payloadCols.map(col)): _*)
+      .withColumn("_rj_b0", bucketOf(col(matchedCol)))
+      .withColumn("_rj_rb", explode(array(col("_rj_b0"), col("_rj_b0") + 1)))
+      .drop("_rj_b0")
+    val cond = keyCols.zipWithIndex.map { case (k, i) => l(k) === r(s"_rj_k$i") }
+      .reduce(_ && _) &&
+      l("_rj_lb") === r("_rj_rb") &&
+      r(matchedCol) >= l(leftTs) - expr(s"INTERVAL $windowSeconds SECOND") &&
+      r(matchedCol) < l(leftTs)
+    l.join(r, cond, "inner")
+      .drop("_rj_lb", "_rj_rb")
+      .drop(keyCols.indices.map(i => s"_rj_k$i"): _*)
+  }
 }

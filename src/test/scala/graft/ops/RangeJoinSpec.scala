@@ -36,6 +36,24 @@ class RangeJoinSpec extends SparkSpec {
       s"range join degenerated to a nested loop:\n$plan")
   }
 
+  test("payload pair join equals the naive inequality join, pair for pair") {
+    val clicksTagged = Tables.events(spark, sfDir)
+      .filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"))
+    val fast = RangeJoin.pairsWindowBefore(purchases, clicksTagged,
+        Seq("user_id"), "ts", "ts", 3600, "c_ts", Seq("click_id"))
+      .select($"event_id", $"click_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val p = purchases.as("p"); val c = clicksTagged.as("c")
+    val naive = p.join(c,
+        $"p.user_id" === $"c.user_id" &&
+          $"c.ts" >= $"p.ts" - expr("INTERVAL 1 HOUR") && $"c.ts" < $"p.ts")
+      .select($"event_id", $"click_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(fast === naive)
+    assert(fast.nonEmpty)
+  }
+
   test("quantization error is bounded by half a quantization step") {
     val rows = graft.SparkEntry.queries("embed_quantize")(spark, sfDir)
       .as[(Long, Double, Double, Long, Double)].collect()
