@@ -145,6 +145,136 @@ object Queries6 extends QueryModule {
     parts.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // -- windowed sequential funnel ------------------------------------------
+
+  /** Time-constrained SEQUENTIAL funnel (the windowFunnel semantic):
+    * the first click within 72h AFTER the user's first signup, then
+    * the first purchase within 72h after THAT click — unlike
+    * `events_funnel`'s independent per-type minima, each step is
+    * anchored on the previous step's achieved timestamp. Each step is
+    * one equi-join on the unbounded user key + a min aggregation —
+    * no per-user event array ever materializes, no window function.
+    */
+  private def funnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 72 HOUR"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 72 HOUR"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_72h")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_72h")))
+  }
+
+  private val funnelWindowedSql =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click'
+      |         AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 72 HOUR GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase'
+      |         AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 72 HOUR GROUP BY 1)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_72h,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_72h""".stripMargin
+
+  // -- top session paths ---------------------------------------------------
+
+  /** Top-20 session paths (the product-analytics "user flows" view):
+    * 30-min-gap sessionization, each session reduced to its first 5
+    * event types joined `a>b>c`, paths counted globally. The
+    * per-session prefix is cut by a row_number BEFORE any array forms
+    * — per-group state is ≤5 structs no matter how long a session
+    * runs; the sessionizing windows partition on the unbounded
+    * user key. Final top-20 is a TakeOrdered with a total-order
+    * tiebreak on the path string.
+    */
+  private def topPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, dir)
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("is_start",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > expr("INTERVAL '30' MINUTE"), 1).otherwise(0))
+      .withColumn("session_id", sum("is_start").over(cum))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")))
+      .filter(col("rn") <= 5)
+    sess.groupBy("user_id", "session_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+        ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path")).limit(20)
+  }
+
+  private val topPathsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+      |                               ORDER BY ts, event_id) AS rn
+      |  FROM sessions),
+      |paths AS (
+      |  SELECT user_id, session_id,
+      |    string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM ranked WHERE rn <= 5 GROUP BY 1, 2)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM paths GROUP BY 1
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
+  // -- deterministic A/B split lift ----------------------------------------
+
+  /** A/B experiment readout on a deterministic hash split: users are
+    * assigned variant = ascii(md5(user_id)[0]) mod 2 — the same
+    * engine-portable md5-bucket trick as `docs_split`, so assignment
+    * is reproducible anywhere, no stored assignment table. Conversion
+    * = user has a purchase event. One per-user aggregation, then a
+    * 2-row variant rollup; the rate divides two small exact counts.
+    */
+  private def abLift(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(max((col("event_type") === "purchase").cast("int")).as("converted"))
+      .withColumn("variant",
+        expr("ascii(substring(md5(cast(user_id as string)), 1, 1)) % 2"))
+    per.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum("converted").cast("bigint").as("n_converted"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double") / col("n_users"), 6))
+      .orderBy("variant")
+  }
+
+  private val abLiftSql =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+      |    ascii(substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 AS variant
+      |  FROM events GROUP BY user_id)
+      |SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(converted) AS BIGINT) AS n_converted,
+      |  round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conv_rate
+      |FROM per GROUP BY variant ORDER BY variant""".stripMargin
+
   // -- referential-integrity audit -----------------------------------------
 
   /** Foreign-key orphan audit across the star schema (the batch-promote
@@ -203,5 +333,8 @@ object Queries6 extends QueryModule {
     QueryDef("events_decayed_scores", decayedScores, Some(decayedScoresSql)),
     QueryDef("profile_lineitem", profileLineitem, Some(profileLineitemSql)),
     QueryDef("audit_referential", auditReferential, Some(auditReferentialSql)),
+    QueryDef("events_funnel_windowed", funnelWindowed, Some(funnelWindowedSql)),
+    QueryDef("events_top_paths", topPaths, Some(topPathsSql)),
+    QueryDef("events_ab_lift", abLift, Some(abLiftSql)),
   )
 }
