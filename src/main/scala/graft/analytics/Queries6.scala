@@ -275,6 +275,53 @@ object Queries6 extends QueryModule {
       |  round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conv_rate
       |FROM per GROUP BY variant ORDER BY variant""".stripMargin
 
+  // -- time-series similarity ----------------------------------------------
+
+  /** Top-10 most-similar campaign pairs by squared euclidean distance
+    * between their daily activity series (time-series similarity
+    * search over aggregated series, cf. EDBT'19 streaming-series
+    * search). The distance uses the norm+dot decomposition —
+    * d²(a,b) = ‖a‖² + ‖b‖² − 2⟨a,b⟩ — so the cross-term equi-joins
+    * only on days where BOTH series are active (sparse dot product;
+    * absent days contribute zero by construction), and the pairwise
+    * stage is bounded by campaigns², never days×campaigns². All
+    * arithmetic is exact BIGINT on integer counts.
+    */
+  private def tsSimilarityPairs(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("campaign"),
+        to_date(col("ts")).as("d"))
+      .groupBy("campaign", "d").agg(count(lit(1)).as("cnt"))
+    val norms = daily.groupBy("campaign").agg(sum(col("cnt") * col("cnt")).as("n2"))
+    val dots = daily.as("a").join(daily.as("b"),
+        col("a.d") === col("b.d") && col("a.campaign") < col("b.campaign"))
+      .groupBy(col("a.campaign").as("ca"), col("b.campaign").as("cb"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("dot"))
+    val na = norms.select(col("campaign").as("ca"), col("n2").as("n2a"))
+    val nb = norms.select(col("campaign").as("cb"), col("n2").as("n2b"))
+    na.join(nb, col("ca") < col("cb"))
+      .join(dots, Seq("ca", "cb"), "left")
+      .select(col("ca"), col("cb"),
+        (col("n2a") + col("n2b") - lit(2) * coalesce(col("dot"), lit(0L))).as("dist2"))
+      .orderBy(col("dist2"), col("ca"), col("cb")).limit(10)
+  }
+
+  private val tsSimilarityPairsSql =
+    """WITH daily AS (
+      |  SELECT CAST(props->>'k' AS INT) AS campaign, CAST(ts AS DATE) AS d,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |norms AS (SELECT campaign, sum(cnt * cnt) AS n2 FROM daily GROUP BY 1),
+      |dots AS (
+      |  SELECT a.campaign AS ca, b.campaign AS cb, sum(a.cnt * b.cnt) AS dot
+      |  FROM daily a JOIN daily b ON a.d = b.d AND a.campaign < b.campaign
+      |  GROUP BY 1, 2)
+      |SELECT na.campaign AS ca, nb.campaign AS cb,
+      |  CAST(na.n2 + nb.n2 - 2 * coalesce(dot, 0) AS BIGINT) AS dist2
+      |FROM norms na JOIN norms nb ON na.campaign < nb.campaign
+      |LEFT JOIN dots ON dots.ca = na.campaign AND dots.cb = nb.campaign
+      |ORDER BY dist2, ca, cb LIMIT 10""".stripMargin
+
   // -- referential-integrity audit -----------------------------------------
 
   /** Foreign-key orphan audit across the star schema (the batch-promote
@@ -336,5 +383,6 @@ object Queries6 extends QueryModule {
     QueryDef("events_funnel_windowed", funnelWindowed, Some(funnelWindowedSql)),
     QueryDef("events_top_paths", topPaths, Some(topPathsSql)),
     QueryDef("events_ab_lift", abLift, Some(abLiftSql)),
+    QueryDef("ts_similarity_pairs", tsSimilarityPairs, Some(tsSimilarityPairsSql)),
   )
 }
