@@ -518,6 +518,50 @@ object CorpusQueries extends QueryModule {
        |FROM s ORDER BY event_type""".stripMargin
   }
 
+  /** Feature-hashing vectorizer (the hashing trick): each token maps
+    * to one of 1024 buckets by md5, with an md5-derived ±1 sign to
+    * de-bias collisions; a document's vector is the signed occurrence
+    * sum per bucket. NO vocabulary is ever built or shuffled — the
+    * defining property of the trick at corpus scale; the only shuffle
+    * carries (doc, bucket) partial sums, capped at 1024/doc. The
+    * gate row per doc is (nnz, l1, checksum) — exact BIGINT summaries
+    * of the sparse vector rather than 1024 dense columns.
+    */
+  private def featureHash(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val hashed = toks.select(
+      col("doc_id"),
+      (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % 1024).as("b"),
+      when(conv(substring(md5(col("w")), 7, 1), 16, 10).cast("long") % 2 === 0, 1L)
+        .otherwise(-1L).as("sgn"))
+    hashed.groupBy("doc_id", "b").agg(sum("sgn").as("v"))
+      .groupBy("doc_id")
+      .agg(
+        sum((col("v") =!= 0).cast("long")).as("nnz"),
+        sum(abs(col("v"))).as("l1"),
+        sum((col("b") + 1) * col("v")).as("checksum"))
+      .orderBy("doc_id")
+  }
+
+  private val featureHashSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(w), 1, 6))::BIGINT % 1024 AS b,
+      |    CASE WHEN ('0x' || substr(md5(w), 7, 1))::BIGINT % 2 = 0
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM toks WHERE length(w) > 0),
+      |v AS (SELECT doc_id, b, sum(sgn) AS v FROM h GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+      |  CAST(sum(abs(v)) AS BIGINT) AS l1,
+      |  CAST(sum((b + 1) * v) AS BIGINT) AS checksum
+      |FROM v GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("docs_repetition", repetition, Some(repetitionSql)),
     QueryDef("docs_split", split80, Some(split80Sql)),
@@ -531,5 +575,6 @@ object CorpusQueries extends QueryModule {
     QueryDef("sketch_distinct_ngrams", sketchDistinct, Some(sketchDistinctSql)),
     QueryDef("sketch_quantiles", sketchQuantiles, Some(sketchQuantilesSql)),
     QueryDef("sketch_countmin_words", sketchCountMin, Some(sketchCountMinSql)),
+    QueryDef("docs_feature_hash", featureHash, Some(featureHashSql)),
   )
 }
