@@ -324,24 +324,29 @@ object Queries6 extends QueryModule {
 
   // -- referential-integrity audit -----------------------------------------
 
-  /** Foreign-key orphan audit across the star schema (the batch-promote
-    * gate): for each child→parent relation, total child rows and rows
-    * whose non-null FK has no parent. Each relation is one left join
-    * against the DISTINCT parent keys (dims broadcast; the fact-side
-    * checks shuffle on the key) collapsed straight into counts — no
-    * row-level output ever materializes. The events→customer relation
-    * is genuinely violated in the data (user ids are not customer
-    * keys), keeping the audit outcome non-vacuous.
+  /** Referential-integrity audit across the star schema (the
+    * batch-promote gate), both directions per child→parent relation:
+    * `orphans` = child rows whose non-null FK has no parent row, and
+    * `unreferenced_parents` = parent keys no child ever references
+    * (dead dimension rows — the metric that is genuinely non-zero
+    * here: TPC-H-shaped data always has customers with no orders).
+    * The child side pre-aggregates to DISTINCT keys with row counts
+    * BEFORE the join, so the per-relation full-outer join carries
+    * key cardinality, never fact rows, and collapses straight into
+    * three counts — no row-level output materializes.
     */
   private def auditReferential(s: SparkSession, dir: String): DataFrame = {
     def rel(name: String, child: DataFrame, fk: String,
             parent: DataFrame, pk: String): DataFrame =
-      child.select(col(fk).as("_k"))
+      child.select(col(fk).as("_k")).groupBy("_k").agg(count(lit(1)).as("_n"))
         .join(parent.select(col(pk).as("_k")).distinct()
-          .withColumn("_hit", lit(1)), Seq("_k"), "left")
-        .agg(count(lit(1)).as("child_rows"),
-          sum((col("_hit").isNull && col("_k").isNotNull).cast("long")).as("orphans"))
-        .select(lit(name).as("relation"), col("child_rows"), col("orphans"))
+          .withColumn("_hit", lit(1)), Seq("_k"), "full_outer")
+        .agg(sum(coalesce(col("_n"), lit(0L))).as("child_rows"),
+          sum(when(col("_hit").isNull && col("_k").isNotNull, col("_n"))
+            .otherwise(lit(0L))).as("orphans"),
+          sum((col("_n").isNull).cast("long")).as("unreferenced_parents"))
+        .select(lit(name).as("relation"), col("child_rows"), col("orphans"),
+          col("unreferenced_parents"))
     val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
     val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
     val p = t(s, dir, "part"); val n = t(s, dir, "nation")
@@ -369,9 +374,12 @@ object Queries6 extends QueryModule {
       ("orders.customer", "orders", "o_custkey", "customer", "c_custkey"),
       ("supplier.nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
     rels.map { case (name, child, fk, parent, pk) =>
-      s"""SELECT '$name' AS relation, CAST(count(*) AS BIGINT) AS child_rows,
-         |  CAST(sum(CASE WHEN p._hit IS NULL AND c.$fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
-         |FROM $child c LEFT JOIN (SELECT DISTINCT $pk, 1 AS _hit FROM $parent) p ON c.$fk = p.$pk""".stripMargin
+      s"""SELECT '$name' AS relation,
+         |  CAST(sum(coalesce(c._n, 0)) AS BIGINT) AS child_rows,
+         |  CAST(sum(CASE WHEN p._k IS NULL AND c._k IS NOT NULL THEN c._n ELSE 0 END) AS BIGINT) AS orphans,
+         |  CAST(sum(CASE WHEN c._n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unreferenced_parents
+         |FROM (SELECT $fk AS _k, count(*) AS _n FROM $child GROUP BY 1) c
+         |FULL JOIN (SELECT DISTINCT $pk AS _k FROM $parent) p ON c._k = p._k""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
   }
 
