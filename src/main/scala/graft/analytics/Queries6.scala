@@ -322,6 +322,57 @@ object Queries6 extends QueryModule {
       |LEFT JOIN dots ON dots.ca = na.campaign AND dots.cb = nb.campaign
       |ORDER BY dist2, ca, cb LIMIT 10""".stripMargin
 
+  // -- OLS trend via sufficient statistics ---------------------------------
+
+  /** Per-campaign linear trend of daily spend (least-squares slope):
+    * regression at scale is ONE aggregation of sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) — no iterative solver, no per-group sort.
+    * x is an integer day index off a 1-row broadcast anchor; y
+    * accumulates in decimal, so every statistic is exact and the
+    * single closed-form division (with a round at the report edge) is
+    * the only float op. Campaigns with <2 active days are excluded —
+    * their slope is undefined (zero denominator).
+    */
+  private def valueTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("campaign"),
+        to_date(col("ts")).as("d"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("campaign", "d").agg(sum("v").as("y"))
+    val anchor = daily.agg(min("d").as("d0"))
+    daily.crossJoin(broadcast(anchor))
+      .withColumn("x", datediff(col("d"), col("d0")).cast("long"))
+      .groupBy("campaign")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"))
+      .filter(col("n_days") >= 2)
+      .select(col("campaign"), col("n_days"),
+        round(
+          (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_days") * col("sx2") - col("sx") * col("sx")).cast("double"),
+          6).as("slope"))
+      .orderBy("campaign")
+  }
+
+  private val valueTrendSql =
+    """WITH daily AS (
+      |  SELECT CAST(props->>'k' AS INT) AS campaign, CAST(ts AS DATE) AS d,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS y
+      |  FROM events GROUP BY 1, 2),
+      |anchor AS (SELECT min(d) AS d0 FROM daily),
+      |stats AS (
+      |  SELECT campaign, CAST(count(*) AS BIGINT) AS n_days,
+      |    sum(date_diff('day', d0, d)) AS sx, sum(y) AS sy,
+      |    sum(date_diff('day', d0, d) * y) AS sxy,
+      |    sum(date_diff('day', d0, d) * date_diff('day', d0, d)) AS sx2
+      |  FROM daily, anchor GROUP BY 1)
+      |SELECT campaign, n_days,
+      |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+      |        CAST(n_days * sx2 - sx * sx AS DOUBLE), 6) AS slope
+      |FROM stats WHERE n_days >= 2 ORDER BY campaign""".stripMargin
+
   // -- referential-integrity audit -----------------------------------------
 
   /** Referential-integrity audit across the star schema (the
@@ -392,5 +443,6 @@ object Queries6 extends QueryModule {
     QueryDef("events_top_paths", topPaths, Some(topPathsSql)),
     QueryDef("events_ab_lift", abLift, Some(abLiftSql)),
     QueryDef("ts_similarity_pairs", tsSimilarityPairs, Some(tsSimilarityPairsSql)),
+    QueryDef("events_value_trend", valueTrend, Some(valueTrendSql)),
   )
 }
