@@ -518,6 +518,61 @@ object CorpusQueries extends QueryModule {
        |FROM s ORDER BY event_type""".stripMargin
   }
 
+  /** Split-drift monitor (train/val/test integrity): for each pair of
+    * md5-split buckets, a two-sample z² on token-count means. Each
+    * split reduces to exact integer sufficient statistics (n, Σtok,
+    * Σtok²) in ONE aggregation; the 3 pairwise tests run on those 3
+    * rows — the 100 TB cost is one pass over the corpus regardless of
+    * how many pairs are compared. z² = (mā−m̄b)²/(va/na+vb/nb) is
+    * evaluated in double from the exact stats with an identical
+    * operation tree in both engines (every step correctly rounded →
+    * bit-identical), rounded only at the report edge. A correct
+    * hash split should NOT drift — the expected flag is false, and
+    * that's the audit's point; the z² magnitudes prove the test ran.
+    */
+  private def splitDrift(s: SparkSession, dir: String): DataFrame = {
+    val b = hashBucket("split", col("doc_id"))
+    val stats = docs(s, dir)
+      .select(
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), sum("t").as("st"),
+        sum(col("t") * col("t")).as("st2"))
+    val a = stats.select(col("split").as("split_a"), col("n").as("na"),
+      col("st").as("sa"), col("st2").as("qa"))
+    val bb = stats.select(col("split").as("split_b"), col("n").as("nb"),
+      col("st").as("sb"), col("st2").as("qb"))
+    a.join(bb, col("split_a") < col("split_b"))
+      .select(col("split_a"), col("split_b"), col("na"), col("nb"),
+        round(
+          (((col("sa").cast("double") / col("na")) - (col("sb").cast("double") / col("nb"))) *
+            ((col("sa").cast("double") / col("na")) - (col("sb").cast("double") / col("nb")))) /
+            (((col("qa").cast("double") / col("na")) - (col("sa").cast("double") / col("na")) * (col("sa").cast("double") / col("na"))) / col("na") +
+             ((col("qb").cast("double") / col("nb")) - (col("sb").cast("double") / col("nb")) * (col("sb").cast("double") / col("nb"))) / col("nb")),
+          4).as("z2"))
+      .orderBy("split_a", "split_b")
+  }
+
+  private val splitDriftSql =
+    s"""WITH stats AS (
+       |  SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(t * t) AS BIGINT) AS st2
+       |  FROM (SELECT ${sqlBucket("split", "doc_id")} AS b,
+       |          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS t
+       |        FROM documents)
+       |  GROUP BY 1)
+       |SELECT a.split AS split_a, b.split AS split_b, a.n AS na, b.n AS nb,
+       |  round(
+       |    ((CAST(a.st AS DOUBLE) / a.n) - (CAST(b.st AS DOUBLE) / b.n)) *
+       |    ((CAST(a.st AS DOUBLE) / a.n) - (CAST(b.st AS DOUBLE) / b.n)) /
+       |    (((CAST(a.st2 AS DOUBLE) / a.n) - (CAST(a.st AS DOUBLE) / a.n) * (CAST(a.st AS DOUBLE) / a.n)) / a.n +
+       |     ((CAST(b.st2 AS DOUBLE) / b.n) - (CAST(b.st AS DOUBLE) / b.n) * (CAST(b.st AS DOUBLE) / b.n)) / b.n),
+       |  4) AS z2
+       |FROM stats a JOIN stats b ON a.split < b.split
+       |ORDER BY split_a, split_b""".stripMargin
+
   /** Feature-hashing vectorizer (the hashing trick): each token maps
     * to one of 1024 buckets by md5, with an md5-derived ±1 sign to
     * de-bias collisions; a document's vector is the signed occurrence
@@ -576,5 +631,6 @@ object CorpusQueries extends QueryModule {
     QueryDef("sketch_quantiles", sketchQuantiles, Some(sketchQuantilesSql)),
     QueryDef("sketch_countmin_words", sketchCountMin, Some(sketchCountMinSql)),
     QueryDef("docs_feature_hash", featureHash, Some(featureHashSql)),
+    QueryDef("docs_split_drift", splitDrift, Some(splitDriftSql)),
   )
 }
