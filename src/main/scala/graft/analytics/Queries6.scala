@@ -373,6 +373,87 @@ object Queries6 extends QueryModule {
       |        CAST(n_days * sx2 - sx * sx AS DOUBLE), 6) AS slope
       |FROM stats WHERE n_days >= 2 ORDER BY campaign""".stripMargin
 
+  // -- CUBE lattice ---------------------------------------------------------
+
+  /** Full CUBE over (order-year, status): every cell of the 2-D
+    * rollup lattice plus both marginals and the grand total, with
+    * `grouping_id` disambiguating real NULLs from aggregated-out
+    * dims. CUBE compiles to one Expand + one aggregation — 4× the
+    * agg input here, never 4 scans. Money sums in decimal, rounded
+    * once at the edge.
+    */
+  private def ordersCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(year(to_date(col("o_orderdate"))).as("yr"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("decimal(18,6)").as("price"))
+      .cube("yr", "status")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        round(sum("price").cast("double"), 2).as("total_price"))
+      .select("gid", "yr", "status", "n_orders", "total_price")
+      .orderBy(col("gid"), col("yr").asc_nulls_first, col("status").asc_nulls_first)
+
+  private val ordersCubeSql =
+    """SELECT CAST(GROUPING(yr, status) AS BIGINT) AS gid, yr, status,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(CAST(sum(price) AS DOUBLE), 2) AS total_price
+      |FROM (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+      |        o_orderstatus AS status,
+      |        CAST(o_totalprice AS DECIMAL(18,6)) AS price FROM orders)
+      |GROUP BY CUBE (yr, status)
+      |ORDER BY gid, yr NULLS FIRST, status NULLS FIRST""".stripMargin
+
+  // -- backlog burndown -----------------------------------------------------
+
+  /** Monthly order-backlog burndown (event-sourced open-order curve):
+    * orders "open" at month M = opened up to M minus completed up to
+    * M, where an order completes when its LAST lineitem ships. Both
+    * event streams aggregate to the bounded month domain FIRST; the
+    * cumulative net is the distributed prefix sum
+    * ([[graft.ops.PrefixSum]]) — no global-order window, no single
+    * reducer holding the whole timeline even if the domain were not
+    * bounded.
+    */
+  private def ordersBacklog(s: SparkSession, dir: String): DataFrame = {
+    val opened = t(s, dir, "orders")
+      .select(date_trunc("month", to_date(col("o_orderdate"))).cast("date").as("m"))
+      .groupBy("m").agg(count(lit(1)).as("opened"))
+    val completed = t(s, dir, "lineitem")
+      .groupBy("l_orderkey").agg(max(to_date(col("l_shipdate"))).as("done"))
+      .select(date_trunc("month", col("done")).cast("date").as("m"))
+      .groupBy("m").agg(count(lit(1)).as("completed"))
+    val monthly = opened.join(completed, Seq("m"), "full_outer")
+      .select(col("m"),
+        coalesce(col("opened"), lit(0L)).as("opened"),
+        coalesce(col("completed"), lit(0L)).as("completed"))
+      .withColumn("_net", col("opened") - col("completed"))
+      .withColumn("_g", lit(1))
+    graft.ops.PrefixSum.runningTotal(monthly, "_g", Seq("m"), "_net", "backlog")
+      .select("m", "opened", "completed", "backlog")
+      .orderBy("m")
+  }
+
+  private val ordersBacklogSql =
+    """WITH opened AS (
+      |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+      |    CAST(count(*) AS BIGINT) AS opened
+      |  FROM orders GROUP BY 1),
+      |done AS (
+      |  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS done
+      |  FROM lineitem GROUP BY 1),
+      |completed AS (
+      |  SELECT CAST(date_trunc('month', done) AS DATE) AS m,
+      |    CAST(count(*) AS BIGINT) AS completed
+      |  FROM done GROUP BY 1),
+      |monthly AS (
+      |  SELECT coalesce(o.m, c.m) AS m,
+      |    coalesce(opened, 0) AS opened, coalesce(completed, 0) AS completed
+      |  FROM opened o FULL JOIN completed c ON o.m = c.m)
+      |SELECT m, opened, completed,
+      |  CAST(sum(opened - completed) OVER (ORDER BY m
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+      |FROM monthly ORDER BY m""".stripMargin
+
   // -- referential-integrity audit -----------------------------------------
 
   /** Referential-integrity audit across the star schema (the
@@ -444,5 +525,7 @@ object Queries6 extends QueryModule {
     QueryDef("events_ab_lift", abLift, Some(abLiftSql)),
     QueryDef("ts_similarity_pairs", tsSimilarityPairs, Some(tsSimilarityPairsSql)),
     QueryDef("events_value_trend", valueTrend, Some(valueTrendSql)),
+    QueryDef("orders_cube", ordersCube, Some(ordersCubeSql)),
+    QueryDef("orders_backlog", ordersBacklog, Some(ordersBacklogSql)),
   )
 }
