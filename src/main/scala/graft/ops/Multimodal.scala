@@ -59,6 +59,32 @@ object Multimodal {
       (bytes.head & 0xff).toFloat, (bytes.last & 0xff).toFloat)
   }
 
+  /** Frame-sampling plumbing for video-like payloads: the media blob
+    * is cut into fixed-`stride` frames, every `every`-th frame is
+    * kept (the "1 fps from N fps" shape), and each sampled frame gets
+    * a deterministic checksum standing in for per-frame decode. All
+    * of it is column expressions — the explode produces (doc, frame)
+    * rows that downstream per-frame decoders consume in parallel, and
+    * no frame payload ever routes through the driver. Like
+    * [[decodeStub]], the checksum is the swap-point for a real codec;
+    * payload bytes are ASCII here so the char sum IS the byte sum.
+    */
+  def sampleFrames(media: DataFrame, stride: Int, every: Int): DataFrame =
+    media
+      .withColumn("_s", decode(col("media"), "UTF-8"))
+      .withColumn("_nf",
+        greatest(ceil(length(col("_s")) / lit(stride.toDouble)).cast("int"), lit(1)))
+      .select(col("doc_id"), col("_s"),
+        explode(sequence(lit(0), col("_nf") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % every === 0)
+      .withColumn("_fr", expr(s"substring(_s, frame_idx * $stride + 1, $stride)"))
+      .select(col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        length(col("_fr")).cast("long").as("frame_len"),
+        coalesce(
+          expr("aggregate(transform(split(_fr, ''), c -> cast(ascii(c) as bigint)), 0L, (a, x) -> a + x)"),
+          lit(0L)).as("frame_checksum"))
+
   /** Partition-parallel feature extraction over the media column.
     * `mapPartitions` keeps per-batch decoder state (real codecs are
     * expensive to construct) and processes rows streaming — the same

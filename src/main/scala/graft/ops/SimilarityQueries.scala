@@ -552,6 +552,31 @@ object SimilarityQueries extends QueryModule {
       |  CAST(ascii(right(text, 1)) AS BIGINT) AS last_byte
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling over the synthesized media column
+    * ([[Multimodal.sampleFrames]]): 64-byte frames, every 4th kept.
+    * The oracle recomputes each sampled frame's checksum from the
+    * same ASCII payload with `substr` — verifying slicing bounds,
+    * sampling cadence, and the per-frame fold end to end.
+    */
+  private def mediaFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeMedia(Tables.parallel(Tables.documents(s, dir)))
+    Multimodal.sampleFrames(media, stride = 64, every = 4)
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val mediaFrameSampleSql =
+    """WITH fr AS (
+      |  SELECT doc_id, text AS s,
+      |    unnest(range(0, GREATEST(CAST(ceil(strlen(text) / 64.0) AS INT), 1))) AS frame_idx
+      |  FROM documents)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(strlen(sub) AS BIGINT) AS frame_len,
+      |  CAST(coalesce(list_sum([ascii(c)::BIGINT FOR c IN string_split(sub, '')]), 0) AS BIGINT) AS frame_checksum
+      |FROM (SELECT doc_id, frame_idx,
+      |        substr(s, CAST(frame_idx * 64 + 1 AS INT), 64) AS sub
+      |      FROM fr WHERE frame_idx % 4 = 0)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // -- JL random projection (dim reduction) --------------------------------
 
   /** 64→16 JL projection of every corpus vector, verified value by
@@ -645,5 +670,6 @@ object SimilarityQueries extends QueryModule {
     QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
     QueryDef("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),
     QueryDef("media_features", mediaFeatures, Some(mediaFeaturesSql)),
+    QueryDef("media_frame_sample", mediaFrameSample, Some(mediaFrameSampleSql)),
   )
 }
