@@ -85,7 +85,10 @@ object Queries6 extends QueryModule {
     * newest day in the data (a 1-row broadcast aggregate, no window).
     * Weights are computed in INTEGER arithmetic (cnt·2^(10−wk), then
     * one exact dyadic division by 2^10 at the report edge) so no
-    * float rounding can differ between engines.
+    * float rounding can differ between engines. Days older than the
+    * 10-week horizon are dropped OUTRIGHT (weight < 1/1024 ≈ noise)
+    * — which also keeps the shift exponent in [0, 10]; without the
+    * horizon a >70-day corpus would wrap the JVM's mod-64 shift.
     */
   private def decayedScores(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
@@ -95,6 +98,7 @@ object Queries6 extends QueryModule {
     val anchor = daily.agg(max(col("d")).as("maxd"))
     daily.crossJoin(broadcast(anchor))
       .withColumn("wk", expr("datediff(maxd, d) div 7"))
+      .filter(col("wk") <= 10)
       .groupBy("campaign")
       .agg((sum(expr("cnt * shiftleft(cast(1 as bigint), cast(10 - wk as int))"))
         .cast("double") / 1024.0).as("decayed_score"))
@@ -109,6 +113,7 @@ object Queries6 extends QueryModule {
       |  CAST(sum(cnt * (CAST(1 AS BIGINT) << CAST(10 - date_diff('day', d, maxd) // 7 AS INT))) AS DOUBLE)
       |    / 1024.0 AS decayed_score
       |FROM daily, anchor
+      |WHERE date_diff('day', d, maxd) // 7 <= 10
       |GROUP BY campaign ORDER BY campaign""".stripMargin
 
   // -- column profile --------------------------------------------------------
