@@ -157,6 +157,13 @@ object CdcQueries extends QueryModule {
   private def applyUpsertBucketed(s: SparkSession, dir: String): DataFrame =
     applyUpsertWith("bucketed", MergeTable.CopyOnWrite, Some(8))(s, dir)
 
+  /** Same semantics through the deletion-vector path: matched keys'
+    * old rows are masked positionally, the change rows append — no
+    * data-file rewrite, no key reconciliation at read.
+    */
+  private def applyUpsertDv(s: SparkSession, dir: String): DataFrame =
+    applyUpsertWith("dv", MergeTable.DeletionVectors, None)(s, dir)
+
   /** Same semantics through bucketed MOR: bucket-partitioned seed,
     * flat delta upsert, then per-bucket compaction (`compactAfter`)
     * so the gate hashes the post-compaction bucket layout.
@@ -412,6 +419,23 @@ object CdcQueries extends QueryModule {
     val root = tmpRoot("apply_delete", dir)
     MergeTable.drop(root)
     val t = MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    t.delete(base.filter(col("event_type") === "error").select("user_id"))
+    t.read().orderBy("user_id")
+  }
+
+  /** Same delete semantics through the deletion-vector path: the
+    * deleted rows' data files are never rewritten — a positional
+    * `(file, row_index)` mask commits instead, and the read-side
+    * anti-join must hide exactly those rows. Same oracle as
+    * cdc_apply_delete, so the hash certifies the mask addresses the
+    * right physical rows.
+    */
+  private def applyDeleteDv(s: SparkSession, dir: String): DataFrame = {
+    val base = latestPerUser(events(s, dir))
+    val root = tmpRoot("apply_delete_dv", dir)
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base),
+      mode = MergeTable.DeletionVectors)
     t.delete(base.filter(col("event_type") === "error").select("user_id"))
     t.read().orderBy("user_id")
   }
@@ -732,7 +756,9 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert_mor", applyUpsertMor, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_bucketed", applyUpsertBucketed, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_mor_bucketed", applyUpsertMorBucketed, Some(applyUpsertSql)),
+    QueryDef("cdc_apply_upsert_dv", applyUpsertDv, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete", applyDelete, Some(applyDeleteSql)),
+    QueryDef("cdc_apply_delete_dv", applyDeleteDv, Some(applyDeleteSql)),
     QueryDef("cdc_apply_upsert_sql", applyUpsertViaSql, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_partial", applyUpsertPartialViaSql, Some(applyUpsertPartialSql)),
     QueryDef("cdc_apply_merge_conditional", applyMergeConditional, Some(applyMergeConditionalSql)),

@@ -30,6 +30,15 @@ class CommitConflictException(msg: String)
   *    deltas (latest per key wins, tombstones drop) and deltas are
   *    auto-compacted into a new base after `maxDeltas` commits.
   *    Write-cheap, read-heavier — the right trade for high-rate CDC.
+  *  - '''deletion-vectors''': upsert/delete never rewrite data files
+  *    — superseded rows are masked by POSITIONAL delete files
+  *    (`(file, row_index)` pairs, the Iceberg-v2 positional-delete /
+  *    Delta deletion-vector idea), and an upsert's new rows land as a
+  *    plain appended file. Reads anti-join the base scan against the
+  *    broadcast mask on (file, pos) — no per-key shuffle
+  *    reconciliation at all, which is what makes this mode cheaper to
+  *    READ than MOR while staying O(batch) to write; compaction
+  *    folds masks back into a clean base.
   *
   * Orthogonally, '''hash bucketing''' (`numBuckets`) makes writes
   * partition-scoped: data lives in per-bucket directories keyed by
@@ -52,6 +61,7 @@ class CommitConflictException(msg: String)
   *   manifests/v<NNNNN>.txt        typed entries, one per line:
   *                                   base:<dir>     live base data
   *                                   delta:<dir>    MOR delta (commit order)
+  *                                   dv:<dir>       positional delete mask
   *                                   b<i>:<subdir>  bucket i's live dir
   *   _LATEST                       current manifest name (atomic pointer)
   * }}}
@@ -68,9 +78,13 @@ final class MergeTable(
     val numBuckets: Option[Int] = None,
     val maxDeltas: Int = 8) {
 
-  // numBuckets composes with either mode: bucketed COW rewrites only
-  // touched buckets; bucketed MOR appends flat deltas and compacts
-  // only the buckets those deltas touch.
+  // numBuckets composes with either COW or MOR: bucketed COW rewrites
+  // only touched buckets; bucketed MOR appends flat deltas and
+  // compacts only the buckets those deltas touch. Deletion vectors
+  // address rows by (file, position) inside the flat layout, so the
+  // bucketed layout is rejected rather than half-supported.
+  require(mode != MergeTable.DeletionVectors || numBuckets.isEmpty,
+    "deletion-vectors mode does not compose with hash bucketing")
 
   private val rootPath = Paths.get(root)
   private val dataDir = rootPath.resolve("data")
@@ -79,6 +93,8 @@ final class MergeTable(
 
   private val Tombstone = "_graft_tombstone"
   private val BucketCol = "_graft_bucket"
+  private val FileCol = "_graft_file"
+  private val PosCol = "_graft_pos"
 
   // -- metadata ------------------------------------------------------------
 
@@ -357,7 +373,8 @@ final class MergeTable(
   private def readEntries(es: Seq[(String, String)]): DataFrame = {
     require(es.nonEmpty, s"MergeTable at $root is empty/uninitialized")
     val deltas = es.filter(_._1 == "delta")
-    if (deltas.isEmpty) readDirs(es.map(_._2))
+    if (es.exists(_._1 == "dv")) readWithPos(es).drop(FileCol, PosCol)
+    else if (deltas.isEmpty) readDirs(es.map(_._2))
     else {
       // bucketed MOR: b<i> entries are per-bucket bases
       val baseDirs = es.filter(e => e._1 == "base" || e._1.matches("b\\d+")).map(_._2)
@@ -374,6 +391,49 @@ final class MergeTable(
         else reconciled
       dropped.drop("_graft_seq")
     }
+  }
+
+  /** Live rows of a deletion-vector snapshot WITH their physical
+    * address columns ([[FileCol]], [[PosCol]]): one scan of the base
+    * files projecting `_metadata.file_path`/`row_index`, anti-joined
+    * against the union of committed masks. The mask side is key-free
+    * and broadcast when small (same `broadcastKeyLimit` guard as the
+    * COW key set), so the base never shuffles — the read-side win
+    * over MOR's per-key reconciliation. Masked positions referencing
+    * files outside this snapshot (possible after RESTORE) simply
+    * never match.
+    */
+  private def readWithPos(es: Seq[(String, String)]): DataFrame = {
+    val scan = readDirs(es.filter(_._1 == "base").map(_._2))
+      .withColumn(FileCol, col("_metadata.file_path"))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    val dvDirs = es.filter(_._1 == "dv").map(_._2)
+    if (dvDirs.isEmpty) scan
+    else {
+      val mask = readDirs(dvDirs).select(FileCol, PosCol)
+      val limit = spark.conf.getOption("graft.mergetable.broadcastKeyLimit")
+        .map(_.toLong).getOrElse(4000000L)
+      val small = mask
+        .limit(math.min(limit + 1, Int.MaxValue.toLong).toInt).count() <= limit
+      scan.join(if (small) broadcast(mask) else mask,
+        Seq(FileCol, PosCol), "left_anti")
+    }
+  }
+
+  /** Write the `(file, pos)` mask for live rows whose key appears in
+    * `changeKeys`; returns the dv entry, or None when nothing
+    * matched (the commit then skips the entry and the orphan dir is
+    * vacuum-reclaimable). The parquet row count is footer-served, so
+    * the emptiness probe costs no data read.
+    */
+  private def writeMask(changeKeys: DataFrame): Option[(String, String)] = {
+    val masked = readWithPos(entries())
+      .join(changeKeys, keys, "left_semi")
+      .select(FileCol, PosCol)
+    val dir = writeData(masked)
+    if (spark.read.parquet(dataDir.resolve(dir).toString).count() > 0)
+      Some("dv" -> dir)
+    else None
   }
 
   // -- writes --------------------------------------------------------------
@@ -432,6 +492,19 @@ final class MergeTable(
     * append + periodic compaction.
     */
   def upsert(changes: DataFrame): Unit = mode match {
+    case MergeTable.DeletionVectors =>
+      if (!exists) commit(Seq("base" -> writeData(changes)))
+      else {
+        // O(batch) write: mask the matched keys' current positions,
+        // append the change rows as a new base file — no data-file
+        // rewrite, no key-shuffle on read. One atomic commit carries
+        // both entries, so readers never see the mask without the
+        // replacement rows.
+        val es = entries()
+        val dv = writeMask(keySet(changes, dedup = true))
+        commit(es ++ dv.toSeq :+ ("base" -> writeData(changes)))
+        maybeCompact()
+      }
     case MergeTable.MergeOnRead =>
       // first write seeds the base (bucket-partitioned when bucketed);
       // subsequent upserts are flat O(batch) deltas either way
@@ -458,6 +531,13 @@ final class MergeTable(
   def delete(deleteKeys: DataFrame): Unit = {
     require(exists, s"cannot delete from uninitialized table $root")
     mode match {
+      case MergeTable.DeletionVectors =>
+        // Pure mask commit: the deleted rows' files are untouched.
+        // A delete matching nothing commits nothing (idempotent
+        // replay converges without version churn).
+        val es = entries()
+        writeMask(keySet(deleteKeys, dedup = true))
+          .foreach { dv => commit(es :+ dv); maybeCompact() }
       case MergeTable.MergeOnRead =>
         val tombstones = deleteKeys.select(keys.map(col): _*).distinct()
           .withColumn(Tombstone, lit(true))
@@ -541,9 +621,14 @@ final class MergeTable(
     else {
       // no-op when already one base and nothing pending: a scheduled
       // COMPACT on an idle COW table must not rewrite the whole
-      // snapshot (and must report 0 versions, per the SQL contract)
+      // snapshot (and must report 0 versions, per the SQL contract).
+      // For deletion vectors this is the mask fold: the rewrite
+      // materializes the anti-joined live rows, so the new snapshot
+      // is a single clean base with no dv entries (and prunable
+      // again).
       val es = entries()
-      if (es.exists(_._1 == "delta") || es.count(_._1 == "base") > 1)
+      if (es.exists(e => e._1 == "delta" || e._1 == "dv") ||
+          es.count(_._1 == "base") > 1)
         commit(Seq("base" -> writeData(read())))
     }
 
@@ -626,7 +711,12 @@ final class MergeTable(
     * stats surface an empty map and are always kept.
     */
   def prunableFiles(es: Seq[(String, String)]): Option[Seq[(Path, Map[String, (String, String, String)])]] = {
-    if (es.isEmpty || es.exists(_._1 == "delta")) None
+    // dv-bearing snapshots skip stats pruning like delta-bearing
+    // ones — not for correctness (a mask only ever REMOVES rows, so
+    // dropping a file is safe) but because the source's pruned-scan
+    // path builds a raw file scan that would bypass the positional
+    // anti-join; compaction restores prunability
+    if (es.isEmpty || es.exists(e => e._1 == "delta" || e._1 == "dv")) None
     else Some(es.flatMap { case (_, d) =>
       val stats = FileStats.read(rootPath, d)
       val base = dataDir.resolve(d)
@@ -661,7 +751,11 @@ final class MergeTable(
   private val ZCol = "_graft_zvalue"
 
   private def maybeCompact(): Unit =
-    if (entries().count(_._1 == "delta") >= maxDeltas) compact()
+    // dv entries count against the same bound as MOR deltas: each one
+    // adds a broadcast-side mask to every read, and (in DV mode) a
+    // sibling base file — compaction folds both chains
+    if (entries().count(e => e._1 == "delta" || e._1 == "dv") >= maxDeltas)
+      compact()
 
   /** Apply a full normalized change batch (opclass I/U/D) with the
     * reference's outcome — inserts land, upserts replace matched keys
@@ -720,6 +814,7 @@ final class MergeTable(
 object MergeTable {
   val CopyOnWrite = "copy-on-write"
   val MergeOnRead = "merge-on-read"
+  val DeletionVectors = "deletion-vectors"
 
   /** Persisted table configuration (`_META.json` at the table root).
     * `schemaJson` is only set for catalog-created tables that have a

@@ -1,0 +1,153 @@
+package graft.cdc
+
+import graft.SparkSpec
+
+/** Deletion-vector mode: upsert/delete commit positional `(file,
+  * row_index)` masks instead of rewriting data files (Iceberg-v2
+  * positional deletes / Delta deletion vectors), reads hide exactly
+  * the masked rows via a broadcast anti-join, and compaction folds
+  * masks back into a clean base.
+  */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val root = s"target/test_tmp/dv_$name"
+    MergeTable.drop(root)
+    root
+  }
+
+  private def lastManifest(root: String): String = {
+    val manifests = new java.io.File(s"$root/manifests").list().sorted
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/manifests/${manifests.last}")))
+  }
+
+  private def dataFiles(root: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$root/data"))
+      .map(_.getPath).filter(_.endsWith(".parquet")).toSet
+  }
+
+  test("delete commits only a mask: original data files are untouched") {
+    val root = fresh("delete_mask")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")),
+      mode = MergeTable.DeletionVectors)
+    val baseEntry = lastManifest(root).trim
+    val baseFiles = dataFiles(root)
+    t.delete(Seq(2L).toDF("id"))
+    // the base entry survives verbatim; the commit added ONLY a dv entry
+    val after = lastManifest(root).linesIterator.toSeq
+    assert(after.contains(baseEntry))
+    assert(after.count(_.startsWith("dv:")) === 1)
+    assert(baseFiles.subsetOf(dataFiles(root)), "delete rewrote a data file")
+    assert(t.read().as[(Long, String)].collect().sorted === Seq((1L, "a"), (3L, "c")))
+  }
+
+  test("upsert appends new rows and masks the matched keys' old positions") {
+    val root = fresh("upsert")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")),
+      mode = MergeTable.DeletionVectors)
+    val baseFiles = dataFiles(root)
+    t.upsert(Seq((2L, "B"), (4L, "d")).toDF("id", "v"))
+    val m = lastManifest(root).linesIterator.toSeq
+    assert(m.count(_.startsWith("base:")) === 2, m.mkString("|"))
+    assert(m.count(_.startsWith("dv:")) === 1, m.mkString("|"))
+    assert(baseFiles.subsetOf(dataFiles(root)), "upsert rewrote a data file")
+    assert(t.read().as[(Long, String)].collect().sorted ===
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+  }
+
+  test("later upsert of the same key masks the earlier appended row") {
+    val root = fresh("rewin")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "v0")).toDF("id", "v")),
+      mode = MergeTable.DeletionVectors)
+    t.upsert(Seq((1L, "v1")).toDF("id", "v"))
+    t.upsert(Seq((1L, "v2")).toDF("id", "v"))
+    assert(t.read().as[(Long, String)].collect() === Seq((1L, "v2")))
+  }
+
+  test("insert-only upsert commits no dv entry; no-match delete commits nothing") {
+    val root = fresh("noop")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")),
+      mode = MergeTable.DeletionVectors)
+    t.upsert(Seq((2L, "b")).toDF("id", "v")) // no matched key -> no mask
+    assert(!lastManifest(root).linesIterator.exists(_.startsWith("dv:")))
+    val versionsBefore = t.versions()
+    t.delete(Seq(99L).toDF("id")) // matches nothing -> idempotent no-op
+    assert(t.versions() === versionsBefore)
+    assert(t.read().as[(Long, String)].collect().sorted === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("matches the COW result over a mixed upsert/delete sequence") {
+    val rows = (0L until 200L).map(i => (i, s"v$i", i % 7))
+    def drive(mode: String, name: String): Seq[(Long, String, Long)] = {
+      val root = fresh(name)
+      val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+        initial = Some(rows.toDF("id", "v", "grp")), mode = mode)
+      t.upsert((50L until 120L).map(i => (i, s"V$i", i % 5)).toDF("id", "v", "grp"))
+      t.delete((0L until 200L by 3).toDF("id"))
+      t.upsert(Seq((3L, "back", 0L)).toDF("id", "v", "grp"))
+      t.read().as[(Long, String, Long)].collect().sorted.toSeq
+    }
+    assert(drive(MergeTable.DeletionVectors, "vs_dv") ===
+      drive(MergeTable.CopyOnWrite, "vs_cow"))
+  }
+
+  test("auto-compaction folds masks into a clean prunable base") {
+    val root = fresh("compact")
+    val t = new MergeTable(spark, root, Seq("id"),
+      MergeTable.DeletionVectors, maxDeltas = 3)
+    t.upsert((0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.upsert(Seq((1L, "A")).toDF("id", "v"))
+    t.delete(Seq(2L).toDF("id"))
+    t.upsert(Seq((3L, "C")).toDF("id", "v")) // 3rd mask -> compaction
+    val last = lastManifest(root)
+    assert(last.linesIterator.forall(_.startsWith("base:")), last)
+    assert(last.linesIterator.size === 1)
+    assert(t.prunableFiles(t.currentEntries()).isDefined)
+    assert(t.read().as[(Long, String)].collect().sorted ===
+      ((0L, "v0") +: (4L until 10L).map(i => (i, s"v$i"))
+        :+ (1L, "A") :+ (3L, "C")).sorted)
+  }
+
+  test("time travel and change feed see through dv commits") {
+    val root = fresh("travel")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      mode = MergeTable.DeletionVectors)
+    val v1 = t.versions().last
+    t.delete(Seq(2L).toDF("id"))
+    val v2 = t.versions().last
+    t.upsert(Seq((1L, "A"), (3L, "c")).toDF("id", "v"))
+    val v3 = t.versions().last
+    assert(t.readVersion(v1).as[(Long, String)].collect().sorted ===
+      Seq((1L, "a"), (2L, "b")))
+    assert(t.readVersion(v2).as[(Long, String)].collect() === Seq((1L, "a")))
+    val feed = t.changesBetween(v1, v3).as[(Long, String, String)].collect().sorted
+    assert(feed === Seq((1L, "A", "U"), (2L, "b", "D"), (3L, "c", "I")))
+  }
+
+  test("schema evolution: upsert with a new column null-fills old rows") {
+    val root = fresh("evolve")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      mode = MergeTable.DeletionVectors)
+    t.upsert(Seq((2L, "B", 7L)).toDF("id", "v", "extra"))
+    assert(t.read().select("id", "v", "extra").as[(Long, String, Option[Long])]
+      .collect().sorted === Seq((1L, "a", None), (2L, "B", Some(7L))))
+  }
+
+  test("deletion vectors reject a bucketed layout loudly") {
+    val e = intercept[IllegalArgumentException] {
+      new MergeTable(spark, fresh("buckets"), Seq("id"),
+        MergeTable.DeletionVectors, numBuckets = Some(4))
+    }
+    assert(e.getMessage.contains("bucketing"))
+  }
+}
