@@ -150,4 +150,53 @@ class DeletionVectorSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bucketing"))
   }
+
+  test("SQL MERGE and DELETE against a dv table commit masks, not rewrites") {
+    // the DML rule reads mode from _META.json, so a dv-mode table gets
+    // dv-mode writes through plain SQL with no extra plumbing
+    val root = fresh("sql_dml")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")),
+      mode = MergeTable.DeletionVectors)
+    val baseFiles = dataFiles(root)
+    spark.read.format("mergetable").option("path", root).load()
+      .createOrReplaceTempView("dv_target")
+    Seq((2L, "B"), (4L, "d")).toDF("id", "v")
+      .createOrReplaceTempView("dv_source")
+    spark.sql(
+      """MERGE INTO dv_target t USING dv_source s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("DELETE FROM dv_target WHERE id = 1")
+    val m = lastManifest(root).linesIterator.toSeq
+    assert(m.count(_.startsWith("dv:")) === 2, m.mkString("|"))
+    assert(baseFiles.subsetOf(dataFiles(root)), "SQL DML rewrote a data file")
+    assert(t.read().as[(Long, String)].collect().sorted ===
+      Seq((2L, "B"), (3L, "c"), (4L, "d")))
+  }
+
+  test("streaming sink in dv mode: replayable upserts, masked supersedes") {
+    val root = fresh("sink")
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val q = in.toDF().toDF("id", "v", "seq")
+      .writeStream.format("mergetable")
+      .option("path", root).option("keys", "id").option("ordering", "seq")
+      .option("mode", MergeTable.DeletionVectors)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      in.addData((1L, "a", 1L), (2L, "b", 1L))
+      q.processAllAvailable()
+      val baseFiles = dataFiles(root)
+      in.addData((2L, "B", 2L), (3L, "c", 2L))
+      q.processAllAvailable()
+      assert(lastManifest(root).linesIterator.count(_.startsWith("dv:")) === 1)
+      assert(baseFiles.subsetOf(dataFiles(root)), "sink rewrote a data file")
+      val got = MergeTable.open(spark, root).read()
+        .as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    } finally q.stop()
+  }
 }
