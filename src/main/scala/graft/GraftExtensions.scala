@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectResolutionRule(session => new graft.sources.ResolveMergeTableDml(session))
+    ext.injectResolutionRule(session => new graft.plans.RewriteToMaterializedView(session))
     ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
     // one function table shared with GraftFunctions.register — the two
     // registration paths (config-driven vs programmatic) cannot drift

@@ -15,6 +15,7 @@ object SparkEntry {
     graft.analytics.Queries4,
     graft.analytics.Queries5,
     graft.analytics.Queries6,
+    graft.analytics.MvQueries,
     graft.cdc.CdcQueries,
     graft.ops.TextQueries,
     graft.ops.SimilarityQueries,

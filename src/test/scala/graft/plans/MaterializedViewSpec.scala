@@ -1,0 +1,135 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Transparent MV rewrite: registered+fresh definitions answer
+  * structurally-equal query subtrees from their parquet
+  * materialization; anything else falls through to base tables.
+  *
+  * DataFrames analyze (and therefore rewrite) EAGERLY at
+  * construction, so every "expected" comparison plan here is built
+  * only after the view is marked stale.
+  */
+class MaterializedViewSpec extends SparkSpec {
+
+  private def agg(): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2)
+          .as("total"))
+
+  /** Root paths of every parquet scan, AQE disabled so the physical
+    * tree is directly traversable.
+    */
+  private def scanPaths(build: => DataFrame): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try build.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def fresh(name: String): String = {
+    val p = s"target/test_tmp/mv_$name"
+    def nuke(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(nuke)
+      f.delete()
+    }
+    nuke(new java.io.File(p))
+    p
+  }
+
+  override def afterAll(): Unit = {
+    MaterializedViews.clear()
+    super.afterAll()
+  }
+
+  test("fresh MV answers an identically-built query from its parquet") {
+    val path = fresh("hit")
+    MaterializedViews.register("mv_hit", () => agg(), path)
+    MaterializedViews.refresh("mv_hit")
+    val q = agg().filter(col("n") > 0).orderBy("o_orderpriority")
+    val paths = scanPaths(q)
+    assert(paths.exists(_.contains("mv_hit")), paths.mkString(","))
+    assert(!paths.exists(_.contains("orders")), paths.mkString(","))
+    val got = q.collect().toSeq
+    // base-table answer, computed with the rewrite out of the way
+    MaterializedViews.markStale("mv_hit")
+    val expect = agg().filter(col("n") > 0).orderBy("o_orderpriority").collect().toSeq
+    assert(got === expect)
+    MaterializedViews.deregister("mv_hit")
+  }
+
+  test("stale or unrefreshed MVs never rewrite") {
+    val path = fresh("stale")
+    MaterializedViews.register("mv_stale", () => agg(), path)
+    // registered but never refreshed -> base scan
+    assert(scanPaths(agg()).exists(_.contains("orders")))
+    MaterializedViews.refresh("mv_stale")
+    MaterializedViews.markStale("mv_stale")
+    assert(scanPaths(agg()).exists(_.contains("orders")))
+    MaterializedViews.deregister("mv_stale")
+  }
+
+  test("a different aggregate shape falls through to base tables") {
+    val path = fresh("miss")
+    MaterializedViews.register("mv_miss", () => agg(), path)
+    MaterializedViews.refresh("mv_miss")
+    val other = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val paths = scanPaths(other)
+    assert(paths.exists(_.contains("orders")), paths.mkString(","))
+    assert(!paths.exists(_.contains("mv_miss")), paths.mkString(","))
+    MaterializedViews.deregister("mv_miss")
+  }
+
+  test("rewritten subtree keeps attribute identity under consumers") {
+    val path = fresh("attrs")
+    MaterializedViews.register("mv_attrs", () => agg(), path)
+    MaterializedViews.refresh("mv_attrs")
+    // consumer renames and reorders the subtree's columns
+    val got = agg().select(col("total").as("t2"), col("o_orderpriority"))
+      .orderBy("o_orderpriority").collect().toSeq
+    MaterializedViews.markStale("mv_attrs")
+    val expect = agg().select(col("total").as("t2"), col("o_orderpriority"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(got === expect)
+    MaterializedViews.deregister("mv_attrs")
+  }
+
+  test("gate query mv_rewrite is answered by the materialization") {
+    val paths = scanPaths(graft.SparkEntry.queries("mv_rewrite")(spark, sfDir))
+    assert(paths.exists(_.contains("mvstore_")), paths.mkString(","))
+    assert(!paths.exists(_.contains("orders.parquet")), paths.mkString(","))
+    graft.Caches.clear() // fires the module's markStale hook
+    MaterializedViews.deregister("mv_orders_by_priority")
+  }
+
+  test("refresh after base mutation re-materializes current data") {
+    import spark.implicits._
+    val base = fresh("base_data")
+    val path = fresh("refresh")
+    Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(base)
+    def defn(): DataFrame =
+      spark.read.parquet(base).groupBy("k").agg(sum("v").as("s"))
+    MaterializedViews.register("mv_refresh", () => defn(), path)
+    MaterializedViews.refresh("mv_refresh")
+    assert(defn().orderBy("k").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 3L), ("b", 3L)))
+    // base changes; the MV contract requires an explicit refresh —
+    // the thunk re-plans against the NEW file listing
+    Seq(("a", 10L), ("c", 5L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(base)
+    MaterializedViews.refresh("mv_refresh")
+    assert(defn().orderBy("k").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 10L), ("c", 5L)))
+    MaterializedViews.deregister("mv_refresh")
+  }
+}
