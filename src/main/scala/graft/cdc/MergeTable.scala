@@ -701,7 +701,25 @@ final class MergeTable(
     */
   private[graft] def currentEntries(): Seq[(String, String)] = entries()
 
+  private[graft] def entriesAtVersion(version: Long): Seq[(String, String)] =
+    entriesAt(version)
+
   private[graft] def readFrom(es: Seq[(String, String)]): DataFrame = readEntries(es)
+
+  /** Total on-disk bytes of the data files a snapshot references —
+    * the planner-facing size estimate behind the source relation's
+    * `sizeInBytes`. Driver-side directory walk, O(files), no data
+    * read. For MOR/dv snapshots the sum includes deltas and masks:
+    * reconciliation only ever REPLACES or REMOVES rows, so the sum
+    * stays a safe upper bound for broadcast decisions.
+    */
+  private[graft] def snapshotBytes(es: Seq[(String, String)]): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      else if (f.getName.endsWith(".parquet")) f.length()
+      else 0L
+    es.map { case (_, d) => walk(dataDir.resolve(d).toFile) }.sum
+  }
 
   /** The snapshot's parquet files with their per-file column ranges,
     * for stats-pruned scans — or None when the snapshot has MOR deltas

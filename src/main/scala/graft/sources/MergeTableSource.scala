@@ -117,6 +117,23 @@ class MergeTableRelation(
 
   override lazy val schema: StructType = snapshot.schema
 
+  /** Real snapshot size instead of `BaseRelation`'s "assume infinite"
+    * default, scaled by the same compression factor Spark applies to
+    * its own parquet relations — so a small mergetable dimension
+    * AUTO-broadcasts in joins exactly like a plain parquet dim would,
+    * instead of forcing a shuffle at any threshold. Upper bound for
+    * MOR/dv snapshots (reconciliation only replaces/removes rows).
+    */
+  override def sizeInBytes: Long = {
+    if (!table.exists) 0L
+    else {
+      val es = version.map(table.entriesAtVersion).getOrElse(pinnedEntries)
+      val bytes = table.snapshotBytes(es)
+      if (bytes <= 0L) super.sizeInBytes
+      else (bytes * spark.sessionState.conf.fileCompressionFactor).toLong
+    }
+  }
+
   // the snapshot's files + per-file column ranges when the layout
   // permits file skipping (COW, no pending deltas)
   private lazy val statFiles = table.prunableFiles(pinnedEntries)

@@ -110,6 +110,34 @@ class MergeTableSourceSpec extends SparkSpec {
     assert(err.getMessage.contains("keys"))
   }
 
+  test("relation reports real snapshot size and small tables auto-broadcast") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = "target/test_tmp/source_size"
+    MergeTable.drop(root)
+    MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")))
+    val dim = spark.read.format("mergetable").option("path", root).load()
+    val rel = dim.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation
+    }.collectFirst { case r: MergeTableRelation => r }.get
+    // kilobytes of parquet, not the "assume unjoinably huge" default
+    assert(rel.sizeInBytes > 0L && rel.sizeInBytes < 10L * 1024 * 1024,
+      s"sizeInBytes=${rel.sizeInBytes}")
+    // size-based broadcast with NO hint: the dim side must broadcast
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fact = spark.range(10000).toDF("id")
+      val joined = fact.join(dim, "id")
+      val bhj = joined.queryExecution.executedPlan.collect {
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(bhj.nonEmpty, joined.queryExecution.executedPlan.toString)
+      assert(joined.count() === 50)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("catalog-created empty table reads as an empty frame through format()") {
     val root = "target/test_tmp/source_declared"
     MergeTable.drop(root)
