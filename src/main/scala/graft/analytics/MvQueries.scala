@@ -53,7 +53,50 @@ object MvQueries extends QueryModule {
       |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
       |FROM orders GROUP BY 1 HAVING count(*) >= 1 ORDER BY 1""".stripMargin
 
+  /** Incremental MV end to end: seed a MergeTable with a slice of
+    * events, materialize the per-type count/sum aggregate, push
+    * insert + update + delete commits, refresh by FOLDING THE CHANGE
+    * FEED (O(changes), no table rescan), and read the aggregate back
+    * through the transparent rewrite. The oracle recomputes the same
+    * aggregate from the reconstructed final state, so the hash
+    * certifies the retraction algebra (U_pre/-, U_post/+, D/-) and
+    * the feed-fold refresh — not just the rewrite plumbing.
+    */
+  private def mvIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.MergeTable
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "event_type", "value")
+    val root = s"$tmpBase/mv_inc_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(s, root, Seq("event_id"),
+      initial = Some(ev.filter(col("event_id") % 3 =!= 0)))
+    val store = s"$tmpBase/mv_inc_store_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    MaterializedViews.registerIncremental("mv_events_by_type", t,
+      Seq("event_type"), Seq("value"), store)
+    MaterializedViews.refreshIncremental("mv_events_by_type") // full seed agg
+    t.upsert(ev.filter(col("event_id") % 3 === 0))            // inserts
+    t.upsert(ev.filter(col("event_id") % 5 === 0)             // value updates
+      .withColumn("value", col("value") * 2))
+    t.delete(ev.filter(col("event_id") % 7 === 0).select("event_id"))
+    MaterializedViews.refreshIncremental("mv_events_by_type") // feed fold
+    MaterializedViews.incrementalDefinition("mv_events_by_type")
+      .select(col("event_type"), col("n_rows"),
+        round(col("sum_value").cast("double"), 3).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  private val mvIncrementalSql =
+    """WITH updated AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS value
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 3) AS total_value
+      |FROM updated WHERE event_id % 7 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("mv_rewrite", mvRewrite, Some(mvRewriteSql)),
+    QueryDef("mv_incremental", mvIncremental, Some(mvIncrementalSql)),
   )
 }

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -87,16 +87,132 @@ object MaterializedViews {
     registry.get(name).foreach(mv => registry.put(name, mv.copy(fresh = false)))
 
   def deregister(name: String): Unit = registry.remove(name)
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); incRegistry.clear() }
+
+  // -- incremental MVs over MergeTables ------------------------------------
+
+  private final case class IncMv(
+      name: String,
+      table: graft.cdc.MergeTable,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      path: String,
+      version: Long,
+      dir: Option[String],
+      canonical: Option[LogicalPlan])
+
+  private val incRegistry = TrieMap.empty[String, IncMv]
+
+  /** The full-scan aggregate an incremental MV answers: exact count
+    * plus exact decimal sums grouped by `groupCols` over the table's
+    * CURRENT snapshot. Also the consumer-facing builder — a query
+    * embedding this exact plan is served from the materialization.
+    */
+  def incrementalDefinition(name: String): DataFrame = {
+    val mv = incRegistry.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown incremental view $name"))
+    incDefinition(mv)
+  }
+
+  private def incDefinition(mv: IncMv): DataFrame = {
+    import org.apache.spark.sql.functions._
+    mv.table.read()
+      .groupBy(mv.groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        mv.sumCols.map(c =>
+          sum(col(c).cast("decimal(18,6)")).as(s"sum_$c")): _*)
+  }
+
+  /** Register an exact count/sum aggregate over a MergeTable whose
+    * refresh folds the CHANGE FEED since the last materialized
+    * version — O(changes) instead of O(table) per refresh
+    * (`cdc_incremental_agg`'s retraction algebra, productized).
+    * Freshness is tracked against the table's commit log: the rewrite
+    * only fires while the materialized version IS the table's current
+    * version, so a commit auto-invalidates without any markStale call.
+    */
+  def registerIncremental(name: String, table: graft.cdc.MergeTable,
+      groupCols: Seq[String], sumCols: Seq[String], path: String): Unit =
+    incRegistry.put(name,
+      IncMv(name, table, groupCols, sumCols, path, 0L, None, None))
+
+  /** Bring the materialization to the table's current version: a full
+    * aggregate on first refresh, then change-feed folds (insert/
+    * U_post add, delete/U_pre retract; emptied groups drop). Each
+    * refresh lands in a fresh subdir and retires the previous one, so
+    * an in-flight reader of the old materialization is never
+    * overwritten mid-scan.
+    */
+  def refreshIncremental(name: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val mv = incRegistry.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown incremental view $name"))
+    val current = mv.table.versions().max
+    if (mv.dir.isDefined && current == mv.version) return
+    val outDir = s"${mv.path}/v$current"
+    withRuleSuspended {
+      val dec28 = "decimal(28,6)"
+      val result = mv.dir match {
+        case None => incDefinition(mv)
+        case Some(prev) =>
+          val spark = mv.table.read().sparkSession
+          val old = spark.read.parquet(prev)
+          val feed = mv.table.changesBetween(mv.version, current,
+            updatePreImages = true)
+          val additive = col("_change")
+            .isin(graft.cdc.CdcModel.OpInsert, "U_post")
+          val deltas = feed.groupBy(mv.groupCols.map(col): _*)
+            .agg(sum(when(additive, lit(1L)).otherwise(lit(-1L))).as("_dn"),
+              mv.sumCols.map { c =>
+                val d = col(c).cast("decimal(18,6)")
+                sum(when(additive, d).otherwise(-d)).as(s"_d_$c")
+              }: _*)
+          val zero = lit(0).cast(dec28)
+          old.join(deltas, mv.groupCols, "full_outer")
+            .select(mv.groupCols.map(col) ++
+              Seq((coalesce(col("n_rows"), lit(0L)) +
+                coalesce(col("_dn"), lit(0L))).as("n_rows")) ++
+              mv.sumCols.map { c =>
+                (coalesce(col(s"sum_$c"), zero) +
+                  coalesce(col(s"_d_$c"), zero)).cast(dec28).as(s"sum_$c")
+              }: _*)
+            .filter(col("n_rows") > 0)
+      }
+      result.write.mode("overwrite").parquet(outDir)
+    }
+    val canonical = withRuleSuspended {
+      incDefinition(mv).queryExecution.analyzed.canonicalized
+    }
+    incRegistry.put(name, mv.copy(version = current,
+      dir = Some(outDir), canonical = Some(canonical)))
+    // retire the superseded materialization
+    mv.dir.filter(_ != outDir).foreach { prev =>
+      def nuke(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(nuke)
+        f.delete()
+      }
+      nuke(new java.io.File(prev))
+    }
+  }
+
+  def deregisterIncremental(name: String): Unit = incRegistry.remove(name)
 
   private[plans] def matching(sub: LogicalPlan): Option[(String, String)] =
-    if (suspended || registry.isEmpty) None
+    if (suspended || (registry.isEmpty && incRegistry.isEmpty)) None
     else {
       val c = sub.canonicalized
       registry.values.collectFirst {
         case mv if mv.fresh && mv.canonical == c && Files.exists(Paths.get(mv.path)) =>
           (mv.name, mv.path)
-      }
+      }.orElse(incRegistry.values.collectFirst {
+        // canonical equality first (cheap); then the commit-log check —
+        // a table that moved past the materialized version falls
+        // through to its base scan automatically
+        case mv if mv.canonical.contains(c) &&
+            mv.dir.exists(d => Files.exists(Paths.get(d))) &&
+            mv.table.versions().lastOption.contains(mv.version) =>
+          (mv.name, mv.dir.get)
+      })
     }
 }
 
@@ -111,9 +227,15 @@ class RewriteToMaterializedView(session: SparkSession) extends Rule[LogicalPlan]
         case Some((_, path)) =>
           val rel = session.read.parquet(path).queryExecution.analyzed
           // canonical equality guarantees positionally identical
-          // schemas; re-alias to the matched subtree's exprIds
+          // schemas; re-alias to the matched subtree's exprIds. A
+          // stored column may carry a widened type (folded decimal
+          // precision) — cast back so parent operators see exactly
+          // the attributes they resolved against.
           Project(sub.output.zip(rel.output).map { case (target, src) =>
-            Alias(src, target.name)(exprId = target.exprId)
+            val aligned =
+              if (src.dataType == target.dataType) src
+              else Cast(src, target.dataType)
+            Alias(aligned, target.name)(exprId = target.exprId)
           }, rel)
         case None => sub
       }

@@ -111,6 +111,64 @@ class MaterializedViewSpec extends SparkSpec {
     MaterializedViews.deregister("mv_orders_by_priority")
   }
 
+  test("incremental MV: feed folds match recompute; commits auto-stale") {
+    import graft.cdc.MergeTable
+    import spark.implicits._
+    val root = fresh("inc_table")
+    val store = fresh("inc_store")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+        .toDF("id", "grp", "v")))
+    MaterializedViews.registerIncremental("mv_inc_spec", t,
+      Seq("grp"), Seq("v"), store)
+    MaterializedViews.refreshIncremental("mv_inc_spec")
+    // fresh at seed: served from the materialization
+    assert(scanPaths(MaterializedViews.incrementalDefinition("mv_inc_spec"))
+      .exists(_.contains("inc_store")))
+    // insert + update + delete, then fold the feed
+    t.upsert(Seq((4L, "b", 7.0), (2L, "a", 25.0)).toDF("id", "grp", "v"))
+    // a commit past the materialized version auto-stales the rewrite
+    assert(scanPaths(MaterializedViews.incrementalDefinition("mv_inc_spec"))
+      .exists(_.contains("inc_table")))
+    t.delete(Seq(1L).toDF("id"))
+    MaterializedViews.refreshIncremental("mv_inc_spec")
+    val served = MaterializedViews.incrementalDefinition("mv_inc_spec")
+    assert(scanPaths(served).exists(_.contains("inc_store")))
+    val got = served.orderBy("grp")
+      .select($"grp", $"n_rows", $"sum_v".cast("double"))
+      .as[(String, Long, Double)].collect().toSeq
+    // truth from the table rows themselves (no plan to rewrite)
+    assert(got === Seq(("a", 1L, 25.0), ("b", 2L, 12.0)))
+    MaterializedViews.deregisterIncremental("mv_inc_spec")
+  }
+
+  test("incremental MV drops a group the feed empties") {
+    import graft.cdc.MergeTable
+    import spark.implicits._
+    val root = fresh("inc_drop_t")
+    val store = fresh("inc_drop_s")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "solo", 1.0), (2L, "both", 2.0), (3L, "both", 3.0))
+        .toDF("id", "grp", "v")))
+    MaterializedViews.registerIncremental("mv_inc_drop", t,
+      Seq("grp"), Seq("v"), store)
+    MaterializedViews.refreshIncremental("mv_inc_drop")
+    t.delete(Seq(1L).toDF("id"))
+    MaterializedViews.refreshIncremental("mv_inc_drop")
+    val rows = MaterializedViews.incrementalDefinition("mv_inc_drop")
+      .select("grp").as[String].collect().toSeq
+    assert(rows === Seq("both"))
+    MaterializedViews.deregisterIncremental("mv_inc_drop")
+  }
+
+  test("gate query mv_incremental folds its feed into the oracle answer") {
+    val df = graft.SparkEntry.queries("mv_incremental")(spark, sfDir)
+    assert(scanPaths(df).exists(_.contains("mv_inc_store")))
+    assert(df.count() > 0)
+    graft.Caches.clear()
+    MaterializedViews.deregisterIncremental("mv_events_by_type")
+  }
+
   test("refresh after base mutation re-materializes current data") {
     import spark.implicits._
     val base = fresh("base_data")
