@@ -18,6 +18,13 @@ import scala.jdk.CollectionConverters._
 class CommitConflictException(msg: String)
   extends java.util.ConcurrentModificationException(msg)
 
+/** A write batch (or, for ADD CONSTRAINT, the existing table data)
+  * contains rows that fail a CHECK constraint — Delta's
+  * InvariantViolationException role. The write commits nothing.
+  */
+class ConstraintViolationException(msg: String)
+  extends IllegalStateException(msg)
+
 /** Parquet-backed lake table with the write semantics the reference
   * gets from Iceberg: create-if-absent, append with schema evolution,
   * MERGE-style upsert, key-delete — plus the two write strategies the
@@ -436,6 +443,72 @@ final class MergeTable(
     else None
   }
 
+  // -- CHECK constraints ---------------------------------------------------
+
+  /** Registered CHECK constraints (name → SQL expression), read fresh
+    * from table metadata so every writer instance sees DDL applied by
+    * any other instance.
+    */
+  def constraints: Map[String, String] =
+    MergeTable.readMeta(root).map(_.constraints).getOrElse(Map.empty)
+
+  /** Add a CHECK constraint, first proving the EXISTING data satisfies
+    * it (Delta's ADD CONSTRAINT contract — a constraint that is
+    * already violated would make every future write un-attributable).
+    * SQL null semantics: a row passes unless the expression is
+    * definitively false.
+    */
+  def addConstraint(name: String, exprSql: String): Unit = {
+    val cur = MergeTable.readMeta(root)
+      .getOrElse(MergeTable.Meta(keys, mode, numBuckets, None))
+    require(!cur.constraints.contains(name),
+      s"constraint $name already exists on $root")
+    if (exists) {
+      val bad = read().filter(!coalesce(expr(exprSql), lit(true))).count()
+      if (bad > 0) throw new ConstraintViolationException(
+        s"cannot add CHECK constraint $name ($exprSql): " +
+          s"$bad existing row(s) violate it")
+    }
+    MergeTable.writeMeta(root,
+      cur.copy(constraints = cur.constraints + (name -> exprSql)))
+  }
+
+  def dropConstraint(name: String): Unit = {
+    val cur = MergeTable.readMeta(root)
+      .getOrElse(MergeTable.Meta(keys, mode, numBuckets, None))
+    require(cur.constraints.contains(name), s"no constraint $name on $root")
+    MergeTable.writeMeta(root, cur.copy(constraints = cur.constraints - name))
+  }
+
+  /** Reject a batch violating any CHECK constraint BEFORE anything is
+    * written — the write stays all-or-nothing. One aggregation pass
+    * counts violations of every constraint at once (O(batch), not
+    * O(batch × constraints)). A constrained column absent from an
+    * evolving batch is null for the stored rows, and null passes
+    * CHECK, so it is added as null for evaluation.
+    */
+  private def enforceConstraints(df: DataFrame): Unit = {
+    val cs = constraints
+    if (cs.isEmpty) return
+    val ordered = cs.toSeq
+    val present = df.columns.map(_.toLowerCase).toSet
+    val evalDf = ordered.flatMap { case (_, sql) =>
+      spark.sessionState.sqlParser.parseExpression(sql).references.map(_.name)
+    }.distinct.foldLeft(df) { (d, c) =>
+      if (present.contains(c.toLowerCase)) d else d.withColumn(c, lit(null))
+    }
+    val aggs = ordered.zipWithIndex.map { case ((_, sql), i) =>
+      sum(when(!coalesce(expr(sql), lit(true)), lit(1L)).otherwise(lit(0L)))
+        .as(s"_c$i")
+    }
+    val row = evalDf.agg(aggs.head, aggs.tail: _*).head()
+    ordered.zipWithIndex.foreach { case ((name, sql), i) =>
+      if (!row.isNullAt(i) && row.getLong(i) > 0)
+        throw new ConstraintViolationException(
+          s"CHECK constraint $name ($sql) violated by ${row.getLong(i)} row(s)")
+    }
+  }
+
   // -- writes --------------------------------------------------------------
 
   /** Run a mutation, retrying on optimistic-concurrency conflicts
@@ -471,6 +544,7 @@ final class MergeTable(
     */
   def append(df: DataFrame): Unit = {
     if (numBuckets.isDefined) { upsert(df); return }
+    enforceConstraints(df)
     mode match {
       case MergeTable.MergeOnRead =>
         commit(entries() :+ ("delta" -> writeData(df)))
@@ -491,7 +565,12 @@ final class MergeTable(
     * containing changed keys are rewritten. MOR: O(batch) delta
     * append + periodic compaction.
     */
-  def upsert(changes: DataFrame): Unit = mode match {
+  def upsert(changes: DataFrame): Unit = {
+    enforceConstraints(changes)
+    upsertUnchecked(changes)
+  }
+
+  private def upsertUnchecked(changes: DataFrame): Unit = mode match {
     case MergeTable.DeletionVectors =>
       if (!exists) commit(Seq("base" -> writeData(changes)))
       else {
@@ -839,7 +918,8 @@ object MergeTable {
     * declared schema before their first commit.
     */
   final case class Meta(keys: Seq[String], mode: String,
-                        numBuckets: Option[Int], schemaJson: Option[String])
+                        numBuckets: Option[Int], schemaJson: Option[String],
+                        constraints: Map[String, String] = Map.empty)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -850,6 +930,10 @@ object MergeTable {
     node.put("mode", meta.mode)
     meta.numBuckets.foreach(node.put("buckets", _))
     meta.schemaJson.foreach(node.put("schema", _))
+    if (meta.constraints.nonEmpty) {
+      val cs = node.putObject("constraints")
+      meta.constraints.foreach { case (n, sql) => cs.put(n, sql) }
+    }
     Files.createDirectories(Paths.get(root))
     Files.write(Paths.get(root).resolve("_META.json"),
       mapper.writeValueAsBytes(node))
@@ -865,7 +949,10 @@ object MergeTable {
         n.get("keys").elements().asScala.map(_.asText).toSeq,
         Option(n.get("mode")).map(_.asText).getOrElse(CopyOnWrite),
         Option(n.get("buckets")).map(_.asInt),
-        Option(n.get("schema")).map(_.asText)))
+        Option(n.get("schema")).map(_.asText),
+        Option(n.get("constraints")).map { c =>
+          c.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+        }.getOrElse(Map.empty)))
     }
   }
 

@@ -47,6 +47,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DESCRIBE\s+HISTORY\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
   private val Expire =
     """(?is)\s*EXPIRE\s+SNAPSHOTS\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+KEEP\s+(\d+)\s*;?\s*""".r
+  private val AddConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ADD\s+CONSTRAINT\s+([a-zA-Z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+DROP\s+CONSTRAINT\s+([a-zA-Z0-9_]+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Maintenance(op, catalog, ident) =>
@@ -66,6 +70,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Expire(catalog, ident, keep) =>
       MergeTableMaintenanceCommand("expire", catalog, ident.split('.').toSeq,
         expireKeep = Some(keep.toInt))
+    case AddConstraint(catalog, ident, name, check) =>
+      MergeTableConstraintCommand(catalog, ident.split('.').toSeq, name,
+        Some(check.trim))
+    case DropConstraint(catalog, ident, name) =>
+      MergeTableConstraintCommand(catalog, ident.split('.').toSeq, name, None)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -138,6 +147,31 @@ object GraftSqlParser {
   * snapshot's base/delta entry counts. Reports exactly what the log
   * records — no invented operation labels.
   */
+/** `ALTER TABLE graft.db.t ADD CONSTRAINT name CHECK (expr)` /
+  * `... DROP CONSTRAINT name` — write-side CHECK constraints (the
+  * Delta constraints surface). ADD validates existing data first and
+  * every subsequent append/upsert batch is rejected atomically if any
+  * row fails a check.
+  */
+case class MergeTableConstraintCommand(catalogName: String, ident: Seq[String],
+                                       name: String, check: Option[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.mergetablePath(session, catalogName, ident,
+      "ALTER TABLE ... CONSTRAINT")
+    val t = MergeTable.open(session, path)
+    check match {
+      case Some(sql) => t.addConstraint(name, sql)
+      case None => t.dropConstraint(name)
+    }
+    Seq(Row(1L))
+  }
+}
+
 case class MergeTableHistoryCommand(catalogName: String,
                                     ident: Seq[String]) extends LeafRunnableCommand {
 
