@@ -216,12 +216,20 @@ final class MergeTable(
   }
 
   /** Footer-derived per-file min/max beside the manifests — O(files)
-    * at commit time, consulted by stats-pruned reads. Advisory: a
-    * failure to collect must never fail the commit.
+    * at commit time, consulted by stats-pruned reads. With
+    * `graft.mergetable.bloomIndex=true`, also one distributed bloom
+    * aggregation over the key tuple per commit (O(batch)), consulted
+    * by point-lookup pruned reads. Advisory: a failure to collect
+    * must never fail the commit.
     */
-  private def recordStats(dir: String): Unit =
+  private def recordStats(dir: String): Unit = {
     try FileStats.write(rootPath, dir, FileStats.collect(dataDir, dir))
     catch { case _: Throwable => () }
+    if (spark.conf.getOption("graft.mergetable.bloomIndex").contains("true"))
+      try FileBlooms.write(rootPath, dir,
+        FileBlooms.collect(spark, dataDir, dir, keys))
+      catch { case _: Throwable => () }
+  }
 
   private def readDirs(dirs: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true")
@@ -763,12 +771,15 @@ final class MergeTable(
     val onDisk = Option(dataDir.toFile.list()).getOrElse(Array.empty)
     val orphans = onDisk.filterNot(live.contains)
     val statsDir = rootPath.resolve("stats")
+    val bloomsDir = rootPath.resolve("blooms")
     orphans.foreach { d =>
       MergeTable.drop(dataDir.resolve(d).toString)
-      // this dir's stats files share its uuid prefix (flattened names)
-      Option(statsDir.toFile.list()).getOrElse(Array.empty)
-        .filter(_.startsWith(d))
-        .foreach(f => Files.deleteIfExists(statsDir.resolve(f)))
+      // this dir's stats/bloom files share its uuid prefix (flat names)
+      Seq(statsDir, bloomsDir).foreach { idx =>
+        Option(idx.toFile.list()).getOrElse(Array.empty)
+          .filter(_.startsWith(d))
+          .foreach(f => Files.deleteIfExists(idx.resolve(f)))
+      }
     }
     orphans.length
   }
@@ -822,6 +833,19 @@ final class MergeTable(
       }
     })
   }
+
+  /** Per-file key-tuple blooms for a snapshot (absolute file path →
+    * filter), present only for commits written while
+    * `graft.mergetable.bloomIndex=true`. Files without a bloom are
+    * simply absent (kept by every read — advisory).
+    */
+  private[graft] def bloomFilters(
+      es: Seq[(String, String)]): Map[Path, org.apache.spark.util.sketch.BloomFilter] =
+    es.flatMap { case (_, d) =>
+      FileBlooms.read(rootPath, d).map { case (rel, b) =>
+        dataDir.resolve(d).resolve(rel) -> b
+      }
+    }.toMap
 
   /** Z-order clustering (the OPTIMIZE ZORDER maintenance op): rewrite
     * the snapshot range-partitioned and sorted by the interleaved

@@ -149,30 +149,70 @@ class MergeTableRelation(
     pruned.rdd
   }
 
-  /** Stats-pruned scan: keep only files whose footer min/max ranges
-    * can match every pushed filter (Iceberg-manifest-style file
-    * skipping — scan cost follows predicate selectivity, not table
-    * size). None = no pruning possible or nothing pruned; the fixed
-    * snapshot schema backfills columns missing from older files.
+  // point-lookup bloom index for the pinned snapshot (absent unless
+  // the table was written with graft.mergetable.bloomIndex=true)
+  private lazy val bloomIndex = table.bloomFilters(pinnedEntries)
+
+  /** Stats+bloom-pruned scan: keep only files whose footer min/max
+    * ranges can match every pushed filter (Iceberg-manifest-style
+    * file skipping), then — for a full-key point lookup — only files
+    * whose key bloom might contain the looked-up tuple (the Delta
+    * bloom-index role: min/max ranges prune nothing on an unclustered
+    * key domain, blooms do). None = no pruning possible or nothing
+    * pruned; the fixed snapshot schema backfills columns missing from
+    * older files.
     */
   private def prunedSnapshot(filters: Array[Filter]): Option[org.apache.spark.sql.DataFrame] = {
     if (filters.isEmpty || version.isDefined) return None
-    statFiles.flatMap { files =>
-      val kept = files.filter { case (_, st) =>
-        st.isEmpty || filters.forall(f => graft.cdc.FileStats.mayMatch(st, f))
-      }
-      if (kept.size == files.size) None
+    survivingFiles(filters).flatMap { case (kept, total) =>
+      if (kept.size == total) None
       else if (kept.isEmpty)
         Some(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
-      else Some(spark.read.schema(schema).parquet(kept.map(_._1.toString): _*))
+      else Some(spark.read.schema(schema).parquet(kept.map(_.toString): _*))
     }
+  }
+
+  private def survivingFiles(
+      filters: Array[Filter]): Option[(Seq[java.nio.file.Path], Int)] =
+    statFiles.map { files =>
+      val statKept = files.filter { case (_, st) =>
+        st.isEmpty || filters.forall(f => graft.cdc.FileStats.mayMatch(st, f))
+      }
+      val bloomKept = pointHashes(filters) match {
+        case Some(hashes) if bloomIndex.nonEmpty =>
+          statKept.filter { case (p, _) =>
+            bloomIndex.get(p).forall(b => hashes.exists(b.mightContainLong))
+          }
+        case _ => statKept
+      }
+      (bloomKept.map(_._1), files.size)
+    }
+
+  /** Hashes a bloom must contain for a file to matter: the key tuple
+    * when every key column is pinned by a top-level EqualTo, or each
+    * listed value of a single-key In. None = not a point lookup.
+    */
+  private def pointHashes(filters: Array[Filter]): Option[Seq[Long]] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    if (!graft.cdc.FileBlooms.indexable(schema, keys)) return None
+    def dt(k: String) = schema(k).dataType
+    val eq = filters.collect {
+      case EqualTo(a, v) if keys.contains(a) && v != null => a -> v
+    }.toMap
+    if (keys.forall(eq.contains))
+      Some(Seq(graft.cdc.FileBlooms.hashOf(
+        keys.map(k => (eq(k), dt(k))))))
+    else if (keys.size == 1)
+      filters.collectFirst {
+        case In(a, vs) if a == keys.head && vs.nonEmpty && !vs.contains(null) =>
+          vs.toSeq.map(v => graft.cdc.FileBlooms.hashOf(Seq((v, dt(a)))))
+      }
+    else None
   }
 
   /** Files a scan with these filters would open (test/audit hook). */
   private[graft] def candidateFiles(filters: Array[Filter]): Option[Seq[String]] =
-    statFiles.map(_.filter { case (_, st) =>
-      st.isEmpty || filters.forall(f => graft.cdc.FileStats.mayMatch(st, f))
-    }.map(_._1.toString))
+    survivingFiles(filters).map(_._1.map(_.toString))
 
   // translate DSv1 filters back to Column predicates so they reach the
   // parquet scan of the inner DataFrame; untranslated filters are
