@@ -45,6 +45,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
   private val Expire =
     """(?is)\s*EXPIRE\s+SNAPSHOTS\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+KEEP\s+(\d+)\s*;?\s*""".r
   private val AddConstraint =
@@ -67,6 +69,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         restoreTo = Some(Right(ts)))
     case History(catalog, ident) =>
       MergeTableHistoryCommand(catalog, ident.split('.').toSeq)
+    case Detail(catalog, ident) =>
+      MergeTableDetailCommand(catalog, ident.split('.').toSeq)
     case Expire(catalog, ident, keep) =>
       MergeTableMaintenanceCommand("expire", catalog, ident.split('.').toSeq,
         expireKeep = Some(keep.toInt))
@@ -169,6 +173,41 @@ case class MergeTableConstraintCommand(catalogName: String, ident: Seq[String],
       case None => t.dropConstraint(name)
     }
     Seq(Row(1L))
+  }
+}
+
+/** `DESCRIBE DETAIL graft.db.t` — Delta's one-row table summary:
+  * location, write mode, key columns, bucket count, live file count
+  * and bytes, committed versions, and registered CHECK constraints.
+  */
+case class MergeTableDetailCommand(catalogName: String,
+                                   ident: Seq[String]) extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("mode", StringType, nullable = false)(),
+    AttributeReference("keys", StringType, nullable = false)(),
+    AttributeReference("num_buckets", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_versions", LongType, nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.mergetablePath(session, catalogName, ident,
+      "DESCRIBE DETAIL")
+    val t = MergeTable.open(session, path)
+    val es = t.currentEntries()
+    val files = es.map(_._2).map(d =>
+      graft.cdc.FileStats.listParquetFiles(
+        java.nio.file.Paths.get(path, "data", d)).size.toLong).sum
+    val cs = t.constraints.toSeq.sortBy(_._1)
+      .map { case (n, sql) => s"$n CHECK ($sql)" }.mkString("; ")
+    Seq(Row(path, t.mode, t.keys.mkString(","),
+      t.numBuckets.getOrElse(0).toLong, files, t.snapshotBytes(es),
+      t.versions().size.toLong, cs))
   }
 }
 

@@ -4,7 +4,7 @@ import graft.cdc.MergeTable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Sink, Source}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -51,6 +51,14 @@ class MergeTableSource extends RelationProvider with DataSourceRegister
                               parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("mergetable source requires option 'path'"))
+    // Delta's CDF batch-read surface: rows changed between two
+    // versions with their _change op (and U_pre/U_post pre-images on
+    // request) instead of the snapshot
+    if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true")))
+      return new ChangeFeedRelation(sqlContext, path,
+        parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+        parameters.get("endingVersion").map(_.toLong),
+        parameters.get("updatePreImages").exists(_.equalsIgnoreCase("true")))
     // the table self-describes via _META.json (written on first
     // commit); explicit options override, absent options fall back to
     // the recorded configuration — NOT to a guessed default, which
@@ -236,4 +244,28 @@ class MergeTableRelation(
       case _ => None
     }
   }
+}
+
+/** Batch change-feed relation (Delta CDF's
+  * `readChangeFeed`/`startingVersion`/`endingVersion` surface):
+  * the rows changed between two committed versions with their
+  * `_change` op column, optionally exploded into `U_pre`/`U_post`
+  * pre-image pairs. `endingVersion` defaults to the current version;
+  * `startingVersion` 0 replays from the empty table (everything I).
+  */
+class ChangeFeedRelation(
+    override val sqlContext: SQLContext,
+    val path: String,
+    val startingVersion: Long,
+    val endingVersion: Option[Long],
+    val updatePreImages: Boolean) extends BaseRelation with TableScan {
+
+  private lazy val feed = {
+    val t = MergeTable.open(sqlContext.sparkSession, path)
+    val to = endingVersion.getOrElse(t.versions().max)
+    t.changesBetween(startingVersion, to, updatePreImages)
+  }
+
+  override lazy val schema: StructType = feed.schema
+  override def buildScan(): RDD[Row] = feed.rdd
 }

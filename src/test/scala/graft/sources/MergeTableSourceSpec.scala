@@ -138,6 +138,31 @@ class MergeTableSourceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("readChangeFeed option serves the batch CDF between versions") {
+    val root = "target/test_tmp/source_cdf"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    t.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"))
+    t.delete(Seq(1L).toDF("id"))
+    def cdf(opts: (String, String)*) = {
+      val r = spark.read.format("mergetable").option("path", root)
+        .option("readChangeFeed", "true")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+    }
+    // full replay from the empty table: final rows as I/U/D outcomes
+    val full = cdf().as[(Long, String, String)].collect().sorted
+    assert(full === Seq((1L, "a", "D"), (2L, "B", "U"), (3L, "c", "I")))
+    // bounded window: only the upsert commit's changes
+    val win = cdf("startingVersion" -> "1", "endingVersion" -> "2")
+      .as[(Long, String, String)].collect().sorted
+    assert(win === Seq((2L, "B", "U"), (3L, "c", "I")))
+    // pre-images explode updates into U_pre/U_post pairs
+    val pre = cdf("startingVersion" -> "1", "endingVersion" -> "2",
+      "updatePreImages" -> "true").as[(Long, String, String)].collect().sorted
+    assert(pre === Seq((2L, "B", "U_post"), (2L, "b", "U_pre"), (3L, "c", "I")))
+  }
+
   test("catalog-created empty table reads as an empty frame through format()") {
     val root = "target/test_tmp/source_declared"
     MergeTable.drop(root)
