@@ -251,16 +251,21 @@ object Queries extends QueryModule {
       |ORDER BY total_price DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
-  // -- top-k per group via window ------------------------------------------
+  // -- top-k per group via the bounded-heap TopKPerKey operator ------------
+  // NOT a row_number window: partitionBy("c_mktsegment") has <= 5
+  // distinct values, so the window would sort EVERY customer on <= 5
+  // reducers at any scale. TopK.perKey keeps a k-row heap per key with
+  // map-side pruning, so the shuffle carries <= mappers*keys*k rows.
   private def topCustomers(s: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(s, dir)
       .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment", "c_custkey")
       .agg(round(sum("o_totalprice"), 2).as("total_spend"))
-    val w = Window.partitionBy("c_mktsegment").orderBy(col("total_spend").desc, col("c_custkey"))
-    spend.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+    // descending lexicographic ordering: spend desc, custkey asc
+    graft.plans.TopK.perKey(spend, Seq("c_mktsegment"),
+        Seq(col("total_spend"), -col("c_custkey")), k = 3, rankCol = "rnk")
+      .select("c_mktsegment", "c_custkey", "total_spend", "rnk")
       .orderBy("c_mktsegment", "rnk")
   }
 

@@ -263,7 +263,10 @@ class ChangeFeedRelation(
   private lazy val feed = {
     val t = MergeTable.open(sqlContext.sparkSession, path)
     val to = endingVersion.getOrElse(t.versions().max)
-    t.changesBetween(startingVersion, to, updatePreImages)
+    // per-version replay (each key's latest change), NOT endpoint
+    // netting — a row inserted then deleted inside the window must
+    // surface as D, matching Delta CDF and the streaming source
+    t.changeFeed(startingVersion, to, updatePreImages)
   }
 
   override lazy val schema: StructType = feed.schema

@@ -26,8 +26,41 @@ class PlanAuditSpec extends SparkSpec {
   // (every generated table except the fixed-cardinality nation/region)
   private val factTables = Seq("lineitem", "orders", "customer", "part",
     "supplier", "events", "documents", "embeddings")
-  // columns with a handful of distinct values at every SF
-  private val boundedCols = Set("source", "lang", "split")
+  // Columns with a handful of distinct values at EVERY SF, DERIVED
+  // from the testdata rather than hand-listed (the r3 gate hard-coded
+  // {source, lang, split} and missed c_mktsegment). "Bounded" means
+  // the distinct count does NOT grow with the scale factor — so it is
+  // measured at two SFs: a dimension (mktsegment 5→5, returnflag 3→3)
+  // stays flat while a scaling key (user_id ~20→~200 at these SFs)
+  // grows ~10×. Flat-and-small columns are dimensions a window must
+  // not partition by alone.
+  private lazy val boundedCols: Set[String] = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col}
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+    val biggerSf = "/root/testdata/sf0.01"
+    def distincts(dir: String, t: String): Map[String, Long] = {
+      val df = spark.read.parquet(s"$dir/$t.parquet")
+      val cols = df.schema.fields.filterNot(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType => true
+        case _ => false
+      }).map(_.name).toSeq
+      if (cols.isEmpty) Map.empty
+      else {
+        val row = df.select(cols.map(c => approx_count_distinct(col(c)).as(c)): _*).head()
+        cols.zipWithIndex.map { case (c, i) => c.toLowerCase -> row.getLong(i) }.toMap
+      }
+    }
+    (factTables ++ Seq("nation", "region")).flatMap { t =>
+      val small = distincts(sfDir, t)
+      val big = distincts(biggerSf, t)
+      small.keys.filter { c =>
+        // flat across a 10x SF step (1.5 absorbs approx_count_distinct
+        // noise) and small in absolute terms
+        big.getOrElse(c, Long.MaxValue) <= 30 &&
+          big.getOrElse(c, Long.MaxValue) <= math.max(30L, (small(c) * 3) / 2)
+      }
+    }.toSet
+  }
 
   /** Physical plans of every gate query that builds one without table
     * side effects (cdc/mergetable queries create and mutate tables at
