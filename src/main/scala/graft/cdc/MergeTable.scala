@@ -226,8 +226,7 @@ final class MergeTable(
     try FileStats.write(rootPath, dir, FileStats.collect(dataDir, dir))
     catch { case _: Throwable => () }
     if (spark.conf.getOption("graft.mergetable.bloomIndex").contains("true"))
-      try FileBlooms.write(rootPath, dir,
-        FileBlooms.collect(spark, dataDir, dir, keys))
+      try FileBlooms.buildIndex(spark, rootPath, dataDir, dir, keys)
       catch { case _: Throwable => () }
   }
 
@@ -814,11 +813,16 @@ final class MergeTable(
     val bloomsDir = rootPath.resolve("blooms")
     orphans.foreach { d =>
       MergeTable.drop(dataDir.resolve(d).toString)
-      // this dir's stats/bloom files share its uuid prefix (flat names)
+      // this dir's stats/bloom entries share its uuid prefix (flat
+      // names); bloom entries are sharded parquet DIRECTORIES
       Seq(statsDir, bloomsDir).foreach { idx =>
         Option(idx.toFile.list()).getOrElse(Array.empty)
           .filter(_.startsWith(d))
-          .foreach(f => Files.deleteIfExists(idx.resolve(f)))
+          .foreach { f =>
+            val p = idx.resolve(f)
+            if (Files.isDirectory(p)) MergeTable.drop(p.toString)
+            else Files.deleteIfExists(p)
+          }
       }
     }
     orphans.length
@@ -835,6 +839,9 @@ final class MergeTable(
     entriesAt(version)
 
   private[graft] def readFrom(es: Seq[(String, String)]): DataFrame = readEntries(es)
+
+  /** Absolute path of a commit dir's data root. */
+  private[graft] def dirPath(d: String): Path = dataDir.resolve(d)
 
   /** Total on-disk bytes of the data files a snapshot references —
     * the planner-facing size estimate behind the source relation's
@@ -874,18 +881,22 @@ final class MergeTable(
     })
   }
 
-  /** Per-file key-tuple blooms for a snapshot (absolute file path →
-    * filter), present only for commits written while
-    * `graft.mergetable.bloomIndex=true`. Files without a bloom are
-    * simply absent (kept by every read — advisory).
+  /** The snapshot dirs whose bloom index exists and covers every
+    * file of the commit (written while `graft.mergetable.bloomIndex`
+    * was true). Cheap driver-side marker checks — O(dirs), never
+    * O(files).
     */
-  private[graft] def bloomFilters(
-      es: Seq[(String, String)]): Map[Path, org.apache.spark.util.sketch.BloomFilter] =
-    es.flatMap { case (_, d) =>
-      FileBlooms.read(rootPath, d).map { case (rel, b) =>
-        dataDir.resolve(d).resolve(rel) -> b
-      }
-    }.toMap
+  private[graft] def bloomCoveredDirs(es: Seq[(String, String)]): Seq[String] =
+    es.map(_._2).distinct.filter(d => FileBlooms.covered(rootPath, d))
+
+  /** Absolute paths under the given bloom-covered dirs whose blooms
+    * might contain any of `hashes`. Executor-side probe: the driver
+    * receives only surviving names, never bloom bytes — see
+    * [[FileBlooms.mightContain]].
+    */
+  private[graft] def bloomSurvivors(dirs: Seq[String], hashes: Seq[Long]): Set[Path] =
+    FileBlooms.mightContain(spark, rootPath, dirs, hashes)
+      .map { case (d, rel) => dataDir.resolve(d).resolve(rel) }.toSet
 
   /** Z-order clustering (the OPTIMIZE ZORDER maintenance op): rewrite
     * the snapshot range-partitioned and sorted by the interleaved

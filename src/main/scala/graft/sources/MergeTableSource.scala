@@ -157,9 +157,11 @@ class MergeTableRelation(
     pruned.rdd
   }
 
-  // point-lookup bloom index for the pinned snapshot (absent unless
-  // the table was written with graft.mergetable.bloomIndex=true)
-  private lazy val bloomIndex = table.bloomFilters(pinnedEntries)
+  // commit dirs of the pinned snapshot whose bloom index exists and
+  // covers all their files (absent unless the table was written with
+  // graft.mergetable.bloomIndex=true); O(dirs) marker checks only —
+  // bloom bytes stay on executors and are probed distributed
+  private lazy val bloomCoveredDirs = table.bloomCoveredDirs(pinnedEntries)
 
   /** Stats+bloom-pruned scan: keep only files whose footer min/max
     * ranges can match every pushed filter (Iceberg-manifest-style
@@ -187,9 +189,14 @@ class MergeTableRelation(
         st.isEmpty || filters.forall(f => graft.cdc.FileStats.mayMatch(st, f))
       }
       val bloomKept = pointHashes(filters) match {
-        case Some(hashes) if bloomIndex.nonEmpty =>
+        case Some(hashes) if bloomCoveredDirs.nonEmpty =>
+          // one distributed probe of the index shards: the driver gets
+          // back only names the blooms cannot rule out (plus files in
+          // uncovered dirs, which have no blooms and are always kept)
+          val survivors = table.bloomSurvivors(bloomCoveredDirs, hashes)
+          val coveredRoots = bloomCoveredDirs.map(table.dirPath)
           statKept.filter { case (p, _) =>
-            bloomIndex.get(p).forall(b => hashes.exists(b.mightContainLong))
+            !coveredRoots.exists(p.startsWith) || survivors.contains(p)
           }
         case _ => statKept
       }

@@ -106,6 +106,39 @@ class FileBloomSpec extends SparkSpec {
       .filter($"id" === 5L).count() === 1)
   }
 
+  test("index is a sharded executor-written dataset; driver sees names only") {
+    val root = fresh("dist")
+    withBlooms {
+      MergeTable.createIfAbsent(spark, root, Seq("id"),
+        initial = Some((1L to 3000L).map(i => (i, s"v$i")).toDF("id", "v")
+          .repartition(8)))
+    }
+    val entries = Option(new java.io.File(s"$root/blooms").listFiles())
+      .getOrElse(Array.empty).toSeq
+    assert(entries.nonEmpty)
+    // every index entry is a parquet DIRECTORY of shards with a
+    // _SUCCESS coverage marker — never a monolithic serialized-blooms
+    // blob the driver must load whole (a million-file snapshot would
+    // OOM it)
+    entries.foreach { e =>
+      assert(e.isDirectory, s"${e.getName} is not a sharded dataset")
+      assert(new java.io.File(e, "_SUCCESS").exists, s"${e.getName} lacks coverage marker")
+      assert(Option(e.listFiles()).get.exists(_.getName.endsWith(".parquet")))
+    }
+    // the probe surface hands the driver only (dir, file-name) pairs
+    // for keys the blooms cannot rule out — bounded by lookup
+    // selectivity, independent of snapshot file count
+    val t = MergeTable.open(spark, root)
+    val dirs = t.bloomCoveredDirs(t.currentEntries())
+    assert(dirs.nonEmpty)
+    val all = relation(root).candidateFiles(Array.empty).get.size
+    val hits = FileBlooms.mightContain(spark, java.nio.file.Paths.get(root), dirs,
+      Seq(FileBlooms.hashOf(Seq((17L, org.apache.spark.sql.types.LongType)))))
+    assert(hits.nonEmpty, "true key must survive its own bloom")
+    assert(hits.size < all, s"probe kept ${hits.size} of $all files")
+    hits.foreach { case (d, f) => assert(dirs.contains(d) && f.endsWith(".parquet")) }
+  }
+
   test("vacuum retires bloom files with their data dirs") {
     val root = fresh("vacuum")
     withBlooms {
