@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -15,6 +16,23 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // contention witness #1: executor task-time per query (sum of task
+    // executorRunTime). On a quiet host wall ≈ task/parallelism; on a
+    // contended host wall >> task/parallelism while task-time stays
+    // honest — so the artifact itself proves whether a slow wall
+    // number is the plan or the machine.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        taskMs.addAndGet(Option(te.taskMetrics).map(_.executorRunTime).getOrElse(0L))
+    })
+    // contention witness #2: 1-minute system loadavg sampled at each
+    // query's start — a loadavg far above this JVM's own core budget
+    // means someone else was running
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable =>
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage }
     // warm the session (codegen bootstrap, FS metadata) so the first
     // timed query doesn't absorb fixed startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -30,8 +48,10 @@ object Bench {
       // failed runs are EXCLUDED from timing: a query that degrades
       // into a fast error would otherwise record ~0s and improve the
       // headline total exactly when something broke
-      val times = (1 to runs).flatMap { _ =>
+      val samples = (1 to runs).flatMap { _ =>
+        val load = loadAvg()
         val t0 = System.nanoTime()
+        val task0 = taskMs.get()
         // noop sink, not count(): count() lets Catalyst prune projected
         // expressions, understating per-column compute cost
         val ok =
@@ -47,20 +67,30 @@ object Bench {
         // caches evict each other across a 70-query suite and inflate
         // multi-job queries 10× (round-1 cdc_apply_full)
         Caches.clear()
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener events are async; a short drain keeps the task-time
+        // attribution approximately per-query (exactness not needed —
+        // this is a contention witness, not the headline metric)
+        Thread.sleep(20)
+        val task = (taskMs.get() - task0) / 1e3
+        if (ok) Some((wall, task, load)) else None
       }
-      name -> times
+      name -> samples
     }.filter(_._2.nonEmpty)
     // Locale.ROOT: the f-interpolator honors the JVM default locale,
     // and a comma decimal separator would corrupt the JSON line
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, v) =>
-      s"\"" + k + "\":" + fmt(v.max - v.min) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
+    def field(f: ((String, Seq[(Double, Double, Double)])) => String): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + f((k, v)) }.mkString("{", ",", "}")
+    val best = results.map { case (k, v) => k -> v.minBy(_._1) }.toMap
+    val qs = field { case (k, v) => v.map(_._1).min.toString }
+    val spreads = field { case (k, v) => fmt(v.map(_._1).max - v.map(_._1).min) }
+    val tasks = field { case (k, _) => fmt(best(k)._2) }
+    val loads = field { case (k, _) => fmt(best(k)._3) }
+    val total = if (results.nonEmpty) results.map(_._2.map(_._1).min).sum else 0.0
+    val totalTask = if (results.nonEmpty) results.map { case (k, _) => best(k)._2 }.sum else 0.0
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"run_spread":$spreads,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"task_total":${fmt(totalTask)},"queries":$qs,"run_spread":$spreads,"task_sec":$tasks,"loadavg":$loads,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
