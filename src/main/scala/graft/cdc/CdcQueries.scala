@@ -721,6 +721,64 @@ object CdcQueries extends QueryModule {
       |   OR b.value IS DISTINCT FROM c.value
       |ORDER BY c.user_id""".stripMargin
 
+  /** Batch CDF replay through the `readChangeFeed` reader option —
+    * PER-VERSION semantics (each key's LATEST change in the window),
+    * which netting cannot produce: a key inserted at v1 and deleted
+    * at v3 must surface as `D` with its pre-delete image, and a key
+    * updated at v2 as `U` — from `startingVersion` 0 a netted diff
+    * would drop the former and call the latter `I`. Three commits
+    * (base, upsert, delete) make all three outcomes non-vacuous; the
+    * oracle reconstructs each key's last operation relationally.
+    */
+  private def changeFeedReplay(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).cache()
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    val base = latestPerUser(ev.filter(col("event_id") < cut))
+    val changes = latestPerUser(ev.filter(col("event_id") >= cut))
+    val root = tmpRoot("change_feed_replay", dir)
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    t.upsert(changes)
+    t.delete(t.read().filter(col("user_id") % 7 === 0).select("user_id"))
+    val out = s.read.format("mergetable").option("path", root)
+      .option("readChangeFeed", "true").load()
+      .select("user_id", "event_id", "event_type", "value", "_change")
+      .orderBy("user_id")
+    ev.unpersist()
+    out
+  }
+
+  private val changeFeedReplaySql =
+    """WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
+      |base AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id < (SELECT c FROM cut)) WHERE rn = 1),
+      |changes AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_id >= (SELECT c FROM cut)) WHERE rn = 1),
+      |joined AS (
+      |  SELECT coalesce(c.user_id, b.user_id) AS user_id,
+      |    coalesce(c.event_id, b.event_id) AS event_id,
+      |    coalesce(c.event_type, b.event_type) AS event_type,
+      |    coalesce(c.value, b.value) AS value,
+      |    b.user_id IS NOT NULL AS in_base,
+      |    c.user_id IS NOT NULL AS in_changes,
+      |    (b.user_id IS NOT NULL AND c.user_id IS NOT NULL AND (
+      |       b.event_id IS DISTINCT FROM c.event_id
+      |       OR b.event_type IS DISTINCT FROM c.event_type
+      |       OR b.value IS DISTINCT FROM c.value)) AS updated
+      |  FROM base b FULL OUTER JOIN changes c ON b.user_id = c.user_id)
+      |SELECT user_id, event_id, event_type, value,
+      |  CASE WHEN user_id % 7 = 0 THEN 'D'
+      |       WHEN updated THEN 'U'
+      |       WHEN in_changes AND NOT in_base THEN 'I'
+      |       ELSE 'I' END AS _change
+      |FROM joined ORDER BY user_id""".stripMargin
+
   // -- schema evolution ----------------------------------------------------
 
   private def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
@@ -766,6 +824,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_delete_sql", applyDeleteViaSql, Some(applyDeleteSql)),
     QueryDef("cdc_apply_update_sql", applyUpdateViaSql, Some(applyUpdateSql)),
     QueryDef("cdc_change_feed", changeFeed, Some(changeFeedSql)),
+    QueryDef("cdc_change_feed_replay", changeFeedReplay, Some(changeFeedReplaySql)),
     QueryDef("cdc_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     QueryDef("cdc_scd2", scd2, Some(scd2Sql)),
     QueryDef("mergetable_source_read", sourceRead, Some(sourceReadSql)),

@@ -617,8 +617,90 @@ object CorpusQueries extends QueryModule {
       |  CAST(sum((b + 1) * v) AS BIGINT) AS checksum
       |FROM v GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** DSIR-shaped data selection: importance weights toward a TARGET
+    * distribution via hashed n-gram features (Xie et al.'s
+    * data-selection-for-LMs recipe, here with the `lang = 'en'` slice
+    * standing in for the target corpus). Every doc's word bigrams
+    * hash into 256 buckets (md5 prefix — engine-portable, NO
+    * vocabulary is ever built or shuffled); each bucket's importance
+    * ratio compares target frequency to corpus frequency; a doc's
+    * score sums its bucket counts times the bucket weights. Docs
+    * resembling the target rank first — the sampling key for
+    * target-matched pretraining mixes.
+    *
+    * All arithmetic is EXACT: the bucket weight is an integer
+    * micro-ratio `(10^6·t_b·C + D/2) div D` with `D = c_b·T` computed
+    * in decimal(38,0) (HUGEINT in the oracle — products reach ~10^19
+    * at corpus scale, past BIGINT), and scores are plain BIGINT sums
+    * of count×weight — no logs, no floats, so the ranking is
+    * bit-identical cross-engine. Scale shape: the corpus shuffles
+    * only (doc, bucket, count) partials capped at 256/doc; the
+    * 256-row weight table and 1-row scalars broadcast back; text
+    * never leaves its scan.
+    */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(expr(
+        "transform(sequence(0, size(split(trim(text), '\\\\s+')) - 2), " +
+          "i -> concat(element_at(split(trim(text), '\\\\s+'), i + 1), ' ', " +
+          "element_at(split(trim(text), '\\\\s+'), i + 2)))"))
+    val perBucket = docs(s, dir)
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("g"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long") % 256).as("b"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+    val dec = "decimal(38,0)"
+    val buckets = perBucket.groupBy("b").agg(
+      sum("n").cast(dec).as("c_b"),
+      sum(when(col("lang") === "en", col("n")).otherwise(0L)).cast(dec).as("t_b"))
+    val scalars = buckets.agg(
+      sum("c_b").cast(dec).as("corpus_total"), sum("t_b").cast(dec).as("target_total"))
+    val weights = buckets.crossJoin(broadcast(scalars))
+      .select(col("b"), expr(
+        "CAST(((CAST(1000000 AS DECIMAL(38,0)) * t_b * corpus_total) + " +
+          "((c_b * target_total) DIV 2)) DIV (c_b * target_total) AS BIGINT)").as("w"))
+    perBucket.join(broadcast(weights), "b")
+      .groupBy("doc_id", "lang")
+      .agg(sum("n").cast("long").as("n_bigrams"),
+        sum(col("n") * col("w")).cast("long").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  private val dsirWeightsSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang, l[i] || ' ' || l[i + 1] AS g
+      |  FROM (
+      |    SELECT doc_id, lang, l, unnest(generate_series(1, len(l) - 1)) AS i
+      |    FROM t WHERE len(l) >= 2)),
+      |n AS (
+      |  SELECT doc_id, lang, ('0x' || substr(md5(g), 1, 6))::BIGINT % 256 AS b,
+      |    count(*)::HUGEINT AS n
+      |  FROM bg GROUP BY 1, 2, 3),
+      |bt AS (
+      |  SELECT b, sum(n)::HUGEINT AS c_b,
+      |    sum(CASE WHEN lang = 'en' THEN n ELSE 0 END)::HUGEINT AS t_b
+      |  FROM n GROUP BY 1),
+      |s AS (SELECT sum(c_b)::HUGEINT AS corpus_total, sum(t_b)::HUGEINT AS target_total FROM bt),
+      |w AS (
+      |  SELECT b,
+      |    ((1000000::HUGEINT * t_b * (SELECT corpus_total FROM s))
+      |      + ((c_b * (SELECT target_total FROM s)) // 2))
+      |      // (c_b * (SELECT target_total FROM s)) AS w
+      |  FROM bt)
+      |SELECT doc_id, lang, CAST(sum(n) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(n * w) AS BIGINT) AS score
+      |FROM n JOIN w USING (b)
+      |GROUP BY doc_id, lang
+      |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("docs_repetition", repetition, Some(repetitionSql)),
+    QueryDef("docs_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
     QueryDef("docs_split", split80, Some(split80Sql)),
     QueryDef("docs_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("docs_pii_scrub", piiScrub, Some(piiScrubSql)),

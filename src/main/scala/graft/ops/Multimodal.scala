@@ -85,6 +85,40 @@ object Multimodal {
           expr("aggregate(transform(split(_fr, ''), c -> cast(ascii(c) as bigint)), 0L, (a, x) -> a + x)"),
           lit(0L)).as("frame_checksum"))
 
+  /** Perceptual-hash STUB over the media payload — the dHash shape
+    * (difference/gradient hash): the payload is cut into 63 equal
+    * blocks and bit `j` records whether block `j`'s byte-sum exceeds
+    * block `j+1`'s — 62 adjacent-gradient bits folded into a BIGINT
+    * signature whose hamming distance is small for payloads differing
+    * in a few bytes. Gradient bits (not mean-threshold aHash bits) on
+    * purpose: against a statistically uniform corpus, mean-threshold
+    * bits correlate across documents (block sums hug the global
+    * mean), collapsing signature entropy and exploding the candidate
+    * join — adjacent comparisons are a coin flip per bit, so
+    * unrelated payloads sit at hamming ~31. A real pipeline swaps the
+    * block byte-sum for decode→grayscale-resize at the marked line;
+    * the banding/dedup machinery downstream is agnostic to where the
+    * 62 bits come from. All column expressions — one O(bytes) pass
+    * per payload, nothing through the driver. Payload bytes are ASCII
+    * here so the char sum IS the byte sum (same contract as
+    * [[sampleFrames]]).
+    */
+  def perceptualHash(media: DataFrame): DataFrame =
+    media
+      // <<< real codec goes here: decode + grayscale resize to 8x9,
+      //     then per-cell means instead of char-sum blocks >>>
+      .withColumn("_s", decode(col("media"), "UTF-8"))
+      .withColumn("_bl",
+        greatest(expr("CAST((length(_s) + 62) DIV 63 AS INT)"), lit(1)))
+      .withColumn("_sums", expr(
+        "transform(sequence(0, 62), j -> coalesce(aggregate(" +
+          "transform(split(substring(_s, j * _bl + 1, _bl), ''), c -> CAST(ascii(c) AS BIGINT)), " +
+          "0L, (a, x) -> a + x), 0L))"))
+      .select(col("doc_id"), expr(
+        "aggregate(sequence(0, 61), 0L, (acc, j) -> acc + " +
+          "IF(element_at(_sums, j + 1) > element_at(_sums, j + 2), " +
+          "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))").as("phash"))
+
   /** Partition-parallel feature extraction over the media column.
     * `mapPartitions` keeps per-batch decoder state (real codecs are
     * expensive to construct) and processes rows streaming — the same

@@ -577,6 +577,83 @@ object SimilarityQueries extends QueryModule {
       |      FROM fr WHERE frame_idx % 4 = 0)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Multimodal near-dup detection over the BINARY media column via
+    * the perceptual-hash stub ([[Multimodal.perceptualHash]] — aHash
+    * block signature standing in for decode+DCT): near-identical
+    * payloads land within hamming τ=6 and surface as pairs through
+    * the SAME 4×16-bit banded LSH join the text/embedding dedups use
+    * (any equal band → candidate; only (doc, band) longs shuffle, the
+    * payload never leaves its scan). The gate decorates ~1/13 of docs
+    * with 2-byte in-place mutations (length-preserving, so block
+    * boundaries hold) as near-dup clones. FULLY hash-oracled: DuckDB
+    * recomputes every block sum, threshold bit, band key, candidate
+    * join, and hamming distance from the same ASCII payload —
+    * certifying the whole approximate pipeline, not just row counts.
+    */
+  private def mediaPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.parallel(Tables.documents(s, dir))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars").map(col)
+    val clones = d.filter(col("doc_id") % 13 === 0 && length(col("text")) >= 7)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 4), lit("zz"), expr("substring(text, 7)")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val sigs = Multimodal.perceptualHash(
+      Multimodal.synthesizeMedia(d.select(cols: _*).unionByName(clones)))
+    val bands = sigs.select(col("doc_id"), col("phash"), expr(
+        "explode(array(" +
+          "struct(0 AS band, CAST(phash % 65536 AS BIGINT) AS bv), " +
+          "struct(1 AS band, CAST((phash DIV 65536) % 65536 AS BIGINT) AS bv), " +
+          "struct(2 AS band, CAST((phash DIV 4294967296) % 65536 AS BIGINT) AS bv), " +
+          "struct(3 AS band, CAST(phash DIV 281474976710656 AS BIGINT) AS bv))) AS bb"))
+      .select(col("doc_id"), col("phash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val left = bands.select(col("doc_id").as("doc_a"), col("phash").as("ha"),
+      col("band"), col("bv"))
+    val right = bands.select(col("doc_id").as("doc_b"), col("phash").as("hb"),
+      col("band"), col("bv"))
+    left.join(right, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val mediaPhashDedupSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 1, 4) || 'zz' || substr(text, 7)
+      |  FROM documents WHERE doc_id % 13 = 0 AND strlen(text) >= 7),
+      |s1 AS (
+      |  SELECT doc_id, text, GREATEST((strlen(text) + 62) // 63, 1) AS bl
+      |  FROM corpus),
+      |s2 AS (
+      |  SELECT doc_id,
+      |    [coalesce(list_sum([ascii(c)::BIGINT FOR c IN
+      |       string_split(substr(text, CAST(j * bl + 1 AS INT), CAST(bl AS INT)), '')]), 0)
+      |     FOR j IN range(0, 63)] AS sums
+      |  FROM s1),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum([CASE WHEN sums[j + 1] > sums[j + 2]
+      |      THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END
+      |      FOR j IN range(0, 62)]) AS BIGINT) AS phash
+      |  FROM s2),
+      |bands AS (
+      |  SELECT doc_id, phash, 0 AS band, phash % 65536 AS bv FROM sig
+      |  UNION ALL SELECT doc_id, phash, 1, (phash // 65536) % 65536 FROM sig
+      |  UNION ALL SELECT doc_id, phash, 2, (phash // 4294967296) % 65536 FROM sig
+      |  UNION ALL SELECT doc_id, phash, 3, phash // 281474976710656 FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.phash AS ha, b.phash AS hb
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+      |    AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // -- JL random projection (dim reduction) --------------------------------
 
   /** 64→16 JL projection of every corpus vector, verified value by
@@ -671,5 +748,6 @@ object SimilarityQueries extends QueryModule {
     QueryDef("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),
     QueryDef("media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("media_frame_sample", mediaFrameSample, Some(mediaFrameSampleSql)),
+    QueryDef("media_phash_dedup", mediaPhashDedup, Some(mediaPhashDedupSql)),
   )
 }
