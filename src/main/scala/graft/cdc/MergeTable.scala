@@ -341,11 +341,22 @@ final class MergeTable(
     * of the already-joined row, not a second join of the snapshots.
     */
   def changesBetween(fromVersion: Long, toVersion: Long,
-      updatePreImages: Boolean = false): DataFrame = {
-    val after = readVersion(toVersion)
+      updatePreImages: Boolean = false): DataFrame =
+    changesImpl(fromVersion, toVersion, updatePreImages, None)
+
+  private def changesImpl(fromVersion: Long, toVersion: Long,
+      updatePreImages: Boolean,
+      restrictTo: Option[DataFrame]): DataFrame = {
+    val after0 = readVersion(toVersion)
     // version 0 = the empty table before the first commit, so a feed
     // can replay history from the beginning (everything starts as I)
-    val before = if (fromVersion == 0L) after.limit(0) else readVersion(fromVersion)
+    val before0 = if (fromVersion == 0L) after0.limit(0) else readVersion(fromVersion)
+    // key restriction (delta-append commits only): keys outside the
+    // committed batch provably did not change, so both snapshots are
+    // cut to the batch's key set BEFORE the diff join — with AQE the
+    // small key set broadcasts and the snapshots never shuffle here
+    val after = restrictTo.map(k => after0.join(k, keys, "left_semi")).getOrElse(after0)
+    val before = restrictTo.map(k => before0.join(k, keys, "left_semi")).getOrElse(before0)
     val common = before.columns.intersect(after.columns).filterNot(keys.contains).toSeq
     val b = before.select((keys ++ common).map(col): _*)
       .withColumn("_b", lit(true))
@@ -413,7 +424,7 @@ final class MergeTable(
     val steps = (fromVersion +: stepVs.init).zip(stepVs).map { case (lo, hi) =>
       // schema evolution: columns added by later versions read as
       // nulls for earlier ranges via unionByName below
-      changesBetween(lo, hi, updatePreImages).withColumn("_commit_version", lit(hi))
+      changeStep(lo, hi, updatePreImages).withColumn("_commit_version", lit(hi))
     }
     val all = steps.reduce(_.unionByName(_, allowMissingColumns = true))
     // filter (not max_by) so a U_pre/U_post pair from the winning
@@ -422,6 +433,30 @@ final class MergeTable(
     all.withColumn("_maxv", max(col("_commit_version")).over(perKey))
       .filter(col("_commit_version") === col("_maxv"))
       .drop("_maxv", "_commit_version")
+  }
+
+  /** One version's diff for the per-version feed, KEY-RESTRICTED when
+    * the commit shape allows it: a pure delta-append commit (the MOR
+    * upsert/delete path — new delta dirs, nothing removed) can only
+    * have changed keys that appear in its own delta rows (tombstones
+    * included), so both snapshots are semi-joined on that key set
+    * before the full-outer diff. At scale this turns the per-version
+    * diff from a 2×snapshot shuffle into a batch-key broadcast
+    * against two snapshot scans — the feed costs O(versions × scan),
+    * not O(versions × shuffle). Any other commit shape (COW rewrite,
+    * compaction, dv mask, restore) falls back to the unrestricted
+    * diff, which stays correct for all of them.
+    */
+  private def changeStep(lo: Long, hi: Long, updatePreImages: Boolean): DataFrame = {
+    val before = if (lo == 0L) Seq.empty else entriesAt(lo)
+    val after = entriesAt(hi)
+    val added = after.filterNot(before.contains)
+    val removed = before.filterNot(after.contains)
+    val restrict =
+      if (removed.isEmpty && added.nonEmpty && added.forall(_._1 == "delta"))
+        Some(readDirs(added.map(_._2)).select(keys.map(col): _*).distinct())
+      else None
+    changesImpl(lo, hi, updatePreImages, restrict)
   }
 
   private def readEntries(es: Seq[(String, String)]): DataFrame = {
