@@ -520,7 +520,48 @@ object Queries6 extends QueryModule {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
   }
 
+  /** DAU/MAU engagement rollup (the product-analytics stickiness
+    * readout): per month, the monthly-active count, active-day count,
+    * and summed daily-active counts, with stickiness = avg-DAU / MAU
+    * as an EXACT parts-per-million integer ratio
+    * `(10^6·dau_sum + D/2) div D`, `D = n_days·mau` — no float
+    * division to drift between engines. Scale shape: one distinct
+    * projection to (day, user) — the only row-scaled shuffle — then
+    * a month-bounded multi-distinct aggregation; output is one row
+    * per month at any SF.
+    */
+  private def dauMau(s: SparkSession, dir: String): DataFrame = {
+    val dayUser = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+      .distinct()
+    dayUser
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(countDistinct(col("user_id")).as("mau"),
+        countDistinct(col("day")).as("n_days"),
+        count(lit(1)).as("dau_sum"))
+      .select(col("month"), col("mau"), col("n_days"), col("dau_sum"),
+        expr("CAST(((1000000 * dau_sum) + ((n_days * mau) DIV 2)) DIV (n_days * mau) AS BIGINT)")
+          .as("stickiness_ppm"))
+      .orderBy("month")
+  }
+
+  private val dauMauSql =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      |  FROM events),
+      |m AS (
+      |  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+      |    CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+      |    CAST(count(*) AS BIGINT) AS dau_sum
+      |  FROM du GROUP BY 1)
+      |SELECT month, mau, n_days, dau_sum,
+      |  CAST(((1000000 * dau_sum) + ((n_days * mau) // 2)) // (n_days * mau) AS BIGINT)
+      |    AS stickiness_ppm
+      |FROM m ORDER BY month""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_dau_mau", dauMau, Some(dauMauSql)),
     QueryDef("events_attribution", attribution, Some(attributionSql)),
     QueryDef("events_decayed_scores", decayedScores, Some(decayedScoresSql)),
     QueryDef("profile_lineitem", profileLineitem, Some(profileLineitemSql)),

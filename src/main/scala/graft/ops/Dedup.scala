@@ -428,6 +428,61 @@ object Dedup {
         (coalesce(col("_ndup"), lit(0L)) > 0).as("has_dup"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken's MOSS
+    * algorithm): from the k-word Rabin–Karp window hashes, every
+    * sliding window of `w` consecutive hashes contributes its MINIMUM
+    * hash, and the distinct selected hashes are the document's
+    * fingerprint set. The paper's guarantee carries over: any run of
+    * at least `k + w − 1` shared words yields at least one shared
+    * fingerprint, while the index shrinks by ~w× versus indexing
+    * every window hash — the compression that makes substring-level
+    * dedup indexes affordable at corpus scale (store fingerprints,
+    * not windows). Selection is in-row column algebra (one
+    * O(words·w) pass per doc, no shuffle until the fingerprint join);
+    * after it, only (doc, fingerprint) longs move — identical shuffle
+    * shape to [[substringDupStats]] at 1/w the volume.
+    *
+    * Returns one row per fingerprinted doc: raw window count,
+    * fingerprint count (the ~w× compression is visible), fingerprints
+    * shared with other docs, match flag, and an exact BIGINT checksum
+    * of the fingerprint set (what an index shard would store).
+    */
+  def winnowingStats(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, w: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import graft.functions.WindowHashes.P
+    val wordHashes = transform(TextAnalysis.words(col(textCol)),
+      word => conv(substring(md5(word), 1, 12), 16, 10).cast("long") % P)
+    val hs = call_function("graft_window_hashes", wordHashes, lit(k))
+    val fps = graft.Caches.register(docs
+      .select(col(idCol).as("_id"), hs.as("_hs"))
+      .filter(size(col("_hs")) >= w)
+      .select(col("_id"), size(col("_hs")).cast("long").as("n_windows"),
+        // greatest(…, 0) keeps the expression TOTAL: the optimizer's
+        // InferFiltersFromGenerate clones this projection into a
+        // predicate evaluated BELOW the size filter, so it must not
+        // error on short docs (sequence(0, negative) runs descending
+        // and hands slice a 0 start); the size filter still drops
+        // those rows from the result
+        array_distinct(expr(
+          s"transform(sequence(0, greatest(size(_hs) - $w, 0)), " +
+            s"j -> array_min(slice(_hs, j + 1, $w)))"))
+          .as("_fps"))
+      .select(col("_id"), col("n_windows"), explode(col("_fps")).as("_fp")))
+    val shared = fps.groupBy("_fp").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") > 1).select("_fp")
+    val perDoc = fps.groupBy("_id", "n_windows").agg(
+      count(lit(1)).as("n_fingerprints"),
+      sum("_fp").as("fp_checksum"))
+    val matched = fps.join(shared, "_fp")
+      .groupBy("_id").agg(count(lit(1)).as("_nshared"))
+    perDoc.join(matched, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_windows"), col("n_fingerprints"),
+        coalesce(col("_nshared"), lit(0L)).as("n_shared_fp"),
+        (coalesce(col("_nshared"), lit(0L)) > 0).as("has_match"),
+        col("fp_checksum"))
+  }
+
   /** Asymmetric containment pairs — the quote/subset case symmetric
     * Jaccard misses: a short document wholly embedded in a long one
     * scores containment(short→long) = 1.0 while its Jaccard stays

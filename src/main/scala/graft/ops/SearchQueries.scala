@@ -532,7 +532,69 @@ object SearchQueries extends QueryModule {
        |               round(CAST(inter_n AS DOUBLE) / n_b, 6)) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -- winnowing fingerprints (MOSS) ----------------------------------------
+
+  private val WinK = 8  // words per gram
+  private val WinW = 4  // gram hashes per selection window
+  // 16 shared tail words > k + w - 1 = 11, so decorated docs MUST
+  // share at least one fingerprint (the winnowing guarantee)
+  private val WinBoiler = (0 until 16).map(i => "wfp" + i).mkString(" ")
+
+  /** Winnowing document fingerprints ([[Dedup.winnowingStats]] —
+    * Schleimer et al.'s MOSS selection): min-hash of every `WinW`
+    * consecutive gram hashes, giving a ~w×-compressed substring index
+    * with the guarantee that any ≥ k+w−1 = 11 shared words produce a
+    * shared fingerprint. Docs at `doc_id % 17 == 5` carry a 16-word
+    * shared tail, so the match path is non-vacuous by construction.
+    * Fully hash-oracled: DuckDB refolds every gram hash, replays the
+    * min-in-window selection, the distinct-set compression, and the
+    * shared-fingerprint join.
+    */
+  private def winnowing(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 17 === 5, concat(col("text"), lit(" " + WinBoiler)))
+        .otherwise(col("text")).as("text"))
+    Dedup.winnowingStats(d, "doc_id", "text", WinK, WinW).orderBy("doc_id")
+  }
+
+  private val winnowingSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 5 THEN text || ' $WinBoiler' ELSE text END AS text
+       |  FROM documents),
+       |ws AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+       |      w -> ('0x' || substr(md5(w), 1, 12))::BIGINT % 1000000007) AS whs
+       |  FROM d),
+       |hs AS (
+       |  SELECT doc_id,
+       |    [list_reduce(list_prepend(CAST(0 AS BIGINT), whs[i:i + ${WinK - 1}]),
+       |       (a, x) -> (a * 31 + x) % 1000000007)
+       |     FOR i IN generate_series(1, len(whs) - ${WinK - 1})] AS hs
+       |  FROM ws WHERE len(whs) >= $WinK),
+       |fps AS (
+       |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_windows,
+       |    list_distinct([list_min(hs[j:j + ${WinW - 1}])
+       |      FOR j IN generate_series(1, len(hs) - ${WinW - 1})]) AS fps
+       |  FROM hs WHERE len(hs) >= $WinW),
+       |fp AS (SELECT doc_id, n_windows, unnest(fps) AS fp FROM fps),
+       |shared AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 1),
+       |per_doc AS (
+       |  SELECT doc_id, n_windows, count(*)::BIGINT AS n_fingerprints,
+       |    CAST(sum(fp) AS BIGINT) AS fp_checksum
+       |  FROM fp GROUP BY 1, 2),
+       |matched AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_shared FROM fp JOIN shared USING (fp)
+       |  GROUP BY 1)
+       |SELECT per_doc.doc_id, n_windows, n_fingerprints,
+       |  coalesce(n_shared, 0) AS n_shared_fp,
+       |  coalesce(n_shared, 0) > 0 AS has_match, fp_checksum
+       |FROM per_doc LEFT JOIN matched ON per_doc.doc_id = matched.doc_id
+       |ORDER BY per_doc.doc_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("docs_winnowing_fingerprint", winnowing, Some(winnowingSql)),
     QueryDef("docs_tfidf_topk", tfidfTopk, Some(tfidfSql)),
     QueryDef("docs_bm25_search", bm25Search, Some(bm25Sql)),
     QueryDef("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
