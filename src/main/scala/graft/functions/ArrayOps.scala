@@ -175,6 +175,74 @@ object WindowHashes {
   val P = 1000000007L
 }
 
+/** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken) in
+  * one compiled pass: from the gram-hash array, the minimum VALUE of
+  * each sliding window of `w` hashes, deduplicated preserving first
+  * occurrence — the fingerprint set a MOSS-style substring index
+  * stores. A monotonic deque makes the whole selection O(n) however
+  * wide the window, where the declarative formulation
+  * `transform(sequence(...), j -> array_min(slice(hs, j+1, w)))` pays
+  * O(n·w) slice copies plus two lambda frames per window — the same
+  * kernel-vs-lambda economics as [[WindowHashes]]. Value-identical to
+  * that formulation followed by `array_distinct` (ties pick equal
+  * VALUES, so head-vs-rightmost tie policy cannot change the set).
+  * Inputs shorter than w emit no fingerprints (total — safe under
+  * optimizer-inferred pre-filter evaluation).
+  */
+case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "winnow window must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects ARRAY<BIGINT>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vs = input.asInstanceOf[ArrayData]
+    val n = vs.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = Array.newBuilder[Any]
+    // deque of candidate indices, values increasing front→back; the
+    // front is always the current window's minimum
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    var i = 0
+    while (i < n) {
+      val v = vs.getLong(i)
+      while (tail > head && vs.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val m = vs.getLong(deque(head))
+        if (seen.add(m)) out += m
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnowSelect", this, classOf[WinnowSelect].getName)
+    nullSafeCodeGen(ctx, ev, vs => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.evalHashes($vs);
+       """.stripMargin
+    })
+  }
+
+  /** Public entry for generated code. */
+  def evalHashes(vs: ArrayData): ArrayData =
+    nullSafeEval(vs).asInstanceOf[ArrayData]
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Word k-grams as strings, built in one compiled pass (the
   * interpreted `transform(sequence(...), i -> concat_ws(...))`
   * formulation pays two lambda frames plus string re-copies per

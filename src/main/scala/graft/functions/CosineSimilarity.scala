@@ -148,7 +148,8 @@ object GraftFunctions {
     ("graft_simhash", classOf[SimHash64], arity1("graft_simhash", SimHash64(_))),
     ("graft_quantize_stats", classOf[QuantizeStats],
       arity1("graft_quantize_stats", QuantizeStats(_))),
-    ("graft_window_hashes", classOf[WindowHashes], windowHashesBuilder(_)))
+    ("graft_window_hashes", classOf[WindowHashes], windowHashesBuilder(_)),
+    ("graft_winnow", classOf[WinnowSelect], winnowBuilder(_)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -177,5 +178,12 @@ object GraftFunctions {
     require(children.length == 2, "graft_window_hashes expects (hashes, w)")
     require(children(1).foldable, "graft_window_hashes w must be a literal")
     WindowHashes(children.head, children(1).eval().asInstanceOf[Number].intValue())
+  }
+
+  /** graft_winnow(hashes, w): w must be a foldable int. */
+  private[graft] def winnowBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "graft_winnow expects (hashes, w)")
+    require(children(1).foldable, "graft_winnow w must be a literal")
+    WinnowSelect(children.head, children(1).eval().asInstanceOf[Number].intValue())
   }
 }

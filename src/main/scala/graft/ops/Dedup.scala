@@ -458,16 +458,11 @@ object Dedup {
       .select(col(idCol).as("_id"), hs.as("_hs"))
       .filter(size(col("_hs")) >= w)
       .select(col("_id"), size(col("_hs")).cast("long").as("n_windows"),
-        // greatest(…, 0) keeps the expression TOTAL: the optimizer's
-        // InferFiltersFromGenerate clones this projection into a
-        // predicate evaluated BELOW the size filter, so it must not
-        // error on short docs (sequence(0, negative) runs descending
-        // and hands slice a 0 start); the size filter still drops
-        // those rows from the result
-        array_distinct(expr(
-          s"transform(sequence(0, greatest(size(_hs) - $w, 0)), " +
-            s"j -> array_min(slice(_hs, j + 1, $w)))"))
-          .as("_fps"))
+        // compiled monotonic-deque selection: O(grams), not O(grams·w)
+        // — and total on short inputs, which matters because the
+        // optimizer's InferFiltersFromGenerate clones this projection
+        // into a predicate evaluated BELOW the size filter
+        call_function("graft_winnow", col("_hs"), lit(w)).as("_fps"))
       .select(col("_id"), col("n_windows"), explode(col("_fps")).as("_fp")))
     val shared = fps.groupBy("_fp").agg(count(lit(1)).as("_nd"))
       .filter(col("_nd") > 1).select("_fp")

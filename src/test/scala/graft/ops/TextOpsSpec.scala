@@ -171,6 +171,24 @@ class TextOpsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("graft_winnow equals the declarative min-in-window + distinct formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    // random arrays incl. duplicates and ties; plus degenerate shapes
+    val cases: Seq[Seq[Long]] =
+      (1 to 30).map(n => Seq.fill(rnd.nextInt(40) + 1)(rnd.nextInt(12).toLong)) ++
+        Seq(Seq(5L), Seq(3L, 3L, 3L), Seq.empty[Long])
+    for (w <- Seq(1, 3, 4, 7); hs <- cases) {
+      val got = Seq(hs).toDF("hs")
+        .select(call_function("graft_winnow", $"hs", lit(w)).as("sel"))
+        .as[Seq[Long]].collect().head
+      val want =
+        if (hs.size < w) Seq.empty[Long]
+        else (0 to hs.size - w).map(j => hs.slice(j, j + w).min).distinct
+      assert(got === want, s"w=$w hs=$hs")
+    }
+  }
+
   test("dedup_substring flags every decorated doc with the full shared tail") {
     val out = graft.SparkEntry.queries("dedup_substring")(spark, sfDir)
       .select($"doc_id", $"n_dup_windows", $"has_dup")
