@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name), builder))
     }
+    // Delta-parity CDF table function: SELECT * FROM table_changes(t, v1[, v2])
+    ext.injectTableFunction((FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.sources.TableChanges.getClass.getName, "table_changes"),
+      graft.sources.TableChanges.plan))
   }
 }

@@ -748,6 +748,32 @@ object CdcQueries extends QueryModule {
     out
   }
 
+  /** The same per-version CDF surfaced through SQL: Delta's
+    * `table_changes(t, v1[, v2])` TVF (injected via
+    * `SparkSessionExtensions.injectTableFunction`), sharing
+    * [[MergeTable.changeFeed]] with the reader option so the two
+    * surfaces cannot drift — and sharing the oracle with
+    * `cdc_change_feed_replay`, so the hash certifies the SQL path
+    * end to end.
+    */
+  private def tableChangesSqlQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).cache()
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    val base = latestPerUser(ev.filter(col("event_id") < cut))
+    val changes = latestPerUser(ev.filter(col("event_id") >= cut))
+    val root = tmpRoot("table_changes_sql", dir)
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base))
+    t.upsert(changes)
+    t.delete(t.read().filter(col("user_id") % 7 === 0).select("user_id"))
+    val out = s.sql(
+      s"""SELECT user_id, event_id, event_type, value, _change
+         |FROM table_changes('$root', 0)
+         |ORDER BY user_id""".stripMargin)
+    ev.unpersist()
+    out
+  }
+
   private val changeFeedReplaySql =
     """WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
       |base AS (
@@ -825,6 +851,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_update_sql", applyUpdateViaSql, Some(applyUpdateSql)),
     QueryDef("cdc_change_feed", changeFeed, Some(changeFeedSql)),
     QueryDef("cdc_change_feed_replay", changeFeedReplay, Some(changeFeedReplaySql)),
+    QueryDef("cdc_table_changes_sql", tableChangesSqlQuery, Some(changeFeedReplaySql)),
     QueryDef("cdc_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     QueryDef("cdc_scd2", scd2, Some(scd2Sql)),
     QueryDef("mergetable_source_read", sourceRead, Some(sourceReadSql)),

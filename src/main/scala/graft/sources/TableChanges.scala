@@ -1,0 +1,53 @@
+package graft.sources
+
+import graft.cdc.MergeTable
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** `table_changes(table_or_path, startingVersion[, endingVersion])` —
+  * Delta's CDF table-valued function over MergeTables, registered
+  * through `SparkSessionExtensions.injectTableFunction` so it
+  * composes inside any SELECT:
+  *
+  * {{{
+  *   SELECT * FROM table_changes('graft.db.t', 2)
+  *   SELECT * FROM table_changes('/path/to/table', 0, 5) WHERE _change = 'D'
+  * }}}
+  *
+  * Semantics are [[MergeTable.changeFeed]]'s per-version replay (each
+  * key's latest change in the window; `endingVersion` defaults to the
+  * current version) — identical to the `readChangeFeed` reader
+  * option, so the SQL and DataFrame surfaces cannot drift. The first
+  * argument resolves as a catalog identifier unless it contains a
+  * path separator. Arguments must be literals: the window selects
+  * which COMMITTED SNAPSHOTS to diff, which is planning-time
+  * information (the same reason Delta's TVF takes literals).
+  */
+object TableChanges {
+
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      "table_changes expects (table_or_path, startingVersion[, endingVersion])")
+    require(args.forall(_.foldable), "table_changes arguments must be literals")
+    val spark = SparkSession.active
+    val target = String.valueOf(args.head.eval())
+    val from = args(1).eval() match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"table_changes startingVersion must be integral, got $other")
+    }
+    val path =
+      if (target.contains("/")) target
+      else {
+        val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(target)
+        require(parts.size >= 2,
+          s"table_changes table identifier must be catalog-qualified, got '$target'")
+        GraftSqlParser.mergetablePath(spark, parts.head, parts.tail, "table_changes")
+      }
+    val t = MergeTable.open(spark, path)
+    val to = args.lift(2).map(_.eval().asInstanceOf[Number].longValue())
+      .getOrElse(t.versions().max)
+    GraftSqlBridge.logicalPlan(t.changeFeed(from, to))
+  }
+}
