@@ -54,11 +54,26 @@ class MergeTableSource extends RelationProvider with DataSourceRegister
     // Delta's CDF batch-read surface: rows changed between two
     // versions with their _change op (and U_pre/U_post pre-images on
     // request) instead of the snapshot
-    if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true")))
-      return new ChangeFeedRelation(sqlContext, path,
-        parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
-        parameters.get("endingVersion").map(_.toLong),
+    if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
+      // timestamp bounds (Delta CDF parity): startingTimestamp = feed
+      // begins AFTER the snapshot as of that wall-clock time (no
+      // commit at-or-before → full replay from 0); endingTimestamp =
+      // feed ends at the latest commit at-or-before it
+      val startV = parameters.get("startingVersion").map(_.toLong)
+        .orElse(parameters.get("startingTimestamp").map { ts =>
+          MergeTable.versionAtTimestamp(path,
+            MergeTable.parseTimestampMicros(ts)).getOrElse(0L)
+        }).getOrElse(0L)
+      val endV = parameters.get("endingVersion").map(_.toLong)
+        .orElse(parameters.get("endingTimestamp").map { ts =>
+          MergeTable.versionAtTimestamp(path,
+            MergeTable.parseTimestampMicros(ts)).getOrElse(
+            throw new IllegalArgumentException(
+              s"mergetable at $path has no commit at or before endingTimestamp=$ts"))
+        })
+      return new ChangeFeedRelation(sqlContext, path, startV, endV,
         parameters.get("updatePreImages").exists(_.equalsIgnoreCase("true")))
+    }
     // the table self-describes via _META.json (written on first
     // commit); explicit options override, absent options fall back to
     // the recorded configuration — NOT to a guessed default, which

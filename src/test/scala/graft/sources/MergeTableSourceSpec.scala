@@ -163,6 +163,34 @@ class MergeTableSourceSpec extends SparkSpec {
     assert(pre === Seq((2L, "B", "U_post"), (2L, "b", "U_pre"), (3L, "c", "I")))
   }
 
+  test("readChangeFeed timestamp bounds resolve against the commit log") {
+    val root = "target/test_tmp/source_cdf_ts"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")))
+    t.upsert(Seq((2L, "b")).toDF("id", "v"))
+    // commit times from the log (manifest mtimes), formatted UTC —
+    // the same clock timestampAsOf resolves against
+    val times = t.history().map { case (v, ms, _, _) => v -> ms }.toMap
+    def fmt(ms: Long): String = {
+      val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+      f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      f.format(new java.util.Date(ms))
+    }
+    // starting at v1's commit time: only the v2 commit's changes
+    val after = spark.read.format("mergetable").option("path", root)
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", fmt(times(1L))).load()
+      .as[(Long, String, String)].collect().sorted
+    assert(after === Seq((2L, "b", "I")))
+    // pre-history startingTimestamp degrades to full replay from 0
+    val full = spark.read.format("mergetable").option("path", root)
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", "1970-01-01 00:00:00").load()
+      .as[(Long, String, String)].collect().sorted
+    assert(full === Seq((1L, "a", "I"), (2L, "b", "I")))
+  }
+
   test("catalog-created empty table reads as an empty frame through format()") {
     val root = "target/test_tmp/source_declared"
     MergeTable.drop(root)
