@@ -149,7 +149,9 @@ object GraftFunctions {
     ("graft_quantize_stats", classOf[QuantizeStats],
       arity1("graft_quantize_stats", QuantizeStats(_))),
     ("graft_window_hashes", classOf[WindowHashes], windowHashesBuilder(_)),
-    ("graft_winnow", classOf[WinnowSelect], winnowBuilder(_)))
+    ("graft_winnow", classOf[WinnowSelect], winnowBuilder(_)),
+    ("graft_phash", classOf[PerceptualHash],
+      arity1("graft_phash", PerceptualHash(_))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -103,10 +103,21 @@ object Multimodal {
     * here so the char sum IS the byte sum (same contract as
     * [[sampleFrames]]).
     */
-  def perceptualHash(media: DataFrame): DataFrame =
+  def perceptualHash(media: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(media.sparkSession)
+    // <<< real codec goes here: decode + grayscale resize to 8x9,
+    //     then per-cell means instead of byte-sum blocks >>>
+    media.select(col("doc_id"),
+      call_function("graft_phash", col("media")).as("phash"))
+  }
+
+  /** The declarative twin of the `graft_phash` kernel — kept as the
+    * executable specification (the DuckDB oracle mirrors THIS form;
+    * `MultimodalSpec` proves kernel ≡ declarative). Three interpreted
+    * lambda frames per character — do not put it on a hot path.
+    */
+  private[ops] def perceptualHashDeclarative(media: DataFrame): DataFrame =
     media
-      // <<< real codec goes here: decode + grayscale resize to 8x9,
-      //     then per-cell means instead of char-sum blocks >>>
       .withColumn("_s", decode(col("media"), "UTF-8"))
       .withColumn("_bl",
         greatest(expr("CAST((length(_s) + 62) DIV 63 AS INT)"), lit(1)))

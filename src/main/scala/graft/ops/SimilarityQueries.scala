@@ -597,8 +597,10 @@ object SimilarityQueries extends QueryModule {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(substring(col("text"), 1, 4), lit("zz"), expr("substring(text, 7)")).as("text"),
         col("lang"), col("source"), col("n_chars"))
-    val sigs = Multimodal.perceptualHash(
-      Multimodal.synthesizeMedia(d.select(cols: _*).unionByName(clones)))
+    // cached: the band frame feeds BOTH sides of the candidate join —
+    // without it every signature computes twice more
+    val sigs = graft.Caches.register(Multimodal.perceptualHash(
+      Multimodal.synthesizeMedia(d.select(cols: _*).unionByName(clones))))
     val bands = sigs.select(col("doc_id"), col("phash"), expr(
         "explode(array(" +
           "struct(0 AS band, CAST(phash % 65536 AS BIGINT) AS bv), " +

@@ -404,4 +404,19 @@ class SimilaritySpec extends SparkSpec {
     val check = media.select($"doc_id", length($"media").as("len")).as[(Long, Int)].collect().toMap
     assert(rows.forall { case (id, f) => f(0).toInt === check(id) })
   }
+
+  test("graft_phash kernel equals the declarative block-gradient formulation") {
+    val real = Multimodal.synthesizeMedia(Tables.documents(spark, sfDir).limit(100))
+    val edge = Multimodal.synthesizeMedia(
+      Seq((9001L, "", "en", "srcX", 0), (9002L, "x", "en", "srcX", 1),
+        (9003L, "a" * 62, "en", "srcX", 62), (9004L, "ab" * 200, "en", "srcX", 400))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    for (m <- Seq(real, edge)) {
+      val kernel = Multimodal.perceptualHash(m)
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val decl = Multimodal.perceptualHashDeclarative(m)
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(kernel === decl)
+    }
+  }
 }
