@@ -560,8 +560,117 @@ object Queries6 extends QueryModule {
       |    AS stickiness_ppm
       |FROM m ORDER BY month""".stripMargin
 
+  /** ABC / Pareto inventory classification over part revenue: parts
+    * ranked by revenue descending, classified by INCLUSIVE cumulative
+    * share (A ≤ 80%, B ≤ 95%, C above). The global running total
+    * comes from the distributed [[graft.ops.PrefixSum]] — not a
+    * partitionless window, which would serialize every part through
+    * one reducer. Revenue is held as exact micro-units
+    * (`decimal × 10^6` → BIGINT, values have ≤ 4 fractional digits)
+    * and class boundaries are integer cross-products
+    * (`5·cum ≤ 4·total`), so the classification cannot drift between
+    * engines. Output is 3 bounded rows.
+    */
+  private def abcAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      // decimal-exact money: the parquet columns are doubles of 2 dp
+      // values; cast to cents before any arithmetic so the micro-unit
+      // conversion is exact in both engines
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      .select(col("l_partkey"),
+        (col("rev") * lit(1000000)).cast("long").as("rev_micros"))
+      .withColumn("_g", lit(1))
+      // PrefixSum orders ascending; revenue-descending = ascending on
+      // the negation, part key as the unique tie-break
+      .withColumn("_negrev", -col("rev_micros"))
+    val cum = graft.ops.PrefixSum.runningTotal(rev, "_g",
+      Seq("_negrev", "l_partkey"), "rev_micros", "cum_micros")
+    val total = cum.agg(max("cum_micros").as("total")).select(col("total"))
+    cum.crossJoin(broadcast(total))
+      .select(col("l_partkey"), col("rev_micros"),
+        when(col("cum_micros") * 5 <= col("total") * 4, "A")
+          .when(col("cum_micros") * 20 <= col("total") * 19, "B")
+          .otherwise("C").as("abc_class"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum("rev_micros").as("class_rev_micros"))
+      .orderBy("abc_class")
+  }
+
+  private val abcAnalysisSql =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(18,2)))) * 1000000 AS BIGINT) AS rev_micros
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (
+      |  SELECT l_partkey, rev_micros,
+      |    sum(rev_micros) OVER (ORDER BY rev_micros DESC, l_partkey
+      |      ROWS UNBOUNDED PRECEDING) AS cum_micros,
+      |    sum(rev_micros) OVER () AS total
+      |  FROM rev)
+      |SELECT CASE WHEN cum_micros * 5 <= total * 4 THEN 'A'
+      |            WHEN cum_micros * 20 <= total * 19 THEN 'B'
+      |            ELSE 'C' END AS abc_class,
+      |  CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(rev_micros) AS BIGINT) AS class_rev_micros
+      |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Bot/abuse detection over the event stream — per-user cadence
+    * stats with an exact integer rate test. The corpus is decorated
+    * with one synthetic high-rate user (500 events at 1 s cadence
+    * anchored to the stream's min timestamp) so BOTH outcomes are
+    * non-vacuous at every SF; real users sit orders of magnitude
+    * under the 100-events/hour flag line. One row-scaled aggregation;
+    * rate is milli-events-per-hour computed as
+    * `(n·3600000 + span/2) div span` — pure integers, no float drift.
+    */
+  private def botFlags(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val anchor = ev.agg(min("ts").as("t0"))
+    val bot = anchor.select(explode(sequence(lit(0), lit(499))).as("i"), col("t0"))
+      .select(lit(999999L).as("user_id"),
+        (col("t0") + expr("make_interval(0, 0, 0, 0, 0, 0, i)")).as("ts"))
+    val stats = ev.unionByName(bot)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("span_secs"))
+    stats.select(col("user_id"), col("n_events"), col("span_secs"),
+        when(col("span_secs") > 0,
+          expr("CAST(((n_events * 3600000) + (span_secs DIV 2)) DIV span_secs AS BIGINT)"))
+          .otherwise(lit(-1L)).as("rate_mph"))
+      .withColumn("is_bot", col("rate_mph") >= 100000 || col("rate_mph") === -1L)
+      .orderBy("user_id")
+  }
+
+  private val botFlagsSql =
+    """WITH ev AS (
+      |  SELECT user_id, ts FROM events
+      |  UNION ALL
+      |  SELECT 999999 AS user_id, (SELECT min(ts) FROM events) + to_seconds(i) AS ts
+      |  FROM generate_series(0, 499) AS g(i)),
+      |stats AS (
+      |  -- per-timestamp floor BEFORE subtracting: Spark's
+      |  -- unix_timestamp truncates each endpoint to whole seconds
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(floor(epoch(max(ts))) AS BIGINT)
+      |      - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_secs
+      |  FROM ev GROUP BY 1)
+      |SELECT user_id, n_events, span_secs,
+      |  CASE WHEN span_secs > 0
+      |       THEN ((n_events * 3600000) + (span_secs // 2)) // span_secs
+      |       ELSE -1 END AS rate_mph,
+      |  (CASE WHEN span_secs > 0
+      |        THEN ((n_events * 3600000) + (span_secs // 2)) // span_secs
+      |        ELSE -1 END >= 100000
+      |   OR span_secs = 0) AS is_bot
+      |FROM stats ORDER BY user_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("events_dau_mau", dauMau, Some(dauMauSql)),
+    QueryDef("orders_abc_analysis", abcAnalysis, Some(abcAnalysisSql)),
+    QueryDef("events_bot_flags", botFlags, Some(botFlagsSql)),
     QueryDef("events_attribution", attribution, Some(attributionSql)),
     QueryDef("events_decayed_scores", decayedScores, Some(decayedScoresSql)),
     QueryDef("profile_lineitem", profileLineitem, Some(profileLineitemSql)),
