@@ -250,7 +250,10 @@ object SearchQueries extends QueryModule {
     * order-independent; text itself never shuffles, only (doc_id,
     * hash-sized bigram, count) rows.
     */
-  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc bigram-LM scores — shared by `docs_lm_score` and the
+    * CCNet bucketing; see the Scaladoc above for the model shape.
+    */
+  private def lmScores(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val w = TextAnalysis.words(col("text"))
     val n1 = greatest(size(w) - 1, lit(0))
@@ -275,10 +278,14 @@ object SearchQueries extends QueryModule {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(round(col("acc").cast("double") / col("n_bigrams").cast("double"), 4),
           lit(0.0)).as("lm_score"))
-      .orderBy("doc_id")
   }
 
-  private val lmScoreSql =
+  private def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScores(s, dir).orderBy("doc_id")
+
+  // the per-doc score CTEs, shared between the lm_score oracle and
+  // the CCNet bucket oracle (one source of truth for the model)
+  private val lmScoresCtes =
     """WITH w AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
       |  FROM documents),
@@ -295,12 +302,60 @@ object SearchQueries extends QueryModule {
       |  FROM tf JOIN c2 USING (h, t) JOIN c1 USING (h)),
       |agg AS (
       |  SELECT doc_id, sum(part) AS acc, CAST(sum(tf) AS BIGINT) AS n_bigrams
-      |  FROM parts GROUP BY 1)
-      |SELECT d.doc_id,
-      |  coalesce(n_bigrams, 0) AS n_bigrams,
-      |  coalesce(round(CAST(acc AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 4), 0.0) AS lm_score
-      |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
-      |ORDER BY d.doc_id""".stripMargin
+      |  FROM parts GROUP BY 1),
+      |scores AS (
+      |  SELECT d.doc_id,
+      |    coalesce(n_bigrams, 0) AS n_bigrams,
+      |    coalesce(round(CAST(acc AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 4), 0.0) AS lm_score
+      |  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id)""".stripMargin
+
+  private val lmScoreSql =
+    s"""$lmScoresCtes
+       |SELECT doc_id, n_bigrams, lm_score FROM scores ORDER BY doc_id""".stripMargin
+
+  /** CCNet-style perplexity bucketing: rank every document by its
+    * LM score (higher mean probability = more target-like) and split
+    * the corpus into head/middle/tail TERTILES — the sampling key
+    * CCNet uses to over-sample fluent text and discard the tail. The
+    * global rank rides the distributed [[graft.ops.PrefixSum]] (no
+    * partitionless window); tertile cuts are integer cross-products
+    * (`3·rank ≤ n`), so bucket membership is exact cross-engine.
+    * Output is 3 bounded rows of per-bucket counts + score ranges.
+    */
+  private def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scores = lmScores(s, dir)
+      .withColumn("_g", lit(1))
+      .withColumn("_negscore", -col("lm_score"))
+      .withColumn("_one", lit(1L))
+    val ranked = graft.ops.PrefixSum.runningTotal(scores, "_g",
+      Seq("_negscore", "doc_id"), "_one", "r")
+    val total = ranked.agg(max("r").as("n"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("n_bigrams"), col("lm_score"),
+        when(col("r") * 3 <= col("n"), "head")
+          .when(col("r") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("total_bigrams"),
+        min("lm_score").as("min_score"), max("lm_score").as("max_score"))
+      .orderBy("bucket")
+  }
+
+  private val ccnetBucketsSql =
+    s"""$lmScoresCtes,
+       |ranked AS (
+       |  SELECT n_bigrams, lm_score,
+       |    row_number() OVER (ORDER BY lm_score DESC, doc_id) AS r,
+       |    count(*) OVER () AS n
+       |  FROM scores)
+       |SELECT CASE WHEN r * 3 <= n THEN 'head'
+       |            WHEN r * 3 <= n * 2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+       |  min(lm_score) AS min_score, max(lm_score) AS max_score
+       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -- incremental dedup against a fingerprint index -------------------------
 
@@ -599,6 +654,7 @@ object SearchQueries extends QueryModule {
     QueryDef("docs_bm25_search", bm25Search, Some(bm25Sql)),
     QueryDef("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("docs_lm_score", lmScore, Some(lmScoreSql)),
+    QueryDef("docs_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
     QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("dedup_bloom_prefilter", dedupBloom, Some(dedupBloomSql)),
     QueryDef("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
