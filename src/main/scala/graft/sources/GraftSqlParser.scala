@@ -49,6 +49,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DESCRIBE\s+DETAIL\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
   private val Expire =
     """(?is)\s*EXPIRE\s+SNAPSHOTS\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+KEEP\s+(\d+)\s*;?\s*""".r
+  private val AddColumns =
+    """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ADD\s+CONSTRAINT\s+([a-zA-Z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -74,6 +76,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Expire(catalog, ident, keep) =>
       MergeTableMaintenanceCommand("expire", catalog, ident.split('.').toSeq,
         expireKeep = Some(keep.toInt))
+    case AddColumns(catalog, ident, ddl) =>
+      MergeTableAddColumnsCommand(catalog, ident.split('.').toSeq, ddl.trim)
     case AddConstraint(catalog, ident, name, check) =>
       MergeTableConstraintCommand(catalog, ident.split('.').toSeq, name,
         Some(check.trim))
@@ -173,6 +177,43 @@ case class MergeTableConstraintCommand(catalogName: String, ident: Seq[String],
       case None => t.dropConstraint(name)
     }
     Seq(Row(1L))
+  }
+}
+
+/** `ALTER TABLE graft.db.t ADD COLUMNS (name TYPE, ...)` — declared
+  * schema evolution (the Delta/Iceberg ADD COLUMNS surface): the new
+  * columns are recorded in `_META.json`'s declared schema and
+  * immediately read as typed nulls on every row (the read-side
+  * backfill in `MergeTableRelation`); the first write that carries
+  * them persists real values via the existing write-side
+  * `unionByName` evolution. Duplicate names are rejected against the
+  * CURRENT snapshot schema, not just the declared one.
+  */
+case class MergeTableAddColumnsCommand(catalogName: String, ident: Seq[String],
+                                       columnsDdl: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.mergetablePath(session, catalogName, ident,
+      "ALTER TABLE ... ADD COLUMNS")
+    val added = StructType.fromDDL(columnsDdl)
+    val meta = MergeTable.readMeta(path).getOrElse(
+      throw new IllegalArgumentException(s"no mergetable at $path"))
+    val t = new MergeTable(session, path, meta.keys, meta.mode, meta.numBuckets)
+    val current: StructType =
+      if (t.exists) t.read().schema
+      else meta.schemaJson
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(new StructType())
+    added.fieldNames.foreach { n =>
+      require(!current.fieldNames.contains(n),
+        s"column '$n' already exists in ${ident.mkString(".")}")
+    }
+    val merged = StructType(current.fields ++ added.fields)
+    MergeTable.writeMeta(path, meta.copy(schemaJson = Some(merged.json)))
+    Seq(Row(added.fields.length.toLong))
   }
 }
 

@@ -133,9 +133,21 @@ class MergeTableRelation(
     if (version.isEmpty && table.exists) table.currentEntries() else Nil
 
   private lazy val snapshot = {
-    if (!table.exists && declaredSchema.isDefined)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declaredSchema.get)
-    else version.map(table.readVersion).getOrElse(table.readFrom(pinnedEntries))
+    val base =
+      if (!table.exists && declaredSchema.isDefined)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declaredSchema.get)
+      else version.map(table.readVersion).getOrElse(table.readFrom(pinnedEntries))
+    // columns DECLARED (CREATE TABLE schema, ALTER TABLE ADD COLUMNS)
+    // but absent from every data file read as typed nulls — the
+    // read-side half of schema evolution; the write side backfills
+    // via unionByName the first time data carries them
+    declaredSchema match {
+      case Some(decl) if table.exists =>
+        decl.fields.filterNot(f => base.columns.contains(f.name))
+          .foldLeft(base)((df, f) =>
+            df.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+      case _ => base
+    }
   }
 
   override lazy val schema: StructType = snapshot.schema

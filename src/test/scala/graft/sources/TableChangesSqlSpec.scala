@@ -36,6 +36,27 @@ class TableChangesSqlSpec extends SparkSpec {
     assert(out === Seq((2L, "Y2", "U")))
   }
 
+  test("ALTER TABLE ADD COLUMNS declares schema; reads backfill nulls; writes persist") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.addcol")
+    spark.sql("CREATE TABLE graft.db.addcol (id BIGINT, v STRING) TBLPROPERTIES (keys = 'id')")
+    spark.sql("INSERT INTO graft.db.addcol VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("ALTER TABLE graft.db.addcol ADD COLUMNS (score INT, tag STRING)")
+      .collect().head.getLong(0) === 2L)
+    // existing rows read the new columns as typed nulls immediately
+    val rows = spark.sql("SELECT id, v, score, tag FROM graft.db.addcol ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2), r.isNullAt(3)))
+    assert(rows === Array((1L, "a", true, true), (2L, "b", true, true)))
+    // the first write carrying the column persists real values
+    spark.sql("INSERT INTO graft.db.addcol VALUES (3, 'c', 7, 'x')")
+    val after = spark.sql(
+      "SELECT id, score FROM graft.db.addcol WHERE score IS NOT NULL").collect()
+    assert(after.map(r => (r.getLong(0), r.getInt(1))).toSeq === Seq((3L, 7)))
+    // duplicate names are rejected against the live snapshot schema
+    val dup = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.addcol ADD COLUMNS (v STRING)").collect())
+    assert(dup.getMessage.contains("already exists"))
+  }
+
   test("bad arguments fail loudly") {
     val e1 = intercept[Exception](spark.sql("SELECT * FROM table_changes('x')").collect())
     assert(e1.getMessage.contains("table_changes") || e1.getMessage.contains("startingVersion"))
