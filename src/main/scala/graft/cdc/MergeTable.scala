@@ -291,7 +291,17 @@ final class MergeTable(
     * unions schemas so appends that added columns read with nulls
     * back-filled — the reference's accept-any-schema behavior.
     */
-  def read(): DataFrame = readEntries(entries())
+  def read(): DataFrame = {
+    val df = readEntries(entries())
+    // metadata-dropped columns (ALTER TABLE DROP COLUMN) are hidden
+    // at the current-snapshot surface; data files keep them until the
+    // next COW rewrite / compaction (which read() feeds, so a rewrite
+    // physically removes them — the Iceberg metadata-drop contract).
+    // Time travel (readVersion) and the change feed keep history.
+    val dropped = MergeTable.readMeta(root).map(_.droppedColumns).getOrElse(Nil)
+      .filter(df.columns.contains)
+    if (dropped.isEmpty) df else df.drop(dropped: _*)
+  }
 
   /** Time travel: snapshot as of a committed version (manifests are
     * never rewritten, so any un-vacuumed version stays readable).
@@ -1024,12 +1034,15 @@ object MergeTable {
   val DeletionVectors = "deletion-vectors"
 
   /** Persisted table configuration (`_META.json` at the table root).
-    * `schemaJson` is only set for catalog-created tables that have a
-    * declared schema before their first commit.
+    * `schemaJson` is set for catalog-created tables with a declared
+    * schema and updated by ALTER TABLE ADD COLUMNS;
+    * `droppedColumns` records metadata-only column drops (hidden at
+    * read, physically removed by the next rewrite).
     */
   final case class Meta(keys: Seq[String], mode: String,
                         numBuckets: Option[Int], schemaJson: Option[String],
-                        constraints: Map[String, String] = Map.empty)
+                        constraints: Map[String, String] = Map.empty,
+                        droppedColumns: Seq[String] = Nil)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -1043,6 +1056,10 @@ object MergeTable {
     if (meta.constraints.nonEmpty) {
       val cs = node.putObject("constraints")
       meta.constraints.foreach { case (n, sql) => cs.put(n, sql) }
+    }
+    if (meta.droppedColumns.nonEmpty) {
+      val dc = node.putArray("dropped")
+      meta.droppedColumns.foreach(dc.add)
     }
     Files.createDirectories(Paths.get(root))
     Files.write(Paths.get(root).resolve("_META.json"),
@@ -1062,7 +1079,9 @@ object MergeTable {
         Option(n.get("schema")).map(_.asText),
         Option(n.get("constraints")).map { c =>
           c.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
-        }.getOrElse(Map.empty)))
+        }.getOrElse(Map.empty),
+        Option(n.get("dropped")).map(_.elements().asScala.map(_.asText).toSeq)
+          .getOrElse(Nil)))
     }
   }
 

@@ -107,6 +107,32 @@ object TextQueries extends QueryModule {
        |SELECT doc_id, $langGuessCase AS guess
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Classifier-evaluation readout for the language guesser: the
+    * (true lang × guess) confusion matrix — the standard way to judge
+    * a filter model before trusting it on a corpus. Bounded |langs|²
+    * output from one row-scaled aggregation; shares the marker/CASE
+    * SQL fragments with `text_langid`, so the oracle certifies the
+    * SAME classifier the pipeline runs.
+    */
+  private def langidConfusion(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang").as("true_lang"),
+        TextAnalysis.langGuess(col("text")).as("guess"))
+      .groupBy("true_lang", "guess")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("true_lang", "guess")
+
+  private val langidConfusionSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, text, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang, $langHitCols
+       |  FROM w)
+       |SELECT lang AS true_lang, $langGuessCase AS guess,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- fingerprints --------------------------------------------------------
 
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -629,6 +655,7 @@ object TextQueries extends QueryModule {
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_langid", langid, Some(langidSql)),
+    QueryDef("text_langid_confusion", langidConfusion, Some(langidConfusionSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_normalize", normalize, Some(normalizeSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),

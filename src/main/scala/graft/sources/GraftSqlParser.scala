@@ -51,6 +51,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*EXPIRE\s+SNAPSHOTS\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+KEEP\s+(\d+)\s*;?\s*""".r
   private val AddColumns =
     """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
+  private val DropColumns =
+    """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+DROP\s+COLUMNS?\s+\(?\s*([a-zA-Z0-9_]+(?:\s*,\s*[a-zA-Z0-9_]+)*)\s*\)?\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ADD\s+CONSTRAINT\s+([a-zA-Z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -83,6 +85,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(check.trim))
     case DropConstraint(catalog, ident, name) =>
       MergeTableConstraintCommand(catalog, ident.split('.').toSeq, name, None)
+    case DropColumns(catalog, ident, cols) =>
+      MergeTableDropColumnsCommand(catalog, ident.split('.').toSeq,
+        cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -210,10 +215,59 @@ case class MergeTableAddColumnsCommand(catalogName: String, ident: Seq[String],
     added.fieldNames.foreach { n =>
       require(!current.fieldNames.contains(n),
         s"column '$n' already exists in ${ident.mkString(".")}")
+      // re-adding a dropped name would resurrect its old values from
+      // data files the rewrite hasn't reclaimed yet
+      require(!meta.droppedColumns.contains(n),
+        s"column '$n' was previously dropped from ${ident.mkString(".")}; " +
+          "re-adding it would resurrect old values — use a new name")
     }
     val merged = StructType(current.fields ++ added.fields)
     MergeTable.writeMeta(path, meta.copy(schemaJson = Some(merged.json)))
     Seq(Row(added.fields.length.toLong))
+  }
+}
+
+/** `ALTER TABLE graft.db.t DROP COLUMN(S) (a, b)` — metadata-only
+  * column drop (the Iceberg contract): the columns disappear from
+  * every current-snapshot read immediately, data files keep them
+  * until the next COW rewrite / compaction physically removes them,
+  * and time travel / the change feed still see history. Key columns
+  * and constraint-referenced columns refuse to drop.
+  */
+case class MergeTableDropColumnsCommand(catalogName: String, ident: Seq[String],
+                                        cols: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.mergetablePath(session, catalogName, ident,
+      "ALTER TABLE ... DROP COLUMNS")
+    val meta = MergeTable.readMeta(path).getOrElse(
+      throw new IllegalArgumentException(s"no mergetable at $path"))
+    val t = new MergeTable(session, path, meta.keys, meta.mode, meta.numBuckets)
+    val current: Array[String] =
+      if (t.exists) t.read().schema.fieldNames
+      else meta.schemaJson
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType].fieldNames)
+        .getOrElse(Array.empty)
+    cols.foreach { c =>
+      require(current.contains(c),
+        s"column '$c' does not exist in ${ident.mkString(".")}")
+      require(!meta.keys.contains(c), s"cannot drop key column '$c'")
+      meta.constraints.foreach { case (name, sql) =>
+        require(!s"(?i).*\\b$c\\b.*".r.matches(sql),
+          s"cannot drop '$c': referenced by CHECK constraint '$name'")
+      }
+    }
+    val newSchema = meta.schemaJson.map { j =>
+      val st = DataType.fromJson(j).asInstanceOf[StructType]
+      StructType(st.fields.filterNot(f => cols.contains(f.name))).json
+    }
+    MergeTable.writeMeta(path, meta.copy(
+      droppedColumns = (meta.droppedColumns ++ cols).distinct,
+      schemaJson = newSchema))
+    Seq(Row(cols.length.toLong))
   }
 }
 

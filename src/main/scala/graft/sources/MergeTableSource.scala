@@ -141,13 +141,20 @@ class MergeTableRelation(
     // but absent from every data file read as typed nulls — the
     // read-side half of schema evolution; the write side backfills
     // via unionByName the first time data carries them
-    declaredSchema match {
+    val evolved = declaredSchema match {
       case Some(decl) if table.exists =>
         decl.fields.filterNot(f => base.columns.contains(f.name))
           .foldLeft(base)((df, f) =>
             df.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
       case _ => base
     }
+    // metadata-dropped columns are hidden from CURRENT-snapshot reads
+    // (time-travel reads keep history — Iceberg's drop contract)
+    val dropped =
+      if (version.isDefined) Nil
+      else MergeTable.readMeta(path).map(_.droppedColumns).getOrElse(Nil)
+        .filter(evolved.columns.contains)
+    if (dropped.isEmpty) evolved else evolved.drop(dropped: _*)
   }
 
   override lazy val schema: StructType = snapshot.schema

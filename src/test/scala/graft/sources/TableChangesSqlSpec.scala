@@ -57,6 +57,37 @@ class TableChangesSqlSpec extends SparkSpec {
     assert(dup.getMessage.contains("already exists"))
   }
 
+  test("ALTER TABLE DROP COLUMN hides immediately, guards keys/constraints, compaction reclaims") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.dropcol")
+    spark.sql("CREATE TABLE graft.db.dropcol (id BIGINT, v STRING, junk INT) TBLPROPERTIES (keys = 'id')")
+    spark.sql("INSERT INTO graft.db.dropcol VALUES (1, 'a', 5), (2, 'b', 6)")
+    spark.sql("ALTER TABLE graft.db.dropcol DROP COLUMN junk")
+    // hidden from current-snapshot reads immediately
+    assert(spark.sql("SELECT * FROM graft.db.dropcol").columns.toSeq === Seq("id", "v"))
+    // time travel still sees history
+    assert(spark.read.format("mergetable")
+      .option("path", spark.sql("DESCRIBE DETAIL graft.db.dropcol").head().getString(0))
+      .option("versionAsOf", "1").load().columns.contains("junk"))
+    // guards: key and constraint references refuse to drop
+    assert(intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.dropcol DROP COLUMN id").collect())
+      .getMessage.contains("key column"))
+    spark.sql("ALTER TABLE graft.db.dropcol ADD CONSTRAINT vlen CHECK (length(v) > 0)")
+    assert(intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.dropcol DROP COLUMN v").collect())
+      .getMessage.contains("constraint"))
+    // re-adding a dropped name is rejected (would resurrect old values)
+    assert(intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.dropcol ADD COLUMNS (junk INT)").collect())
+      .getMessage.contains("previously dropped"))
+    // the next rewrite physically removes the column
+    spark.sql("INSERT INTO graft.db.dropcol VALUES (3, 'c')")
+    spark.sql("COMPACT graft.db.dropcol")
+    val root = spark.sql("DESCRIBE DETAIL graft.db.dropcol").head().getString(0)
+    val latest = MergeTable.open(spark, root)
+    assert(!latest.readVersion(latest.versions().max).columns.contains("junk"))
+  }
+
   test("bad arguments fail loudly") {
     val e1 = intercept[Exception](spark.sql("SELECT * FROM table_changes('x')").collect())
     assert(e1.getMessage.contains("table_changes") || e1.getMessage.contains("startingVersion"))
