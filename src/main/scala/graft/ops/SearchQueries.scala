@@ -327,8 +327,10 @@ object SearchQueries extends QueryModule {
       .withColumn("_g", lit(1))
       .withColumn("_negscore", -col("lm_score"))
       .withColumn("_one", lit(1L))
-    val ranked = graft.ops.PrefixSum.runningTotal(scores, "_g",
-      Seq("_negscore", "doc_id"), "_one", "r")
+    // cached: consumed by both the 1-row total and the bucket agg —
+    // uncached, the rank accumulation pass runs twice
+    val ranked = graft.Caches.register(graft.ops.PrefixSum.runningTotal(scores, "_g",
+      Seq("_negscore", "doc_id"), "_one", "r"))
     val total = ranked.agg(max("r").as("n"))
     ranked.crossJoin(broadcast(total))
       .select(col("n_bigrams"), col("lm_score"),
