@@ -52,6 +52,45 @@ class ChangeFeedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDF stream into a changes-mode sink replicates the table end to end") {
+    // the flagship CDC composition: source table -> outbound change
+    // feed -> streaming sink applying I/U/D -> replica table. The
+    // replica must equal the source snapshot after arbitrary commits,
+    // including ones made while the stream is live.
+    val srcRoot = fresh("repl_src")
+    val dstRoot = fresh("repl_dst")
+    val src = MergeTable.createIfAbsent(spark, srcRoot, Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")),
+      mode = MergeTable.MergeOnRead)
+    src.upsert(Seq((2L, "B"), (4L, "d")).toDF("id", "v"))
+    src.delete(Seq(1L).toDF("id"))
+
+    val feed = spark.readStream.format("mergetable")
+      .option("path", srcRoot).option("keys", "id")
+      .option("startingVersion", "0")
+      .load()
+    // the feed's _change and _commit_version map onto the sink's
+    // normalized-change contract: opclass I/U/D, ordered by commit
+    val q = feed.withColumnRenamed("_change", "opclass")
+      .writeStream.format("mergetable")
+      .option("path", dstRoot).option("keys", "id")
+      .option("apply", "changes").option("ordering", "_commit_version")
+      .option("checkpointLocation", s"$dstRoot/ckpt")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      def snap(root: String): Set[(Long, String)] =
+        MergeTable.open(spark, root).read().as[(Long, String)].collect().toSet
+      assert(snap(dstRoot) === snap(srcRoot))
+      // live commits replicate incrementally — upsert, then a delete
+      src.upsert(Seq((3L, "C2"), (5L, "e")).toDF("id", "v"))
+      src.delete(Seq(2L).toDF("id"))
+      q.processAllAvailable()
+      assert(snap(dstRoot) === snap(srcRoot))
+      assert(snap(dstRoot) === Set((3L, "C2"), (4L, "d"), (5L, "e")))
+    } finally q.stop()
+  }
+
   test("pre-image feed stream maintains an aggregate that equals recompute") {
     val root = fresh("preimages")
     val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
