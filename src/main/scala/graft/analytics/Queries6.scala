@@ -667,7 +667,41 @@ object Queries6 extends QueryModule {
       |   OR span_secs = 0) AS is_bot
       |FROM stats ORDER BY user_id""".stripMargin
 
+  /** Hopping (sliding) window aggregation — the overlap semantics
+    * tumbling windows can't express: each event lands in
+    * length/slide = 4 one-hour windows that hop by 15 minutes, so
+    * adjacent windows share 45 minutes of events (the
+    * moving-average/trend shape). Spark's `window(ts, len, slide)`
+    * explodes each row into its slots BEFORE the aggregation —
+    * shuffle carries (slot, type) partials, output is bounded by
+    * time-range/slide × |types|. The oracle reconstructs the same
+    * epoch-aligned slots with integer arithmetic.
+    */
+  private def hoppingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"))
+      .orderBy("window_start", "event_type")
+
+  private val hoppingWindowSql =
+    """WITH slots AS (
+      |  SELECT event_type,
+    |    -- the 4 hop-aligned 1h windows covering ts: epoch-aligned
+      |    -- 15-min buckets, k = 0..3 hops back. floor() before the
+      |    -- BIGINT cast: DuckDB's double->int cast ROUNDS, which
+      |    -- would push a .9999-second timestamp into the next bucket
+      |    to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - k * 900)::TIMESTAMP AS window_start
+      |  FROM events, generate_series(0, 3) AS g(k)
+      |  WHERE ts IS NOT NULL)
+      |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+      |FROM slots
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_hopping_window", hoppingWindow, Some(hoppingWindowSql)),
     QueryDef("events_dau_mau", dauMau, Some(dauMauSql)),
     QueryDef("orders_abc_analysis", abcAnalysis, Some(abcAnalysisSql)),
     QueryDef("events_bot_flags", botFlags, Some(botFlagsSql)),
