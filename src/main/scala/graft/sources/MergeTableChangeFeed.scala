@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.cdc.MergeTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
@@ -40,7 +41,7 @@ class MergeTableChangeFeedSource(
     startingVersion: Long,
     maxVersionsPerBatch: Long,
     metadataPath: String,
-    updatePreImages: Boolean = false) extends Source {
+    updatePreImages: Boolean = false) extends Source with SupportsTriggerAvailableNow {
 
   private val table = new MergeTable(spark, path, keys, mode, numBuckets)
 
@@ -93,21 +94,49 @@ class MergeTableChangeFeedSource(
   override def getOffset: Option[Offset] = {
     val vs = table.versions()
     if (vs.isEmpty) None
-    else {
-      // always advertise (never None once the table exists): after a
-      // checkpoint restart the engine's committed offset may be BELOW
-      // our startingVersion (versions committed while the stream was
-      // down) — advertising exposed lets the engine schedule the
-      // catch-up batch (committed, exposed] instead of skipping it
-      // saturating add: a huge user-supplied cap ("unlimited") must
-      // not wrap negative and freeze the stream
-      val reach =
-        if (exposed > 0 && maxVersionsPerBatch > Long.MaxValue - exposed) Long.MaxValue
-        else exposed + maxVersionsPerBatch
-      exposed = math.max(exposed, math.min(vs.last, reach))
-      Some(LongOffset(exposed))
-    }
+    else Some(LongOffset(advance(vs.last)))
   }
+
+  // always advertise (never None once the table exists): after a
+  // checkpoint restart the engine's committed offset may be BELOW
+  // our startingVersion (versions committed while the stream was
+  // down) — advertising exposed lets the engine schedule the
+  // catch-up batch (committed, exposed] instead of skipping it.
+  // saturating add: a huge user-supplied cap ("unlimited") must
+  // not wrap negative and freeze the stream
+  private def advance(ceiling: Long): Long = {
+    val reach =
+      if (exposed > 0 && maxVersionsPerBatch > Long.MaxValue - exposed) Long.MaxValue
+      else exposed + maxVersionsPerBatch
+    exposed = math.max(exposed, math.min(ceiling, reach))
+    exposed
+  }
+
+  // -- Trigger.AvailableNow (SupportsAdmissionControl surface) ------------
+  // Without this, the engine's v1 wrapper latches the FIRST
+  // rate-limited getOffset answer as the drain target, so a
+  // maxVersionsPerBatch cap would end an AvailableNow run after one
+  // batch with versions still pending. Latching the CURRENT high
+  // water here lets the run pace itself batch by batch up to
+  // everything committed at query start — and ignore later commits,
+  // which is the AvailableNow contract.
+
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = table.versions().lastOption
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val vs = table.versions()
+    if (vs.isEmpty) return null
+    val ceiling = availableNowTarget.fold(vs.last)(math.min(vs.last, _))
+    LongOffset(advance(ceiling))
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    table.versions().lastOption.map(LongOffset(_)).orNull
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(asVersion).getOrElse(startingVersion)

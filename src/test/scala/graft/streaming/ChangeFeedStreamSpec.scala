@@ -165,6 +165,29 @@ class ChangeFeedStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("Trigger.AvailableNow drains all pending versions and stops") {
+    // the batch-job shape: process everything committed so far, then
+    // terminate — the engine drives the v1 source's offsets to the
+    // current high water and ends the query
+    val root = fresh("avail_now")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")))
+    t.upsert(Seq((2L, "b")).toDF("id", "v"))
+    t.upsert(Seq((1L, "A")).toDF("id", "v"))
+    val q = spark.readStream.format("mergetable")
+      .option("path", root).option("keys", "id")
+      .option("startingVersion", "0").option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream.format("memory").queryName("avail_now")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+      val got = spark.table("avail_now").select("id", "v", "_change")
+        .as[(Long, String, String)].collect().toSet
+      assert(got === Set((1L, "a", "I"), (2L, "b", "I"), (1L, "A", "U")))
+    } finally q.stop()
+  }
+
   test("a torn high-water file degrades gracefully instead of crash-looping") {
     val root = fresh("tornhw")
     val ckpt = s"$root/ckpt"
