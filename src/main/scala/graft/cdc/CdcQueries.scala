@@ -164,6 +164,17 @@ object CdcQueries extends QueryModule {
   private def applyUpsertDv(s: SparkSession, dir: String): DataFrame =
     applyUpsertWith("dv", MergeTable.DeletionVectors, None)(s, dir)
 
+  /** Same semantics through deletion vectors COMPOSED with hash
+    * bucketing: the mask scan touches only the batch's buckets, new
+    * rows land bucket-partitioned, and the post-write compaction
+    * (`compactAfter`) folds masks per dirty bucket — so the gate
+    * hashes the full write→mask→compact lifecycle of the composed
+    * mode.
+    */
+  private def applyUpsertDvBucketed(s: SparkSession, dir: String): DataFrame =
+    applyUpsertWith("dv_bucketed", MergeTable.DeletionVectors, Some(8),
+      compactAfter = true)(s, dir)
+
   /** Same semantics through bucketed MOR: bucket-partitioned seed,
     * flat delta upsert, then per-bucket compaction (`compactAfter`)
     * so the gate hashes the post-compaction bucket layout.
@@ -841,6 +852,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert_bucketed", applyUpsertBucketed, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_mor_bucketed", applyUpsertMorBucketed, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_dv", applyUpsertDv, Some(applyUpsertSql)),
+    QueryDef("cdc_apply_upsert_dv_bucketed", applyUpsertDvBucketed, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete", applyDelete, Some(applyDeleteSql)),
     QueryDef("cdc_apply_delete_dv", applyDeleteDv, Some(applyDeleteSql)),
     QueryDef("cdc_apply_upsert_sql", applyUpsertViaSql, Some(applyUpsertSql)),

@@ -85,13 +85,15 @@ final class MergeTable(
     val numBuckets: Option[Int] = None,
     val maxDeltas: Int = 8) {
 
-  // numBuckets composes with either COW or MOR: bucketed COW rewrites
+  // numBuckets composes with any write mode: bucketed COW rewrites
   // only touched buckets; bucketed MOR appends flat deltas and
-  // compacts only the buckets those deltas touch. Deletion vectors
-  // address rows by (file, position) inside the flat layout, so the
-  // bucketed layout is rejected rather than half-supported.
-  require(mode != MergeTable.DeletionVectors || numBuckets.isEmpty,
-    "deletion-vectors mode does not compose with hash bucketing")
+  // compacts only the buckets those deltas touch; bucketed deletion
+  // vectors mask positions inside per-bucket dirs (masks address
+  // (file, pos) — the file path already carries the bucket), so a
+  // write scans only the touched buckets for positions to mask, the
+  // appended rows land bucket-partitioned, and compaction folds masks
+  // back per dirty bucket. O(batch) writes + bucket-pruned reads in
+  // one mode.
 
   private val rootPath = Paths.get(root)
   private val dataDir = rootPath.resolve("data")
@@ -503,7 +505,8 @@ final class MergeTable(
     * never match.
     */
   private def readWithPos(es: Seq[(String, String)]): DataFrame = {
-    val scan = readDirs(es.filter(_._1 == "base").map(_._2))
+    val scan = readDirs(
+      es.filter(e => e._1 == "base" || e._1.matches("b\\d+")).map(_._2))
       .withColumn(FileCol, col("_metadata.file_path"))
       .withColumn(PosCol, col("_metadata.row_index"))
     val dvDirs = es.filter(_._1 == "dv").map(_._2)
@@ -523,10 +526,21 @@ final class MergeTable(
     * `changeKeys`; returns the dv entry, or None when nothing
     * matched (the commit then skips the entry and the orphan dir is
     * vacuum-reclaimable). The parquet row count is footer-served, so
-    * the emptiness probe costs no data read.
+    * the emptiness probe costs no data read. On a bucketed layout,
+    * `bucketScope` restricts the position scan to the buckets the
+    * change batch hashes into — keys outside those buckets provably
+    * cannot match, so the mask costs O(touched buckets), not O(table).
     */
-  private def writeMask(changeKeys: DataFrame): Option[(String, String)] = {
-    val masked = readWithPos(entries())
+  private def writeMask(changeKeys: DataFrame,
+      bucketScope: Option[Set[Long]] = None): Option[(String, String)] = {
+    val es = entries()
+    val scanEs = bucketScope match {
+      case Some(bs) => es.filter { case (t, _) =>
+        t == "dv" || (t.matches("b\\d+") && bs.contains(t.stripPrefix("b").toLong))
+      }
+      case None => es
+    }
+    val masked = readWithPos(scanEs)
       .join(changeKeys, keys, "left_semi")
       .select(FileCol, PosCol)
     val dir = writeData(masked)
@@ -664,16 +678,26 @@ final class MergeTable(
 
   private def upsertUnchecked(changes: DataFrame): Unit = mode match {
     case MergeTable.DeletionVectors =>
-      if (!exists) commit(Seq("base" -> writeData(changes)))
-      else {
+      if (!exists) {
+        if (numBuckets.isDefined) seedBucketed(changes)
+        else commit(Seq("base" -> writeData(changes)))
+      } else {
         // O(batch) write: mask the matched keys' current positions,
         // append the change rows as a new base file — no data-file
         // rewrite, no key-shuffle on read. One atomic commit carries
         // both entries, so readers never see the mask without the
-        // replacement rows.
+        // replacement rows. Bucketed: the position scan touches only
+        // the buckets the batch hashes into, and the appended rows
+        // land bucket-partitioned (a bucket may accumulate several
+        // dirs between compactions — masks, not manifest order, do
+        // the superseding).
         val es = entries()
-        val dv = writeMask(keySet(changes, dedup = true))
-        commit(es ++ dv.toSeq :+ ("base" -> writeData(changes)))
+        val scope = numBuckets.map(_ => affectedBuckets(changes))
+        val dv = writeMask(keySet(changes, dedup = true), scope)
+        val appended =
+          if (numBuckets.isDefined) writeBucketed(changes)
+          else Seq("base" -> writeData(changes))
+        commit(es ++ dv.toSeq ++ appended)
         maybeCompact()
       }
     case MergeTable.MergeOnRead =>
@@ -705,9 +729,11 @@ final class MergeTable(
       case MergeTable.DeletionVectors =>
         // Pure mask commit: the deleted rows' files are untouched.
         // A delete matching nothing commits nothing (idempotent
-        // replay converges without version churn).
+        // replay converges without version churn). Bucketed: the
+        // position scan touches only the keys' buckets.
         val es = entries()
-        writeMask(keySet(deleteKeys, dedup = true))
+        val scope = numBuckets.map(_ => affectedBuckets(deleteKeys))
+        writeMask(keySet(deleteKeys, dedup = true), scope)
           .foreach { dv => commit(es :+ dv); maybeCompact() }
       case MergeTable.MergeOnRead =>
         val tombstones = deleteKeys.select(keys.map(col): _*).distinct()
@@ -772,23 +798,37 @@ final class MergeTable(
       .filter(_.startsWith(s"$BucketCol="))
       .map(_.stripPrefix(s"$BucketCol=").toLong).toSet
 
-  /** First write of a bucketed table: one bucket-partitioned job. */
-  private def seedBucketed(df: DataFrame): Unit = {
+  /** The bucket ids a batch's keys hash into — bounded by numBuckets,
+    * so the collect is a scalar cut, not a data pull.
+    */
+  private def affectedBuckets(batch: DataFrame): Set[Long] =
+    batch.select(bucketExpr.as(BucketCol)).distinct()
+      .collect().map(_.getLong(0)).toSet
+
+  /** One bucket-partitioned write job; returns the per-bucket manifest
+    * entries for the buckets the data actually landed in.
+    */
+  private def writeBucketed(df: DataFrame): Seq[(String, String)] = {
     val dir = UUID.randomUUID().toString
     df.withColumn(BucketCol, bucketExpr)
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(dataDir.resolve(dir).toString)
     val written = listBuckets(dir)
     written.foreach(i => recordStats(s"$dir/$BucketCol=$i"))
-    commit(written.toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i"))
+    written.toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i")
   }
+
+  /** First write of a bucketed table: one bucket-partitioned job. */
+  private def seedBucketed(df: DataFrame): Unit =
+    commit(writeBucketed(df))
 
   /** Fold deltas into the base (MOR housekeeping). Bucketed tables
     * compact ONLY the buckets the pending deltas touch — at 100 TB a
     * compaction pays for the dirty buckets, not the table.
     */
   def compact(): Unit =
-    if (numBuckets.isDefined) compactBuckets()
+    if (numBuckets.isDefined && mode == MergeTable.DeletionVectors) compactDvBuckets()
+    else if (numBuckets.isDefined) compactBuckets()
     else {
       // no-op when already one base and nothing pending: a scheduled
       // COMPACT on an idle COW table must not rewrite the whole
@@ -802,6 +842,41 @@ final class MergeTable(
           es.count(_._1 == "base") > 1)
         commit(Seq("base" -> writeData(read())))
     }
+
+  /** Bucketed deletion-vector housekeeping: fold masks back into
+    * clean per-bucket bases, rewriting ONLY the dirty buckets — a
+    * bucket is dirty when any committed mask hides one of its rows
+    * (the mask's file path carries the bucket dir) or when appends
+    * have chained multiple dirs onto it. Untouched buckets keep their
+    * existing directories; all dv entries drop (masks can only
+    * reference dirty buckets' files, which were just rewritten).
+    */
+  private def compactDvBuckets(): Unit = {
+    val es = entries()
+    val dvEntries = es.filter(_._1 == "dv")
+    val bucketOf = (t: String) => t.stripPrefix("b").toLong
+    val multi = es.filter(_._1.matches("b\\d+")).groupBy(_._1)
+      .filter(_._2.size > 1).keySet.map(bucketOf)
+    val masked: Set[Long] =
+      if (dvEntries.isEmpty) Set.empty
+      else readDirs(dvEntries.map(_._2))
+        .select(regexp_extract(col(FileCol), s"$BucketCol=(\\d+)", 1)
+          .cast("long").as(BucketCol))
+        .distinct().collect().map(_.getLong(0)).toSet // bounded by numBuckets
+    val dirty = multi ++ masked
+    if (dirty.isEmpty && dvEntries.isEmpty) return
+    val dirtyEs = es.filter { case (t, _) =>
+      t.matches("b\\d+") && dirty.contains(bucketOf(t))
+    }
+    val untouched = es.filter { case (t, _) =>
+      t.matches("b\\d+") && !dirty.contains(bucketOf(t))
+    }
+    // stale masks can name buckets with no live dirs (post-RESTORE);
+    // with nothing to rewrite the commit just sheds the dv entries
+    if (dirtyEs.isEmpty) { commit(untouched); return }
+    val live = readWithPos(dirtyEs ++ dvEntries).drop(FileCol, PosCol)
+    commit(untouched ++ writeBucketed(live))
+  }
 
   private def compactBuckets(): Unit = {
     val es = entries()

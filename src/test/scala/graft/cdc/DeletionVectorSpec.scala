@@ -143,12 +143,106 @@ class DeletionVectorSpec extends SparkSpec {
       .collect().sorted === Seq((1L, "a", None), (2L, "B", Some(7L))))
   }
 
-  test("deletion vectors reject a bucketed layout loudly") {
-    val e = intercept[IllegalArgumentException] {
-      new MergeTable(spark, fresh("buckets"), Seq("id"),
-        MergeTable.DeletionVectors, numBuckets = Some(4))
+  // -- deletion vectors × hash bucketing -----------------------------------
+
+  private def bucketOf(id: Long, n: Int): Long = {
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit, col}
+    Seq(id).toDF("id").select(pmod(xxhash64(col("id")), lit(n)))
+      .head().getLong(0)
+  }
+
+  test("bucketed dv upsert: mask + bucket-partitioned append, no rewrite") {
+    val root = fresh("bk_upsert")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some((0L until 40L).map(i => (i, s"v$i")).toDF("id", "v")),
+      mode = MergeTable.DeletionVectors, numBuckets = Some(4))
+    val seedLines = lastManifest(root).linesIterator.toSet
+    assert(seedLines.forall(_.matches("b\\d+:.*")), seedLines)
+    val baseFiles = dataFiles(root)
+    t.upsert(Seq((7L, "V7"), (41L, "new")).toDF("id", "v"))
+    val after = lastManifest(root).linesIterator.toSeq
+    // every seed bucket entry survives verbatim; the commit ADDED
+    // only a mask and the new rows' bucket dirs
+    assert(seedLines.subsetOf(after.toSet), after.mkString("|"))
+    assert(after.count(_.startsWith("dv:")) === 1, after.mkString("|"))
+    assert(baseFiles.subsetOf(dataFiles(root)), "bucketed dv upsert rewrote a data file")
+    val got = t.read().as[(Long, String)].collect().toMap
+    assert(got(7L) === "V7" && got(41L) === "new" && got(8L) === "v8")
+    assert(got.size === 41)
+  }
+
+  test("bucketed dv delete commits only a mask") {
+    val root = fresh("bk_delete")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some((0L until 30L).map(i => (i, i * 10)).toDF("id", "n")),
+      mode = MergeTable.DeletionVectors, numBuckets = Some(4))
+    val seedLines = lastManifest(root).linesIterator.toSet
+    val baseFiles = dataFiles(root)
+    t.delete(Seq(5L, 6L).toDF("id"))
+    val after = lastManifest(root).linesIterator.toSeq
+    // manifest = the seed bucket entries verbatim + exactly one mask
+    assert(after.toSet === seedLines ++ after.filter(_.startsWith("dv:")))
+    assert(after.count(_.startsWith("dv:")) === 1, after.mkString("|"))
+    assert(baseFiles.subsetOf(dataFiles(root)), "delete rewrote a data file")
+    assert(t.read().count() === 28)
+  }
+
+  test("bucketed dv matches COW over a mixed upsert/delete sequence") {
+    val rows = (0L until 200L).map(i => (i, s"v$i", i % 7))
+    def drive(mode: String, buckets: Option[Int], name: String): Seq[(Long, String, Long)] = {
+      val root = fresh(name)
+      val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+        initial = Some(rows.toDF("id", "v", "grp")), mode = mode, numBuckets = buckets)
+      t.upsert((50L until 120L).map(i => (i, s"V$i", i % 5)).toDF("id", "v", "grp"))
+      t.delete((0L until 200L by 3).toDF("id"))
+      t.upsert(Seq((3L, "back", 0L)).toDF("id", "v", "grp"))
+      t.read().as[(Long, String, Long)].collect().sorted.toSeq
     }
-    assert(e.getMessage.contains("bucketing"))
+    assert(drive(MergeTable.DeletionVectors, Some(8), "bk_vs_dv") ===
+      drive(MergeTable.CopyOnWrite, None, "bk_vs_cow"))
+  }
+
+  test("bucketed dv compaction rewrites only dirty buckets, sheds masks") {
+    val root = fresh("bk_compact")
+    val n = 8
+    val t = new MergeTable(spark, root, Seq("id"),
+      MergeTable.DeletionVectors, numBuckets = Some(n), maxDeltas = 100)
+    t.upsert((0L until 64L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val seedEntries = lastManifest(root).linesIterator.toSet
+    // touch exactly two keys -> at most two dirty buckets
+    t.upsert(Seq((1L, "A")).toDF("id", "v"))
+    t.delete(Seq(2L).toDF("id"))
+    val dirtyBuckets = Set(bucketOf(1L, n), bucketOf(2L, n))
+    t.compact()
+    val after = lastManifest(root).linesIterator.toSeq
+    assert(!after.exists(_.startsWith("dv:")), after.mkString("|"))
+    // untouched buckets keep their seed directories verbatim
+    val untouchedSeed = seedEntries.filter { line =>
+      !dirtyBuckets.contains(line.takeWhile(_ != ':').stripPrefix("b").toLong)
+    }
+    assert(untouchedSeed.subsetOf(after.toSet), after.mkString("|"))
+    // dirty buckets were rewritten away from their seed dirs
+    assert(after.toSet.intersect(seedEntries -- untouchedSeed).isEmpty)
+    // one entry per live bucket, stats-prunable again
+    assert(after.forall(_.matches("b\\d+:.*")))
+    assert(t.prunableFiles(t.currentEntries()).isDefined)
+    val got = t.read().as[(Long, String)].collect().toMap
+    assert(got(1L) === "A" && !got.contains(2L) && got.size === 63)
+  }
+
+  test("bucketed dv auto-compaction triggers on the mask bound") {
+    val root = fresh("bk_auto")
+    val t = new MergeTable(spark, root, Seq("id"),
+      MergeTable.DeletionVectors, numBuckets = Some(4), maxDeltas = 3)
+    t.upsert((0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.upsert(Seq((1L, "A")).toDF("id", "v"))
+    t.delete(Seq(2L).toDF("id"))
+    t.upsert(Seq((3L, "C")).toDF("id", "v")) // 3rd mask -> compaction
+    val last = lastManifest(root)
+    assert(!last.linesIterator.exists(_.startsWith("dv:")), last)
+    assert(t.read().as[(Long, String)].collect().sorted ===
+      ((0L, "v0") +: (4L until 10L).map(i => (i, s"v$i"))
+        :+ (1L, "A") :+ (3L, "C")).sorted)
   }
 
   test("SQL MERGE and DELETE against a dv table commit masks, not rewrites") {
