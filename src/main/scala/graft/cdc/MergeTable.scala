@@ -433,18 +433,145 @@ final class MergeTable(
       updatePreImages: Boolean = false): DataFrame = {
     val stepVs = versions().filter(v => v > fromVersion && v <= toVersion)
     if (stepVs.isEmpty) return changesBetween(toVersion, toVersion, updatePreImages)
+    // classify each step: a pure delta-append commit's changed keys
+    // are exactly its delta rows' keys, which both enables the
+    // key-restricted diff (changeStep) and lets CONSECUTIVE
+    // delta-append commits share ONE grouped diff per run (changeRun)
+    // — a window of N MOR commits plans O(runs) jobs, not O(N)
     val steps = (fromVersion +: stepVs.init).zip(stepVs).map { case (lo, hi) =>
-      // schema evolution: columns added by later versions read as
-      // nulls for earlier ranges via unionByName below
-      changeStep(lo, hi, updatePreImages).withColumn("_commit_version", lit(hi))
+      val before = if (lo == 0L) Seq.empty else entriesAt(lo)
+      val after = entriesAt(hi)
+      val added = after.filterNot(before.contains)
+      val removed = before.filterNot(after.contains)
+      val deltaDirs =
+        if (removed.isEmpty && added.nonEmpty && added.forall(_._1 == "delta"))
+          Some(added.map(_._2))
+        else None
+      (lo, hi, deltaDirs)
     }
-    val all = steps.reduce(_.unionByName(_, allowMissingColumns = true))
+    val segs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val run = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[String])]
+    def stepSeg(lo: Long, hi: Long): DataFrame =
+      changeStep(lo, hi, updatePreImages).withColumn("_commit_version", lit(hi))
+    def flushRun(): Unit = if (run.nonEmpty) {
+      val lo = run.head._1
+      if (run.size == 1) segs += stepSeg(lo, run.head._2)
+      else if (runSchemaUniform(lo, run.toSeq))
+        segs += changeRun(lo, run.map(s => (s._2, s._3)).toSeq, updatePreImages)
+      else
+        // a run that introduces new columns mid-run falls back to
+        // per-version steps: the netted per-step diff compares only
+        // columns present in BOTH snapshots, which the grouped fold
+        // cannot reproduce without a per-version column set
+        run.foreach { case (l, h, _) => segs += stepSeg(l, h) }
+      run.clear()
+    }
+    steps.foreach {
+      case (lo, hi, Some(dirs)) => run += ((lo, hi, dirs))
+      case (lo, hi, None) => flushRun(); segs += stepSeg(lo, hi)
+    }
+    flushRun()
+    // schema evolution: columns added by later versions read as
+    // nulls for earlier ranges via unionByName
+    val all = segs.reduce(_.unionByName(_, allowMissingColumns = true))
     // filter (not max_by) so a U_pre/U_post pair from the winning
     // version survives intact
     val perKey = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
     all.withColumn("_maxv", max(col("_commit_version")).over(perKey))
       .filter(col("_commit_version") === col("_maxv"))
       .drop("_maxv", "_commit_version")
+  }
+
+  /** True when no delta dir of the run carries a column outside the
+    * run's base schema (run-start snapshot; for a from-0 run, the
+    * first delta) — the condition under which the grouped fold and
+    * the per-version diffs agree exactly. Driver-side footer reads,
+    * O(dirs).
+    */
+  private def runSchemaUniform(lo: Long, run: Seq[(Long, Long, Seq[String])]): Boolean = {
+    val dirCols = run.flatMap(_._3).map(d =>
+      spark.read.parquet(dataDir.resolve(d).toString)
+        .schema.fieldNames.toSet - Tombstone)
+    val base =
+      if (lo == 0L) dirCols.headOption.getOrElse(Set.empty)
+      else readVersion(lo).columns.toSet
+    dirCols.forall(_.subsetOf(base))
+  }
+
+  /** ONE grouped diff for a run of consecutive delta-append commits
+    * `(lo, last]` — the O(runs) replay path. MOR reconciliation is
+    * row-replacement, so a key's state after each commit IS its
+    * latest delta row: the run's per-key state chain is the
+    * key-restricted run-start snapshot (seq 0) followed by the run's
+    * delta rows in commit order. Each link is classified against its
+    * predecessor with `lag` (tombstone over live = D, live over
+    * absent/tombstone = I, live over different live = U, equal or
+    * tombstone-over-absent = no-op), and the key's LATEST effective
+    * change — tagged `_commit_version` from its own commit — is what
+    * the outer per-key combiner sees, exactly as if every version had
+    * been diffed separately. One window over the unbounded PK instead
+    * of one full-outer join per version.
+    */
+  private def changeRun(lo: Long, runSteps: Seq[(Long, Seq[String])],
+      updatePreImages: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val CvCol = "_graft_run_cv"
+    val SeqCol = "_graft_run_seq"
+    val parts = runSteps.flatMap { case (v, dirs) => dirs.map(d => (v, d)) }
+    val tagged = parts.zipWithIndex.map { case ((v, d), i) =>
+      readDirs(Seq(d)).withColumn(CvCol, lit(v)).withColumn(SeqCol, lit((i + 1).toLong))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val runKeys = tagged.select(keys.map(col): _*).distinct()
+    val start =
+      if (lo == 0L) tagged.limit(0)
+      else readVersion(lo).join(runKeys, keys, "left_semi")
+        .withColumn(CvCol, lit(lo)).withColumn(SeqCol, lit(0L))
+    val all0 = start.unionByName(tagged, allowMissingColumns = true)
+    val all = if (all0.columns.contains(Tombstone)) all0
+      else all0.withColumn(Tombstone, lit(false))
+    val dataCols = all.columns.filterNot(c =>
+      keys.contains(c) || c == CvCol || c == SeqCol || c == Tombstone).toSeq
+    val state = struct(dataCols.map(col) :+
+      coalesce(col(Tombstone), lit(false)).as(Tombstone): _*)
+    val chain = Window.partitionBy(keys.map(col): _*).orderBy(col(SeqCol))
+    val withPrev = all.withColumn("_prev", lag(state, 1).over(chain))
+      .filter(col(SeqCol) > 0) // the start state is context, not a change
+    val ownTomb = coalesce(col(Tombstone), lit(false))
+    val prevLive = col("_prev").isNotNull && !col(s"_prev.$Tombstone")
+    val changed =
+      if (dataCols.isEmpty) lit(false)
+      else dataCols.map(c => !(col(c) <=> col(s"_prev.$c"))).reduce(_ || _)
+    val changeOp = when(ownTomb && prevLive, lit(CdcModel.OpDelete))
+      .when(!ownTomb && !prevLive, lit(CdcModel.OpInsert))
+      .when(!ownTomb && prevLive && changed, lit(CdcModel.OpUpsert))
+      .otherwise(lit(null)) // no-op link: invisible to the feed
+    val candidates = withPrev.withColumn("_change", changeOp)
+      .filter(col("_change").isNotNull)
+    val perKey = Window.partitionBy(keys.map(col): _*)
+    val latest = candidates
+      .withColumn("_maxseq", max(col(SeqCol)).over(perKey))
+      .filter(col(SeqCol) === col("_maxseq"))
+    if (!updatePreImages)
+      latest.select(keys.map(col) ++
+        dataCols.map(c => when(col("_change") === CdcModel.OpDelete,
+          col(s"_prev.$c")).otherwise(col(c)).as(c)) ++
+        Seq(col("_change"), col(CvCol).as("_commit_version")): _*)
+    else {
+      def img(change: Column, pre: Boolean): Column = struct(
+        dataCols.map(c => (if (pre) col(s"_prev.$c") else col(c)).as(c)) :+
+          change.as("_change"): _*)
+      val rows = when(col("_change") === CdcModel.OpInsert,
+          array(img(lit(CdcModel.OpInsert), pre = false)))
+        .when(col("_change") === CdcModel.OpDelete,
+          array(img(lit(CdcModel.OpDelete), pre = true)))
+        .otherwise(array(img(lit("U_pre"), pre = true),
+          img(lit("U_post"), pre = false)))
+      latest
+        .select(keys.map(col) ++
+          Seq(col(CvCol).as("_commit_version"), explode(rows).as("_r")): _*)
+        .select(keys.map(col) ++ dataCols.map(c => col(s"_r.$c")) ++
+          Seq(col("_r._change"), col("_commit_version")): _*)
+    }
   }
 
   /** One version's diff for the per-version feed, KEY-RESTRICTED when
@@ -1175,6 +1302,27 @@ object MergeTable {
         .filter(p => Files.getLastModifiedTime(p).toInstant.toEpochMilli * 1000L <= micros)
         .map(_.getFileName.toString.stripPrefix("v").stripSuffix(".txt").toLong)
         .maxOption
+      finally s.close()
+    }
+  }
+
+  /** Earliest committed version whose manifest was written at or after
+    * the given epoch-micros timestamp — the Delta-CDF
+    * `startingTimestamp` index (the feed INCLUDES the first commit
+    * at-or-after the bound, where [[versionAtTimestamp]] serves the
+    * at-or-BEFORE reads of `timestampAsOf`/`endingTimestamp`). None
+    * when every commit predates the timestamp.
+    */
+  def versionAtOrAfterTimestamp(root: String, micros: Long): Option[Long] = {
+    val manifests = Paths.get(root).resolve("manifests")
+    if (!Files.isDirectory(manifests)) None
+    else {
+      val s = Files.list(manifests)
+      try s.iterator().asScala.toList
+        .filter(_.getFileName.toString.matches("v\\d+\\.txt"))
+        .filter(p => Files.getLastModifiedTime(p).toInstant.toEpochMilli * 1000L >= micros)
+        .map(_.getFileName.toString.stripPrefix("v").stripSuffix(".txt").toLong)
+        .minOption
       finally s.close()
     }
   }

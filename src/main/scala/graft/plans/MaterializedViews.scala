@@ -35,12 +35,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * retraction algebra; this registry composes with it rather than
   * duplicating it).
   *
-  * Freshness is an explicit contract: only views marked fresh by a
-  * completed [[refresh]] (and not invalidated by [[markStale]])
-  * rewrite. Nothing here tracks base-table versions — with parquet
-  * dirs as bases there is no commit pointer to watch; callers that
-  * mutate a base must re-[[refresh]] (or [[markStale]]) first, as on
-  * any warehouse with manual MV maintenance.
+  * Freshness is tracked two ways. A completed [[refresh]] marks the
+  * view fresh and records a FINGERPRINT of the base files the
+  * definition read (sorted path/size/mtime — with parquet dirs as
+  * bases there is no commit pointer to watch, so the file manifest IS
+  * the version); at match time the fingerprint is re-derived and a
+  * mismatch suppresses the rewrite and auto-stales the view — a
+  * mutated base can never be answered from a stale materialization.
+  * [[markStale]] stays as the explicit override (e.g. a base about to
+  * be mutated mid-query). MergeTable-backed incremental MVs check the
+  * table's commit log instead.
   */
 object MaterializedViews {
 
@@ -49,7 +53,8 @@ object MaterializedViews {
       path: String,
       definition: () => DataFrame,
       canonical: LogicalPlan,
-      fresh: Boolean)
+      fresh: Boolean,
+      fingerprint: Option[Long] = None)
 
   private val registry = TrieMap.empty[String, Mv]
 
@@ -72,14 +77,37 @@ object MaterializedViews {
     registry.put(name, Mv(name, path, definition, canonical, fresh = false))
   }
 
-  /** Recompute the view from current base data and mark it fresh. */
+  /** Recompute the view from current base data and mark it fresh,
+    * recording the base-file fingerprint the materialization was
+    * computed FROM (listed after the write, so files appended during
+    * the refresh stale it rather than slip under it).
+    */
   def refresh(name: String): Unit = {
     val mv = registry.getOrElse(name,
       throw new IllegalArgumentException(s"unknown materialized view $name"))
     withRuleSuspended {
       mv.definition().write.mode("overwrite").parquet(mv.path)
     }
-    registry.put(name, mv.copy(fresh = true))
+    registry.put(name,
+      mv.copy(fresh = true, fingerprint = Some(baseFingerprint(mv.definition))))
+  }
+
+  /** Fingerprint of the base files a definition currently reads:
+    * sorted (path, size, mtime) folded into one hash. This is the
+    * parquet-base counterpart of the incremental MVs' commit-log
+    * check — the file manifest IS the base's version. Driver-side
+    * listing, O(files), no data read.
+    */
+  private def baseFingerprint(definition: () => DataFrame): Long = withRuleSuspended {
+    definition().inputFiles.sorted.foldLeft(7L) { (h, f) =>
+      val p =
+        try Paths.get(new java.net.URI(f))
+        catch { case _: Exception => Paths.get(f) }
+      val (sz, mt) =
+        try (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+        catch { case _: Exception => (-1L, -1L) }
+      ((h * 31 + f.hashCode) * 31 + sz) * 31 + mt
+    }
   }
 
   /** Invalidate without dropping: queries fall back to base tables. */
@@ -201,9 +229,19 @@ object MaterializedViews {
     if (suspended || (registry.isEmpty && incRegistry.isEmpty)) None
     else {
       val c = sub.canonicalized
-      registry.values.collectFirst {
-        case mv if mv.fresh && mv.canonical == c && Files.exists(Paths.get(mv.path)) =>
-          (mv.name, mv.path)
+      registry.values.find(mv =>
+        mv.fresh && mv.canonical == c && Files.exists(Paths.get(mv.path))
+      ).flatMap { mv =>
+        // base-file fingerprint re-derived at match time: a mutated
+        // base (overwrite, append, retention delete) suppresses the
+        // rewrite and auto-stales the view, so only an explicit
+        // refresh can serve it again
+        if (mv.fingerprint.forall(_ == baseFingerprint(mv.definition)))
+          Some((mv.name, mv.path))
+        else {
+          registry.put(mv.name, mv.copy(fresh = false))
+          None
+        }
       }.orElse(incRegistry.values.collectFirst {
         // canonical equality first (cheap); then the commit-log check —
         // a table that moved past the materialized version falls

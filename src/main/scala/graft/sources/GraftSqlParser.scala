@@ -256,7 +256,12 @@ case class MergeTableDropColumnsCommand(catalogName: String, ident: Seq[String],
         s"column '$c' does not exist in ${ident.mkString(".")}")
       require(!meta.keys.contains(c), s"cannot drop key column '$c'")
       meta.constraints.foreach { case (name, sql) =>
-        require(!s"(?i).*\\b$c\\b.*".r.matches(sql),
+        // resolve actual attribute references, not a textual match —
+        // a column name inside a string LITERAL (CHECK (tag != 'v'))
+        // must not block dropping an unreferenced column 'v'
+        val refs = session.sessionState.sqlParser.parseExpression(sql)
+          .references.map(_.name.toLowerCase).toSet
+        require(!refs.contains(c.toLowerCase),
           s"cannot drop '$c': referenced by CHECK constraint '$name'")
       }
     }

@@ -124,7 +124,12 @@ class MergeTableChangeFeedSource(
   private var availableNowTarget: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = table.versions().lastOption
+    // a table with no commits at query start latches the STARTING
+    // version (not None): commits landing after start are outside the
+    // AvailableNow contract, and an unlatched target would let
+    // latestOffset chase them — a run that never terminates while
+    // writers keep committing
+    availableNowTarget = Some(table.versions().lastOption.getOrElse(startingVersion))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 

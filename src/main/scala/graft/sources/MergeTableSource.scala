@@ -56,13 +56,17 @@ class MergeTableSource extends RelationProvider with DataSourceRegister
     // request) instead of the snapshot
     if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
       // timestamp bounds (Delta CDF parity): startingTimestamp = feed
-      // begins AFTER the snapshot as of that wall-clock time (no
-      // commit at-or-before → full replay from 0); endingTimestamp =
-      // feed ends at the latest commit at-or-before it
+      // INCLUDES the first commit at-or-after it (exclusive start =
+      // that version - 1), so a commit landing exactly at the bound is
+      // in the feed; every commit at-or-after already passed → empty
+      // feed from the latest version. endingTimestamp = feed ends at
+      // the latest commit at-or-before it.
       val startV = parameters.get("startingVersion").map(_.toLong)
         .orElse(parameters.get("startingTimestamp").map { ts =>
-          MergeTable.versionAtTimestamp(path,
-            MergeTable.parseTimestampMicros(ts)).getOrElse(0L)
+          val micros = MergeTable.parseTimestampMicros(ts)
+          MergeTable.versionAtOrAfterTimestamp(path, micros).map(_ - 1)
+            .getOrElse(MergeTable.versionAtTimestamp(path, Long.MaxValue)
+              .getOrElse(0L))
         }).getOrElse(0L)
       val endV = parameters.get("endingVersion").map(_.toLong)
         .orElse(parameters.get("endingTimestamp").map { ts =>

@@ -47,7 +47,8 @@ object TableChanges {
       }
     val t = MergeTable.open(spark, path)
     val to = args.lift(2).map(_.eval().asInstanceOf[Number].longValue())
-      .getOrElse(t.versions().max)
+      .getOrElse(t.versions().maxOption.getOrElse(throw new IllegalArgumentException(
+        s"table_changes: mergetable at $path has no commits")))
     GraftSqlBridge.logicalPlan(t.changeFeed(from, to))
   }
 }

@@ -61,6 +61,90 @@ class ChangeFeedReplaySpec extends SparkSpec {
       (4L, "d", "U_pre"), (4L, "D2", "U_post")))
   }
 
+  test("grouped run: insert-then-delete nets to D, no-op tail keeps the earlier change") {
+    val t = freshMor("grouped")
+    t.upsert(Seq((4L, "new"), (2L, "B")).toDF("id", "v")) // v2: I(4), U(2)
+    t.upsert(Seq((4L, "NEW2")).toDF("id", "v"))           // v3: U(4)
+    t.delete(Seq(4L).toDF("id"))                          // v4: D(4)
+    t.upsert(Seq((2L, "B")).toDF("id", "v"))              // v5: no-op for 2
+    val top = t.versions().max
+    val got = t.changeFeed(0, top).as[(Long, String, String)].collect().toSet
+    assert(got === expected(t, 0, top))
+    // id 4: inserted, updated, deleted inside ONE run -> D with the
+    // last pre-delete image; id 2's no-op tail must NOT erase its U
+    assert(got === Set((1L, "a", "I"), (2L, "B", "U"), (3L, "c", "I"), (4L, "NEW2", "D")))
+  }
+
+  test("runs split by a compaction still agree with per-version diffs") {
+    val root = "target/test_tmp/cfr_split"
+    MergeTable.drop(root)
+    val t = new MergeTable(spark, root, Seq("id"), MergeTable.MergeOnRead, maxDeltas = 100)
+    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.upsert(Seq((1L, "A1")).toDF("id", "v"))
+    t.delete(Seq(2L).toDF("id"))
+    t.compact() // non-delta commit splits the run
+    t.upsert(Seq((1L, "A2"), (3L, "c")).toDF("id", "v"))
+    t.upsert(Seq((3L, "C")).toDF("id", "v"))
+    val top = t.versions().max
+    val got = t.changeFeed(0, top).as[(Long, String, String)].collect().toSet
+    assert(got === expected(t, 0, top))
+    assert(got === Set((1L, "A2", "U"), (2L, "b", "D"), (3L, "C", "U")))
+  }
+
+  test("grouped run emits pre-image pairs identical to per-version diffs") {
+    val t = freshMor("grouped_pre")
+    t.upsert(Seq((2L, "B1")).toDF("id", "v"))
+    t.upsert(Seq((2L, "B2"), (4L, "d")).toDF("id", "v"))
+    t.delete(Seq(1L).toDF("id"))
+    val top = t.versions().max
+    val got = t.changeFeed(1, top, updatePreImages = true)
+      .as[(Long, String, String)].collect().toSet
+    assert(got === expected(t, 1, top, pre = true))
+    // id 2 updated twice in the run: the pair reflects the LAST hop
+    assert(got === Set((1L, "a", "D"), (2L, "B1", "U_pre"), (2L, "B2", "U_post"),
+      (4L, "d", "I")))
+  }
+
+  test("a run introducing a new column falls back to per-version steps") {
+    val t = freshMor("evolve")
+    t.upsert(Seq((2L, "B")).toDF("id", "v"))
+    t.upsert(Seq((3L, "c2", 7L)).toDF("id", "v", "extra")) // schema drift mid-run
+    val top = t.versions().max
+    val got = t.changeFeed(0, top)
+      .select("id", "v", "_change").as[(Long, String, String)].collect().toSet
+    assert(got === expected(t, 0, top).map { case (i, v, c) => (i, v, c) })
+  }
+
+  test("randomized MOR histories: grouped feed equals per-version diffs") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 4) {
+      val root = s"target/test_tmp/cfr_fuzz_$trial"
+      MergeTable.drop(root)
+      val t = new MergeTable(spark, root, Seq("id"), MergeTable.MergeOnRead,
+        maxDeltas = 100)
+      t.upsert((0L until 12L).map(i => (i, s"s$i")).toDF("id", "v"))
+      for (step <- 0 until 9) {
+        rnd.nextInt(4) match {
+          case 0 | 1 => // upsert 1-4 keys, sometimes with unchanged values
+            val ks = Seq.fill(1 + rnd.nextInt(4))(rnd.nextLong(16L)).distinct
+            t.upsert(ks.map { k =>
+              (k, if (rnd.nextBoolean()) s"s$k" else s"t${trial}_${step}_$k")
+            }.toDF("id", "v"))
+          case 2 => // delete 1-3 keys (possibly absent ones)
+            t.delete(Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong(18L)).distinct.toDF("id"))
+          case 3 => t.compact() // split the run with a non-delta commit
+        }
+      }
+      val top = t.versions().max
+      val from = rnd.nextInt(top.toInt).toLong
+      assert(t.changeFeed(from, top).as[(Long, String, String)].collect().toSet ===
+        expected(t, from, top), s"trial $trial window ($from, $top]")
+      assert(t.changeFeed(from, top, updatePreImages = true)
+        .as[(Long, String, String)].collect().toSet ===
+        expected(t, from, top, pre = true), s"trial $trial pre window ($from, $top]")
+    }
+  }
+
   test("COW commits fall back to the unrestricted diff and stay correct") {
     val root = "target/test_tmp/cfr_cow"
     MergeTable.drop(root)

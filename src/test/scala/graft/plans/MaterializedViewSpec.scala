@@ -169,6 +169,52 @@ class MaterializedViewSpec extends SparkSpec {
     MaterializedViews.deregisterIncremental("mv_events_by_type")
   }
 
+  test("mutating the base parquet auto-stales the rewrite without markStale") {
+    import spark.implicits._
+    val base = fresh("fp_base")
+    val path = fresh("fp_store")
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(base)
+    def defn(): DataFrame =
+      spark.read.parquet(base).groupBy("k").agg(sum("v").as("s"))
+    MaterializedViews.register("mv_fp", () => defn(), path)
+    MaterializedViews.refresh("mv_fp")
+    // fresh + fingerprint-matching: served from the materialization
+    assert(scanPaths(defn()).exists(_.contains("fp_store")))
+    // overwrite the base — NO markStale, NO refresh
+    Seq(("a", 10L), ("c", 5L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(base)
+    // the fingerprint mismatch suppresses the rewrite: the query
+    // answers from the NEW base data, not the stale materialization
+    val q = defn()
+    assert(scanPaths(q).exists(_.contains("fp_base")), "served stale MV")
+    assert(q.orderBy("k").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 10L), ("c", 5L)))
+    // an explicit refresh restores the rewrite against the new base
+    MaterializedViews.refresh("mv_fp")
+    assert(scanPaths(defn()).exists(_.contains("fp_store")))
+    assert(defn().orderBy("k").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 10L), ("c", 5L)))
+    MaterializedViews.deregister("mv_fp")
+  }
+
+  test("appending a file to the base also auto-stales the rewrite") {
+    import spark.implicits._
+    val base = fresh("fp_app_base")
+    val path = fresh("fp_app_store")
+    Seq(("a", 1L)).toDF("k", "v").write.mode("overwrite").parquet(base)
+    def defn(): DataFrame =
+      spark.read.parquet(base).groupBy("k").agg(sum("v").as("s"))
+    MaterializedViews.register("mv_fp_app", () => defn(), path)
+    MaterializedViews.refresh("mv_fp_app")
+    assert(scanPaths(defn()).exists(_.contains("fp_app_store")))
+    Seq(("a", 100L)).toDF("k", "v").write.mode("append").parquet(base)
+    val q = defn()
+    assert(scanPaths(q).exists(_.contains("fp_app_base")), "served stale MV")
+    assert(q.as[(String, Long)].collect().toSeq === Seq(("a", 101L)))
+    MaterializedViews.deregister("mv_fp_app")
+  }
+
   test("refresh after base mutation re-materializes current data") {
     import spark.implicits._
     val base = fresh("base_data")

@@ -168,6 +168,7 @@ class MergeTableSourceSpec extends SparkSpec {
     MergeTable.drop(root)
     val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
       initial = Some(Seq((1L, "a")).toDF("id", "v")))
+    Thread.sleep(5) // distinct manifest mtimes for the boundary asserts
     t.upsert(Seq((2L, "b")).toDF("id", "v"))
     // commit times from the log (manifest mtimes), formatted UTC —
     // the same clock timestampAsOf resolves against
@@ -177,18 +178,24 @@ class MergeTableSourceSpec extends SparkSpec {
       f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
       f.format(new java.util.Date(ms))
     }
-    // starting at v1's commit time: only the v2 commit's changes
-    val after = spark.read.format("mergetable").option("path", root)
-      .option("readChangeFeed", "true")
-      .option("startingTimestamp", fmt(times(1L))).load()
-      .as[(Long, String, String)].collect().sorted
-    assert(after === Seq((2L, "b", "I")))
+    def feedFrom(ts: String): Seq[(Long, String, String)] =
+      spark.read.format("mergetable").option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", ts).load()
+        .as[(Long, String, String)].collect().sorted.toSeq
+    // Delta parity: a commit landing EXACTLY at the bound is in the
+    // feed — starting at v2's commit time includes v2
+    assert(feedFrom(fmt(times(2L))) === Seq((2L, "b", "I")))
+    // strictly after v1, the first at-or-after commit is v2
+    assert(feedFrom(fmt(times(1L) + 1)) === Seq((2L, "b", "I")))
+    // at v1's commit time, v1 itself is included -> full replay
+    assert(feedFrom(fmt(times(1L))) ===
+      Seq((1L, "a", "I"), (2L, "b", "I")))
     // pre-history startingTimestamp degrades to full replay from 0
-    val full = spark.read.format("mergetable").option("path", root)
-      .option("readChangeFeed", "true")
-      .option("startingTimestamp", "1970-01-01 00:00:00").load()
-      .as[(Long, String, String)].collect().sorted
-    assert(full === Seq((1L, "a", "I"), (2L, "b", "I")))
+    assert(feedFrom("1970-01-01 00:00:00") ===
+      Seq((1L, "a", "I"), (2L, "b", "I")))
+    // post-history: every commit predates the bound -> empty feed
+    assert(feedFrom(fmt(times(2L) + 60000)) === Seq.empty)
   }
 
   test("catalog-created empty table reads as an empty frame through format()") {

@@ -54,10 +54,14 @@ class PlanAuditSpec extends SparkSpec {
       val small = distincts(sfDir, t)
       val big = distincts(biggerSf, t)
       small.keys.filter { c =>
-        // flat across a 10x SF step (1.5 absorbs approx_count_distinct
-        // noise) and small in absolute terms
+        // flat across a 10x SF step AND small in absolute terms. The
+        // growth test has no absolute floor (a floor of 30 would make
+        // it vacuous under the <=30 cap): 1.5x multiplicative plus a
+        // +2 additive slack absorbs approx_count_distinct noise on
+        // tiny counts, while a column growing 3 -> 30 across the SF
+        // step is correctly rejected as scale-dependent
         big.getOrElse(c, Long.MaxValue) <= 30 &&
-          big.getOrElse(c, Long.MaxValue) <= math.max(30L, (small(c) * 3) / 2)
+          big.getOrElse(c, Long.MaxValue) <= (small(c) * 3) / 2 + 2
       }
     }.toSet
   }
