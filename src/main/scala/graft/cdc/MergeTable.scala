@@ -79,7 +79,7 @@ class ConstraintViolationException(msg: String)
   */
 final class MergeTable(
     spark: SparkSession,
-    root: String,
+    val root: String,
     val keys: Seq[String],
     val mode: String = MergeTable.CopyOnWrite,
     val numBuckets: Option[Int] = None,
@@ -293,22 +293,58 @@ final class MergeTable(
     * unions schemas so appends that added columns read with nulls
     * back-filled — the reference's accept-any-schema behavior.
     */
-  def read(): DataFrame = {
+  def read(): DataFrame = toLogical(rewriteSource())
+
+  /** The frame COW rewrites, compactions and clustering re-store:
+    * PHYSICAL column names (a rewrite must never leak logical names
+    * into data files — the column mapping is permanent, like Delta's)
+    * minus metadata-dropped columns, which the rewrite thereby
+    * physically reclaims (the Iceberg metadata-drop contract). Time
+    * travel and the change feed keep history.
+    */
+  private def rewriteSource(): DataFrame = {
     val df = readEntries(entries())
-    // metadata-dropped columns (ALTER TABLE DROP COLUMN) are hidden
-    // at the current-snapshot surface; data files keep them until the
-    // next COW rewrite / compaction (which read() feeds, so a rewrite
-    // physically removes them — the Iceberg metadata-drop contract).
-    // Time travel (readVersion) and the change feed keep history.
     val dropped = MergeTable.readMeta(root).map(_.droppedColumns).getOrElse(Nil)
       .filter(df.columns.contains)
     if (dropped.isEmpty) df else df.drop(dropped: _*)
   }
 
+  /** The column-mapping table (logical surface name → physical stored
+    * name), read fresh so DDL applied by any other instance is seen.
+    */
+  private def renames: Map[String, String] =
+    MergeTable.readMeta(root).map(_.renames).getOrElse(Map.empty)
+
+  /** physical → logical rename at every public read surface: data
+    * files keep their physical names forever, so renamed columns —
+    * including in TIME-TRAVEL reads of pre-rename versions and the
+    * change feed — always surface under the current logical name.
+    */
+  private def toLogical(df: DataFrame): DataFrame =
+    renames.foldLeft(df) { case (d, (logical, physical)) =>
+      if (physical != logical && d.columns.contains(physical))
+        d.withColumnRenamed(physical, logical)
+      else d
+    }
+
+  /** logical → physical translation for incoming write batches. */
+  private def toPhysical(df: DataFrame): DataFrame =
+    renames.foldLeft(df) { case (d, (logical, physical)) =>
+      if (physical != logical && d.columns.contains(logical))
+        d.withColumnRenamed(logical, physical)
+      else d
+    }
+
   /** Time travel: snapshot as of a committed version (manifests are
     * never rewritten, so any un-vacuumed version stays readable).
     */
-  def readVersion(version: Long): DataFrame = readEntries(entriesAt(version))
+  def readVersion(version: Long): DataFrame = toLogical(snapshotAt(version))
+
+  /** Physical-name snapshot at a version — every internal consumer
+    * (diffs, rewrites, masks) works in physical space; only the
+    * public surfaces rename.
+    */
+  private def snapshotAt(version: Long): DataFrame = readEntries(entriesAt(version))
 
   /** Roll the table back to an earlier committed snapshot by
     * COMMITTING a new version carrying the old version's entries —
@@ -354,15 +390,15 @@ final class MergeTable(
     */
   def changesBetween(fromVersion: Long, toVersion: Long,
       updatePreImages: Boolean = false): DataFrame =
-    changesImpl(fromVersion, toVersion, updatePreImages, None)
+    toLogical(changesImpl(fromVersion, toVersion, updatePreImages, None))
 
   private def changesImpl(fromVersion: Long, toVersion: Long,
       updatePreImages: Boolean,
       restrictTo: Option[DataFrame]): DataFrame = {
-    val after0 = readVersion(toVersion)
+    val after0 = snapshotAt(toVersion)
     // version 0 = the empty table before the first commit, so a feed
     // can replay history from the beginning (everything starts as I)
-    val before0 = if (fromVersion == 0L) after0.limit(0) else readVersion(fromVersion)
+    val before0 = if (fromVersion == 0L) after0.limit(0) else snapshotAt(fromVersion)
     // key restriction (delta-append commits only): keys outside the
     // committed batch provably did not change, so both snapshots are
     // cut to the batch's key set BEFORE the diff join — with AQE the
@@ -477,9 +513,9 @@ final class MergeTable(
     // filter (not max_by) so a U_pre/U_post pair from the winning
     // version survives intact
     val perKey = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    all.withColumn("_maxv", max(col("_commit_version")).over(perKey))
+    toLogical(all.withColumn("_maxv", max(col("_commit_version")).over(perKey))
       .filter(col("_commit_version") === col("_maxv"))
-      .drop("_maxv", "_commit_version")
+      .drop("_maxv", "_commit_version"))
   }
 
   /** True when no delta dir of the run carries a column outside the
@@ -494,7 +530,7 @@ final class MergeTable(
         .schema.fieldNames.toSet - Tombstone)
     val base =
       if (lo == 0L) dirCols.headOption.getOrElse(Set.empty)
-      else readVersion(lo).columns.toSet
+      else snapshotAt(lo).columns.toSet
     dirCols.forall(_.subsetOf(base))
   }
 
@@ -524,7 +560,7 @@ final class MergeTable(
     val runKeys = tagged.select(keys.map(col): _*).distinct()
     val start =
       if (lo == 0L) tagged.limit(0)
-      else readVersion(lo).join(runKeys, keys, "left_semi")
+      else snapshotAt(lo).join(runKeys, keys, "left_semi")
         .withColumn(CvCol, lit(lo)).withColumn(SeqCol, lit(0L))
     val all0 = start.unionByName(tagged, allowMissingColumns = true)
     val all = if (all0.columns.contains(Tombstone)) all0
@@ -592,9 +628,31 @@ final class MergeTable(
     val added = after.filterNot(before.contains)
     val removed = before.filterNot(after.contains)
     val restrict =
-      if (removed.isEmpty && added.nonEmpty && added.forall(_._1 == "delta"))
+      if (removed.nonEmpty || added.isEmpty) None
+      else if (added.forall(_._1 == "delta"))
+        // MOR delta-append: changed keys are the delta rows' keys
         Some(readDirs(added.map(_._2)).select(keys.map(col): _*).distinct())
-      else None
+      else {
+        val dataAdds = added.filter(e => e._1 == "base" || e._1.matches("b\\d+"))
+        val dvAdds = added.filter(_._1 == "dv")
+        if (dvAdds.size + dataAdds.size != added.size) None
+        else if (dataAdds.nonEmpty)
+          // dv UPSERT (mask + sibling data dirs) or plain data append:
+          // masked positions can only belong to the batch's keys
+          // (writeMask semi-joins them), so changed keys ⊆ the
+          // appended rows' keys
+          Some(readDirs(dataAdds.map(_._2)).select(keys.map(col): _*).distinct())
+        else if (lo > 0L)
+          // pure dv DELETE commit: the changed keys are exactly the
+          // rows the new masks hide — recovered by a positional
+          // semi-join of the PRE-commit snapshot against the added
+          // masks (one scan + broadcast mask, no key shuffle)
+          Some(readWithPos(before)
+            .join(readDirs(dvAdds.map(_._2)).select(FileCol, PosCol),
+              Seq(FileCol, PosCol), "left_semi")
+            .select(keys.map(col): _*).distinct())
+        else None
+      }
     changesImpl(lo, hi, updatePreImages, restrict)
   }
 
@@ -667,6 +725,9 @@ final class MergeTable(
       }
       case None => es
     }
+    // every key hashes into a bucket with no live dir yet (all-new
+    // buckets): nothing can match, and a zero-path scan would fail
+    if (!scanEs.exists(e => e._1 == "base" || e._1.matches("b\\d+"))) return None
     val masked = readWithPos(scanEs)
       .join(changeKeys, keys, "left_semi")
       .select(FileCol, PosCol)
@@ -778,13 +839,14 @@ final class MergeTable(
   def append(df: DataFrame): Unit = {
     if (numBuckets.isDefined) { upsert(df); return }
     enforceConstraints(df)
+    val physical = toPhysical(df)
     mode match {
       case MergeTable.MergeOnRead =>
-        commit(entries() :+ ("delta" -> writeData(df)))
+        commit(entries() :+ ("delta" -> writeData(physical)))
         // append-only MOR workloads must hit the same delta bound as
         // upserts, or reads reconcile an unbounded chain
         maybeCompact()
-      case _ => commit(entries() :+ ("base" -> writeData(df)))
+      case _ => commit(entries() :+ ("base" -> writeData(physical)))
     }
   }
 
@@ -799,8 +861,10 @@ final class MergeTable(
     * append + periodic compaction.
     */
   def upsert(changes: DataFrame): Unit = {
+    // constraints are declared against LOGICAL names, so they check
+    // the batch before the column-mapping translation
     enforceConstraints(changes)
-    upsertUnchecked(changes)
+    upsertUnchecked(toPhysical(changes))
   }
 
   private def upsertUnchecked(changes: DataFrame): Unit = mode match {
@@ -842,7 +906,7 @@ final class MergeTable(
       val result =
         if (!exists) changes
         else {
-          val current = read()
+          val current = rewriteSource()
           val keep = current.join(keySet(changes), keys, "left_anti")
           changes.unionByName(keep, allowMissingColumns = true)
         }
@@ -869,7 +933,7 @@ final class MergeTable(
         maybeCompact()
       case _ if numBuckets.isDefined => bucketedMerge(deleteKeys, isDelete = true)
       case _ =>
-        val result = read().join(keySet(deleteKeys, dedup = true), keys, "left_anti")
+        val result = rewriteSource().join(keySet(deleteKeys, dedup = true), keys, "left_anti")
         commit(Seq("base" -> writeData(result)))
     }
   }
@@ -967,7 +1031,7 @@ final class MergeTable(
       val es = entries()
       if (es.exists(e => e._1 == "delta" || e._1 == "dv") ||
           es.count(_._1 == "base") > 1)
-        commit(Seq("base" -> writeData(read())))
+        commit(Seq("base" -> writeData(rewriteSource())))
     }
 
   /** Bucketed deletion-vector housekeeping: fold masks back into
@@ -1156,8 +1220,11 @@ final class MergeTable(
   def cluster(cols: Seq[String], targetFiles: Int = 0): Unit = {
     require(exists, s"cannot cluster uninitialized table $root")
     require(numBuckets.isEmpty, "cluster() conflicts with a hash-bucketed layout")
-    val snap = read()
-    val z = MergeTable.zValue(snap, cols)
+    val snap = rewriteSource()
+    // caller-facing column names are logical; the rewrite source is
+    // physical, so map them through the rename table
+    val rn = renames
+    val z = MergeTable.zValue(snap, cols.map(c => rn.getOrElse(c, c)))
     val p = if (targetFiles > 0) targetFiles
       else spark.sessionState.conf.numShufflePartitions
     val clustered = snap.withColumn(ZCol, z)
@@ -1238,13 +1305,21 @@ object MergeTable {
   /** Persisted table configuration (`_META.json` at the table root).
     * `schemaJson` is set for catalog-created tables with a declared
     * schema and updated by ALTER TABLE ADD COLUMNS;
-    * `droppedColumns` records metadata-only column drops (hidden at
-    * read, physically removed by the next rewrite).
+    * `droppedColumns` records metadata-only column drops by PHYSICAL
+    * name (hidden at read, physically removed by the next rewrite);
+    * `renames` is the column-mapping table (LOGICAL surface name →
+    * PHYSICAL stored name, the Delta/Iceberg column-mapping idea):
+    * data files keep physical names forever, readers rename
+    * physical→logical at the surface, writers translate
+    * logical→physical on the way in — so RENAME COLUMN is a pure
+    * metadata commit and re-adding a dropped name under a fresh
+    * physical id can never resurrect old values.
     */
   final case class Meta(keys: Seq[String], mode: String,
                         numBuckets: Option[Int], schemaJson: Option[String],
                         constraints: Map[String, String] = Map.empty,
-                        droppedColumns: Seq[String] = Nil)
+                        droppedColumns: Seq[String] = Nil,
+                        renames: Map[String, String] = Map.empty)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -1262,6 +1337,10 @@ object MergeTable {
     if (meta.droppedColumns.nonEmpty) {
       val dc = node.putArray("dropped")
       meta.droppedColumns.foreach(dc.add)
+    }
+    if (meta.renames.nonEmpty) {
+      val rn = node.putObject("renames")
+      meta.renames.foreach { case (logical, physical) => rn.put(logical, physical) }
     }
     Files.createDirectories(Paths.get(root))
     Files.write(Paths.get(root).resolve("_META.json"),
@@ -1283,7 +1362,10 @@ object MergeTable {
           c.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
         }.getOrElse(Map.empty),
         Option(n.get("dropped")).map(_.elements().asScala.map(_.asText).toSeq)
-          .getOrElse(Nil)))
+          .getOrElse(Nil),
+        Option(n.get("renames")).map { r =>
+          r.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+        }.getOrElse(Map.empty)))
     }
   }
 

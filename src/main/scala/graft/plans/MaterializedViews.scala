@@ -172,39 +172,18 @@ object MaterializedViews {
     * overwritten mid-scan.
     */
   def refreshIncremental(name: String): Unit = {
-    import org.apache.spark.sql.functions._
     val mv = incRegistry.getOrElse(name,
       throw new IllegalArgumentException(s"unknown incremental view $name"))
     val current = mv.table.versions().max
     if (mv.dir.isDefined && current == mv.version) return
     val outDir = s"${mv.path}/v$current"
     withRuleSuspended {
-      val dec28 = "decimal(28,6)"
       val result = mv.dir match {
         case None => incDefinition(mv)
         case Some(prev) =>
           val spark = mv.table.read().sparkSession
-          val old = spark.read.parquet(prev)
-          val feed = mv.table.changesBetween(mv.version, current,
-            updatePreImages = true)
-          val additive = col("_change")
-            .isin(graft.cdc.CdcModel.OpInsert, "U_post")
-          val deltas = feed.groupBy(mv.groupCols.map(col): _*)
-            .agg(sum(when(additive, lit(1L)).otherwise(lit(-1L))).as("_dn"),
-              mv.sumCols.map { c =>
-                val d = col(c).cast("decimal(18,6)")
-                sum(when(additive, d).otherwise(-d)).as(s"_d_$c")
-              }: _*)
-          val zero = lit(0).cast(dec28)
-          old.join(deltas, mv.groupCols, "full_outer")
-            .select(mv.groupCols.map(col) ++
-              Seq((coalesce(col("n_rows"), lit(0L)) +
-                coalesce(col("_dn"), lit(0L))).as("n_rows")) ++
-              mv.sumCols.map { c =>
-                (coalesce(col(s"sum_$c"), zero) +
-                  coalesce(col(s"_d_$c"), zero)).cast(dec28).as(s"sum_$c")
-              }: _*)
-            .filter(col("n_rows") > 0)
+          foldDeltas(mv, spark.read.parquet(prev),
+            mv.table.changesBetween(mv.version, current, updatePreImages = true))
       }
       result.write.mode("overwrite").parquet(outDir)
     }
@@ -213,14 +192,101 @@ object MaterializedViews {
     }
     incRegistry.put(name, mv.copy(version = current,
       dir = Some(outDir), canonical = Some(canonical)))
-    // retire the superseded materialization
-    mv.dir.filter(_ != outDir).foreach { prev =>
-      def nuke(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(nuke)
-        f.delete()
-      }
-      nuke(new java.io.File(prev))
+    mv.dir.filter(_ != outDir).foreach(retire)
+  }
+
+  /** The retraction algebra shared by pull refreshes and the
+    * streaming maintainer: fold a pre-image change feed (+1/+value
+    * for I and U_post, −1/−value for D and U_pre) into the previous
+    * materialization; groups folded to zero rows drop. Decimal
+    * accumulation keeps the fold order-independent.
+    */
+  private def foldDeltas(mv: IncMv, old: DataFrame,
+      feed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dec28 = "decimal(28,6)"
+    val additive = col("_change").isin(graft.cdc.CdcModel.OpInsert, "U_post")
+    val deltas = feed.groupBy(mv.groupCols.map(col): _*)
+      .agg(sum(when(additive, lit(1L)).otherwise(lit(-1L))).as("_dn"),
+        mv.sumCols.map { c =>
+          val d = col(c).cast("decimal(18,6)")
+          sum(when(additive, d).otherwise(-d)).as(s"_d_$c")
+        }: _*)
+    val zero = lit(0).cast(dec28)
+    old.join(deltas, mv.groupCols, "full_outer")
+      .select(mv.groupCols.map(col) ++
+        Seq((coalesce(col("n_rows"), lit(0L)) +
+          coalesce(col("_dn"), lit(0L))).as("n_rows")) ++
+        mv.sumCols.map { c =>
+          (coalesce(col(s"sum_$c"), zero) +
+            coalesce(col(s"_d_$c"), zero)).cast(dec28).as(s"sum_$c")
+        }: _*)
+      .filter(col("n_rows") > 0)
+  }
+
+  private def retire(prev: String): Unit = {
+    def nuke(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(nuke)
+      f.delete()
     }
+    nuke(new java.io.File(prev))
+  }
+
+  /** Keep an incremental MV CONTINUOUSLY fresh by consuming the
+    * table's pre-image change-feed stream — the composition the feed
+    * and the retraction algebra exist for. Seeds the materialization
+    * (full aggregate or catch-up fold), then starts a `foreachBatch`
+    * consumer that folds each micro-batch's retraction deltas into
+    * the store and advances the registry version, so the transparent
+    * rewrite serves the view between commits with no refresh calls;
+    * while a commit is in flight (committed but not yet folded) the
+    * commit-log check routes queries to the base table, never to a
+    * stale answer. Returns the StreamingQuery; `stop()` it to fall
+    * back to pull refreshes. At-least-once `foreachBatch` replays are
+    * detected by commit version and skipped, so the fold never
+    * double-counts.
+    */
+  def maintainStreaming(name: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val mv0 = incRegistry.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown incremental view $name"))
+    refreshIncremental(name) // seed: the stream folds only deltas
+    val seeded = incRegistry(name)
+    val spark = mv0.table.read().sparkSession
+    spark.readStream.format("mergetable")
+      .option("path", mv0.table.root)
+      .option("keys", mv0.table.keys.mkString(","))
+      .option("startingVersion", seeded.version.toString)
+      .option("updatePreImages", "true")
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) => foldStreamBatch(name, batch) }
+      .start()
+  }
+
+  private def foldStreamBatch(name: String, batch: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val mv = incRegistry.getOrElse(name, return)
+    if (batch.isEmpty) return
+    val upTo = batch.agg(max(col("_commit_version"))).head().getLong(0)
+    if (upTo <= mv.version) return // at-least-once replay: already folded
+    val prev = mv.dir.getOrElse(return) // maintainStreaming seeded it
+    val outDir = s"${mv.path}/v$upTo"
+    withRuleSuspended {
+      val spark = batch.sparkSession
+      foldDeltas(mv, spark.read.parquet(prev), batch.drop("_commit_version"))
+        .write.mode("overwrite").parquet(outDir)
+    }
+    // recapture the canonical definition against the NEW snapshot —
+    // commits change the base plan (file listings, MOR reconciliation
+    // shape), and a stale canonical would silently stop the rewrite
+    val canonical = withRuleSuspended {
+      incDefinition(mv).queryExecution.analyzed.canonicalized
+    }
+    incRegistry.put(name,
+      mv.copy(version = upTo, dir = Some(outDir), canonical = Some(canonical)))
+    if (prev != outDir) retire(prev)
   }
 
   def deregisterIncremental(name: String): Unit = incRegistry.remove(name)

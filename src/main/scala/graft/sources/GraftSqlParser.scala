@@ -53,6 +53,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
   private val DropColumns =
     """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+DROP\s+COLUMNS?\s+\(?\s*([a-zA-Z0-9_]+(?:\s*,\s*[a-zA-Z0-9_]+)*)\s*\)?\s*;?\s*""".r
+  private val RenameColumn =
+    """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+RENAME\s+COLUMN\s+([a-zA-Z0-9_]+)\s+TO\s+([a-zA-Z0-9_]+)\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ADD\s+CONSTRAINT\s+([a-zA-Z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -80,6 +82,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         expireKeep = Some(keep.toInt))
     case AddColumns(catalog, ident, ddl) =>
       MergeTableAddColumnsCommand(catalog, ident.split('.').toSeq, ddl.trim)
+    case RenameColumn(catalog, ident, from, to) =>
+      MergeTableRenameColumnCommand(catalog, ident.split('.').toSeq, from, to)
     case AddConstraint(catalog, ident, name, check) =>
       MergeTableConstraintCommand(catalog, ident.split('.').toSeq, name,
         Some(check.trim))
@@ -145,6 +149,25 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
 }
 
 object GraftSqlParser {
+  /** The table's logical surface schema for DDL checks: live snapshot
+    * columns UNION declared-but-not-yet-written columns (ADD COLUMNS
+    * on a table with no write carrying them yet — the snapshot alone
+    * would not see them and a follow-up DROP/RENAME/ADD would
+    * mis-judge existence, or worse, re-derive the declared schema
+    * without them).
+    */
+  private[sources] def surfaceSchema(t: MergeTable, meta: MergeTable.Meta): StructType = {
+    val declared = meta.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val live = if (t.exists) Some(t.read().schema) else None
+    (live, declared) match {
+      case (Some(l), Some(d)) =>
+        StructType(l.fields ++ d.fields.filterNot(f => l.fieldNames.contains(f.name)))
+      case (Some(l), None) => l
+      case (None, Some(d)) => d
+      case _ => new StructType()
+    }
+  }
+
   private[sources] def mergetablePath(session: SparkSession, catalogName: String,
       ident: Seq[String], op: String): String =
     GraftSqlBridge.catalogPlugin(session, catalogName) match {
@@ -207,23 +230,80 @@ case class MergeTableAddColumnsCommand(catalogName: String, ident: Seq[String],
     val meta = MergeTable.readMeta(path).getOrElse(
       throw new IllegalArgumentException(s"no mergetable at $path"))
     val t = new MergeTable(session, path, meta.keys, meta.mode, meta.numBuckets)
-    val current: StructType =
-      if (t.exists) t.read().schema
-      else meta.schemaJson
-        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-        .getOrElse(new StructType())
+    val current: StructType = GraftSqlParser.surfaceSchema(t, meta)
     added.fieldNames.foreach { n =>
       require(!current.fieldNames.contains(n),
         s"column '$n' already exists in ${ident.mkString(".")}")
-      // re-adding a dropped name would resurrect its old values from
-      // data files the rewrite hasn't reclaimed yet
-      require(!meta.droppedColumns.contains(n),
-        s"column '$n' was previously dropped from ${ident.mkString(".")}; " +
-          "re-adding it would resurrect old values — use a new name")
     }
+    // re-adding a DROPPED name is legal under the column mapping: the
+    // new logical column maps to a FRESH physical id, so values of
+    // the dropped column (still present in unreclaimed data files
+    // under the old physical name) can never resurrect — the Delta
+    // column-mapping contract
+    val taken: Set[String] = meta.droppedColumns.toSet ++
+      meta.renames.values ++ current.fieldNames
+    val newRenames = added.fieldNames.filter(meta.droppedColumns.contains)
+      .map { n =>
+        val fresh = Iterator.from(1).map(i => s"${n}_r$i")
+          .find(!taken.contains(_)).get
+        n -> fresh
+      }.toMap
     val merged = StructType(current.fields ++ added.fields)
-    MergeTable.writeMeta(path, meta.copy(schemaJson = Some(merged.json)))
+    MergeTable.writeMeta(path, meta.copy(schemaJson = Some(merged.json),
+      renames = meta.renames ++ newRenames))
     Seq(Row(added.fields.length.toLong))
+  }
+}
+
+/** `ALTER TABLE graft.db.t RENAME COLUMN a TO b` — column rename via
+  * NAME MAPPING (the Delta/Iceberg column-mapping idea): a pure
+  * metadata commit recording logical `b` → the column's unchanged
+  * PHYSICAL name, so no data file is touched, every read surface —
+  * current snapshot, time travel of PRE-rename versions, the change
+  * feed — immediately sees the new name, and writes using the new
+  * name translate back to the physical column. Key columns (they
+  * drive joins, bucketing and MOR reconciliation in physical space)
+  * and constraint-referenced columns refuse to rename; renaming onto
+  * an existing or previously-dropped-and-unreclaimed name is
+  * rejected.
+  */
+case class MergeTableRenameColumnCommand(catalogName: String, ident: Seq[String],
+                                         from: String, to: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.mergetablePath(session, catalogName, ident,
+      "ALTER TABLE ... RENAME COLUMN")
+    val meta = MergeTable.readMeta(path).getOrElse(
+      throw new IllegalArgumentException(s"no mergetable at $path"))
+    val t = new MergeTable(session, path, meta.keys, meta.mode, meta.numBuckets)
+    val current: Array[String] = GraftSqlParser.surfaceSchema(t, meta).fieldNames
+    require(current.contains(from),
+      s"column '$from' does not exist in ${ident.mkString(".")}")
+    require(!current.contains(to),
+      s"column '$to' already exists in ${ident.mkString(".")}")
+    require(!meta.keys.contains(from), s"cannot rename key column '$from'")
+    require(!meta.droppedColumns.contains(to),
+      s"column '$to' was previously dropped from ${ident.mkString(".")} and " +
+        "not yet reclaimed — renaming onto it would shadow its pending data")
+    meta.constraints.foreach { case (name, sql) =>
+      val refs = session.sessionState.sqlParser.parseExpression(sql)
+        .references.map(_.name.toLowerCase).toSet
+      require(!refs.contains(from.toLowerCase),
+        s"cannot rename '$from': referenced by CHECK constraint '$name'")
+    }
+    val physical = meta.renames.getOrElse(from, from)
+    val newSchema = meta.schemaJson.map { j =>
+      val st = DataType.fromJson(j).asInstanceOf[StructType]
+      StructType(st.fields.map(f => if (f.name == from) f.copy(name = to) else f)).json
+    }
+    MergeTable.writeMeta(path, meta.copy(
+      renames = meta.renames - from + (to -> physical),
+      schemaJson = newSchema))
+    Seq(Row(1L))
   }
 }
 
@@ -246,11 +326,7 @@ case class MergeTableDropColumnsCommand(catalogName: String, ident: Seq[String],
     val meta = MergeTable.readMeta(path).getOrElse(
       throw new IllegalArgumentException(s"no mergetable at $path"))
     val t = new MergeTable(session, path, meta.keys, meta.mode, meta.numBuckets)
-    val current: Array[String] =
-      if (t.exists) t.read().schema.fieldNames
-      else meta.schemaJson
-        .map(j => DataType.fromJson(j).asInstanceOf[StructType].fieldNames)
-        .getOrElse(Array.empty)
+    val current: Array[String] = GraftSqlParser.surfaceSchema(t, meta).fieldNames
     cols.foreach { c =>
       require(current.contains(c),
         s"column '$c' does not exist in ${ident.mkString(".")}")
@@ -269,8 +345,12 @@ case class MergeTableDropColumnsCommand(catalogName: String, ident: Seq[String],
       val st = DataType.fromJson(j).asInstanceOf[StructType]
       StructType(st.fields.filterNot(f => cols.contains(f.name))).json
     }
+    // record the PHYSICAL name (what data files carry — the name a
+    // future rewrite must reclaim) and retire the mapping entry
+    val physical = cols.map(c => meta.renames.getOrElse(c, c))
     MergeTable.writeMeta(path, meta.copy(
-      droppedColumns = (meta.droppedColumns ++ cols).distinct,
+      droppedColumns = (meta.droppedColumns ++ physical).distinct,
+      renames = meta.renames -- cols,
       schemaJson = newSchema))
     Seq(Row(cols.length.toLong))
   }

@@ -136,29 +136,42 @@ class MergeTableRelation(
   private lazy val pinnedEntries: Seq[(String, String)] =
     if (version.isEmpty && table.exists) table.currentEntries() else Nil
 
+  private lazy val renameMap: Map[String, String] =
+    MergeTable.readMeta(path).map(_.renames).getOrElse(Map.empty)
+
   private lazy val snapshot = {
+    // readVersion already applies drops-skip + renames for time
+    // travel; the pinned-entry path is raw physical and surfaces here
     val base =
       if (!table.exists && declaredSchema.isDefined)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declaredSchema.get)
-      else version.map(table.readVersion).getOrElse(table.readFrom(pinnedEntries))
+      else version.map(table.readVersion).getOrElse {
+        val phys = table.readFrom(pinnedEntries)
+        // metadata-dropped columns (recorded by PHYSICAL name) are
+        // hidden from CURRENT-snapshot reads (time-travel keeps
+        // history — Iceberg's drop contract), then the column mapping
+        // renames physical → logical
+        val dropped = MergeTable.readMeta(path).map(_.droppedColumns).getOrElse(Nil)
+          .filter(phys.columns.contains)
+        val undropped = if (dropped.isEmpty) phys else phys.drop(dropped: _*)
+        renameMap.foldLeft(undropped) { case (df, (logical, physical)) =>
+          if (physical != logical && df.columns.contains(physical))
+            df.withColumnRenamed(physical, logical)
+          else df
+        }
+      }
     // columns DECLARED (CREATE TABLE schema, ALTER TABLE ADD COLUMNS)
     // but absent from every data file read as typed nulls — the
-    // read-side half of schema evolution; the write side backfills
-    // via unionByName the first time data carries them
-    val evolved = declaredSchema match {
+    // read-side half of schema evolution (declared names are LOGICAL,
+    // so this runs after the rename); the write side backfills via
+    // unionByName the first time data carries them
+    declaredSchema match {
       case Some(decl) if table.exists =>
         decl.fields.filterNot(f => base.columns.contains(f.name))
           .foldLeft(base)((df, f) =>
             df.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
       case _ => base
     }
-    // metadata-dropped columns are hidden from CURRENT-snapshot reads
-    // (time-travel reads keep history — Iceberg's drop contract)
-    val dropped =
-      if (version.isDefined) Nil
-      else MergeTable.readMeta(path).map(_.droppedColumns).getOrElse(Nil)
-        .filter(evolved.columns.contains)
-    if (dropped.isEmpty) evolved else evolved.drop(dropped: _*)
   }
 
   override lazy val schema: StructType = snapshot.schema
@@ -211,7 +224,10 @@ class MergeTableRelation(
     * older files.
     */
   private def prunedSnapshot(filters: Array[Filter]): Option[org.apache.spark.sql.DataFrame] = {
-    if (filters.isEmpty || version.isDefined) return None
+    // under an active column mapping the raw file scan would read the
+    // logical schema against physically-named files (and file stats
+    // are keyed by physical names) — take the plain snapshot path
+    if (filters.isEmpty || version.isDefined || renameMap.nonEmpty) return None
     survivingFiles(filters).flatMap { case (kept, total) =>
       if (kept.size == total) None
       else if (kept.isEmpty)
@@ -223,7 +239,22 @@ class MergeTableRelation(
   private def survivingFiles(
       filters: Array[Filter]): Option[(Seq[java.nio.file.Path], Int)] =
     statFiles.map { files =>
-      val statKept = files.filter { case (_, st) =>
+      // cheapest cut first: on a hash-bucketed layout a point lookup
+      // can only live in the buckets its key tuple hashes into — all
+      // other bucket DIRECTORIES drop before stats or blooms are
+      // consulted (at 100 TB: 1 bucket of n, no file listing beyond it)
+      val bucketKept = pointBuckets(filters) match {
+        case Some(bs) =>
+          val pat = "_graft_bucket=(\\d+)".r
+          files.filter { case (p, _) =>
+            pat.findFirstMatchIn(p.toString) match {
+              case Some(m) => bs.contains(m.group(1).toLong)
+              case None => true // non-bucketed path: keep
+            }
+          }
+        case None => files
+      }
+      val statKept = bucketKept.filter { case (_, st) =>
         st.isEmpty || filters.forall(f => graft.cdc.FileStats.mayMatch(st, f))
       }
       val bloomKept = pointHashes(filters) match {
@@ -239,6 +270,35 @@ class MergeTableRelation(
         case _ => statKept
       }
       (bloomKept.map(_._1), files.size)
+    }
+
+  /** Bucket ids a full-key point lookup can touch on a hash-bucketed
+    * layout: the WRITE side's bucket expression —
+    * `pmod(xxhash64(key cols), n)`, seed 42 like `functions.xxhash64`
+    * — replayed on the filter literals, so the mapping is identical
+    * by construction. None = not bucketed or not a point lookup.
+    */
+  private def pointBuckets(filters: Array[Filter]): Option[Set[Long]] =
+    numBuckets.flatMap { n =>
+      import org.apache.spark.sql.sources.{EqualTo, In}
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      def dt(k: String) = schema(k).dataType
+      def bucketOf(tuple: Seq[(Any, org.apache.spark.sql.types.DataType)]): Long = {
+        val h = new XxHash64(tuple.map { case (v, d) => Literal.create(v, d) })
+          .eval(null).asInstanceOf[Long]
+        ((h % n) + n) % n // pmod
+      }
+      val eq = filters.collect {
+        case EqualTo(a, v) if keys.contains(a) && v != null => a -> v
+      }.toMap
+      if (keys.forall(eq.contains))
+        Some(Set(bucketOf(keys.map(k => (eq(k), dt(k))))))
+      else if (keys.size == 1)
+        filters.collectFirst {
+          case In(a, vs) if a == keys.head && vs.nonEmpty && !vs.contains(null) =>
+            vs.map(v => bucketOf(Seq((v, dt(a))))).toSet
+        }
+      else None
     }
 
   /** Hashes a bloom must contain for a file to matter: the key tuple

@@ -145,6 +145,52 @@ class ChangeFeedReplaySpec extends SparkSpec {
     }
   }
 
+  test("deletion-vector histories replay correctly (restricted dv path)") {
+    val root = "target/test_tmp/cfr_dv"
+    MergeTable.drop(root)
+    val t = new MergeTable(spark, root, Seq("id"),
+      MergeTable.DeletionVectors, maxDeltas = 100)
+    t.upsert(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.upsert(Seq((2L, "B"), (4L, "d")).toDF("id", "v")) // mask + append
+    t.delete(Seq(1L).toDF("id"))                        // pure mask commit
+    t.upsert(Seq((4L, "D2")).toDF("id", "v"))
+    val top = t.versions().max
+    val got = t.changeFeed(0, top).as[(Long, String, String)].collect().toSet
+    assert(got === expected(t, 0, top))
+    assert(got === Set((1L, "a", "D"), (2L, "B", "U"), (3L, "c", "I"), (4L, "D2", "U")))
+    // pre-images through dv commits
+    val pre = t.changeFeed(1, top, updatePreImages = true)
+      .as[(Long, String, String)].collect().toSet
+    assert(pre === expected(t, 1, top, pre = true))
+  }
+
+  test("randomized dv histories: feed equals per-version diffs") {
+    val rnd = new scala.util.Random(51408L)
+    for (trial <- 0 until 3) {
+      val root = s"target/test_tmp/cfr_dv_fuzz_$trial"
+      MergeTable.drop(root)
+      val t = new MergeTable(spark, root, Seq("id"),
+        MergeTable.DeletionVectors, maxDeltas = 100)
+      t.upsert((0L until 10L).map(i => (i, s"s$i")).toDF("id", "v"))
+      for (step <- 0 until 7) {
+        rnd.nextInt(4) match {
+          case 0 | 1 =>
+            val ks = Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong(14L)).distinct
+            t.upsert(ks.map { k =>
+              (k, if (rnd.nextBoolean()) s"s$k" else s"t${trial}_${step}_$k")
+            }.toDF("id", "v"))
+          case 2 =>
+            t.delete(Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong(16L)).distinct.toDF("id"))
+          case 3 => t.compact()
+        }
+      }
+      val top = t.versions().max
+      val from = rnd.nextInt(top.toInt).toLong
+      assert(t.changeFeed(from, top).as[(Long, String, String)].collect().toSet ===
+        expected(t, from, top), s"dv trial $trial window ($from, $top]")
+    }
+  }
+
   test("COW commits fall back to the unrestricted diff and stay correct") {
     val root = "target/test_tmp/cfr_cow"
     MergeTable.drop(root)

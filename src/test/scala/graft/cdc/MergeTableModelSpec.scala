@@ -80,4 +80,12 @@ class MergeTableModelSpec extends SparkSpec {
   test("bucketed MOR table equals the model under random ops") {
     run("mor_b", MergeTable.MergeOnRead, Some(4), 44L)
   }
+  test("deletion-vector table equals the model under random ops") {
+    // append stays duplicate-free here (the model only appends fresh
+    // keys), matching dv append's plain-INSERT semantics (same as COW)
+    run("dv", MergeTable.DeletionVectors, None, 55L)
+  }
+  test("bucketed deletion-vector table equals the model under random ops") {
+    run("dv_b", MergeTable.DeletionVectors, Some(4), 66L)
+  }
 }

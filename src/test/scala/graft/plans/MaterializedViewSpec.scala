@@ -169,6 +169,51 @@ class MaterializedViewSpec extends SparkSpec {
     MaterializedViews.deregisterIncremental("mv_events_by_type")
   }
 
+  test("stream-maintained incremental MV follows live commits") {
+    import graft.cdc.MergeTable
+    import spark.implicits._
+    val root = fresh("stream_t")
+    val store = fresh("stream_s")
+    val ckpt = fresh("stream_ckpt")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+        .toDF("id", "grp", "v")),
+      mode = MergeTable.MergeOnRead)
+    MaterializedViews.registerIncremental("mv_stream", t,
+      Seq("grp"), Seq("v"), store)
+    val q = MaterializedViews.maintainStreaming("mv_stream", ckpt)
+    try {
+      // ground truth aggregated OUTSIDE Spark so the rewrite cannot
+      // answer its own check
+      def truth(): Seq[(String, Long, Double)] =
+        t.read().select($"grp", $"v").as[(String, Double)].collect()
+          .groupBy(_._1).map { case (g, rs) => (g, rs.length.toLong, rs.map(_._2).sum) }
+          .toSeq.sortBy(_._1)
+      def served(): Seq[(String, Long, Double)] = {
+        val df = MaterializedViews.incrementalDefinition("mv_stream")
+        assert(scanPaths(df).exists(_.contains("stream_s")),
+          "definition not served from the stream-maintained store")
+        df.orderBy("grp").select($"grp", $"n_rows", $"sum_v".cast("double"))
+          .as[(String, Long, Double)].collect().toSeq
+      }
+      q.processAllAvailable()
+      assert(served() === truth())
+      // live commits: insert + update, then a delete emptying nothing
+      t.upsert(Seq((4L, "b", 7.0), (2L, "a", 25.0)).toDF("id", "grp", "v"))
+      q.processAllAvailable()
+      assert(served() === truth())
+      t.delete(Seq(1L).toDF("id"))
+      q.processAllAvailable()
+      assert(served() === truth())
+      // a delete emptying a whole group drops its row
+      t.delete(Seq(2L).toDF("id"))
+      q.processAllAvailable()
+      assert(served() === truth())
+      assert(served().map(_._1) === Seq("b"))
+    } finally q.stop()
+    MaterializedViews.deregisterIncremental("mv_stream")
+  }
+
   test("mutating the base parquet auto-stales the rewrite without markStale") {
     import spark.implicits._
     val base = fresh("fp_base")

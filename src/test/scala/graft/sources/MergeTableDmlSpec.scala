@@ -317,4 +317,93 @@ class MergeTableDmlSpec extends SparkSpec {
     // the SQL write appended a delta, it did not rewrite the base
     assert(t.versions().size === 2)
   }
+
+  test("randomized MERGE/UPDATE/DELETE sequences match a model across layouts") {
+    // model-based fuzz of the DML surface (the MergeTableModelSpec
+    // pattern applied to SQL verbs): random clause sets and
+    // predicates driven through spark.sql must keep the table equal
+    // to a trivial in-memory replay — across COW, MOR, bucketed COW
+    // and deletion-vector layouts. Fixed seed keeps failures
+    // reproducible.
+    val rnd = new scala.util.Random(81405L)
+    val layouts = Seq(
+      ("fz_cow", MergeTable.CopyOnWrite, None),
+      ("fz_mor", MergeTable.MergeOnRead, None),
+      ("fz_bucketed", MergeTable.CopyOnWrite, Some(4)),
+      ("fz_dv", MergeTable.DeletionVectors, None))
+    for ((name, mode, buckets) <- layouts) {
+      val root = s"target/test_tables/dml_$name"
+      MergeTable.drop(root)
+      val init = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+        initial = Some(init.toDF("id", "name", "v")),
+        mode = mode, numBuckets = buckets)
+      var model: Map[Long, (String, Long)] =
+        init.map(r => r._1 -> ((r._2, r._3))).toMap
+      def srcRows(): Seq[(Long, String, Long)] =
+        Seq.fill(1 + rnd.nextInt(4))(rnd.nextLong(12L)).distinct
+          .map(k => (k, s"n${rnd.nextInt(5)}", rnd.nextLong(50L)))
+      for (step <- 1 to 12) {
+        view(root, "fuzz_target")
+        rnd.nextInt(5) match {
+          case 0 => // full star upsert
+            val rows = srcRows()
+            rows.toDF("id", "name", "v").createOrReplaceTempView("fuzz_src")
+            spark.sql(
+              """MERGE INTO fuzz_target t USING fuzz_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+            model ++= rows.map(r => r._1 -> ((r._2, r._3)))
+          case 1 => // conditional clauses: read-modify update, else delete
+            val cut = rnd.nextLong(45L)
+            val rows = srcRows()
+            rows.toDF("id", "name", "v").createOrReplaceTempView("fuzz_src")
+            spark.sql(
+              s"""MERGE INTO fuzz_target t USING fuzz_src s ON t.id = s.id
+                 |WHEN MATCHED AND t.v < $cut THEN UPDATE SET v = t.v + s.v
+                 |WHEN MATCHED THEN DELETE
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+            model = rows.foldLeft(model) { case (m, (k, sn, sv)) =>
+              m.get(k) match {
+                case Some((tn, tv)) if tv < cut => m + (k -> ((tn, tv + sv)))
+                case Some(_) => m - k
+                case None => m + (k -> ((sn, sv)))
+              }
+            }
+          case 2 => // partial-SET merge: only name changes on match
+            val rows = srcRows()
+            rows.toDF("id", "name", "v").createOrReplaceTempView("fuzz_src")
+            spark.sql(
+              """MERGE INTO fuzz_target t USING fuzz_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET name = s.name
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+            model = rows.foldLeft(model) { case (m, (k, sn, sv)) =>
+              m.get(k) match {
+                case Some((_, tv)) => m + (k -> ((sn, tv)))
+                case None => m + (k -> ((sn, sv)))
+              }
+            }
+          case 3 => // self-referencing UPDATE under a random predicate
+            val d = 1 + rnd.nextInt(7)
+            val add = 1 + rnd.nextInt(9)
+            spark.sql(s"UPDATE fuzz_target SET v = v + $add, " +
+              s"name = concat(name, 'u') WHERE v % $d = 0")
+            model = model.map { case (k, (n, v)) =>
+              if (v % d == 0) k -> ((n + "u", v + add)) else k -> ((n, v))
+            }
+          case 4 => // predicate DELETE; skipped when it would empty the table
+            val c = rnd.nextLong(60L)
+            val par = rnd.nextInt(2)
+            val doomed = model.filter { case (k, (_, v)) => v > c && k % 2 == par }
+            if (doomed.size < model.size) {
+              spark.sql(s"DELETE FROM fuzz_target WHERE v > $c AND id % 2 = $par")
+              model --= doomed.keys
+            }
+        }
+        val actual = t.read().as[(Long, String, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(actual === model, s"$name diverged from the model at step $step")
+      }
+    }
+  }
 }

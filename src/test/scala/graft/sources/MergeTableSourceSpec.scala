@@ -198,6 +198,40 @@ class MergeTableSourceSpec extends SparkSpec {
     assert(feedFrom(fmt(times(2L) + 60000)) === Seq.empty)
   }
 
+  test("point lookups on a bucketed table open only the key's bucket dir") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In}
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val root = "target/test_tmp/source_bucket_prune"
+    MergeTable.drop(root)
+    val n = 8
+    MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some((0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")),
+      numBuckets = Some(n))
+    val rel = new MergeTableRelation(spark.sqlContext, root, Seq("id"),
+      MergeTable.CopyOnWrite, Some(n))
+    val all = rel.candidateFiles(Array.empty).get
+    assert(all.size >= n, s"expected >= $n files, got ${all.size}")
+    // the write side's bucket for id=17, replayed with the same expr
+    val b17 = Seq(17L).toDF("id")
+      .select(pmod(xxhash64(col("id")), lit(n)))
+      .head().getLong(0)
+    val kept = rel.candidateFiles(Array(EqualTo("id", 17L))).get
+    assert(kept.nonEmpty && kept.forall(_.contains(s"_graft_bucket=$b17")),
+      s"point lookup kept files outside bucket $b17: $kept")
+    // IN-list: at most one bucket per value
+    val keptIn = rel.candidateFiles(Array(In("id", Array(3L, 200L)))).get
+    val bucketsIn = keptIn.flatMap("_graft_bucket=(\\d+)".r.findFirstMatchIn(_)
+      .map(_.group(1).toLong)).toSet
+    assert(bucketsIn.size <= 2 && keptIn.size < all.size)
+    // a range filter must not bucket-prune
+    assert(rel.candidateFiles(Array(GreaterThan("id", -1L))).get.size === all.size)
+    // and the pruned read still answers correctly
+    val df = spark.read.format("mergetable").option("path", root).load()
+    assert(df.filter(col("id") === 17L).select("v").as[String].collect()
+      .toSeq === Seq("v17"))
+    assert(df.filter(col("id").isin(3L, 200L)).count() === 2L)
+  }
+
   test("catalog-created empty table reads as an empty frame through format()") {
     val root = "target/test_tmp/source_declared"
     MergeTable.drop(root)
