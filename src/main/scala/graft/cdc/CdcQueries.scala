@@ -127,7 +127,7 @@ object CdcQueries extends QueryModule {
   // -- merge apply through the real MergeTable IO path ---------------------
 
   private def applyUpsertWith(variant: String, mode: String, buckets: Option[Int],
-      compactAfter: Boolean = false)(
+      compactAfter: Boolean = false, partitions: Seq[String] = Nil)(
       s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).cache()
     val cut = ev.agg(max("event_id")).head().getLong(0) / 2
@@ -136,7 +136,7 @@ object CdcQueries extends QueryModule {
     val root = tmpRoot(s"apply_upsert_$variant", dir)
     MergeTable.drop(root)
     val t = MergeTable.createIfAbsent(s, root, Seq("user_id"), initial = Some(base),
-      mode = mode, numBuckets = buckets)
+      mode = mode, numBuckets = buckets, partitionCols = partitions)
     t.upsert(changes)
     if (compactAfter) t.compact()
     val out = t.read().select("user_id", "event_id", "event_type", "value").orderBy("user_id")
@@ -174,6 +174,18 @@ object CdcQueries extends QueryModule {
   private def applyUpsertDvBucketed(s: SparkSession, dir: String): DataFrame =
     applyUpsertWith("dv_bucketed", MergeTable.DeletionVectors, Some(8),
       compactAfter = true)(s, dir)
+
+  /** Same semantics through the VALUE-partitioned layout (partitioned
+    * by `event_type`): the upsert scans the snapshot once for the
+    * batch keys' holding partitions, rewrites only the touched
+    * partition dirs (a user whose latest event_type CHANGED moves
+    * partitions in the same commit), and the read unions the leaf
+    * dirs — so the gate hashes partition-scoped merge correctness
+    * including cross-partition key moves.
+    */
+  private def applyUpsertPartitioned(s: SparkSession, dir: String): DataFrame =
+    applyUpsertWith("partitioned", MergeTable.CopyOnWrite, None,
+      partitions = Seq("event_type"))(s, dir)
 
   /** Same semantics through bucketed MOR: bucket-partitioned seed,
     * flat delta upsert, then per-bucket compaction (`compactAfter`)
@@ -853,6 +865,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert_mor_bucketed", applyUpsertMorBucketed, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_dv", applyUpsertDv, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_dv_bucketed", applyUpsertDvBucketed, Some(applyUpsertSql)),
+    QueryDef("cdc_apply_upsert_partitioned", applyUpsertPartitioned, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete", applyDelete, Some(applyDeleteSql)),
     QueryDef("cdc_apply_delete_dv", applyDeleteDv, Some(applyDeleteSql)),
     QueryDef("cdc_apply_upsert_sql", applyUpsertViaSql, Some(applyUpsertSql)),

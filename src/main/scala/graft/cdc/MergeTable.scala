@@ -83,7 +83,23 @@ final class MergeTable(
     val keys: Seq[String],
     val mode: String = MergeTable.CopyOnWrite,
     val numBuckets: Option[Int] = None,
-    val maxDeltas: Int = 8) {
+    val maxDeltas: Int = 8,
+    val partitionCols: Seq[String] = Nil) {
+
+  // VALUE partitioning (the data-lake date-partition layout,
+  // complementing hash buckets): rows live in per-value directories
+  // of `partitionCols`, upsert/delete rewrite ONLY the partitions the
+  // batch touches (its own rows' partitions plus the partitions
+  // currently holding the batch's keys — so a row MOVING partitions
+  // is removed from its old home), and analytic reads prune whole
+  // partition directories from pushed filters. Orthogonal layouts
+  // don't stack: a table is bucketed (write-optimized, key-hash) or
+  // value-partitioned (read-optimized, predicate-aligned), not both,
+  // and the partition-scoped rewrite is a COW strategy.
+  require(partitionCols.isEmpty || numBuckets.isEmpty,
+    "value partitioning does not compose with hash bucketing")
+  require(partitionCols.isEmpty || mode == MergeTable.CopyOnWrite,
+    "value partitioning requires copy-on-write mode")
 
   // numBuckets composes with any write mode: bucketed COW rewrites
   // only touched buckets; bucketed MOR appends flat deltas and
@@ -167,7 +183,8 @@ final class MergeTable(
     */
   private def persistMeta(): Unit = if (!Files.exists(metaPath)) {
     Files.createDirectories(rootPath)
-    MergeTable.writeMeta(root, MergeTable.Meta(keys, mode, numBuckets, None))
+    MergeTable.writeMeta(root,
+      MergeTable.Meta(keys, mode, numBuckets, None, partitionCols = partitionCols))
   }
 
   /** Atomic commit with optimistic concurrency: the manifest body is
@@ -633,7 +650,8 @@ final class MergeTable(
         // MOR delta-append: changed keys are the delta rows' keys
         Some(readDirs(added.map(_._2)).select(keys.map(col): _*).distinct())
       else {
-        val dataAdds = added.filter(e => e._1 == "base" || e._1.matches("b\\d+"))
+        val dataAdds = added.filter(e =>
+          e._1 == "base" || e._1 == "pv" || e._1.matches("b\\d+"))
         val dvAdds = added.filter(_._1 == "dv")
         if (dvAdds.size + dataAdds.size != added.size) None
         else if (dataAdds.nonEmpty)
@@ -837,7 +855,9 @@ final class MergeTable(
     * appends through upsert to keep the bucket invariant.
     */
   def append(df: DataFrame): Unit = {
-    if (numBuckets.isDefined) { upsert(df); return }
+    // bucketed/partitioned layouts keep their one-dir-per-partition
+    // invariant by routing appends through the scoped merge
+    if (numBuckets.isDefined || partitionCols.nonEmpty) { upsert(df); return }
     enforceConstraints(df)
     val physical = toPhysical(df)
     mode match {
@@ -901,6 +921,9 @@ final class MergeTable(
         commit(entries() :+ ("delta" -> writeData(changes)))
         maybeCompact()
       }
+    case _ if partitionCols.nonEmpty =>
+      if (!exists) { requirePartitionable(changes); commit(writePartitioned(changes)) }
+      else partitionedMerge(changes, isDelete = false)
     case _ if numBuckets.isDefined => bucketedMerge(changes, isDelete = false)
     case _ =>
       val result =
@@ -931,6 +954,7 @@ final class MergeTable(
           .withColumn(Tombstone, lit(true))
         commit(entries() :+ ("delta" -> writeData(tombstones)))
         maybeCompact()
+      case _ if partitionCols.nonEmpty => partitionedMerge(deleteKeys, isDelete = true)
       case _ if numBuckets.isDefined => bucketedMerge(deleteKeys, isDelete = true)
       case _ =>
         val result = rewriteSource().join(keySet(deleteKeys, dedup = true), keys, "left_anti")
@@ -1012,6 +1036,122 @@ final class MergeTable(
   /** First write of a bucketed table: one bucket-partitioned job. */
   private def seedBucketed(df: DataFrame): Unit =
     commit(writeBucketed(df))
+
+  // -- value-partitioned layout --------------------------------------------
+
+  private val PartPrefix = "_graft_p_"
+
+  /** Partition column types are restricted to the ones whose
+    * `toString` rendering is exactly what Spark's partition-dir
+    * naming writes (string/integral/boolean) — the partition-scoped
+    * merge derives the batch's leaf-dir names driver-side and a
+    * rendering mismatch (dates, floats) would silently split a
+    * partition in two.
+    */
+  private def requirePartitionable(df: DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    partitionCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt match {
+        case StringType | ByteType | ShortType | IntegerType | LongType | BooleanType => true
+        case _ => false
+      }, s"partition column $c must be string/integral/boolean, got $dt")
+    }
+  }
+
+  /** One partition-directory write job: each partition column is
+    * DUPLICATED into a `_graft_p_<col>` twin used only for directory
+    * layout, so the real column stays inside the parquet files and
+    * leaf-dir reads need no value reconstruction. Returns one "pv"
+    * manifest entry per leaf partition dir written.
+    */
+  private def writePartitioned(df: DataFrame): Seq[(String, String)] = {
+    val dir = UUID.randomUUID().toString
+    val tagged = partitionCols.foldLeft(df)((d, c) => d.withColumn(PartPrefix + c, col(c)))
+    tagged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols.map(PartPrefix + _): _*)
+      .parquet(dataDir.resolve(dir).toString)
+    val leaves = listPartitionLeaves(dataDir.resolve(dir), partitionCols.size)
+    leaves.foreach(rel => recordStats(s"$dir/$rel"))
+    leaves.sorted.map(rel => "pv" -> s"$dir/$rel")
+  }
+
+  /** Relative paths of a write's leaf partition dirs (depth =
+    * partition-column count). Driver-side walk, O(partitions).
+    */
+  private def listPartitionLeaves(base: Path, depth: Int): Seq[String] = {
+    def walk(p: Path, d: Int): Seq[String] =
+      if (d == 0) Seq(base.relativize(p).toString.replace('\\', '/'))
+      else Option(p.toFile.list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith(PartPrefix)).toSeq
+        .flatMap(n => walk(p.resolve(n), d - 1))
+    walk(base, depth)
+  }
+
+  /** The leaf-dir names a batch's rows land in, rendered EXACTLY like
+    * Spark's partition-dir naming (escapePathName over toString —
+    * guaranteed aligned by [[requirePartitionable]]'s type gate).
+    * Bounded by the batch's distinct partition tuples.
+    */
+  private def partitionLeafNames(df: DataFrame): Set[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    df.select(partitionCols.map(col): _*).distinct().collect().map { r =>
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        val rendered =
+          if (v == null) "__HIVE_DEFAULT_PARTITION__"
+          else ExternalCatalogUtils.escapePathName(v.toString)
+        s"$PartPrefix$c=$rendered"
+      }.mkString("/")
+    }.toSet
+  }
+
+  /** Partition-scoped COW merge: rewrite ONLY the partition dirs the
+    * batch touches — the partitions its own rows land in, plus every
+    * partition currently HOLDING one of its keys (one key-restricted
+    * snapshot scan — the Hudi global-index shape), so a row whose
+    * partition value CHANGED is removed from its old home in the same
+    * commit. Untouched partitions keep their directories verbatim; at
+    * 100 TB a CDC batch pays for its partitions, not the table.
+    */
+  private def partitionedMerge(changes: DataFrame, isDelete: Boolean): Unit = {
+    val current = entries()
+    require(current.forall(_._1 == "pv"),
+      s"table at $root has a non-partitioned layout; migrate before opening with partitionCols")
+    def leafOf(entryDir: String): String = entryDir.split("/", 2)(1)
+    val ks = keySet(changes, dedup = true)
+    // leaf attribution from the file path Spark itself wrote — exact
+    // by construction, one scan restricted to the batch's key set
+    val holders: Set[String] =
+      if (current.isEmpty) Set.empty
+      else readDirs(current.map(_._2))
+        // the metadata column resolves only on the scan itself, so it
+        // is projected BEFORE the semi-join
+        .select(col("_metadata.file_path").as("_graft_f") +: keys.map(col): _*)
+        .join(ks, keys, "left_semi")
+        .select(regexp_replace(
+          regexp_extract(col("_graft_f"),
+            "/((?:_graft_p_[^/]+/)+)[^/]+$", 1),
+          "/$", "").as("_graft_leaf"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val affected = holders ++
+      (if (isDelete) Set.empty[String] else partitionLeafNames(changes))
+    if (isDelete && affected.isEmpty) return // nothing held these keys
+    val affectedDirs = current.filter(e => affected.contains(leafOf(e._2)))
+    val base =
+      if (affectedDirs.isEmpty) None
+      else Some(readDirs(affectedDirs.map(_._2)))
+    val result =
+      if (isDelete) base.map(_.join(ks, keys, "left_anti")).getOrElse(return)
+      else base match {
+        case None => changes
+        case Some(b) =>
+          changes.unionByName(b.join(ks, keys, "left_anti"),
+            allowMissingColumns = true)
+      }
+    val untouched = current.filterNot(e => affected.contains(leafOf(e._2)))
+    commit(untouched ++ writePartitioned(result))
+  }
 
   /** Fold deltas into the base (MOR housekeeping). Bucketed tables
     * compact ONLY the buckets the pending deltas touch — at 100 TB a
@@ -1220,6 +1360,7 @@ final class MergeTable(
   def cluster(cols: Seq[String], targetFiles: Int = 0): Unit = {
     require(exists, s"cannot cluster uninitialized table $root")
     require(numBuckets.isEmpty, "cluster() conflicts with a hash-bucketed layout")
+    require(partitionCols.isEmpty, "cluster() conflicts with a value-partitioned layout")
     val snap = rewriteSource()
     // caller-facing column names are logical; the rewrite source is
     // physical, so map them through the rename table
@@ -1319,7 +1460,8 @@ object MergeTable {
                         numBuckets: Option[Int], schemaJson: Option[String],
                         constraints: Map[String, String] = Map.empty,
                         droppedColumns: Seq[String] = Nil,
-                        renames: Map[String, String] = Map.empty)
+                        renames: Map[String, String] = Map.empty,
+                        partitionCols: Seq[String] = Nil)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -1341,6 +1483,10 @@ object MergeTable {
     if (meta.renames.nonEmpty) {
       val rn = node.putObject("renames")
       meta.renames.foreach { case (logical, physical) => rn.put(logical, physical) }
+    }
+    if (meta.partitionCols.nonEmpty) {
+      val pc = node.putArray("partitions")
+      meta.partitionCols.foreach(pc.add)
     }
     Files.createDirectories(Paths.get(root))
     Files.write(Paths.get(root).resolve("_META.json"),
@@ -1365,7 +1511,9 @@ object MergeTable {
           .getOrElse(Nil),
         Option(n.get("renames")).map { r =>
           r.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
-        }.getOrElse(Map.empty)))
+        }.getOrElse(Map.empty),
+        Option(n.get("partitions")).map(_.elements().asScala.map(_.asText).toSeq)
+          .getOrElse(Nil)))
     }
   }
 
@@ -1461,7 +1609,8 @@ object MergeTable {
   def open(spark: SparkSession, root: String): MergeTable = {
     val meta = readMeta(root).getOrElse(
       throw new IllegalArgumentException(s"no MergeTable metadata at $root"))
-    new MergeTable(spark, root, meta.keys, meta.mode, meta.numBuckets)
+    new MergeTable(spark, root, meta.keys, meta.mode, meta.numBuckets,
+      partitionCols = meta.partitionCols)
   }
 
   /** Create-if-absent, seeding with `initial` when the table is new —
@@ -1471,8 +1620,10 @@ object MergeTable {
   def createIfAbsent(spark: SparkSession, root: String, keys: Seq[String],
                      initial: Option[DataFrame] = None,
                      mode: String = CopyOnWrite,
-                     numBuckets: Option[Int] = None): MergeTable = {
-    val t = new MergeTable(spark, root, keys, mode, numBuckets)
+                     numBuckets: Option[Int] = None,
+                     partitionCols: Seq[String] = Nil): MergeTable = {
+    val t = new MergeTable(spark, root, keys, mode, numBuckets,
+      partitionCols = partitionCols)
     if (!t.exists) initial.foreach(df => t.upsert(df))
     t
   }

@@ -112,7 +112,8 @@ class MergeTableSource extends RelationProvider with DataSourceRegister
       keys.getOrElse(throw new IllegalArgumentException(
         s"mergetable at $path has no _META.json and no 'keys' option — the key " +
           "columns drive DML and MOR reconciliation and must not be guessed")),
-      mode, buckets, version, declared)
+      mode, buckets, version, declared,
+      meta.map(_.partitionCols).getOrElse(Nil))
   }
 }
 
@@ -123,11 +124,13 @@ class MergeTableRelation(
     val mode: String,
     val numBuckets: Option[Int] = None,
     val version: Option[Long] = None,
-    val declaredSchema: Option[StructType] = None) extends BaseRelation with PrunedFilteredScan {
+    val declaredSchema: Option[StructType] = None,
+    val partitionCols: Seq[String] = Nil) extends BaseRelation with PrunedFilteredScan {
 
   private def spark: SparkSession = sqlContext.sparkSession
 
-  private lazy val table = new MergeTable(spark, path, keys, mode, numBuckets)
+  private lazy val table = new MergeTable(spark, path, keys, mode, numBuckets,
+    partitionCols = partitionCols)
 
   // resolve the manifest pointer ONCE per relation: schema, every
   // buildScan, and stats pruning all read the same committed snapshot
@@ -254,7 +257,16 @@ class MergeTableRelation(
           }
         case None => files
       }
-      val statKept = bucketKept.filter { case (_, st) =>
+      // value-partition pruning: a file's partition values are IN its
+      // path (`_graft_p_<col>=<val>` segments) — drop every file whose
+      // partition provably cannot satisfy the pushed filters, before
+      // stats are consulted (the data-lake date-partition prune)
+      val partKept =
+        if (partitionCols.isEmpty) bucketKept
+        else bucketKept.filter { case (p, _) =>
+          filters.forall(f => partitionMayMatch(p.toString, f))
+        }
+      val statKept = partKept.filter { case (_, st) =>
         st.isEmpty || filters.forall(f => graft.cdc.FileStats.mayMatch(st, f))
       }
       val bloomKept = pointHashes(filters) match {
@@ -271,6 +283,54 @@ class MergeTableRelation(
       }
       (bloomKept.map(_._1), files.size)
     }
+
+  /** Conservative partition-dir filter evaluation: parse the
+    * `_graft_p_<col>=<val>` segments Spark wrote into the file path
+    * (unescaped), evaluate the pushed filter against them, and keep
+    * the file unless the partition PROVABLY cannot match. The null
+    * partition (`__HIVE_DEFAULT_PARTITION__`) fails every comparison
+    * (SQL null semantics) but survives IsNull; anything unparseable
+    * or untranslated keeps the file.
+    */
+  private def partitionMayMatch(path: String, f: Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def valueOf(c: String): Option[Option[String]] = // None = col not in path
+      s"_graft_p_${java.util.regex.Pattern.quote(c)}=([^/]+)".r
+        .findFirstMatchIn(path).map { m =>
+          val raw = ExternalCatalogUtils.unescapePathName(m.group(1))
+          if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)
+        }
+    def cmp(s: String, v: Any): Option[Int] = v match {
+      case n: Number =>
+        try Some(BigDecimal(s).compare(BigDecimal(n.toString)))
+        catch { case _: NumberFormatException => None }
+      case b: Boolean => Some(s.toLowerCase.compareTo(b.toString))
+      case other => Some(s.compareTo(String.valueOf(other)))
+    }
+    def eval(f: Filter): Boolean = f match {
+      case EqualTo(a, v) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ == 0)))
+      case In(a, vs) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.exists(s => vs.exists(v => cmp(s, v).forall(_ == 0))))
+      case GreaterThan(a, v) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ > 0)))
+      case GreaterThanOrEqual(a, v) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ >= 0)))
+      case LessThan(a, v) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ < 0)))
+      case LessThanOrEqual(a, v) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ <= 0)))
+      case IsNull(a) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.isEmpty)
+      case IsNotNull(a) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.nonEmpty)
+      case And(l, r) => eval(l) && eval(r)
+      case Or(l, r) => eval(l) || eval(r)
+      case _ => true // untranslated / non-partition filter: keep
+    }
+    eval(f)
+  }
 
   /** Bucket ids a full-key point lookup can touch on a hash-bucketed
     * layout: the WRITE side's bucket expression —

@@ -1,0 +1,189 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In, IsNotNull}
+
+/** Value-partitioned layout: rows live in per-value partition dirs
+  * (`_graft_p_<col>=<val>`), upsert/delete rewrite only the touched
+  * partitions — including the OLD home of a row whose partition value
+  * changed — and reads prune whole partition directories from pushed
+  * filters.
+  */
+class PartitionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val root = s"target/test_tmp/pv_$name"
+    MergeTable.drop(root)
+    root
+  }
+
+  private def lastManifest(root: String): Seq[String] = {
+    val manifests = new java.io.File(s"$root/manifests").list().sorted
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/manifests/${manifests.last}")))
+      .linesIterator.toSeq
+  }
+
+  private val seedRows = Seq(
+    (1L, "red", 10L), (2L, "red", 20L), (3L, "blue", 30L), (4L, "green", 40L))
+
+  private def seeded(name: String): (String, MergeTable) = {
+    val root = fresh(name)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(seedRows.toDF("id", "grp", "v")),
+      partitionCols = Seq("grp"))
+    (root, t)
+  }
+
+  test("seed writes one pv entry per partition value") {
+    val (root, t) = seeded("seed")
+    val m = lastManifest(root)
+    assert(m.forall(_.startsWith("pv:")), m.mkString("|"))
+    assert(m.count(_.contains("_graft_p_grp=red")) === 1)
+    assert(m.count(_.contains("_graft_p_grp=blue")) === 1)
+    assert(m.count(_.contains("_graft_p_grp=green")) === 1)
+    assert(t.read().as[(Long, String, Long)].collect().sorted === seedRows.sorted)
+  }
+
+  test("upsert rewrites only the touched partitions") {
+    val (root, t) = seeded("scoped")
+    val before = lastManifest(root)
+    t.upsert(Seq((2L, "red", 25L), (5L, "red", 50L)).toDF("id", "grp", "v"))
+    val after = lastManifest(root)
+    // blue and green keep their directories verbatim; red moved
+    Seq("blue", "green").foreach { g =>
+      val entry = before.find(_.contains(s"_graft_p_grp=$g")).get
+      assert(after.contains(entry), s"$g was rewritten: $after")
+    }
+    assert(!after.contains(before.find(_.contains("_graft_p_grp=red")).get))
+    assert(t.read().as[(Long, String, Long)].collect().sorted ===
+      Seq((1L, "red", 10L), (2L, "red", 25L), (3L, "blue", 30L),
+        (4L, "green", 40L), (5L, "red", 50L)))
+  }
+
+  test("a key changing partition value leaves its old home") {
+    val (root, t) = seeded("move")
+    t.upsert(Seq((3L, "red", 35L)).toDF("id", "grp", "v")) // blue -> red
+    val after = lastManifest(root)
+    // blue emptied entirely: its only row moved out
+    assert(!after.exists(_.contains("_graft_p_grp=blue")), after.mkString("|"))
+    val got = t.read().as[(Long, String, Long)].collect().sorted
+    assert(got === Seq((1L, "red", 10L), (2L, "red", 20L),
+      (3L, "red", 35L), (4L, "green", 40L)))
+  }
+
+  test("delete rewrites only the holding partitions") {
+    val (root, t) = seeded("delete")
+    val before = lastManifest(root)
+    t.delete(Seq(3L, 99L).toDF("id")) // blue holder + absent key
+    val after = lastManifest(root)
+    Seq("red", "green").foreach { g =>
+      assert(after.contains(before.find(_.contains(s"_graft_p_grp=$g")).get))
+    }
+    assert(!after.exists(_.contains("_graft_p_grp=blue")))
+    assert(t.read().count() === 3)
+    // a delete matching nothing commits nothing
+    val vs = t.versions()
+    t.delete(Seq(123L).toDF("id"))
+    assert(t.versions() === vs)
+  }
+
+  test("matches the flat COW result over a mixed sequence") {
+    val rows = (0L until 120L).map(i => (i, s"g${i % 5}", i * 2))
+    def drive(partitions: Seq[String], name: String): Seq[(Long, String, Long)] = {
+      val root = fresh(name)
+      val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+        initial = Some(rows.toDF("id", "grp", "v")), partitionCols = partitions)
+      // updates, inserts, and partition MOVES (grp recomputed mod 3)
+      t.upsert((40L until 80L).map(i => (i, s"g${i % 3}", i * 3)).toDF("id", "grp", "v"))
+      t.delete((0L until 120L by 7).toDF("id"))
+      t.append(Seq((500L, "g9", 1L)).toDF("id", "grp", "v"))
+      t.read().as[(Long, String, Long)].collect().sorted.toSeq
+    }
+    assert(drive(Seq("grp"), "mix_pv") === drive(Nil, "mix_flat"))
+  }
+
+  test("partition values with special characters round-trip") {
+    val root = fresh("escape")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a b/c:d", 1L), (2L, "plain", 2L))
+        .toDF("id", "grp", "v")),
+      partitionCols = Seq("grp"))
+    t.upsert(Seq((1L, "a b/c:d", 11L)).toDF("id", "grp", "v"))
+    assert(t.read().as[(Long, String, Long)].collect().sorted ===
+      Seq((1L, "a b/c:d", 11L), (2L, "plain", 2L)))
+  }
+
+  test("point reads prune to the matching partition directories") {
+    val (root, _) = seeded("prune")
+    val rel = new graft.sources.MergeTableRelation(spark.sqlContext, root,
+      Seq("id"), MergeTable.CopyOnWrite, partitionCols = Seq("grp"))
+    val all = rel.candidateFiles(Array.empty).get
+    assert(all.size >= 3)
+    val eq = rel.candidateFiles(Array(EqualTo("grp", "red"))).get
+    assert(eq.nonEmpty && eq.forall(_.contains("_graft_p_grp=red")), eq)
+    val in = rel.candidateFiles(Array(In("grp", Array[Any]("red", "blue")))).get
+    assert(in.forall(f => f.contains("=red") || f.contains("=blue")) && in.size < all.size)
+    // non-partition filters leave the partition set alone (stats may
+    // still prune, so compare against the partition dirs only)
+    val nonPart = rel.candidateFiles(Array(IsNotNull("id"))).get
+    assert(nonPart.size === all.size)
+    // range compare is NUMERIC for numeric literals even though the
+    // dir segment is a string
+    val root2 = fresh("prune_num")
+    MergeTable.createIfAbsent(spark, root2, Seq("id"),
+      initial = Some(Seq((1L, 2L, "x"), (2L, 10L, "y")).toDF("id", "bucketed_day", "v")),
+      partitionCols = Seq("bucketed_day"))
+    val rel2 = new graft.sources.MergeTableRelation(spark.sqlContext, root2,
+      Seq("id"), MergeTable.CopyOnWrite, partitionCols = Seq("bucketed_day"))
+    val gt = rel2.candidateFiles(Array(GreaterThan("bucketed_day", 9L))).get
+    assert(gt.nonEmpty && gt.forall(_.contains("_graft_p_bucketed_day=10")), gt)
+    // and the pruned read answers correctly
+    val df = spark.read.format("mergetable").option("path", root).load()
+    assert(df.filter(col("grp") === "red").count() === 2)
+  }
+
+  test("illegal layouts and types are rejected loudly") {
+    val floatCol = intercept[IllegalArgumentException] {
+      MergeTable.createIfAbsent(spark, fresh("badtype"), Seq("id"),
+        initial = Some(Seq((1L, 1.5, "x")).toDF("id", "score", "v")),
+        partitionCols = Seq("score"))
+    }
+    assert(floatCol.getMessage.contains("partition column"))
+    val both = intercept[IllegalArgumentException] {
+      new MergeTable(spark, fresh("badboth"), Seq("id"),
+        numBuckets = Some(4), partitionCols = Seq("grp"))
+    }
+    assert(both.getMessage.contains("bucketing"))
+    val mor = intercept[IllegalArgumentException] {
+      new MergeTable(spark, fresh("badmor"), Seq("id"),
+        MergeTable.MergeOnRead, partitionCols = Seq("grp"))
+    }
+    assert(mor.getMessage.contains("copy-on-write"))
+  }
+
+  test("self-describing: open() restores the partition layout") {
+    val (root, t) = seeded("reopen")
+    val t2 = MergeTable.open(spark, root)
+    assert(t2.partitionCols === Seq("grp"))
+    t2.upsert(Seq((9L, "blue", 90L)).toDF("id", "grp", "v"))
+    assert(lastManifest(root).forall(_.startsWith("pv:")))
+    assert(t.read().count() === 5)
+  }
+
+  test("time travel and change feed see through partitioned commits") {
+    val (root, t) = seeded("travel")
+    val v1 = t.versions().max
+    t.upsert(Seq((3L, "red", 35L)).toDF("id", "grp", "v")) // partition move
+    t.delete(Seq(1L).toDF("id"))
+    val top = t.versions().max
+    assert(t.readVersion(v1).as[(Long, String, Long)].collect().sorted ===
+      seedRows.sorted)
+    val feed = t.changeFeed(v1, top)
+      .select("id", "grp", "v", "_change")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(feed === Set((3L, "red", 35L, "U"), (1L, "red", 10L, "D")))
+  }
+}
