@@ -108,19 +108,31 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty, "mergetable catalog tables are unpartitioned " +
-      "(use the 'buckets' property for hash bucketing)")
+    // PARTITIONED BY (c1, c2): identity transforms declare the
+    // value-partitioned layout; any other transform (bucket(), days()
+    // ...) is rejected loudly rather than silently ignored
+    val partitionCols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"mergetable supports only identity PARTITIONED BY columns, got $t " +
+          "(use the 'buckets' property for hash bucketing)")
+      t.references.head.fieldNames.mkString(".")
+    }
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the schema"))
     val props = properties.asScala
     val keys = props.get("keys").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(throw new IllegalArgumentException(
         "CREATE TABLE requires TBLPROPERTIES('keys'='pk1[,pk2…]')"))
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"primary key column '$k' is not in the schema"))
+    require(partitionCols.isEmpty || props.get("buckets").isEmpty,
+      "value partitioning does not compose with hash bucketing")
     val meta = MergeTable.Meta(
       keys,
       props.getOrElse("mode", MergeTable.CopyOnWrite),
       props.get("buckets").map(_.toInt),
-      Some(schema.json))
+      Some(schema.json),
+      partitionCols = partitionCols)
     MergeTable.writeMeta(tablePath(ident), meta)
     new MergeTableV2(ident, tablePath(ident), meta, None)
   }
@@ -255,7 +267,8 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
               require(version.isEmpty, "cannot write to a time-travel snapshot")
               require(!overwrite, "INSERT OVERWRITE is not supported; use MERGE INTO")
               val t = new MergeTable(data.sparkSession, path, meta.keys,
-                meta.mode, meta.numBuckets)
+                meta.mode, meta.numBuckets,
+                partitionCols = meta.partitionCols)
               t.append(data)
             }
           }

@@ -437,7 +437,12 @@ case class MergeTableDmlCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     val src = GraftSqlBridge.ofRows(session, source)
-    val t = new MergeTable(session, path, keys, mode, numBuckets)
+    // layout facts the relation does not carry (value partitioning)
+    // come from the table's own metadata, so DML against a
+    // partitioned table takes the partition-scoped merge path
+    val partitions = MergeTable.readMeta(path).map(_.partitionCols).getOrElse(Nil)
+    val t = new MergeTable(session, path, keys, mode, numBuckets,
+      partitionCols = partitions)
     kind match {
       case MergeTableDmlCommand.Upsert =>
         t.upsert(requireUniqueKeys(src))

@@ -33,13 +33,20 @@ class MergeTableSink(
     mode: String,
     numBuckets: Option[Int],
     applyMode: String,
-    ordering: Seq[String]) extends Sink {
+    ordering: Seq[String],
+    partitionCols: Seq[String] = Nil) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // rewrap: the engine hands a DataFrame over the streaming plan,
     // which cannot be the subject of new (batch) queries directly
     val batch = org.apache.spark.sql.graft.StreamingShim.asBatch(data)
-    val table = new MergeTable(data.sparkSession, path, keys, mode, numBuckets)
+    // an existing table's recorded layout wins over sink options, so
+    // a stream pointed at a partitioned/bucketed table cannot
+    // silently degrade it to a flat rewrite
+    val meta = MergeTable.readMeta(path)
+    val table = new MergeTable(data.sparkSession, path, keys, mode,
+      meta.flatMap(_.numBuckets).orElse(numBuckets),
+      partitionCols = meta.map(_.partitionCols).getOrElse(partitionCols))
     applyMode match {
       case "changes" =>
         // one precombine across ALL op classes decides each key's
@@ -100,6 +107,8 @@ object MergeTableSink {
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
     if (applyMode == "changes") require(ordering.nonEmpty,
       "mergetable sink apply=changes requires option 'ordering' (precombine columns)")
-    new MergeTableSink(path, keys, mode, buckets, applyMode, ordering)
+    val partitions = parameters.get("partitions")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    new MergeTableSink(path, keys, mode, buckets, applyMode, ordering, partitions)
   }
 }

@@ -232,4 +232,37 @@ class MergeTableCatalogSpec extends SparkSpec {
     val meta = MergeTable.readMeta("target/graft_warehouse/cat4/m").get
     assert(meta.mode === MergeTable.MergeOnRead)
   }
+
+  test("CREATE TABLE PARTITIONED BY declares the value-partitioned layout") {
+    fresh("cat5")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat5")
+    spark.sql("""CREATE TABLE graft.cat5.p (id BIGINT, grp STRING, v BIGINT)
+                 PARTITIONED BY (grp) TBLPROPERTIES('keys'='id')""")
+    val root = "target/graft_warehouse/cat5/p"
+    assert(MergeTable.readMeta(root).get.partitionCols === Seq("grp"))
+    spark.sql("INSERT INTO graft.cat5.p VALUES (1,'red',10), (2,'blue',20)")
+    // the insert landed partition-scoped: pv entries, per-value dirs
+    val manifest = {
+      val ms = new java.io.File(s"$root/manifests").list().sorted
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/manifests/${ms.last}")))
+    }
+    assert(manifest.linesIterator.forall(_.startsWith("pv:")), manifest)
+    assert(manifest.contains("_graft_p_grp=red") && manifest.contains("_graft_p_grp=blue"))
+    // MERGE through SQL keeps the layout partition-scoped
+    spark.sql("""MERGE INTO graft.cat5.p t
+                 USING (SELECT CAST(2 AS BIGINT) AS id, 'blue' AS grp,
+                               CAST(25 AS BIGINT) AS v) s
+                 ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.table("graft.cat5.p").orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "red", 10L), (2L, "blue", 25L)))
+    // non-identity transforms are rejected loudly, not ignored
+    val bad = intercept[Exception](spark.sql(
+      """CREATE TABLE graft.cat5.bad (id BIGINT, ts TIMESTAMP)
+         PARTITIONED BY (days(ts)) TBLPROPERTIES('keys'='id')"""))
+    assert(bad.getMessage.contains("identity"))
+  }
 }

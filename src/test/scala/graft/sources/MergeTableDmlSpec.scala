@@ -327,17 +327,20 @@ class MergeTableDmlSpec extends SparkSpec {
     // reproducible.
     val rnd = new scala.util.Random(81405L)
     val layouts = Seq(
-      ("fz_cow", MergeTable.CopyOnWrite, None),
-      ("fz_mor", MergeTable.MergeOnRead, None),
-      ("fz_bucketed", MergeTable.CopyOnWrite, Some(4)),
-      ("fz_dv", MergeTable.DeletionVectors, None))
-    for ((name, mode, buckets) <- layouts) {
+      ("fz_cow", MergeTable.CopyOnWrite, None, Nil),
+      ("fz_mor", MergeTable.MergeOnRead, None, Nil),
+      ("fz_bucketed", MergeTable.CopyOnWrite, Some(4), Nil),
+      ("fz_dv", MergeTable.DeletionVectors, None, Nil),
+      // partitioned by `name`, which the ops mutate constantly —
+      // every partial-SET and star merge exercises partition moves
+      ("fz_partitioned", MergeTable.CopyOnWrite, None, Seq("name")))
+    for ((name, mode, buckets, partitions) <- layouts) {
       val root = s"target/test_tables/dml_$name"
       MergeTable.drop(root)
       val init = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
         initial = Some(init.toDF("id", "name", "v")),
-        mode = mode, numBuckets = buckets)
+        mode = mode, numBuckets = buckets, partitionCols = partitions)
       var model: Map[Long, (String, Long)] =
         init.map(r => r._1 -> ((r._2, r._3))).toMap
       def srcRows(): Seq[(Long, String, Long)] =

@@ -36,6 +36,51 @@ class MergeTableSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sink writes a value-partitioned table and preserves the layout") {
+    val root = fresh("partitioned")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val q = in.toDF().toDF("id", "grp", "seq")
+      .writeStream.format("mergetable")
+      .option("path", root).option("keys", "id").option("ordering", "seq")
+      .option("partitions", "grp")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      in.addData((1L, "red", 1L), (2L, "blue", 1L))
+      q.processAllAvailable()
+      // second batch: update moves id=1 across partitions
+      in.addData((1L, "blue", 2L), (3L, "red", 2L))
+      q.processAllAvailable()
+      def manifest(): Seq[String] = {
+        val ms = new java.io.File(s"$root/manifests").list().sorted
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$root/manifests/${ms.last}"))).linesIterator.toSeq
+      }
+      assert(manifest().forall(_.startsWith("pv:")), manifest().mkString("|"))
+      assert(MergeTable.readMeta(root).get.partitionCols === Seq("grp"))
+      val got = MergeTable.open(spark, root).read()
+        .as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "blue", 2L -> "blue", 3L -> "red"))
+      // a second stream WITHOUT the partitions option still honors
+      // the recorded layout instead of degrading it to a flat rewrite
+      val in2 = MemoryStream[(Long, String, Long)]
+      val q2 = in2.toDF().toDF("id", "grp", "seq")
+        .writeStream.format("mergetable")
+        .option("path", root).option("keys", "id").option("ordering", "seq")
+        .option("checkpointLocation", s"$root/ckpt2")
+        .trigger(Trigger.ProcessingTime(50))
+        .start()
+      try {
+        in2.addData((4L, "green", 3L))
+        q2.processAllAvailable()
+        assert(manifest().forall(_.startsWith("pv:")), manifest().mkString("|"))
+        assert(MergeTable.open(spark, root).read().count() === 4)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("changes sink: I/U/D events fold through applyChanges") {
     val root = fresh("changes")
     implicit val sqlCtx = spark.sqlContext
