@@ -373,7 +373,10 @@ case class MergeTableDetailCommand(catalogName: String,
     AttributeReference("num_files", LongType, nullable = false)(),
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("num_versions", LongType, nullable = false)(),
-    AttributeReference("constraints", StringType, nullable = false)())
+    AttributeReference("constraints", StringType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("column_mapping", StringType, nullable = false)(),
+    AttributeReference("dropped_columns", StringType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.mergetablePath(session, catalogName, ident,
@@ -385,9 +388,14 @@ case class MergeTableDetailCommand(catalogName: String,
         java.nio.file.Paths.get(path, "data", d)).size.toLong).sum
     val cs = t.constraints.toSeq.sortBy(_._1)
       .map { case (n, sql) => s"$n CHECK ($sql)" }.mkString("; ")
+    val meta = MergeTable.readMeta(path)
+    val mapping = meta.map(_.renames).getOrElse(Map.empty).toSeq.sorted
+      .map { case (logical, physical) => s"$logical->$physical" }.mkString(",")
     Seq(Row(path, t.mode, t.keys.mkString(","),
       t.numBuckets.getOrElse(0).toLong, files, t.snapshotBytes(es),
-      t.versions().size.toLong, cs))
+      t.versions().size.toLong, cs,
+      t.partitionCols.mkString(","), mapping,
+      meta.map(_.droppedColumns).getOrElse(Nil).mkString(",")))
   }
 }
 

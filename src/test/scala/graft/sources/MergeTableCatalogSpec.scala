@@ -265,4 +265,20 @@ class MergeTableCatalogSpec extends SparkSpec {
          PARTITIONED BY (days(ts)) TBLPROPERTIES('keys'='id')"""))
     assert(bad.getMessage.contains("identity"))
   }
+
+  test("DESCRIBE DETAIL reports layout, mapping, and drop state") {
+    fresh("cat6")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cat6")
+    spark.sql("""CREATE TABLE graft.cat6.d (id BIGINT, grp STRING, v BIGINT, junk INT)
+                 PARTITIONED BY (grp) TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.cat6.d VALUES (1,'red',10,5)")
+    spark.sql("ALTER TABLE graft.cat6.d RENAME COLUMN v TO amount")
+    spark.sql("ALTER TABLE graft.cat6.d DROP COLUMN junk")
+    val row = spark.sql("DESCRIBE DETAIL graft.cat6.d").head()
+    val byName = row.schema.fieldNames.zipWithIndex.toMap
+    assert(row.getString(byName("partition_columns")) === "grp")
+    assert(row.getString(byName("column_mapping")) === "amount->v")
+    assert(row.getString(byName("dropped_columns")) === "junk")
+    assert(row.getString(byName("keys")) === "id")
+  }
 }
