@@ -332,6 +332,47 @@ object CorpusQueries extends QueryModule {
       .orderBy("source", "shard_id")
   }
 
+  // -- seeded shuffle sharding ---------------------------------------------
+
+  private val ShuffleShards = 8
+  private val ShuffleSeed = "graft-shuffle-7:"
+
+  /** Deterministic GLOBAL training-order shuffle: every doc gets a
+    * pseudo-random rank from `md5(seed || doc_id)` (ties broken by
+    * doc_id) and round-robins into one of 8 EQUAL-SIZE shards (±1
+    * doc) — the reproducible corpus shuffle a training run needs,
+    * where the hash-split (`docs_split`) gives binomially-sized
+    * shards and no defined within-shard order. The global rank rides
+    * the distributed [[PrefixSum]] (no partitionless window); no RNG
+    * state, no coordinator — any engine reproduces the identical
+    * permutation from the seed alone. Output: per-shard counts with
+    * membership witnesses (doc_id sum + the shard's first hash).
+    */
+  private def shuffleShards(s: SparkSession, dir: String): DataFrame = {
+    val seeded = docs(s, dir).select(col("doc_id"),
+      md5(concat(lit(ShuffleSeed), col("doc_id").cast("string"))).as("h"))
+      .withColumn("_g", lit(1)).withColumn("_one", lit(1L))
+    PrefixSum.runningTotal(seeded, "_g", Seq("h", "doc_id"), "_one", "rank")
+      .withColumn("shard_id", (col("rank") - 1) % ShuffleShards)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("doc_id_sum"),
+        min("h").as("first_hash"))
+      .orderBy("shard_id")
+  }
+
+  private val shuffleShardsSql =
+    s"""SELECT CAST((rn - 1) % $ShuffleShards AS BIGINT) AS shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+       |  min(h) AS first_hash
+       |FROM (
+       |  SELECT doc_id, h, row_number() OVER (ORDER BY h, doc_id) AS rn
+       |  FROM (SELECT doc_id,
+       |          md5('$ShuffleSeed' || CAST(doc_id AS VARCHAR)) AS h
+       |        FROM documents))
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val packShardsSql =
     s"""SELECT source, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
@@ -708,6 +749,7 @@ object CorpusQueries extends QueryModule {
     QueryDef("docs_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     QueryDef("docs_chunk", chunk, Some(chunkSql)),
     QueryDef("docs_pack_shards", packShards, Some(packShardsSql)),
+    QueryDef("docs_shuffle_shards", shuffleShards, Some(shuffleShardsSql)),
     QueryDef("docs_pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("sketch_distinct_ngrams", sketchDistinct, Some(sketchDistinctSql)),
     QueryDef("sketch_quantiles", sketchQuantiles, Some(sketchQuantilesSql)),
