@@ -134,6 +134,39 @@ class MergeTableSpec extends SparkSpec {
     assert(t.versions().size === 13)
   }
 
+  test("withRetry: racing writers on a value-partitioned table converge") {
+    // the partition-scoped merge reads the snapshot twice (holder
+    // scan + affected rewrite) before committing — the widest
+    // read-modify-write window of any layout, so the CAS must cover
+    // it: every loser re-reads and re-merges, no row may vanish and
+    // untouched partitions must survive every interleaving
+    val root = freshRoot("occ_partitioned")
+    MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((0L, "keep", 0L)).toDF("id", "grp", "v")),
+      partitionCols = Seq("grp"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futures = (1 to 3).map { w =>
+      Future {
+        val t = MergeTable.open(spark, root)
+        (1 to 2).foreach { i =>
+          val key = (w * 100 + i).toLong
+          t.withRetry(maxAttempts = 30) {
+            t.upsert(Seq((key, s"g$w", key)).toDF("id", "grp", "v"))
+          }
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 180.seconds)
+    val t = MergeTable.open(spark, root)
+    assert(t.read().count() === 7, "a concurrent partitioned commit lost an update")
+    // the seed partition was never touched by any writer
+    assert(t.read().filter(org.apache.spark.sql.functions.col("grp") === "keep")
+      .count() === 1)
+  }
+
   test("withRetry does NOT retry an unrelated ConcurrentModificationException") {
     val root = freshRoot("occ_scope")
     val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
