@@ -91,6 +91,40 @@ class ChangeFeedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDF stream replicates a value-partitioned source end to end") {
+    // same composition as the MOR replication test, with the source
+    // in the partitioned layout: the feed is layout-agnostic, so
+    // partition-scoped commits (including cross-partition key moves)
+    // must replicate identically
+    val srcRoot = fresh("pv_src")
+    val dstRoot = fresh("pv_dst")
+    val src = MergeTable.createIfAbsent(spark, srcRoot, Seq("id"),
+      initial = Some(Seq((1L, "red", 10L), (2L, "blue", 20L))
+        .toDF("id", "grp", "v")),
+      partitionCols = Seq("grp"))
+    val feed = spark.readStream.format("mergetable")
+      .option("path", srcRoot).option("keys", "id")
+      .option("startingVersion", "0")
+      .load()
+    val q = feed.withColumnRenamed("_change", "opclass")
+      .writeStream.format("mergetable")
+      .option("path", dstRoot).option("keys", "id")
+      .option("apply", "changes").option("ordering", "_commit_version")
+      .option("checkpointLocation", s"$dstRoot/ckpt")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      def snap(root: String): Set[(Long, String, Long)] =
+        MergeTable.open(spark, root).read().as[(Long, String, Long)].collect().toSet
+      q.processAllAvailable()
+      assert(snap(dstRoot) === snap(srcRoot))
+      src.upsert(Seq((1L, "blue", 11L), (3L, "red", 30L)).toDF("id", "grp", "v")) // move + insert
+      src.delete(Seq(2L).toDF("id"))
+      q.processAllAvailable()
+      assert(snap(dstRoot) === snap(srcRoot))
+      assert(snap(dstRoot) === Set((1L, "blue", 11L), (3L, "red", 30L)))
+    } finally q.stop()
+  }
+
   test("pre-image feed stream maintains an aggregate that equals recompute") {
     val root = fresh("preimages")
     val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
