@@ -202,7 +202,14 @@ final class MergeTable(
     * `readVersion` (which a concurrent reader on the same instance
     * may have advanced in the meantime).
     */
+  /** Test hook: runs at the top of every commit attempt, inside the
+    * read→CAS conflict window, so specs can deterministically
+    * interleave a concurrent winner without racing real threads.
+    */
+  private[cdc] var onBeforeCommit: () => Unit = () => ()
+
   private def commit(newEntries: Seq[(String, String)]): Long = {
+    onBeforeCommit()
     Files.createDirectories(manifestDir)
     persistMeta()
     val version = readVersion + 1
@@ -225,6 +232,124 @@ final class MergeTable(
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     readVersion = version
     version
+  }
+
+  // -- conflict-validated rebase commits -----------------------------------
+  //
+  // The plain commit CAS serializes EVERY pair of concurrent writers,
+  // even two upserting disjoint date partitions — at 1000 executors
+  // that turns a partitioned ingest fleet into a retry convoy, each
+  // loser re-running its full read-modify-WRITE. Iceberg's answer is
+  // conflict validation + rebase: a loser inspects what the winner
+  // actually changed, and when the two commits provably compose
+  // (disjoint scopes, no concurrently-added rows for its keys) it
+  // re-anchors its ALREADY-WRITTEN entries on the winner's manifest
+  // and retries only the metadata CAS. Soundness notes per shape:
+  //  - hash buckets: a key's bucket is a pure hash, so disjoint
+  //    bucket scopes imply disjoint key sets — rebase needs no data
+  //    scan;
+  //  - value partitions: partition dirs are value-addressed, so two
+  //    writers CAN target the same key in different partitions; the
+  //    rebase additionally scans the winner's ADDED dirs for this
+  //    batch's keys (O(winner's batch)) and bails on overlap;
+  //  - MOR delta appends: read-side reconciliation is per-key
+  //    latest-by-manifest-order, so appending after the winner is
+  //    exactly the serialization "this writer committed second" —
+  //    always sound while the winner only added entries;
+  //  - deletion vectors: reads do NOT reconcile per key, so appends
+  //    rebase only when key-disjoint from the winner's added rows
+  //    (and never over a compaction, which invalidates mask paths).
+
+  /** True when the data dirs `winner` ADDED relative to `base` hold
+    * any key of `ks` — the serializable-isolation validation: a
+    * concurrent commit that landed rows for this operation's keys
+    * cannot be rebased over (a serial execution would have merged
+    * them). dv entries are position masks with no key columns and are
+    * excluded. Costs one scan of the winner's added dirs only.
+    */
+  private def addedKeysOverlap(base: Seq[(String, String)],
+      winner: Seq[(String, String)], ks: DataFrame): Boolean = {
+    val baseDirs = base.map(_._2).toSet
+    val added = winner.filter { case (t, d) => t != "dv" && !baseDirs.contains(d) }
+    added.nonEmpty &&
+      !readDirs(added.map(_._2)).join(ks, keys, "left_semi").isEmpty
+  }
+
+  private def isSubsequence[A](sub: Seq[A], sup: Seq[A]): Boolean = {
+    var i = 0
+    sup.foreach { x => if (i < sub.length && sub(i) == x) i += 1 }
+    i == sub.length
+  }
+
+  /** Append-shaped commit (adds entries, removes none) with automatic
+    * rebase. On a CAS loss: if every entry this commit read still
+    * exists in the winner's manifest (pure appends interleaved — no
+    * compaction/rewrite removed dirs the new entries may reference),
+    * the read-time delta order survives as a subsequence (precedence
+    * intact for per-key reconciliation), and `validateKeys` (when
+    * set) finds none of this batch's keys in the winner's added rows,
+    * then the same already-written entries re-anchor on the winner's
+    * manifest and only the metadata CAS retries. Anything else
+    * surfaces as [[CommitConflictException]] for the caller's full
+    * [[withRetry]] re-run.
+    */
+  private def commitAppend(readBase: Seq[(String, String)],
+      added: Seq[(String, String)], validateKeys: Option[DataFrame],
+      maxRebases: Int = 20): Long = {
+    var base = readBase
+    var rebases = 0
+    while (true) {
+      try return commit(base ++ added)
+      catch {
+        case e: CommitConflictException =>
+          rebases += 1
+          if (rebases > maxRebases) throw e
+          val winner = entries()
+          val winnerSet = winner.toSet
+          if (!base.forall(winnerSet.contains)) throw e
+          if (!isSubsequence(base.filter(_._1 == "delta"),
+            winner.filter(_._1 == "delta"))) throw e
+          if (validateKeys.exists(ks => addedKeysOverlap(base, winner, ks))) throw e
+          base = winner
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Scope-replacing commit with automatic rebase: `updated` replaces
+    * every entry whose scope id (per `scopeOf`) is in `touched`;
+    * entries outside the scope carry over from the latest manifest.
+    * On a CAS loss the commit rebases onto the winner when the
+    * interleaved commits changed only scopes DISJOINT from `touched`
+    * (an unscoped change — compaction, layout migration — always
+    * conflicts) and, when `validateKeys` is set, introduced no rows
+    * for this batch's keys. Writers rewriting disjoint buckets or
+    * partitions then commit concurrently without re-running their
+    * data writes.
+    */
+  private def commitScoped(readBase: Seq[(String, String)], touched: Set[String],
+      updated: Seq[(String, String)],
+      scopeOf: ((String, String)) => Option[String],
+      validateKeys: Option[DataFrame], maxRebases: Int = 20): Long = {
+    var base = readBase
+    var rebases = 0
+    while (true) {
+      val untouched = base.filterNot(e => scopeOf(e).exists(touched.contains))
+      try return commit(untouched ++ updated)
+      catch {
+        case e: CommitConflictException =>
+          rebases += 1
+          if (rebases > maxRebases) throw e
+          val winner = entries()
+          val changed = (base.toSet diff winner.toSet) ++ (winner.toSet diff base.toSet)
+          val changedScopes = changed.toSeq.map(scopeOf)
+          if (changedScopes.contains(None)) throw e
+          if (changedScopes.flatten.exists(touched.contains)) throw e
+          if (validateKeys.exists(ks => addedKeysOverlap(base, winner, ks))) throw e
+          base = winner
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def writeData(df: DataFrame): String = {
@@ -862,7 +987,7 @@ final class MergeTable(
     val physical = toPhysical(df)
     mode match {
       case MergeTable.MergeOnRead =>
-        commit(entries() :+ ("delta" -> writeData(physical)))
+        commitAppend(entries(), Seq("delta" -> writeData(physical)), None)
         // append-only MOR workloads must hit the same delta bound as
         // upserts, or reads reconcile an unbounded chain
         maybeCompact()
@@ -908,7 +1033,8 @@ final class MergeTable(
         val appended =
           if (numBuckets.isDefined) writeBucketed(changes)
           else Seq("base" -> writeData(changes))
-        commit(es ++ dv.toSeq ++ appended)
+        commitAppend(es, dv.toSeq ++ appended,
+          validateKeys = Some(keySet(changes, dedup = true)))
         maybeCompact()
       }
     case MergeTable.MergeOnRead =>
@@ -918,7 +1044,7 @@ final class MergeTable(
         if (numBuckets.isDefined) seedBucketed(changes)
         else commit(Seq("base" -> writeData(changes)))
       } else {
-        commit(entries() :+ ("delta" -> writeData(changes)))
+        commitAppend(entries(), Seq("delta" -> writeData(changes)), None)
         maybeCompact()
       }
     case _ if partitionCols.nonEmpty =>
@@ -948,11 +1074,15 @@ final class MergeTable(
         val es = entries()
         val scope = numBuckets.map(_ => affectedBuckets(deleteKeys))
         writeMask(keySet(deleteKeys, dedup = true), scope)
-          .foreach { dv => commit(es :+ dv); maybeCompact() }
+          .foreach { dv =>
+            commitAppend(es, Seq(dv),
+              validateKeys = Some(keySet(deleteKeys, dedup = true)))
+            maybeCompact()
+          }
       case MergeTable.MergeOnRead =>
         val tombstones = deleteKeys.select(keys.map(col): _*).distinct()
           .withColumn(Tombstone, lit(true))
-        commit(entries() :+ ("delta" -> writeData(tombstones)))
+        commitAppend(entries(), Seq("delta" -> writeData(tombstones)), None)
         maybeCompact()
       case _ if partitionCols.nonEmpty => partitionedMerge(deleteKeys, isDelete = true)
       case _ if numBuckets.isDefined => bucketedMerge(deleteKeys, isDelete = true)
@@ -971,7 +1101,8 @@ final class MergeTable(
     val tagged = changes.withColumn(BucketCol, bucketExpr)
     val affected = tagged.select(BucketCol).distinct()
       .collect().map(_.getLong(0)).toSet // bounded by numBuckets
-    val current = entries().toMap // tag -> dir; bucket entries are b<i>
+    val currentSeq = entries()
+    val current = currentSeq.toMap // tag -> dir; bucket entries are b<i>
     // only b<digits> tags are bucket entries; a non-bucketed layout
     // (base:/delta: entries) opened with numBuckets is a caller error —
     // validated BEFORE the rewrite so a misconfigured open fails fast
@@ -1001,11 +1132,14 @@ final class MergeTable(
     // by deletes vanish); untouched buckets keep their old entries
     val written = listBuckets(dir)
     written.foreach(i => recordStats(s"$dir/$BucketCol=$i"))
-    val untouched = current.toSeq.filterNot { case (t, _) =>
-      affected.contains(t.stripPrefix("b").toLong)
-    }
     val updated = written.toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i")
-    commit(untouched ++ updated)
+    // disjoint-bucket writers rebase instead of conflicting: a key's
+    // bucket is a pure hash, so scope disjointness implies key
+    // disjointness — no validation scan needed
+    commitScoped(currentSeq, affected.map(i => s"b$i"), updated,
+      { case (t, _) => if (t.matches("b\\d+")) Some(t) else None },
+      validateKeys = None)
+    ()
   }
 
   private def listBuckets(dir: String): Set[Long] =
@@ -1149,8 +1283,15 @@ final class MergeTable(
           changes.unionByName(b.join(ks, keys, "left_anti"),
             allowMissingColumns = true)
       }
-    val untouched = current.filterNot(e => affected.contains(leafOf(e._2)))
-    commit(untouched ++ writePartitioned(result))
+    // disjoint-partition writers rebase instead of conflicting; unlike
+    // buckets, partition dirs are value-addressed, so the rebase also
+    // validates the winner added no rows for this batch's keys (a key
+    // concurrently upserted into ANOTHER partition would otherwise
+    // survive in both homes)
+    commitScoped(current, affected, writePartitioned(result),
+      { case (t, d) => if (t == "pv") Some(leafOf(d)) else None },
+      validateKeys = Some(ks))
+    ()
   }
 
   /** Fold deltas into the base (MOR housekeeping). Bucketed tables
