@@ -21,6 +21,7 @@ object SparkEntry {
     graft.ops.SimilarityQueries,
     graft.ops.CorpusQueries,
     graft.ops.SearchQueries,
+    graft.ops.QualityQueries,
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

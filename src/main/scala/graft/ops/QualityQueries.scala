@@ -1,0 +1,254 @@
+package graft.ops
+
+import graft.{QueryDef, QueryModule}
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality query block: span-level dedup (the CCNet
+  * paragraph-dedup shape adapted to single-line documents), duplicate-
+  * aware soft-dedup reweighting, Gopher-style quality rules, and
+  * radius (range) similarity search.
+  *
+  * Scale design notes are on each operator; the common theme is that
+  * dedup decisions travel as longs — the document text never leaves
+  * its scan except for the one reconstruction join that must deliver
+  * cleaned text.
+  */
+object QualityQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(Tables.documents(s, dir))
+
+  // -- span-level dedup (CCNet paragraph dedup, span = word window) --------
+
+  /** Span width in words. CCNet dedups at paragraph granularity; the
+    * synthetic corpus is single-line, so the unit of dedup is a fixed
+    * word window — the same remove-duplicated-units-keep-the-rest
+    * semantics at a granularity that actually repeats here.
+    */
+  private val SpanWords = 4
+
+  /** Packs (doc_id, span_idx) into one long so the per-span winner is
+    * a plain `min` — span_idx is bounded far below the packing base
+    * (a 1e6-word doc at 4-word spans).
+    */
+  private val PackBase = 1000000L
+
+  private def wordsCol: Column = split(col("text"), " ")
+
+  private def nSpansCol: Column =
+    ceil(size(wordsCol) / lit(SpanWords.toDouble)).cast("long")
+
+  private def spanAt(ws: Column, i: Column): Column =
+    concat_ws(" ", slice(ws, (i * SpanWords + 1).cast("int"), lit(SpanWords)))
+
+  /** (doc_id, span_idx, h) — one row per span, hashes computed INSIDE
+    * the document scan via a single array transform, so only longs
+    * ever shuffle. xxhash64 stands in for span equality (a collision
+    * needs ~2^32 distinct spans to become likely; at that corpus size
+    * the LSH dedup family is the tool, not exact spans).
+    */
+  private def spanHashes(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0L), nSpansCol - 1),
+          i => xxhash64(spanAt(wordsCol, i)))))
+      .toDF("doc_id", "span_idx", "h")
+
+  /** Corpus-wide span dedup keeping first occurrence (doc_id, then
+    * span position): duplicated spans are REMOVED from later docs and
+    * the cleaned text is reconstructed from the surviving spans.
+    *
+    * 100 TB shape: the winner-per-hash aggregation and the kept-index
+    * list both carry only longs; the full text moves exactly once, in
+    * the final reconstruction join keyed by doc_id (and that join is
+    * unavoidable — it produces the cleaned text).
+    */
+  private def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val packed = spanHashes(s, dir)
+      .select(col("h"), (col("doc_id") * PackBase + col("span_idx")).as("k"))
+    val keptIdx = packed.groupBy("h").agg(min(col("k")).as("wk"))
+      .select(expr(s"wk div $PackBase").as("doc_id"),
+        pmod(col("wk"), lit(PackBase)).cast("int").as("span_idx"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("span_idx"))).as("keep"))
+    docs(s, dir).join(keptIdx, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        array_join(transform(
+          coalesce(col("keep"), array().cast("array<int>")),
+          i => spanAt(wordsCol, i)), " ").as("clean_text"),
+        nSpansCol.as("n_spans"),
+        (nSpansCol - size(coalesce(col("keep"), array().cast("array<int>"))))
+          .as("dropped_spans"))
+      .orderBy("doc_id")
+  }
+
+  private val spanDedupSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |s AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+       |    array_to_string(list_slice(ws, i * $SpanWords + 1,
+       |      least((i + 1) * $SpanWords, len(ws))), ' ') AS span
+       |  FROM w, unnest(range((len(ws) + ${SpanWords - 1}) // $SpanWords)) AS t(i)),
+       |win AS (
+       |  SELECT span, min(doc_id * $PackBase + span_idx) AS wk
+       |  FROM s GROUP BY span),
+       |kp AS (SELECT wk // $PackBase AS doc_id, wk % $PackBase AS span_idx FROM win),
+       |cln AS (
+       |  SELECT s.doc_id,
+       |    string_agg(s.span, ' ' ORDER BY s.span_idx) AS clean_text,
+       |    count(*) AS kept
+       |  FROM s JOIN kp ON s.doc_id = kp.doc_id AND s.span_idx = kp.span_idx
+       |  GROUP BY s.doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_spans FROM s GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(c.clean_text, '') AS clean_text,
+       |  CAST(t.n_spans AS BIGINT) AS n_spans,
+       |  CAST(t.n_spans - coalesce(c.kept, 0) AS BIGINT) AS dropped_spans
+       |FROM tot t LEFT JOIN cln c ON t.doc_id = c.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  // -- soft dedup: duplicate-aware reweighting -----------------------------
+
+  /** SoftDeDup-style reweighting: instead of dropping near-duplicate
+    * content, each document is down-weighted by how common its spans
+    * are corpus-wide — the sampling weight is the mean inverse span
+    * frequency. Kept integer-exact as micro-units (1e6 div freq,
+    * summed) so the artifact hash is engine-independent; the double
+    * `weight` is one exact-int division, deterministic on both sides.
+    *
+    * 100 TB shape: span frequency is a long-only aggregation; no text
+    * leaves the scan at all (weights don't need reconstruction).
+    */
+  private def softDedup(s: SparkSession, dir: String): DataFrame = {
+    val spans = spanHashes(s, dir).select("doc_id", "h")
+    val freq = spans.groupBy("h").agg(count(lit(1)).as("c"))
+    spans.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(expr(s"${PackBase} div c")).as("inv_sum_micro"))
+      .select(col("doc_id"), col("n_spans"), col("inv_sum_micro"),
+        round(col("inv_sum_micro") / (col("n_spans") * lit(PackBase.toDouble)), 6)
+          .as("weight"))
+      .orderBy("doc_id")
+  }
+
+  private val softDedupSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_slice(ws, i * $SpanWords + 1,
+       |      least((i + 1) * $SpanWords, len(ws))), ' ') AS span
+       |  FROM w, unnest(range((len(ws) + ${SpanWords - 1}) // $SpanWords)) AS t(i)),
+       |f AS (SELECT span, count(*) AS c FROM s GROUP BY span)
+       |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum($PackBase // f.c) AS BIGINT) AS inv_sum_micro,
+       |  round(CAST(sum($PackBase // f.c) AS DOUBLE)
+       |        / (count(*) * $PackBase.0), 6) AS weight
+       |FROM s JOIN f ON s.span = f.span
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  // -- Gopher quality rules ------------------------------------------------
+
+  /** The Gopher corpus-filter rule family (word-count bounds, mean
+    * word length band, minimum stopword evidence, repetition cap),
+    * evaluated per document with integer-exact comparisons. The
+    * repetition rule (top word ≤ 20% of words) compares `top_cnt * 5
+    * <= n_words` so no float threshold leaks into the flags.
+    *
+    * 100 TB shape: pure column expressions inside the scan — zero
+    * shuffles; the per-doc top-word count is an array fold bounded by
+    * the doc's distinct-word count.
+    */
+  private def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val nWords = TextAnalysis.wordCount(col("text"))
+    val mean = TextAnalysis.wordCharSum(col("text")).cast("double") / nWords
+    val stopHits = size(array_intersect(array_distinct(ws),
+      typedLit(TextAnalysis.StopWords)))
+    val topCnt = array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w))))
+    docs(s, dir).select(
+        col("doc_id"), nWords.as("n_words"),
+        round(mean, 4).as("mean_word_len"),
+        stopHits.as("stop_hits"), topCnt.as("top_cnt"),
+        (nWords >= 50 && nWords <= 100000).as("pass_words"),
+        (mean >= 3.0 && mean <= 10.0).as("pass_mean"),
+        (stopHits >= 2).as("pass_stop"),
+        (topCnt * 5 <= nWords).as("pass_rep"))
+      .withColumn("pass_all",
+        col("pass_words") && col("pass_mean") && col("pass_stop") && col("pass_rep"))
+      .orderBy("doc_id")
+  }
+
+  private val gopherRulesSql = {
+    val stopList = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, len(ws) AS n_words,
+       |    CAST(list_aggregate(list_transform(ws, x -> len(x)), 'sum') AS BIGINT) AS char_sum,
+       |    len(list_filter(list_distinct(ws), x -> x IN ($stopList))) AS stop_hits,
+       |    list_aggregate(list_transform(list_distinct(ws),
+       |      w -> len(list_filter(ws, x -> x = w))), 'max') AS top_cnt
+       |  FROM w)
+       |SELECT doc_id, n_words,
+       |  round(CAST(char_sum AS DOUBLE) / n_words, 4) AS mean_word_len,
+       |  stop_hits, top_cnt,
+       |  n_words >= 50 AND n_words <= 100000 AS pass_words,
+       |  CAST(char_sum AS DOUBLE) / n_words >= 3.0
+       |    AND CAST(char_sum AS DOUBLE) / n_words <= 10.0 AS pass_mean,
+       |  stop_hits >= 2 AS pass_stop,
+       |  top_cnt * 5 <= n_words AS pass_rep,
+       |  (n_words >= 50 AND n_words <= 100000)
+       |    AND (CAST(char_sum AS DOUBLE) / n_words >= 3.0
+       |         AND CAST(char_sum AS DOUBLE) / n_words <= 10.0)
+       |    AND stop_hits >= 2 AND top_cnt * 5 <= n_words AS pass_all
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // -- radius (range) similarity search ------------------------------------
+
+  /** All corpus neighbors within a cosine radius of each anchor —
+    * the similarity-search dual of top-k (fixed quality bar instead
+    * of fixed result count; the shape used for near-duplicate audits
+    * and retrieval cutoffs).
+    *
+    * 100 TB shape: anchors broadcast, corpus never shuffles, the
+    * radius predicate filters inside the scan — output is bounded by
+    * the radius, not the corpus.
+    */
+  private val Radius = 0.25
+
+  private def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val anchors = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    Tables.parallel(Tables.embeddings(s, dir))
+      .join(broadcast(anchors), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Similarity.cosine(s, col("qe"), col("embedding")), 6).as("score"))
+      .filter(col("score") >= Radius)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private val rangeSearchSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+       |  FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings)
+       |SELECT query_id, neighbor_id,
+       |  round(list_cosine_similarity(qe, ce), 6) AS score
+       |FROM q CROSS JOIN c
+       |WHERE query_id <> neighbor_id
+       |  AND round(list_cosine_similarity(qe, ce), 6) >= $Radius
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("docs_span_dedup", spanDedup, Some(spanDedupSql)),
+    QueryDef("docs_soft_dedup", softDedup, Some(softDedupSql)),
+    QueryDef("docs_gopher_rules", gopherRules, Some(gopherRulesSql)),
+    QueryDef("ann_range_search", rangeSearch, Some(rangeSearchSql)),
+  )
+}
