@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training — the full iterative merge loop, not just
+  * the first round's pair statistic (`bpe_pair_counts`): R rounds of
+  * count-adjacent-pairs → pick the most frequent pair (deterministic
+  * tie-break) → fuse it everywhere → recount.
+  *
+  * Scale design: all compute is VOCABULARY-level. The corpus
+  * aggregates once to (word, count) — the only shuffle that scales
+  * with data, and it carries distinct words, not documents. Every
+  * round then works on the vocab frame (cached): pair counts weight
+  * by the word count, the argmax is a 1-row collect, and the merge
+  * application is ONE string replace over the delimited token
+  * rendering — exactly the greedy left-to-right non-overlapping fuse
+  * BPE specifies, because `replace` resumes scanning after each
+  * replacement. Driver traffic is R rows total.
+  *
+  * Token sequences render as `|t1|t2|...|` so a merge of (l, r) is
+  * `replace(s, "|l|r|", "|lr|")` — token boundaries are explicit, and
+  * token text (letters only) can never contain the delimiter.
+  */
+object BpeTrain {
+
+  final case class Merge(round: Int, left: String, right: String, count: Long)
+
+  /** (word, cnt, s) vocabulary frame with the delimited char rendering. */
+  private def vocab(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("s",
+        concat(lit("|"), array_join(split(col("w"), ""), "|"), lit("|")))
+
+  /** Adjacent-pair weighted counts of the current token rendering. */
+  private def pairCounts(v: DataFrame): DataFrame = {
+    val toks = filter(split(col("s"), "\\|"), t => t =!= "")
+    v.select(col("cnt"), toks.as("toks"))
+      // a fully-merged (single-token) word has no pairs — and Spark's
+      // sequence(0, -1) would DESCEND, not produce an empty list
+      .filter(size(col("toks")) >= 2)
+      .select(col("cnt"), posexplode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS l, toks[i + 1] AS r))")))
+      .select(col("col.l").as("l"), col("col.r").as("r"), col("cnt"))
+      .groupBy("l", "r").agg(sum("cnt").as("c"))
+  }
+
+  /** Train `rounds` merges over the corpus; returns one row per merge
+    * (merge_round, mleft, mright, pair_count) in training order.
+    */
+  def trainMerges(spark: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
+    var v = graft.Caches.register(vocab(docs))
+    val merges = Seq.newBuilder[Merge]
+    for (r <- 1 to rounds) {
+      val top = pairCounts(v)
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, rt, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(r, l, rt, c)
+        // one replace per round; the vocab frame is tiny relative to
+        // the corpus, so each round re-renders from the cached frame
+        v = graft.Caches.register(v.withColumn("s",
+          regexp_replace(col("s"),
+            java.util.regex.Pattern.quote(s"|$l|$rt|"), s"|$l$rt|")))
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("merge_round", "mleft", "mright", "pair_count")
+      .orderBy("merge_round")
+  }
+
+  /** DuckDB oracle: the identical training loop unrolled to `rounds`
+    * CTE stages (the Lloyd's-rounds replay pattern) — pair counting,
+    * argmax tie-break, and the boundary-delimited replace are all
+    * replayed from SQL, so the hash compare certifies every merge
+    * decision, not just the first.
+    */
+  def trainMergesSql(rounds: Int): String = {
+    val base =
+      """WITH v0 AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+        |    '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|' AS s
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |        FROM documents)
+        |  GROUP BY w)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      val prev = s"v${r - 1}"
+      s"""p$r AS (
+         |  SELECT t.l, t.r2, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt, ws[i + 1] AS l, ws[i + 2] AS r2
+         |    FROM (SELECT cnt, list_filter(string_split(s, '|'), x -> x <> '') AS ws
+         |          FROM $prev),
+         |      unnest(range(len(ws) - 1)) AS u(i)) t
+         |  GROUP BY t.l, t.r2),
+         |m$r AS (SELECT l, r2, c FROM p$r ORDER BY c DESC, l, r2 LIMIT 1),
+         |v$r AS (
+         |  SELECT w, cnt,
+         |    replace(s, '|' || m.l || '|' || m.r2 || '|', '|' || m.l || m.r2 || '|') AS s
+         |  FROM $prev CROSS JOIN m$r m)""".stripMargin
+    }
+    val out = (1 to rounds).map(r =>
+      s"SELECT $r AS merge_round, l AS mleft, r2 AS mright, c AS pair_count FROM m$r")
+      .mkString("\nUNION ALL\n")
+    (base +: stages).mkString(",\n").stripSuffix(",") + "\n" +
+      out + "\nORDER BY merge_round"
+  }
+}

@@ -756,5 +756,8 @@ object CorpusQueries extends QueryModule {
     QueryDef("sketch_countmin_words", sketchCountMin, Some(sketchCountMinSql)),
     QueryDef("docs_feature_hash", featureHash, Some(featureHashSql)),
     QueryDef("docs_split_drift", splitDrift, Some(splitDriftSql)),
+    QueryDef("bpe_train_merges",
+      (s, dir) => BpeTrain.trainMerges(s, docs(s, dir), rounds = 6),
+      Some(BpeTrain.trainMergesSql(6))),
   )
 }
