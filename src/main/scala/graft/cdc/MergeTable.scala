@@ -157,21 +157,69 @@ final class MergeTable(
   /** Typed manifest entries in commit order. Bare lines are bases
     * (backward compat with the original format).
     */
+  private def parseManifest(m: Path): Seq[(String, String)] =
+    new String(Files.readAllBytes(m)).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { line =>
+        line.split(":", 2) match {
+          case Array(tag, dir) => (tag, dir)
+          case Array(dir) => ("base", dir)
+        }
+      }
+
+  /** Data entries only: `txn` watermark lines (idempotent-writer
+    * bookkeeping, see [[txn]]) ride the same manifest for atomicity
+    * but are invisible to every snapshot/diff consumer.
+    */
   private def entries(): Seq[(String, String)] =
     currentManifest() match {
       case Some(m) if Files.exists(m) =>
         readVersion = manifestVersion(m)
-        new String(Files.readAllBytes(m)).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-          .map { line =>
-            line.split(":", 2) match {
-              case Array(tag, dir) => (tag, dir)
-              case Array(dir) => ("base", dir)
-            }
-          }
+        parseManifest(m).filterNot(_._1 == "txn")
       case _ =>
         readVersion = 0L
         Nil
     }
+
+  /** Per-application transaction watermarks recorded in the current
+    * manifest (Delta's txnAppId/txnVersion idempotent-writer state).
+    */
+  def txns(): Map[String, Long] =
+    currentManifest().toSeq.flatMap(parseManifest).collect {
+      case ("txn", kv) =>
+        val Array(app, v) = kv.split("=", 2)
+        app -> v.toLong
+    }.toMap
+
+  /** The last committed transaction version for `appId`, if any. */
+  def lastTxn(appId: String): Option[Long] = txns().get(appId)
+
+  /** A txn to attach to this instance's next commits (cleared by
+    * [[txn]] when its op finishes). Volatile, not thread-safe across
+    * concurrent txn() calls on ONE instance — writers use an instance
+    * per stream/thread, same as the rest of the mutator surface.
+    */
+  @volatile private var pendingTxn: Option[(String, Long)] = None
+
+  /** Idempotent writer transaction (Delta's txnAppId/txnVersion):
+    * runs `op` only when `version` is strictly newer than the last
+    * committed watermark for `appId`, and records the watermark ON
+    * the op's own commits — the skip decision and the data land
+    * atomically, so a replayed batch (checkpoint recovery, restarted
+    * foreachBatch) is skipped instead of re-applied. Returns None on
+    * skip. Ops that commit more than once attach the watermark to
+    * every commit (last wins); a crash mid-op therefore leaves the
+    * watermark unrecorded only if NO commit landed — replay then
+    * re-runs the whole op, which per-batch idempotence makes safe.
+    */
+  def txn[T](appId: String, version: Long)(op: => T): Option[T] = {
+    require(!appId.contains("=") && !appId.contains("\n") && !appId.contains(":"),
+      s"txn appId must not contain '=', ':' or newline: $appId")
+    if (lastTxn(appId).exists(_ >= version)) None
+    else {
+      pendingTxn = Some(appId -> version)
+      try Some(op) finally pendingTxn = None
+    }
+  }
 
   private val metaPath = rootPath.resolve("_META.json")
 
@@ -214,7 +262,19 @@ final class MergeTable(
     persistMeta()
     val version = readVersion + 1
     val target = manifestPath(version)
-    val body = newEntries.map { case (t, d) => s"$t:$d" }.mkString("\n")
+    // txn watermarks carry forward from the base manifest and merge
+    // the pending one — they ride every commit so the idempotence
+    // decision is atomic with the data (and survive rebases, which
+    // re-enter here with an advanced readVersion)
+    val baseM = manifestPath(readVersion)
+    val carried: Map[String, Long] =
+      (if (readVersion > 0 && Files.exists(baseM))
+        parseManifest(baseM).collect { case ("txn", kv) =>
+          val Array(app, v) = kv.split("=", 2); app -> v.toLong
+        }.toMap
+      else Map.empty[String, Long]) ++ pendingTxn
+    val txnLines = carried.toSeq.sortBy(_._1).map { case (a, v) => s"txn:$a=$v" }
+    val body = (txnLines ++ newEntries.map { case (t, d) => s"$t:$d" }).mkString("\n")
     val staged = manifestDir.resolve(s".staged.${UUID.randomUUID()}")
     Files.write(staged, body.getBytes)
     try Files.createLink(target, staged)
@@ -399,13 +459,7 @@ final class MergeTable(
   private def entriesAt(version: Long): Seq[(String, String)] = {
     val m = manifestPath(version)
     require(Files.exists(m), s"no version $version at $root")
-    new String(Files.readAllBytes(m)).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-      .map { line =>
-        line.split(":", 2) match {
-          case Array(tag, dir) => (tag, dir)
-          case Array(dir) => ("base", dir)
-        }
-      }
+    parseManifest(m).filterNot(_._1 == "txn")
   }
 
   private def bucketExpr = pmod(xxhash64(keys.map(col): _*), lit(numBuckets.get))

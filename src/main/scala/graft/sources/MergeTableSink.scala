@@ -34,7 +34,8 @@ class MergeTableSink(
     numBuckets: Option[Int],
     applyMode: String,
     ordering: Seq[String],
-    partitionCols: Seq[String] = Nil) extends Sink {
+    partitionCols: Seq[String] = Nil,
+    txnAppId: Option[String] = None) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // rewrap: the engine hands a DataFrame over the streaming plan,
@@ -47,6 +48,18 @@ class MergeTableSink(
     val table = new MergeTable(data.sparkSession, path, keys, mode,
       meta.flatMap(_.numBuckets).orElse(numBuckets),
       partitionCols = meta.map(_.partitionCols).getOrElse(partitionCols))
+    // idempotent-writer option: with txnAppId set, the (appId,
+    // batchId) watermark rides the batch's own commits, so a
+    // checkpoint-replayed batch SKIPS instead of re-applying —
+    // Delta's txnAppId/txnVersion contract. Without it, replay
+    // safety still holds by per-batch value idempotence.
+    txnAppId match {
+      case Some(app) => table.txn(app, batchId) { applyBatch(table, batch) }
+      case None => applyBatch(table, batch)
+    }
+  }
+
+  private def applyBatch(table: MergeTable, batch: DataFrame): Unit = {
     applyMode match {
       case "changes" =>
         // one precombine across ALL op classes decides each key's
@@ -109,6 +122,7 @@ object MergeTableSink {
       "mergetable sink apply=changes requires option 'ordering' (precombine columns)")
     val partitions = parameters.get("partitions")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-    new MergeTableSink(path, keys, mode, buckets, applyMode, ordering, partitions)
+    new MergeTableSink(path, keys, mode, buckets, applyMode, ordering, partitions,
+      txnAppId = parameters.get("txnAppId"))
   }
 }
