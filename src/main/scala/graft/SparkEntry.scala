@@ -16,6 +16,7 @@ object SparkEntry {
     graft.analytics.Queries5,
     graft.analytics.Queries6,
     graft.analytics.MvQueries,
+    graft.analytics.GraphQueries,
     graft.cdc.CdcQueries,
     graft.ops.TextQueries,
     graft.ops.SimilarityQueries,
