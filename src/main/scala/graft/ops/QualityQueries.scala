@@ -245,10 +245,90 @@ object QualityQueries extends QueryModule {
        |  AND round(list_cosine_similarity(qe, ce), 6) >= $Radius
        |ORDER BY query_id, neighbor_id""".stripMargin
 
+  // -- PCA top component via exact-integer power iteration -----------------
+
+  /** PCA's top principal direction over the embedding corpus (the
+    * whitening/dim-reduction initializer an embedding pipeline runs
+    * before indexing), computed as power iteration on the UNCENTERED
+    * second-moment (Gram) matrix with exact integer arithmetic end to
+    * end.
+    *
+    * 100 TB shape: the only data-scaled stage is the Gram
+    * aggregation — one pass over the corpus producing Dim² bounded
+    * cells (elements quantized `floor(x·10⁴ + ½)`, summed as exact
+    * integers, order-independent). The 64×64 matrix collects to the
+    * driver (the IVF-centroid bounded-traffic pattern) and the 4
+    * power-iteration rounds run in BigInt with truncating division —
+    * the SAME integer semantics DuckDB's `//` and HUGEINT sums give,
+    * so the resulting eigenvector hash-matches bit for bit with no
+    * float accumulation anywhere.
+    */
+  private val PcaDim = 64
+  private val PcaQ = 10000L
+  private val PcaIters = 4
+  private val PcaWScale = 1000000L
+
+  private def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.parallel(Tables.embeddings(s, dir))
+      .select(expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PcaQ + 0.5) AS BIGINT))").as("q"))
+    val e1 = qv.select(col("q"), posexplode(col("q"))).toDF("q", "i", "qi")
+    val e2 = e1.select(col("i"), col("qi"), posexplode(col("q"))).toDF("i", "qi", "j", "qj")
+    val cells = e2.groupBy("i", "j").agg(sum(col("qi") * col("qj")).as("g"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val w = powerIterate(cells, PcaDim, PcaIters)
+    import s.implicits._
+    w.zipWithIndex.map { case (x, j) => (j, x.toLong) }.toSeq
+      .toDF("dim_j", "w").orderBy("dim_j")
+  }
+
+  /** The exact-integer power iteration on a collected Gram matrix —
+    * BigInt products/sums, truncating division (DuckDB `//`
+    * semantics), renormalized to ~[[PcaWScale]] each round.
+    */
+  private[ops] def powerIterate(cells: Map[(Int, Int), Long], dim: Int,
+      iters: Int): Array[BigInt] = {
+    var w = Array.fill(dim)(BigInt(PcaWScale))
+    for (_ <- 1 to iters) {
+      val v = Array.tabulate(dim) { i =>
+        (0 until dim).map(j => BigInt(cells.getOrElse((i, j), 0L)) * w(j)).sum
+      }
+      val scale = (v.map(_.abs).max / PcaWScale).max(BigInt(1))
+      w = v.map(_ / scale) // BigInt / truncates toward zero, like DuckDB //
+    }
+    w
+  }
+
+  private val pcaPowerSql = {
+    val base =
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * $PcaQ + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |cell AS (
+         |  SELECT ii.i AS i, jj.j AS j,
+         |    CAST(sum(q[ii.i + 1] * q[jj.j + 1]) AS HUGEINT) AS g
+         |  FROM q, range($PcaDim) ii(i), range($PcaDim) jj(j)
+         |  GROUP BY 1, 2),
+         |w0 AS (SELECT i AS jdx, CAST($PcaWScale AS HUGEINT) AS w
+         |       FROM range($PcaDim) t(i))""".stripMargin
+    val rounds = (1 to PcaIters).map { k =>
+      s"""v$k AS (
+         |  SELECT c.i AS jdx, sum(c.g * w.w) AS v
+         |  FROM cell c JOIN w${k - 1} w ON c.j = w.jdx GROUP BY 1),
+         |s$k AS (SELECT greatest(max(abs(v)) // $PcaWScale, 1) AS sc FROM v$k),
+         |w$k AS (SELECT jdx, v // (SELECT sc FROM s$k) AS w FROM v$k)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      s"""
+         |SELECT jdx AS dim_j, CAST(w AS BIGINT) AS w FROM w$PcaIters
+         |ORDER BY dim_j""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("docs_span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("docs_soft_dedup", softDedup, Some(softDedupSql)),
     QueryDef("docs_gopher_rules", gopherRules, Some(gopherRulesSql)),
     QueryDef("ann_range_search", rangeSearch, Some(rangeSearchSql)),
+    QueryDef("embed_pca_power", pcaPower, Some(pcaPowerSql)),
   )
 }
