@@ -245,6 +245,116 @@ object QualityQueries extends QueryModule {
        |  AND round(list_cosine_similarity(qe, ce), 6) >= $Radius
        |ORDER BY query_id, neighbor_id""".stripMargin
 
+  // -- exact set-similarity join via prefix filtering (PPJoin) -------------
+
+  /** Exact trigram-Jaccard self-join at τ = 0.8 with PREFIX-FILTER
+    * candidates — the database-literature EXACT alternative to the
+    * MinHash/LSH family (Chaudhuri/Ganti/Kaushik's SSJoin, Xiao's
+    * PPJoin): order every doc's gram set by ascending global
+    * frequency (rarest first); two sets with Jaccard ≥ τ MUST share a
+    * token in their first `sz − ceil(τ·sz) + 1` tokens, so candidates
+    * = pairs sharing any PREFIX token — no hash families, no recall
+    * loss, and the prefix is the RAREST slice of each doc, so bucket
+    * sizes stay small exactly where LSH banding would need tuning.
+    *
+    * 100 TB shape: grams hash to 48-bit md5 longs at the scan (text
+    * never shuffles); the global frequency rank rides the distributed
+    * [[PrefixSum]] (vocabulary-level); candidates and verification
+    * move (doc, rank) longs only, with the exact intersection on the
+    * compiled sorted-merge kernel. The τ cut is the integer
+    * cross-multiplication `5·|∩| ≥ 4·|∪|` — no float thresholds.
+    *
+    * Every 10th doc is decorated with a 2-words-dropped clone so the
+    * ≥ τ band is populated at every SF (the dedup-gate convention);
+    * the oracle replays the decoration.
+    */
+  private def ppjoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Dedup, PrefixSum}
+    graft.functions.GraftFunctions.register(s)
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val clones = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+\\S+\\s+", "").as("text"))
+    val corpus = base.unionByName(clones)
+    val grams = corpus
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("h"))
+      .distinct()
+    val vocab = grams.groupBy("h").agg(count(lit(1)).as("df"))
+      .withColumn("_g", lit(1)).withColumn("_one", lit(1L))
+    val ranked = PrefixSum.runningTotal(vocab, "_g", Seq("df", "h"), "_one", "rk")
+      .select(col("h"), col("rk"))
+    val toks = graft.Caches.register(
+      grams.join(ranked, "h")
+        .groupBy("doc_id").agg(sort_array(collect_list(col("rk"))).as("arr"))
+        .withColumn("sz", size(col("arr"))))
+    val pref = toks.select(col("doc_id"),
+      explode(slice(col("arr"), lit(1),
+        (col("sz") - expr("(4 * sz + 4) div 5") + 1).cast("int"))).as("rk"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.rk") === col("b.rk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+        col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter",
+        call_function("graft_sorted_intersect_count", col("arr_a"), col("arr_b")))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 4)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val ppjoinSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    regexp_replace(text, '^\S+\s+\S+\s+', '') AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |w AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      |  FROM corpus),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) >= 3 THEN
+      |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)])
+      |    ELSE [array_to_string(ws, ' ')] END AS gs
+      |  FROM w),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(g.g), 1, 12))::BIGINT AS h
+      |  FROM sh, unnest(gs) AS g(g)),
+      |vocab AS (
+      |  SELECT h, count(*) AS df,
+      |    row_number() OVER (ORDER BY count(*), h) AS rk
+      |  FROM grams GROUP BY h),
+      |toks AS (
+      |  SELECT g.doc_id, list_sort(list(v.rk)) AS arr, count(*) AS sz
+      |  FROM grams g JOIN vocab v ON g.h = v.h
+      |  GROUP BY g.doc_id),
+      |pref AS (
+      |  SELECT doc_id, u.rk
+      |  FROM toks, unnest(arr[1:(sz - (4 * sz + 4) // 5 + 1)]) AS u(rk)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pref a JOIN pref b ON a.rk = b.rk AND a.doc_id < b.doc_id),
+      |scored AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    len(list_intersect(ta.arr, tb.arr)) AS inter_n,
+      |    ta.sz + tb.sz - len(list_intersect(ta.arr, tb.arr)) AS union_n
+      |  FROM cand c
+      |  JOIN toks ta ON ta.doc_id = c.doc_a
+      |  JOIN toks tb ON tb.doc_id = c.doc_b)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(inter_n AS DOUBLE) / union_n, 4) AS jaccard
+      |FROM scored WHERE inter_n * 5 >= union_n * 4
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // -- PCA top component via exact-integer power iteration -----------------
 
   /** PCA's top principal direction over the embedding corpus (the
@@ -330,5 +440,6 @@ object QualityQueries extends QueryModule {
     QueryDef("docs_gopher_rules", gopherRules, Some(gopherRulesSql)),
     QueryDef("ann_range_search", rangeSearch, Some(rangeSearchSql)),
     QueryDef("embed_pca_power", pcaPower, Some(pcaPowerSql)),
+    QueryDef("dedup_ppjoin", ppjoin, Some(ppjoinSql)),
   )
 }
