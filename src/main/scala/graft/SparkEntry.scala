@@ -17,6 +17,7 @@ object SparkEntry {
     graft.analytics.Queries6,
     graft.analytics.MvQueries,
     graft.analytics.GraphQueries,
+    graft.analytics.SeriesQueries,
     graft.cdc.CdcQueries,
     graft.ops.TextQueries,
     graft.ops.SimilarityQueries,

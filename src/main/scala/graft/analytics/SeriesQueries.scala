@@ -1,0 +1,99 @@
+package graft.analytics
+
+import graft.{QueryDef, QueryModule}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the event stream: recurrence smoothing
+  * (EWMA) and integer-exact change-point detection — the sequence-
+  * shaped analytics the window/aggregation blocks don't cover.
+  */
+object SeriesQueries extends QueryModule {
+
+  // -- per-user EWMA (ordered-fold recurrence) -----------------------------
+
+  /** Exponentially-weighted moving average of each user's event
+    * values — a RECURRENCE (s ← s·¾ + x·¼), which has no
+    * order-independent aggregate form. Cross-engine exactness comes
+    * from evaluating the identical left-fold over the identical
+    * ordered sequence: values collect per user ordered by (ts,
+    * event_id) and fold with dyadic-rational constants (¾, ¼ — exact
+    * in binary), so every intermediate double is bit-identical in
+    * Spark's `aggregate` HOF and DuckDB's `list_reduce`.
+    *
+    * 100 TB shape: one shuffle by user_id; per-user state is the
+    * user's own event list (the same bound sessionization carries).
+    * A streaming deployment maintains s in mapGroupsWithState — this
+    * is the batch twin.
+    */
+  private def ewma(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("double").as("v"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("sort_array(collect_list(struct(ts, event_id, v)))").as("seq"))
+      .select(col("user_id"), col("n_events"),
+        round(expr(
+          "aggregate(transform(seq, r -> r.v), CAST(0.0 AS DOUBLE)," +
+            " (acc, x) -> acc * CAST(0.75 AS DOUBLE) + x * CAST(0.25 AS DOUBLE))"),
+          6).as("ewma"))
+      .orderBy("user_id")
+
+  private val ewmaSql =
+    """WITH s AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), seq),
+      |    (acc, x) -> acc * CAST(0.75 AS DOUBLE) + x * CAST(0.25 AS DOUBLE)), 6) AS ewma
+      |FROM s ORDER BY user_id""".stripMargin
+
+  // -- change-point detection (integer CUSUM argmax) -----------------------
+
+  /** Change-point scan over the daily event-count series: the CUSUM
+    * deviation statistic `D_k = |n·S_k − k·S_n|` (S = running count,
+    * k = day index, n = days) peaks where the arrival rate shifts.
+    * Entirely integer cross-multiplication — no float means, so the
+    * statistic is exact on both engines. Running totals ride the
+    * distributed [[graft.ops.PrefixSum]] (no partitionless window);
+    * the report is the top-5 candidate days.
+    */
+  private def changepoint(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.PrefixSum
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("_g", lit(1)).withColumn("_one", lit(1L))
+    val run = PrefixSum.runningTotal(
+      PrefixSum.runningTotal(daily, "_g", Seq("day"), "cnt", "s_k"),
+      "_g", Seq("day"), "_one", "k")
+    val tot = run.agg(max(col("s_k")).as("s_n"), max(col("k")).as("n"))
+    run.crossJoin(broadcast(tot))
+      .select(col("day"), col("cnt"), col("s_k"), col("k"),
+        abs(col("n") * col("s_k") - col("k") * col("s_n")).as("d_stat"))
+      .orderBy(col("d_stat").desc, col("day")).limit(5)
+  }
+
+  private val changepointSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |run AS (
+      |  SELECT day, cnt,
+      |    CAST(sum(cnt) OVER (ORDER BY day) AS BIGINT) AS s_k,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+      |  FROM daily),
+      |tot AS (SELECT max(s_k) AS s_n, max(k) AS n FROM run)
+      |SELECT day, cnt, s_k, k,
+      |  abs(n * s_k - k * s_n) AS d_stat
+      |FROM run CROSS JOIN tot
+      |ORDER BY d_stat DESC, day LIMIT 5""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_ewma", ewma, Some(ewmaSql)),
+    QueryDef("events_changepoint", changepoint, Some(changepointSql)),
+  )
+}
