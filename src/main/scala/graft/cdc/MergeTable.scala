@@ -853,7 +853,10 @@ final class MergeTable(
     changesImpl(lo, hi, updatePreImages, restrict)
   }
 
-  private def readEntries(es: Seq[(String, String)]): DataFrame = {
+  private def readEntries(rawEs: Seq[(String, String)]): DataFrame = {
+    // `ing` entries are the copyInto file ledger — table metadata, not
+    // table rows; every data read skips them
+    val es = rawEs.filterNot(_._1 == "ing")
     require(es.nonEmpty, s"MergeTable at $root is empty/uninitialized")
     val deltas = es.filter(_._1 == "delta")
     if (es.exists(_._1 == "dv")) readWithPos(es).drop(FileCol, PosCol)
@@ -1049,6 +1052,54 @@ final class MergeTable(
     }
   }
 
+  /** Incremental file ingest — the COPY INTO / Auto Loader shape:
+    * load ONLY the source-dir files not yet ingested, appending their
+    * rows and the updated file ledger in ONE atomic commit, so each
+    * file lands exactly once under retries, restarts, and concurrent
+    * writers (the ledger entry and the data entry are the same
+    * manifest line set — there is no window where one exists without
+    * the other). The ledger is an `ing:` data dir holding one
+    * `src_file` string per ingested file; reads skip it, rewrites and
+    * compactions carry it, RESTORE rolls it back with the data (so
+    * re-copy after restore re-ingests — state and ledger stay
+    * consistent), and vacuum protects it like any referenced dir.
+    *
+    * Append semantics (the bronze-layer contract): rows land as-is;
+    * key reconciliation is downstream's job. Flat COW and MOR layouts
+    * only — bucketed/partitioned tables take batches through
+    * [[upsert]]. Returns the number of newly ingested files.
+    *
+    * 100 TB shape: the ledger anti-join is distributed (file PATHS,
+    * not contents); only the new batch's rows are read; the commit is
+    * append-shaped, so concurrent copyInto/upsert writers compose
+    * through the rebase path.
+    */
+  def copyInto(srcDir: String): Int = {
+    require(numBuckets.isEmpty && partitionCols.isEmpty,
+      "copyInto supports flat layouts; route bucketed/partitioned tables through upsert")
+    import spark.implicits._
+    val files = FileStats.listParquetFiles(Paths.get(srcDir))
+      .map(_.toAbsolutePath.toString).sorted
+    if (files.isEmpty) return 0
+    val es = entries()
+    val ingDirs = es.filter(_._1 == "ing").map(_._2)
+    val newFiles =
+      if (ingDirs.isEmpty) files
+      else {
+        val ledger = readDirs(ingDirs).select(col("src_file"))
+        files.toDF("src_file").join(ledger, Seq("src_file"), "left_anti")
+          .as[String].collect().sorted.toSeq
+      }
+    if (newFiles.isEmpty) return 0
+    val rows = spark.read.parquet(newFiles: _*)
+    val dataTag = if (mode == MergeTable.MergeOnRead) "delta" else "base"
+    val ledgerEntry = "ing" -> writeData(newFiles.toDF("src_file"))
+    commitAppend(es,
+      Seq(dataTag -> writeData(toPhysical(rows)), ledgerEntry), None)
+    if (mode == MergeTable.MergeOnRead) maybeCompact()
+    newFiles.size
+  }
+
   /** MERGE-style upsert: `changes` must already be deduped to one row
     * per key (use [[Precombine.latestByKey]]). Matched keys take the
     * change row, unmatched existing rows are kept, new keys insert.
@@ -1106,6 +1157,7 @@ final class MergeTable(
       else partitionedMerge(changes, isDelete = false)
     case _ if numBuckets.isDefined => bucketedMerge(changes, isDelete = false)
     case _ =>
+      val es = entries()
       val result =
         if (!exists) changes
         else {
@@ -1113,8 +1165,19 @@ final class MergeTable(
           val keep = current.join(keySet(changes), keys, "left_anti")
           changes.unionByName(keep, allowMissingColumns = true)
         }
-      commit(Seq("base" -> writeData(result)))
+      commit(ledgerEntries(es) ++ Seq("base" -> writeData(result)))
   }
+
+  /** `ing` file-ledger entries ([[copyInto]]) survive every snapshot-
+    * replacing rewrite — they are bookkeeping about SOURCE files, not
+    * table rows, so a COW rewrite/compaction/clustering that rebuilds
+    * the data entries must carry them verbatim. (RESTORE deliberately
+    * does NOT special-case them: rolling back to a pre-ingest version
+    * rolls back the ledger too, so re-copy re-ingests — the state and
+    * the ledger stay consistent.)
+    */
+  private def ledgerEntries(es: Seq[(String, String)]): Seq[(String, String)] =
+    es.filter(_._1 == "ing")
 
   /** Key-delete: drop all rows whose PK appears in `deleteKeys`. */
   def delete(deleteKeys: DataFrame): Unit = {
@@ -1141,8 +1204,9 @@ final class MergeTable(
       case _ if partitionCols.nonEmpty => partitionedMerge(deleteKeys, isDelete = true)
       case _ if numBuckets.isDefined => bucketedMerge(deleteKeys, isDelete = true)
       case _ =>
+        val es = entries()
         val result = rewriteSource().join(keySet(deleteKeys, dedup = true), keys, "left_anti")
-        commit(Seq("base" -> writeData(result)))
+        commit(ledgerEntries(es) ++ Seq("base" -> writeData(result)))
     }
   }
 
@@ -1366,7 +1430,7 @@ final class MergeTable(
       val es = entries()
       if (es.exists(e => e._1 == "delta" || e._1 == "dv") ||
           es.count(_._1 == "base") > 1)
-        commit(Seq("base" -> writeData(rewriteSource())))
+        commit(ledgerEntries(es) ++ Seq("base" -> writeData(rewriteSource())))
     }
 
   /** Bucketed deletion-vector housekeeping: fold masks back into
@@ -1479,7 +1543,8 @@ final class MergeTable(
   /** Current manifest entries, exposed so a reader can pin ONE pointer
     * resolution across schema, scan, and stats pruning.
     */
-  private[graft] def currentEntries(): Seq[(String, String)] = entries()
+  private[graft] def currentEntries(): Seq[(String, String)] =
+    entries().filterNot(_._1 == "ing") // ledger entries are not data
 
   private[graft] def entriesAtVersion(version: Long): Seq[(String, String)] =
     entriesAt(version)
@@ -1567,7 +1632,7 @@ final class MergeTable(
       .repartitionByRange(p, col(ZCol))
       .sortWithinPartitions(ZCol)
       .drop(ZCol)
-    commit(Seq("base" -> writeData(clustered)))
+    commit(ledgerEntries(entries()) ++ Seq("base" -> writeData(clustered)))
   }
 
   private val ZCol = "_graft_zvalue"

@@ -49,6 +49,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DESCRIBE\s+DETAIL\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
   private val Expire =
     """(?is)\s*EXPIRE\s+SNAPSHOTS\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+KEEP\s+(\d+)\s*;?\s*""".r
+  private val CopyInto =
+    """(?is)\s*COPY\s+INTO\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+FROM\s+'([^']+)'\s*;?\s*""".r
   private val AddColumns =
     """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
   private val DropColumns =
@@ -80,6 +82,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Expire(catalog, ident, keep) =>
       MergeTableMaintenanceCommand("expire", catalog, ident.split('.').toSeq,
         expireKeep = Some(keep.toInt))
+    case CopyInto(catalog, ident, src) =>
+      MergeTableMaintenanceCommand("copyinto", catalog, ident.split('.').toSeq,
+        copyFrom = Some(src))
     case AddColumns(catalog, ident, ddl) =>
       MergeTableAddColumnsCommand(catalog, ident.split('.').toSeq, ddl.trim)
     case RenameColumn(catalog, ident, from, to) =>
@@ -115,7 +120,8 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
                                         ident: Seq[String],
                                         zorderCols: Seq[String] = Nil,
                                         restoreTo: Option[Either[Long, String]] = None,
-                                        expireKeep: Option[Int] = None) extends LeafRunnableCommand {
+                                        expireKeep: Option[Int] = None,
+                                        copyFrom: Option[String] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("affected", LongType, nullable = false)())
@@ -125,6 +131,7 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
     val t = MergeTable.open(session, path)
     val n: Long = op match {
       case "vacuum" => t.vacuum().toLong
+      case "copyinto" => t.copyInto(copyFrom.get).toLong
       case "compact" =>
         val before = t.versions().size
         t.compact()
