@@ -179,6 +179,22 @@ class ConcurrentCommitSpec extends SparkSpec {
       Map(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("MOR: a rebased append carrying a NEW column still evolves the schema") {
+    val root = fresh("mor_evolve")
+    val t1 = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")), mode = MergeTable.MergeOnRead)
+    val t2 = MergeTable.open(spark, root)
+    interleave(t2) { t1.upsert(Seq((2L, "b")).toDF("id", "v")) }
+    // t2's delta introduces column `extra`; it rebases over t1's commit
+    t2.upsert(Seq((3L, "c", "x")).toDF("id", "v", "extra"))
+    val rows = t2.read().select("id", "v", "extra")
+      .as[(Long, String, Option[String])].collect().sortBy(_._1)
+    assert(rows === Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some("x"))))
+    // and the evolved history still replays through the change feed
+    val feed = t2.changeFeed(0L, t2.versions().last)
+    assert(feed.count() === 3)
+  }
+
   // -- deletion vectors: appends rebase only when key-disjoint -------------
 
   test("dv: key-disjoint concurrent upserts both commit via rebase") {
