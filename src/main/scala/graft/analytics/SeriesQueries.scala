@@ -92,8 +92,55 @@ object SeriesQueries extends QueryModule {
       |FROM run CROSS JOIN tot
       |ORDER BY d_stat DESC, day LIMIT 5""".stripMargin
 
+  // -- seasonal-naive forecast backtest ------------------------------------
+
+  /** Seasonal-naive forecast backtest over daily order arrivals:
+    * forecast(d) = actual(d − 7), scored by MAE per weekday over the
+    * last-28-day holdout — the baseline every production forecaster
+    * must beat, and the backtest harness shape (point-in-time joins,
+    * no leakage) is the real deliverable. Counts and error sums are
+    * exact integers; the weekday key is epoch-day mod 7 (identical
+    * arithmetic on both engines — named weekday functions disagree on
+    * 0- vs 1-based). Two bounded aggregations + one self-join on the
+    * shifted day; 7 output rows.
+    */
+  private def seasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val fc = daily.select(date_add(col("day"), 7).as("day"), col("cnt").as("fc"))
+    val dmax = daily.agg(max(col("day")).as("dmax"))
+    daily.join(fc, "day")
+      .crossJoin(broadcast(dmax))
+      .filter(col("day") > date_sub(col("dmax"), 28))
+      .withColumn("dow", expr("datediff(day, DATE'1970-01-01') % 7"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cnt") - col("fc"))).as("sum_abs_err"))
+      .select(col("dow"), col("n_days"), col("sum_abs_err"),
+        round(col("sum_abs_err").cast("double") / col("n_days"), 4).as("mae"))
+      .orderBy("dow")
+  }
+
+  private val seasonalNaiveSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1),
+      |fc AS (SELECT day + INTERVAL 7 DAY AS day, cnt AS fc FROM daily),
+      |mx AS (SELECT max(day) AS dmax FROM daily),
+      |h AS (
+      |  SELECT d.day, d.cnt, f.fc
+      |  FROM daily d JOIN fc f ON d.day = f.day CROSS JOIN mx
+      |  WHERE d.day > dmax - INTERVAL 28 DAY)
+      |SELECT CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow,
+      |  CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum(abs(cnt - fc)) AS BIGINT) AS sum_abs_err,
+      |  round(CAST(sum(abs(cnt - fc)) AS DOUBLE) / count(*), 4) AS mae
+      |FROM h GROUP BY 1 ORDER BY dow""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("events_ewma", ewma, Some(ewmaSql)),
     QueryDef("events_changepoint", changepoint, Some(changepointSql)),
+    QueryDef("orders_seasonal_naive", seasonalNaive, Some(seasonalNaiveSql)),
   )
 }
