@@ -70,6 +70,70 @@ object BpeTrain {
       .orderBy("merge_round")
   }
 
+  /** ENCODE with the trained merges — the apply half of the tokenizer
+    * loop: each document's words render as delimited char sequences
+    * and the R learned merges replay over them IN TRAINING ORDER
+    * (same single-replace-per-merge as training, so encoding is
+    * exactly the greedy segmentation the trained ranks define).
+    * Per-doc output: words, chars (= pre-merge tokens), and the
+    * token count under the learned vocab — the corpus statistic a
+    * tokenizer change is judged by (compression ratio).
+    *
+    * 100 TB shape: training is vocabulary-level (see
+    * [[trainMerges]]); encoding is a pure per-row expression chain (R
+    * chained replaces inside the scan, no shuffle beyond the final
+    * per-doc aggregation — which is row-per-doc, not per-token).
+    */
+  def tokenizeBpe(spark: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
+    val merges = trainMerges(spark, docs, rounds)
+      .collect().map(r => (r.getString(1), r.getString(2))) // (left, right)
+    val words = TextAnalysis.words(col("text"))
+    val rendered = transform(words,
+      w => concat(lit("|"), array_join(split(w, ""), "|"), lit("|")))
+    val applied = merges.foldLeft(rendered) { case (acc, (l, r)) =>
+      transform(acc, s => regexp_replace(s,
+        java.util.regex.Pattern.quote(s"|$l|$r|"), s"|$l$r|"))
+    }
+    // tokens per word = delimiters - 1; the '|' count is (chars of the
+    // rendering - letters), both already available per element
+    val tokensPerWord = transform(applied,
+      s => length(s) - length(regexp_replace(s, "\\|", "")) - 1)
+    docs.select(col("doc_id"),
+        size(words).as("n_words"),
+        aggregate(transform(words, w => length(w)), lit(0L), (a, x) => a + x)
+          .as("n_chars"),
+        aggregate(tokensPerWord, lit(0L), (a, x) => a + x).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[tokenizeBpe]]: the training CTEs of
+    * [[trainMergesSql]] replay the merges, then each doc's rendered
+    * words fold through the same R replaces via a cross join against
+    * the 1-row-per-merge CTEs.
+    */
+  def tokenizeBpeSql(rounds: Int): String = {
+    val trainCtes = trainMergesSql(rounds).split("\nSELECT 1 AS merge_round")(0)
+    val repl = (1 to rounds).foldLeft("s0.s") { (acc, r) =>
+      s"replace($acc, '|' || m$r.l || '|' || m$r.r2 || '|', '|' || m$r.l || m$r.r2 || '|')"
+    }
+    val mJoins = (1 to rounds).map(r => s"CROSS JOIN m$r").mkString(" ")
+    s"""$trainCtes,
+       |dw AS (
+       |  SELECT doc_id, w.w AS w,
+       |    '|' || array_to_string(regexp_extract_all(w.w, '.'), '|') || '|' AS s
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |        FROM documents), unnest(ws) AS w(w)),
+       |enc AS (
+       |  SELECT doc_id, s0.w,
+       |    $repl AS s
+       |  FROM dw s0 $mJoins)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(s) - len(replace(s, '|', '')) - 1) AS BIGINT) AS n_tokens
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB oracle: the identical training loop unrolled to `rounds`
     * CTE stages (the Lloyd's-rounds replay pattern) — pair counting,
     * argmax tie-break, and the boundary-delimited replace are all

@@ -759,5 +759,8 @@ object CorpusQueries extends QueryModule {
     QueryDef("bpe_train_merges",
       (s, dir) => BpeTrain.trainMerges(s, docs(s, dir), rounds = 6),
       Some(BpeTrain.trainMergesSql(6))),
+    QueryDef("docs_tokenize_bpe",
+      (s, dir) => BpeTrain.tokenizeBpe(s, docs(s, dir), rounds = 6),
+      Some(BpeTrain.tokenizeBpeSql(6))),
   )
 }

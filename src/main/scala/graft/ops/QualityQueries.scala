@@ -355,6 +355,81 @@ object QualityQueries extends QueryModule {
       |FROM scored WHERE inter_n * 5 >= union_n * 4
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -- per-source corpus health report -------------------------------------
+
+  /** The corpus-health dashboard a data-curation run publishes per
+    * source: volume (docs/words/chars), language spread, exact-dup
+    * incidence, and the Gopher pass rate — the composition readout
+    * over the signals the individual operators compute. One word-level
+    * pass + one exact-dup aggregation, both keyed on bounded `source`;
+    * ratios are single exact-int divisions rounded at the edge.
+    */
+  private def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val nWords = TextAnalysis.wordCount(col("text"))
+    val mean = TextAnalysis.wordCharSum(col("text")).cast("double") / nWords
+    val stopHits = size(array_intersect(array_distinct(ws),
+      typedLit(TextAnalysis.StopWords)))
+    val topCnt = array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w))))
+    val gopherPass = (nWords >= 50 && nWords <= 100000) &&
+      (mean >= 3.0 && mean <= 10.0) && (stopHits >= 2) && (topCnt * 5 <= nWords)
+    val d = docs(s, dir)
+    val perDoc = d.select(col("doc_id"), col("source"), col("lang"),
+      nWords.as("nw"), length(col("text")).as("nc"),
+      gopherPass.cast("int").as("gp"), md5(col("text")).as("fp"))
+    val dupDocs = perDoc.groupBy("fp").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("fp"))
+    val flagged = perDoc.join(dupDocs, Seq("fp"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("dup_docs"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nw").as("n_words"),
+        sum("nc").as("n_chars"),
+        countDistinct("lang").as("n_langs"),
+        sum("gp").as("gopher_pass"))
+      .join(flagged, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_langs"), col("gopher_pass"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        round(col("gopher_pass").cast("double") / col("n_docs"), 4)
+          .as("gopher_rate"))
+      .orderBy("source")
+  }
+
+  private val corpusReportSql = {
+    val stopList = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, source, lang, length(text) AS nc, md5(text) AS fp,
+       |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, source, lang, nc, fp, len(ws) AS nw,
+       |    CAST(list_aggregate(list_transform(ws, x -> len(x)), 'sum') AS BIGINT) AS cs,
+       |    len(list_filter(list_distinct(ws), x -> x IN ($stopList))) AS sh,
+       |    list_aggregate(list_transform(list_distinct(ws),
+       |      w2 -> len(list_filter(ws, x -> x = w2))), 'max') AS tc
+       |  FROM w),
+       |g AS (
+       |  SELECT *, CASE WHEN nw >= 50 AND nw <= 100000
+       |    AND CAST(cs AS DOUBLE) / nw >= 3.0 AND CAST(cs AS DOUBLE) / nw <= 10.0
+       |    AND sh >= 2 AND tc * 5 <= nw THEN 1 ELSE 0 END AS gp
+       |  FROM f),
+       |dups AS (SELECT fp FROM g GROUP BY fp HAVING count(*) > 1),
+       |fl AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS dup_docs
+       |  FROM g WHERE fp IN (SELECT fp FROM dups) GROUP BY source)
+       |SELECT g.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(nc) AS BIGINT) AS n_chars,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(sum(gp) AS BIGINT) AS gopher_pass,
+       |  coalesce(any_value(fl.dup_docs), 0) AS dup_docs,
+       |  round(CAST(sum(gp) AS DOUBLE) / count(*), 4) AS gopher_rate
+       |FROM g LEFT JOIN fl ON g.source = fl.source
+       |GROUP BY g.source ORDER BY g.source""".stripMargin
+  }
+
   // -- PCA top component via exact-integer power iteration -----------------
 
   /** PCA's top principal direction over the embedding corpus (the
@@ -441,5 +516,6 @@ object QualityQueries extends QueryModule {
     QueryDef("ann_range_search", rangeSearch, Some(rangeSearchSql)),
     QueryDef("embed_pca_power", pcaPower, Some(pcaPowerSql)),
     QueryDef("dedup_ppjoin", ppjoin, Some(ppjoinSql)),
+    QueryDef("corpus_report", corpusReport, Some(corpusReportSql)),
   )
 }
