@@ -1617,6 +1617,39 @@ final class MergeTable(
     * count (default: shuffle partitions). Like compact(), this is a
     * whole-snapshot rewrite — schedule it, don't run it per batch.
     */
+  /** Small-file bin-packing (Delta's plain `OPTIMIZE`): rewrite the
+    * flat snapshot into ceil(totalBytes / targetBytes) files when the
+    * current layout holds more — the lake-maintenance answer to
+    * drip-fed appends/ingests whose many small files tax every scan's
+    * task scheduling and footer reads. A no-op (no commit, version
+    * unchanged) when the snapshot is already at-or-under the target
+    * count, when deltas/masks are pending (COMPACT owns that fold),
+    * or on bucketed/partitioned layouts (their write paths keep
+    * per-scope file counts bounded). Preserves the copyInto ledger.
+    * Returns the number of files after the call.
+    */
+  def optimizeFiles(targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(exists, s"cannot optimize uninitialized table $root")
+    val es = entries()
+    val dataEs = es.filterNot(_._1 == "ing")
+    if (numBuckets.isDefined || partitionCols.nonEmpty ||
+        dataEs.exists(e => e._1 == "delta" || e._1 == "dv"))
+      return currentFileCount()
+    val files = dataEs.flatMap { case (_, d) =>
+      FileStats.listParquetFiles(dataDir.resolve(d)) }
+    val total = files.map(f => Files.size(f)).sum
+    val want = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    if (files.size <= want) return files.size
+    commit(ledgerEntries(es) ++
+      Seq("base" -> writeData(rewriteSource().repartition(want))))
+    currentFileCount()
+  }
+
+  private def currentFileCount(): Int =
+    entries().filterNot(_._1 == "ing").map { case (_, d) =>
+      FileStats.listParquetFiles(dataDir.resolve(d)).size
+    }.sum
+
   def cluster(cols: Seq[String], targetFiles: Int = 0): Unit = {
     require(exists, s"cannot cluster uninitialized table $root")
     require(numBuckets.isEmpty, "cluster() conflicts with a hash-bucketed layout")

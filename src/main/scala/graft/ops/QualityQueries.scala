@@ -483,10 +483,13 @@ object QualityQueries extends QueryModule {
     w
   }
 
-  private val pcaPowerSql = {
+  /** Training CTEs (quantized vectors → Gram cells → unrolled power
+    * rounds) shared by the eigenvector gate and the projection gate.
+    */
+  private val pcaCtes = {
     val base =
       s"""WITH q AS (
-         |  SELECT list_transform(embedding,
+         |  SELECT vec_id, list_transform(embedding,
          |    x -> CAST(floor(CAST(x AS DOUBLE) * $PcaQ + 0.5) AS BIGINT)) AS q
          |  FROM embeddings),
          |cell AS (
@@ -503,11 +506,45 @@ object QualityQueries extends QueryModule {
          |s$k AS (SELECT greatest(max(abs(v)) // $PcaWScale, 1) AS sc FROM v$k),
          |w$k AS (SELECT jdx, v // (SELECT sc FROM s$k) AS w FROM v$k)""".stripMargin
     }
-    (base +: rounds).mkString(",\n") +
-      s"""
-         |SELECT jdx AS dim_j, CAST(w AS BIGINT) AS w FROM w$PcaIters
-         |ORDER BY dim_j""".stripMargin
+    (base +: rounds).mkString(",\n")
   }
+
+  private val pcaPowerSql =
+    s"""$pcaCtes
+       |SELECT jdx AS dim_j, CAST(w AS BIGINT) AS w FROM w$PcaIters
+       |ORDER BY dim_j""".stripMargin
+
+  /** Projection of every vector onto the trained top component — the
+    * APPLY half of the PCA pipeline (the score an outlier audit or a
+    * whitening pass consumes): exact integer dot of the quantized
+    * vector with the integer eigenvector, so ranking ties out bit for
+    * bit cross-engine. One corpus scan; the component broadcasts as a
+    * literal array.
+    */
+  private def pcaScores(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.parallel(Tables.embeddings(s, dir))
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PcaQ + 0.5) AS BIGINT))").as("q"))
+    val e1 = qv.select(col("q"), posexplode(col("q"))).toDF("q", "i", "qi")
+    val e2 = e1.select(col("i"), col("qi"), posexplode(col("q"))).toDF("i", "qi", "j", "qj")
+    val cells = e2.groupBy("i", "j").agg(sum(col("qi") * col("qj")).as("g"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val w = powerIterate(cells, PcaDim, PcaIters)
+    val wLit = array(w.map(x => lit(x.toLong)): _*)
+    qv.select(col("vec_id"),
+        aggregate(zip_with(col("q"), wLit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("score"))
+      .orderBy(abs(col("score")).desc, col("vec_id")).limit(20)
+  }
+
+  private val pcaScoresSql =
+    s"""$pcaCtes,
+       |scores AS (
+       |  SELECT q.vec_id, CAST(sum(q.q[jj.j + 1] * w.w) AS BIGINT) AS score
+       |  FROM q, range($PcaDim) jj(j) JOIN w$PcaIters w ON w.jdx = jj.j
+       |  GROUP BY q.vec_id)
+       |SELECT vec_id, score FROM scores
+       |ORDER BY abs(score) DESC, vec_id LIMIT 20""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("docs_span_dedup", spanDedup, Some(spanDedupSql)),
@@ -517,5 +554,6 @@ object QualityQueries extends QueryModule {
     QueryDef("embed_pca_power", pcaPower, Some(pcaPowerSql)),
     QueryDef("dedup_ppjoin", ppjoin, Some(ppjoinSql)),
     QueryDef("corpus_report", corpusReport, Some(corpusReportSql)),
+    QueryDef("embed_pca_scores", pcaScores, Some(pcaScoresSql)),
   )
 }

@@ -39,6 +39,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*(VACUUM|COMPACT)\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ZORDER\s+BY\s*\(\s*([a-zA-Z0-9_\s,]+?)\s*\)\s*;?\s*""".r
+  private val OptimizeFiles =
+    """(?is)\s*OPTIMIZE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
   private val RestoreVersion =
     """(?is)\s*RESTORE\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTimestamp =
@@ -69,6 +71,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Optimize(catalog, ident, cols) =>
       MergeTableMaintenanceCommand("optimize", catalog, ident.split('.').toSeq,
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    case OptimizeFiles(catalog, ident) =>
+      MergeTableMaintenanceCommand("optimize_files", catalog, ident.split('.').toSeq)
     case RestoreVersion(catalog, ident, v) =>
       MergeTableMaintenanceCommand("restore", catalog, ident.split('.').toSeq,
         restoreTo = Some(Left(v.toLong)))
@@ -139,6 +143,9 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
       case "optimize" =>
         t.cluster(zorderCols)
         t.prunableFiles(t.currentEntries()).map(_.size.toLong).getOrElse(0L)
+      case "optimize_files" =>
+        t.optimizeFiles(session.conf.getOption("graft.mergetable.targetFileBytes")
+          .map(_.toLong).getOrElse(128L * 1024 * 1024)).toLong
       case "expire" => t.expireSnapshots(expireKeep.get).toLong
       case "restore" =>
         val version = restoreTo.get match {
