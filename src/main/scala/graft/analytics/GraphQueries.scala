@@ -93,7 +93,75 @@ object GraphQueries extends QueryModule {
          |ORDER BY r DESC, node_t, node_id LIMIT 20""".stripMargin
   }
 
+  // -- item-item collaborative filtering -----------------------------------
+
+  /** Item-item CF neighbor lists — the classic co-occurrence
+    * recommender primitive: for the 20 most-ordered parts, the top-3
+    * most-associated parts by squared-cosine association over basket
+    * co-occurrence, `score = cooc²·10⁶ div (f_a·f_b)` — the integer
+    * micro-ratio form of cosine²(a, b) on binary basket vectors, so
+    * ranking is exact cross-engine with no sqrt anywhere.
+    *
+    * 100 TB shape: co-occurrence fan-out is bounded by basket size
+    * squared (TPC-H baskets ≤ 7 — candidate volume linear in orders);
+    * anchor selection broadcasts 20 rows; neighbor ranking runs on
+    * the bounded-heap TopK operator.
+    */
+  private def itemCf(s: SparkSession, dir: String): DataFrame = {
+    val bp = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val freq = graft.Caches.register(
+      bp.groupBy("pk").agg(count(lit(1)).as("f")))
+    val pairs = bp.as("a").join(bp.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("cooc"))
+    val sym = pairs.select(col("pa").as("item"), col("pb").as("nb"), col("cooc"))
+      .unionAll(pairs.select(col("pb").as("item"), col("pa").as("nb"), col("cooc")))
+    val anchors = freq.orderBy(col("f").desc, col("pk")).limit(20)
+      .select(col("pk").as("item"), col("f").as("fi"))
+    val scored = sym.join(broadcast(anchors), "item")
+      .join(freq.select(col("pk").as("nb"), col("f").as("fn")), "nb")
+      .select(col("item"), col("nb"),
+        expr("(cooc * cooc * 1000000) div (fi * fn)").as("score_micro"))
+    graft.plans.TopK.perKey(scored, Seq("item"),
+        Seq(col("score_micro"), -col("nb")), 3)
+      .select(col("item"), col("nb"), col("rank"), col("score_micro"))
+      .orderBy("item", "rank")
+  }
+
+  private val itemCfSql =
+    """WITH bp AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |freq AS (SELECT pk, CAST(count(*) AS BIGINT) AS f FROM bp GROUP BY pk),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS cooc
+      |  FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT pa AS item, pb AS nb, cooc FROM pairs
+      |  UNION ALL
+      |  SELECT pb AS item, pa AS nb, cooc FROM pairs),
+      |anchors AS (
+      |  SELECT pk AS item, f AS fi FROM freq
+      |  ORDER BY f DESC, pk LIMIT 20),
+      |scored AS (
+      |  SELECT s.item, s.nb,
+      |    (s.cooc * s.cooc * 1000000) // (a.fi * fn.f) AS score_micro
+      |  FROM sym s
+      |  JOIN anchors a ON s.item = a.item
+      |  JOIN freq fn ON s.nb = fn.pk),
+      |r AS (
+      |  SELECT item, nb, score_micro,
+      |    row_number() OVER (PARTITION BY item
+      |      ORDER BY score_micro DESC, nb) AS rank
+      |  FROM scored)
+      |SELECT item, nb, CAST(rank AS INT) AS rank,
+      |  CAST(score_micro AS BIGINT) AS score_micro
+      |FROM r WHERE rank <= 3 ORDER BY item, rank""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("graph_pagerank", pagerank, Some(pagerankSql)),
+    QueryDef("parts_item_cf", itemCf, Some(itemCfSql)),
   )
 }

@@ -355,6 +355,48 @@ object QualityQueries extends QueryModule {
       |FROM scored WHERE inter_n * 5 >= union_n * 4
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -- hard-negative mining for retrieval training -------------------------
+
+  /** Hard-negative mining — the contrastive-training data step for
+    * dense retrievers: for each anchor, the top-k most similar
+    * corpus vectors with a DIFFERENT label (same-label hits are
+    * positives, low-similarity negatives are uninformative; the
+    * high-similarity different-label band is what the training batch
+    * needs). Anchors broadcast; the corpus never shuffles; the label
+    * exclusion filters inside the scan; ranking on the bounded-heap
+    * TopK operator.
+    */
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val anchors = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qe"))
+    val scored = Tables.parallel(Tables.embeddings(s, dir))
+      .join(broadcast(anchors), col("query_id") =!= col("vec_id"))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neg_id"),
+        round(Similarity.cosine(s, col("qe"), col("embedding")), 6).as("score"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("score"), -col("neg_id")), 5)
+      .select(col("query_id"), col("neg_id"), col("rank"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val hardNegativesSql =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qe
+      |  FROM embeddings WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, c.vec_id AS neg_id,
+      |    round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6) AS score
+      |  FROM q JOIN embeddings c
+      |    ON c.vec_id <> q.query_id AND c.label <> q.qlabel),
+      |r AS (
+      |  SELECT query_id, neg_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neg_id) AS rank
+      |  FROM s)
+      |SELECT query_id, neg_id, CAST(rank AS INT) AS rank, score FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // -- per-source corpus health report -------------------------------------
 
   /** The corpus-health dashboard a data-curation run publishes per
@@ -555,5 +597,6 @@ object QualityQueries extends QueryModule {
     QueryDef("dedup_ppjoin", ppjoin, Some(ppjoinSql)),
     QueryDef("corpus_report", corpusReport, Some(corpusReportSql)),
     QueryDef("embed_pca_scores", pcaScores, Some(pcaScoresSql)),
+    QueryDef("embed_hard_negatives", hardNegatives, Some(hardNegativesSql)),
   )
 }
