@@ -193,31 +193,55 @@ final class MergeTable(
   /** The last committed transaction version for `appId`, if any. */
   def lastTxn(appId: String): Option[Long] = txns().get(appId)
 
-  /** A txn to attach to this instance's next commits (cleared by
-    * [[txn]] when its op finishes). Volatile, not thread-safe across
-    * concurrent txn() calls on ONE instance — writers use an instance
-    * per stream/thread, same as the rest of the mutator surface.
+  /** The txn line to attach to the next commit — set ONLY while
+    * [[recordTxnMarker]] writes its completion marker. Volatile, not
+    * thread-safe across concurrent txn() calls on ONE instance —
+    * writers use an instance per stream/thread, same as the rest of
+    * the mutator surface.
     */
   @volatile private var pendingTxn: Option[(String, Long)] = None
+  @volatile private var inTxn: Boolean = false
+  @volatile private var txnCommitCount: Int = 0
 
   /** Idempotent writer transaction (Delta's txnAppId/txnVersion):
     * runs `op` only when `version` is strictly newer than the last
-    * committed watermark for `appId`, and records the watermark ON
-    * the op's own commits — the skip decision and the data land
-    * atomically, so a replayed batch (checkpoint recovery, restarted
-    * foreachBatch) is skipped instead of re-applied. Returns None on
-    * skip. Ops that commit more than once attach the watermark to
-    * every commit (last wins); a crash mid-op therefore leaves the
-    * watermark unrecorded only if NO commit landed — replay then
-    * re-runs the whole op, which per-batch idempotence makes safe.
+    * committed watermark for `appId`. The watermark is recorded by a
+    * COMPLETION MARKER commit after the op's own commits all landed
+    * (same entries + the txn line) — so the skip decision implies the
+    * WHOLE op committed, not just its first commit: a multi-commit op
+    * (applyChanges' upsert-then-delete, the sink's changes mode) that
+    * crashes midway leaves no watermark and replays in full, which
+    * per-batch idempotence makes safe; recording on the first commit
+    * instead would make replay skip the op's unfinished tail and lose
+    * it forever. An op that commits nothing records nothing (replay
+    * re-runs the no-op). Returns None on skip.
     */
   def txn[T](appId: String, version: Long)(op: => T): Option[T] = {
     require(!appId.contains("=") && !appId.contains("\n") && !appId.contains(":"),
       s"txn appId must not contain '=', ':' or newline: $appId")
     if (lastTxn(appId).exists(_ >= version)) None
     else {
+      txnCommitCount = 0
+      inTxn = true
+      val result = try op finally inTxn = false
+      if (txnCommitCount > 0) recordTxnMarker(appId, version)
+      Some(result)
+    }
+  }
+
+  private def recordTxnMarker(appId: String, version: Long): Unit = {
+    var attempts = 0
+    while (true) {
+      val es = entries()
+      val baseV = readVersion
       pendingTxn = Some(appId -> version)
-      try Some(op) finally pendingTxn = None
+      try { commitAt(es, baseV); pendingTxn = None; return }
+      catch {
+        case e: CommitConflictException =>
+          pendingTxn = None
+          attempts += 1
+          if (attempts > 20) throw e
+      }
     }
   }
 
@@ -256,19 +280,30 @@ final class MergeTable(
     */
   private[cdc] var onBeforeCommit: () => Unit = () => ()
 
-  private def commit(newEntries: Seq[(String, String)]): Long = {
+  private def commit(newEntries: Seq[(String, String)]): Long =
+    commitAt(newEntries, readVersion)
+
+  /** Commit against an EXPLICIT base version. Mutators whose
+    * read-modify-write internally re-reads the manifest (the DV
+    * paths' writeMask) must pin the version their entry snapshot was
+    * read at: the instance-level `readVersion` advances on every
+    * internal re-read, and a commit built from an older snapshot but
+    * CASed at a newer version would silently drop the interleaved
+    * writer's entries (lost update with a SUCCEEDING CAS — the one
+    * shape the conflict machinery cannot catch after the fact).
+    */
+  private def commitAt(newEntries: Seq[(String, String)], baseVersion: Long): Long = {
     onBeforeCommit()
     Files.createDirectories(manifestDir)
     persistMeta()
-    val version = readVersion + 1
+    val version = baseVersion + 1
     val target = manifestPath(version)
     // txn watermarks carry forward from the base manifest and merge
-    // the pending one — they ride every commit so the idempotence
-    // decision is atomic with the data (and survive rebases, which
-    // re-enter here with an advanced readVersion)
-    val baseM = manifestPath(readVersion)
+    // the pending one — they ride every commit (and survive rebases,
+    // which re-enter here with an advanced base version)
+    val baseM = manifestPath(baseVersion)
     val carried: Map[String, Long] =
-      (if (readVersion > 0 && Files.exists(baseM))
+      (if (baseVersion > 0 && Files.exists(baseM))
         parseManifest(baseM).collect { case ("txn", kv) =>
           val Array(app, v) = kv.split("=", 2); app -> v.toLong
         }.toMap
@@ -291,6 +326,7 @@ final class MergeTable(
     Files.write(tmp, target.getFileName.toString.getBytes)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     readVersion = version
+    if (inTxn) txnCommitCount += 1
     version
   }
 
@@ -324,13 +360,15 @@ final class MergeTable(
     * any key of `ks` — the serializable-isolation validation: a
     * concurrent commit that landed rows for this operation's keys
     * cannot be rebased over (a serial execution would have merged
-    * them). dv entries are position masks with no key columns and are
-    * excluded. Costs one scan of the winner's added dirs only.
+    * them). dv entries (position masks) and ing entries (copyInto
+    * file ledgers) carry no key columns and are excluded. Costs one
+    * scan of the winner's added dirs only.
     */
   private def addedKeysOverlap(base: Seq[(String, String)],
       winner: Seq[(String, String)], ks: DataFrame): Boolean = {
     val baseDirs = base.map(_._2).toSet
-    val added = winner.filter { case (t, d) => t != "dv" && !baseDirs.contains(d) }
+    val added = winner.filter { case (t, d) =>
+      t != "dv" && t != "ing" && !baseDirs.contains(d) }
     added.nonEmpty &&
       !readDirs(added.map(_._2)).join(ks, keys, "left_semi").isEmpty
   }
@@ -355,20 +393,33 @@ final class MergeTable(
     */
   private def commitAppend(readBase: Seq[(String, String)],
       added: Seq[(String, String)], validateKeys: Option[DataFrame],
-      maxRebases: Int = 20): Long = {
+      maxRebases: Int = 20, baseVersion: Long = -1L,
+      conflictOnAddedTags: Set[String] = Set.empty): Long = {
     var base = readBase
+    // pin the CAS target to the version `readBase` was read at —
+    // internal manifest re-reads after that point (writeMask) advance
+    // `readVersion` and would otherwise let a stale-base commit CAS-
+    // succeed over an interleaved writer (silent lost update)
+    var baseV = if (baseVersion >= 0) baseVersion else readVersion
     var rebases = 0
     while (true) {
-      try return commit(base ++ added)
+      try return commitAt(base ++ added, baseV)
       catch {
         case e: CommitConflictException =>
           rebases += 1
           if (rebases > maxRebases) throw e
           val winner = entries()
+          baseV = readVersion
           val winnerSet = winner.toSet
           if (!base.forall(winnerSet.contains)) throw e
           if (!isSubsequence(base.filter(_._1 == "delta"),
             winner.filter(_._1 == "delta"))) throw e
+          if (conflictOnAddedTags.nonEmpty) {
+            val baseDirs = base.map(_._2).toSet
+            if (winner.exists(e =>
+              conflictOnAddedTags.contains(e._1) && !baseDirs.contains(e._2)))
+              throw e
+          }
           if (validateKeys.exists(ks => addedKeysOverlap(base, winner, ks))) throw e
           base = winner
       }
@@ -390,17 +441,20 @@ final class MergeTable(
   private def commitScoped(readBase: Seq[(String, String)], touched: Set[String],
       updated: Seq[(String, String)],
       scopeOf: ((String, String)) => Option[String],
-      validateKeys: Option[DataFrame], maxRebases: Int = 20): Long = {
+      validateKeys: Option[DataFrame], maxRebases: Int = 20,
+      baseVersion: Long = -1L): Long = {
     var base = readBase
+    var baseV = if (baseVersion >= 0) baseVersion else readVersion
     var rebases = 0
     while (true) {
       val untouched = base.filterNot(e => scopeOf(e).exists(touched.contains))
-      try return commit(untouched ++ updated)
+      try return commitAt(untouched ++ updated, baseV)
       catch {
         case e: CommitConflictException =>
           rebases += 1
           if (rebases > maxRebases) throw e
           val winner = entries()
+          baseV = readVersion
           val changed = (base.toSet diff winner.toSet) ++ (winner.toSet diff base.toSet)
           val changedScopes = changed.toSeq.map(scopeOf)
           if (changedScopes.contains(None)) throw e
@@ -516,19 +570,21 @@ final class MergeTable(
     * including in TIME-TRAVEL reads of pre-rename versions and the
     * change feed — always surface under the current logical name.
     */
-  private def toLogical(df: DataFrame): DataFrame =
-    renames.foldLeft(df) { case (d, (logical, physical)) =>
-      if (physical != logical && d.columns.contains(physical))
-        d.withColumnRenamed(physical, logical)
-      else d
-    }
+  private def toLogical(df: DataFrame): DataFrame = {
+    // ONE positional pass over all names at once (toDF), never a
+    // sequential withColumnRenamed fold: a legal RENAME chain whose
+    // intermediate name is later reused makes the fold rename the
+    // wrong (just-renamed) column and emit duplicate names
+    val phys2log = renames.collect { case (l, p) if l != p => p -> l }
+    if (phys2log.isEmpty) df
+    else df.toDF(df.columns.map(c => phys2log.getOrElse(c, c)).toIndexedSeq: _*)
+  }
 
   /** logical → physical translation for incoming write batches. */
-  private def toPhysical(df: DataFrame): DataFrame =
-    renames.foldLeft(df) { case (d, (logical, physical)) =>
-      if (physical != logical && d.columns.contains(logical))
-        d.withColumnRenamed(logical, physical)
-      else d
+  private def toPhysical(df: DataFrame): DataFrame = {
+    val log2phys = renames.filter { case (l, p) => l != p }
+    if (log2phys.isEmpty) df
+    else df.toDF(df.columns.map(c => log2phys.getOrElse(c, c)).toIndexedSeq: _*)
     }
 
   /** Time travel: snapshot as of a committed version (manifests are
@@ -916,8 +972,16 @@ final class MergeTable(
     * change batch hashes into — keys outside those buckets provably
     * cannot match, so the mask costs O(touched buckets), not O(table).
     */
+  /** Test hook: runs at writeMask entry — inside the window between a
+    * DV mutator's entry-snapshot capture and the mask's own manifest
+    * re-read, where an interleaved winner must surface as a CAS
+    * conflict (not a silently-succeeding stale-base commit).
+    */
+  private[cdc] var onBeforeMask: () => Unit = () => ()
+
   private def writeMask(changeKeys: DataFrame,
       bucketScope: Option[Set[Long]] = None): Option[(String, String)] = {
+    onBeforeMask()
     val es = entries()
     val scanEs = bucketScope match {
       case Some(bs) => es.filter { case (t, _) =>
@@ -1081,23 +1145,35 @@ final class MergeTable(
     val files = FileStats.listParquetFiles(Paths.get(srcDir))
       .map(_.toAbsolutePath.toString).sorted
     if (files.isEmpty) return 0
-    val es = entries()
-    val ingDirs = es.filter(_._1 == "ing").map(_._2)
-    val newFiles =
-      if (ingDirs.isEmpty) files
+    // internal retry: the rebase path REFUSES to compose with a
+    // winner that added its own ledger entry (the anti-join below was
+    // computed against a manifest without it — blind re-anchoring
+    // would ingest the same files twice); the re-run recomputes the
+    // anti-join against the winner's ledger and converges on exactly
+    // the still-missing files
+    withRetry() {
+      val es = entries()
+      val baseV = readVersion
+      val ingDirs = es.filter(_._1 == "ing").map(_._2)
+      val newFiles =
+        if (ingDirs.isEmpty) files
+        else {
+          val ledger = readDirs(ingDirs).select(col("src_file"))
+          files.toDF("src_file").join(ledger, Seq("src_file"), "left_anti")
+            .as[String].collect().sorted.toSeq
+        }
+      if (newFiles.isEmpty) 0
       else {
-        val ledger = readDirs(ingDirs).select(col("src_file"))
-        files.toDF("src_file").join(ledger, Seq("src_file"), "left_anti")
-          .as[String].collect().sorted.toSeq
+        val rows = spark.read.parquet(newFiles: _*)
+        val dataTag = if (mode == MergeTable.MergeOnRead) "delta" else "base"
+        val ledgerEntry = "ing" -> writeData(newFiles.toDF("src_file"))
+        commitAppend(es,
+          Seq(dataTag -> writeData(toPhysical(rows)), ledgerEntry), None,
+          baseVersion = baseV, conflictOnAddedTags = Set("ing"))
+        if (mode == MergeTable.MergeOnRead) maybeCompact()
+        newFiles.size
       }
-    if (newFiles.isEmpty) return 0
-    val rows = spark.read.parquet(newFiles: _*)
-    val dataTag = if (mode == MergeTable.MergeOnRead) "delta" else "base"
-    val ledgerEntry = "ing" -> writeData(newFiles.toDF("src_file"))
-    commitAppend(es,
-      Seq(dataTag -> writeData(toPhysical(rows)), ledgerEntry), None)
-    if (mode == MergeTable.MergeOnRead) maybeCompact()
-    newFiles.size
+    }
   }
 
   /** MERGE-style upsert: `changes` must already be deduped to one row
@@ -1133,13 +1209,15 @@ final class MergeTable(
         // dirs between compactions — masks, not manifest order, do
         // the superseding).
         val es = entries()
+        val baseV = readVersion // writeMask re-reads the manifest below
         val scope = numBuckets.map(_ => affectedBuckets(changes))
         val dv = writeMask(keySet(changes, dedup = true), scope)
         val appended =
           if (numBuckets.isDefined) writeBucketed(changes)
           else Seq("base" -> writeData(changes))
         commitAppend(es, dv.toSeq ++ appended,
-          validateKeys = Some(keySet(changes, dedup = true)))
+          validateKeys = Some(keySet(changes, dedup = true)),
+          baseVersion = baseV)
         maybeCompact()
       }
     case MergeTable.MergeOnRead =>
@@ -1189,11 +1267,13 @@ final class MergeTable(
         // replay converges without version churn). Bucketed: the
         // position scan touches only the keys' buckets.
         val es = entries()
+        val baseV = readVersion // writeMask re-reads the manifest below
         val scope = numBuckets.map(_ => affectedBuckets(deleteKeys))
         writeMask(keySet(deleteKeys, dedup = true), scope)
           .foreach { dv =>
             commitAppend(es, Seq(dv),
-              validateKeys = Some(keySet(deleteKeys, dedup = true)))
+              validateKeys = Some(keySet(deleteKeys, dedup = true)),
+              baseVersion = baseV)
             maybeCompact()
           }
       case MergeTable.MergeOnRead =>

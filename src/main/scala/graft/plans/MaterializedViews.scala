@@ -78,18 +78,22 @@ object MaterializedViews {
   }
 
   /** Recompute the view from current base data and mark it fresh,
-    * recording the base-file fingerprint the materialization was
-    * computed FROM (listed after the write, so files appended during
-    * the refresh stale it rather than slip under it).
+    * recording the base-file fingerprint BEFORE the write: a file
+    * that lands during the refresh is then absent from the recorded
+    * fingerprint but present in the match-time re-listing, so the
+    * rewrite is SUPPRESSED (fail-stale). Listing after the write
+    * would invert that — the mid-refresh file would be hashed into
+    * the record while its rows are missing from the materialization,
+    * and the stale view would keep serving.
     */
   def refresh(name: String): Unit = {
     val mv = registry.getOrElse(name,
       throw new IllegalArgumentException(s"unknown materialized view $name"))
+    val fp = baseFingerprint(mv.definition)
     withRuleSuspended {
       mv.definition().write.mode("overwrite").parquet(mv.path)
     }
-    registry.put(name,
-      mv.copy(fresh = true, fingerprint = Some(baseFingerprint(mv.definition))))
+    registry.put(name, mv.copy(fresh = true, fingerprint = Some(fp)))
   }
 
   /** Fingerprint of the base files a definition currently reads:

@@ -345,6 +345,11 @@ case class MergeTableDropColumnsCommand(catalogName: String, ident: Seq[String],
       require(current.contains(c),
         s"column '$c' does not exist in ${ident.mkString(".")}")
       require(!meta.keys.contains(c), s"cannot drop key column '$c'")
+      // the partition-scoped merge derives leaf dirs from this column
+      // on every write — dropping it would wedge the write path with
+      // an unresolvable reference on the next upsert/delete
+      require(!meta.partitionCols.contains(c),
+        s"cannot drop partition column '$c'")
       meta.constraints.foreach { case (name, sql) =>
         // resolve actual attribute references, not a textual match —
         // a column name inside a string LITERAL (CHECK (tag != 'v'))

@@ -41,12 +41,16 @@ class MergeTableSink(
     // rewrap: the engine hands a DataFrame over the streaming plan,
     // which cannot be the subject of new (batch) queries directly
     val batch = org.apache.spark.sql.graft.StreamingShim.asBatch(data)
-    // an existing table's recorded layout wins over sink options, so
-    // a stream pointed at a partitioned/bucketed table cannot
-    // silently degrade it to a flat rewrite
+    // an existing table's recorded layout AND write mode win over the
+    // sink options: with recorded metadata present, a sink 'buckets'
+    // option must not bucket a recorded-flat table (map+getOrElse,
+    // not flatMap+orElse — recorded None IS the layout), and a
+    // default-mode stream pointed at a MOR/dv table must not rewrite
+    // it as flat COW bases each batch
     val meta = MergeTable.readMeta(path)
-    val table = new MergeTable(data.sparkSession, path, keys, mode,
-      meta.flatMap(_.numBuckets).orElse(numBuckets),
+    val table = new MergeTable(data.sparkSession, path, keys,
+      meta.map(_.mode).getOrElse(mode),
+      meta.map(_.numBuckets).getOrElse(numBuckets),
       partitionCols = meta.map(_.partitionCols).getOrElse(partitionCols))
     // idempotent-writer option: with txnAppId set, the (appId,
     // batchId) watermark rides the batch's own commits, so a

@@ -226,6 +226,27 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(ones === Seq((1L, "retry_t2")), s"duplicate live rows: $ones")
   }
 
+  test("dv: a winner landing inside the mask window is never silently dropped") {
+    // the lost-update shape the base-version pin exists for: the
+    // winner commits BETWEEN the mutator's entry-snapshot capture and
+    // writeMask's internal manifest re-read; the re-read advances the
+    // instance readVersion, and a commit CASed at readVersion+1 would
+    // SUCCEED on the stale base, erasing the winner's entries
+    val root = fresh("dv_mask_window")
+    val seed = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t1 = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(seed), mode = MergeTable.DeletionVectors)
+    val t2 = MergeTable.open(spark, root)
+    var fired = false
+    t2.onBeforeMask = () => {
+      if (!fired) { fired = true; t1.upsert(Seq((9L, "winner")).toDF("id", "v")) }
+    }
+    t2.upsert(Seq((3L, "c")).toDF("id", "v"))
+    assert(t2.read().as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "winner"),
+      "the winner's commit was dropped by a stale-base CAS")
+  }
+
   test("dv: concurrent delete vs upsert of the same key conflicts") {
     // the delete's mask addresses the key's OLD position; the winner
     // appended a NEW live row for it that the mask cannot cover — a

@@ -107,6 +107,24 @@ class CopyIntoSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.ci.t")
   }
 
+  test("two concurrent copyInto of the same source never double-ingest") {
+    // a blind rebase over the winner's ledger would re-anchor the
+    // loser's stale anti-join and ingest every file twice; the
+    // conflict-on-added-ledger rule forces the loser's retry to
+    // recompute against the winner's ledger
+    val (root, src) = fresh("dup_race")
+    dropFile(src, "f1", Seq((1L, "a"), (2L, "b")))
+    val t1 = new MergeTable(spark, root, Seq("id"))
+    t1.upsert(Seq((0L, "seed")).toDF("id", "v"))
+    val t2 = MergeTable.open(spark, root)
+    var fired = false
+    t2.onBeforeCommit = () => {
+      if (!fired) { fired = true; t1.copyInto(src) }
+    }
+    assert(t2.copyInto(src) === 0, "loser re-ingested the winner's files")
+    assert(t2.read().count() === 3, "rows ingested twice")
+  }
+
   test("copyInto racing an upsert composes through the rebase") {
     val (root, src) = fresh("race")
     dropFile(src, "f1", Seq((1L, "a")))

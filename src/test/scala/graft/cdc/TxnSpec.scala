@@ -89,6 +89,31 @@ class TxnSpec extends SparkSpec {
     assert(t.lastTxn("app_c") === None)
   }
 
+  test("a crash AFTER an op's first commit records no watermark (multi-commit safety)") {
+    // the sink's changes mode commits upsert-then-delete; a watermark
+    // recorded on the first commit would make checkpoint replay skip
+    // the unfinished delete forever — the marker-commit design records
+    // only on full completion, so the replay re-runs everything
+    val root = fresh("partial")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    intercept[RuntimeException] {
+      t.txn("app", 1L) {
+        t.upsert(Seq((3L, "c")).toDF("id", "v")) // first commit lands
+        throw new RuntimeException("crash before the delete")
+      }
+    }
+    assert(t.lastTxn("app") === None, "partial op recorded a watermark")
+    // replay re-runs the WHOLE op; idempotent per batch
+    t.txn("app", 1L) {
+      t.upsert(Seq((3L, "c")).toDF("id", "v"))
+      t.delete(Seq(2L).toDF("id"))
+    }
+    assert(t.lastTxn("app") === Some(1L))
+    assert(t.read().as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 3L -> "c"))
+  }
+
   test("watermarks from both writers survive a concurrent-commit rebase") {
     val root = fresh("rebase")
     val t1 = MergeTable.createIfAbsent(spark, root, Seq("id"),
