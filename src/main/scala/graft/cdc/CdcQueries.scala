@@ -423,6 +423,72 @@ object CdcQueries extends QueryModule {
     out
   }
 
+  /** SHALLOW CLONE lifecycle: seed a table, zero-copy clone it, apply
+    * the change batch to the CLONE, read the clone back. Same oracle
+    * as the plain upsert — the clone must behave exactly like a real
+    * table seeded with the same snapshot — while `ShallowCloneSpec`
+    * pins the metadata-only mechanics (no bytes copied, divergence
+    * isolation, vacuum safety, clone-of-clone).
+    */
+  private def shallowCloneUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).cache()
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    val base = latestPerUser(ev.filter(col("event_id") < cut))
+    val changes = latestPerUser(ev.filter(col("event_id") >= cut))
+    val srcRoot = tmpRoot("clone_src", dir)
+    val dstRoot = tmpRoot("clone_dst", dir)
+    MergeTable.drop(srcRoot); MergeTable.drop(dstRoot)
+    MergeTable.createIfAbsent(s, srcRoot, Seq("user_id"), initial = Some(base))
+    val c = MergeTable.shallowClone(s, srcRoot, dstRoot)
+    c.upsert(changes)
+    val out = c.read().select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+    ev.unpersist()
+    out
+  }
+
+  /** Metadata-only aggregate pushdown through the catalog: count(*) /
+    * count(col) / min / max over a seeded mergetable fold out of the
+    * per-file footer stats recorded at commit time (the Delta/Iceberg
+    * "count(*) never scans" path — `AggregatePushdownSpec` proves the
+    * plan has no aggregate node and reads zero records; this gate
+    * proves the folded VALUES are exact, nulls included, against a
+    * DuckDB replay that aggregates the real rows).
+    */
+  private def aggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val seed = latestPerUser(events(s, dir))
+      .withColumn("nv", when(col("event_type") === "error",
+        lit(null).cast("double")).otherwise(col("value")))
+    val tbl = "aggpush_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+    s.sql(s"DROP TABLE IF EXISTS graft.gate.$tbl")
+    s.sql(s"""CREATE TABLE graft.gate.$tbl
+              (user_id BIGINT, event_id BIGINT, event_type STRING,
+               value DOUBLE, nv DOUBLE)
+              TBLPROPERTIES('keys'='user_id')""")
+    seed.createOrReplaceTempView("graft_aggpush_seed")
+    s.sql(s"""INSERT INTO graft.gate.$tbl
+              SELECT user_id, event_id, event_type, value, nv
+              FROM graft_aggpush_seed""")
+    s.sql(s"""SELECT count(*) AS cnt, count(nv) AS cnt_nv,
+                     min(user_id) AS umin, max(user_id) AS umax,
+                     min(event_type) AS tmin, max(event_type) AS tmax,
+                     min(value) AS vmin, max(value) AS vmax
+              FROM graft.gate.$tbl""")
+  }
+
+  private val aggPushdownSql =
+    s"""WITH latest AS (${latestSqlTemplate.format("")}),
+       |seeded AS (
+       |  SELECT user_id, event_type, value,
+       |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS nv
+       |  FROM latest)
+       |SELECT CAST(count(*) AS BIGINT) AS cnt, CAST(count(nv) AS BIGINT) AS cnt_nv,
+       |  min(user_id) AS umin, max(user_id) AS umax,
+       |  min(event_type) AS tmin, max(event_type) AS tmax,
+       |  min(value) AS vmin, max(value) AS vmax
+       |FROM seeded""".stripMargin
+
   /** DELETE FROM … WHERE, through SQL (reference surface:
     * transaction_log_util.py:304-334); same oracle as cdc_apply_delete.
     */
@@ -872,6 +938,8 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert_partial", applyUpsertPartialViaSql, Some(applyUpsertPartialSql)),
     QueryDef("cdc_apply_merge_conditional", applyMergeConditional, Some(applyMergeConditionalSql)),
     QueryDef("cdc_apply_upsert_catalog", applyUpsertViaCatalog, Some(applyUpsertSql)),
+    QueryDef("mergetable_agg_pushdown", aggPushdown, Some(aggPushdownSql)),
+    QueryDef("mergetable_shallow_clone", shallowCloneUpsert, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete_sql", applyDeleteViaSql, Some(applyDeleteSql)),
     QueryDef("cdc_apply_update_sql", applyUpdateViaSql, Some(applyUpdateSql)),
     QueryDef("cdc_change_feed", changeFeed, Some(changeFeedSql)),

@@ -28,12 +28,29 @@ object FileStats {
     */
   type Stats = Map[String, Map[String, (String, String, String)]]
 
+  /** Everything the footer pass learns about one file: its exact row
+    * count, the top-level primitive columns physically present (a
+    * schema-evolved file may lack late-added columns — reads backfill
+    * them as nulls, so "absent" aggregates as all-null), per-column
+    * null counts (only columns where every chunk recorded one), and
+    * the min/max ranges of [[Stats]]. Rows + nulls power
+    * metadata-only COUNT pushdown; ranges power both pruning and
+    * metadata-only MIN/MAX.
+    */
+  final case class FileMeta(
+      rows: Long,
+      present: Set[String],
+      nulls: Map[String, Long],
+      cols: Map[String, (String, String, String)])
+
+  type Full = Map[String, FileMeta]
+
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Collect footer stats for every parquet file under `dataDir/dir`
     * (recursive — bucketed layouts nest `bucket=i/` subdirs).
     */
-  def collect(dataDir: Path, dir: String): Stats = {
+  def collect(dataDir: Path, dir: String): Full = {
     val root = dataDir.resolve(dir)
     val conf = new Configuration()
     listParquet(root).flatMap { f =>
@@ -42,9 +59,18 @@ object FileStats {
           HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))
         try {
           val blocks = reader.getFooter.getBlocks.asScala
-          val perCol = blocks.flatMap(_.getColumns.asScala)
+          val rows = blocks.map(_.getRowCount).sum
+          val topChunks = blocks.flatMap(_.getColumns.asScala)
             .filter(_.getPath.size() == 1) // top-level columns only
             .groupBy(_.getPath.toDotString)
+          // null counts are independent of min/max presence: an
+          // all-null column has no range but an exact null count
+          val nulls = topChunks.flatMap { case (name, chunks) =>
+            val stats = chunks.map(_.getStatistics)
+            if (stats.exists(s => s == null || !s.isNumNullsSet)) None
+            else Some(name -> stats.map(_.getNumNulls).sum)
+          }
+          val perCol = topChunks
             .flatMap { case (name, chunks) =>
               val stats = chunks.map(_.getStatistics)
               if (stats.exists(s => s == null || !s.hasNonNullValue)) None
@@ -58,8 +84,8 @@ object FileStats {
                 }
               }
             }
-          if (perCol.isEmpty) None
-          else Some(root.relativize(f).toString -> perCol)
+          Some(root.relativize(f).toString ->
+            FileMeta(rows, topChunks.keySet.toSet, nulls, perCol))
         } finally reader.close()
       } catch { case _: Throwable => None } // advisory: skip unreadable footers
     }.toMap
@@ -103,7 +129,7 @@ object FileStats {
     * disagrees above the BMP, which would make pruning drop matching
     * files.
     */
-  private[cdc] def utf8Cmp(a: String, b: String): Int = {
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
@@ -130,14 +156,20 @@ object FileStats {
 
   // -- persistence ----------------------------------------------------------
 
-  def write(root: Path, dir: String, stats: Stats): Unit = {
+  def write(root: Path, dir: String, stats: Full): Unit = {
     if (stats.isEmpty) return
     val node = mapper.createObjectNode()
-    stats.foreach { case (file, cols) =>
+    stats.foreach { case (file, meta) =>
       val fn = node.putObject(file)
-      cols.foreach { case (c, (mn, mx, t)) =>
-        val cn = fn.putObject(c)
-        cn.put("min", mn); cn.put("max", mx); cn.put("t", t)
+      fn.put("n", meta.rows)
+      val pn = fn.putArray("p")
+      meta.present.toSeq.sorted.foreach(pn.add)
+      val zn = fn.putObject("z")
+      meta.nulls.foreach { case (c, z) => zn.put(c, z) }
+      val cn = fn.putObject("c")
+      meta.cols.foreach { case (c, (mn, mx, t)) =>
+        val col = cn.putObject(c)
+        col.put("min", mn); col.put("max", mx); col.put("t", t)
       }
     }
     val statsDir = root.resolve("stats")
@@ -146,19 +178,29 @@ object FileStats {
     Files.write(statsDir.resolve(flatName(dir)), mapper.writeValueAsBytes(node))
   }
 
-  def read(root: Path, dir: String): Option[Stats] = {
+  def readFull(root: Path, dir: String): Option[Full] = {
     val p = root.resolve("stats").resolve(flatName(dir))
     if (!Files.exists(p)) None
     else try {
       val node = mapper.readTree(Files.readAllBytes(p))
       Some(node.fields().asScala.map { e =>
-        e.getKey -> e.getValue.fields().asScala.map { c =>
+        val fn = e.getValue
+        val present = Option(fn.get("p")).map(_.elements().asScala.map(_.asText).toSet)
+          .getOrElse(Set.empty[String])
+        val nulls = Option(fn.get("z")).map(_.fields().asScala.map { z =>
+          z.getKey -> z.getValue.asLong
+        }.toMap).getOrElse(Map.empty[String, Long])
+        val cols = Option(fn.get("c")).map(_.fields().asScala.map { c =>
           c.getKey -> ((c.getValue.get("min").asText,
             c.getValue.get("max").asText, c.getValue.get("t").asText))
-        }.toMap
+        }.toMap).getOrElse(Map.empty[String, (String, String, String)])
+        e.getKey -> FileMeta(fn.get("n").asLong, present, nulls, cols)
       }.toMap)
     } catch { case _: Throwable => None }
   }
+
+  def read(root: Path, dir: String): Option[Stats] =
+    readFull(root, dir).map(_.map { case (f, m) => f -> m.cols })
 
   private def flatName(dir: String): String =
     dir.replace('/', '_').replace('=', '_') + ".json"

@@ -1672,6 +1672,29 @@ final class MergeTable(
     })
   }
 
+  /** Footer-derived per-file metadata (exact row count, per-column
+    * null counts, min/max ranges) for metadata-only aggregate
+    * pushdown — or None when the snapshot cannot be aggregated from
+    * manifests alone: MOR deltas / dv masks change the visible row
+    * set at read time, and a file without a recorded stats entry has
+    * unknown counts. Unlike pruning (advisory — an unknown file is
+    * scanned), aggregation is all-or-nothing: every file must be
+    * accounted for or the engine falls back to a real scan.
+    */
+  private[graft] def aggregatableFiles(
+      rawEs: Seq[(String, String)]): Option[Seq[FileStats.FileMeta]] = {
+    val es = rawEs.filterNot(_._1 == "ing") // ledger entries are not data
+    if (es.exists(e => e._1 == "delta" || e._1 == "dv")) return None
+    val perDir = es.map { case (_, d) =>
+      val full = FileStats.readFull(rootPath, d).getOrElse(Map.empty)
+      val base = dataDir.resolve(d)
+      val files = FileStats.listParquetFiles(base)
+      val metas = files.flatMap(f => full.get(base.relativize(f).toString))
+      if (metas.size == files.size) Some(metas) else None
+    }
+    if (perDir.exists(_.isEmpty)) None else Some(perDir.flatMap(_.get))
+  }
+
   /** The snapshot dirs whose bloom index exists and covers every
     * file of the commit (written while `graft.mergetable.bloomIndex`
     * was true). Cheap driver-side marker checks — O(dirs), never
@@ -2004,6 +2027,50 @@ object MergeTable {
   /** Open honoring a reference-style table config (write modes). */
   def forConfig(spark: SparkSession, root: String, conf: TableConfig): MergeTable =
     new MergeTable(spark, root, conf.primaryKey, mode = conf.writeMergeMode)
+
+  /** SHALLOW CLONE (Delta parity): a new table whose first commit
+    * references the SOURCE's data dirs — zero data copied, O(entries)
+    * metadata. Works because manifest entries resolve through
+    * `dataDir.resolve(dir)`, and resolving an ABSOLUTE dir returns it
+    * unchanged: the clone's manifest simply records the source dirs
+    * absolutely. From then on the tables diverge independently —
+    * writes/compaction land new LOCAL dirs, and the clone's vacuum
+    * only ever lists its own `data/` so it can never reclaim source
+    * files. File stats are copied under the absolute-dir names so
+    * stats pruning and metadata-only aggregation keep working on the
+    * cloned snapshot.
+    *
+    * `versionAsOf` clones a historical snapshot; like the source's own
+    * time travel it is read under the CURRENT column mapping. Caveat
+    * (same as Delta): VACUUM or EXPIRE SNAPSHOTS on the source can
+    * remove dirs a clone still references — clones are cheap forks,
+    * not backups.
+    */
+  def shallowClone(spark: SparkSession, srcRoot: String, dstRoot: String,
+                   versionAsOf: Option[Long] = None): MergeTable = {
+    val src = open(spark, srcRoot)
+    require(src.exists, s"cannot clone uninitialized table $srcRoot")
+    require(readMeta(dstRoot).isEmpty && !new MergeTable(spark, dstRoot,
+      src.keys, src.mode).exists, s"clone target $dstRoot already exists")
+    val v = versionAsOf.getOrElse(src.versions().max)
+    val srcData = Paths.get(srcRoot).resolve("data").toAbsolutePath
+    val es = src.entriesAtVersion(v)
+    // cloning a clone re-resolves already-absolute dirs to themselves
+    val abs = es.map { case (t, d) => (t, srcData.resolve(d).toString) }
+    val meta = readMeta(srcRoot).get
+    writeMeta(dstRoot, meta)
+    // copy the per-dir footer stats under their absolute-dir names so
+    // the clone prunes and metadata-aggregates like the source
+    val srcPath = Paths.get(srcRoot)
+    val dstPath = Paths.get(dstRoot)
+    es.zip(abs).foreach { case ((_, origD), (_, absD)) =>
+      FileStats.readFull(srcPath, origD).foreach(FileStats.write(dstPath, absD, _))
+    }
+    val dst = new MergeTable(spark, dstRoot, meta.keys, meta.mode,
+      meta.numBuckets, partitionCols = meta.partitionCols)
+    dst.commit(abs)
+    dst
+  }
 
   /** Destroy all table state (test helper). */
   def drop(root: String): Unit = {

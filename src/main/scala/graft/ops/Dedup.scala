@@ -239,6 +239,71 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("cluster"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the scale path for [[connectedComponents]]:
+    * label propagation needs DIAMETER rounds (a 10k-link chain of
+    * near-dups at 100 TB = 10k shuffles), star contraction provably
+    * converges in O(log²) — in practice a handful — of rounds on the
+    * same one-join-one-aggregation per round budget.
+    *
+    *  - large-star: every node's strictly-LARGER neighbors reconnect
+    *    to the minimum of its neighborhood (incl. itself);
+    *  - small-star: every node's smaller-or-equal neighbors (and the
+    *    node) reconnect to that minimum.
+    *
+    * The fixpoint is a star forest — every node directly attached to
+    * its component's minimum id — so labels read straight off the
+    * final edges. Output contract identical to
+    * [[connectedComponents]]: (doc_id, cluster = component min), one
+    * row per node appearing in the input edge list.
+    */
+  def connectedComponentsLSS(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.sql.functions.{greatest, least}
+    val allNodes = edges.select(col("doc_a").as("id"))
+      .union(edges.select(col("doc_b").as("id"))).distinct().localCheckpoint(true)
+    // canonical undirected form: (lo < hi), self-loops dropped
+    var e = edges
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct().localCheckpoint(true)
+
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.select(col("lo").as("u"), col("hi").as("v"))
+        .union(cur.select(col("hi").as("u"), col("lo").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi")).distinct()
+    }
+    def smallStar(cur: DataFrame): DataFrame = {
+      // per hub (hi), attach the hub and its smaller neighbors to the
+      // neighborhood minimum; m < lo by construction so output stays
+      // canonical
+      val m = cur.groupBy("hi").agg(min("lo").as("m"))
+      cur.join(m, "hi").filter(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+        .union(m.select(col("m").as("lo"), col("hi")))
+        .distinct()
+    }
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixpoint = the edge SET is stable (a star forest maps to
+      // itself under both rounds); at warehouse scale this check is
+      // a changed-rows accumulator, here two anti-joins
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      i += 1
+    }
+    allNodes
+      .join(e.select(col("hi").as("id"), col("lo").as("comp")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("comp"), col("id")).as("cluster"))
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 62-bit SimHash over word unigrams (occurrence-weighted), one

@@ -598,7 +598,108 @@ object QualityQueries extends QueryModule {
        |SELECT vec_id, score FROM scores
        |ORDER BY abs(score) DESC, vec_id LIMIT 20""".stripMargin
 
+  // -- learned quality classifier (CCNet/fastText filter shape) -----------
+
+  /** Train a word-count linear classifier on weak labels and score
+    * the whole corpus — the CCNet/fastText quality-filter shape
+    * (train on "looks like the target distribution" labels, keep
+    * crawl docs the model scores high). Here the weak label is
+    * `lang = 'en'` on the EVEN doc_ids (the train split); every doc
+    * gets an odds score and a predicted label, and the held-out odd
+    * ids are where accuracy is measured (`QualityClassifierSpec`).
+    *
+    * The per-word weight is the Laplace-smoothed class-conditional
+    * ODDS as an integer micro-ratio —
+    * `(c⁺+1)(N⁻+V)·10⁶ div (c⁻+1)(N⁺+V)` — and a doc's score is the
+    * plain integer mean over its token occurrences. Log-free on
+    * purpose, like the bigram LM: libm `ln` is 1-ulp and could flip
+    * scores between engines, while integer products/divisions are
+    * engine-identical (products stay < 2⁶³ while class token counts
+    * are < ~2×10⁹ — far beyond this corpus; a 100 TB corpus promotes
+    * the weight arithmetic to decimal, same plan).
+    *
+    * Scale shape: tokens shuffle once to train counts (bounded by
+    * vocabulary) and once to score (doc_id key); the model — one long
+    * per vocab word — broadcasts or shuffle-joins by AQE's choice;
+    * text never leaves its scan.
+    */
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    classifierScores(docs(s, dir))
+
+  /** Core train+score over any (doc_id, lang, text) frame — split out
+    * so `QualityClassifierSpec` can verify learning on a corpus with
+    * REAL label↔word signal (the synthetic testdata's lang column is
+    * independent of its words, which is exactly what the gate's hash
+    * oracle doesn't care about but a learning test does).
+    */
+  private[ops] def classifierScores(d: DataFrame): DataFrame = {
+    val tok = d.select(col("doc_id"), col("lang"),
+      explode(TextAnalysis.words(col("text"))).as("w"))
+    val train = tok.filter(col("doc_id") % 2 === 0)
+    val counts = train.groupBy("w").agg(
+      count(when(col("lang") === "en", 1)).as("cpos"),
+      count(when(col("lang") =!= "en", 1)).as("cneg"))
+    // one row of model scalars, broadcast under every weight
+    val scalars = train.agg(
+      count(when(col("lang") === "en", 1)).as("npos"),
+      count(when(col("lang") =!= "en", 1)).as("nneg"),
+      countDistinct("w").as("v"))
+    val weights = counts.crossJoin(broadcast(scalars))
+      .select(col("w"), expr(
+        "(cpos + 1) * (nneg + v) * 1000000L DIV ((cneg + 1) * (npos + v))")
+        .as("wgt"))
+    val oov = scalars.select(
+      expr("(nneg + v) * 1000000L DIV (npos + v)").as("oov_wgt"))
+    val scored = tok.join(weights, Seq("w"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("wgt"), col("oov_wgt"))).as("ssum"))
+    d.select(col("doc_id"), col("lang")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(expr("ssum DIV n_tokens"), lit(0L)).as("odds_micro"),
+        coalesce(expr("ssum DIV n_tokens") >= 1000000L, lit(false))
+          .cast("int").as("pred_en"),
+        (col("lang") === "en").cast("int").as("is_en"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityClassifierSql =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents),
+      |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+      |counts AS (
+      |  SELECT w,
+      |    count(*) FILTER (lang = 'en') AS cpos,
+      |    count(*) FILTER (lang <> 'en') AS cneg
+      |  FROM train GROUP BY w),
+      |scalars AS (
+      |  SELECT count(*) FILTER (lang = 'en') AS npos,
+      |    count(*) FILTER (lang <> 'en') AS nneg,
+      |    count(DISTINCT w) AS v
+      |  FROM train),
+      |weights AS (
+      |  SELECT w,
+      |    ((cpos + 1) * (nneg + v) * 1000000) // ((cneg + 1) * (npos + v)) AS wgt
+      |  FROM counts, scalars),
+      |oov AS (SELECT (nneg + v) * 1000000 // (npos + v) AS oov_wgt FROM scalars),
+      |scored AS (
+      |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(coalesce(wgt, oov_wgt)) AS BIGINT) AS ssum
+      |  FROM tok t LEFT JOIN weights ww ON t.w = ww.w, oov
+      |  GROUP BY t.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(n_tokens, 0) AS n_tokens,
+      |  CAST(coalesce(ssum // n_tokens, 0) AS BIGINT) AS odds_micro,
+      |  CAST(coalesce(ssum // n_tokens >= 1000000, false) AS INT) AS pred_en,
+      |  CAST(d.lang = 'en' AS INT) AS is_en
+      |FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("docs_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("docs_span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("docs_soft_dedup", softDedup, Some(softDedupSql)),
     QueryDef("docs_gopher_rules", gopherRules, Some(gopherRulesSql)),

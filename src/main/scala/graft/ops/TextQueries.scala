@@ -407,6 +407,20 @@ object TextQueries extends QueryModule {
     Dedup.connectedComponents(pairs).orderBy("doc_id")
   }
 
+  /** The same clustering through large-star/small-star contraction
+    * (Kiveris et al. SoCC'14) — O(log) rounds where label propagation
+    * needs diameter rounds; both must produce IDENTICAL (doc_id,
+    * cluster-min) labels, so it shares dedup_clusters' recursive-CTE
+    * oracle verbatim.
+    */
+  private def dedupClustersLss(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairsBlocked(docs(s, dir), "doc_id", "text",
+        blockCol = "source", maxCharDiff = 20, charsCol = "n_chars",
+        k = 3, threshold = 0.1)
+      .select("doc_a", "doc_b")
+    Dedup.connectedComponentsLSS(pairs).orderBy("doc_id")
+  }
+
   /** Shingle → candidate-pair → edge → reachability CTE chain shared
     * verbatim by dedup_clusters and dedup_keep_list: one source of
     * truth for the shingle rule (len >= 3 / whole-doc fallback), the
@@ -666,6 +680,7 @@ object TextQueries extends QueryModule {
     QueryDef("dedup_incremental_near", dedupIncrementalNear, Some(dedupIncrementalNearSql)),
     QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardSql)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    QueryDef("dedup_clusters_lss", dedupClustersLss, Some(dedupClustersSql)),
     QueryDef("dedup_keep_list", dedupKeepList, Some(dedupKeepListSql)),
     QueryDef("docs_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("docs_ngram_topk", ngramTopk, Some(ngramTopkSql)),

@@ -59,6 +59,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+DROP\s+COLUMNS?\s+\(?\s*([a-zA-Z0-9_]+(?:\s*,\s*[a-zA-Z0-9_]+)*)\s*\)?\s*;?\s*""".r
   private val RenameColumn =
     """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+RENAME\s+COLUMN\s+([a-zA-Z0-9_]+)\s+TO\s+([a-zA-Z0-9_]+)\s*;?\s*""".r
+  private val ShallowClone =
+    """(?is)\s*CREATE\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+SHALLOW\s+CLONE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ADD\s+CONSTRAINT\s+([a-zA-Z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -93,6 +95,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       MergeTableAddColumnsCommand(catalog, ident.split('.').toSeq, ddl.trim)
     case RenameColumn(catalog, ident, from, to) =>
       MergeTableRenameColumnCommand(catalog, ident.split('.').toSeq, from, to)
+    case ShallowClone(catalog, ident, srcCatalog, srcIdent, version) =>
+      MergeTableCloneCommand(catalog, ident.split('.').toSeq,
+        srcCatalog, srcIdent.split('.').toSeq,
+        Option(version).map(_.toLong))
     case AddConstraint(catalog, ident, name, check) =>
       MergeTableConstraintCommand(catalog, ident.split('.').toSeq, name,
         Some(check.trim))
@@ -189,6 +195,29 @@ object GraftSqlParser {
       case other => throw new UnsupportedOperationException(
         s"$op targets a mergetable catalog; '$catalogName' is ${other.getClass.getName}")
     }
+}
+
+/** `CREATE TABLE graft.db.c SHALLOW CLONE graft.db.t [VERSION AS OF n]`
+  * — Delta's zero-copy clone: the new table's first commit references
+  * the source's data dirs (see [[graft.cdc.MergeTable.shallowClone]]);
+  * no rows move. Returns the cloned snapshot's row-bearing entry count.
+  */
+case class MergeTableCloneCommand(catalogName: String, ident: Seq[String],
+                                  srcCatalogName: String, srcIdent: Seq[String],
+                                  versionAsOf: Option[Long])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val srcPath = GraftSqlParser.mergetablePath(session, srcCatalogName,
+      srcIdent, "SHALLOW CLONE")
+    val dstPath = GraftSqlParser.mergetablePath(session, catalogName,
+      ident, "SHALLOW CLONE")
+    val t = MergeTable.shallowClone(session, srcPath, dstPath, versionAsOf)
+    Seq(Row(t.currentEntries().size.toLong))
+  }
 }
 
 /** `DESCRIBE HISTORY graft.db.t` — the commit log, newest first:

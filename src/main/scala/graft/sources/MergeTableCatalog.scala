@@ -6,8 +6,9 @@ import java.util
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -225,9 +226,17 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+        with SupportsPushDownAggregates {
       private var required: StructType = schema
       private var pushed: Array[Filter] = Array.empty
+      // COMPLETE aggregate pushdown answered from commit metadata: the
+      // (schema, single result row) pair when the whole aggregation
+      // folds out of per-file footer stats — count(*) / count(col)
+      // from exact row + null counts, min/max from file ranges. The
+      // Delta/Iceberg "SELECT count(*) never touches data" path: at
+      // 100 TB the difference between O(manifest) and a full scan.
+      private var aggResult: Option[(StructType, Row)] = None
 
       override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
       // accept ONLY filters the relation can translate onto its inner
@@ -241,19 +250,135 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
       }
       override def pushedFilters(): Array[Filter] = pushed
 
-      override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = required
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T = {
-          val rel = pinnedRelation
-          val cols = required.fieldNames
-          val fs = pushed
-          new BaseRelation with TableScan {
-            override def sqlContext: SQLContext = context
-            override def schema: StructType = required
-            override def buildScan(): org.apache.spark.rdd.RDD[Row] =
-              rel.buildScan(cols, fs)
-          }.asInstanceOf[T]
+      override def supportCompletePushDown(agg: Aggregation): Boolean =
+        planAggregation(agg).isDefined
+
+      override def pushAggregation(agg: Aggregation): Boolean = {
+        aggResult = planAggregation(agg)
+        aggResult.isDefined
+      }
+
+      /** The aggregation's output schema and final row iff EVERY
+        * aggregate folds exactly from file metadata; None falls back
+        * to a real scan. All-or-nothing: a partial answer would be
+        * wrong, not slow. Rejects pushed filters (metadata can't
+        * apply residual predicates), grouping, distinct counts, and
+        * any column whose type/stats don't guarantee exactness.
+        */
+      private def planAggregation(agg: Aggregation): Option[(StructType, Row)] = {
+        import org.apache.spark.sql.types._
+        if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+        val metas = pinnedRelation.aggregatable.getOrElse(return None)
+
+        def colName(e: V2Expression): Option[String] = e match {
+          case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+          case _ => None
+        }
+        // exact non-null count: absent-from-file columns read as null
+        // (schema evolution backfill) and count 0; present columns
+        // need a recorded null count in every file
+        def countCol(n: String): Option[Long] = {
+          val per = metas.map { m =>
+            if (!m.present(n)) Some(0L) else m.nulls.get(n).map(m.rows - _)
+          }
+          if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+        }
+        // min/max folded over file ranges; a file contributes nothing
+        // when the column is absent or provably all-null, and rejects
+        // the pushdown when its stats can't prove either. Types are
+        // restricted to those whose footer order matches Spark's
+        // (integral, float/double without NaN, UTF-8 strings).
+        def rangeCol(e: V2Expression, isMin: Boolean): Option[(DataType, Any)] = {
+          val n = colName(e).getOrElse(return None)
+          val dt = schema.fields.find(_.name == n).map(_.dataType).getOrElse(return None)
+          val wantTag = dt match {
+            case ByteType | ShortType | IntegerType | LongType => "i"
+            case FloatType | DoubleType => "f"
+            case StringType => "s"
+            case _ => return None
+          }
+          val per = metas.map { m =>
+            if (!m.present(n)) Some(None) // no rows with this column
+            else m.cols.get(n) match {
+              case Some((mn, mx, t)) if t == wantTag => Some(Some(if (isMin) mn else mx))
+              case Some(_) => None // tag/type drift: give up
+              case None =>
+                // no range but provably all-null → contributes nothing
+                if (m.nulls.get(n).contains(m.rows)) Some(None) else None
+            }
+          }
+          if (per.exists(_.isEmpty)) return None
+          val bounds = per.flatten.flatten
+          if (bounds.isEmpty) return Some((dt, null))
+          val best = wantTag match {
+            case "i" =>
+              val vs = bounds.map(_.toLong); if (isMin) vs.min else vs.max
+            case "f" =>
+              val vs = bounds.map(_.toDouble)
+              if (vs.exists(_.isNaN)) return None // parquet NaN stats are unreliable
+              if (isMin) vs.min else vs.max
+            case _ => bounds.reduce((a, b) =>
+              if (graft.cdc.FileStats.utf8Cmp(a, b) <= 0 == isMin) a else b)
+          }
+          val ext: Any = dt match {
+            case ByteType => best.toString.toLong.toByte
+            case ShortType => best.toString.toLong.toShort
+            case IntegerType => best.toString.toLong.toInt
+            case LongType => best.toString.toLong
+            case FloatType => best.toString.toFloat
+            case DoubleType => best.toString.toDouble
+            case _ => best.toString
+          }
+          Some((dt, ext))
+        }
+
+        def planOne(f: AggregateFunc): Option[(DataType, Any)] = f match {
+          case _: CountStar => Some((LongType, metas.map(_.rows).sum))
+          case c: Count if !c.isDistinct =>
+            colName(c.column).flatMap(countCol).map((LongType, _))
+          case m: Min => rangeCol(m.column, isMin = true)
+          case m: Max => rangeCol(m.column, isMin = false)
+          case _ => None
+        }
+
+        val planned = agg.aggregateExpressions.toSeq.map(planOne)
+        if (planned.exists(_.isEmpty)) None
+        else {
+          val fields = planned.flatten.zipWithIndex.map { case ((dt, _), i) =>
+            StructField(s"pushed_agg_$i", dt, nullable = true)
+          }
+          Some((StructType(fields), Row.fromSeq(planned.flatten.map(_._2))))
+        }
+      }
+
+      override def build(): Scan = aggResult match {
+        case Some((aggSchema, row)) => new V1Scan {
+          override def readSchema(): StructType = aggSchema
+          override def description(): String =
+            s"MergeTableMetadataAggScan ${aggSchema.fieldNames.mkString(", ")}"
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = aggSchema
+              override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+                context.sparkSession.sparkContext.parallelize(Seq(row), 1)
+            }.asInstanceOf[T]
+        }
+        case None => new V1Scan {
+          override def readSchema(): StructType = required
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T = {
+            val rel = pinnedRelation
+            val cols = required.fieldNames
+            val fs = pushed
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = required
+              override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+                rel.buildScan(cols, fs)
+            }.asInstanceOf[T]
+          }
         }
       }
     }

@@ -383,6 +383,19 @@ class MergeTableRelation(
     else None
   }
 
+  /** Per-file footer metadata when the pinned snapshot can answer
+    * aggregates from manifests alone (no MOR deltas / dv masks, every
+    * file accounted for, no active column mapping — stats are keyed
+    * by physical names). `Some(Nil)` for an uninitialized table: zero
+    * files aggregate to count 0 / min-max null. Consumed by the
+    * catalog's metadata-only aggregate pushdown.
+    */
+  private[sources] def aggregatable: Option[Seq[graft.cdc.FileStats.FileMeta]] =
+    if (renameMap.nonEmpty) None
+    else if (!table.exists) Some(Nil)
+    else table.aggregatableFiles(
+      version.map(table.entriesAtVersion).getOrElse(pinnedEntries))
+
   /** Files a scan with these filters would open (test/audit hook). */
   private[graft] def candidateFiles(filters: Array[Filter]): Option[Seq[String]] =
     survivingFiles(filters).map(_._1.map(_.toString))

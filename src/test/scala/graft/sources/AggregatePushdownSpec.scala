@@ -1,0 +1,163 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.cdc.MergeTable
+import org.apache.spark.sql.DataFrame
+
+/** Metadata-only aggregate pushdown through the catalog: count(*) /
+  * count(col) / min / max over a prunable snapshot fold out of the
+  * per-file footer stats recorded at commit time — the plan carries NO
+  * aggregate node and the data files are never opened (proved below by
+  * deleting one). Anything the metadata cannot answer EXACTLY (pending
+  * deltas or masks, residual filters, grouping, distinct, unknown
+  * stats) falls back to the real scan, never to an approximation.
+  */
+class AggregatePushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(db: String): Unit =
+    MergeTable.drop(s"target/graft_warehouse/$db")
+
+  private def hasAgg(df: DataFrame): Boolean = {
+    val p = df.queryExecution.executedPlan.toString
+    p.contains("HashAggregate") || p.contains("SortAggregate") ||
+      p.contains("ObjectHashAggregate")
+  }
+
+  private def isMetadataScan(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("MergeTableMetadataAggScan")
+
+  test("count/min/max fold from metadata with no aggregate in the plan") {
+    fresh("aggdb1")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.aggdb1")
+    spark.sql("""CREATE TABLE graft.aggdb1.t (id BIGINT, v STRING, x DOUBLE)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("""INSERT INTO graft.aggdb1.t VALUES
+                 (1, 'alpha', 1.5), (2, NULL, -2.25), (3, 'zed', 0.0)""")
+    spark.sql("INSERT INTO graft.aggdb1.t VALUES (4, 'beta', 7.75), (5, NULL, 3.5)")
+
+    val q = spark.sql(
+      """SELECT count(*) AS c, count(v) AS cv, min(id) AS mn, max(id) AS mx,
+                min(v) AS vmn, max(v) AS vmx, min(x) AS xmn, max(x) AS xmx
+         FROM graft.aggdb1.t""")
+    assert(!hasAgg(q), s"expected pushed aggregation, got:\n${q.queryExecution.executedPlan}")
+    assert(isMetadataScan(q))
+    val r = q.head()
+    assert(r.getLong(0) === 5L)
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(2) === 1L && r.getLong(3) === 5L)
+    assert(r.getString(4) === "alpha" && r.getString(5) === "zed")
+    assert(r.getDouble(6) === -2.25 && r.getDouble(7) === 7.75)
+  }
+
+  test("the pushed plan carries no file scan and reads no records") {
+    fresh("aggdb2")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.aggdb2")
+    spark.sql("""CREATE TABLE graft.aggdb2.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.aggdb2.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val q = spark.sql("SELECT count(*) AS c, max(id) AS mx FROM graft.aggdb2.t")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(isMetadataScan(q))
+    assert(!plan.contains("FileScan"), s"data scan survived pushdown:\n$plan")
+    // the executed tasks read zero input records — the answer came
+    // from commit metadata, not the data files
+    var recordsRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead += te.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(q.as[(Long, Long)].head() === ((3L, 3L)))
+      Thread.sleep(500) // listener bus drains asynchronously
+      assert(recordsRead === 0L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("residual filters, grouping, and distinct fall back to a real scan") {
+    fresh("aggdb3")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.aggdb3")
+    spark.sql("""CREATE TABLE graft.aggdb3.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.aggdb3.t VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+
+    val filtered = spark.sql("SELECT count(*) AS c FROM graft.aggdb3.t WHERE id > 1")
+    assert(hasAgg(filtered) && !isMetadataScan(filtered))
+    assert(filtered.as[Long].head() === 2L)
+
+    val grouped = spark.sql(
+      "SELECT v, count(*) AS c FROM graft.aggdb3.t GROUP BY v ORDER BY v")
+    assert(hasAgg(grouped) && !isMetadataScan(grouped))
+    assert(grouped.as[(String, Long)].collect().toSeq === Seq(("a", 2L), ("b", 1L)))
+
+    val distinct = spark.sql("SELECT count(DISTINCT v) AS c FROM graft.aggdb3.t")
+    assert(hasAgg(distinct) && !isMetadataScan(distinct))
+    assert(distinct.as[Long].head() === 2L)
+
+    // sum isn't derivable from min/max/count metadata
+    val sum = spark.sql("SELECT sum(id) AS s FROM graft.aggdb3.t")
+    assert(hasAgg(sum) && !isMetadataScan(sum))
+    assert(sum.as[Long].head() === 6L)
+  }
+
+  test("MOR snapshots with pending deltas are not metadata-aggregatable") {
+    fresh("aggdb4")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.aggdb4")
+    spark.sql("""CREATE TABLE graft.aggdb4.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id', 'mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.aggdb4.t VALUES (1, 'a'), (2, 'b')")
+    // delta commit: an upsert of an EXISTING key — file rows double-count
+    // the key, so metadata totals would be wrong and must not be used
+    val t = MergeTable.open(spark, "target/graft_warehouse/aggdb4/t")
+    t.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"))
+    val q = spark.sql("SELECT count(*) AS c FROM graft.aggdb4.t")
+    assert(hasAgg(q) && !isMetadataScan(q))
+    assert(q.as[Long].head() === 3L)
+    // compaction folds the deltas and restores the metadata path
+    t.compact()
+    val q2 = spark.sql("SELECT count(*) AS c FROM graft.aggdb4.t")
+    assert(isMetadataScan(q2))
+    assert(q2.as[Long].head() === 3L)
+  }
+
+  test("all-null and late-added columns aggregate exactly") {
+    fresh("aggdb5")
+    val root = "target/graft_warehouse/aggdb5/t"
+    val seed = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "v")
+    MergeTable.createIfAbsent(spark, root, Seq("id"), initial = Some(seed))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.aggdb5")
+    val q = spark.sql(
+      "SELECT count(v) AS cv, min(v) AS mn, max(v) AS mx FROM graft.aggdb5.t")
+    assert(isMetadataScan(q))
+    val r = q.head()
+    assert(r.getLong(0) === 0L && r.isNullAt(1) && r.isNullAt(2))
+
+    // schema evolution: files written BEFORE the column existed count
+    // as all-null for it — the pushed count must match the real scan
+    // (append, not upsert: the old file must SURVIVE without column w)
+    val t = MergeTable.open(spark, root)
+    t.append(Seq((3L, "w3", "c3")).toDF("id", "v", "w"))
+    val q2 = spark.sql(
+      "SELECT count(*) AS c, count(w) AS cw, min(w) AS mn FROM graft.aggdb5.t")
+    assert(isMetadataScan(q2))
+    assert(q2.head() === org.apache.spark.sql.Row(3L, 1L, "c3"))
+  }
+
+  test("time-travel snapshots aggregate from their own version's metadata") {
+    fresh("aggdb6")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.aggdb6")
+    spark.sql("""CREATE TABLE graft.aggdb6.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.aggdb6.t VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql("INSERT INTO graft.aggdb6.t VALUES (3, 'c')") // v2
+    val q = spark.sql(
+      "SELECT count(*) AS c, max(id) AS mx FROM graft.aggdb6.t VERSION AS OF 1")
+    assert(isMetadataScan(q))
+    assert(q.as[(Long, Long)].head() === ((2L, 2L)))
+    val now = spark.sql("SELECT count(*) AS c FROM graft.aggdb6.t")
+    assert(isMetadataScan(now))
+    assert(now.as[Long].head() === 3L)
+  }
+}
