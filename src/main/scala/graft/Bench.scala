@@ -91,6 +91,16 @@ object Bench {
     val totalTask = if (results.nonEmpty) results.map { case (k, _) => best(k)._2 }.sum else 0.0
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"task_total":${fmt(totalTask)},"queries":$qs,"run_spread":$spreads,"task_sec":$tasks,"loadavg":$loads,"errors":$errs,"sf":"$sfDir"}""")
+    // The full line above is ~15 KB for a 165-query suite and the
+    // driver keeps only the LAST 2000 chars of output — so the head
+    // (metric/value) was lost and BENCH_r*.json parsed as null. Emit a
+    // compact (<1500 chars) summary as the FINAL line: totals, error
+    // list, and the top-10 slowest queries; the tail capture always
+    // contains a parseable record.
+    val slowest = results.map { case (k, v) => k -> v.map(_._1).min }
+      .toSeq.sortBy(-_._2).take(10)
+      .map { case (k, s) => "\"" + k + "\":" + fmt(s) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"task_total":${fmt(totalTask)},"slowest":$slowest,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -159,6 +159,7 @@ object FileStats {
   def write(root: Path, dir: String, stats: Full): Unit = {
     if (stats.isEmpty) return
     val node = mapper.createObjectNode()
+    node.put("_v", 2) // format version; file keys never start with '_'
     stats.foreach { case (file, meta) =>
       val fn = node.putObject(file)
       fn.put("n", meta.rows)
@@ -178,13 +179,24 @@ object FileStats {
     Files.write(statsDir.resolve(flatName(dir)), mapper.writeValueAsBytes(node))
   }
 
+  /** Full per-file metadata (rows/present/nulls/ranges). STRICT: any
+    * entry whose row count is missing or non-integral (a pre-upgrade
+    * stats file, or an old-format file that happens to have a column
+    * literally named "n") rejects the WHOLE set — metadata-only
+    * aggregation must never fabricate a FileMeta (a fabricated
+    * rows=0 would be served as count(*)=0). Pruning still works for
+    * legacy files via [[read]]'s fallback parse.
+    */
   def readFull(root: Path, dir: String): Option[Full] = {
     val p = root.resolve("stats").resolve(flatName(dir))
     if (!Files.exists(p)) None
     else try {
       val node = mapper.readTree(Files.readAllBytes(p))
-      Some(node.fields().asScala.map { e =>
+      Some(node.fields().asScala.filterNot(_.getKey.startsWith("_")).map { e =>
         val fn = e.getValue
+        val rn = fn.get("n")
+        require(rn != null && rn.isIntegralNumber,
+          s"stats entry ${e.getKey} has no integral row count (legacy format?)")
         val present = Option(fn.get("p")).map(_.elements().asScala.map(_.asText).toSet)
           .getOrElse(Set.empty[String])
         val nulls = Option(fn.get("z")).map(_.fields().asScala.map { z =>
@@ -194,13 +206,31 @@ object FileStats {
           c.getKey -> ((c.getValue.get("min").asText,
             c.getValue.get("max").asText, c.getValue.get("t").asText))
         }.toMap).getOrElse(Map.empty[String, (String, String, String)])
-        e.getKey -> FileMeta(fn.get("n").asLong, present, nulls, cols)
+        e.getKey -> FileMeta(rn.asLong, present, nulls, cols)
       }.toMap)
     } catch { case _: Throwable => None }
   }
 
+  /** Min/max ranges only (pruning). Falls back to the pre-v2 layout
+    * (`file -> {col -> {min,max,t}}`) so tables written before the
+    * rows/nulls upgrade keep their pruning instead of silently
+    * degrading to full scans.
+    */
   def read(root: Path, dir: String): Option[Stats] =
     readFull(root, dir).map(_.map { case (f, m) => f -> m.cols })
+      .orElse {
+        val p = root.resolve("stats").resolve(flatName(dir))
+        if (!Files.exists(p)) None
+        else try {
+          val node = mapper.readTree(Files.readAllBytes(p))
+          Some(node.fields().asScala.filterNot(_.getKey.startsWith("_")).map { e =>
+            e.getKey -> e.getValue.fields().asScala.map { c =>
+              c.getKey -> ((c.getValue.get("min").asText,
+                c.getValue.get("max").asText, c.getValue.get("t").asText))
+            }.toMap
+          }.toMap)
+        } catch { case _: Throwable => None }
+      }
 
   private def flatName(dir: String): String =
     dir.replace('/', '_').replace('=', '_') + ".json"

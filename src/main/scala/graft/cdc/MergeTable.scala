@@ -2058,18 +2058,35 @@ object MergeTable {
     // cloning a clone re-resolves already-absolute dirs to themselves
     val abs = es.map { case (t, d) => (t, srcData.resolve(d).toString) }
     val meta = readMeta(srcRoot).get
+    val dstExisted = Files.exists(Paths.get(dstRoot))
     writeMeta(dstRoot, meta)
     // copy the per-dir footer stats under their absolute-dir names so
-    // the clone prunes and metadata-aggregates like the source
-    val srcPath = Paths.get(srcRoot)
-    val dstPath = Paths.get(dstRoot)
-    es.zip(abs).foreach { case ((_, origD), (_, absD)) =>
-      FileStats.readFull(srcPath, origD).foreach(FileStats.write(dstPath, absD, _))
+    // the clone prunes and metadata-aggregates like the source.
+    // Cleanup-on-failure: meta lands BEFORE the first manifest commit,
+    // and a crash between the two would leave a meta-only husk that
+    // later clone attempts refuse as "already exists" — so a failed
+    // clone removes what it wrote (the whole dir when it created it)
+    try {
+      val srcPath = Paths.get(srcRoot)
+      val dstPath = Paths.get(dstRoot)
+      es.zip(abs).foreach { case ((_, origD), (_, absD)) =>
+        FileStats.readFull(srcPath, origD).foreach(FileStats.write(dstPath, absD, _))
+      }
+      val dst = new MergeTable(spark, dstRoot, meta.keys, meta.mode,
+        meta.numBuckets, partitionCols = meta.partitionCols)
+      dst.commit(abs)
+      dst
+    } catch {
+      case t: Throwable =>
+        try {
+          if (!dstExisted) drop(dstRoot)
+          else {
+            Files.deleteIfExists(Paths.get(dstRoot).resolve("_META.json"))
+            drop(Paths.get(dstRoot).resolve("stats").toString)
+          }
+        } catch { case _: Throwable => () } // best-effort; surface the original
+        throw t
     }
-    val dst = new MergeTable(spark, dstRoot, meta.keys, meta.mode,
-      meta.numBuckets, partitionCols = meta.partitionCols)
-    dst.commit(abs)
-    dst
   }
 
   /** Destroy all table state (test helper). */

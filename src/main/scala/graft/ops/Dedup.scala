@@ -287,19 +287,38 @@ object Dedup {
         .distinct()
     }
 
+    // fixpoint = the edge SET is stable (a star forest maps to itself
+    // under both rounds), detected by an order-independent checksum —
+    // (row count, XOR of per-edge 64-bit hashes) — one O(1)-output
+    // aggregation over the frame the round just checkpointed, instead
+    // of two anti-joins (each a full extra shuffle per round at
+    // 100 TB). Two DIFFERENT canonical edge sets colliding on both
+    // count and xor is a ~2^-64 event, and even then the min-per-id
+    // label read below keeps the output well-formed.
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = checksum(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // fixpoint = the edge SET is stable (a star forest maps to
-      // itself under both rounds); at warehouse scale this check is
-      // a changed-rows accumulator, here two anti-joins
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      sig = nextSig
       e = next
       i += 1
     }
+    // a non-converged edge set would read off WRONG labels (a node
+    // still attached to several hubs) — refuse loudly, never silently
+    require(converged,
+      s"connectedComponentsLSS did not reach the star-forest fixpoint in $maxIter rounds")
     allNodes
-      .join(e.select(col("hi").as("id"), col("lo").as("comp")), Seq("id"), "left")
+      .join(e.groupBy(col("hi").as("id")).agg(min("lo").as("comp")),
+        Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("comp"), col("id")).as("cluster"))
   }

@@ -250,11 +250,22 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
       }
       override def pushedFilters(): Array[Filter] = pushed
 
+      // Spark calls supportCompletePushDown then pushAggregation with
+      // the same Aggregation; planning re-lists files and re-parses
+      // every stats JSON, so memoize per instance (a different
+      // instance just replans — never stale, only slower)
+      private var plannedFor: Aggregation = null
+      private var plannedResult: Option[(StructType, Row)] = None
+      private def planCached(agg: Aggregation): Option[(StructType, Row)] = {
+        if (!(plannedFor eq agg)) { plannedResult = planAggregation(agg); plannedFor = agg }
+        plannedResult
+      }
+
       override def supportCompletePushDown(agg: Aggregation): Boolean =
-        planAggregation(agg).isDefined
+        planCached(agg).isDefined
 
       override def pushAggregation(agg: Aggregation): Boolean = {
-        aggResult = planAggregation(agg)
+        aggResult = planCached(agg)
         aggResult.isDefined
       }
 
@@ -276,8 +287,17 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
         }
         // exact non-null count: absent-from-file columns read as null
         // (schema evolution backfill) and count 0; present columns
-        // need a recorded null count in every file
+        // need a recorded null count in every file. Only footer-
+        // tracked top-level primitives qualify: nested (struct/array/
+        // map) columns never enter FileMeta.present (FileStats records
+        // path-length-1 chunks only), so "absent" would misread a
+        // populated nested column as count 0
         def countCol(n: String): Option[Long] = {
+          val dt = schema.fields.find(_.name == n).map(_.dataType).getOrElse(return None)
+          dt match {
+            case _: StructType | _: ArrayType | _: MapType => return None
+            case _ =>
+          }
           val per = metas.map { m =>
             if (!m.present(n)) Some(0L) else m.nulls.get(n).map(m.rows - _)
           }
@@ -352,19 +372,7 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
       }
 
       override def build(): Scan = aggResult match {
-        case Some((aggSchema, row)) => new V1Scan {
-          override def readSchema(): StructType = aggSchema
-          override def description(): String =
-            s"MergeTableMetadataAggScan ${aggSchema.fieldNames.mkString(", ")}"
-          override def toV1TableScan[T <: BaseRelation with TableScan](
-              context: SQLContext): T =
-            new BaseRelation with TableScan {
-              override def sqlContext: SQLContext = context
-              override def schema: StructType = aggSchema
-              override def buildScan(): org.apache.spark.rdd.RDD[Row] =
-                context.sparkSession.sparkContext.parallelize(Seq(row), 1)
-            }.asInstanceOf[T]
-        }
+        case Some((aggSchema, row)) => new MergeTableMetadataAggScan(aggSchema, row)
         case None => new V1Scan {
           override def readSchema(): StructType = required
           override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -399,4 +407,27 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
           }
       }
     }
+}
+
+/** The metadata-answered aggregate scan: one driver-known row, zero
+  * data files opened. A NAMED class (with toString = description) so
+  * the executed plan renders `MergeTableMetadataAggScan …` — the
+  * plan-identity contract AggregatePushdownSpec asserts; an anonymous
+  * V1Scan prints its default `Class$$anon$N@hash` and the marker never
+  * appears even when the pushdown works.
+  */
+private[sources] class MergeTableMetadataAggScan(
+    aggSchema: StructType, row: Row) extends V1Scan {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"MergeTableMetadataAggScan ${aggSchema.fieldNames.mkString(", ")}"
+  override def toString: String = description()
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = aggSchema
+      override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+        context.sparkSession.sparkContext.parallelize(Seq(row), 1)
+    }.asInstanceOf[T]
 }

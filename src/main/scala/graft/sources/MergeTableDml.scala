@@ -3,7 +3,7 @@ package graft.sources
 import graft.cdc.MergeTable
 import org.apache.spark.sql.{GraftSqlBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -397,12 +397,26 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
       sides: (Expression, Expression) => Boolean): Option[Seq[String]] = e match {
     case And(l, r) =>
       for (a <- keyEqualities(l, sides); b <- keyEqualities(r, sides)) yield a ++ b
-    case EqualTo(l, r) =>
+    case EqualTo(l0, r0) =>
+      val (l, r) = (stripUpCast(l0), stripUpCast(r0))
       (attrName(l), attrName(r)) match {
         case (Some(a), Some(b)) if a.equalsIgnoreCase(b) && sides(l, r) => Some(Seq(a))
         case _ => None
       }
     case _ => None
+  }
+
+  /** Analyzer-inserted LOSSLESS widening casts on a key equality
+    * (`t.id = CAST(s.id AS BIGINT)` when the source side is narrower)
+    * are transparent for key matching: an up-cast is injective, and
+    * the upsert pipeline re-applies the identical cast when it
+    * projects the source onto the target schema. Lossy casts are NOT
+    * stripped — `CAST(s.name AS INT)` is a computed key, not a key.
+    */
+  private def stripUpCast(e: Expression): Expression = e match {
+    case c: Cast if c.childrenResolved && Cast.canUpCast(c.child.dataType, c.dataType) =>
+      stripUpCast(c.child)
+    case _ => e
   }
 
   private def attrName(e: Expression): Option[String] = e match {
