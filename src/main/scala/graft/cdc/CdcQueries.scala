@@ -195,6 +195,19 @@ object CdcQueries extends QueryModule {
     applyUpsertWith("mor_bucketed", MergeTable.MergeOnRead, Some(8),
       compactAfter = true)(s, dir)
 
+  /** Same semantics through MOR COMPOSED with value partitioning —
+    * the standard high-rate CDC lake layout (per-date dirs, O(batch)
+    * flat delta commits): partitioned seed, flat delta upsert whose
+    * read reconciles by key across partitions, then compaction
+    * (`compactAfter`) that rewrites ONLY the partitions holding or
+    * receiving the batch's keys — so the gate hashes the full
+    * delta→reconcile→dirty-partition-compact lifecycle, including
+    * users whose latest event_type moved partitions.
+    */
+  private def applyUpsertPartitionedMor(s: SparkSession, dir: String): DataFrame =
+    applyUpsertWith("partitioned_mor", MergeTable.MergeOnRead, None,
+      compactAfter = true, partitions = Seq("event_type"))(s, dir)
+
   private val applyUpsertSql =
     """WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
       |base AS (
@@ -932,6 +945,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert_dv", applyUpsertDv, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_dv_bucketed", applyUpsertDvBucketed, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_partitioned", applyUpsertPartitioned, Some(applyUpsertSql)),
+    QueryDef("cdc_apply_upsert_partitioned_mor", applyUpsertPartitionedMor, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete", applyDelete, Some(applyDeleteSql)),
     QueryDef("cdc_apply_delete_dv", applyDeleteDv, Some(applyDeleteSql)),
     QueryDef("cdc_apply_upsert_sql", applyUpsertViaSql, Some(applyUpsertSql)),

@@ -94,12 +94,18 @@ final class MergeTable(
   // is removed from its old home), and analytic reads prune whole
   // partition directories from pushed filters. Orthogonal layouts
   // don't stack: a table is bucketed (write-optimized, key-hash) or
-  // value-partitioned (read-optimized, predicate-aligned), not both,
-  // and the partition-scoped rewrite is a COW strategy.
+  // value-partitioned (read-optimized, predicate-aligned), not both.
+  // The partition-scoped rewrite composes with COW (per-batch
+  // partition rewrites) and with MOR (O(batch) flat delta appends +
+  // dirty-partition compaction — the standard high-rate CDC lake
+  // layout); deletion vectors don't compose (masks address flat base
+  // files, and a partitioned dv write would pay the same key-
+  // restricted scan as the COW rewrite without its read-side payoff).
   require(partitionCols.isEmpty || numBuckets.isEmpty,
     "value partitioning does not compose with hash bucketing")
-  require(partitionCols.isEmpty || mode == MergeTable.CopyOnWrite,
-    "value partitioning requires copy-on-write mode")
+  require(partitionCols.isEmpty || mode == MergeTable.CopyOnWrite ||
+      mode == MergeTable.MergeOnRead,
+    "value partitioning composes with copy-on-write or merge-on-read only")
 
   // numBuckets composes with any write mode: bucketed COW rewrites
   // only touched buckets; bucketed MOR appends flat deltas and
@@ -120,6 +126,10 @@ final class MergeTable(
   private val BucketCol = "_graft_bucket"
   private val FileCol = "_graft_file"
   private val PosCol = "_graft_pos"
+  // commit-version / within-run sequence stamps of the grouped
+  // change-feed folds (changeRun / changeRunDv)
+  private val RunCv = "_graft_run_cv"
+  private val RunSeq = "_graft_run_seq"
 
   // -- metadata ------------------------------------------------------------
 
@@ -721,31 +731,47 @@ final class MergeTable(
       updatePreImages: Boolean = false): DataFrame = {
     val stepVs = versions().filter(v => v > fromVersion && v <= toVersion)
     if (stepVs.isEmpty) return changesBetween(toVersion, toVersion, updatePreImages)
-    // classify each step: a pure delta-append commit's changed keys
-    // are exactly its delta rows' keys, which both enables the
-    // key-restricted diff (changeStep) and lets CONSECUTIVE
-    // delta-append commits share ONE grouped diff per run (changeRun)
-    // — a window of N MOR commits plans O(runs) jobs, not O(N)
+    // classify each step: ADDITIVE commits — MOR delta appends (Left)
+    // and dv upsert/delete commits (Right: masks + sibling data dirs,
+    // nothing removed) — can share ONE grouped diff per run of the
+    // same kind (changeRun / changeRunDv), so a window of N such
+    // commits plans O(runs) jobs, not O(N). The dv entry is REQUIRED
+    // for the Right kind: a mask-less additive commit may be a bronze
+    // append carrying duplicate keys, which has no per-key state
     val steps = (fromVersion +: stepVs.init).zip(stepVs).map { case (lo, hi) =>
       val before = if (lo == 0L) Seq.empty else entriesAt(lo)
       val after = entriesAt(hi)
       val added = after.filterNot(before.contains)
       val removed = before.filterNot(after.contains)
-      val deltaDirs =
-        if (removed.isEmpty && added.nonEmpty && added.forall(_._1 == "delta"))
-          Some(added.map(_._2))
+      val kind: Option[Either[Seq[String], Seq[(String, String)]]] =
+        if (removed.nonEmpty || added.isEmpty) None
+        else if (added.forall(_._1 == "delta")) Some(Left(added.map(_._2)))
+        else if (added.exists(_._1 == "dv") &&
+            added.forall(e => e._1 == "dv" || e._1 == "base" || e._1.matches("b\\d+")))
+          Some(Right(added))
         else None
-      (lo, hi, deltaDirs)
+      (lo, hi, kind)
     }
     val segs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val run = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[String])]
+    val run = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Either[Seq[String], Seq[(String, String)]])]
     def stepSeg(lo: Long, hi: Long): DataFrame =
       changeStep(lo, hi, updatePreImages).withColumn("_commit_version", lit(hi))
     def flushRun(): Unit = if (run.nonEmpty) {
       val lo = run.head._1
+      val runDataDirs = run.toSeq.flatMap {
+        case (_, _, Left(ds)) => ds
+        case (_, _, Right(es)) =>
+          es.filter(e => e._1 == "base" || e._1.matches("b\\d+")).map(_._2)
+      }
       if (run.size == 1) segs += stepSeg(lo, run.head._2)
-      else if (runSchemaUniform(lo, run.toSeq))
-        segs += changeRun(lo, run.map(s => (s._2, s._3)).toSeq, updatePreImages)
+      else if (runSchemaUniform(lo, runDataDirs))
+        segs += (run.head._3 match {
+          case Left(_) => changeRun(lo,
+            run.toSeq.collect { case (_, h, Left(ds)) => (h, ds) }, updatePreImages)
+          case Right(_) => changeRunDv(lo,
+            run.toSeq.collect { case (_, h, Right(es)) => (h, es) }, updatePreImages)
+        })
       else
         // a run that introduces new columns mid-run falls back to
         // per-version steps: the netted per-step diff compares only
@@ -755,7 +781,10 @@ final class MergeTable(
       run.clear()
     }
     steps.foreach {
-      case (lo, hi, Some(dirs)) => run += ((lo, hi, dirs))
+      case (lo, hi, Some(k)) =>
+        // runs are homogeneous: a kind switch closes the open run
+        if (run.nonEmpty && run.head._3.isLeft != k.isLeft) flushRun()
+        run += ((lo, hi, k))
       case (lo, hi, None) => flushRun(); segs += stepSeg(lo, hi)
     }
     flushRun()
@@ -770,14 +799,14 @@ final class MergeTable(
       .drop("_maxv", "_commit_version"))
   }
 
-  /** True when no delta dir of the run carries a column outside the
+  /** True when no data dir of the run carries a column outside the
     * run's base schema (run-start snapshot; for a from-0 run, the
-    * first delta) — the condition under which the grouped fold and
+    * first dir) — the condition under which the grouped fold and
     * the per-version diffs agree exactly. Driver-side footer reads,
     * O(dirs).
     */
-  private def runSchemaUniform(lo: Long, run: Seq[(Long, Long, Seq[String])]): Boolean = {
-    val dirCols = run.flatMap(_._3).map(d =>
+  private def runSchemaUniform(lo: Long, dirs: Seq[String]): Boolean = {
+    val dirCols = dirs.map(d =>
       spark.read.parquet(dataDir.resolve(d).toString)
         .schema.fieldNames.toSet - Tombstone)
     val base =
@@ -802,13 +831,81 @@ final class MergeTable(
     */
   private def changeRun(lo: Long, runSteps: Seq[(Long, Seq[String])],
       updatePreImages: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val CvCol = "_graft_run_cv"
-    val SeqCol = "_graft_run_seq"
     val parts = runSteps.flatMap { case (v, dirs) => dirs.map(d => (v, d)) }
     val tagged = parts.zipWithIndex.map { case ((v, d), i) =>
-      readDirs(Seq(d)).withColumn(CvCol, lit(v)).withColumn(SeqCol, lit((i + 1).toLong))
+      readDirs(Seq(d)).withColumn(RunCv, lit(v)).withColumn(RunSeq, lit((i + 1).toLong))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+    changeRunFromTagged(lo, tagged, updatePreImages)
+  }
+
+  /** ONE grouped diff for a run of consecutive ADDITIVE dv commits
+    * `(lo, last]` — [[changeRun]]'s counterpart for the deletion-
+    * vector write path, where an upsert adds masks + sibling data
+    * dirs and a delete adds masks only, leaving every prior entry in
+    * place. A key's effective state after each commit is its commit's
+    * appended row (live) or, when only masked, absent (tombstone) —
+    * so the run folds into the same per-key chain as a MOR run. The
+    * per-commit masked keys are recovered with ONE positional join
+    * for the whole run: every file visible during it (run-start bases
+    * + run-added dirs) scans once with (file, pos) against the union
+    * of the run's masks tagged by commit seq. Masks are disjoint by
+    * construction (writeMask consults the already-masked snapshot),
+    * and a same-commit appended row supersedes its key's mask — that
+    * commit is an update, not a delete+insert.
+    */
+  private def changeRunDv(lo: Long, runSteps: Seq[(Long, Seq[(String, String)])],
+      updatePreImages: Boolean): DataFrame = {
+    def dataDirs(es: Seq[(String, String)]): Seq[String] =
+      es.filter(e => e._1 == "base" || e._1.matches("b\\d+")).map(_._2)
+    val withSeq = runSteps.zipWithIndex.map { case ((v, es), i) => (v, es, (i + 1).toLong) }
+    val appends = withSeq.flatMap { case (v, es, seq) =>
+      val ds = dataDirs(es)
+      if (ds.isEmpty) None
+      else Some(readDirs(ds).withColumn(RunCv, lit(v)).withColumn(RunSeq, lit(seq)))
+    }
+    val maskParts = withSeq.flatMap { case (v, es, seq) =>
+      val dvDirs = es.filter(_._1 == "dv").map(_._2)
+      if (dvDirs.isEmpty) None
+      else Some(readDirs(dvDirs).select(col(FileCol), col(PosCol))
+        .withColumn(RunCv, lit(v)).withColumn(RunSeq, lit(seq)))
+    }
+    val tombs = maskParts.reduceOption(_.unionByName(_)).map { masks =>
+      val visible = (if (lo == 0L) Seq.empty else entriesAt(lo))
+        .filter(e => e._1 == "base" || e._1.matches("b\\d+")).map(_._2) ++
+        runSteps.flatMap(s => dataDirs(s._2))
+      val scan = readDirs(visible).select(
+        keys.map(col) :+ col("_metadata.file_path").as(FileCol) :+
+          col("_metadata.row_index").as(PosCol): _*)
+      val masked = scan.join(masks, Seq(FileCol, PosCol))
+        .select(keys.map(col) ++ Seq(col(RunCv), col(RunSeq)): _*)
+      val appendedKeys = withSeq.flatMap { case (_, es, seq) =>
+        val ds = dataDirs(es)
+        if (ds.isEmpty) None
+        else Some(readDirs(ds).select(keys.map(col): _*).withColumn(RunSeq, lit(seq)))
+      }
+      appendedKeys.reduceOption(_.unionByName(_))
+        .map(ak => masked.join(ak, keys :+ RunSeq, "left_anti"))
+        .getOrElse(masked)
+        .withColumn(Tombstone, lit(true))
+    }
+    val tagged = (appends ++ tombs)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    changeRunFromTagged(lo, tagged, updatePreImages)
+  }
+
+  /** The shared run fold: `tagged` carries one effective row per
+    * (key, commit-in-run) — a live row or a `Tombstone`=true marker —
+    * stamped with [[RunCv]]/[[RunSeq]]; each key's chain is
+    * classified against its predecessor and the latest effective
+    * change survives, exactly as if every version had been diffed
+    * separately. One window over the unbounded PK instead of one
+    * full-outer join per version.
+    */
+  private def changeRunFromTagged(lo: Long, tagged: DataFrame,
+      updatePreImages: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val CvCol = RunCv
+    val SeqCol = RunSeq
     val runKeys = tagged.select(keys.map(col): _*).distinct()
     val start =
       if (lo == 0L) tagged.limit(0)
@@ -918,8 +1015,10 @@ final class MergeTable(
     if (es.exists(_._1 == "dv")) readWithPos(es).drop(FileCol, PosCol)
     else if (deltas.isEmpty) readDirs(es.map(_._2))
     else {
-      // bucketed MOR: b<i> entries are per-bucket bases
-      val baseDirs = es.filter(e => e._1 == "base" || e._1.matches("b\\d+")).map(_._2)
+      // bucketed MOR: b<i> entries are per-bucket bases; partitioned
+      // MOR: pv entries are per-partition bases
+      val baseDirs = es.filter(e =>
+        e._1 == "base" || e._1 == "pv" || e._1.matches("b\\d+")).map(_._2)
       val parts =
         (if (baseDirs.nonEmpty) Seq(readDirs(baseDirs).withColumn("_graft_seq", lit(0))) else Nil) ++
           deltas.zipWithIndex.map { case ((_, d), i) =>
@@ -1221,12 +1320,20 @@ final class MergeTable(
         maybeCompact()
       }
     case MergeTable.MergeOnRead =>
-      // first write seeds the base (bucket-partitioned when bucketed);
-      // subsequent upserts are flat O(batch) deltas either way
+      // first write seeds the base (bucket- or value-partitioned per
+      // the layout); subsequent upserts are flat O(batch) deltas
+      // either way — key reconciliation supersedes the old row even
+      // when the new one belongs to a DIFFERENT partition, so
+      // partition moves need no write-time index lookup
       if (!exists) {
         if (numBuckets.isDefined) seedBucketed(changes)
-        else commit(Seq("base" -> writeData(changes)))
+        else if (partitionCols.nonEmpty) {
+          requirePartitionable(changes); commit(writePartitioned(changes))
+        } else commit(Seq("base" -> writeData(changes)))
       } else {
+        // type-gate the batch now: a delta with a non-renderable
+        // partition column would only explode at compaction time
+        if (partitionCols.nonEmpty) requirePartitionable(changes)
         commitAppend(entries(), Seq("delta" -> writeData(changes)), None)
         maybeCompact()
       }
@@ -1499,6 +1606,7 @@ final class MergeTable(
   def compact(): Unit =
     if (numBuckets.isDefined && mode == MergeTable.DeletionVectors) compactDvBuckets()
     else if (numBuckets.isDefined) compactBuckets()
+    else if (partitionCols.nonEmpty) compactPartitioned()
     else {
       // no-op when already one base and nothing pending: a scheduled
       // COMPACT on an idle COW table must not rewrite the whole
@@ -1512,6 +1620,71 @@ final class MergeTable(
           es.count(_._1 == "base") > 1)
         commit(ledgerEntries(es) ++ Seq("base" -> writeData(rewriteSource())))
     }
+
+  /** Partitioned-MOR housekeeping: fold pending flat deltas into the
+    * partition dirs they touch, rewriting ONLY the dirty partitions —
+    * a partition is dirty when it currently HOLDS a delta key (the
+    * old home of an updated/moved/deleted row, found by the same
+    * key-restricted base scan as [[partitionedMerge]]'s global index)
+    * or when a live delta row LANDS in it. Every delta key's old home
+    * is in the first set and its new home in the second, so rows in
+    * untouched partitions provably cannot change and their
+    * directories survive verbatim: at 100 TB a compaction pays for
+    * the dirty partitions, not the table. Compaction also restores
+    * partition/stats prunability and metadata aggregation (delta-
+    * bearing snapshots always scan fully).
+    */
+  private def compactPartitioned(): Unit = {
+    val es = entries()
+    val deltaEntries = es.filter(_._1 == "delta")
+    if (deltaEntries.isEmpty) return
+    val pvEntries = es.filter(_._1 == "pv")
+    def leafOf(d: String): String = d.split("/", 2)(1)
+    val deltas = readDirs(deltaEntries.map(_._2))
+    val ks = keySet(deltas, dedup = true)
+    // old homes: leaf attribution from the file path Spark itself
+    // wrote, one key-restricted scan of the partition bases
+    val holders: Set[String] =
+      if (pvEntries.isEmpty) Set.empty
+      else readDirs(pvEntries.map(_._2))
+        .select(col("_metadata.file_path").as("_graft_f") +: keys.map(col): _*)
+        .join(ks, keys, "left_semi")
+        .select(regexp_replace(
+          regexp_extract(col("_graft_f"),
+            "/((?:_graft_p_[^/]+/)+)[^/]+$", 1),
+          "/$", "").as("_graft_leaf"))
+        .distinct().collect().map(_.getString(0)).toSet
+    // new homes: where the live (non-tombstone) delta rows land
+    val live =
+      if (deltas.columns.contains(Tombstone))
+        deltas.filter(!coalesce(col(Tombstone), lit(false)))
+      else deltas
+    val landing: Set[String] =
+      if (partitionCols.forall(live.columns.contains)) partitionLeafNames(live)
+      else {
+        // tombstone-only deltas carry no partition columns; a LIVE
+        // row could only come from an upsert delta, which the write
+        // path type-gates to include them
+        require(live.isEmpty, s"delta rows lack partition columns $partitionCols")
+        Set.empty
+      }
+    val dirty = holders ++ landing
+    if (dirty.isEmpty) {
+      // the deltas were pure no-ops (tombstones for keys the table
+      // never held) — shed them without touching any partition
+      commit(ledgerEntries(es) ++ pvEntries)
+      return
+    }
+    val dirtyPv = pvEntries.filter(e => dirty.contains(leafOf(e._2)))
+    val untouched = pvEntries.filterNot(e => dirty.contains(leafOf(e._2)))
+    // reconcile ONLY the dirty partitions' bases with the deltas
+    // (latest per key, tombstones drop) and re-store them partitioned
+    val reconciled = readEntries(dirtyPv ++ deltaEntries)
+    val dropped = MergeTable.readMeta(root).map(_.droppedColumns).getOrElse(Nil)
+      .filter(reconciled.columns.contains)
+    val result = if (dropped.isEmpty) reconciled else reconciled.drop(dropped: _*)
+    commit(ledgerEntries(es) ++ untouched ++ writePartitioned(result))
+  }
 
   /** Bucketed deletion-vector housekeeping: fold masks back into
     * clean per-bucket bases, rewriting ONLY the dirty buckets — a

@@ -164,13 +164,38 @@ class ChangeFeedReplaySpec extends SparkSpec {
     assert(pre === expected(t, 1, top, pre = true))
   }
 
+  test("dv run: delete-then-reinsert and append-then-delete fold correctly") {
+    val root = "target/test_tmp/cfr_dv_run2"
+    MergeTable.drop(root)
+    val t = new MergeTable(spark, root, Seq("id"),
+      MergeTable.DeletionVectors, maxDeltas = 100)
+    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v1
+    t.delete(Seq(1L).toDF("id"))                        // v2: D(1)
+    t.upsert(Seq((1L, "a2")).toDF("id", "v"))           // v3: reinsert (mask-less append)
+    t.upsert(Seq((9L, "z")).toDF("id", "v"))            // v4: I(9)
+    t.delete(Seq(9L).toDF("id"))                        // v5: masks the row v4 APPENDED
+    val top = t.versions().max
+    val got = t.changeFeed(1, top).as[(Long, String, String)].collect().toSet
+    assert(got === expected(t, 1, top))
+    // id 1: deleted then re-inserted inside the window -> I with the
+    // new image; id 9: appended then masked -> D with its last image
+    assert(got === Set((1L, "a2", "I"), (9L, "z", "D")))
+    val pre = t.changeFeed(1, top, updatePreImages = true)
+      .as[(Long, String, String)].collect().toSet
+    assert(pre === expected(t, 1, top, pre = true))
+  }
+
   test("randomized dv histories: feed equals per-version diffs") {
     val rnd = new scala.util.Random(51408L)
     for (trial <- 0 until 3) {
       val root = s"target/test_tmp/cfr_dv_fuzz_$trial"
       MergeTable.drop(root)
+      // last trial runs the bucketed-dv layout: masks address files
+      // inside per-bucket dirs, and the grouped dv fold must attribute
+      // them identically
       val t = new MergeTable(spark, root, Seq("id"),
-        MergeTable.DeletionVectors, maxDeltas = 100)
+        MergeTable.DeletionVectors,
+        numBuckets = if (trial == 2) Some(4) else None, maxDeltas = 100)
       t.upsert((0L until 10L).map(i => (i, s"s$i")).toDF("id", "v"))
       for (step <- 0 until 7) {
         rnd.nextInt(4) match {

@@ -157,11 +157,11 @@ class PartitionedTableSpec extends SparkSpec {
         numBuckets = Some(4), partitionCols = Seq("grp"))
     }
     assert(both.getMessage.contains("bucketing"))
-    val mor = intercept[IllegalArgumentException] {
-      new MergeTable(spark, fresh("badmor"), Seq("id"),
-        MergeTable.MergeOnRead, partitionCols = Seq("grp"))
+    val dv = intercept[IllegalArgumentException] {
+      new MergeTable(spark, fresh("baddv"), Seq("id"),
+        MergeTable.DeletionVectors, partitionCols = Seq("grp"))
     }
-    assert(mor.getMessage.contains("copy-on-write"))
+    assert(dv.getMessage.contains("copy-on-write or merge-on-read"))
   }
 
   test("self-describing: open() restores the partition layout") {
@@ -240,6 +240,124 @@ class PartitionedTableSpec extends SparkSpec {
     val v1 = t.versions().max
     t.upsert(Seq((3L, "red", 35L)).toDF("id", "grp", "v")) // partition move
     t.delete(Seq(1L).toDF("id"))
+    val top = t.versions().max
+    assert(t.readVersion(v1).as[(Long, String, Long)].collect().sorted ===
+      seedRows.sorted)
+    val feed = t.changeFeed(v1, top)
+      .select("id", "grp", "v", "_change")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(feed === Set((3L, "red", 35L, "U"), (1L, "red", 10L, "D")))
+  }
+
+  // ---- MOR × value partitions --------------------------------------------
+  // the high-rate CDC lake layout: per-date partition dirs, O(batch)
+  // flat delta commits, compaction rewrites only dirty partitions
+
+  private def seededMor(name: String): (String, MergeTable) = {
+    val root = fresh(name)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(seedRows.toDF("id", "grp", "v")),
+      mode = MergeTable.MergeOnRead, partitionCols = Seq("grp"))
+    (root, t)
+  }
+
+  test("MOR: upserts append O(batch) deltas; reads reconcile over partitions") {
+    val (root, t) = seededMor("mor")
+    val before = lastManifest(root)
+    assert(before.forall(_.startsWith("pv:")), before.mkString("|"))
+    t.upsert(Seq((2L, "red", 25L), (5L, "blue", 50L)).toDF("id", "grp", "v"))
+    val after = lastManifest(root)
+    // every partition dir survives verbatim; one flat delta appended
+    before.foreach(e => assert(after.contains(e), s"$e rewritten: $after"))
+    assert(after.count(_.startsWith("delta:")) === 1)
+    assert(t.read().as[(Long, String, Long)].collect().sorted ===
+      Seq((1L, "red", 10L), (2L, "red", 25L), (3L, "blue", 30L),
+        (4L, "green", 40L), (5L, "blue", 50L)))
+  }
+
+  test("MOR: compaction folds deltas into ONLY the dirty partitions") {
+    val (root, t) = seededMor("morcompact")
+    val before = lastManifest(root)
+    t.upsert(Seq((2L, "red", 25L)).toDF("id", "grp", "v"))
+    t.compact()
+    val after = lastManifest(root)
+    assert(!after.exists(_.startsWith("delta:")), after.mkString("|"))
+    // blue and green keep their directories verbatim; red rewritten
+    Seq("blue", "green").foreach { g =>
+      assert(after.contains(before.find(_.contains(s"_graft_p_grp=$g")).get),
+        s"$g was rewritten: $after")
+    }
+    assert(!after.contains(before.find(_.contains("_graft_p_grp=red")).get))
+    assert(t.read().as[(Long, String, Long)].collect().sorted ===
+      Seq((1L, "red", 10L), (2L, "red", 25L), (3L, "blue", 30L), (4L, "green", 40L)))
+  }
+
+  test("MOR: a partition move dirties the old AND new homes at compaction") {
+    val (root, t) = seededMor("mormove")
+    val before = lastManifest(root)
+    t.upsert(Seq((3L, "red", 35L)).toDF("id", "grp", "v")) // blue -> red
+    // pre-compaction read already shows the move (key reconciliation)
+    assert(t.read().filter(col("id") === 3L).as[(Long, String, Long)].head() ===
+      ((3L, "red", 35L)))
+    t.compact()
+    val after = lastManifest(root)
+    assert(!after.exists(_.contains("_graft_p_grp=blue")), after.mkString("|"))
+    assert(after.contains(before.find(_.contains("_graft_p_grp=green")).get))
+    assert(t.read().as[(Long, String, Long)].collect().sorted ===
+      Seq((1L, "red", 10L), (2L, "red", 20L), (3L, "red", 35L), (4L, "green", 40L)))
+  }
+
+  test("MOR: tombstones drop keys; compaction touches holding partitions only") {
+    val (root, t) = seededMor("mordelete")
+    val before = lastManifest(root)
+    t.delete(Seq(3L, 99L).toDF("id")) // blue holder + absent key
+    assert(t.read().count() === 3)
+    t.compact()
+    val after = lastManifest(root)
+    assert(!after.exists(_.contains("_graft_p_grp=blue")))
+    Seq("red", "green").foreach { g =>
+      assert(after.contains(before.find(_.contains(s"_graft_p_grp=$g")).get))
+    }
+    // tombstones matching NOTHING shed at compaction with zero rewrites
+    t.delete(Seq(777L).toDF("id"))
+    t.compact()
+    val fin = lastManifest(root)
+    assert(!fin.exists(_.startsWith("delta:")))
+    after.filter(_.startsWith("pv:")).foreach(e => assert(fin.contains(e)))
+  }
+
+  test("MOR: delta-bearing snapshots scan fully; compaction restores pruning") {
+    val (root, t) = seededMor("morprune")
+    assert(t.prunableFiles(t.entriesAtVersion(t.versions().max)).isDefined)
+    t.upsert(Seq((2L, "red", 25L)).toDF("id", "grp", "v"))
+    assert(t.prunableFiles(t.entriesAtVersion(t.versions().max)).isEmpty)
+    t.compact()
+    assert(t.prunableFiles(t.entriesAtVersion(t.versions().max)).isDefined)
+  }
+
+  test("MOR matches the partitioned-COW result over a mixed sequence") {
+    val rows = (0L until 120L).map(i => (i, s"g${i % 5}", i * 2))
+    def drive(mode: String, name: String): Seq[(Long, String, Long)] = {
+      val root = fresh(name)
+      val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+        initial = Some(rows.toDF("id", "grp", "v")),
+        mode = mode, partitionCols = Seq("grp"))
+      t.upsert((40L until 80L).map(i => (i, s"g${i % 3}", i * 3)).toDF("id", "grp", "v"))
+      if (mode == MergeTable.MergeOnRead) t.compact() // mid-sequence fold
+      t.delete((0L until 120L by 7).toDF("id"))
+      t.append(Seq((500L, "g9", 1L)).toDF("id", "grp", "v"))
+      t.read().as[(Long, String, Long)].collect().sorted.toSeq
+    }
+    assert(drive(MergeTable.MergeOnRead, "morseq") ===
+      drive(MergeTable.CopyOnWrite, "cowseq"))
+  }
+
+  test("MOR: time travel and change feed see through delta and compaction commits") {
+    val (root, t) = seededMor("mortravel")
+    val v1 = t.versions().max
+    t.upsert(Seq((3L, "red", 35L)).toDF("id", "grp", "v"))
+    t.delete(Seq(1L).toDF("id"))
+    t.compact()
     val top = t.versions().max
     assert(t.readVersion(v1).as[(Long, String, Long)].collect().sorted ===
       seedRows.sorted)
