@@ -632,7 +632,17 @@ object QualityQueries extends QueryModule {
     * independent of its words, which is exactly what the gate's hash
     * oracle doesn't care about but a learning test does).
     */
-  private[ops] def classifierScores(d: DataFrame): DataFrame = {
+  private[ops] def classifierScores(d: DataFrame): DataFrame =
+    scoreWithClassifier(d, trainClassifierModel(d))
+
+  /** The TRAINED model as one persistable artifact frame: one
+    * (w, wgt) row per vocab word plus a single w=NULL row carrying
+    * the out-of-vocabulary weight — the [[ModelArtifacts]] contract:
+    * the session memo caches stand in for exactly this frame, and a
+    * saved+reloaded copy must score identically
+    * (`ModelArtifactSpec`).
+    */
+  private[ops] def trainClassifierModel(d: DataFrame): DataFrame = {
     val tok = d.select(col("doc_id"), col("lang"),
       explode(TextAnalysis.words(col("text"))).as("w"))
     val train = tok.filter(col("doc_id") % 2 === 0)
@@ -648,8 +658,21 @@ object QualityQueries extends QueryModule {
       .select(col("w"), expr(
         "(cpos + 1) * (nneg + v) * 1000000L DIV ((cneg + 1) * (npos + v))")
         .as("wgt"))
-    val oov = scalars.select(
-      expr("(nneg + v) * 1000000L DIV (npos + v)").as("oov_wgt"))
+    val oov = scalars.select(lit(null).cast("string").as("w"),
+      expr("(nneg + v) * 1000000L DIV (npos + v)").as("wgt"))
+    weights.unionByName(oov)
+  }
+
+  /** Score any (doc_id, lang, text) frame under a trained (or
+    * reloaded) model frame — the inference half: tokens join the
+    * vocab weights (broadcast or shuffle by AQE's choice), OOV
+    * tokens take the model's null-word weight, text never shuffles.
+    */
+  private[ops] def scoreWithClassifier(d: DataFrame, model: DataFrame): DataFrame = {
+    val tok = d.select(col("doc_id"), col("lang"),
+      explode(TextAnalysis.words(col("text"))).as("w"))
+    val weights = model.filter(col("w").isNotNull)
+    val oov = model.filter(col("w").isNull).select(col("wgt").as("oov_wgt"))
     val scored = tok.join(weights, Seq("w"), "left")
       .crossJoin(broadcast(oov))
       .groupBy("doc_id").agg(

@@ -269,6 +269,41 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** IVF-routed hard-negative mining — the contrastive-training shape
+    * at fleet scale, where EVERY training doc is an anchor and the
+    * per-anchor corpus scan of the brute-force miner stops working:
+    * anchors probe their `nProbe` nearest IVF cells, the same-label /
+    * self exclusions filter INSIDE the cell join, and the bounded-heap
+    * TopK keeps the k most similar different-label candidates.
+    * Candidates per anchor are bounded by the probed cells' occupancy
+    * (corpus/nCells × nProbe expected), not the corpus; the corpus is
+    * assigned once and never shuffles; anchors broadcast. Recall vs
+    * the brute-force miner is asserted in SimilaritySpec.
+    *
+    * `anchors` carry (query_id, qlabel, qe); `corpus` carries
+    * (vec_id, label, embedding).
+    */
+  def ivfHardNegatives(spark: SparkSession, anchors: DataFrame, corpus: DataFrame,
+                       k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(spark, corpus, "embedding", nCells)
+    def cellScores(v: Column): Column = array(cents.map { case (i, c) =>
+      struct(round(cosine(spark, v, typedLit(c)), 6).as("s"), lit(i).as("cell"))
+    }: _*)
+    val assigned = corpus
+      .withColumn("cell", array_max(cellScores(col("embedding"))).getField("cell"))
+    val probes = anchors.withColumn("probe_cells",
+        slice(reverse(array_sort(cellScores(col("qe")))), 1, nProbe))
+      .withColumn("cell", explode(transform(col("probe_cells"), p => p.getField("cell"))))
+      .drop("probe_cells")
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neg_id"),
+        round(cosine(spark, col("qe"), col("embedding")), 6).as("score"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("score"), -col("neg_id")), k)
+      .select("query_id", "neg_id", "rank", "score")
+  }
+
   /** IVF-PQ ANN — the memory-bounded scale path: the IVF codebook
     * prunes the corpus to `nProbe` cells, product quantization
     * replaces each candidate's dim floats with M one-byte codes

@@ -413,6 +413,45 @@ object SimilarityQueries extends QueryModule {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Hard-negative mining routed through the IVF index — the shape
+    * that scales to every-doc-as-anchor (see
+    * [[Similarity.ivfHardNegatives]]); 50 anchors here, candidates
+    * bounded by the 4 probed cells each.
+    */
+  private def hardNegativesIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfHardNegatives(s,
+      queriesWithLabel(s, dir, 50).withColumnRenamed("label", "qlabel"),
+      corpus(s, dir), k = 5)
+      .orderBy("query_id", "rank")
+
+  /** DuckDB re-trains the same IVF index (shared CTEs) and replays
+    * the mining read path: labeled 4-cell probes, cell-join candidate
+    * generation with self/same-label exclusion, exact rescoring, and
+    * the (score desc, neg asc) top-5 — the whole approximate pipeline
+    * certified bit-for-bit, not just row counts.
+    */
+  private val hardNegativesIvfSql =
+    s"""$ivfIndexCtes,
+       |aprobe AS (
+       |  SELECT query_id, qe, qlabel, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.e AS qe, l.label AS qlabel, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.e, c.c), 6) DESC, c.cell DESC) AS rn
+       |    FROM v q JOIN embeddings l ON l.vec_id = q.vec_id
+       |    CROSS JOIN c2 c WHERE q.vec_id < 50) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neg_id,
+       |    round(list_cosine_similarity(p.qe, a.e), 6) AS score
+       |  FROM aprobe p JOIN asn a USING (cell)
+       |  JOIN embeddings al ON al.vec_id = a.vec_id
+       |  WHERE p.query_id <> a.vec_id AND al.label <> p.qlabel),
+       |r AS (
+       |  SELECT query_id, neg_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neg_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, neg_id, CAST(rank AS INT) AS rank, score FROM r
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private def annIvfPq(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfPqTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5)
       .orderBy("query_id", "rank")
@@ -747,6 +786,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
+    QueryDef("embed_hard_negatives_ivf", hardNegativesIvf, Some(hardNegativesIvfSql)),
     QueryDef("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),
     QueryDef("media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("media_frame_sample", mediaFrameSample, Some(mediaFrameSampleSql)),

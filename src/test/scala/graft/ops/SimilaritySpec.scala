@@ -161,6 +161,33 @@ class SimilaritySpec extends SparkSpec {
     info(f"project-then-rescore recall at r=20: ${recall}%.2f")
   }
 
+  test("ivf hard negatives: different-label only, bounded candidates, brute-force recall") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = clustered(4, 50)
+    val anchors = corpus.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"), $"embedding".as("qe"))
+    // ground truth: exact different-label top-5 per anchor
+    val scoredAll = corpus.crossJoin(anchors)
+      .filter($"query_id" =!= $"vec_id" && $"label" =!= $"qlabel")
+      .select($"query_id", $"vec_id".as("neg_id"),
+        round(Similarity.cosine(spark, $"qe", $"embedding"), 6).as("score"))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"neg_id")
+    val exact = scoredAll.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select("query_id", "neg_id").as[(Long, Long)].collect().toSet
+    val mined = Similarity.ivfHardNegatives(spark, anchors, corpus,
+        k = 5, nCells = 8, nProbe = 5)
+      .select("query_id", "neg_id").as[(Long, Long)].collect().toSet
+    // the label-exclusion contract: no mined pair shares a label
+    val labels = corpus.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    mined.foreach { case (q, n) =>
+      assert(labels(q) !== labels(n), s"same-label pair ($q, $n)")
+    }
+    val recall = exact.intersect(mined).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+    info(f"ivf hard-negative recall at 5/8 probed cells: ${recall}%.2f")
+  }
+
   test("lsh topk auto-sizes table width to the corpus and still fills k") {
     val corpus = clustered(4, 50)
     val qs = corpus.filter($"vec_id" % 20 === 0)
