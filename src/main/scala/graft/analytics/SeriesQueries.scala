@@ -138,9 +138,65 @@ object SeriesQueries extends QueryModule {
       |  round(CAST(sum(abs(cnt - fc)) AS DOUBLE) / count(*), 4) AS mae
       |FROM h GROUP BY 1 ORDER BY dow""".stripMargin
 
+  // -- Hampel filter (moving-median outlier detection) ---------------------
+
+  /** Hampel outlier scan over the daily order-arrival series: each
+    * day with a FULL ±3-day calendar window gets the window median
+    * and the median absolute deviation, and is flagged when
+    * `|cnt − med| > 3·MAD` — the robust despiking filter (median/MAD
+    * shrug off the very outliers a mean/σ filter would absorb).
+    *
+    * Exactness: a 7-element median is the 4th sorted value and MAD
+    * the 4th sorted absolute deviation — pure integer selection, no
+    * quantile interpolation, so both engines agree bit-for-bit.
+    *
+    * 100 TB shape: NO partitionless ordered window — each day's count
+    * is EXPLODED to the 7 windows it participates in (bounded ×7
+    * fan-out) and windows assemble with one groupBy(day) shuffle;
+    * per-group state is 7 longs. The same shape handles any bounded
+    * window width on an unbounded series.
+    */
+  private def hampel(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val contrib = daily.select(explode(array((-3 to 3).map(o =>
+        struct(date_add(col("day"), o).as("d2"), col("cnt").as("v"))): _*)).as("c"))
+      .select(col("c.d2").as("day"), col("c.v").as("v"))
+    val win = contrib.groupBy("day")
+      .agg(count(lit(1)).as("nw"), array_sort(collect_list(col("v"))).as("vs"))
+      .filter(col("nw") === 7)
+    daily.join(win, "day")
+      .withColumn("med", element_at(col("vs"), 4))
+      .withColumn("mad", element_at(
+        array_sort(transform(col("vs"), x => abs(x - col("med")))), 4))
+      .select(col("day"), col("cnt"), col("med"), col("mad"),
+        (abs(col("cnt") - col("med")) > col("mad") * 3).cast("int").as("is_outlier"))
+      .orderBy("day")
+  }
+
+  private val hampelSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1),
+      |contrib AS (
+      |  SELECT day + CAST(o.off AS INT) AS day, cnt AS v
+      |  FROM daily, (SELECT unnest(range(-3, 4)) AS off) o),
+      |win AS (
+      |  SELECT day, count(*) AS nw, list_sort(list(v)) AS vs
+      |  FROM contrib GROUP BY day HAVING count(*) = 7),
+      |scored AS (
+      |  SELECT d.day, d.cnt, vs[4] AS med,
+      |    list_sort(list_transform(vs, x -> abs(x - vs[4])))[4] AS mad
+      |  FROM daily d JOIN win w ON d.day = w.day)
+      |SELECT day, cnt, CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+      |  CAST(abs(cnt - med) > 3 * mad AS INT) AS is_outlier
+      |FROM scored ORDER BY day""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("events_ewma", ewma, Some(ewmaSql)),
     QueryDef("events_changepoint", changepoint, Some(changepointSql)),
     QueryDef("orders_seasonal_naive", seasonalNaive, Some(seasonalNaiveSql)),
+    QueryDef("orders_hampel_daily", hampel, Some(hampelSql)),
   )
 }

@@ -502,6 +502,42 @@ object CdcQueries extends QueryModule {
        |  min(value) AS vmin, max(value) AS vmax
        |FROM seeded""".stripMargin
 
+  /** Partition-FILTERED metadata aggregation: the table is value-
+    * partitioned by event_type, the WHERE names only the partition
+    * column, and the whole filtered count/min/max folds from the
+    * matching partition dirs' footer stats — zero data files opened
+    * (`SELECT count(*) … WHERE date = …` at 100 TB is O(manifest)).
+    * The plan-identity contract (MergeTableMetadataAggScan, zero
+    * records read) is in AggregatePushdownSpec; this gate hashes the
+    * VALUES against DuckDB computing the same filtered aggregates.
+    */
+  private def aggPushdownPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val seed = latestPerUser(events(s, dir))
+    val tbl = "aggpushpv_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+    s.sql(s"DROP TABLE IF EXISTS graft.gate.$tbl")
+    s.sql(s"""CREATE TABLE graft.gate.$tbl
+              (user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE)
+              PARTITIONED BY (event_type)
+              TBLPROPERTIES('keys'='user_id')""")
+    seed.createOrReplaceTempView("graft_aggpushpv_seed")
+    s.sql(s"""INSERT INTO graft.gate.$tbl
+              SELECT user_id, event_id, event_type, value
+              FROM graft_aggpushpv_seed""")
+    s.sql(s"""SELECT count(*) AS cnt, min(user_id) AS umin,
+                     max(user_id) AS umax, min(value) AS vmin,
+                     max(value) AS vmax
+              FROM graft.gate.$tbl
+              WHERE event_type IN ('click', 'view')""")
+  }
+
+  private val aggPushdownPartitionedSql =
+    s"""WITH latest AS (${latestSqlTemplate.format("")})
+       |SELECT CAST(count(*) AS BIGINT) AS cnt,
+       |  min(user_id) AS umin, max(user_id) AS umax,
+       |  min(value) AS vmin, max(value) AS vmax
+       |FROM latest WHERE event_type IN ('click', 'view')""".stripMargin
+
   /** DELETE FROM … WHERE, through SQL (reference surface:
     * transaction_log_util.py:304-334); same oracle as cdc_apply_delete.
     */
@@ -953,6 +989,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_merge_conditional", applyMergeConditional, Some(applyMergeConditionalSql)),
     QueryDef("cdc_apply_upsert_catalog", applyUpsertViaCatalog, Some(applyUpsertSql)),
     QueryDef("mergetable_agg_pushdown", aggPushdown, Some(aggPushdownSql)),
+    QueryDef("mergetable_agg_pushdown_partitioned", aggPushdownPartitioned, Some(aggPushdownPartitionedSql)),
     QueryDef("mergetable_shallow_clone", shallowCloneUpsert, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete_sql", applyDeleteViaSql, Some(applyDeleteSql)),
     QueryDef("cdc_apply_update_sql", applyUpdateViaSql, Some(applyUpdateSql)),

@@ -977,7 +977,29 @@ final class MergeTable(
     val added = after.filterNot(before.contains)
     val removed = before.filterNot(after.contains)
     val restrict =
-      if (removed.nonEmpty || added.isEmpty) None
+      if (added.isEmpty && removed.isEmpty) None
+      else if (removed.nonEmpty) {
+        // SCOPED rewrite (partition-/bucket-scoped COW upsert/delete,
+        // dirty-partition or dirty-bucket compaction, delta-shedding
+        // restores): visible state is a pure function of the entry
+        // set, and a key's rows live in its partition/bucket dirs —
+        // so any CHANGED key has a row in a touched (added or
+        // removed) dir, and semi-joining both snapshots on the
+        // touched dirs' keys prices the diff at the dirty dirs, not
+        // the table. Requires at least one surviving data entry (a
+        // full rewrite's "restriction" is the whole key space — skip)
+        // and no dv mask among the changes (a removed mask un-hides
+        // rows living in UNTOUCHED dirs)
+        val touched = added ++ removed
+        val okTypes = touched.forall(e =>
+          e._1 == "pv" || e._1 == "base" || e._1 == "delta" ||
+            e._1 == "ing" || e._1.matches("b\\d+"))
+        val touchedData = touched.filterNot(_._1 == "ing").map(_._2)
+        val someUntouched = before.intersect(after).exists(_._1 != "ing")
+        if (okTypes && someUntouched && touchedData.nonEmpty)
+          Some(readDirs(touchedData).select(keys.map(col): _*).distinct())
+        else None
+      }
       else if (added.forall(_._1 == "delta"))
         // MOR delta-append: changed keys are the delta rows' keys
         Some(readDirs(added.map(_._2)).select(keys.map(col): _*).distinct())
@@ -1855,7 +1877,17 @@ final class MergeTable(
     * accounted for or the engine falls back to a real scan.
     */
   private[graft] def aggregatableFiles(
-      rawEs: Seq[(String, String)]): Option[Seq[FileStats.FileMeta]] = {
+      rawEs: Seq[(String, String)]): Option[Seq[FileStats.FileMeta]] =
+    aggregatableFilesByDir(rawEs).map(_.flatMap(_._2))
+
+  /** Per-ENTRY-dir grouping of [[aggregatableFiles]]: the dir string
+    * keeps its `_graft_p_<col>=<val>` partition segments, so
+    * partition-filtered metadata aggregation can include or exclude
+    * whole dirs exactly (every row of a dir shares its partition
+    * tuple).
+    */
+  private[graft] def aggregatableFilesByDir(
+      rawEs: Seq[(String, String)]): Option[Seq[(String, Seq[FileStats.FileMeta])]] = {
     val es = rawEs.filterNot(_._1 == "ing") // ledger entries are not data
     if (es.exists(e => e._1 == "delta" || e._1 == "dv")) return None
     val perDir = es.map { case (_, d) =>
@@ -1863,9 +1895,9 @@ final class MergeTable(
       val base = dataDir.resolve(d)
       val files = FileStats.listParquetFiles(base)
       val metas = files.flatMap(f => full.get(base.relativize(f).toString))
-      if (metas.size == files.size) Some(metas) else None
+      if (metas.size == files.size) Some(d -> metas) else None
     }
-    if (perDir.exists(_.isEmpty)) None else Some(perDir.flatMap(_.get))
+    if (perDir.exists(_.isEmpty)) None else Some(perDir.map(_.get))
   }
 
   /** The snapshot dirs whose bloom index exists and covers every

@@ -278,8 +278,29 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
         */
       private def planAggregation(agg: Aggregation): Option[(StructType, Row)] = {
         import org.apache.spark.sql.types._
-        if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
-        val metas = pinnedRelation.aggregatable.getOrElse(return None)
+        if (agg.groupByExpressions.nonEmpty) return None
+        val byDir = pinnedRelation.aggregatableByDir.getOrElse(return None)
+        // partition-ONLY filters evaluate EXACTLY at dir granularity
+        // (every row of a dir shares its partition tuple), so a
+        // filtered aggregate still folds from footer stats — the dirs
+        // the predicate selects contribute, the rest don't, and
+        // `SELECT count(*) … WHERE date = …` stays metadata-only at
+        // any table size. A filter any dir cannot decide exactly
+        // rejects the whole pushdown (all-or-nothing, as ever).
+        val metas: Seq[graft.cdc.FileStats.FileMeta] =
+          if (pushed.isEmpty) byDir.flatMap(_._2)
+          else if (meta.partitionCols.isEmpty) return None
+          else {
+            val kept = byDir.map { case (d, ms) =>
+              val vs = pushed.toSeq.map(f =>
+                PartitionFilters.exact(d, meta.partitionCols, f))
+              if (vs.exists(_.contains(false))) Some(Seq.empty)
+              else if (vs.forall(_.contains(true))) Some(ms)
+              else None
+            }
+            if (kept.exists(_.isEmpty)) return None
+            kept.flatten.flatten
+          }
 
         def colName(e: V2Expression): Option[String] = e match {
           case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)

@@ -391,9 +391,16 @@ class MergeTableRelation(
     * catalog's metadata-only aggregate pushdown.
     */
   private[sources] def aggregatable: Option[Seq[graft.cdc.FileStats.FileMeta]] =
+    aggregatableByDir.map(_.flatMap(_._2))
+
+  /** [[aggregatable]] grouped per entry dir (partition segments
+    * intact) — what partition-FILTERED metadata aggregation consumes.
+    */
+  private[sources] def aggregatableByDir
+      : Option[Seq[(String, Seq[graft.cdc.FileStats.FileMeta])]] =
     if (renameMap.nonEmpty) None
     else if (!table.exists) Some(Nil)
-    else table.aggregatableFiles(
+    else table.aggregatableFilesByDir(
       version.map(table.entriesAtVersion).getOrElse(pinnedEntries))
 
   /** Files a scan with these filters would open (test/audit hook). */
@@ -449,4 +456,87 @@ class ChangeFeedRelation(
 
   override lazy val schema: StructType = feed.schema
   override def buildScan(): RDD[Row] = feed.rdd
+}
+
+/** EXACT dir-granularity evaluation of a pushed filter against the
+  * `_graft_p_<col>=<val>` segments of a partition dir path. Every row
+  * of a dir shares its partition tuple, so a partition-only predicate
+  * is uniformly TRUE (`Some(true)`), uniformly not-TRUE
+  * (`Some(false)` — SQL FALSE or NULL, either way the dir contributes
+  * no rows), or NOT decidable at dir granularity (`None` —
+  * unparseable value, non-partition column, or an unsupported shape
+  * like NOT, whose null semantics the atom-level NULL→false mapping
+  * would invert). The conservative keep-unless-provably-impossible
+  * twin used for scan pruning is the relation's `partitionMayMatch`;
+  * this strict form is what metadata-only AGGREGATION needs, where an
+  * over-kept dir would produce a wrong answer, not a slow one.
+  */
+private[sources] object PartitionFilters {
+  import org.apache.spark.sql.sources._
+
+  def exact(path: String, partitionCols: Seq[String], f: Filter): Option[Boolean] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def valueOf(c: String): Option[Option[String]] = // outer None = not in path
+      s"_graft_p_${java.util.regex.Pattern.quote(c)}=([^/]+)".r
+        .findFirstMatchIn(path).map { m =>
+          val raw = ExternalCatalogUtils.unescapePathName(m.group(1))
+          if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)
+        }
+    def cmp(s: String, v: Any): Option[Int] = v match {
+      case null => None
+      case n: Number =>
+        try Some(BigDecimal(s).compare(BigDecimal(n.toString)))
+        catch { case _: NumberFormatException => None }
+      case b: Boolean => Some(s.toLowerCase.compareTo(b.toString))
+      case other => Some(s.compareTo(String.valueOf(other)))
+    }
+    def evalCmp(a: String, v: Any, ok: Int => Boolean): Option[Boolean] =
+      if (!partitionCols.contains(a)) None
+      else valueOf(a) match {
+        case None => None
+        case Some(None) => Some(false) // null partition: predicate is NULL
+        case Some(Some(s)) => cmp(s, v).map(ok)
+      }
+    def eval(f: Filter): Option[Boolean] = f match {
+      case EqualTo(a, v) => evalCmp(a, v, _ == 0)
+      case EqualNullSafe(a, v) =>
+        if (!partitionCols.contains(a)) None
+        else valueOf(a) match {
+          case None => None
+          case Some(None) => Some(v == null)
+          case Some(Some(s)) => if (v == null) Some(false) else cmp(s, v).map(_ == 0)
+        }
+      case In(a, vs) =>
+        if (!partitionCols.contains(a)) None
+        else valueOf(a) match {
+          case None => None
+          case Some(None) => Some(false)
+          case Some(Some(s)) =>
+            val cs = vs.toSeq.map(v => cmp(s, v))
+            if (cs.exists(_.isEmpty)) None else Some(cs.exists(_.contains(0)))
+        }
+      case GreaterThan(a, v) => evalCmp(a, v, _ > 0)
+      case GreaterThanOrEqual(a, v) => evalCmp(a, v, _ >= 0)
+      case LessThan(a, v) => evalCmp(a, v, _ < 0)
+      case LessThanOrEqual(a, v) => evalCmp(a, v, _ <= 0)
+      case IsNull(a) =>
+        if (!partitionCols.contains(a)) None else valueOf(a).map(_.isEmpty)
+      case IsNotNull(a) =>
+        if (!partitionCols.contains(a)) None else valueOf(a).map(_.nonEmpty)
+      // three-valued AND/OR: a decided FALSE/TRUE side can decide the
+      // whole node even when the other side is indeterminate
+      case And(l, r) => (eval(l), eval(r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (eval(l), eval(r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case _ => None
+    }
+    eval(f)
+  }
 }

@@ -145,6 +145,72 @@ class AggregatePushdownSpec extends SparkSpec {
     assert(q2.head() === org.apache.spark.sql.Row(3L, 1L, "c3"))
   }
 
+  test("partition-only filters stay metadata-only; anything else falls back") {
+    fresh("aggdb7")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.aggdb7")
+    spark.sql("""CREATE TABLE graft.aggdb7.t (id BIGINT, grp STRING, v DOUBLE)
+                 PARTITIONED BY (grp) TBLPROPERTIES('keys'='id')""")
+    spark.sql("""INSERT INTO graft.aggdb7.t VALUES
+                 (1, 'red', 1.0), (2, 'red', 2.5), (3, 'blue', -1.0),
+                 (4, 'green', 9.0), (5, NULL, 4.0)""")
+
+    val eq = spark.sql(
+      """SELECT count(*) AS c, min(v) AS mn, max(id) AS mx
+         FROM graft.aggdb7.t WHERE grp = 'red'""")
+    assert(isMetadataScan(eq), eq.queryExecution.executedPlan.toString)
+    assert(eq.head() === org.apache.spark.sql.Row(2L, 1.0, 2L))
+
+    val in = spark.sql(
+      "SELECT count(*) AS c FROM graft.aggdb7.t WHERE grp IN ('red', 'blue')")
+    assert(isMetadataScan(in))
+    assert(in.as[Long].head() === 3L)
+
+    // range predicates on the partition value decide exactly too
+    val rng = spark.sql(
+      "SELECT count(*) AS c FROM graft.aggdb7.t WHERE grp >= 'green'")
+    assert(isMetadataScan(rng))
+    assert(rng.as[Long].head() === 3L) // green + 2×red; null partition excluded
+
+    // the null partition: IS NULL selects exactly it, = excludes it
+    val isNull = spark.sql(
+      "SELECT count(*) AS c, max(v) AS mx FROM graft.aggdb7.t WHERE grp IS NULL")
+    assert(isMetadataScan(isNull))
+    assert(isNull.head() === org.apache.spark.sql.Row(1L, 4.0))
+
+    // no partition matches: an exact empty fold, not a fallback
+    val none = spark.sql(
+      "SELECT count(*) AS c, max(v) AS mx FROM graft.aggdb7.t WHERE grp = 'absent'")
+    assert(isMetadataScan(none))
+    assert(none.head() === org.apache.spark.sql.Row(0L, null))
+
+    // non-partition filters and mixed conjunctions take the real scan
+    val vq = spark.sql("SELECT count(*) AS c FROM graft.aggdb7.t WHERE v > 0")
+    assert(hasAgg(vq) && !isMetadataScan(vq))
+    assert(vq.as[Long].head() === 4L)
+    val mixed = spark.sql(
+      "SELECT count(*) AS c FROM graft.aggdb7.t WHERE grp = 'red' AND v > 1")
+    assert(hasAgg(mixed) && !isMetadataScan(mixed))
+    assert(mixed.as[Long].head() === 1L)
+  }
+
+  test("partitioned MOR: pending deltas block the filtered metadata path too") {
+    fresh("aggdb8")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.aggdb8")
+    spark.sql("""CREATE TABLE graft.aggdb8.t (id BIGINT, grp STRING)
+                 PARTITIONED BY (grp)
+                 TBLPROPERTIES('keys'='id', 'mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.aggdb8.t VALUES (1, 'a'), (2, 'b')")
+    val t = MergeTable.open(spark, "target/graft_warehouse/aggdb8/t")
+    t.upsert(Seq((2L, "b"), (3L, "a")).toDF("id", "grp")) // pending delta
+    val q = spark.sql("SELECT count(*) AS c FROM graft.aggdb8.t WHERE grp = 'a'")
+    assert(hasAgg(q) && !isMetadataScan(q))
+    assert(q.as[Long].head() === 2L)
+    t.compact() // folds deltas into partition dirs; metadata path returns
+    val q2 = spark.sql("SELECT count(*) AS c FROM graft.aggdb8.t WHERE grp = 'a'")
+    assert(isMetadataScan(q2))
+    assert(q2.as[Long].head() === 2L)
+  }
+
   test("time-travel snapshots aggregate from their own version's metadata") {
     fresh("aggdb6")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.aggdb6")
