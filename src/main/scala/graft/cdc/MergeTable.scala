@@ -1936,13 +1936,16 @@ final class MergeTable(
     * per-scope file counts bounded). Preserves the copyInto ledger.
     * Returns the number of files after the call.
     */
-  def optimizeFiles(targetBytes: Long = 128L * 1024 * 1024): Int = {
+  def optimizeFiles(targetBytes: Long = 128L * 1024 * 1024,
+                    keepLeaf: String => Boolean = _ => true): Int = {
     require(exists, s"cannot optimize uninitialized table $root")
     val es = entries()
     val dataEs = es.filterNot(_._1 == "ing")
-    if (numBuckets.isDefined || partitionCols.nonEmpty ||
+    if (numBuckets.isDefined ||
         dataEs.exists(e => e._1 == "delta" || e._1 == "dv"))
       return currentFileCount()
+    if (partitionCols.nonEmpty)
+      return optimizePartitionDirs(es, targetBytes, keepLeaf)
     val files = dataEs.flatMap { case (_, d) =>
       FileStats.listParquetFiles(dataDir.resolve(d)) }
     val total = files.map(f => Files.size(f)).sum
@@ -1951,6 +1954,80 @@ final class MergeTable(
     commit(ledgerEntries(es) ++
       Seq("base" -> writeData(rewriteSource().repartition(want))))
     currentFileCount()
+  }
+
+  /** Partition-scoped bin-packing (`OPTIMIZE … [WHERE partition
+    * equalities]`): rewrite ONLY the selected partition dirs whose
+    * file count exceeds what their bytes need at the target size —
+    * each fragmented partition coalesces with its own O(partition)
+    * job, untouched partitions keep their directories verbatim, and
+    * ONE atomic commit swaps them all. OPTIMIZE pays for the
+    * fragmented (selected) partitions, not the table.
+    */
+  private def optimizePartitionDirs(es: Seq[(String, String)], targetBytes: Long,
+      keepLeaf: String => Boolean): Int = {
+    def leafOf(d: String): String = d.split("/", 2)(1)
+    val dropped = MergeTable.readMeta(root).map(_.droppedColumns).getOrElse(Nil)
+    val toRewrite = es.filter(e => e._1 == "pv" && keepLeaf(leafOf(e._2)))
+      .filter { case (_, d) =>
+        val fs = FileStats.listParquetFiles(dataDir.resolve(d))
+        val total = fs.map(f => Files.size(f)).sum
+        fs.size > math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+      }
+    if (toRewrite.nonEmpty) {
+      val rewritten = toRewrite.flatMap { case (_, d) =>
+        val fs = FileStats.listParquetFiles(dataDir.resolve(d))
+        val total = fs.map(f => Files.size(f)).sum
+        val want = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+        val src0 = readDirs(Seq(d))
+        val src = dropped.filter(src0.columns.contains) match {
+          case Nil => src0
+          case ds => src0.drop(ds: _*)
+        }
+        writePartitioned(src.repartition(want))
+      }
+      commit(es.filterNot(toRewrite.contains) ++ rewritten)
+    }
+    currentFileCount()
+  }
+
+  /** Metadata-only per-partition summary (`SHOW PARTITIONS`): one row
+    * per partition — spec (`col=val[/col2=val2]`, path-escaped like
+    * the dir names), file count, EXACT row count when every file has
+    * footer stats (None otherwise), on-disk bytes. Driver-side
+    * O(files) stat walk, zero data reads. Pending MOR deltas are not
+    * partition-attributable and surface as one "(pending deltas)"
+    * row.
+    */
+  def partitionSummary(): Seq[(String, Long, Option[Long], Long)] = {
+    require(partitionCols.nonEmpty, s"table at $root is not value-partitioned")
+    def leafOf(d: String): String = d.split("/", 2)(1)
+    def specOf(leaf: String): String =
+      leaf.split('/').map(_.stripPrefix(PartPrefix)).mkString("/")
+    val es = entries()
+    val perLeaf = es.filter(_._1 == "pv").map { case (_, d) =>
+      val base = dataDir.resolve(d)
+      val files = FileStats.listParquetFiles(base)
+      val rows = FileStats.readFull(rootPath, d).flatMap { full =>
+        val metas = files.map(f => full.get(base.relativize(f).toString))
+        if (metas.exists(_.isEmpty)) None else Some(metas.flatten.map(_.rows).sum)
+      }
+      (specOf(leafOf(d)), files.size.toLong, rows, files.map(f => Files.size(f)).sum)
+    }
+    val merged = perLeaf.groupBy(_._1).toSeq.map { case (spec, rs) =>
+      (spec, rs.map(_._2).sum,
+        if (rs.exists(_._3.isEmpty)) None else Some(rs.flatMap(_._3).sum),
+        rs.map(_._4).sum)
+    }.sortBy(_._1)
+    val deltas = es.filter(_._1 == "delta")
+    val deltaRow =
+      if (deltas.isEmpty) Nil
+      else {
+        val files = deltas.flatMap(e => FileStats.listParquetFiles(dataDir.resolve(e._2)))
+        Seq(("(pending deltas)", files.size.toLong, Option.empty[Long],
+          files.map(f => Files.size(f)).sum))
+      }
+    merged ++ deltaRow
   }
 
   private def currentFileCount(): Int =

@@ -29,11 +29,11 @@ object CorpusQueries extends QueryModule {
   /** Stable per-document bucket in [0, 100): the md5-prefix trick
     * above, salted so independent decisions don't correlate.
     */
-  private def hashBucket(salt: String, key: Column): Column =
+  private[ops] def hashBucket(salt: String, key: Column): Column =
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 6), 16, 10)
       .cast("long") % 100
 
-  private def sqlBucket(salt: String, key: String): String =
+  private[ops] def sqlBucket(salt: String, key: String): String =
     s"(('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 6))::BIGINT % 100)"
 
   // -- repetition signals (Gopher-style quality filters) -------------------

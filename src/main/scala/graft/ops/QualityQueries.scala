@@ -721,7 +721,66 @@ object QualityQueries extends QueryModule {
       |FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // -- cross-source overlap matrix -----------------------------------------
+
+  /** The source-pair contamination matrix over word-3-shingle
+    * content: how many distinct shingles each pair of sources SHARES
+    * (off-diagonal — the provenance question "how much of source B's
+    * phrasing already lives in source A") and how many repeat across
+    * docs WITHIN a source (diagonal — internal boilerplate
+    * incidence). One (shingle-hash, source) aggregation, then a
+    * hash-keyed self-join whose fan-out is bounded by the number of
+    * SOURCES holding each shingle (≤ |sources|², a handful) — never
+    * doc×doc. Text reduces to 16-byte hashes at the scan; shingle
+    * extraction is [[Dedup.wordShingles]], the same distinct-per-doc
+    * semantics the minhash pipeline certifies.
+    */
+  private def overlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    val fs = docs(s, dir)
+      .select(col("source"), explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
+      .groupBy(md5(col("sh")).as("fp"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val fsr = graft.Caches.register(fs)
+    val diag = fsr.filter(col("n") >= 2).groupBy("source")
+      .agg(count(lit(1)).as("shared_fps"))
+      .select(col("source").as("source_a"), col("source").as("source_b"),
+        col("shared_fps"))
+    val off = fsr.as("a").join(fsr.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+    diag.unionByName(off).orderBy("source_a", "source_b")
+  }
+
+  private val overlapMatrixSql =
+    """WITH w AS (
+      |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      |  FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+      |  WHERE len(ws) >= 3
+      |  UNION ALL
+      |  SELECT DISTINCT doc_id, source, array_to_string(ws, ' ') AS sh
+      |  FROM w WHERE len(ws) < 3),
+      |fs AS (
+      |  SELECT md5(sh) AS fp, source, CAST(count(*) AS BIGINT) AS n
+      |  FROM g GROUP BY 1, 2),
+      |diag AS (
+      |  SELECT source AS source_a, source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS shared_fps
+      |  FROM fs WHERE n >= 2 GROUP BY 1, 2),
+      |off AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS shared_fps
+      |  FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT * FROM diag UNION ALL SELECT * FROM off
+      |ORDER BY source_a, source_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("corpus_overlap_matrix", overlapMatrix, Some(overlapMatrixSql)),
     QueryDef("docs_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("docs_span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("docs_soft_dedup", softDedup, Some(softDedupSql)),

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, QueryModule}
 import graft.tables.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup query block over `documents`. */
@@ -195,7 +195,9 @@ object TextQueries extends QueryModule {
     * scores end to end (this query was rows-only while the word hash
     * was xxhash64).
     */
-  private val minhashLshSql = {
+  // CTEs through `scored` (per-candidate band agreement) split out so
+  // the split-leakage audit can reuse the identical certified pipeline
+  private lazy val minhashScoredCtes: String = {
     val p = Dedup.MinhashPrime
     val bp = Dedup.BandKeyPrime
     val perms = graft.ops.Dedup.permA.zip(graft.ops.Dedup.permB).zipWithIndex
@@ -235,10 +237,53 @@ object TextQueries extends QueryModule {
        |    len([i FOR i IN range(1, 65) IF sa.sig[i] = sb.sig[i]]) AS agree
        |  FROM cand
        |  JOIN sig sa ON sa.doc_id = doc_a
-       |  JOIN sig sb ON sb.doc_id = doc_b)
+       |  JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
+  }
+
+  private val minhashLshSql =
+    s"""$minhashScoredCtes
        |SELECT doc_a, doc_b, round(CAST(agree AS DOUBLE) / 64, 4) AS est_jaccard
        |FROM scored WHERE CAST(agree AS DOUBLE) / 64 >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Split-leakage audit — the contamination a random doc-level
+    * split always ships: near-duplicate pairs (the certified minhash
+    * LSH candidates at the dedup threshold) counted by the train/
+    * val/test cells their endpoints land in under the SAME
+    * deterministic hash-split as `docs_split`. Off-diagonal rows
+    * (train↔val, train↔test, val↔test) are evaluation leakage; the
+    * fix is splitting by DEDUP CLUSTER, not by document. Candidate
+    * volume and the split hash are both bounded/exact, so this runs
+    * wherever the dedup itself runs.
+    */
+  private def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val b = CorpusQueries.hashBucket("split", c)
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
+        shingleK = 3, threshold = 0.2)
+      .select(splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
+  private val splitLeakageSql = {
+    def bucket(k: String) = CorpusQueries.sqlBucket("split", k)
+    s"""$minhashScoredCtes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM scored
+       |  WHERE CAST(agree AS DOUBLE) / 64 >= 0.2),
+       |sp AS (
+       |  SELECT
+       |    CASE WHEN ba < 80 THEN 'train' WHEN ba < 90 THEN 'val' ELSE 'test' END AS sa,
+       |    CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val' ELSE 'test' END AS sb
+       |  FROM (SELECT ${bucket("doc_a")} AS ba, ${bucket("doc_b")} AS bb FROM pairs))
+       |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   private def simhashQ(s: SparkSession, dir: String): DataFrame =
@@ -675,6 +720,7 @@ object TextQueries extends QueryModule {
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_fingerprint", dedupFingerprint, Some(dedupFingerprintSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    QueryDef("docs_split_leakage", splitLeakage, Some(splitLeakageSql)),
     QueryDef("dedup_simhash", simhashQ, Some(simhashSql)),
     QueryDef("dedup_simhash_pairs", simhashPairsQ, Some(simhashPairsSql)),
     QueryDef("dedup_incremental_near", dedupIncrementalNear, Some(dedupIncrementalNearSql)),

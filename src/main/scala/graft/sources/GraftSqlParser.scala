@@ -41,6 +41,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*OPTIMIZE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ZORDER\s+BY\s*\(\s*([a-zA-Z0-9_\s,]+?)\s*\)\s*;?\s*""".r
   private val OptimizeFiles =
     """(?is)\s*OPTIMIZE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
+  private val OptimizeFilesWhere =
+    """(?is)\s*OPTIMIZE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val ShowPartitions =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
   private val RestoreVersion =
     """(?is)\s*RESTORE\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTimestamp =
@@ -75,6 +79,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     case OptimizeFiles(catalog, ident) =>
       MergeTableMaintenanceCommand("optimize_files", catalog, ident.split('.').toSeq)
+    case OptimizeFilesWhere(catalog, ident, where) =>
+      MergeTableMaintenanceCommand("optimize_files", catalog, ident.split('.').toSeq,
+        optimizeWhere = Some(where.trim))
+    case ShowPartitions(catalog, ident) =>
+      MergeTableShowPartitionsCommand(catalog, ident.split('.').toSeq)
     case RestoreVersion(catalog, ident, v) =>
       MergeTableMaintenanceCommand("restore", catalog, ident.split('.').toSeq,
         restoreTo = Some(Left(v.toLong)))
@@ -131,7 +140,8 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
                                         zorderCols: Seq[String] = Nil,
                                         restoreTo: Option[Either[Long, String]] = None,
                                         expireKeep: Option[Int] = None,
-                                        copyFrom: Option[String] = None) extends LeafRunnableCommand {
+                                        copyFrom: Option[String] = None,
+                                        optimizeWhere: Option[String] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("affected", LongType, nullable = false)())
@@ -150,8 +160,31 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
         t.cluster(zorderCols)
         t.prunableFiles(t.currentEntries()).map(_.size.toLong).getOrElse(0L)
       case "optimize_files" =>
-        t.optimizeFiles(session.conf.getOption("graft.mergetable.targetFileBytes")
-          .map(_.toLong).getOrElse(128L * 1024 * 1024)).toLong
+        val target = session.conf.getOption("graft.mergetable.targetFileBytes")
+          .map(_.toLong).getOrElse(128L * 1024 * 1024)
+        // WHERE restricts bin-packing to partitions the (partition-
+        // column-only, equality-conjunction) predicate selects —
+        // Delta's OPTIMIZE t WHERE shape; equality is on the RENDERED
+        // partition value, decided exactly per dir
+        val keep: String => Boolean = optimizeWhere match {
+          case None => _ => true
+          case Some(w) =>
+            val meta = MergeTable.readMeta(path).getOrElse(
+              throw new IllegalArgumentException(s"no mergetable at $path"))
+            require(meta.partitionCols.nonEmpty,
+              "OPTIMIZE ... WHERE requires a value-partitioned table")
+            val eqs = GraftSqlParser.parsePartitionEqualities(w).map { case (c, v) =>
+              meta.partitionCols.find(_.equalsIgnoreCase(c)).getOrElse(
+                throw new IllegalArgumentException(
+                  s"OPTIMIZE ... WHERE supports partition columns only; '$c' " +
+                    s"is not one of (${meta.partitionCols.mkString(", ")})")) -> v
+            }
+            leaf => eqs.forall { case (c, v) =>
+              PartitionFilters.exact(leaf, meta.partitionCols,
+                org.apache.spark.sql.sources.EqualTo(c, v)).contains(true)
+            }
+        }
+        t.optimizeFiles(target, keep).toLong
       case "expire" => t.expireSnapshots(expireKeep.get).toLong
       case "restore" =>
         val version = restoreTo.get match {
@@ -195,6 +228,50 @@ object GraftSqlParser {
       case other => throw new UnsupportedOperationException(
         s"$op targets a mergetable catalog; '$catalogName' is ${other.getClass.getName}")
     }
+
+  /** `col = 'val' [AND col2 = 3 …]` — the only predicate shape
+    * OPTIMIZE … WHERE accepts (partition equalities; anything else
+    * errors loudly rather than silently optimizing the wrong set).
+    */
+  private[sources] def parsePartitionEqualities(w: String): Seq[(String, String)] = {
+    val Eq = """\s*([a-zA-Z0-9_]+)\s*=\s*(?:'([^']*)'|([a-zA-Z0-9_.\-]+))\s*""".r
+    w.split("(?i)\\s+AND\\s+").toSeq.map {
+      case Eq(c, quoted, bare) => c -> Option(quoted).getOrElse(bare)
+      case other => throw new IllegalArgumentException(
+        "OPTIMIZE ... WHERE supports only conjunctions of partition " +
+          s"equalities (col = 'value'), got: '${other.trim}'")
+    }
+  }
+}
+
+/** `SHOW PARTITIONS graft.db.t` — the metadata-only per-partition
+  * summary (partition spec, file count, exact row count from footer
+  * stats when complete, bytes); pending MOR deltas surface as one
+  * "(pending deltas)" row since their rows are not yet
+  * partition-attributed. O(files) driver-side walk, zero data reads.
+  */
+case class MergeTableShowPartitionsCommand(catalogName: String,
+                                           ident: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = true)(),
+    AttributeReference("bytes", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.mergetablePath(session, catalogName, ident,
+      "SHOW PARTITIONS")
+    val meta = MergeTable.readMeta(path).getOrElse(
+      throw new IllegalArgumentException(s"no mergetable at $path"))
+    require(meta.partitionCols.nonEmpty,
+      s"SHOW PARTITIONS: table ${ident.mkString(".")} is not value-partitioned")
+    val t = MergeTable.open(session, path)
+    if (!t.exists) Seq.empty
+    else t.partitionSummary().map { case (spec, nf, rows, bytes) =>
+      Row(spec, nf, rows.map(Long.box).orNull, bytes)
+    }
+  }
 }
 
 /** `CREATE TABLE graft.db.c SHALLOW CLONE graft.db.t [VERSION AS OF n]`

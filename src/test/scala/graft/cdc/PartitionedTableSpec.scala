@@ -249,6 +249,54 @@ class PartitionedTableSpec extends SparkSpec {
     assert(feed === Set((3L, "red", 35L, "U"), (1L, "red", 10L, "D")))
   }
 
+  test("SHOW PARTITIONS and partition-scoped OPTIMIZE WHERE") {
+    MergeTable.drop("target/graft_warehouse/pvsql")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pvsql")
+    spark.sql("""CREATE TABLE graft.pvsql.t (id BIGINT, grp STRING, v DOUBLE)
+                 PARTITIONED BY (grp) TBLPROPERTIES('keys'='id')""")
+    // an 8-way-parallel insert fragments each leaf into up to 8 files
+    (0L until 64L).map(i => (i, if (i % 2 == 0) "red" else "blue", i * 1.0))
+      .toDF("id", "grp", "v").repartition(8)
+      .createOrReplaceTempView("pvsql_seed")
+    spark.sql("INSERT INTO graft.pvsql.t SELECT * FROM pvsql_seed")
+
+    val parts = spark.sql("SHOW PARTITIONS graft.pvsql.t")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(parts.map(_._1).toSeq === Seq("grp=blue", "grp=red"))
+    assert(parts.forall(_._3 === 32L)) // exact rows from footer stats
+    val redFiles0 = parts.find(_._1 == "grp=red").get._2
+    val blueFiles0 = parts.find(_._1 == "grp=blue").get._2
+    assert(redFiles0 > 1 && blueFiles0 > 1)
+
+    try {
+      spark.conf.set("graft.mergetable.targetFileBytes",
+        (512L * 1024 * 1024).toString)
+      // scoped: red coalesces to one file, blue keeps its fragments
+      spark.sql("OPTIMIZE graft.pvsql.t WHERE grp = 'red'")
+      val mid = spark.sql("SHOW PARTITIONS graft.pvsql.t")
+        .as[(String, Long, Long, Long)].collect()
+      assert(mid.find(_._1 === "grp=red").get._2 === 1L)
+      assert(mid.find(_._1 === "grp=blue").get._2 === blueFiles0)
+      assert(mid.forall(_._3 === 32L))
+      // unscoped packs the rest
+      spark.sql("OPTIMIZE graft.pvsql.t")
+      val fin = spark.sql("SHOW PARTITIONS graft.pvsql.t")
+        .as[(String, Long, Long, Long)].collect()
+      assert(fin.forall(_._2 === 1L) && fin.forall(_._3 === 32L))
+      assert(spark.table("graft.pvsql.t").count() === 64L)
+
+      // non-partition columns and non-equality shapes error loudly
+      val bad = intercept[Exception] {
+        spark.sql("OPTIMIZE graft.pvsql.t WHERE v = '1'")
+      }
+      assert(bad.getMessage.contains("partition columns only"))
+      val shape = intercept[Exception] {
+        spark.sql("OPTIMIZE graft.pvsql.t WHERE grp > 'a'")
+      }
+      assert(shape.getMessage.contains("conjunctions of partition equalities"))
+    } finally spark.conf.unset("graft.mergetable.targetFileBytes")
+  }
+
   // ---- MOR × value partitions --------------------------------------------
   // the high-rate CDC lake layout: per-date partition dirs, O(batch)
   // flat delta commits, compaction rewrites only dirty partitions
