@@ -138,6 +138,49 @@ object SeriesQueries extends QueryModule {
       |  round(CAST(sum(abs(cnt - fc)) AS DOUBLE) / count(*), 4) AS mae
       |FROM h GROUP BY 1 ORDER BY dow""".stripMargin
 
+  // -- sequence pattern matching (CEP-lite / MATCH_RECOGNIZE shape) --------
+
+  /** Regex pattern matching over each user's ordered event-type
+    * SEQUENCE — the complex-event-processing shape (Flink CEP /
+    * MATCH_RECOGNIZE) reduced to its batch core: the per-user history
+    * collapses to a compact symbol string (one char per event, in
+    * (ts, event_id) order — the same deterministic ordering the EWMA
+    * recurrence uses) and business patterns become ordinary regexes
+    * over it: eventual sequences (`v.*c.*p`), strict adjacency
+    * (`vcp`), anchors (`^s`).
+    *
+    * 100 TB shape: one shuffle by user_id; per-user state is the
+    * user's own symbol string (bytes, not rows — 1 char/event);
+    * pattern evaluation is per-row regex inside codegen. A streaming
+    * deployment keeps the tail of the symbol string in
+    * mapGroupsWithState; this is the batch twin.
+    */
+  private def patternMatch(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      .groupBy("user_id")
+      .agg(expr("concat_ws('', transform(sort_array(collect_list(" +
+        "struct(ts, event_id, ch))), r -> r.ch))").as("seq"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("seq").rlike("v.*c.*p").cast("long")).as("browse_to_buy"),
+        sum(col("seq").rlike("vcp").cast("long")).as("strict_checkout"),
+        sum(col("seq").rlike("e.*p").cast("long")).as("error_then_purchase"),
+        sum(col("seq").rlike("^s").cast("long")).as("signup_first"))
+
+  private val patternMatchSql =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END) AS BIGINT) AS browse_to_buy,
+      |  CAST(sum(CASE WHEN regexp_matches(seq, 'vcp') THEN 1 ELSE 0 END) AS BIGINT) AS strict_checkout,
+      |  CAST(sum(CASE WHEN regexp_matches(seq, 'e.*p') THEN 1 ELSE 0 END) AS BIGINT) AS error_then_purchase,
+      |  CAST(sum(CASE WHEN regexp_matches(seq, '^s') THEN 1 ELSE 0 END) AS BIGINT) AS signup_first
+      |FROM s""".stripMargin
+
   // -- Hampel filter (moving-median outlier detection) ---------------------
 
   /** Hampel outlier scan over the daily order-arrival series: each
@@ -198,5 +241,6 @@ object SeriesQueries extends QueryModule {
     QueryDef("events_changepoint", changepoint, Some(changepointSql)),
     QueryDef("orders_seasonal_naive", seasonalNaive, Some(seasonalNaiveSql)),
     QueryDef("orders_hampel_daily", hampel, Some(hampelSql)),
+    QueryDef("events_pattern_match", patternMatch, Some(patternMatchSql)),
   )
 }

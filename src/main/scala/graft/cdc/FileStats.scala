@@ -269,9 +269,40 @@ object FileStats {
       case In(a, vs) => rng(a).forall { case (mn, mx, t) =>
         try vs.exists(v => cmp(v, mn, t) >= 0 && cmp(v, mx, t) <= 0)
         catch { case _: Throwable => true } }
+      // LIKE 'p%' pruning: a string with prefix p can live in
+      // [min, max] iff p is between the two bounds TRUNCATED to p's
+      // byte length — p > max[:|p|] means every value is too small,
+      // p < min[:|p|] means every value is past the prefix range.
+      // Only meaningful for string-tagged stats (parquet's UTF-8 byte
+      // order, same order LIKE prefixes imply).
+      case StringStartsWith(a, p) => rng(a).forall {
+        case (mn, mx, "s") =>
+          prefixCmp(p, mn) >= 0 && prefixCmp(p, mx) <= 0
+        case _ => true
+      }
       case And(l, r) => mayMatch(cols, l) && mayMatch(cols, r)
       case Or(l, r) => mayMatch(cols, l) || mayMatch(cols, r)
       case _ => true
     }
+  }
+
+  /** Compare prefix `p` against `bound` truncated to p's UTF-8 byte
+    * length (unsigned byte order — the order parquet stats use). A
+    * bound SHORTER than p compares as-is: if it is a strict prefix of
+    * p it sorts below every p-prefixed string (return > 0), otherwise
+    * the first differing byte decides.
+    */
+  private def prefixCmp(p: String, bound: String): Int = {
+    val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = bound.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(pb.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val c = (pb(i) & 0xff) - (bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    if (bb.length >= pb.length) 0 // bound carries the whole prefix range
+    else pb.length - bb.length    // bound is a strict prefix of p
   }
 }

@@ -2,7 +2,7 @@ package graft.cdc
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, LessThanOrEqual, StringStartsWith}
 
 /** File-level min/max stats + z-order clustering: the
   * Iceberg-manifest capabilities that make selective reads open only
@@ -50,6 +50,34 @@ class ClusterStatsSpec extends SparkSpec {
     // clustering must not change the data
     assert(t.read().count() === 10000L)
     assert(t.read().agg(sum("id")).head().getLong(0) === (0L until 10000L).sum)
+  }
+
+  test("LIKE-prefix predicates prune on string ranges") {
+    val root = freshRoot("prefix")
+    // ids rendered zero-padded so string order = numeric order, then
+    // clustered on the string key → disjoint per-file string ranges
+    val t = MergeTable.createIfAbsent(spark, root, Seq("k"),
+      initial = Some(spark.range(8000).select(
+        format_string("k%05d", col("id")).as("k"), col("id").as("v"))))
+    // cluster on the numeric twin (z-order wants numerics); k shares
+    // its order, so the per-file k string ranges come out disjoint too
+    t.cluster(Seq("v"), targetFiles = 8)
+    val files = t.prunableFiles(t.currentEntries()).get
+    assert(files.size === 8)
+    // 'k00…' prefixed keys live in the first ~1000 ids → ≤2 files
+    val kept = files.count { case (_, st) =>
+      FileStats.mayMatch(st, StringStartsWith("k", "k00")) }
+    assert(kept <= 2, s"LIKE 'k00%' should prune to <=2 of 8 files, kept $kept")
+    // a prefix ABOVE every value prunes everything...
+    assert(files.count { case (_, st) =>
+      FileStats.mayMatch(st, StringStartsWith("k", "z")) } === 0)
+    // ...and a prefix every value shares keeps everything
+    assert(files.count { case (_, st) =>
+      FileStats.mayMatch(st, StringStartsWith("k", "k")) } === 8)
+    // correctness through the source read path
+    val got = spark.read.format("mergetable").option("path", root).load()
+      .filter(col("k").startsWith("k00")).count()
+    assert(got === 1000L)
   }
 
   test("z-order on two columns prunes on EITHER column alone") {
