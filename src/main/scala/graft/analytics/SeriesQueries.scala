@@ -138,6 +138,47 @@ object SeriesQueries extends QueryModule {
       |  round(CAST(sum(abs(cnt - fc)) AS DOUBLE) / count(*), 4) AS mae
       |FROM h GROUP BY 1 ORDER BY dow""".stripMargin
 
+  // -- trimmed mean (robust central tendency) ------------------------------
+
+  /** Per-user 10% trimmed mean of event values — the robust central
+    * tendency that completes the despiking family (Hampel flags
+    * outliers; the trimmed mean reports THROUGH them): drop the
+    * lowest and highest `n div 10` values, mean the rest. Exactness:
+    * the kept slice sums in ASCENDING sorted order on both engines
+    * (Spark `aggregate` fold ≡ DuckDB `list_reduce`), so every
+    * intermediate double is bit-identical before the 6 dp round.
+    * One shuffle by user_id; per-user state is the user's own values
+    * (the sessionization bound) — never a low-cardinality collect.
+    */
+  private def trimmedMean(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("value").cast("double").as("v"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(col("v"))).as("vs"))
+      .withColumn("k", expr("n_events div 10"))
+      .withColumn("kept",
+        expr("slice(vs, CAST(k + 1 AS INT), CAST(n_events - 2 * k AS INT))"))
+      .select(col("user_id"), col("n_events"),
+        round(expr("aggregate(kept, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") /
+          (col("n_events") - lit(2) * col("k")), 6).as("trimmed_mean"))
+      .orderBy("user_id")
+
+  private val trimmedMeanSql =
+    """WITH s AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    list_sort(list(CAST(value AS DOUBLE))) AS vs
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      |t AS (
+      |  SELECT user_id, n_events, n_events // 10 AS k,
+      |    vs[(n_events // 10) + 1 : n_events - (n_events // 10)] AS kept
+      |  FROM s)
+      |SELECT user_id, n_events,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), kept), (a, x) -> a + x)
+      |        / (n_events - 2 * k), 6) AS trimmed_mean
+      |FROM t ORDER BY user_id""".stripMargin
+
   // -- sequence pattern matching (CEP-lite / MATCH_RECOGNIZE shape) --------
 
   /** Regex pattern matching over each user's ordered event-type
@@ -242,5 +283,6 @@ object SeriesQueries extends QueryModule {
     QueryDef("orders_seasonal_naive", seasonalNaive, Some(seasonalNaiveSql)),
     QueryDef("orders_hampel_daily", hampel, Some(hampelSql)),
     QueryDef("events_pattern_match", patternMatch, Some(patternMatchSql)),
+    QueryDef("events_trimmed_mean", trimmedMean, Some(trimmedMeanSql)),
   )
 }

@@ -195,9 +195,16 @@ object TextQueries extends QueryModule {
     * scores end to end (this query was rows-only while the word hash
     * was xxhash64).
     */
-  // CTEs through `scored` (per-candidate band agreement) split out so
-  // the split-leakage audit can reuse the identical certified pipeline
-  private lazy val minhashScoredCtes: String = {
+  // CTEs through `scored` (per-candidate band agreement) split out and
+  // parameterized by the source relation so the split-leakage audit
+  // and the keep-best selection reuse the identical certified pipeline
+  private lazy val minhashScoredCtes: String = "WITH " + minhashScoredCtesFor("documents")
+
+  /** The CTE chain from `perms` through `scored`, WITHOUT the leading
+    * WITH so callers can prepend their own CTEs (e.g. a decorated
+    * corpus).
+    */
+  private def minhashScoredCtesFor(src: String): String = {
     val p = Dedup.MinhashPrime
     val bp = Dedup.BandKeyPrime
     val perms = graft.ops.Dedup.permA.zip(graft.ops.Dedup.permB).zipWithIndex
@@ -206,11 +213,11 @@ object TextQueries extends QueryModule {
     val bandFold = (1 to 4).foldLeft("CAST(b AS BIGINT)") { (acc, j) =>
       s"(($acc * 31 + sig[4*b + $j]) % $bp)"
     }
-    s"""WITH perms(p, a, b) AS (VALUES $perms),
+    s"""perms(p, a, b) AS (VALUES $perms),
        |w AS (
        |  SELECT doc_id, list_transform(regexp_extract_all(lower(text), '[a-z]+'),
        |    x -> ('0x' || substr(md5(x), 1, 12))::BIGINT % $p) AS wh
-       |  FROM documents),
+       |  FROM $src),
        |sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(wh) = 0 THEN []
@@ -584,6 +591,76 @@ object TextQueries extends QueryModule {
        |FROM documents LEFT JOIN drops d ON documents.doc_id = d.id
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // -- quality-aware canonical selection -----------------------------------
+
+  /** Keep-BEST canonical selection — the end of the near-dup pipeline
+    * a training corpus actually ships: in each transitive near-dup
+    * cluster keep the highest-QUALITY member (most words, doc_id
+    * tie-break), not the smallest id — a re-crawl that truncated the
+    * original must lose to it. Pairs come from the certified minhash
+    * LSH pipeline, clusters from the large-star/small-star scale path
+    * (O(log) rounds), and the per-cluster argmax is one `max_by`
+    * aggregation — no per-cluster sort. Decorated clones (every 10th
+    * doc re-crawled with its first two words dropped — STRICTLY
+    * shorter, so the original must win) populate clusters at every
+    * SF; the oracle replays decoration, signatures, banding,
+    * candidates, reachability, and the argmax.
+    */
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val clones = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+\\S+\\s+", "").as("text"))
+    val corpus = base.unionByName(clones)
+    val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text",
+        shingleK = 3, threshold = 0.2)
+      .select("doc_a", "doc_b")
+    val comp = Dedup.connectedComponentsLSS(pairs)
+    val words = corpus.select(col("doc_id"),
+      TextAnalysis.wordCount(col("text")).as("nw"))
+    comp.join(words, "doc_id")
+      .groupBy("cluster").agg(
+        count(lit(1)).as("n_members"),
+        expr("max_by(doc_id, struct(nw, -doc_id))").as("keep_id"),
+        max(col("nw")).as("best_words"))
+      .select(col("cluster"), col("keep_id"), col("n_members"), col("best_words"))
+      .orderBy("cluster")
+  }
+
+  private val dedupKeepBestSql =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    regexp_replace(text, '^\\S+\\s+\\S+\\s+', '') AS text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |${minhashScoredCtesFor("corpus")},
+       |p AS (
+       |  SELECT doc_a, doc_b FROM scored
+       |  WHERE CAST(agree AS DOUBLE) / 64 >= 0.2),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |cl AS (SELECT id, min(comp) AS cluster FROM reach GROUP BY id),
+       |wrd AS (
+       |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+')) AS nw
+       |  FROM corpus),
+       |rk AS (
+       |  SELECT cl.cluster, cl.id, w.nw,
+       |    row_number() OVER (PARTITION BY cl.cluster
+       |      ORDER BY w.nw DESC, cl.id) AS rn
+       |  FROM cl JOIN wrd w ON w.doc_id = cl.id),
+       |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM rk GROUP BY cluster)
+       |SELECT r.cluster, r.id AS keep_id, s.n_members,
+       |  CAST(r.nw AS BIGINT) AS best_words
+       |FROM rk r JOIN sizes s ON r.cluster = s.cluster
+       |WHERE r.rn = 1 ORDER BY r.cluster""".stripMargin
+
   // -- corpus n-gram top-k -------------------------------------------------
 
   private def ngramTopk(s: SparkSession, dir: String): DataFrame = {
@@ -728,6 +805,7 @@ object TextQueries extends QueryModule {
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QueryDef("dedup_clusters_lss", dedupClustersLss, Some(dedupClustersSql)),
     QueryDef("dedup_keep_list", dedupKeepList, Some(dedupKeepListSql)),
+    QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("docs_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("docs_ngram_topk", ngramTopk, Some(ngramTopkSql)),
     QueryDef("docs_filter_pipeline", filterPipeline, Some(filterPipelineSql)),
