@@ -82,7 +82,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case OptimizeFilesWhere(catalog, ident, where) =>
       MergeTableMaintenanceCommand("optimize_files", catalog, ident.split('.').toSeq,
         optimizeWhere = Some(where.trim))
-    case ShowPartitions(catalog, ident) =>
+    // SHOW PARTITIONS is (unlike the rest of this surface) a statement
+    // Spark itself parses — intercept ONLY when the leading identifier
+    // part names a mergetable catalog, so `SHOW PARTITIONS db.tbl` on
+    // hive/v2 tables keeps Spark's own semantics
+    case ShowPartitions(catalog, ident)
+        if GraftSqlParser.isMergetableCatalog(catalog) =>
       MergeTableShowPartitionsCommand(catalog, ident.split('.').toSeq)
     case RestoreVersion(catalog, ident, v) =>
       MergeTableMaintenanceCommand("restore", catalog, ident.split('.').toSeq,
@@ -227,6 +232,17 @@ object GraftSqlParser {
       case c: MergeTableCatalog => c.pathForIdent(ident)
       case other => throw new UnsupportedOperationException(
         s"$op targets a mergetable catalog; '$catalogName' is ${other.getClass.getName}")
+    }
+
+  /** True iff `name` resolves to a [[MergeTableCatalog]] in the
+    * active session — the guard that keeps statements Spark ALSO
+    * parses (SHOW PARTITIONS) delegating for every other catalog. No
+    * active session (or an unresolvable name) delegates too.
+    */
+  private[sources] def isMergetableCatalog(name: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists { sp =>
+      try GraftSqlBridge.catalogPlugin(sp, name).isInstanceOf[MergeTableCatalog]
+      catch { case _: Throwable => false }
     }
 
   /** `col = 'val' [AND col2 = 3 …]` — the only predicate shape

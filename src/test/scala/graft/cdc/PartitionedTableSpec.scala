@@ -294,6 +294,15 @@ class PartitionedTableSpec extends SparkSpec {
         spark.sql("OPTIMIZE graft.pvsql.t WHERE grp > 'a'")
       }
       assert(shape.getMessage.contains("conjunctions of partition equalities"))
+
+      // SHOW PARTITIONS is a statement Spark ALSO parses — for a
+      // non-graft catalog it must delegate (Spark's table-not-found),
+      // never hit the mergetable command
+      val delegated = intercept[Exception] {
+        spark.sql("SHOW PARTITIONS spark_catalog.nodb.missing")
+      }
+      assert(!delegated.getMessage.contains("mergetable catalog"),
+        delegated.getMessage)
     } finally spark.conf.unset("graft.mergetable.targetFileBytes")
   }
 
