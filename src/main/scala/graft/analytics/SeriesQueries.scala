@@ -51,6 +51,67 @@ object SeriesQueries extends QueryModule {
       |    (acc, x) -> acc * CAST(0.75 AS DOUBLE) + x * CAST(0.25 AS DOUBLE)), 6) AS ewma
       |FROM s ORDER BY user_id""".stripMargin
 
+  // -- Holt linear-trend smoothing (two-state recurrence) ------------------
+
+  /** Holt double exponential smoothing per user — the level+trend
+    * RECURRENCE between EWMA (no trend) and seasonal-naive
+    * (no smoothing): `l ← ½x + ½(l+b); b ← ½(l'−l) + ½b`, one-step
+    * forecast `l+b`. A TWO-component state has no order-independent
+    * aggregate form either; exactness comes from the identical
+    * two-component left fold over the identical (ts, event_id)-ordered
+    * sequence with dyadic constants — Spark's `aggregate` HOF with a
+    * named-struct accumulator ≡ DuckDB's `list_reduce` over [l, b]
+    * LIST state, bit-identical intermediates (`l'` is inlined twice
+    * with the same expression tree on both engines; the oracle uses
+    * list state because DuckDB 1.0's struct-building lambda folds
+    * drift from the recurrence after the first step). Same 100 TB
+    * shape as EWMA: one user_id shuffle, per-user state = the user's
+    * own events; the streaming twin keeps (l, b) in
+    * mapGroupsWithState.
+    */
+  private def holtLinear(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("double").as("v"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("sort_array(collect_list(struct(ts, event_id, v)))").as("seq"))
+      .select(col("user_id"), col("n_events"),
+        expr(
+          "aggregate(transform(seq, r -> r.v), " +
+            "named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE)), " +
+            "(acc, x) -> named_struct(" +
+            "'l', x * CAST(0.5 AS DOUBLE) + (acc.l + acc.b) * CAST(0.5 AS DOUBLE), " +
+            "'b', (x * CAST(0.5 AS DOUBLE) + (acc.l + acc.b) * CAST(0.5 AS DOUBLE)" +
+            " - acc.l) * CAST(0.5 AS DOUBLE) + acc.b * CAST(0.5 AS DOUBLE)))")
+          .as("st"))
+      .select(col("user_id"), col("n_events"),
+        round(col("st.l"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        round(col("st.l") + col("st.b"), 6).as("forecast_1"))
+      .orderBy("user_id")
+
+  private val holtLinearSql =
+    """WITH s AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id),
+      |f AS (
+      |  SELECT user_id, n_events,
+      |    list_reduce(
+      |      list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+      |        list_transform(seq, x -> [x, CAST(0.0 AS DOUBLE)])),
+      |      (acc, e) -> [
+      |        e[1] * CAST(0.5 AS DOUBLE) + (acc[1] + acc[2]) * CAST(0.5 AS DOUBLE),
+      |        (e[1] * CAST(0.5 AS DOUBLE) + (acc[1] + acc[2]) * CAST(0.5 AS DOUBLE)
+      |         - acc[1]) * CAST(0.5 AS DOUBLE) + acc[2] * CAST(0.5 AS DOUBLE)
+      |      ]) AS st
+      |  FROM s)
+      |SELECT user_id, n_events,
+      |  round(st[1], 6) AS level, round(st[2], 6) AS trend,
+      |  round(st[1] + st[2], 6) AS forecast_1
+      |FROM f ORDER BY user_id""".stripMargin
+
   // -- change-point detection (integer CUSUM argmax) -----------------------
 
   /** Change-point scan over the daily event-count series: the CUSUM
@@ -284,5 +345,6 @@ object SeriesQueries extends QueryModule {
     QueryDef("orders_hampel_daily", hampel, Some(hampelSql)),
     QueryDef("events_pattern_match", patternMatch, Some(patternMatchSql)),
     QueryDef("events_trimmed_mean", trimmedMean, Some(trimmedMeanSql)),
+    QueryDef("events_holt_linear", holtLinear, Some(holtLinearSql)),
   )
 }

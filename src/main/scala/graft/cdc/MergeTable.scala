@@ -1209,6 +1209,16 @@ final class MergeTable(
         // re-run a side-effectful mutation
         case e: CommitConflictException =>
           if (attempt >= maxAttempts) throw e
+          // exponential backoff + jitter (the Iceberg commit-retry
+          // shape): an immediate-retry loop turns a contended table
+          // into a CAS convoy — writers re-reading and re-committing
+          // in lockstep can starve each other through non-rebaseable
+          // conflicts (append racing a compaction) however many
+          // attempts they get; jittered sleep de-synchronizes them.
+          // 40 ms doubling to a 1 s cap, ±50% jitter.
+          val base = math.min(1000L, 20L << math.min(attempt, 6))
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(base / 2, base + 1))
           attempt += 1
       }
     }
@@ -2060,7 +2070,20 @@ final class MergeTable(
     // adds a broadcast-side mask to every read, and (in DV mode) a
     // sibling base file — compaction folds both chains
     if (entries().count(e => e._1 == "delta" || e._1 == "dv") >= maxDeltas)
-      compact()
+      try compact()
+      catch {
+        // OPPORTUNISTIC housekeeping: the mutation that triggered this
+        // has ALREADY committed, so a compaction losing its CAS to a
+        // concurrent writer must not surface — a caller's retry loop
+        // would re-run the whole (successful) mutation, committing a
+        // duplicate delta per conflict: under 3-way contention the
+        // fuzz produced 157 delta commits from a 12-op schedule, a
+        // write amplifier that at fleet scale turns compaction races
+        // into unbounded version churn. The delta count still exceeds
+        // the bound, so whichever writer commits next re-triggers the
+        // fold; explicit compact() calls keep surfacing conflicts.
+        case _: CommitConflictException => ()
+      }
 
   /** Apply a full normalized change batch (opclass I/U/D) with the
     * reference's outcome — inserts land, upserts replace matched keys

@@ -77,6 +77,11 @@ class ConcurrentFuzzSpec extends SparkSpec {
     }
     threads.foreach(_.start())
     threads.foreach(_.join(300000))
+    // a silently-expired join would let a straggler writer keep
+    // committing while the invariants read the table — the snapshot
+    // and the feed would then see DIFFERENT versions and the mismatch
+    // would masquerade as an engine bug (it did, once)
+    assert(threads.forall(!_.isAlive), s"$name: writer still running after join timeout")
     assert(errors.isEmpty, s"writer failed: ${Option(errors.peek()).map(_.toString)}")
 
     val t = MergeTable.open(spark, root)
