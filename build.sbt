@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the container's default locale is POSIX, which makes the JVM's
+// sun.jnu.encoding ASCII and breaks non-ASCII FILE NAMES (e.g.
+// partition dirs for unicode partition values) — real Spark images
+// ship C.UTF-8, so match that for the forked JVMs
+Test / envVars ++= Map("LANG" -> "C.UTF-8", "LC_ALL" -> "C.UTF-8")
+run / envVars ++= Map("LANG" -> "C.UTF-8", "LC_ALL" -> "C.UTF-8")
+scalacOptions ++= Seq("-encoding", "UTF-8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

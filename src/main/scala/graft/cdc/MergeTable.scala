@@ -1215,7 +1215,8 @@ final class MergeTable(
           // in lockstep can starve each other through non-rebaseable
           // conflicts (append racing a compaction) however many
           // attempts they get; jittered sleep de-synchronizes them.
-          // 40 ms doubling to a 1 s cap, ±50% jitter.
+          // 40 ms doubling to a 1 s cap, sleeping uniformly in
+          // [base/2, base].
           val base = math.min(1000L, 20L << math.min(attempt, 6))
           Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
             .nextLong(base / 2, base + 1))

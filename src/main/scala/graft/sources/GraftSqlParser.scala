@@ -250,13 +250,30 @@ object GraftSqlParser {
     * errors loudly rather than silently optimizing the wrong set).
     */
   private[sources] def parsePartitionEqualities(w: String): Seq[(String, String)] = {
+    // consume equalities left-to-right instead of splitting the raw
+    // text on AND: a quoted value may itself contain " AND " (e.g.
+    // region = 'a AND b'), which a split would shred mid-literal
     val Eq = """\s*([a-zA-Z0-9_]+)\s*=\s*(?:'([^']*)'|([a-zA-Z0-9_.\-]+))\s*""".r
-    w.split("(?i)\\s+AND\\s+").toSeq.map {
-      case Eq(c, quoted, bare) => c -> Option(quoted).getOrElse(bare)
-      case other => throw new IllegalArgumentException(
-        "OPTIMIZE ... WHERE supports only conjunctions of partition " +
-          s"equalities (col = 'value'), got: '${other.trim}'")
+    val AndSep = """(?i)AND\b""".r
+    def bad(at: String): Nothing = throw new IllegalArgumentException(
+      "OPTIMIZE ... WHERE supports only conjunctions of partition " +
+        s"equalities (col = 'value'), got: '${at.trim}'")
+    val acc = Seq.newBuilder[(String, String)]
+    var rest = w
+    var done = false
+    while (!done) {
+      val m = Eq.findPrefixMatchOf(rest).getOrElse(bad(rest))
+      acc += (m.group(1) -> Option(m.group(2)).getOrElse(m.group(3)))
+      rest = rest.substring(m.end)
+      if (rest.trim.isEmpty) done = true
+      else {
+        // anything after an equality must be AND + another equality
+        // (a dangling AND falls through to the Eq failure above)
+        val sep = AndSep.findPrefixMatchOf(rest).getOrElse(bad(rest))
+        rest = rest.substring(sep.end)
+      }
     }
+    acc.result()
   }
 }
 

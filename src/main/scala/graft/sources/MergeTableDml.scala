@@ -180,7 +180,31 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => true // mixed resolution state: defer to the analyzer
       }
     }
-    val condCols = keyEqualities(m.mergeCondition, crossSides)
+    // Strip analyzer widening casts on the SOURCE side only. A
+    // widening cast wrapping the TARGET key means the source key is
+    // the WIDER type: the upsert would have to narrow it back through
+    // a plain non-ANSI Cast, silently wrapping out-of-range keys —
+    // reject that shape with the real reason instead
+    def stripKeyCast(e: Expression): Expression = {
+      e match {
+        case c: Cast if c.childrenResolved &&
+            Cast.canUpCast(c.child.dataType, c.dataType) =>
+          c.child match {
+            case a: Attribute if m.targetTable.outputSet.contains(a) =>
+              fail(s"merge key ${a.name} is ${a.dataType.simpleString} in the " +
+                s"target but the source side is the wider " +
+                s"${c.dataType.simpleString}; narrowing it could wrap " +
+                "out-of-range keys — cast the source key explicitly")
+            case _ => ()
+          }
+        case _ => ()
+      }
+      stripUpCast(e, {
+        case a: Attribute => !m.targetTable.outputSet.contains(a)
+        case _ => true
+      })
+    }
+    val condCols = keyEqualities(m.mergeCondition, crossSides, stripKeyCast)
       .getOrElse(fail(s"merge condition must be a conjunction of primary-key " +
         s"equalities joining target and source on (${rel.keys.mkString(", ")}), " +
         s"got: ${m.mergeCondition.sql}"))
@@ -394,11 +418,13 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
     * Works on both unresolved (first analyzer pass) and resolved attrs.
     */
   private def keyEqualities(e: Expression,
-      sides: (Expression, Expression) => Boolean): Option[Seq[String]] = e match {
+      sides: (Expression, Expression) => Boolean,
+      strip: Expression => Expression): Option[Seq[String]] = e match {
     case And(l, r) =>
-      for (a <- keyEqualities(l, sides); b <- keyEqualities(r, sides)) yield a ++ b
+      for (a <- keyEqualities(l, sides, strip); b <- keyEqualities(r, sides, strip))
+        yield a ++ b
     case EqualTo(l0, r0) =>
-      val (l, r) = (stripUpCast(l0), stripUpCast(r0))
+      val (l, r) = (strip(l0), strip(r0))
       (attrName(l), attrName(r)) match {
         case (Some(a), Some(b)) if a.equalsIgnoreCase(b) && sides(l, r) => Some(Seq(a))
         case _ => None
@@ -412,12 +438,19 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
     * the upsert pipeline re-applies the identical cast when it
     * projects the source onto the target schema. Lossy casts are NOT
     * stripped — `CAST(s.name AS INT)` is a computed key, not a key.
+    * ONLY SOURCE-SIDE casts qualify (`mayStrip` checks the side): the
+    * analyzer widens the NARROWER side, so a cast wrapping the target
+    * key means the source key is the wider type, and projecting it
+    * onto the target would narrow through a plain non-ANSI Cast —
+    * silently wrapping out-of-range keys. That shape must fail.
     */
-  private def stripUpCast(e: Expression): Expression = e match {
-    case c: Cast if c.childrenResolved && Cast.canUpCast(c.child.dataType, c.dataType) =>
-      stripUpCast(c.child)
-    case _ => e
-  }
+  private def stripUpCast(e: Expression, mayStrip: Expression => Boolean): Expression =
+    e match {
+      case c: Cast if c.childrenResolved &&
+          Cast.canUpCast(c.child.dataType, c.dataType) && mayStrip(c.child) =>
+        stripUpCast(c.child, mayStrip)
+      case _ => e
+    }
 
   private def attrName(e: Expression): Option[String] = e match {
     case a: Attribute => Some(a.name)

@@ -306,7 +306,10 @@ class MergeTableRelation(
         try Some(BigDecimal(s).compare(BigDecimal(n.toString)))
         catch { case _: NumberFormatException => None }
       case b: Boolean => Some(s.toLowerCase.compareTo(b.toString))
-      case other => Some(s.compareTo(String.valueOf(other)))
+      // UTF-8 byte order, matching Spark/parquet string ordering —
+      // UTF-16 compareTo disagrees above the BMP and would prune a
+      // dir a supplementary-plane range predicate actually matches
+      case other => Some(graft.cdc.FileStats.utf8Cmp(s, String.valueOf(other)))
     }
     def eval(f: Filter): Boolean = f match {
       case EqualTo(a, v) if partitionCols.contains(a) =>
@@ -488,7 +491,12 @@ private[sources] object PartitionFilters {
         try Some(BigDecimal(s).compare(BigDecimal(n.toString)))
         catch { case _: NumberFormatException => None }
       case b: Boolean => Some(s.toLowerCase.compareTo(b.toString))
-      case other => Some(s.compareTo(String.valueOf(other)))
+      // UTF-8 byte order (graft.cdc.FileStats.utf8Cmp), matching how
+      // Spark/parquet order strings — UTF-16 compareTo flips range
+      // decisions for supplementary-plane partition values, and this
+      // EXACT path answers metadata-only aggregates, where a flipped
+      // decision is a silently wrong answer, not a slow one
+      case other => Some(graft.cdc.FileStats.utf8Cmp(s, String.valueOf(other)))
     }
     def evalCmp(a: String, v: Any, ok: Int => Boolean): Option[Boolean] =
       if (!partitionCols.contains(a)) None

@@ -226,4 +226,39 @@ class AggregatePushdownSpec extends SparkSpec {
     assert(isMetadataScan(now))
     assert(now.as[Long].head() === 3L)
   }
+
+  test("supplementary-plane partition values range-compare in UTF-8 order") {
+    fresh("aggdb10")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.aggdb10")
+    spark.sql("""CREATE TABLE graft.aggdb10.t (id BIGINT, grp STRING, v DOUBLE)
+                 PARTITIONED BY (grp) TBLPROPERTIES('keys'='id')""")
+    // U+FF01 (fullwidth !) is a single UTF-16 code unit 0xFF01 but
+    // UTF-8 EF BC 81; U+1F600 (emoji) is a surrogate pair starting
+    // 0xD83D but UTF-8 F0 9F 98 80. So UTF-16 code-unit order says
+    // emoji < fullwidth while Spark/parquet's UTF-8 byte order says
+    // fullwidth < emoji — a range predicate decided in UTF-16 order
+    // answers WRONG through the exact metadata path, and wrongly
+    // prunes through the scan path.
+    val fw = "\uff01"
+    val emoji = "\ud83d\ude00"
+    spark.sql("INSERT INTO graft.aggdb10.t VALUES " +
+      s"(1, 'a', 1.0), (2, '$fw', 2.0), (3, '$emoji', 3.0), (4, '$emoji', 4.0)")
+    assert(spark.sql(s"SELECT '$emoji' > '$fw'").head().getBoolean(0),
+      "precondition: Spark itself orders these by UTF-8 bytes")
+
+    val gt = spark.sql(
+      s"SELECT count(*) AS c FROM graft.aggdb10.t WHERE grp > '$fw'")
+    assert(isMetadataScan(gt), gt.queryExecution.executedPlan.toString)
+    assert(gt.as[Long].head() === 2L) // the two emoji rows
+
+    val le = spark.sql(
+      s"SELECT count(*) AS c, max(v) AS mx FROM graft.aggdb10.t WHERE grp <= '$fw'")
+    assert(isMetadataScan(le))
+    assert(le.head() === org.apache.spark.sql.Row(2L, 2.0)) // 'a' + fullwidth
+
+    // the conservative scan-pruning twin must keep the emoji dir too
+    val rows = spark.sql(
+      s"SELECT id FROM graft.aggdb10.t WHERE grp > '$fw' ORDER BY id")
+    assert(rows.as[Long].collect().toSeq === Seq(3L, 4L))
+  }
 }

@@ -281,4 +281,21 @@ class MergeTableCatalogSpec extends SparkSpec {
     assert(row.getString(byName("dropped_columns")) === "junk")
     assert(row.getString(byName("keys")) === "id")
   }
+
+  test("OPTIMIZE WHERE tokenizer: quoted values may contain AND") {
+    import GraftSqlParser.parsePartitionEqualities
+    // a quoted literal containing " AND " is ONE equality, not a
+    // conjunction — a raw split on AND would shred it mid-literal
+    assert(parsePartitionEqualities("grp = 'a AND b'") ===
+      Seq("grp" -> "a AND b"))
+    assert(parsePartitionEqualities("a = '1' AND b = x.y AND c = 'z w'") ===
+      Seq("a" -> "1", "b" -> "x.y", "c" -> "z w"))
+    assert(parsePartitionEqualities("a='x'AND b='y'") ===
+      Seq("a" -> "x", "b" -> "y"))
+    intercept[IllegalArgumentException](parsePartitionEqualities("a > '1'"))
+    intercept[IllegalArgumentException](
+      parsePartitionEqualities("a = '1' OR b = '2'"))
+    intercept[IllegalArgumentException](parsePartitionEqualities("a = '1' AND"))
+    intercept[IllegalArgumentException](parsePartitionEqualities("   "))
+  }
 }

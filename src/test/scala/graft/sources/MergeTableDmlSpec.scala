@@ -32,6 +32,43 @@ class MergeTableDmlSpec extends SparkSpec {
     assert(out === Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L), (4L, "d", 40L)))
   }
 
+  test("MERGE with a source key WIDER than the target key fails loudly") {
+    val root = "target/test_tables/dml_narrow_key"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1, "a")).toDF("id", "name"))) // id: INT
+    view(root, "dml_target")
+    // 2^31 is out of int range: narrowing it through a plain Cast
+    // would silently wrap to Int.MinValue and upsert a key the
+    // statement never named — the engine must reject, not wrap
+    Seq((2147483648L, "x")).toDF("id", "name")
+      .createOrReplaceTempView("dml_source")
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("wider"), e.getMessage)
+    assert(t.read().count() === 1, "the rejected MERGE must not write")
+  }
+
+  test("MERGE with a source key NARROWER than the target key still upserts") {
+    val root = "target/test_tables/dml_widen_key"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "name"))) // id: BIGINT
+    view(root, "dml_target")
+    // analyzer widens the SOURCE side (t.id = CAST(s.id AS BIGINT)) —
+    // injective, so the fast keyed-upsert path still applies
+    Seq((1, "A"), (2, "b")).toDF("id", "name")
+      .createOrReplaceTempView("dml_source")
+    spark.sql(
+      """MERGE INTO dml_target t USING dml_source s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "A"), (2L, "b")))
+  }
+
   test("SQL MERGE INTO: WHEN MATCHED THEN DELETE removes matched keys") {
     val (root, t) = freshTable("merge_delete")
     view(root, "dml_target")
