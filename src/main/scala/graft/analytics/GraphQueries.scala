@@ -160,28 +160,39 @@ object GraphQueries extends QueryModule {
       |  CAST(score_micro AS BIGINT) AS score_micro
       |FROM r WHERE rank <= 3 ORDER BY item, rank""".stripMargin
 
-  /** Per-node triangle counts over the part co-purchase graph (parts
-    * connected when some order holds both) — the clustering-structure
-    * primitive behind community detection and spam/bot graph
-    * analysis. Canonical compact-forward enumeration: edges keep one
-    * ORIENTED copy (a < b), wedges join edge(a,b) with edge(b,c) so
-    * every triangle a<b<c materializes exactly once, and the closing
-    * edge(a,c) lookup is a third join on the same oriented list.
-    *
-    * 100 TB shape: edge derivation is per-order (fan-out bounded by
-    * basket size squared — linear in lineitem); the wedge join is the
-    * only super-linear stage and the id-orientation halves every
-    * adjacency list (production tilts further by ordering on DEGREE
-    * so hub wedges land on the low-degree side; same plan). All keys
-    * are (long, long); counts are exact integers.
+  /** One oriented copy per undirected edge, tilted by DEGREE: u→v iff
+    * (deg(u), u) < (deg(v), v). This is the standard scale-safe
+    * orientation for triangle enumeration (Chiba–Nishizeki /
+    * Suri–Vassilvitskii): every node's FORWARD adjacency is bounded
+    * by O(√m) — a node with forward-degree d has d neighbors of
+    * degree ≥ d, which costs ≥ d²/2 edge endpoints — so the wedge
+    * join's per-key fan-out is capped however hub-heavy the graph is.
+    * Orienting by raw id instead leaves a low-id hub its FULL
+    * adjacency and the wedge join explodes quadratically in one
+    * reducer. Input: one row per undirected edge, columns (u, v);
+    * output columns (a, b) with (deg(a), a) < (deg(b), b).
     */
-  private def triangles(s: SparkSession, dir: String): DataFrame = {
-    val bp = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = graft.Caches.register(
-      bp.as("x").join(bp.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct())
+  private[analytics] def orientByDegree(half: DataFrame): DataFrame = {
+    val deg = half.select(col("u").as("n"))
+      .unionAll(half.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val tilt = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    half.join(du, "u").join(dv, "v")
+      .select(when(tilt, col("u")).otherwise(col("v")).as("a"),
+        when(tilt, col("v")).otherwise(col("u")).as("b"))
+  }
+
+  /** Per-node triangle counts from a degree-oriented edge list:
+    * wedges join edge(a,b) with edge(b,c), the closing edge(a,c)
+    * lookup is a third join on the same oriented list, and each
+    * triangle materializes exactly once (its corners sorted by
+    * (degree, id)). Unordered output — caller orders/limits.
+    */
+  private[analytics] def triangleCorners(oriented: DataFrame): DataFrame = {
+    val edges = graft.Caches.register(oriented)
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.b") === col("e2.a"))
       .join(edges.as("e3"),
@@ -189,6 +200,30 @@ object GraphQueries extends QueryModule {
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Per-node triangle counts over the part co-purchase graph (parts
+    * connected when some order holds both) — the clustering-structure
+    * primitive behind community detection and spam/bot graph
+    * analysis. Compact-forward enumeration over [[orientByDegree]]'s
+    * degree-tilted edge list, so hub wedges land on the low-degree
+    * side and per-key fan-out in the wedge join is O(√m).
+    *
+    * 100 TB shape: edge derivation is per-order (fan-out bounded by
+    * basket size squared — linear in lineitem); the wedge join is the
+    * only super-linear stage and the degree tilt bounds it. All keys
+    * are (long, long); counts are exact integers. The oracle counts
+    * the same triangles under the simpler a<b id orientation — the
+    * per-node counts are orientation-invariant, so the two
+    * enumeration strategies agreeing is itself part of the check.
+    */
+  private def triangles(s: SparkSession, dir: String): DataFrame = {
+    val bp = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val half = bp.as("x").join(bp.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("u"), col("y.pk").as("v")).distinct()
+    triangleCorners(orientByDegree(half))
       .orderBy(col("n_triangles").desc, col("part")).limit(20)
   }
 
