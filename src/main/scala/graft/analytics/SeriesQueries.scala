@@ -11,6 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object SeriesQueries extends QueryModule {
 
+  /** Hard per-user history cap for the ordered-recurrence family.
+    * These folds necessarily hold one user's own events as aggregate
+    * state; a pathological hot key (a bot with 10⁸ events) must
+    * refuse LOUDLY ([[graft.functions.BoundedCollectList]] throws in
+    * the map-side partial, before the memory is spent) rather than
+    * OOM a task. 2²⁰ events × ~24 B/row ≈ 25 MB worst-case buffer —
+    * far above any real user, far below task memory.
+    */
+  private[analytics] val MaxEventsPerUser: Int = 1 << 20
+
+  /** `sort_array(graft_bounded_collect(...))` over the per-user
+    * (ts, event_id)-ordered sequence — the capped twin of
+    * `sort_array(collect_list(...))`, identical under the cap.
+    */
+  private def boundedSeq(s: SparkSession, inner: String): org.apache.spark.sql.Column = {
+    graft.functions.GraftFunctions.register(s)
+    expr(s"sort_array(graft_bounded_collect($inner, $MaxEventsPerUser))")
+  }
+
   // -- per-user EWMA (ordered-fold recurrence) -----------------------------
 
   /** Exponentially-weighted moving average of each user's event
@@ -33,7 +52,7 @@ object SeriesQueries extends QueryModule {
         col("value").cast("double").as("v"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
-        expr("sort_array(collect_list(struct(ts, event_id, v)))").as("seq"))
+        boundedSeq(s, "struct(ts, event_id, v)").as("seq"))
       .select(col("user_id"), col("n_events"),
         round(expr(
           "aggregate(transform(seq, r -> r.v), CAST(0.0 AS DOUBLE)," +
@@ -75,7 +94,7 @@ object SeriesQueries extends QueryModule {
         col("value").cast("double").as("v"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
-        expr("sort_array(collect_list(struct(ts, event_id, v)))").as("seq"))
+        boundedSeq(s, "struct(ts, event_id, v)").as("seq"))
       .select(col("user_id"), col("n_events"),
         expr(
           "aggregate(transform(seq, r -> r.v), " +
@@ -217,7 +236,7 @@ object SeriesQueries extends QueryModule {
       .select(col("user_id"), col("value").cast("double").as("v"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
-        sort_array(collect_list(col("v"))).as("vs"))
+        boundedSeq(s, "v").as("vs"))
       .withColumn("k", expr("n_events div 10"))
       .withColumn("kept",
         expr("slice(vs, CAST(k + 1 AS INT), CAST(n_events - 2 * k AS INT))"))
@@ -262,8 +281,9 @@ object SeriesQueries extends QueryModule {
       .select(col("user_id"), col("ts"), col("event_id"),
         substring(col("event_type"), 1, 1).as("ch"))
       .groupBy("user_id")
-      .agg(expr("concat_ws('', transform(sort_array(collect_list(" +
-        "struct(ts, event_id, ch))), r -> r.ch))").as("seq"))
+      .agg(concat_ws("", expr("transform(" +
+        s"sort_array(graft_bounded_collect(struct(ts, event_id, ch), $MaxEventsPerUser)), " +
+        "r -> r.ch)")).as("seq"))
       .agg(
         count(lit(1)).as("n_users"),
         sum(col("seq").rlike("v.*c.*p").cast("long")).as("browse_to_buy"),

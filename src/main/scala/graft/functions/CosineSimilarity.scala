@@ -151,7 +151,12 @@ object GraftFunctions {
     ("graft_window_hashes", classOf[WindowHashes], windowHashesBuilder(_)),
     ("graft_winnow", classOf[WinnowSelect], winnowBuilder(_)),
     ("graft_phash", classOf[PerceptualHash],
-      arity1("graft_phash", PerceptualHash(_))))
+      arity1("graft_phash", PerceptualHash(_))),
+    ("graft_bounded_collect", classOf[BoundedCollectList], cs => {
+      require(cs.length == 2, "graft_bounded_collect expects (expr, cap)")
+      require(cs(1).foldable, "graft_bounded_collect cap must be a literal")
+      BoundedCollectList(cs.head, cs(1).eval().asInstanceOf[Number].intValue())
+    }))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -7,6 +7,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Open-session accumulator for [[StreamOps.sessionizeStream]]. */
 case class OpenSession(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
 
+/** O(1)-per-user accumulator for [[StreamOps.recurrenceStream]]:
+  * event count, EWMA value, Holt (level, trend), the bounded symbol
+  * tail, and the latest folded event time (for the idle timeout).
+  */
+case class RecurrenceState(n: Long, ewma: Double, l: Double, b: Double,
+                           tail: String, lastMs: Long)
+
+/** One recurrence update (or final flush when `closed`): the same
+  * columns the batch gates report — EWMA (events_ewma), Holt
+  * level/trend/one-step forecast (events_holt_linear) — plus the
+  * symbol tail the pattern matcher (events_pattern_match) scans.
+  */
+case class RecurrenceRow(userId: Long, nEvents: Long, ewma: Double,
+                         level: Double, trend: Double, forecast1: Double,
+                         tail: String, closed: Boolean)
+
 /** A closed session emitted downstream. */
 case class ClosedSession(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
 
@@ -71,6 +87,80 @@ object StreamOps {
     * small record per active user — bounded by the watermark, not by
     * history. Input needs columns (user_id LONG, ts TIMESTAMP).
     */
+  /** Streaming twin of the batch ordered-recurrence family
+    * (events_ewma / events_holt_linear / events_pattern_match's
+    * symbol sequence): per user, `mapGroupsWithState` keeps ONE
+    * O(1) record — EWMA value, Holt (level, trend), the last
+    * `tailMax` symbol chars — instead of the batch side's collected
+    * history, and folds each micro-batch's rows in (ts, event_id)
+    * order with the IDENTICAL dyadic constants (¾/¼ EWMA, ½ Holt),
+    * so for in-order arrival the emitted values are bit-identical to
+    * the batch fold before the shared 6 dp round. Emits an updated
+    * row per active user per batch (Update mode); when a user sits
+    * idle past `idleMinutes` of EVENT time the event-time timeout
+    * emits a final `closed=true` row and drops the state — state is
+    * bounded by the active-user set, not by history. Input needs
+    * (user_id LONG, ts TIMESTAMP, event_id LONG, value DOUBLE,
+    * event_type STRING). Like every streaming recurrence, cross-batch
+    * ordering is arrival order: an event arriving after a
+    * later-timestamped one folds late (the watermark bounds how far
+    * such stragglers can lag before their user's state closes).
+    */
+  def recurrenceStream(events: DataFrame, tailMax: Int = 64,
+                       watermarkDelay: String = "30 minutes",
+                       idleMinutes: Int = 60): Dataset[RecurrenceRow] = {
+    val idleMs = idleMinutes * 60000L
+    implicit val outEnc = Encoders.product[RecurrenceRow]
+    implicit val stateEnc = Encoders.product[RecurrenceState]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+      Encoders.scalaLong, Encoders.scalaDouble, Encoders.STRING)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def report(userId: Long, st: RecurrenceState, closed: Boolean): RecurrenceRow =
+      RecurrenceRow(userId, st.n, round6(st.ewma), round6(st.l), round6(st.b),
+        round6(st.l + st.b), st.tail, closed)
+
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_id").cast("long"), col("value").cast("double"),
+        substring(col("event_type"), 1, 1))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Long, Double, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout())(
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double, String)],
+         state: GroupState[RecurrenceState]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            report(userId, st, closed = true)
+          } else {
+            var st = state.getOption
+              .getOrElse(RecurrenceState(0L, 0.0, 0.0, 0.0, "", Long.MinValue))
+            // batch-internal sort restores (ts, event_id) order — the
+            // same deterministic ordering the batch collect uses
+            rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { r =>
+              val x = r._4
+              val l2 = x * 0.5 + (st.l + st.b) * 0.5
+              st = RecurrenceState(
+                st.n + 1,
+                st.ewma * 0.75 + x * 0.25,
+                l2,
+                (l2 - st.l) * 0.5 + st.b * 0.5,
+                (st.tail + r._5).takeRight(tailMax),
+                math.max(st.lastMs, r._2.getTime))
+            }
+            state.update(st)
+            // clamp like sessionizeStream: the idle horizon of an
+            // allowed-late batch can already be behind the watermark
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(st.lastMs + idleMs, wm + 1))
+            report(userId, st, closed = false)
+          }
+        })
+  }
+
   def sessionizeStream(events: DataFrame, gapMinutes: Int,
                        watermarkDelay: String = "30 minutes"): Dataset[ClosedSession] = {
     val gapMs = gapMinutes * 60000L
