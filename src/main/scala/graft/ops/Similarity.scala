@@ -247,8 +247,20 @@ object Similarity {
     * `nProbe` nearest cells.
     */
   def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
-              k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = kmeansCentroids(spark, corpus, "embedding", nCells)
+              k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopKWith(spark, queries, corpus, k,
+      kmeansCentroids(spark, corpus, "embedding", nCells), nProbe)
+
+  /** IVF serving against a PRE-TRAINED centroid codebook — the
+    * train-once/serve-everywhere split a fleet actually runs: the
+    * codebook is an artifact ([[ModelArtifacts.saveIvfCentroids]] /
+    * `loadIvfCentroids`), trained on one (sampled) corpus pass and
+    * reloaded by every scoring job. Because centroids persist as
+    * exact parquet floats, a reloaded codebook serves bit-identically
+    * to the in-memory one (`ModelArtifactSpec`).
+    */
+  def ivfTopKWith(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                  k: Int, cents: Seq[(Int, Seq[Float])], nProbe: Int = 4): DataFrame = {
 
     def cellScores(v: Column): Column = array(cents.map { case (i, c) =>
       struct(round(cosine(spark, v, typedLit(c)), 6).as("s"), lit(i).as("cell"))
@@ -329,10 +341,19 @@ object Similarity {
     */
   def ivfPqTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
                 k: Int, nCells: Int = 16, nProbe: Int = 4,
-                numSub: Int = 8, numCodes: Int = 16, rerank: Int = 64): DataFrame = {
-    import graft.functions.{PqAdc, PqEncode, PqLut}
+                numSub: Int = 8, numCodes: Int = 16, rerank: Int = 64): DataFrame =
+    ivfPqTopKWith(spark, queries, corpus, k,
+      kmeansCentroids(spark, corpus, "embedding", nCells),
+      trainPqCodebook(spark, corpus, numSub, numCodes), nProbe, rerank)
+
+  /** The PQ codebook trainer, split from serving so the codebook can
+    * persist as an artifact ([[ModelArtifacts.savePqCodebook]]) —
+    * numSub × numCodes × (dim/numSub) sub-centroids.
+    */
+  def trainPqCodebook(spark: SparkSession, corpus: DataFrame,
+                      numSub: Int = 8, numCodes: Int = 16): Seq[Seq[Seq[Double]]] = {
+    import graft.functions.PqEncode
     import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-    val cents = kmeansCentroids(spark, corpus, "embedding", nCells)
     // deterministic PQ codebook seeds: a UNIFORM hash-picked sample
     // (smallest md5 of vec_id), not the first ids — contiguous ids are
     // usually correlated (one source, one cluster) and a codebook
@@ -384,6 +405,20 @@ object Similarity {
         }
       }
     }
+    codebook
+  }
+
+  /** IVF-PQ serving against PRE-TRAINED centroid and PQ codebooks —
+    * both persistable via [[ModelArtifacts]]; a reloaded pair serves
+    * bit-identically (`ModelArtifactSpec`).
+    */
+  def ivfPqTopKWith(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                    k: Int, cents: Seq[(Int, Seq[Float])],
+                    codebook: Seq[Seq[Seq[Double]]],
+                    nProbe: Int = 4, rerank: Int = 64): DataFrame = {
+    import graft.functions.{PqAdc, PqEncode, PqLut}
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val kActual = codebook.head.length
 
     def cellScores(v: Column): Column = array(cents.map { case (i, c) =>
       struct(round(cosine(spark, v, typedLit(c)), 6).as("s"), lit(i).as("cell"))

@@ -337,9 +337,20 @@ object SimilarityQueries extends QueryModule {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
-  private def annIvf(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5)
+  /** The gate serves from a RELOADED index on purpose: train the
+    * centroid codebook, persist it via [[ModelArtifacts]], reload,
+    * and serve with [[Similarity.ivfTopKWith]] — so the oracle
+    * certifies the full train → publish-artifact → serve loop a
+    * fleet deployment runs, not just the in-memory path.
+    */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.kmeansCentroids(s, corpus(s, dir), "embedding", 16)
+    val path = "target/model_artifacts/ann_ivf_centroids"
+    ModelArtifacts.saveIvfCentroids(s, cents, path)
+    Similarity.ivfTopKWith(s, queries(s, dir, 10), corpus(s, dir), k = 5,
+      ModelArtifacts.loadIvfCentroids(s, path))
       .orderBy("query_id", "rank")
+  }
 
   /** DuckDB re-trains the ENTIRE IVF index and replays the read path:
     * the 16 seed centroids (lowest vec_ids), two unrolled Lloyd's

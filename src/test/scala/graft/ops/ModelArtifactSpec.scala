@@ -71,4 +71,49 @@ class ModelArtifactSpec extends SparkSpec {
     ModelArtifacts.saveComponent(spark, w, path)
     assert(ModelArtifacts.loadComponent(spark, path).toSeq === w.toSeq)
   }
+
+  private def embeddings = graft.tables.Tables.embeddings(spark, sfDir)
+    .limit(120).select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"))
+
+  test("IVF centroids round-trip exactly and a reloaded index serves identically") {
+    val corpus = embeddings.cache()
+    val queries = corpus.filter("vec_id < 8")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qe"))
+    val cents = Similarity.kmeansCentroids(spark, corpus, "embedding", nCells = 8)
+    val path = fresh("ivf_centroids")
+    ModelArtifacts.saveIvfCentroids(spark, cents, path)
+    val reloaded = ModelArtifacts.loadIvfCentroids(spark, path)
+    assert(reloaded === cents, "centroid floats must persist exactly")
+    val direct = Similarity.ivfTopKWith(spark, queries, corpus, k = 5, cents)
+      .as[(Long, Long, Int, Double)].collect().toSeq.sorted
+    val served = Similarity.ivfTopKWith(spark, queries, corpus, k = 5, reloaded)
+      .as[(Long, Long, Int, Double)].collect().toSeq.sorted
+    assert(served === direct, "a reloaded IVF index must serve bit-identically")
+    corpus.unpersist()
+  }
+
+  test("the IVF-PQ index pair reloads and serves bit-identically") {
+    val corpus = embeddings.cache()
+    val queries = corpus.filter("vec_id < 8")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qe"))
+    val cents = Similarity.kmeansCentroids(spark, corpus, "embedding", nCells = 8)
+    val codebook = Similarity.trainPqCodebook(spark, corpus, numSub = 8, numCodes = 16)
+    val cpath = fresh("ivfpq_cents")
+    val qpath = fresh("ivfpq_codebook")
+    ModelArtifacts.saveIvfCentroids(spark, cents, cpath)
+    ModelArtifacts.savePqCodebook(spark, codebook, qpath)
+    val rCodebook = ModelArtifacts.loadPqCodebook(spark, qpath)
+    assert(rCodebook === codebook, "PQ sub-centroids must persist exactly")
+    val direct = Similarity
+      .ivfPqTopKWith(spark, queries, corpus, k = 5, cents, codebook)
+      .as[(Long, Long, Int, Double)].collect().toSeq.sorted
+    val served = Similarity.ivfPqTopKWith(spark, queries, corpus, k = 5,
+        ModelArtifacts.loadIvfCentroids(spark, cpath), rCodebook)
+      .as[(Long, Long, Int, Double)].collect().toSeq.sorted
+    assert(served === direct, "a reloaded IVF-PQ pair must serve bit-identically")
+    corpus.unpersist()
+  }
 }
