@@ -1952,9 +1952,10 @@ final class MergeTable(
     require(exists, s"cannot optimize uninitialized table $root")
     val es = entries()
     val dataEs = es.filterNot(_._1 == "ing")
-    if (numBuckets.isDefined ||
-        dataEs.exists(e => e._1 == "delta" || e._1 == "dv"))
+    if (dataEs.exists(e => e._1 == "delta" || e._1 == "dv"))
       return currentFileCount()
+    if (numBuckets.isDefined)
+      return optimizeBucketDirs(es, targetBytes, keepLeaf)
     if (partitionCols.nonEmpty)
       return optimizePartitionDirs(es, targetBytes, keepLeaf)
     val files = dataEs.flatMap { case (_, d) =>
@@ -2002,6 +2003,83 @@ final class MergeTable(
     currentFileCount()
   }
 
+  /** Bucket-scoped bin-packing (the bucketed twin of
+    * [[optimizePartitionDirs]]): rewrite ONLY the selected bucket
+    * dirs whose file count exceeds what their bytes need at the
+    * target size — each fragmented bucket coalesces with its own
+    * O(bucket) job, untouched buckets keep their directories
+    * verbatim, and the commit is BUCKET-SCOPED so concurrent
+    * disjoint-bucket writers rebase instead of conflicting (a key's
+    * bucket is a pure hash — scope disjointness implies key
+    * disjointness, same as [[bucketedMerge]]).
+    */
+  private def optimizeBucketDirs(es: Seq[(String, String)], targetBytes: Long,
+      keepLeaf: String => Boolean): Int = {
+    def leafOf(d: String): String = d.split("/", 2)(1)
+    def wantOf(d: String): (Int, Int) = {
+      val fs = FileStats.listParquetFiles(dataDir.resolve(d))
+      val total = fs.map(f => Files.size(f)).sum
+      (fs.size, math.max(1, math.ceil(total.toDouble / targetBytes).toInt))
+    }
+    val dropped = MergeTable.readMeta(root).map(_.droppedColumns).getOrElse(Nil)
+    val toRewrite = es.filter(e => e._1.matches("b\\d+") && keepLeaf(leafOf(e._2)))
+      .filter { case (_, d) => val (n, want) = wantOf(d); n > want }
+    if (toRewrite.nonEmpty) {
+      val updated = toRewrite.flatMap { case (_, d) =>
+        val (_, want) = wantOf(d)
+        val src0 = readDirs(Seq(d))
+        val src = dropped.filter(src0.columns.contains) match {
+          case Nil => src0
+          case ds => src0.drop(ds: _*)
+        }
+        val dir = UUID.randomUUID().toString
+        src.repartition(want).withColumn(BucketCol, bucketExpr)
+          .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+          .parquet(dataDir.resolve(dir).toString)
+        val written = listBuckets(dir)
+        written.foreach(i => recordStats(s"$dir/$BucketCol=$i"))
+        written.toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i")
+      }
+      commitScoped(es, toRewrite.map(_._1).toSet, updated,
+        { case (t, _) => if (t.matches("b\\d+")) Some(t) else None },
+        validateKeys = None)
+    }
+    currentFileCount()
+  }
+
+  /** Metadata-only per-bucket summary (`SHOW PARTITIONS` on a
+    * hash-bucketed table): one row per bucket — spec `bucket=<i>`,
+    * file count, EXACT row count when every file has footer stats
+    * (None otherwise), on-disk bytes. Driver-side O(files) stat walk,
+    * zero data reads; pending MOR deltas surface as one
+    * "(pending deltas)" row like [[partitionSummary]].
+    */
+  def bucketSummary(): Seq[(String, Long, Option[Long], Long)] = {
+    require(numBuckets.isDefined, s"table at $root is not hash-bucketed")
+    val es = entries()
+    val perBucket = es.filter(_._1.matches("b\\d+"))
+      .sortBy(_._1.stripPrefix("b").toLong)
+      .map { case (tag, d) =>
+        val base = dataDir.resolve(d)
+        val files = FileStats.listParquetFiles(base)
+        val rows = FileStats.readFull(rootPath, d).flatMap { full =>
+          val metas = files.map(f => full.get(base.relativize(f).toString))
+          if (metas.exists(_.isEmpty)) None else Some(metas.flatten.map(_.rows).sum)
+        }
+        (s"bucket=${tag.stripPrefix("b")}", files.size.toLong, rows,
+          files.map(f => Files.size(f)).sum)
+      }
+    val deltas = es.filter(_._1 == "delta")
+    val deltaRow =
+      if (deltas.isEmpty) Nil
+      else {
+        val files = deltas.flatMap(e => FileStats.listParquetFiles(dataDir.resolve(e._2)))
+        Seq(("(pending deltas)", files.size.toLong, Option.empty[Long],
+          files.map(f => Files.size(f)).sum))
+      }
+    perBucket ++ deltaRow
+  }
+
   /** Metadata-only per-partition summary (`SHOW PARTITIONS`): one row
     * per partition — spec (`col=val[/col2=val2]`, path-escaped like
     * the dir names), file count, EXACT row count when every file has
@@ -2046,10 +2124,14 @@ final class MergeTable(
       FileStats.listParquetFiles(dataDir.resolve(d)).size
     }.sum
 
-  def cluster(cols: Seq[String], targetFiles: Int = 0): Unit = {
+  def cluster(cols: Seq[String], targetFiles: Int = 0,
+              keepLeaf: String => Boolean = _ => true): Unit = {
     require(exists, s"cannot cluster uninitialized table $root")
     require(numBuckets.isEmpty, "cluster() conflicts with a hash-bucketed layout")
-    require(partitionCols.isEmpty, "cluster() conflicts with a value-partitioned layout")
+    if (partitionCols.nonEmpty) {
+      clusterPartitionDirs(cols, targetFiles, keepLeaf)
+      return
+    }
     val snap = rewriteSource()
     // caller-facing column names are logical; the rewrite source is
     // physical, so map them through the rename table
@@ -2062,6 +2144,46 @@ final class MergeTable(
       .sortWithinPartitions(ZCol)
       .drop(ZCol)
     commit(ledgerEntries(entries()) ++ Seq("base" -> writeData(clustered)))
+  }
+
+  /** Per-partition Z-order (`OPTIMIZE … [WHERE …] ZORDER BY` on a
+    * value-partitioned table — the Delta norm): each selected
+    * partition dir rewrites z-clustered WITHIN itself (each dir its
+    * own O(partition) job, per-dir file count preserved unless
+    * `targetFiles` overrides), untouched partitions keep their
+    * directories verbatim, and ONE atomic commit swaps them — so
+    * clustering pays for the selected partitions, not the table, and
+    * the partition-dir pruning the layout exists for is undisturbed.
+    * Pending MOR deltas are not partition-attributed yet; compact
+    * first, loudly.
+    */
+  private def clusterPartitionDirs(cols: Seq[String], targetFiles: Int,
+      keepLeaf: String => Boolean): Unit = {
+    val es = entries()
+    require(!es.exists(e => e._1 == "delta" || e._1 == "dv"),
+      s"cluster() on $root with pending deltas: compact() first so every " +
+        "row is partition-attributed")
+    def leafOf(d: String): String = d.split("/", 2)(1)
+    val rn = renames
+    val physCols = cols.map(c => rn.getOrElse(c, c))
+    val dropped = MergeTable.readMeta(root).map(_.droppedColumns).getOrElse(Nil)
+    val toRewrite = es.filter(e => e._1 == "pv" && keepLeaf(leafOf(e._2)))
+    if (toRewrite.isEmpty) return
+    val rewritten = toRewrite.flatMap { case (_, d) =>
+      val p = if (targetFiles > 0) targetFiles
+        else math.max(1, FileStats.listParquetFiles(dataDir.resolve(d)).size)
+      val src0 = readDirs(Seq(d))
+      val src = dropped.filter(src0.columns.contains) match {
+        case Nil => src0
+        case ds => src0.drop(ds: _*)
+      }
+      val z = MergeTable.zValue(src, physCols)
+      writePartitioned(src.withColumn(ZCol, z)
+        .repartitionByRange(p, col(ZCol))
+        .sortWithinPartitions(ZCol)
+        .drop(ZCol))
+    }
+    commit(es.filterNot(toRewrite.contains) ++ rewritten)
   }
 
   private val ZCol = "_graft_zvalue"

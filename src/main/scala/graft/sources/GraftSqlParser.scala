@@ -41,6 +41,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*OPTIMIZE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ZORDER\s+BY\s*\(\s*([a-zA-Z0-9_\s,]+?)\s*\)\s*;?\s*""".r
   private val OptimizeFiles =
     """(?is)\s*OPTIMIZE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
+  private val OptimizeWhereZorder =
+    """(?is)\s*OPTIMIZE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+WHERE\s+(.+?)\s+ZORDER\s+BY\s*\(\s*([a-zA-Z0-9_\s,]+?)\s*\)\s*;?\s*""".r
   private val OptimizeFilesWhere =
     """(?is)\s*OPTIMIZE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val ShowPartitions =
@@ -79,6 +81,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     case OptimizeFiles(catalog, ident) =>
       MergeTableMaintenanceCommand("optimize_files", catalog, ident.split('.').toSeq)
+    // WHERE + ZORDER must match BEFORE the plain WHERE form: the
+    // non-greedy where-text would otherwise swallow the ZORDER clause
+    case OptimizeWhereZorder(catalog, ident, where, cols) =>
+      MergeTableMaintenanceCommand("optimize", catalog, ident.split('.').toSeq,
+        cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+        optimizeWhere = Some(where.trim))
     case OptimizeFilesWhere(catalog, ident, where) =>
       MergeTableMaintenanceCommand("optimize_files", catalog, ident.split('.').toSeq,
         optimizeWhere = Some(where.trim))
@@ -162,34 +170,12 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
         t.compact()
         (t.versions().size - before).toLong
       case "optimize" =>
-        t.cluster(zorderCols)
+        t.cluster(zorderCols, keepLeaf = whereKeep(path))
         t.prunableFiles(t.currentEntries()).map(_.size.toLong).getOrElse(0L)
       case "optimize_files" =>
         val target = session.conf.getOption("graft.mergetable.targetFileBytes")
           .map(_.toLong).getOrElse(128L * 1024 * 1024)
-        // WHERE restricts bin-packing to partitions the (partition-
-        // column-only, equality-conjunction) predicate selects —
-        // Delta's OPTIMIZE t WHERE shape; equality is on the RENDERED
-        // partition value, decided exactly per dir
-        val keep: String => Boolean = optimizeWhere match {
-          case None => _ => true
-          case Some(w) =>
-            val meta = MergeTable.readMeta(path).getOrElse(
-              throw new IllegalArgumentException(s"no mergetable at $path"))
-            require(meta.partitionCols.nonEmpty,
-              "OPTIMIZE ... WHERE requires a value-partitioned table")
-            val eqs = GraftSqlParser.parsePartitionEqualities(w).map { case (c, v) =>
-              meta.partitionCols.find(_.equalsIgnoreCase(c)).getOrElse(
-                throw new IllegalArgumentException(
-                  s"OPTIMIZE ... WHERE supports partition columns only; '$c' " +
-                    s"is not one of (${meta.partitionCols.mkString(", ")})")) -> v
-            }
-            leaf => eqs.forall { case (c, v) =>
-              PartitionFilters.exact(leaf, meta.partitionCols,
-                org.apache.spark.sql.sources.EqualTo(c, v)).contains(true)
-            }
-        }
-        t.optimizeFiles(target, keep).toLong
+        t.optimizeFiles(target, whereKeep(path)).toLong
       case "expire" => t.expireSnapshots(expireKeep.get).toLong
       case "restore" =>
         val version = restoreTo.get match {
@@ -203,6 +189,50 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
         t.restore(version)
     }
     Seq(Row(n))
+  }
+
+  /** The leaf-dir predicate an `OPTIMIZE … WHERE` clause compiles to.
+    * On a value-partitioned table: equality conjunction over
+    * partition columns, decided EXACTLY per dir on the rendered value
+    * (Delta's OPTIMIZE t WHERE shape). On a hash-bucketed table: the
+    * scoped equivalent `WHERE bucket = <id>` on the pseudo-column
+    * `bucket` — the operational handle SHOW PARTITIONS reports — so a
+    * single fragmented bucket can be maintained without rewriting its
+    * siblings. Anything else errors loudly rather than silently
+    * optimizing the wrong set.
+    */
+  private def whereKeep(path: String): String => Boolean = optimizeWhere match {
+    case None => _ => true
+    case Some(w) =>
+      val meta = MergeTable.readMeta(path).getOrElse(
+        throw new IllegalArgumentException(s"no mergetable at $path"))
+      val eqs = GraftSqlParser.parsePartitionEqualities(w)
+      if (meta.numBuckets.isDefined) {
+        val ids = eqs.map { case (c, v) =>
+          if (!c.equalsIgnoreCase("bucket"))
+            throw new IllegalArgumentException(
+              s"OPTIMIZE ... WHERE on a bucketed table supports only " +
+                s"bucket = <id>; got column '$c'")
+          if (v.isEmpty || !v.forall(_.isDigit))
+            throw new IllegalArgumentException(
+              s"OPTIMIZE ... WHERE bucket = <id> needs an integer id, got '$v'")
+          v.toLong
+        }.toSet
+        leaf => ids.forall(i => leaf == s"_graft_bucket=$i")
+      } else {
+        require(meta.partitionCols.nonEmpty,
+          "OPTIMIZE ... WHERE requires a value-partitioned or bucketed table")
+        val cols = eqs.map { case (c, v) =>
+          meta.partitionCols.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"OPTIMIZE ... WHERE supports partition columns only; '$c' " +
+                s"is not one of (${meta.partitionCols.mkString(", ")})")) -> v
+        }
+        leaf => cols.forall { case (c, v) =>
+          PartitionFilters.exact(leaf, meta.partitionCols,
+            org.apache.spark.sql.sources.EqualTo(c, v)).contains(true)
+        }
+      }
   }
 }
 
@@ -297,12 +327,19 @@ case class MergeTableShowPartitionsCommand(catalogName: String,
       "SHOW PARTITIONS")
     val meta = MergeTable.readMeta(path).getOrElse(
       throw new IllegalArgumentException(s"no mergetable at $path"))
-    require(meta.partitionCols.nonEmpty,
-      s"SHOW PARTITIONS: table ${ident.mkString(".")} is not value-partitioned")
+    require(meta.partitionCols.nonEmpty || meta.numBuckets.isDefined,
+      s"SHOW PARTITIONS: table ${ident.mkString(".")} is neither " +
+        "value-partitioned nor hash-bucketed")
     val t = MergeTable.open(session, path)
     if (!t.exists) Seq.empty
-    else t.partitionSummary().map { case (spec, nf, rows, bytes) =>
-      Row(spec, nf, rows.map(Long.box).orNull, bytes)
+    else {
+      // a bucketed table's operational units are its buckets — report
+      // them with the same (spec, files, rows, bytes) shape
+      val summary =
+        if (meta.numBuckets.isDefined) t.bucketSummary() else t.partitionSummary()
+      summary.map { case (spec, nf, rows, bytes) =>
+        Row(spec, nf, rows.map(Long.box).orNull, bytes)
+      }
     }
   }
 }

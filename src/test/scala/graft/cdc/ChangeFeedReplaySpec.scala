@@ -145,6 +145,52 @@ class ChangeFeedReplaySpec extends SparkSpec {
     }
   }
 
+  test("partitioned-MOR delta runs fold through the grouped path") {
+    // a partitioned-MOR upsert/delete appends ONE flat delta entry and
+    // leaves every pv dir in place — nothing removed, all-delta adds —
+    // so consecutive commits classify as one additive run and take
+    // changeRun, not O(versions) per-step diffs. This pins the grouped
+    // fold to the per-version oracle on a pv-MOR history that includes
+    // a partition MOVE and a tombstone.
+    def expected4(t: MergeTable, from: Long, to: Long,
+        pre: Boolean = false): Set[(Long, String, Long, String)] = {
+      val vs = t.versions().filter(v => v > from && v <= to)
+      val steps = (from +: vs.init).zip(vs).map { case (lo, hi) =>
+        t.changesBetween(lo, hi, pre).withColumn("_v", lit(hi))
+      }
+      val all = steps.reduce(_.unionByName(_, allowMissingColumns = true))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      all.withColumn("_m", max(col("_v")).over(w))
+        .filter(col("_v") === col("_m")).drop("_v", "_m")
+        .as[(Long, String, Long, String)].collect().toSet
+    }
+    val root = "target/test_tmp/cfr_pvmor"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "red", 10L), (2L, "red", 20L), (3L, "blue", 30L))
+        .toDF("id", "grp", "v")),
+      mode = MergeTable.MergeOnRead, partitionCols = Seq("grp"))
+    t.upsert(Seq((2L, "red", 25L), (4L, "green", 40L)).toDF("id", "grp", "v"))
+    t.upsert(Seq((3L, "red", 35L)).toDF("id", "grp", "v")) // partition move
+    t.delete(Seq(1L).toDF("id"))                           // tombstone delta
+    val top = t.versions().max
+    val got = t.changeFeed(0, top).as[(Long, String, Long, String)].collect().toSet
+    assert(got === expected4(t, 0, top))
+    assert(got === Set((1L, "red", 10L, "D"), (2L, "red", 25L, "U"),
+      (3L, "red", 35L, "U"), (4L, "green", 40L, "I")))
+    // pre-image pairs through the grouped partitioned run
+    assert(t.changeFeed(0, top, updatePreImages = true)
+      .as[(Long, String, Long, String)].collect().toSet ===
+      expected4(t, 0, top, pre = true))
+    // compaction (rewrites dirty pv dirs) splits the run; the mixed
+    // window still agrees with the per-version oracle
+    t.compact()
+    t.upsert(Seq((5L, "blue", 50L)).toDF("id", "grp", "v"))
+    val top2 = t.versions().max
+    assert(t.changeFeed(0, top2).as[(Long, String, Long, String)].collect().toSet ===
+      expected4(t, 0, top2))
+  }
+
   test("deletion-vector histories replay correctly (restricted dv path)") {
     val root = "target/test_tmp/cfr_dv"
     MergeTable.drop(root)

@@ -111,6 +111,40 @@ class ClusterStatsSpec extends SparkSpec {
     assert(df.count() === 5000L)
   }
 
+  test("partitioned: scoped ZORDER rewrites only selected partitions and prunes") {
+    val root = freshRoot("pv_zorder")
+    // v is scrambled so the seed layout has no ordering to exploit
+    val rows = (0L until 4000L).map(i =>
+      (i, if (i % 2 == 0) "g0" else "g1", (i * 2654435761L) % 100000L))
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(rows.toDF("id", "grp", "v").repartition(8)),
+      partitionCols = Seq("grp"))
+    val before = t.read().as[(Long, String, Long)].collect().sorted
+    val entriesBefore = t.currentEntries()
+
+    t.cluster(Seq("v"), targetFiles = 8, keepLeaf = _ == "_graft_p_grp=g0")
+
+    val entriesAfter = t.currentEntries()
+    // g1's partition dir is byte-identical — untouched partitions pinned
+    assert(entriesAfter.filter(_._2.contains("_graft_p_grp=g1")) ===
+      entriesBefore.filter(_._2.contains("_graft_p_grp=g1")))
+    assert(entriesAfter.filter(_._2.contains("_graft_p_grp=g0")) !==
+      entriesBefore.filter(_._2.contains("_graft_p_grp=g0")))
+    assert(t.read().as[(Long, String, Long)].collect().sorted === before)
+
+    // the clustered partition's files carry tight disjoint v ranges:
+    // a point predicate may match at most one of its 8 files
+    val files = t.prunableFiles(t.currentEntries()).get
+    val g0 = files.filter(_._1.toString.contains("_graft_p_grp=g0"))
+    assert(g0.size === 8)
+    val hit = g0.count { case (_, st) => FileStats.mayMatch(st, EqualTo("v", 54321L)) }
+    assert(hit <= 1, s"z-ordered partition should pin a point lookup, opened $hit/8")
+    // while the unclustered partition's scrambled files all stay candidates
+    val g1 = files.filter(_._1.toString.contains("_graft_p_grp=g1"))
+    assert(g1.count { case (_, st) => FileStats.mayMatch(st, EqualTo("v", 54321L)) }
+      === g1.size)
+  }
+
   test("MOR snapshots with pending deltas never take the pruned path") {
     val root = freshRoot("mor_noprune")
     val t = new MergeTable(spark, root, Seq("id"), MergeTable.MergeOnRead)

@@ -59,6 +59,74 @@ class OptimizeFilesSpec extends SparkSpec {
     assert(m.versions().last === vs)
   }
 
+  test("bucketed: scoped bin-packing rewrites only the selected bucket") {
+    val root = fresh("bkt")
+    val t = new MergeTable(spark, root, Seq("id"), numBuckets = Some(4))
+    // an 8-way-parallel seed fragments each bucket into several files
+    t.upsert((0L until 64L).map(i => (i, s"v$i")).toDF("id", "v").repartition(8))
+    val before = t.read().as[(Long, String)].collect().sorted
+    def filesOf(d: String) = FileStats.listParquetFiles(
+      java.nio.file.Paths.get(root, "data", d)).size
+    val entriesBefore = t.currentEntries()
+    val (tag, dir0) = entriesBefore
+      .find { case (tg, d) => tg.matches("b\\d+") && filesOf(d) > 1 }
+      .getOrElse(fail("expected at least one fragmented bucket"))
+    val id = tag.stripPrefix("b")
+
+    t.optimizeFiles(targetBytes = 1L << 30, leaf => leaf == s"_graft_bucket=$id")
+
+    val after = t.currentEntries().toMap
+    assert(filesOf(after(tag)) === 1, "selected bucket must coalesce")
+    assert(after(tag) !== dir0)
+    // every sibling bucket keeps its directory byte-identical
+    entriesBefore.filterNot(_._1 == tag).foreach { case (tg, d) =>
+      assert(after(tg) === d, s"untouched bucket $tg was rewritten")
+    }
+    assert(t.read().as[(Long, String)].collect().sorted === before)
+    // unscoped pass packs the rest; already-packed buckets are no-ops
+    t.optimizeFiles(targetBytes = 1L << 30)
+    assert(t.currentEntries().forall { case (_, d) => filesOf(d) === 1 })
+    assert(t.read().as[(Long, String)].collect().sorted === before)
+  }
+
+  test("SQL: OPTIMIZE WHERE bucket = i and SHOW PARTITIONS on a bucketed table") {
+    MergeTable.drop("target/graft_warehouse/optb")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.optb")
+    spark.sql("""CREATE TABLE graft.optb.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id','buckets'='4')""")
+    (0L until 64L).map(i => (i, s"v$i")).toDF("id", "v").repartition(8)
+      .createOrReplaceTempView("optb_seed")
+    spark.sql("INSERT INTO graft.optb.t SELECT * FROM optb_seed")
+
+    val parts = spark.sql("SHOW PARTITIONS graft.optb.t")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(parts.map(_._1).toSeq === Seq("bucket=0", "bucket=1", "bucket=2", "bucket=3"))
+    assert(parts.map(_._3).sum === 64L) // exact rows from footer stats
+    val frag = parts.find(_._2 > 1).getOrElse(fail("expected a fragmented bucket"))
+    val id = frag._1.stripPrefix("bucket=")
+
+    try {
+      spark.conf.set("graft.mergetable.targetFileBytes",
+        (512L * 1024 * 1024).toString)
+      spark.sql(s"OPTIMIZE graft.optb.t WHERE bucket = $id")
+      val mid = spark.sql("SHOW PARTITIONS graft.optb.t")
+        .as[(String, Long, Long, Long)].collect()
+      assert(mid.find(_._1 === frag._1).get._2 === 1L)
+      // sibling buckets keep their file counts
+      parts.filterNot(_._1 == frag._1).foreach { p =>
+        assert(mid.find(_._1 === p._1).get._2 === p._2, s"${p._1} changed")
+      }
+      assert(spark.table("graft.optb.t").count() === 64L)
+
+      // non-bucket predicates on a bucketed table error loudly
+      val bad = intercept[Exception] {
+        spark.sql("OPTIMIZE graft.optb.t WHERE v = 'x'")
+      }
+      assert(bad.getMessage.contains("bucket = <id>"), bad.getMessage)
+    } finally spark.conf.unset("graft.mergetable.targetFileBytes")
+    spark.sql("DROP TABLE graft.optb.t")
+  }
+
   test("SQL: OPTIMIZE graft.db.t") {
     fresh("sql")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.opt")

@@ -306,6 +306,36 @@ class PartitionedTableSpec extends SparkSpec {
     } finally spark.conf.unset("graft.mergetable.targetFileBytes")
   }
 
+  test("SQL: OPTIMIZE WHERE ... ZORDER BY clusters only selected partitions") {
+    MergeTable.drop("target/graft_warehouse/pvz")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pvz")
+    spark.sql("""CREATE TABLE graft.pvz.t (id BIGINT, grp STRING, v BIGINT)
+                 PARTITIONED BY (grp) TBLPROPERTIES('keys'='id')""")
+    (0L until 2000L).map(i =>
+        (i, if (i % 2 == 0) "red" else "blue", (i * 2654435761L) % 100000L))
+      .toDF("id", "grp", "v").repartition(8)
+      .createOrReplaceTempView("pvz_seed")
+    spark.sql("INSERT INTO graft.pvz.t SELECT * FROM pvz_seed")
+    val root = "target/graft_warehouse/pvz/t"
+    val t = MergeTable.open(spark, root)
+    val blueBefore = t.currentEntries().filter(_._2.contains("_graft_p_grp=blue"))
+
+    spark.sql("OPTIMIZE graft.pvz.t WHERE grp = 'red' ZORDER BY (v)")
+
+    val entries = t.currentEntries()
+    assert(entries.filter(_._2.contains("_graft_p_grp=blue")) === blueBefore,
+      "unselected partition must keep its directory")
+    // the clustered partition's files carry tight v ranges
+    val files = t.prunableFiles(entries).get
+    val red = files.filter(_._1.toString.contains("_graft_p_grp=red"))
+    assert(red.size > 1)
+    val hit = red.count { case (_, st) =>
+      FileStats.mayMatch(st, org.apache.spark.sql.sources.EqualTo("v", 54321L)) }
+    assert(hit <= 1, s"expected a pinned point lookup after ZORDER, got $hit/${red.size}")
+    assert(spark.table("graft.pvz.t").count() === 2000L)
+    spark.sql("DROP TABLE graft.pvz.t")
+  }
+
   // ---- MOR × value partitions --------------------------------------------
   // the high-rate CDC lake layout: per-date partition dirs, O(batch)
   // flat delta commits, compaction rewrites only dirty partitions
