@@ -172,12 +172,21 @@ object GraphQueries extends QueryModule {
     * reducer. Input: one row per undirected edge, columns (u, v);
     * output columns (a, b) with (deg(a), a) < (deg(b), b).
     */
-  private[analytics] def orientByDegree(half: DataFrame): DataFrame = {
+  private[analytics] def orientByDegree(half0: DataFrame): DataFrame = {
+    // the undirected edge list feeds BOTH the degree aggregation and
+    // the orientation join — cache it or the (expensive) derivation
+    // upstream runs twice
+    val half = graft.Caches.register(half0)
     val deg = half.select(col("u").as("n"))
       .unionAll(half.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    val du = deg.select(col("n").as("u"), col("d").as("du"))
-    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    // deg is bounded by the NODE count (two longs per node), orders of
+    // magnitude under the edge list the wedge join scales with — the
+    // broadcast keeps both degree attachments map-side. (At a node
+    // count too large to broadcast, drop the hint and AQE plans the
+    // shuffle; the wedge join dominates long before that point.)
+    val du = broadcast(deg.select(col("n").as("u"), col("d").as("du")))
+    val dv = broadcast(deg.select(col("n").as("v"), col("d").as("dv")))
     val tilt = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     half.join(du, "u").join(dv, "v")
@@ -193,12 +202,38 @@ object GraphQueries extends QueryModule {
     */
   private[analytics] def triangleCorners(oriented: DataFrame): DataFrame = {
     val edges = graft.Caches.register(oriented)
-    val tri = edges.as("e1")
-      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
-      .join(edges.as("e3"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+    // Edge-iterator enumeration over the degree-tilted FORWARD
+    // adjacency, not a wedge self-join: a triangle's corners sorted by
+    // (deg, id) as x<y<z carry oriented edges x→y, x→z, y→z, so it is
+    // found EXACTLY once — by its lowest edge (x,y), as
+    // z ∈ fwd(x) ∩ fwd(y). The wedge join materializes Σ in·out rows
+    // (~49M at sf0.1, each through exchange/probe machinery); the
+    // intersection does the same enumeration as a per-edge compiled
+    // array pass whose output is only the 3·triangles corner rows,
+    // map-side combined before the one remaining shuffle. fwd lists
+    // are bounded at O(√m) per node BY the tilt — the reason the
+    // collect needs no cap — and the adjacency frame (nodes, not
+    // edges) broadcasts under the size guard; above it the joins fall
+    // back to shuffles and the bound still holds per task.
+    val adj = edges.groupBy(col("a").as("n"))
+      .agg(sort_array(collect_list(col("b"))).as("fwd"))
+    val small = edges.count() <= 5000000L // free: edges is cached
+    def side(d: DataFrame): DataFrame = if (small) broadcast(d) else d
+    val fa = side(adj.select(col("n").as("a"), col("fwd").as("fa")))
+    val fb = side(adj.select(col("n").as("b"), col("fwd").as("fb")))
+    // compiled sorted-merge intersection — array_intersect pays a
+    // boxed hash-set build per edge
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val zs = column(graft.functions.SortedIntersect(
+      expression(col("fa")), expression(col("fb"))))
+    edges
+      .join(fa, Seq("a"))
+      .join(fb, Seq("b")) // inner: a top-ranked b has no fwd, no z
+      .select(col("a"), col("b"), zs.as("zs"))
+      .filter(size(col("zs")) > 0)
+      .select(explode(concat(col("zs"),
+        array_repeat(col("a"), size(col("zs"))),
+        array_repeat(col("b"), size(col("zs"))))).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_triangles"))
   }
 

@@ -58,6 +58,54 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The common ELEMENTS of two SORTED long arrays — the member-
+  * returning sibling of [[SortedIntersectCount]], same two-pointer
+  * merge scan. `array_intersect` builds a hash set per invocation
+  * with boxed elements; for pre-sorted adjacency lists (the triangle
+  * edge-iterator) this is a primitive O(|a|+|b|) pass into one
+  * exact-size array.
+  */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"expects two ARRAY<BIGINT>, got $l / $r")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sorted_intersect"
+
+  def intersect(a: Any, b: Any): GenericArrayData = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    val out = new Array[Long](math.min(n, m))
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { out(c) = xv; c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, c))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = intersect(a, b)
+
+  // codegen delegates to the compiled method (the QuantizeStats
+  // pattern): the loop body is JIT-hot either way and the result is
+  // an allocated array, so expression fusion has nothing left to save
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("sortedIntersect", this,
+        classOf[SortedIntersect].getName)
+      s"${ev.value} = $ref.intersect($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Positional agreement count between two equal-length long arrays —
   * the MinHash estimated-Jaccard numerator (matching minima over
   * numPerms permutations), compiled to a primitive loop. Replaces the

@@ -139,6 +139,8 @@ object GraftFunctions {
         MinHashWords(_, 3, graft.ops.Dedup.permA.toSeq, graft.ops.Dedup.permB.toSeq))),
     ("graft_sorted_intersect_count", classOf[SortedIntersectCount],
       arity2("graft_sorted_intersect_count", SortedIntersectCount(_, _))),
+    ("graft_sorted_intersect", classOf[SortedIntersect],
+      arity2("graft_sorted_intersect", SortedIntersect(_, _))),
     ("graft_sig_agreement", classOf[SignatureAgreement],
       arity2("graft_sig_agreement", SignatureAgreement(_, _))),
     ("graft_word_trigrams", classOf[WordNGrams],
