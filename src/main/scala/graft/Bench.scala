@@ -100,7 +100,13 @@ object Bench {
     val slowest = results.map { case (k, v) => k -> v.map(_._1).min }
       .toSeq.sortBy(-_._2).take(10)
       .map { case (k, s) => "\"" + k + "\":" + fmt(s) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"task_total":${fmt(totalTask)},"slowest":$slowest,"errors":$errs,"sf":"$sfDir"}""")
+    // the contention witnesses must live in THIS line too — the
+    // truncated artifact is what adjudicates contended vs regressed
+    // (wall >> task/parallelism + high loadavg = machine, not plan)
+    val allLoads = results.flatMap(_._2.map(_._3))
+    val (loadMin, loadMax) =
+      if (allLoads.nonEmpty) (allLoads.min, allLoads.max) else (0.0, 0.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"task_total":${fmt(totalTask)},"cpus":$cpus,"load_min":${fmt(loadMin)},"load_max":${fmt(loadMax)},"load_end":${fmt(loadAvg())},"slowest":$slowest,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

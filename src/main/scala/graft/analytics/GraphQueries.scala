@@ -281,9 +281,86 @@ object GraphQueries extends QueryModule {
       |FROM corners GROUP BY part
       |ORDER BY n_triangles DESC, part LIMIT 20""".stripMargin
 
+  // -- k-core decomposition -------------------------------------------------
+
+  private val CoreK = 8
+  private val PeelRounds = 3
+
+  /** One bounded k-core peel pass over a SYMMETRIC edge list
+    * (src_t, src_id, dst_t, dst_id): `rounds` unrolled rounds of
+    * "drop every node whose current degree < k", keeping an edge only
+    * while BOTH endpoints survive. Each round is one degree
+    * aggregation plus two semi-joins — all keys are (type, id)
+    * pairs, no row ever carries more than four small columns, so the
+    * shape is scale-invariant; the fixed unroll keeps the plan
+    * declarative and lets the oracle replay it round for round.
+    */
+  private[analytics] def peelCore(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = graft.Caches.register(edges0)
+    for (_ <- 1 to rounds) {
+      val alive = edges.groupBy("src_t", "src_id")
+        .agg(count(lit(1)).as("d")).filter(col("d") >= k)
+        .select(col("src_t"), col("src_id"))
+      val aliveDst = alive.select(col("src_t").as("dst_t"), col("src_id").as("dst_id"))
+      edges = graft.Caches.register(
+        edges.join(alive, Seq("src_t", "src_id"), "left_semi")
+          .join(aliveDst, Seq("dst_t", "dst_id"), "left_semi"))
+    }
+    edges
+  }
+
+  /** k-core of the customer–supplier trade graph (the dense-subgraph
+    * primitive behind community cores, engagement tiers, and graph
+    * sparsification): after [[PeelRounds]] rounds of removing nodes
+    * with degree < [[CoreK]], the surviving nodes with their residual
+    * in-core degree. Cascades are the point — a customer losing its
+    * low-degree suppliers can itself drop under k the next round.
+    * Top-20 by (core degree, type, id), exact integers throughout.
+    */
+  private def kcore(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct()
+    val fwd = pairs.select(lit("c").as("src_t"), col("c").as("src_id"),
+      lit("s").as("dst_t"), col("su").as("dst_id"))
+    val rev = pairs.select(lit("s").as("src_t"), col("su").as("src_id"),
+      lit("c").as("dst_t"), col("c").as("dst_id"))
+    peelCore(fwd.unionAll(rev), CoreK, PeelRounds)
+      .groupBy(col("src_t").as("node_t"), col("src_id").as("node_id"))
+      .agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("core_deg").desc, col("node_t"), col("node_id")).limit(20)
+  }
+
+  private val kcoreSql = {
+    val base =
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS su
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e0 AS (
+        |  SELECT 'c' AS src_t, c AS src_id, 's' AS dst_t, su AS dst_id FROM pairs
+        |  UNION ALL
+        |  SELECT 's' AS src_t, su AS src_id, 'c' AS dst_t, c AS dst_id FROM pairs)""".stripMargin
+    val rounds = (1 to PeelRounds).map { r =>
+      s"""a$r AS (
+         |  SELECT src_t, src_id FROM e${r - 1}
+         |  GROUP BY 1, 2 HAVING count(*) >= $CoreK),
+         |e$r AS (
+         |  SELECT e.src_t, e.src_id, e.dst_t, e.dst_id FROM e${r - 1} e
+         |  JOIN a$r x ON e.src_t = x.src_t AND e.src_id = x.src_id
+         |  JOIN a$r y ON e.dst_t = y.src_t AND e.dst_id = y.src_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT src_t AS node_t, src_id AS node_id, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e$PeelRounds GROUP BY 1, 2
+       |ORDER BY core_deg DESC, node_t, node_id LIMIT 20""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("graph_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("parts_item_cf", itemCf, Some(itemCfSql)),
     QueryDef("graph_triangles", triangles, Some(trianglesSql)),
+    QueryDef("graph_kcore", kcore, Some(kcoreSql)),
   )
 }

@@ -739,8 +739,41 @@ object CorpusQueries extends QueryModule {
       |GROUP BY doc_id, lang
       |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
+  // -- weighted sample without replacement ----------------------------------
+
+  private val WSampleN = 200
+
+  /** Deterministic weighted sampling without replacement via PRIORITY
+    * SAMPLING (Duffield–Lund–Thorup, JACM 2007): every document draws
+    * a stable uniform h (48-bit md5 prefix — exact in a double) and
+    * the sample is the [[WSampleN]] smallest h/weight priorities, so
+    * inclusion probability grows with weight (here n_chars: longer
+    * docs are likelier picks — the length-weighted corpus draw used
+    * to build eval slices). The only double op is ONE division per
+    * row — IEEE-exact and identical cross-engine, unlike pow/ln-based
+    * A-Res — and the selection is a top-k, which Spark executes as
+    * TakeOrderedAndProject (per-partition heaps + one merge, no
+    * global sort) at any corpus size.
+    */
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("wsample"), col("doc_id").cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    docs(s, dir).filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"), h.as("h"))
+      .orderBy((col("h").cast("double") / col("n_chars")).asc, col("doc_id"))
+      .limit(WSampleN)
+  }
+
+  private val sampleWeightedSql =
+    s"""SELECT doc_id, source, n_chars, h FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    ('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+       |  FROM documents WHERE n_chars > 0)
+       |ORDER BY CAST(h AS DOUBLE) / n_chars ASC, doc_id LIMIT $WSampleN""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("docs_repetition", repetition, Some(repetitionSql)),
+    QueryDef("docs_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     QueryDef("docs_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
     QueryDef("docs_split", split80, Some(split80Sql)),
     QueryDef("docs_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),

@@ -1,0 +1,52 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core peel semantics (GraphQueries.peelCore): the property under
+  * test is the CASCADE — removing a low-degree node can drop its
+  * neighbors under k on the NEXT round, so a chain hanging off a
+  * dense core dissolves one link per round while the core survives
+  * with its internal degrees intact.
+  */
+class KCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // symmetric (type-tagged) edge list from undirected pairs
+  private def sym(pairs: Seq[(Long, Long)]): DataFrame =
+    (pairs.map { case (u, v) => ("n", u, "n", v) } ++
+      pairs.map { case (u, v) => ("n", v, "n", u) })
+      .toDF("src_t", "src_id", "dst_t", "dst_id")
+
+  // K4 on {1,2,3,4} (every node degree 3) + tail 4-5-6: node 6 has
+  // degree 1, node 5 degree 2 — with k=2 the tail peels one link per
+  // round (6 first, then 5) while the clique never drops a node
+  private val clique = for {
+    a <- 1L to 4L; b <- (a + 1) to 4L
+  } yield (a, b)
+  private val graph = sym(clique ++ Seq((4L, 5L), (5L, 6L)))
+
+  private def survivors(rounds: Int): Set[Long] =
+    GraphQueries.peelCore(graph, k = 2, rounds = rounds)
+      .select(col("src_id")).distinct().as[Long].collect().toSet
+
+  test("the peel cascades one chain link per round") {
+    assert(survivors(1) === Set(1L, 2L, 3L, 4L, 5L), "round 1 drops only node 6")
+    assert(survivors(2) === Set(1L, 2L, 3L, 4L), "round 2 drops node 5 (degree fell to 1)")
+    assert(survivors(3) === Set(1L, 2L, 3L, 4L), "the 2-core is stable")
+  }
+
+  test("core degrees are the residual in-core degrees") {
+    val deg = GraphQueries.peelCore(graph, k = 2, rounds = 3)
+      .groupBy("src_id").agg(count(lit(1)).as("d"))
+      .as[(Long, Long)].collect().toMap
+    assert(deg === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      "clique degrees exclude the peeled tail edge")
+  }
+
+  test("a graph below k everywhere peels to empty") {
+    val path = sym(Seq((1L, 2L), (2L, 3L)))
+    assert(GraphQueries.peelCore(path, k = 3, rounds = 2).count() === 0L)
+  }
+}
