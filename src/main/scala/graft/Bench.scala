@@ -106,7 +106,9 @@ object Bench {
     val allLoads = results.flatMap(_._2.map(_._3))
     val (loadMin, loadMax) =
       if (allLoads.nonEmpty) (allLoads.min, allLoads.max) else (0.0, 0.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"task_total":${fmt(totalTask)},"cpus":$cpus,"load_min":${fmt(loadMin)},"load_max":${fmt(loadMax)},"load_end":${fmt(loadAvg())},"slowest":$slowest,"errors":$errs,"sf":"$sfDir"}""")
+    // cpus is quoted: it's a raw env string and local[*]'s "*" would
+    // otherwise make this very adjudication line unparseable
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${results.size},"task_total":${fmt(totalTask)},"cpus":"$cpus","load_min":${fmt(loadMin)},"load_max":${fmt(loadMax)},"load_end":${fmt(loadAvg())},"slowest":$slowest,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,9 +29,12 @@ object PartsuppQueries extends QueryModule {
     Tables.load(s, dir, name)
 
   /** Deterministic synthetic partsupp: 4 suppliers per part
-    * (`(p_partkey·97 + i·31) mod |supplier| + 1`, i ∈ 0..3 — distinct
-    * for any real supplier count), integer availqty and supply cost
-    * in cents. Mirrored verbatim by [[partsuppSql]].
+    * (`(p_partkey·97 + i·stride) mod |supplier| + 1`, i ∈ 0..3 with
+    * stride = max(1, |supplier| div 4) — 3·stride < |supplier|, so the
+    * four draws are distinct for ANY supplier count ≥ 4; a fixed
+    * stride would collide whenever the count divides it), integer
+    * availqty and supply cost in cents. Mirrored verbatim by
+    * [[partsuppSql]].
     */
   private def partsupp(s: SparkSession, dir: String): DataFrame = {
     val sCount = t(s, dir, "supplier").agg(count(lit(1)).as("s_total"))
@@ -40,7 +43,9 @@ object PartsuppQueries extends QueryModule {
       .select(col("p_partkey"), col("s_total"),
         explode(array((0 to 3).map(lit(_)): _*)).as("i"))
       .withColumn("ps_suppkey",
-        (col("p_partkey") * 97 + col("i") * 31) % col("s_total") + 1)
+        (col("p_partkey") * 97 +
+          col("i") * greatest(lit(1L), (col("s_total") / 4).cast("long")))
+          % col("s_total") + 1)
       .select(
         col("p_partkey").as("ps_partkey"),
         col("ps_suppkey"),
@@ -51,17 +56,18 @@ object PartsuppQueries extends QueryModule {
   }
 
   private val partsuppSql =
-    """partsupp AS (
+    """sc AS (SELECT count(*) AS s_total, greatest(1, count(*) // 4) AS stride
+      |       FROM supplier),
+      |partsupp AS (
       |  SELECT p_partkey AS ps_partkey,
-      |    (p_partkey * 97 + i.i * 31) % (SELECT count(*) FROM supplier) + 1
-      |      AS ps_suppkey,
+      |    (p_partkey * 97 + i.i * stride) % s_total + 1 AS ps_suppkey,
       |    (p_partkey * 7 +
-      |     ((p_partkey * 97 + i.i * 31) % (SELECT count(*) FROM supplier) + 1)
+      |     ((p_partkey * 97 + i.i * stride) % s_total + 1)
       |       * 13) % 9999 + 1 AS ps_availqty,
       |    (p_partkey * 31 +
-      |     ((p_partkey * 97 + i.i * 31) % (SELECT count(*) FROM supplier) + 1)
+      |     ((p_partkey * 97 + i.i * stride) % s_total + 1)
       |       * 7) % 10000 + 100 AS ps_cost_cents
-      |  FROM part CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i)""".stripMargin
+      |  FROM part CROSS JOIN sc CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i)""".stripMargin
 
   // -- Q2: minimum-cost supplier per part in a region ----------------------
 
@@ -71,10 +77,13 @@ object PartsuppQueries extends QueryModule {
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "EUROPE")
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    val cand = t(s, dir, "part").filter(col("p_type") === "LARGE")
-      .select(col("p_partkey"), col("p_brand"))
-      .join(partsupp(s, dir), col("p_partkey") === col("ps_partkey"))
-      .join(euSupp, col("ps_suppkey") === col("s_suppkey"))
+    // cand feeds BOTH the per-part minimum and the match-back join —
+    // cache it or the three-table synthesis subtree runs twice
+    val cand = graft.Caches.register(
+      t(s, dir, "part").filter(col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_brand"))
+        .join(partsupp(s, dir), col("p_partkey") === col("ps_partkey"))
+        .join(euSupp, col("ps_suppkey") === col("s_suppkey")))
     val minCost = cand.groupBy(col("p_partkey").as("mk"))
       .agg(min(col("ps_cost_cents")).as("min_cents"))
     cand.join(minCost,
@@ -155,10 +164,12 @@ object PartsuppQueries extends QueryModule {
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .filter(pmod(col("n_nationkey"), lit(5)) === 2)
       .select(col("s_suppkey"))
-    val perPart = partsupp(s, dir)
+    // perPart feeds both the grand total and the threshold filter —
+    // cache it or the synthesis + join + aggregation runs twice
+    val perPart = graft.Caches.register(partsupp(s, dir)
       .join(grpSupp, col("ps_suppkey") === col("s_suppkey"))
       .groupBy(col("ps_partkey"))
-      .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("value_cents"))
+      .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("value_cents")))
     val tot = perPart.agg(sum("value_cents").as("total_cents"),
       count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(tot))

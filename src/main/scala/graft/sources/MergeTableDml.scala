@@ -180,31 +180,37 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => true // mixed resolution state: defer to the analyzer
       }
     }
-    // Strip analyzer widening casts on the SOURCE side only. A
-    // widening cast wrapping the TARGET key means the source key is
-    // the WIDER type: the upsert would have to narrow it back through
-    // a plain non-ANSI Cast, silently wrapping out-of-range keys —
-    // reject that shape with the real reason instead
-    def stripKeyCast(e: Expression): Expression = {
-      e match {
-        case c: Cast if c.childrenResolved &&
-            Cast.canUpCast(c.child.dataType, c.dataType) =>
-          c.child match {
-            case a: Attribute if m.targetTable.outputSet.contains(a) =>
-              fail(s"merge key ${a.name} is ${a.dataType.simpleString} in the " +
-                s"target but the source side is the wider " +
-                s"${c.dataType.simpleString}; narrowing it could wrap " +
-                "out-of-range keys — cast the source key explicitly")
-            case _ => ()
-          }
-        case _ => ()
-      }
-      stripUpCast(e, {
-        case a: Attribute => !m.targetTable.outputSet.contains(a)
-        case _ => true
-      })
+    // Reject a SOURCE key wider than its TARGET key by comparing the
+    // two ATTRIBUTE types under the casts (not cast placement: the
+    // analyzer widens the narrower side, but a user may legally wrap
+    // BOTH sides in the same up-cast — equal-width keys must pass).
+    // Projecting a wider source key onto the target would narrow it
+    // through a plain non-ANSI Cast, silently wrapping out-of-range
+    // keys — that shape fails here with the real reason.
+    def checkKeyWidth(e: Expression): Unit = e match {
+      case And(l, r) => checkKeyWidth(l); checkKeyWidth(r)
+      case EqualTo(l0, r0) =>
+        (stripUpCast(l0), stripUpCast(r0)) match {
+          case (la: Attribute, ra: Attribute) =>
+            val tgtFirst =
+              if (m.targetTable.outputSet.contains(la)) Some((la, ra))
+              else if (m.targetTable.outputSet.contains(ra)) Some((ra, la))
+              else None
+            tgtFirst.foreach { case (tgt, src) =>
+              if (m.sourceTable.outputSet.contains(src) &&
+                  !Cast.canUpCast(src.dataType, tgt.dataType) &&
+                  Cast.canUpCast(tgt.dataType, src.dataType))
+                fail(s"merge key ${tgt.name} is ${tgt.dataType.simpleString} in the " +
+                  s"target but the source side is the wider " +
+                  s"${src.dataType.simpleString}; narrowing it could wrap " +
+                  "out-of-range keys — cast the source key explicitly")
+            }
+          case _ => () // unresolved or computed: defer to the analyzer
+        }
+      case _ => ()
     }
-    val condCols = keyEqualities(m.mergeCondition, crossSides, stripKeyCast)
+    checkKeyWidth(m.mergeCondition)
+    val condCols = keyEqualities(m.mergeCondition, crossSides, stripUpCast)
       .getOrElse(fail(s"merge condition must be a conjunction of primary-key " +
         s"equalities joining target and source on (${rel.keys.mkString(", ")}), " +
         s"got: ${m.mergeCondition.sql}"))
@@ -432,23 +438,20 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Analyzer-inserted LOSSLESS widening casts on a key equality
-    * (`t.id = CAST(s.id AS BIGINT)` when the source side is narrower)
-    * are transparent for key matching: an up-cast is injective, and
-    * the upsert pipeline re-applies the identical cast when it
-    * projects the source onto the target schema. Lossy casts are NOT
-    * stripped — `CAST(s.name AS INT)` is a computed key, not a key.
-    * ONLY SOURCE-SIDE casts qualify (`mayStrip` checks the side): the
-    * analyzer widens the NARROWER side, so a cast wrapping the target
-    * key means the source key is the wider type, and projecting it
-    * onto the target would narrow through a plain non-ANSI Cast —
-    * silently wrapping out-of-range keys. That shape must fail.
+  /** LOSSLESS widening casts on a key equality (`t.id = CAST(s.id AS
+    * BIGINT)` from the analyzer, or user-written up-casts on either
+    * side) are transparent for key NAMING: an up-cast is injective,
+    * so the equality still pairs the two key attributes. Lossy casts
+    * are NOT stripped — `CAST(s.name AS INT)` is a computed key, not
+    * a key. Whether the pairing NARROWS (source key type wider than
+    * the target's — rejected) is judged on the stripped attribute
+    * types by `checkKeyWidth`, not on cast placement.
     */
-  private def stripUpCast(e: Expression, mayStrip: Expression => Boolean): Expression =
+  private def stripUpCast(e: Expression): Expression =
     e match {
       case c: Cast if c.childrenResolved &&
-          Cast.canUpCast(c.child.dataType, c.dataType) && mayStrip(c.child) =>
-        stripUpCast(c.child, mayStrip)
+          Cast.canUpCast(c.child.dataType, c.dataType) =>
+        stripUpCast(c.child)
       case _ => e
     }
 

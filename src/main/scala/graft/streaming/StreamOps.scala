@@ -79,14 +79,6 @@ object StreamOps {
       .select(col("k").as(key), col("l_ts"), col("r_ts"), col("l"), col("r"))
   }
 
-  /** Gap-based sessionization with CUSTOM state
-    * (`flatMapGroupsWithState`): per user, events extend the open
-    * session while gaps stay under `gapMinutes`; a larger gap closes
-    * and emits the session, and event-time timeout flushes open
-    * sessions once the watermark passes their horizon. State is one
-    * small record per active user — bounded by the watermark, not by
-    * history. Input needs columns (user_id LONG, ts TIMESTAMP).
-    */
   /** Streaming twin of the batch ordered-recurrence family
     * (events_ewma / events_holt_linear / events_pattern_match's
     * symbol sequence): per user, `mapGroupsWithState` keeps ONE
@@ -105,10 +97,16 @@ object StreamOps {
     * ordering is arrival order: an event arriving after a
     * later-timestamped one folds late (the watermark bounds how far
     * such stragglers can lag before their user's state closes).
+    * The batch-internal (ts, event_id) sort buffers one user's slice
+    * of ONE micro-batch; `maxBatchEventsPerUser` bounds that buffer
+    * and refuses LOUDLY past it (the batch side's
+    * [[graft.functions.BoundedCollectList]] contract) instead of
+    * letting a pathological hot key OOM the task.
     */
   def recurrenceStream(events: DataFrame, tailMax: Int = 64,
                        watermarkDelay: String = "30 minutes",
-                       idleMinutes: Int = 60): Dataset[RecurrenceRow] = {
+                       idleMinutes: Int = 60,
+                       maxBatchEventsPerUser: Int = 1 << 20): Dataset[RecurrenceRow] = {
     val idleMs = idleMinutes * 60000L
     implicit val outEnc = Encoders.product[RecurrenceRow]
     implicit val stateEnc = Encoders.product[RecurrenceState]
@@ -139,8 +137,19 @@ object StreamOps {
             var st = state.getOption
               .getOrElse(RecurrenceState(0L, 0.0, 0.0, 0.0, "", Long.MinValue))
             // batch-internal sort restores (ts, event_id) order — the
-            // same deterministic ordering the batch collect uses
-            rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { r =>
+            // same deterministic ordering the batch collect uses; the
+            // buffer it implies is capped, loudly
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, java.sql.Timestamp, Long, Double, String)]
+            rows.foreach { r =>
+              buf += r
+              if (buf.length > maxBatchEventsPerUser)
+                throw new IllegalStateException(
+                  s"user $userId exceeds maxBatchEventsPerUser=" +
+                    s"$maxBatchEventsPerUser events in one micro-batch; " +
+                    "raise the cap or pre-aggregate the stream")
+            }
+            buf.sortBy(r => (r._2.getTime, r._3)).foreach { r =>
               val x = r._4
               val l2 = x * 0.5 + (st.l + st.b) * 0.5
               st = RecurrenceState(
@@ -161,6 +170,14 @@ object StreamOps {
         })
   }
 
+  /** Gap-based sessionization with CUSTOM state
+    * (`flatMapGroupsWithState`): per user, events extend the open
+    * session while gaps stay under `gapMinutes`; a larger gap closes
+    * and emits the session, and event-time timeout flushes open
+    * sessions once the watermark passes their horizon. State is one
+    * small record per active user — bounded by the watermark, not by
+    * history. Input needs columns (user_id LONG, ts TIMESTAMP).
+    */
   def sessionizeStream(events: DataFrame, gapMinutes: Int,
                        watermarkDelay: String = "30 minutes"): Dataset[ClosedSession] = {
     val gapMs = gapMinutes * 60000L

@@ -77,7 +77,7 @@ object StreamBench {
       new MergeTable(spark, s"$root/tables/graftdb/events_$i", Seq("user_id"))
         .read().count()
     }.sum
-    println(f"""{"metric":"stream_cdc_events_per_s","value":${n * nBatches / sec}%.0f,"unit":"events/s","events":${n * nBatches},"batches":$nBatches,"wall_sec":$sec%.1f,"task_total_sec":${(taskMs.get() - task0) / 1000.0}%.1f,"loadavg_start":$load0%.1f,"loadavg_end":${loadAvg()}%.1f,"cpus":$cpus,"rows_landed":$landed}""")
+    println(f"""{"metric":"stream_cdc_events_per_s","value":${n * nBatches / sec}%.0f,"unit":"events/s","events":${n * nBatches},"batches":$nBatches,"wall_sec":$sec%.1f,"task_total_sec":${(taskMs.get() - task0) / 1000.0}%.1f,"loadavg_start":$load0%.1f,"loadavg_end":${loadAvg()}%.1f,"cpus":"$cpus","rows_landed":$landed}""")
     spark.stop()
   }
 }

@@ -51,6 +51,27 @@ class MergeTableDmlSpec extends SparkSpec {
     assert(t.read().count() === 1, "the rejected MERGE must not write")
   }
 
+  test("MERGE with equal-width keys up-cast on BOTH sides still upserts") {
+    val root = "target/test_tables/dml_bothcast_key"
+    MergeTable.drop(root)
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1, "a")).toDF("id", "name"))) // id: INT
+    view(root, "dml_target")
+    // user-written widening casts on BOTH sides: nothing narrows
+    // (both keys are INT), so the keyed upsert must accept — the
+    // width check judges the attribute types under the casts, not
+    // which side carries a cast
+    Seq((1, "A"), (2, "b")).toDF("id", "name")
+      .createOrReplaceTempView("dml_source")
+    spark.sql(
+      """MERGE INTO dml_target t USING dml_source s
+        |ON CAST(t.id AS BIGINT) = CAST(s.id AS BIGINT)
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(t.read().orderBy("id").as[(Int, String)].collect().toSeq ===
+      Seq((1, "A"), (2, "b")))
+  }
+
   test("MERGE with a source key NARROWER than the target key still upserts") {
     val root = "target/test_tables/dml_widen_key"
     MergeTable.drop(root)
