@@ -203,6 +203,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Every LSH candidate pair with its RAW signature agreement
+    * (0..NumPerms matching minima) — [[minhashCandidates]] without
+    * the /NumPerms normalization or a threshold cut. The
+    * threshold-curve input: the full candidate set is already
+    * LSH-bounded (only same-band pairs exist), so "no threshold" is
+    * still nowhere near all-pairs.
+    */
+  def minhashAgreements(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = graft.Caches.register(docs
+      .select(col(idCol).as("doc_id"),
+        call_function("graft_minhash_words", TextAnalysis.words(col(textCol))).as("sig")))
+    val buckets = sigs
+      .select(col("doc_id"), col("sig"), posexplode(lshBandKeys(col("sig"))).as(Seq("band", "key")))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        call_function("graft_sig_agreement", col("sig_a"), col("sig_b")).as("agree"))
+  }
+
   // ---- transitive dup clusters ------------------------------------------
 
   /** Connected components over a candidate-pair edge list (columns

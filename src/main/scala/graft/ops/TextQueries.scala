@@ -787,7 +787,39 @@ object TextQueries extends QueryModule {
       |FROM pairs GROUP BY pair
       |ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  // -- threshold curve ------------------------------------------------------
+
+  /** The dedup threshold curve: LSH candidate pairs histogrammed by
+    * raw signature agreement (0..64 matching minima ≈ Jaccard·64)
+    * with the cumulative count at-or-above each level — what an
+    * operator reads BEFORE picking a near-dup threshold, because it
+    * says how many pairs (and so roughly how much corpus) each
+    * candidate threshold would delete. Candidates are the certified
+    * banded-LSH set (same-band pairs only — no all-pairs stage), the
+    * histogram collapses them to ≤65 rows before the one bounded
+    * running-total window.
+    */
+  private def thresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Dedup.minhashAgreements(docs(s, dir), "doc_id", "text")
+      .groupBy(col("agree").cast("long").as("agree"))
+      .agg(count(lit(1)).as("n_pairs"))
+    hist.withColumn("pairs_at_or_above",
+        sum("n_pairs").over(Window.orderBy(col("agree").desc)))
+      .orderBy("agree")
+  }
+
+  private val thresholdCurveSql =
+    s"""$minhashScoredCtes,
+       |hist AS (
+       |  SELECT CAST(agree AS BIGINT) AS agree, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM scored GROUP BY 1)
+       |SELECT agree, n_pairs,
+       |  CAST(sum(n_pairs) OVER (ORDER BY agree DESC) AS BIGINT) AS pairs_at_or_above
+       |FROM hist ORDER BY agree""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_threshold_curve", thresholdCurve, Some(thresholdCurveSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_langid", langid, Some(langidSql)),
