@@ -357,10 +357,79 @@ object GraphQueries extends QueryModule {
        |ORDER BY core_deg DESC, node_t, node_id LIMIT 20""".stripMargin
   }
 
+  // -- supplier neighborhood Jaccard ----------------------------------------
+
+  /** Customers-per-hub cap for [[suppliersJaccard]]: a customer
+    * trading with more suppliers than this is dropped from pair
+    * enumeration. The wedge stage costs Σ deg(c)² — this cap is what
+    * bounds it at 100 TB (hub customers carry little discriminative
+    * signal anyway: they co-occur with everyone). A no-op at every
+    * test SF (max observed degree 102 at sf0.1), so the oracle —
+    * which applies the identical cap — certifies the EXACT answer.
+    */
+  private val HubCap = 1000
+
+  /** Supplier substitutability: Jaccard similarity of two suppliers'
+    * CUSTOMER BASES — the "who could replace whom" / account-overlap
+    * primitive (vs [[itemCf]]'s cosine over co-purchase counts).
+    * Candidates come from co-occurrence under a shared customer (no
+    * all-pairs stage: a supplier pair with zero shared customers is
+    * never materialized); the per-customer self-join fans out
+    * deg(c)²/2 wedge rows, map-side combined into the bounded
+    * (a, b) pair space. Jaccard lives in integer MICRO-UNITS
+    * (`inter·10⁶ div (da + db − inter)`) — exact cross-engine, no
+    * float division. Top-20 by (similarity, pair).
+    */
+  private def suppliersJaccard(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = graft.Caches.register(
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct())
+    val kept = graft.Caches.register(pairs
+      .withColumn("d_c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("c")))
+      .filter(col("d_c") <= HubCap).drop("d_c"))
+    val deg = kept.groupBy(col("su").as("n")).agg(count(lit(1)).as("d"))
+    val cooc = kept.as("x").join(kept.as("y"),
+        col("x.c") === col("y.c") && col("x.su") < col("y.su"))
+      .groupBy(col("x.su").as("a"), col("y.su").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    // deg is supplier-bounded (two longs per supplier) — broadcast
+    // keeps both attachments map-side at any corpus size where the
+    // supplier dimension still fits; beyond that AQE shuffles it
+    val da = broadcast(deg.select(col("n").as("a"), col("d").as("da")))
+    val db = broadcast(deg.select(col("n").as("b"), col("d").as("db")))
+    cooc.join(da, "a").join(db, "b")
+      .select(col("a"), col("b"),
+        expr("inter * 1000000 div (da + db - inter)").as("jaccard_micro"))
+      .orderBy(col("jaccard_micro").desc, col("a"), col("b")).limit(20)
+  }
+
+  private val suppliersJaccardSql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS su
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |kept AS (
+       |  SELECT c, su FROM (
+       |    SELECT c, su, count(*) OVER (PARTITION BY c) AS d_c FROM pairs)
+       |  WHERE d_c <= $HubCap),
+       |deg AS (SELECT su, CAST(count(*) AS BIGINT) AS d FROM kept GROUP BY 1),
+       |cooc AS (
+       |  SELECT x.su AS a, y.su AS b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM kept x JOIN kept y ON x.c = y.c AND x.su < y.su
+       |  GROUP BY 1, 2)
+       |SELECT a, b, inter * 1000000 // (da.d + db.d - inter) AS jaccard_micro
+       |FROM cooc
+       |JOIN deg da ON da.su = a
+       |JOIN deg db ON db.su = b
+       |ORDER BY jaccard_micro DESC, a, b LIMIT 20""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("graph_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("parts_item_cf", itemCf, Some(itemCfSql)),
     QueryDef("graph_triangles", triangles, Some(trianglesSql)),
     QueryDef("graph_kcore", kcore, Some(kcoreSql)),
+    QueryDef("suppliers_jaccard", suppliersJaccard, Some(suppliersJaccardSql)),
   )
 }
