@@ -298,9 +298,11 @@ object GraphQueries extends QueryModule {
   private[analytics] def peelCore(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
     var edges = graft.Caches.register(edges0)
     for (_ <- 1 to rounds) {
-      val alive = edges.groupBy("src_t", "src_id")
+      // alive attaches to BOTH endpoints — cache it or the degree
+      // aggregation runs twice per round
+      val alive = graft.Caches.register(edges.groupBy("src_t", "src_id")
         .agg(count(lit(1)).as("d")).filter(col("d") >= k)
-        .select(col("src_t"), col("src_id"))
+        .select(col("src_t"), col("src_id")))
       val aliveDst = alive.select(col("src_t").as("dst_t"), col("src_id").as("dst_id"))
       edges = graft.Caches.register(
         edges.join(alive, Seq("src_t", "src_id"), "left_semi")

@@ -26,6 +26,14 @@ case class RecurrenceRow(userId: Long, nEvents: Long, ewma: Double,
 /** A closed session emitted downstream. */
 case class ClosedSession(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
 
+/** Per-user funnel-stage minima (epoch ms; MaxValue = stage unseen). */
+case class FunnelState(tSignup: Long, tClick: Long, tPurchase: Long)
+
+/** Streaming per-user funnel row; null stage = unseen. */
+case class FunnelRow(userId: Long,
+                     tSignup: Option[Long], tClick: Option[Long],
+                     tPurchase: Option[Long], closed: Boolean)
+
 /** Streaming analytics building blocks: watermarked windowed
   * aggregation and within-watermark dedup. Batch-equivalent semantics
   * are what the correctness gate checks (events_hourly); these wire
@@ -166,6 +174,65 @@ object StreamOps {
             val wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(math.max(st.lastMs + idleMs, wm + 1))
             report(userId, st, closed = false)
+          }
+        })
+  }
+
+  /** Streaming twin of the batch funnel (`events_funnel`): per user,
+    * `mapGroupsWithState` keeps the FIRST timestamp of each funnel
+    * stage — three longs of state vs the batch groupBy's full event
+    * shuffle — and emits the updated stage minima per active user per
+    * batch; the funnel rollup (users whose click follows signup, …)
+    * is the same constant-size arithmetic downstream. min() is
+    * order-independent, so unlike the recurrence twin this fold
+    * equals the batch answer under ANY arrival order, in-order or
+    * not. Event-time timeout emits a final `closed` row and drops
+    * idle users' state. Input needs (user_id LONG, ts TIMESTAMP,
+    * event_type STRING).
+    */
+  def funnelStream(events: DataFrame,
+                   watermarkDelay: String = "30 minutes",
+                   idleMinutes: Int = 60): Dataset[FunnelRow] = {
+    val idleMs = idleMinutes * 60000L
+    implicit val outEnc = Encoders.product[FunnelRow]
+    implicit val stEnc = Encoders.product[FunnelState]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+      Encoders.STRING)
+    val U = Long.MaxValue
+    def opt(v: Long): Option[Long] = if (v == U) None else Some(v)
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_type").cast("string"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout())(
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            FunnelRow(userId, opt(st.tSignup), opt(st.tClick), opt(st.tPurchase),
+              closed = true)
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(U, U, U))
+            var lastMs = Long.MinValue
+            rows.foreach { r =>
+              val t = r._2.getTime
+              lastMs = math.max(lastMs, t)
+              r._3 match {
+                case "signup"   => if (t < st.tSignup) st = st.copy(tSignup = t)
+                case "click"    => if (t < st.tClick) st = st.copy(tClick = t)
+                case "purchase" => if (t < st.tPurchase) st = st.copy(tPurchase = t)
+                case _          => ()
+              }
+            }
+            state.update(st)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(lastMs + idleMs, wm + 1))
+            FunnelRow(userId, opt(st.tSignup), opt(st.tClick), opt(st.tPurchase),
+              closed = false)
           }
         })
   }
