@@ -786,7 +786,55 @@ object SimilarityQueries extends QueryModule {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // -- recall evaluation -----------------------------------------------------
+
+  /** Recall@5 of the IVF read path against exact brute force, as an
+    * ORACLE-CERTIFIED gate: per query, how many of the exact top-5
+    * neighbors the 4-probe IVF serve returns. Recall is the number an
+    * ANN deployment actually negotiates (probes vs accuracy) — here
+    * the accuracy/speed tradeoff itself is part of the cross-engine
+    * contract (DuckDB re-trains the index AND re-ranks brute force),
+    * not just a ScalaTest assertion. Integer hit counts — no float in
+    * the output.
+    */
+  private def annRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.kmeansCentroids(s, corpus(s, dir), "embedding", 16)
+    val ivf = Similarity.ivfTopKWith(s, queries(s, dir, 10), corpus(s, dir), k = 5, cents)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val brute = Similarity.bruteForceTopK(s, queries(s, dir, 10), corpus(s, dir), k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits_at_5"))
+      .orderBy("query_id")
+  }
+
+  private val annRecallEvalSql =
+    s"""$ivfIndexCtes,
+       |icand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qe, a.e), 6) AS score
+       |  FROM probe p JOIN asn a USING (cell)
+       |  WHERE p.query_id <> a.vec_id),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |    FROM icand) WHERE rank <= 5),
+       |brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.e, a.e), 6) DESC, a.vec_id) AS rank
+       |    FROM v q CROSS JOIN v a WHERE q.vec_id < 10 AND q.vec_id <> a.vec_id)
+       |  WHERE rank <= 5)
+       |SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS hits_at_5
+       |FROM brute b LEFT JOIN ivf i
+       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("ann_recall_eval", annRecallEval, Some(annRecallEvalSql)),
     QueryDef("embed_project", embedProject, Some(embedProjectSql)),
     QueryDef("ann_project_topk", annProject, Some(annProjectSql)),
     QueryDef("ann_bruteforce_topk", annBrute, Some(annBruteSql)),
