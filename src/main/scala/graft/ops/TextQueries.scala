@@ -818,7 +818,58 @@ object TextQueries extends QueryModule {
        |  CAST(sum(n_pairs) OVER (ORDER BY agree DESC) AS BIGINT) AS pairs_at_or_above
        |FROM hist ORDER BY agree""".stripMargin
 
+  // -- LSH candidate verification -------------------------------------------
+
+  /** The VERIFY stage of candidate-based near-dup dedup: every banded
+    * LSH candidate pair re-scored with its EXACT trigram Jaccard
+    * (integer micro-units) next to the minhash estimate — production
+    * dedup verifies candidates exactly before deleting, and this gate
+    * certifies estimate and truth side by side (the estimator's error
+    * is thereby cross-engine-pinned per pair, the text sibling of
+    * `ann_recall_eval`). Exact sets are distinct trigram STRINGS —
+    * no engine-local hash anywhere — and only the candidate sliver
+    * (O(LSH pairs), not O(n²)) pays the set intersection.
+    */
+  private def lshVerify(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val d = docs(s, dir)
+    val ws = TextAnalysis.words(col("text"))
+    val grams = when(size(ws) >= 3, call_function("graft_word_trigrams", ws))
+      .otherwise(array(concat_ws(" ", ws)))
+    val sh = graft.Caches.register(
+      d.select(col("doc_id"), array_distinct(grams).as("gs"))
+        .withColumn("sz", size(col("gs"))))
+    Dedup.minhashAgreements(d, "doc_id", "text")
+      .join(sh.select(col("doc_id").as("doc_a"), col("gs").as("ga"), col("sz").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("gs").as("gb"), col("sz").as("sb")), "doc_b")
+      .withColumn("inter_n", size(array_intersect(col("ga"), col("gb"))))
+      .select(col("doc_a"), col("doc_b"), col("agree").cast("long").as("agree"),
+        expr("inter_n * 1000000 div (sa + sb - inter_n)").as("jaccard_micro"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val lshVerifySql =
+    s"""$minhashScoredCtes,
+       |tw AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |  FROM documents),
+       |tg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) >= 3 THEN
+       |      list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)])
+       |    ELSE [array_to_string(ws, ' ')] END AS gs
+       |  FROM tw)
+       |SELECT s.doc_a, s.doc_b, CAST(s.agree AS BIGINT) AS agree,
+       |  (len(a.gs) + len(b.gs) - len(list_distinct(list_concat(a.gs, b.gs))))
+       |    * 1000000
+       |    // len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard_micro
+       |FROM scored s
+       |JOIN tg a ON a.doc_id = s.doc_a
+       |JOIN tg b ON b.doc_id = s.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_lsh_verify", lshVerify, Some(lshVerifySql)),
     QueryDef("dedup_threshold_curve", thresholdCurve, Some(thresholdCurveSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
