@@ -476,6 +476,37 @@ object CorpusQueries extends QueryModule {
        |ORDER BY ex.source""".stripMargin
   }
 
+  /** Distinct users per HOUR, exact and by the same KMV sketch — the
+    * time-bucketed uniques question ("DAU per window") that exact
+    * distinct cannot answer over an unbounded stream but k longs per
+    * bucket can; per-bucket sketches of disjoint shards merge by
+    * keeping the k smallest hashes. Ids hash through the portable
+    * md5 prefix (cast to string on BOTH engines — md5 of a raw
+    * BIGINT casts differently per engine), so estimate and exact are
+    * bit-reproducible.
+    */
+  private def sketchUniquesHourly(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(date_trunc("hour", col("ts")).as("hour"),
+        col("user_id").cast("string").as("uid"))
+    Sketches.kmvDistinct(e, "hour", "uid").orderBy("hour")
+  }
+
+  private val sketchUniquesHourlySql = {
+    val k = Sketches.DefaultK
+    s"""WITH e AS (
+       |  SELECT date_trunc('hour', ts) AS hour, CAST(user_id AS VARCHAR) AS uid
+       |  FROM events),
+       |d AS (SELECT DISTINCT hour, ('0x' || substr(md5(uid), 1, 12))::BIGINT AS h FROM e),
+       |r AS (SELECT hour, h, row_number() OVER (PARTITION BY hour ORDER BY h) AS rn FROM d),
+       |kth AS (SELECT hour, h AS hk FROM r WHERE rn = $k),
+       |ex AS (SELECT hour, CAST(count(*) AS BIGINT) AS exact_distinct FROM d GROUP BY 1)
+       |SELECT ex.hour, exact_distinct,
+       |  round(coalesce(${k - 1} * 281474976710656.0 / hk, exact_distinct::DOUBLE), 2) AS kmv_estimate
+       |FROM ex LEFT JOIN kth ON ex.hour = kth.hour
+       |ORDER BY ex.hour""".stripMargin
+  }
+
   // -- count-min frequency sketch ------------------------------------------
 
   /** Count-min word-frequency estimates for the corpus's 20 heaviest
@@ -784,6 +815,7 @@ object CorpusQueries extends QueryModule {
     QueryDef("docs_pack_shards", packShards, Some(packShardsSql)),
     QueryDef("docs_shuffle_shards", shuffleShards, Some(shuffleShardsSql)),
     QueryDef("docs_pack_sequences", packSequences, Some(packSequencesSql)),
+    QueryDef("sketch_uniques_hourly", sketchUniquesHourly, Some(sketchUniquesHourlySql)),
     QueryDef("sketch_distinct_ngrams", sketchDistinct, Some(sketchDistinctSql)),
     QueryDef("sketch_quantiles", sketchQuantiles, Some(sketchQuantilesSql)),
     QueryDef("sketch_countmin_words", sketchCountMin, Some(sketchCountMinSql)),
