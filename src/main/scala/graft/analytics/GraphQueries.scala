@@ -385,14 +385,17 @@ object GraphQueries extends QueryModule {
   private def suppliersJaccard(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val pairs = graft.Caches.register(
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct())
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct()
+    // kept feeds the degree aggregation AND both wedge-join sides;
+    // deg feeds both endpoint attachments — cache both or their
+    // derivations run twice (pairs has one consumer: no cache)
     val kept = graft.Caches.register(pairs
       .withColumn("d_c", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("c")))
       .filter(col("d_c") <= HubCap).drop("d_c"))
-    val deg = kept.groupBy(col("su").as("n")).agg(count(lit(1)).as("d"))
+    val deg = graft.Caches.register(
+      kept.groupBy(col("su").as("n")).agg(count(lit(1)).as("d")))
     val cooc = kept.as("x").join(kept.as("y"),
         col("x.c") === col("y.c") && col("x.su") < col("y.su"))
       .groupBy(col("x.su").as("a"), col("y.su").as("b"))

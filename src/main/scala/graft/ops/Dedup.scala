@@ -172,47 +172,34 @@ object Dedup {
   val BandKeyPrime = 1000000007L
 
   /** Candidate near-dup pairs via banded LSH, scored by signature
-    * agreement (estimated Jaccard), thresholded.
+    * agreement (estimated Jaccard), thresholded. Built on
+    * [[minhashAgreements]] — ONE copy of the candidate-generation
+    * chain keeps the DuckDB `scored` oracle CTEs single-sourced.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val spark = docs.sparkSession
-    graft.functions.GraftFunctions.register(spark)
     require(shingleK == 3, "registered graft_minhash_words is fixed at k=3")
-    // cache: the signature subtree feeds both sides of the self-join,
-    // and signatures are tiny (64 longs/doc) relative to their compute.
-    // Register the PRE-explode signatures — caching the exploded
-    // buckets would copy every signature array 16x (once per band);
-    // the per-side posexplode over cached rows is trivial to recompute
-    val sigs = graft.Caches.register(docs
-      .select(col(idCol).as("doc_id"),
-        call_function("graft_minhash_words", TextAnalysis.words(col(textCol))).as("sig")))
-    val buckets = sigs
-      .select(col("doc_id"), col("sig"), posexplode(lshBandKeys(col("sig"))).as(Seq("band", "key")))
-    val pairs = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    pairs
-      .withColumn("est_jaccard",
-        call_function("graft_sig_agreement", col("sig_a"), col("sig_b"))
-          .cast("double") / NumPerms)
+    minhashAgreements(docs, idCol, textCol)
+      .withColumn("est_jaccard", col("agree").cast("double") / NumPerms)
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
   /** Every LSH candidate pair with its RAW signature agreement
-    * (0..NumPerms matching minima) — [[minhashCandidates]] without
-    * the /NumPerms normalization or a threshold cut. The
-    * threshold-curve input: the full candidate set is already
-    * LSH-bounded (only same-band pairs exist), so "no threshold" is
-    * still nowhere near all-pairs.
+    * (0..NumPerms matching minima) — the shared candidate-generation
+    * chain under [[minhashCandidates]], the threshold curve, and the
+    * exact-verify gate. The full candidate set is already LSH-bounded
+    * (only same-band pairs exist), so "no threshold" is still nowhere
+    * near all-pairs.
     */
   def minhashAgreements(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    // cache: the signature subtree feeds both sides of the self-join,
+    // and signatures are tiny (64 longs/doc) relative to their compute.
+    // Register the PRE-explode signatures — caching the exploded
+    // buckets would copy every signature array 16x (once per band);
+    // the per-side posexplode over cached rows is trivial to recompute
     val sigs = graft.Caches.register(docs
       .select(col(idCol).as("doc_id"),
         call_function("graft_minhash_words", TextAnalysis.words(col(textCol))).as("sig")))

@@ -842,7 +842,9 @@ object TextQueries extends QueryModule {
     Dedup.minhashAgreements(d, "doc_id", "text")
       .join(sh.select(col("doc_id").as("doc_a"), col("gs").as("ga"), col("sz").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("gs").as("gb"), col("sz").as("sb")), "doc_b")
-      .withColumn("inter_n", size(array_intersect(col("ga"), col("gb"))))
+      // size() is IntegerType — widen BEFORE the 10^6 scale or pairs
+      // with ≥2148 shared trigrams overflow int (ANSI: a query abort)
+      .withColumn("inter_n", size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .select(col("doc_a"), col("doc_b"), col("agree").cast("long").as("agree"),
         expr("inter_n * 1000000 div (sa + sb - inter_n)").as("jaccard_micro"))
       .orderBy("doc_a", "doc_b")

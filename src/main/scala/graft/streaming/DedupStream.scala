@@ -45,23 +45,29 @@ class DedupStream(
   private val acceptedTable = new MergeTable(spark, acceptedRoot, Seq(idCol))
 
   /** Apply one micro-batch; idempotent per (appId, batchId). */
-  def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (batch.isEmpty) return
+  def processBatch(batch0: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
-    val indexFps =
-      if (indexTable.exists) indexTable.read().select("fp")
-      else Seq.empty[String].toDF("fp")
-    // kept feeds both writes — cache it or the anti-join runs twice
-    val kept = graft.ops.Dedup
-      .incrementalKeepFps(batch, indexFps, idCol, textCol).cache()
+    // the batch is consumed three times (emptiness probe, fingerprint
+    // collapse, accepted semi-join) — cache it or a file/Kafka source
+    // re-reads its input per consumer
+    val batch = batch0.cache()
     try {
-      val accepted = batch.join(
-        kept.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
-      acceptedTable.txn(appId, batchId) { acceptedTable.append(accepted) }
-      indexTable.txn(appId, batchId) {
-        indexTable.append(kept.select(col("fp"), col("keep_id")))
-      }
-    } finally kept.unpersist()
+      if (batch.isEmpty) return
+      val indexFps =
+        if (indexTable.exists) indexTable.read().select("fp")
+        else Seq.empty[String].toDF("fp")
+      // kept feeds both writes — cache it or the anti-join runs twice
+      val kept = graft.ops.Dedup
+        .incrementalKeepFps(batch, indexFps, idCol, textCol).cache()
+      try {
+        val accepted = batch.join(
+          kept.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+        acceptedTable.txn(appId, batchId) { acceptedTable.append(accepted) }
+        indexTable.txn(appId, batchId) {
+          indexTable.append(kept.select(col("fp"), col("keep_id")))
+        }
+      } finally kept.unpersist()
+    } finally batch.unpersist()
   }
 
   /** Wire a streaming doc source through the batch loop. */

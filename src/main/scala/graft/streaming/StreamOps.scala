@@ -26,8 +26,13 @@ case class RecurrenceRow(userId: Long, nEvents: Long, ewma: Double,
 /** A closed session emitted downstream. */
 case class ClosedSession(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
 
-/** Per-user funnel-stage minima (epoch ms; MaxValue = stage unseen). */
-case class FunnelState(tSignup: Long, tClick: Long, tPurchase: Long)
+/** Per-user funnel-stage minima (epoch ms; MaxValue = stage unseen)
+  * plus the max event time seen — the idle horizon must only ever
+  * ADVANCE, so it lives in state, not in the micro-batch (a late
+  * in-watermark batch would otherwise pull the timeout earlier and
+  * close the user prematurely).
+  */
+case class FunnelState(tSignup: Long, tClick: Long, tPurchase: Long, lastMs: Long)
 
 /** Streaming per-user funnel row; null stage = unseen. */
 case class FunnelRow(userId: Long,
@@ -216,11 +221,10 @@ object StreamOps {
             FunnelRow(userId, opt(st.tSignup), opt(st.tClick), opt(st.tPurchase),
               closed = true)
           } else {
-            var st = state.getOption.getOrElse(FunnelState(U, U, U))
-            var lastMs = Long.MinValue
+            var st = state.getOption.getOrElse(FunnelState(U, U, U, Long.MinValue))
             rows.foreach { r =>
               val t = r._2.getTime
-              lastMs = math.max(lastMs, t)
+              if (t > st.lastMs) st = st.copy(lastMs = t)
               r._3 match {
                 case "signup"   => if (t < st.tSignup) st = st.copy(tSignup = t)
                 case "click"    => if (t < st.tClick) st = st.copy(tClick = t)
@@ -230,7 +234,7 @@ object StreamOps {
             }
             state.update(st)
             val wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(math.max(lastMs + idleMs, wm + 1))
+            state.setTimeoutTimestamp(math.max(st.lastMs + idleMs, wm + 1))
             FunnelRow(userId, opt(st.tSignup), opt(st.tClick), opt(st.tPurchase),
               closed = false)
           }
