@@ -640,7 +640,9 @@ object SimilarityQueries extends QueryModule {
     * join, and hamming distance from the same ASCII payload —
     * certifying the whole approximate pipeline, not just row counts.
     */
-  private def mediaPhashDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Banded-phash candidate pairs with hamming ≤ 6 — shared by the
+    * pair gate and the media cluster decision. */
+  private def phashPairs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.parallel(Tables.documents(s, dir))
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars").map(col)
     val clones = d.filter(col("doc_id") % 13 === 0 && length(col("text")) >= 7)
@@ -668,11 +670,27 @@ object SimilarityQueries extends QueryModule {
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(bit_count(ha ^ hb) AS INT)").as("hamming"))
       .filter(col("hamming") <= 6)
-      .orderBy("doc_a", "doc_b")
   }
 
-  private val mediaPhashDedupSql =
-    """WITH corpus AS (
+  private def mediaPhashDedup(s: SparkSession, dir: String): DataFrame =
+    phashPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** Media near-dup CLUSTERS: connected components over the banded
+    * phash pairs — the decision layer for binary media, the same
+    * large-star/small-star-capable component machinery the text
+    * near-dups use (one keep per cluster downstream). Oracle replays
+    * the full phash pipeline and closes components with a recursive
+    * CTE.
+    */
+  private def mediaDedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.connectedComponents(
+        phashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      .orderBy("doc_id")
+
+  // CTE chain through `cand(doc_a, doc_b, ha, hb)` — the full phash
+  // pipeline replay, shared by the pair and cluster oracles
+  private val phashCandCtes =
+    """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000, substr(text, 1, 4) || 'zz' || substr(text, 7)
@@ -701,10 +719,29 @@ object SimilarityQueries extends QueryModule {
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    a.phash AS ha, b.phash AS hb
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
-      |    AND a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-      |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |    AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val mediaPhashDedupSql =
+    s"""WITH $phashCandCtes
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val mediaDedupClustersSql =
+    s"""WITH RECURSIVE $phashCandCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  WHERE bit_count(xor(ha, hb)) <= 6
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM cand
+       |  WHERE bit_count(xor(ha, hb)) <= 6),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS doc_id, min(comp) AS cluster
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   // -- JL random projection (dim reduction) --------------------------------
 
@@ -850,5 +887,6 @@ object SimilarityQueries extends QueryModule {
     QueryDef("media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("media_frame_sample", mediaFrameSample, Some(mediaFrameSampleSql)),
     QueryDef("media_phash_dedup", mediaPhashDedup, Some(mediaPhashDedupSql)),
+    QueryDef("media_dedup_clusters", mediaDedupClusters, Some(mediaDedupClustersSql)),
   )
 }
