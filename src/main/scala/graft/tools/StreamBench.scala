@@ -13,27 +13,47 @@ import org.apache.spark.sql.functions._
   * Usage: `runMain graft.tools.StreamBench [nEvents] [nBatches]`
   * (defaults 1,000,000 × 1). Events are synthesized in-engine from
   * `spark.range` — no dependence on testdata scale.
+  *
+  * `runMain graft.tools.StreamBench dedup [nDocs] [nBatches]`
+  * measures the OTHER checkpointed ingest path instead:
+  * [[graft.streaming.DedupStream]] (fingerprint collapse → index
+  * anti-join → exactly-once accepted/index MergeTable writes) over a
+  * synthetic corpus that is ~1/3 duplicates within and across
+  * batches.
   */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
-    val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(1)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = graft.GraftSession.builder("graft-stream-bench", s"local[$cpus]")
+  private val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+
+  private def session(): org.apache.spark.sql.SparkSession = {
+    val s = graft.GraftSession.builder("graft-stream-bench", s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import graft.cdc.{Debezium, MergeTable, TableConfig}
-    import graft.streaming.CdcPipeline
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
+  private def taskCounter(spark: org.apache.spark.sql.SparkSession) = {
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
         taskMs.addAndGet(Option(te.taskMetrics).map(_.executorRunTime).getOrElse(0L))
     })
-    def loadAvg(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+    taskMs
+  }
+
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dedup")) { runDedup(args.drop(1).toSeq); return }
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(1)
+    val spark = session()
+    import graft.cdc.{Debezium, MergeTable, TableConfig}
+    import graft.streaming.CdcPipeline
+
+    val taskMs = taskCounter(spark)
 
     val root = "target/stream_bench"
     MergeTable.drop(root)
@@ -78,6 +98,44 @@ object StreamBench {
         .read().count()
     }.sum
     println(f"""{"metric":"stream_cdc_events_per_s","value":${n * nBatches / sec}%.0f,"unit":"events/s","events":${n * nBatches},"batches":$nBatches,"wall_sec":$sec%.1f,"task_total_sec":${(taskMs.get() - task0) / 1000.0}%.1f,"loadavg_start":$load0%.1f,"loadavg_end":${loadAvg()}%.1f,"cpus":"$cpus","rows_landed":$landed}""")
+    spark.stop()
+  }
+
+  /** DedupStream ingest throughput: nBatches parquet drops of nDocs
+    * docs each, text keyed to `id mod (2n/3)` so ~1/3 of every batch
+    * duplicates earlier text (within AND across batches) and the
+    * index anti-join does real work.
+    */
+  private def runDedup(args: Seq[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val spark = session()
+    import graft.cdc.MergeTable
+    val taskMs = taskCounter(spark)
+    val root = "target/stream_bench_dedup"
+    MergeTable.drop(root)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    val keySpace = math.max(1L, 2L * n / 3L)
+    (0 until nBatches).foreach { b =>
+      spark.range(n).select(
+          (col("id") + b * n).as("doc_id"),
+          concat(lit("document text body "),
+            md5((pmod(col("id") + b * n, lit(keySpace))).cast("string"))).as("text"))
+        .write.mode("overwrite").parquet(s"$root/in/batch$b")
+    }
+    val ds = new graft.streaming.DedupStream(spark, s"$root/tables")
+    val load0 = loadAvg()
+    val task0 = taskMs.get()
+    val t0 = System.nanoTime()
+    val q = ds.start(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "8").parquet(s"$root/in/*"),
+      checkpoint = s"$root/ckpt")
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val accepted = new MergeTable(spark, s"$root/tables/accepted", Seq("doc_id"))
+      .read().count()
+    println(f"""{"metric":"stream_dedup_docs_per_s","value":${n * nBatches / sec}%.0f,"unit":"docs/s","docs":${n * nBatches},"batches":$nBatches,"accepted":$accepted,"wall_sec":$sec%.1f,"task_total_sec":${(taskMs.get() - task0) / 1000.0}%.1f,"loadavg_start":$load0%.1f,"loadavg_end":${loadAvg()}%.1f,"cpus":"$cpus"}""")
     spark.stop()
   }
 }
