@@ -354,6 +354,39 @@ object TextQueries extends QueryModule {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** SimHash near-dup CLUSTERS: connected components over the banded
+    * simhash pairs — completing the decision layer across all three
+    * near-dup signature families (minhash `dedup_clusters`, phash
+    * `media_dedup_clusters`, simhash here), same component machinery,
+    * recursive-CTE oracle over the same banded pair derivation.
+    */
+  private def simhashClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.simhashPairs(docs(s, dir), "doc_id", "text", tau = 3)
+          .select(col("doc_a"), col("doc_b")))
+      .orderBy("doc_id")
+
+  private val simhashClustersSql = {
+    val bandEq = (0 until 4).map(b =>
+      s"(a.simhash >> ${16 * b}) & 65535 = (b.simhash >> ${16 * b}) & 65535").mkString("\n   OR ")
+    s"""WITH RECURSIVE $simhashSigsCte,
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |   AND ($bandEq)
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS doc_id, min(comp) AS cluster
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   // -- incremental near-dup against a signature index ----------------------
 
   /** Continuous-ingest near-dup ([[Dedup.incrementalNearDup]]): the
@@ -885,6 +918,7 @@ object TextQueries extends QueryModule {
     QueryDef("docs_split_leakage", splitLeakage, Some(splitLeakageSql)),
     QueryDef("dedup_simhash", simhashQ, Some(simhashSql)),
     QueryDef("dedup_simhash_pairs", simhashPairsQ, Some(simhashPairsSql)),
+    QueryDef("dedup_simhash_clusters", simhashClusters, Some(simhashClustersSql)),
     QueryDef("dedup_incremental_near", dedupIncrementalNear, Some(dedupIncrementalNearSql)),
     QueryDef("ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardSql)),
     QueryDef("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
