@@ -39,6 +39,19 @@ case class FunnelRow(userId: Long,
                      tSignup: Option[Long], tClick: Option[Long],
                      tPurchase: Option[Long], closed: Boolean)
 
+/** KMV sketch state for one time bucket: the ≤k smallest DISTINCT
+  * portable hashes (sorted ascending) plus the max event time seen —
+  * bounded at k longs whatever the bucket's cardinality.
+  */
+case class KmvState(mins: Seq[Long], lastMs: Long)
+
+/** One per-bucket KMV update: distinct-count estimate (exact while
+  * the bucket still holds fewer than k distinct hashes — the state IS
+  * the full set then), same formula and rounding as the batch
+  * `Sketches.kmvDistinct`.
+  */
+case class KmvRow(bucketMs: Long, kmvEstimate: Double, closed: Boolean)
+
 /** Streaming analytics building blocks: watermarked windowed
   * aggregation and within-watermark dedup. Batch-equivalent semantics
   * are what the correctness gate checks (events_hourly); these wire
@@ -237,6 +250,68 @@ object StreamOps {
             state.setTimeoutTimestamp(math.max(st.lastMs + idleMs, wm + 1))
             FunnelRow(userId, opt(st.tSignup), opt(st.tClick), opt(st.tPurchase),
               closed = false)
+          }
+        })
+  }
+
+  /** Streaming twin of the batch KMV distinct sketch
+    * (`sketch_uniques_hourly` / `Sketches.kmvDistinct`): per time
+    * bucket, `mapGroupsWithState` keeps the ≤k smallest DISTINCT
+    * portable hashes — k longs of state whatever the bucket's
+    * cardinality, the property that makes "uniques per window over an
+    * unbounded stream" answerable at all. The k-min set of a union is
+    * fold-order-free, so the streaming estimate equals the batch
+    * estimate on the same events under ANY arrival order; hashes are
+    * computed in the DataFrame with the SAME column expression the
+    * batch sketch uses (`Sketches.portableHash`), not re-implemented
+    * JVM-side. Event-time timeout emits a final `closed` row per
+    * bucket once the watermark passes its idle horizon.
+    * Input needs (user_id LONG, ts TIMESTAMP).
+    */
+  def kmvUniquesStream(events: DataFrame, k: Int = graft.ops.Sketches.DefaultK,
+                       watermarkDelay: String = "30 minutes",
+                       idleMinutes: Int = 120): Dataset[KmvRow] = {
+    val idleMs = idleMinutes * 60000L
+    implicit val outEnc = Encoders.product[KmvRow]
+    implicit val stEnc = Encoders.product[KmvState]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong)
+    def round2(x: Double): Double =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def estimate(mins: Seq[Long]): Double =
+      if (mins.length < k) round2(mins.length.toDouble)
+      else round2((k - 1).toDouble * 281474976710656.0 /* 2^48 */ / mins.last)
+    events
+      .select(date_trunc("hour", col("ts")).as("bucket"),
+        graft.ops.Sketches.portableHash(col("user_id").cast("string")).as("h"))
+      .withWatermark("bucket", watermarkDelay)
+      .as[(java.sql.Timestamp, Long)]
+      .groupByKey(_._1.getTime)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout())(
+        (bucketMs: Long, rows: Iterator[(java.sql.Timestamp, Long)],
+         state: GroupState[KmvState]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            KmvRow(bucketMs, estimate(st.mins), closed = true)
+          } else {
+            val st = state.getOption.getOrElse(KmvState(Seq.empty, Long.MinValue))
+            // merge: fold each hash into a k-capped ordered set — the
+            // same result as the batch k-min over all hashes seen so
+            // far, in O(k) memory even for a hot bucket's micro-batch
+            val acc = scala.collection.mutable.TreeSet.empty[Long]
+            acc ++= st.mins
+            rows.foreach { r =>
+              val h = r._2
+              if (acc.size < k) acc += h
+              else if (h < acc.last) { acc += h; if (acc.size > k) acc -= acc.last }
+            }
+            val merged = acc.toSeq
+            val next = KmvState(merged, math.max(st.lastMs, bucketMs))
+            state.update(next)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(next.lastMs + idleMs, wm + 1))
+            KmvRow(bucketMs, estimate(merged), closed = false)
           }
         })
   }
