@@ -217,6 +217,27 @@ object Dedup {
 
   // ---- transitive dup clusters ------------------------------------------
 
+  /** Recursive-CTE half of the cross-engine component oracle: the
+    * closure over a pair CTE named `p(doc_a, doc_b)`. Paste after
+    * `WITH RECURSIVE <pair ctes>,` and finish with
+    * [[componentSelectSql]] — ONE copy of the min-label closure for
+    * every cluster oracle (minhash, simhash, phash), so a semantics
+    * change cannot silently diverge them.
+    */
+  val componentClosureSql: String =
+    """edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM p
+      |  UNION ALL SELECT doc_b, doc_a FROM p),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
+
+  val componentSelectSql: String =
+    """SELECT id AS doc_id, min(comp) AS cluster
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** Connected components over a candidate-pair edge list (columns
     * doc_a, doc_b): iterative min-label propagation — each node
     * repeatedly adopts the smallest label among itself and its

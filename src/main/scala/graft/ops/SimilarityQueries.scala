@@ -729,19 +729,11 @@ object SimilarityQueries extends QueryModule {
 
   private val mediaDedupClustersSql =
     s"""WITH RECURSIVE $phashCandCtes,
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM cand
-       |  WHERE bit_count(xor(ha, hb)) <= 6
-       |  UNION ALL
-       |  SELECT doc_b, doc_a FROM cand
+       |p AS (
+       |  SELECT doc_a, doc_b FROM cand
        |  WHERE bit_count(xor(ha, hb)) <= 6),
-       |nodes AS (SELECT DISTINCT src AS id FROM edges),
-       |reach(id, comp) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
-       |SELECT id AS doc_id, min(comp) AS cluster
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+       |${graft.ops.Dedup.componentClosureSql}
+       |${graft.ops.Dedup.componentSelectSql}""".stripMargin
 
   // -- JL random projection (dim reduction) --------------------------------
 

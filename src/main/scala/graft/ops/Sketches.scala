@@ -31,6 +31,19 @@ object Sketches {
   def portableHash(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
+  /** Scalar twin of [[kmvDistinct]]'s estimate column — the SAME
+    * `(k−1)·2^48 / h_k` formula and HALF_UP 2 dp rounding over the k
+    * smallest distinct hashes (exact count below k, where the sketch
+    * IS the full set). The streaming fold ([[graft.streaming.StreamOps
+    * .kmvUniquesStream]]) calls this so the two paths cannot drift.
+    */
+  def kmvEstimate(mins: Seq[Long], k: Int = DefaultK): Double = {
+    val raw =
+      if (mins.length < k) mins.length.toDouble
+      else (k - 1).toDouble * TwoPow48 / mins.last
+    BigDecimal(raw).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Per-group KMV distinct-count estimate next to the exact count
     * (the exact count is what the estimate is judged against; at
     * production scale one would keep only the sketch side).

@@ -375,16 +375,8 @@ object TextQueries extends QueryModule {
        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |   AND ($bandEq)
        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM p
-       |  UNION ALL SELECT doc_b, doc_a FROM p),
-       |nodes AS (SELECT DISTINCT src AS id FROM edges),
-       |reach(id, comp) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
-       |SELECT id AS doc_id, min(comp) AS cluster
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+       |${Dedup.componentClosureSql}
+       |${Dedup.componentSelectSql}""".stripMargin
   }
 
   // -- incremental near-dup against a signature index ----------------------
@@ -529,23 +521,15 @@ object TextQueries extends QueryModule {
       |  FROM sh a JOIN sh b
       |    ON a.source = b.source AND abs(a.n_chars - b.n_chars) <= 20
       |   AND a.doc_id < b.doc_id),
-      |edges AS (
-      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |  WHERE CAST(inter_n AS DOUBLE) / union_n >= 0.1
-      |  UNION ALL
-      |  SELECT doc_b, doc_a FROM pairs
+      |p AS (
+      |  SELECT doc_a, doc_b FROM pairs
       |  WHERE CAST(inter_n AS DOUBLE) / union_n >= 0.1),
-      |nodes AS (SELECT DISTINCT src AS id FROM edges),
-      |reach(id, comp) AS (
-      |  SELECT id, id FROM nodes
-      |  UNION
-      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
+      |""".stripMargin + Dedup.componentClosureSql
 
   private val dedupClustersSql =
     s"""WITH RECURSIVE
        |$dupReachCtes
-       |SELECT id AS doc_id, min(comp) AS cluster
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+       |${Dedup.componentSelectSql}""".stripMargin
 
   // -- benchmark decontamination -------------------------------------------
 

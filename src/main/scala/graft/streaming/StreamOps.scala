@@ -40,10 +40,10 @@ case class FunnelRow(userId: Long,
                      tPurchase: Option[Long], closed: Boolean)
 
 /** KMV sketch state for one time bucket: the ≤k smallest DISTINCT
-  * portable hashes (sorted ascending) plus the max event time seen —
-  * bounded at k longs whatever the bucket's cardinality.
+  * portable hashes (sorted ascending) — bounded at k longs whatever
+  * the bucket's cardinality.
   */
-case class KmvState(mins: Seq[Long], lastMs: Long)
+case class KmvState(mins: Seq[Long])
 
 /** One per-bucket KMV update: distinct-count estimate (exact while
   * the bucket still holds fewer than k distinct hashes — the state IS
@@ -275,27 +275,31 @@ object StreamOps {
     implicit val outEnc = Encoders.product[KmvRow]
     implicit val stEnc = Encoders.product[KmvState]
     implicit val keyEnc = Encoders.scalaLong
-    implicit val rowEnc = Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong)
-    def round2(x: Double): Double =
-      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def estimate(mins: Seq[Long]): Double =
-      if (mins.length < k) round2(mins.length.toDouble)
-      else round2((k - 1).toDouble * 281474976710656.0 /* 2^48 */ / mins.last)
+    implicit val rowEnc = Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong,
+      Encoders.TIMESTAMP)
+    // watermark the RAW event time, not the truncated bucket — a
+    // bucket-column watermark would treat a minutes-late event from
+    // the previous hour as up-to-an-hour late and silently drop it,
+    // breaking the batch-equality contract under mild disorder. The
+    // watermarked ts column rides along: event-time timeout requires
+    // it in the grouped input.
     events
-      .select(date_trunc("hour", col("ts")).as("bucket"),
+      .select(col("ts").cast("timestamp").as("ts"),
         graft.ops.Sketches.portableHash(col("user_id").cast("string")).as("h"))
-      .withWatermark("bucket", watermarkDelay)
-      .as[(java.sql.Timestamp, Long)]
+      .withWatermark("ts", watermarkDelay)
+      .select(date_trunc("hour", col("ts")).as("bucket"), col("h"), col("ts"))
+      .as[(java.sql.Timestamp, Long, java.sql.Timestamp)]
       .groupByKey(_._1.getTime)
       .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout())(
-        (bucketMs: Long, rows: Iterator[(java.sql.Timestamp, Long)],
+        (bucketMs: Long, rows: Iterator[(java.sql.Timestamp, Long, java.sql.Timestamp)],
          state: GroupState[KmvState]) => {
+          import graft.ops.Sketches.kmvEstimate
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            KmvRow(bucketMs, estimate(st.mins), closed = true)
+            KmvRow(bucketMs, kmvEstimate(st.mins, k), closed = true)
           } else {
-            val st = state.getOption.getOrElse(KmvState(Seq.empty, Long.MinValue))
+            val st = state.getOption.getOrElse(KmvState(Seq.empty))
             // merge: fold each hash into a k-capped ordered set — the
             // same result as the batch k-min over all hashes seen so
             // far, in O(k) memory even for a hot bucket's micro-batch
@@ -307,11 +311,12 @@ object StreamOps {
               else if (h < acc.last) { acc += h; if (acc.size > k) acc -= acc.last }
             }
             val merged = acc.toSeq
-            val next = KmvState(merged, math.max(st.lastMs, bucketMs))
-            state.update(next)
+            state.update(KmvState(merged))
+            // a bucket's events all share its truncated hour, so the
+            // idle horizon is bucket start + idle — no per-event max
             val wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(math.max(next.lastMs + idleMs, wm + 1))
-            KmvRow(bucketMs, estimate(merged), closed = false)
+            state.setTimeoutTimestamp(math.max(bucketMs + idleMs, wm + 1))
+            KmvRow(bucketMs, kmvEstimate(merged, k), closed = false)
           }
         })
   }

@@ -102,9 +102,12 @@ object StreamBench {
   }
 
   /** DedupStream ingest throughput: nBatches parquet drops of nDocs
-    * docs each, text keyed to `id mod (2n/3)` so ~1/3 of every batch
-    * duplicates earlier text (within AND across batches) and the
-    * index anti-join does real work.
+    * docs each. Text keys: doc 6k+5 reuses 6k+4's key (1/6 of every
+    * batch duplicates WITHIN the batch) and, past batch 0, doc 6k+3
+    * reuses a previous-batch key (another ~1/6 duplicates ACROSS
+    * batches against the index) — so every steady-state batch is
+    * ~1/3 duplicate and both the in-batch collapse and the index
+    * anti-join do real work every trigger.
     */
   private def runDedup(args: Seq[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
@@ -115,12 +118,16 @@ object StreamBench {
     val root = "target/stream_bench_dedup"
     MergeTable.drop(root)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
-    val keySpace = math.max(1L, 2L * n / 3L)
+    // canonical key of doc x: 6k+5 folds onto 6k+4
+    def kfun(x: org.apache.spark.sql.Column) =
+      x - when(pmod(x, lit(6)) === 5, 1L).otherwise(0L)
     (0 until nBatches).foreach { b =>
+      val gid = col("id") + b * n
+      val key = when(pmod(gid, lit(6)) === 3 && gid >= n, kfun(gid - n))
+        .otherwise(kfun(gid))
       spark.range(n).select(
-          (col("id") + b * n).as("doc_id"),
-          concat(lit("document text body "),
-            md5((pmod(col("id") + b * n, lit(keySpace))).cast("string"))).as("text"))
+          gid.as("doc_id"),
+          concat(lit("document text body "), md5(key.cast("string"))).as("text"))
         .write.mode("overwrite").parquet(s"$root/in/batch$b")
     }
     val ds = new graft.streaming.DedupStream(spark, s"$root/tables")

@@ -51,9 +51,12 @@ class KmvStreamSpec extends SparkSpec {
     q.stop()
 
     val want = batchEstimates(b1 ++ b2)
+    // the FINAL estimate per bucket is its maximum: folding more
+    // hashes can only lower the kth min (raising the estimate) or
+    // grow the sub-k exact count — so no reliance on sink row order
     val got = spark.table("kmv").filter(!col("closed"))
       .collect().groupBy(_.getLong(0))
-      .map { case (b, rs) => b -> rs.last.getDouble(1) }
+      .map { case (b, rs) => b -> rs.map(_.getDouble(1)).max }
     assert(got.keySet === want.keySet)
     want.foreach { case (b, e) =>
       assert(got(b) === e, s"bucket $b estimate")
