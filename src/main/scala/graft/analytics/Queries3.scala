@@ -139,7 +139,49 @@ object Queries3 extends QueryModule {
       |FROM days LEFT JOIN daily ON days.d = daily.d
       |ORDER BY days.d""".stripMargin
 
+  /** Inter-arrival gap distribution per event type — the cadence /
+    * rate-anomaly signal (bot cadences are tight, human ones heavy-
+    * tailed): per-user consecutive gaps in seconds (lag window over
+    * user_id — key cardinality scales with the data, never a bounded-
+    * key window), exact percentiles per the type of the LATER event.
+    * Gaps are EXACT integer microseconds (`unix_micros` ↔ DuckDB
+    * `epoch_us` — the events ts carries sub-second precision, so
+    * whole-second truncation would disagree between engines);
+    * percentiles report in seconds at 4 dp.
+    */
+  private def interArrival(s: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap_us",
+        unix_micros(col("ts").cast("timestamp"))
+          - unix_micros(lag("ts", 1).over(byUser).cast("timestamp")))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(gap_us, 0.5)") / 1000000.0, 4).as("p50"),
+        round(expr("percentile(gap_us, 0.9)") / 1000000.0, 4).as("p90"),
+        round(expr("percentile(gap_us, 0.99)") / 1000000.0, 4).as("p99"),
+        count(lit(1)).as("n_gaps"))
+      .orderBy("event_type")
+  }
+
+  private val interArrivalSql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |  FROM events)
+      |SELECT event_type,
+      |  round(quantile_cont(gap_us, 0.5) / 1000000.0, 4) AS p50,
+      |  round(quantile_cont(gap_us, 0.9) / 1000000.0, 4) AS p90,
+      |  round(quantile_cont(gap_us, 0.99) / 1000000.0, 4) AS p99,
+      |  CAST(count(gap_us) AS BIGINT) AS n_gaps
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_inter_arrival", interArrival, Some(interArrivalSql)),
     QueryDef("events_asof_signup", asofSignup, Some(asofSignupSql)),
     QueryDef("events_window_join", windowJoin, Some(windowJoinSql)),
     QueryDef("events_percentiles", percentiles, Some(percentilesSql)),
