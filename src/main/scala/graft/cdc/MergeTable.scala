@@ -239,6 +239,37 @@ final class MergeTable(
     }
   }
 
+  /** Single-commit idempotent writer transaction: the watermark line
+    * rides the op's OWN commit (Delta's SetTransaction-in-the-same-
+    * commit shape), so there is NO window where the data committed but
+    * the watermark did not — replay after any crash either re-runs a
+    * never-committed op or skips a fully-committed one. This is the
+    * form NON-idempotent single-commit ops (a plain append) must use;
+    * [[txn]]'s separate completion marker is for multi-commit ops,
+    * which replay in full and must therefore be per-batch idempotent.
+    * An op that commits more than once fails loudly after the fact —
+    * its first commit already carried the watermark, so a crash
+    * between its commits would make replay skip the unfinished tail.
+    */
+  def txnAtomic[T](appId: String, version: Long)(op: => T): Option[T] = {
+    require(!appId.contains("=") && !appId.contains("\n") && !appId.contains(":"),
+      s"txn appId must not contain '=', ':' or newline: $appId")
+    if (lastTxn(appId).exists(_ >= version)) None
+    else {
+      txnCommitCount = 0
+      inTxn = true
+      pendingTxn = Some(appId -> version)
+      val result =
+        try op
+        finally { inTxn = false; pendingTxn = None }
+      require(txnCommitCount <= 1,
+        s"txnAtomic($appId, $version) op committed $txnCommitCount times; the " +
+          "watermark rode its FIRST commit, so a crash between its commits " +
+          "would lose the tail on replay — multi-commit ops must use txn()")
+      Some(result)
+    }
+  }
+
   private def recordTxnMarker(appId: String, version: Long): Unit = {
     var attempts = 0
     while (true) {
@@ -2022,11 +2053,15 @@ final class MergeTable(
       (fs.size, math.max(1, math.ceil(total.toDouble / targetBytes).toInt))
     }
     val dropped = MergeTable.readMeta(root).map(_.droppedColumns).getOrElse(Nil)
+    // stat each dir ONCE and carry (n, want) into the rewrite: a
+    // second walk re-lists and re-stats every file, and a concurrent
+    // writer landing between walks would make the rewrite's `want`
+    // disagree with the one that selected the dir
     val toRewrite = es.filter(e => e._1.matches("b\\d+") && keepLeaf(leafOf(e._2)))
-      .filter { case (_, d) => val (n, want) = wantOf(d); n > want }
+      .map { case (t, d) => (t, d, wantOf(d)) }
+      .collect { case (t, d, (n, want)) if n > want => (t, d, want) }
     if (toRewrite.nonEmpty) {
-      val updated = toRewrite.flatMap { case (_, d) =>
-        val (_, want) = wantOf(d)
+      val updated = toRewrite.flatMap { case (_, d, want) =>
         val src0 = readDirs(Seq(d))
         val src = dropped.filter(src0.columns.contains) match {
           case Nil => src0

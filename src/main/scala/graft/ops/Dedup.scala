@@ -79,28 +79,11 @@ object Dedup {
     */
   def bloomPrefilter(batch: DataFrame, index: DataFrame,
                      idCol: String, textCol: String, lanes: Int = 1024): DataFrame = {
-    val bits = lanes * 64L
     val histFps = index.select(md5(col(textCol)).as("fp")).distinct()
-    val probes = histFps.select(explode(array(
-      (0 until BloomProbes).map(i => bloomPos(col("fp"), i, bits)): _*)).as("pos"))
-    // lanes × 8 bytes of driver state regardless of index size — the
-    // standard bounded sketch collect (like the count-min table)
     val laneBits = new Array[Long](lanes)
-    probes
-      .groupBy(floor(col("pos") / 64).cast("int").as("lane"))
-      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("b"))
-      .collect()
-      .foreach(r => laneBits(r.getInt(0)) = r.getLong(1))
-    val lanesLit = typedlit(laneBits.toSeq)
-    var marked = batch.select(col(idCol), md5(col(textCol)).as("fp"))
-    (0 until BloomProbes).foreach { i =>
-      marked = marked.withColumn(s"_p$i", bloomPos(col("fp"), i, bits))
-    }
-    val hit = (0 until BloomProbes).map { i =>
-      element_at(lanesLit, floor(col(s"_p$i") / 64).cast("int") + 1)
-        .bitwiseAND(call_function("shiftleft", lit(1L), (col(s"_p$i") % 64).cast("int"))) =!= 0
-    }.reduce(_ && _)
-    val flagged = marked.withColumn("_maybe", hit)
+    bloomAddFps(laneBits, histFps)
+    val flagged =
+      bloomMark(batch.select(col(idCol), md5(col(textCol)).as("fp")), laneBits)
     // only the maybe rows pay the exact-index join
     val maybes = flagged.filter(col("_maybe"))
       .join(histFps.select(col("fp"), lit(1L).as("_hit")), Seq("fp"), "left")
@@ -109,6 +92,44 @@ object Dedup {
     val news = flagged.filter(!col("_maybe"))
       .select(col(idCol), lit("new").as("status"))
     maybes.unionByName(news)
+  }
+
+  /** OR the probe bits of every fingerprint in `fps` (a frame with an
+    * `fp` column) into `acc` — one bounded aggregation whose output is
+    * O(lanes) whatever the fingerprint cardinality (the standard
+    * bounded sketch collect, like the count-min table). Callers that
+    * maintain a long-lived bloom (e.g. a streaming dedup index) fold
+    * each batch's accepted fingerprints in with this.
+    */
+  def bloomAddFps(acc: Array[Long], fps: DataFrame): Unit = {
+    val bits = acc.length * 64L
+    fps.select(explode(array(
+        (0 until BloomProbes).map(i => bloomPos(col("fp"), i, bits)): _*)).as("pos"))
+      .groupBy(floor(col("pos") / 64).cast("int").as("lane"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("b"))
+      .collect()
+      .foreach(r => acc(r.getInt(0)) |= r.getLong(1))
+  }
+
+  /** Append a `_maybe` column to a frame carrying an `fp` column: true
+    * iff every probe bit is set in `laneBits` — the conservative
+    * membership test. False positives possible; false negatives
+    * impossible for any fingerprint previously folded into `laneBits`
+    * via [[bloomAddFps]] with the same lane count.
+    */
+  def bloomMark(withFp: DataFrame, laneBits: Array[Long]): DataFrame = {
+    val bits = laneBits.length * 64L
+    val lanesLit = typedlit(laneBits.toSeq)
+    var marked = withFp
+    (0 until BloomProbes).foreach { i =>
+      marked = marked.withColumn(s"_p$i", bloomPos(col("fp"), i, bits))
+    }
+    val hit = (0 until BloomProbes).map { i =>
+      element_at(lanesLit, floor(col(s"_p$i") / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (col(s"_p$i") % 64).cast("int"))) =!= 0
+    }.reduce(_ && _)
+    marked.withColumn("_maybe", hit)
+      .drop((0 until BloomProbes).map(i => s"_p$i"): _*)
   }
 
   // ---- shingling ---------------------------------------------------------

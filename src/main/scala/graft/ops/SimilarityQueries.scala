@@ -345,7 +345,12 @@ object SimilarityQueries extends QueryModule {
     */
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val cents = Similarity.kmeansCentroids(s, corpus(s, dir), "embedding", 16)
-    val path = "target/model_artifacts/ann_ivf_centroids"
+    // per-run unique path: a fixed relative path races concurrent
+    // runs (overwrite vs reload) and scatters artifacts on a
+    // non-repo-root CWD
+    val path = java.nio.file.Files
+      .createTempDirectory("ann_ivf_centroids")
+      .resolve("index").toString
     ModelArtifacts.saveIvfCentroids(s, cents, path)
     Similarity.ivfTopKWith(s, queries(s, dir, 10), corpus(s, dir), k = 5,
       ModelArtifacts.loadIvfCentroids(s, path))
@@ -680,10 +685,11 @@ object SimilarityQueries extends QueryModule {
     * large-star/small-star-capable component machinery the text
     * near-dups use (one keep per cluster downstream). Oracle replays
     * the full phash pipeline and closes components with a recursive
-    * CTE.
+    * CTE. Components close via large-star/small-star contraction —
+    * O(log²) shuffle rounds regardless of cluster diameter.
     */
   private def mediaDedupClusters(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.connectedComponents(
+    graft.ops.Dedup.connectedComponentsLSS(
         phashPairs(s, dir).select(col("doc_a"), col("doc_b")))
       .orderBy("doc_id")
 

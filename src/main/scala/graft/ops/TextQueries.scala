@@ -358,10 +358,13 @@ object TextQueries extends QueryModule {
     * simhash pairs — completing the decision layer across all three
     * near-dup signature families (minhash `dedup_clusters`, phash
     * `media_dedup_clusters`, simhash here), same component machinery,
-    * recursive-CTE oracle over the same banded pair derivation.
+    * recursive-CTE oracle over the same banded pair derivation. Runs
+    * on the large-star/small-star contraction (O(log²) rounds) — LP's
+    * diameter-bound rounds are kept only where the LP/LSS pair is the
+    * deliberate gate (`dedup_clusters` vs `dedup_clusters_lss`).
     */
   private def simhashClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
+    Dedup.connectedComponentsLSS(
         Dedup.simhashPairs(docs(s, dir), "doc_id", "text", tau = 3)
           .select(col("doc_a"), col("doc_b")))
       .orderBy("doc_id")
@@ -584,7 +587,10 @@ object TextQueries extends QueryModule {
         blockCol = "source", maxCharDiff = 20, charsCol = "n_chars",
         k = 3, threshold = 0.1)
       .select("doc_a", "doc_b")
-    val dropped = Dedup.connectedComponents(pairs)
+    // star contraction, not label propagation: the keep decision is
+    // identical (cluster = component min) but converges in O(log²)
+    // rounds instead of component-diameter rounds
+    val dropped = Dedup.connectedComponentsLSS(pairs)
       .filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"), lit(1L).as("is_dropped"))
     // no broadcast hint: the drop list can be a large fraction of the

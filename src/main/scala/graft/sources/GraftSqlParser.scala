@@ -218,6 +218,13 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
               s"OPTIMIZE ... WHERE bucket = <id> needs an integer id, got '$v'")
           v.toLong
         }.toSet
+        // two distinct bucket ids conjoined select nothing — refuse
+        // loudly like every other malformed OPTIMIZE WHERE instead of
+        // silently rewriting zero dirs
+        if (ids.size > 1)
+          throw new IllegalArgumentException(
+            s"OPTIMIZE ... WHERE bucket = <id> takes exactly one bucket; " +
+              s"got contradictory ids (${ids.toSeq.sorted.mkString(", ")})")
         leaf => ids.forall(i => leaf == s"_graft_bucket=$i")
       } else {
         require(meta.partitionCols.nonEmpty,

@@ -203,7 +203,10 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
                 fail(s"merge key ${tgt.name} is ${tgt.dataType.simpleString} in the " +
                   s"target but the source side is the wider " +
                   s"${src.dataType.simpleString}; narrowing it could wrap " +
-                  "out-of-range keys — cast the source key explicitly")
+                  "out-of-range keys — narrow the key inside the source " +
+                  "relation/subquery (e.g. SELECT CAST(id AS " +
+                  s"${tgt.dataType.simpleString}) AS id ...), not in the ON " +
+                  "clause, so the merge sees a key already at target width")
             }
           case _ => () // unresolved or computed: defer to the analyzer
         }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.cdc.MergeTable
+import graft.ops.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -13,29 +14,36 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * table's CHANGE FEED instead of re-scanning the corpus.
   *
   * Per micro-batch: collapse the batch to one row per text md5
-  * (lowest id wins — the in-batch first occurrence), anti-join
-  * fingerprints already in the index, append the surviving docs to
-  * `accepted` and their fingerprints to the index. Text never
-  * shuffles — the batch groups on its md5 and only (fp, id) pairs
-  * move; against a 10⁹-row index, [[graft.ops.Dedup.bloomPrefilter]]
-  * composes in front of the anti-join to keep the definitely-new
-  * majority off the index join entirely.
+  * (lowest id wins — the in-batch first occurrence), classify each
+  * fingerprint against a MAINTAINED broadcast bloom over the index
+  * ([[Dedup.bloomMark]]), and only the maybe-duplicate sliver pays
+  * the exact anti-join against the historical index — the
+  * definitely-new majority never touches it (a bloom miss cannot be
+  * in the index: every indexed fingerprint is folded in, at startup
+  * from one index scan and per batch via [[Dedup.bloomAddFps]]).
+  * Text never shuffles — the batch groups on its md5 and only
+  * (fp, id) pairs move.
   *
-  * Exactly-once: both writes run under the idempotent-writer txn
-  * marker ([[MergeTable.txn]], Delta's txnAppId/txnVersion), keyed by
-  * the streaming batchId. Replay after a crash between the two
-  * commits is safe BECAUSE the accepted write lands first and the
-  * kept set is a deterministic function of (batch, index) — the index
-  * only advances in this batch's own second txn, so a replay
-  * recomputes the identical kept set, skips the committed accepted
-  * write, and completes the index write.
+  * Exactly-once: both appends are single-commit ops, so each runs
+  * under [[MergeTable.txnAtomic]] — the (appId, batchId) watermark
+  * rides the append's OWN commit, leaving no window where data
+  * committed but the watermark did not. A crash between the two
+  * table commits replays safely: the kept set is a deterministic
+  * function of (batch, index), the index only advances in this
+  * batch's second commit, so the replay recomputes the identical
+  * kept set, skips the already-committed accepted write, and
+  * completes the index write. (The bloom is in-memory only —
+  * rebuilt from the index on restart — so it can lag the index only
+  * within a run, and only toward EXTRA bits, which are false
+  * positives the exact join refutes, never false negatives.)
   */
 class DedupStream(
     spark: SparkSession,
     root: String,
     idCol: String = "doc_id",
     textCol: String = "text",
-    appId: String = "dedup-stream") {
+    appId: String = "dedup-stream",
+    bloomLanes: Int = 1 << 17) {
 
   val indexRoot = s"$root/fp_index"
   val acceptedRoot = s"$root/accepted"
@@ -44,29 +52,58 @@ class DedupStream(
   private val indexTable = new MergeTable(spark, indexRoot, Seq("fp"))
   private val acceptedTable = new MergeTable(spark, acceptedRoot, Seq(idCol))
 
+  // superset-of-index bloom: bloomLanes longs of driver state however
+  // large the index grows; seeded lazily from one index scan, advanced
+  // with each batch's kept fingerprints BEFORE the appends (extra bits
+  // on a failed batch are only false positives)
+  private var laneBits: Array[Long] = _
+  private def ensureBloom(): Unit = if (laneBits == null) {
+    laneBits = new Array[Long](bloomLanes)
+    if (indexTable.exists)
+      Dedup.bloomAddFps(laneBits, indexTable.read().select("fp"))
+  }
+
+  /** (candidate fingerprints, bloom-maybe sliver) of the last batch —
+    * the observable that the index join's input really is the sliver.
+    */
+  @volatile var lastBloomStats: (Long, Long) = (0L, 0L)
+
   /** Apply one micro-batch; idempotent per (appId, batchId). */
   def processBatch(batch0: DataFrame, batchId: Long): Unit = {
-    import spark.implicits._
-    // the batch is consumed three times (emptiness probe, fingerprint
-    // collapse, accepted semi-join) — cache it or a file/Kafka source
-    // re-reads its input per consumer
+    // the batch is consumed twice (fingerprint collapse, accepted
+    // semi-join) — cache it or a file/Kafka source re-reads its input
     val batch = batch0.cache()
     try {
       if (batch.isEmpty) return
-      val indexFps =
-        if (indexTable.exists) indexTable.read().select("fp")
-        else Seq.empty[String].toDF("fp")
-      // kept feeds both writes — cache it or the anti-join runs twice
-      val kept = graft.ops.Dedup
-        .incrementalKeepFps(batch, indexFps, idCol, textCol).cache()
+      ensureBloom()
+      val flagged = Dedup.bloomMark(
+        batch.groupBy(md5(col(textCol)).as("fp"))
+          .agg(min(col(idCol)).as("keep_id")),
+        laneBits).cache()
       try {
-        val accepted = batch.join(
-          kept.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
-        acceptedTable.txn(appId, batchId) { acceptedTable.append(accepted) }
-        indexTable.txn(appId, batchId) {
-          indexTable.append(kept.select(col("fp"), col("keep_id")))
-        }
-      } finally kept.unpersist()
+        // one bounded pass materializes the cache and the selectivity
+        // observable (candidates vs maybe-dup sliver)
+        val byMaybe = flagged.groupBy(col("_maybe")).agg(count(lit(1)))
+          .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+        lastBloomStats = (byMaybe.values.sum, byMaybe.getOrElse(true, 0L))
+        val maybes = flagged.filter(col("_maybe")).drop("_maybe")
+        val news = flagged.filter(!col("_maybe")).drop("_maybe")
+        val survivors =
+          if (indexTable.exists)
+            maybes.join(indexTable.read().select("fp"), Seq("fp"), "left_anti")
+          else maybes
+        // kept feeds both writes — cache it or the anti-join runs twice
+        val kept = news.unionByName(survivors).cache()
+        try {
+          Dedup.bloomAddFps(laneBits, kept.select("fp"))
+          val accepted = batch.join(
+            kept.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+          acceptedTable.txnAtomic(appId, batchId) { acceptedTable.append(accepted) }
+          indexTable.txnAtomic(appId, batchId) {
+            indexTable.append(kept.select(col("fp"), col("keep_id")))
+          }
+        } finally kept.unpersist()
+      } finally flagged.unpersist()
     } finally batch.unpersist()
   }
 

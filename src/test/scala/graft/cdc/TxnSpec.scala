@@ -114,6 +114,53 @@ class TxnSpec extends SparkSpec {
       Map(1L -> "a", 3L -> "c"))
   }
 
+  test("txnAtomic: the watermark rides the append's own commit — one version, no marker") {
+    val root = fresh("atomic")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")))
+    val before = t.versions().last
+    val r = t.txnAtomic("ingest", 0L) { t.append(Seq((2L, "b")).toDF("id", "v")) }
+    assert(r.isDefined)
+    assert(t.lastTxn("ingest") === Some(0L))
+    assert(t.versions().last === before + 1,
+      "txnAtomic must not add a separate marker commit")
+    // replay skips even though append is not value-idempotent
+    assert(t.txnAtomic("ingest", 0L) { t.append(Seq((2L, "b")).toDF("id", "v")) } === None)
+    assert(t.read().count() === 2)
+  }
+
+  test("txnAtomic: no crash window — the commit either carries the watermark or never lands") {
+    val root = fresh("atomic_crash")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")))
+    var fired = false
+    t.onBeforeCommit = () => {
+      if (!fired) { fired = true; throw new RuntimeException("crash at commit") }
+    }
+    intercept[RuntimeException] {
+      t.txnAtomic("ingest", 0L) { t.append(Seq((2L, "b")).toDF("id", "v")) }
+    }
+    assert(t.lastTxn("ingest") === None, "uncommitted op recorded a watermark")
+    assert(t.read().count() === 1)
+    // replay runs in full and the single surviving commit carries both
+    t.txnAtomic("ingest", 0L) { t.append(Seq((2L, "b")).toDF("id", "v")) }
+    assert(t.lastTxn("ingest") === Some(0L))
+    assert(t.read().count() === 2)
+  }
+
+  test("txnAtomic refuses a multi-commit op loudly") {
+    val root = fresh("atomic_multi")
+    val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")))
+    val e = intercept[IllegalArgumentException] {
+      t.txnAtomic("app", 1L) {
+        t.append(Seq((2L, "b")).toDF("id", "v"))
+        t.append(Seq((3L, "c")).toDF("id", "v"))
+      }
+    }
+    assert(e.getMessage.contains("multi-commit ops must use txn()"))
+  }
+
   test("watermarks from both writers survive a concurrent-commit rebase") {
     val root = fresh("rebase")
     val t1 = MergeTable.createIfAbsent(spark, root, Seq("id"),

@@ -63,4 +63,48 @@ class DedupStreamSpec extends SparkSpec {
     ds2.processBatch(Seq((3L, "aa"), (4L, "cc")).toDF("doc_id", "text"), 1L)
     assert(acceptedIds(root) === Set(1L, 2L, 4L), "3 dups history, 4 is new")
   }
+
+  test("crash between the accepted and index commits replays without duplicates") {
+    // the ADVICE r9 window: the accepted append committed but the
+    // index write never ran. With txnAtomic the watermark rode the
+    // accepted commit itself, so the replay skips it (append is NOT
+    // value-idempotent) and completes only the index write.
+    val root = "target/test_tables/dedup_stream_crash"
+    MergeTable.drop(root)
+    val b0 = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val crashed = new MergeTable(spark, s"$root/accepted", Seq("doc_id"))
+    crashed.txnAtomic("dedup-stream", 0L) { crashed.append(b0) }
+
+    val ds = new DedupStream(spark, root)
+    ds.processBatch(b0, 0L)
+    assert(acceptedIds(root) === Set(1L, 2L))
+    assert(new MergeTable(spark, s"$root/accepted", Seq("doc_id"))
+      .read().count() === 2L, "replay duplicated the accepted rows")
+    assert(new MergeTable(spark, s"$root/fp_index", Seq("fp"))
+      .read().count() === 2L, "replay did not complete the index write")
+
+    // and the stream carries on: next batch dedups against history
+    ds.processBatch(Seq((3L, "aa"), (4L, "cc")).toDF("doc_id", "text"), 1L)
+    assert(acceptedIds(root) === Set(1L, 2L, 4L))
+  }
+
+  test("only the bloom-maybe sliver pays the index join") {
+    val root = "target/test_tables/dedup_stream_bloom"
+    MergeTable.drop(root)
+    val ds = new DedupStream(spark, root)
+    ds.processBatch(
+      (0L until 50L).map(i => (i, s"seed text $i")).toDF("doc_id", "text"), 0L)
+
+    // batch 1: 200 fresh texts + 3 historical dups — the anti-join
+    // input must be (about) the dups, not the whole batch
+    val fresh = (100L until 300L).map(i => (i, s"novel text $i"))
+    val dups = Seq((900L, "seed text 1"), (901L, "seed text 2"), (902L, "seed text 3"))
+    ds.processBatch((fresh ++ dups).toDF("doc_id", "text"), 1L)
+    val (cand, maybe) = ds.lastBloomStats
+    assert(cand === 203L)
+    assert(maybe >= 3L, "a true dup must always be a bloom hit")
+    assert(maybe <= 10L,
+      s"the index join's input should be the maybe sliver, got $maybe of $cand")
+    assert(acceptedIds(root).size === 250)
+  }
 }
