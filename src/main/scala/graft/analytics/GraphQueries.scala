@@ -311,6 +311,48 @@ object GraphQueries extends QueryModule {
     edges
   }
 
+  /** [[peelCore]] to the TRUE fixpoint: peel until the edge set stops
+    * changing, detected by the same order-independent checksum the LSS
+    * component contraction uses (count + xor of per-edge hashes — one
+    * O(1)-output aggregation per round instead of an anti-join), with
+    * a LOUD refusal at `maxRounds`: a deep cascade under-peeled by a
+    * fixed unroll silently over-reports the core, and at 100× scale a
+    * cascade can run arbitrarily deep. `localCheckpoint` truncates the
+    * per-round lineage exactly as the LSS loop does — an iterative
+    * self-referencing plan grows exponentially otherwise.
+    */
+  private[analytics] def peelCoreFixpoint(edges0: DataFrame, k: Int,
+      maxRounds: Int = 40): DataFrame = {
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src_t, src_id, dst_t, dst_id))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = edges0.localCheckpoint(true)
+    var sig = checksum(edges)
+    var converged = sig._1 == 0L
+    var i = 0
+    while (!converged && i < maxRounds) {
+      // alive feeds BOTH semi-joins — checkpoint it (node-sized) or
+      // the degree aggregation runs twice per round
+      val alive = edges.groupBy("src_t", "src_id")
+        .agg(count(lit(1)).as("d")).filter(col("d") >= k)
+        .select(col("src_t"), col("src_id")).localCheckpoint(true)
+      val aliveDst = alive.select(col("src_t").as("dst_t"), col("src_id").as("dst_id"))
+      val next = edges.join(alive, Seq("src_t", "src_id"), "left_semi")
+        .join(aliveDst, Seq("dst_t", "dst_id"), "left_semi")
+        .localCheckpoint(true)
+      val nextSig = checksum(next)
+      converged = nextSig == sig || nextSig._1 == 0L
+      sig = nextSig
+      edges = next
+      i += 1
+    }
+    require(converged,
+      s"peelCoreFixpoint did not reach the peel fixpoint in $maxRounds rounds")
+    edges
+  }
+
   /** k-core of the customer–supplier trade graph (the dense-subgraph
     * primitive behind community cores, engagement tiers, and graph
     * sparsification): after [[PeelRounds]] rounds of removing nodes
@@ -319,7 +361,7 @@ object GraphQueries extends QueryModule {
     * low-degree suppliers can itself drop under k the next round.
     * Top-20 by (core degree, type, id), exact integers throughout.
     */
-  private def kcore(s: SparkSession, dir: String): DataFrame = {
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -328,13 +370,32 @@ object GraphQueries extends QueryModule {
       lit("s").as("dst_t"), col("su").as("dst_id"))
     val rev = pairs.select(lit("s").as("src_t"), col("su").as("src_id"),
       lit("c").as("dst_t"), col("c").as("dst_id"))
-    peelCore(fwd.unionAll(rev), CoreK, PeelRounds)
+    fwd.unionAll(rev)
+  }
+
+  private def kcore(s: SparkSession, dir: String): DataFrame =
+    peelCore(tradeEdges(s, dir), CoreK, PeelRounds)
       .groupBy(col("src_t").as("node_t"), col("src_id").as("node_id"))
       .agg(count(lit(1)).as("core_deg"))
       .orderBy(col("core_deg").desc, col("node_t"), col("node_id")).limit(20)
-  }
 
-  private val kcoreSql = {
+  /** The TRUE k-core via [[peelCoreFixpoint]]. Oracle soundness: the
+    * SQL unrolls [[FixpointOracleRounds]] peel rounds; a round past
+    * the fixpoint is the identity (every surviving node already has
+    * degree ≥ k), so unrolled-N equals the fixpoint whenever the
+    * fixpoint lands within N rounds — and the Spark side caps
+    * `maxRounds` at the SAME N and refuses loudly beyond it, so the
+    * two can never silently diverge on a deeper cascade.
+    */
+  private def kcoreFixpoint(s: SparkSession, dir: String): DataFrame =
+    peelCoreFixpoint(tradeEdges(s, dir), CoreK, maxRounds = FixpointOracleRounds)
+      .groupBy(col("src_t").as("node_t"), col("src_id").as("node_id"))
+      .agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("core_deg").desc, col("node_t"), col("node_id")).limit(20)
+
+  private val FixpointOracleRounds = 10
+
+  private def kcoreSqlRounds(peelRounds: Int) = {
     val base =
       """WITH pairs AS (
         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS su
@@ -343,11 +404,14 @@ object GraphQueries extends QueryModule {
         |  SELECT 'c' AS src_t, c AS src_id, 's' AS dst_t, su AS dst_id FROM pairs
         |  UNION ALL
         |  SELECT 's' AS src_t, su AS src_id, 'c' AS dst_t, c AS dst_id FROM pairs)""".stripMargin
-    val rounds = (1 to PeelRounds).map { r =>
-      s"""a$r AS (
+    // AS MATERIALIZED: each round references the previous one three
+    // times — inlined CTEs would expand the plan 3^rounds-fold (DuckDB
+    // runs out of file handles at 10 rounds without it)
+    val rounds = (1 to peelRounds).map { r =>
+      s"""a$r AS MATERIALIZED (
          |  SELECT src_t, src_id FROM e${r - 1}
          |  GROUP BY 1, 2 HAVING count(*) >= $CoreK),
-         |e$r AS (
+         |e$r AS MATERIALIZED (
          |  SELECT e.src_t, e.src_id, e.dst_t, e.dst_id FROM e${r - 1} e
          |  JOIN a$r x ON e.src_t = x.src_t AND e.src_id = x.src_id
          |  JOIN a$r y ON e.dst_t = y.src_t AND e.dst_id = y.src_id)""".stripMargin
@@ -355,9 +419,12 @@ object GraphQueries extends QueryModule {
     s"""$base,
        |$rounds
        |SELECT src_t AS node_t, src_id AS node_id, CAST(count(*) AS BIGINT) AS core_deg
-       |FROM e$PeelRounds GROUP BY 1, 2
+       |FROM e$peelRounds GROUP BY 1, 2
        |ORDER BY core_deg DESC, node_t, node_id LIMIT 20""".stripMargin
   }
+
+  private val kcoreSql = kcoreSqlRounds(PeelRounds)
+  private val kcoreFixpointSql = kcoreSqlRounds(FixpointOracleRounds)
 
   // -- supplier neighborhood Jaccard ----------------------------------------
 
@@ -435,6 +502,7 @@ object GraphQueries extends QueryModule {
     QueryDef("parts_item_cf", itemCf, Some(itemCfSql)),
     QueryDef("graph_triangles", triangles, Some(trianglesSql)),
     QueryDef("graph_kcore", kcore, Some(kcoreSql)),
+    QueryDef("graph_kcore_fixpoint", kcoreFixpoint, Some(kcoreFixpointSql)),
     QueryDef("suppliers_jaccard", suppliersJaccard, Some(suppliersJaccardSql)),
   )
 }

@@ -49,4 +49,34 @@ class KCoreSpec extends SparkSpec {
     val path = sym(Seq((1L, 2L), (2L, 3L)))
     assert(GraphQueries.peelCore(path, k = 3, rounds = 2).count() === 0L)
   }
+
+  // K4 + a 6-link tail: the cascade needs SIX rounds to dissolve, so
+  // a 3-round unroll under-peels and over-reports the core
+  private val deepTail = sym(clique ++
+    Seq((4L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L)))
+
+  test("round-4+ cascades change the answer and the fixpoint catches them") {
+    val unrolled = GraphQueries.peelCore(deepTail, k = 2, rounds = 3)
+      .select(col("src_id")).distinct().as[Long].collect().toSet
+    assert(unrolled === Set(1L, 2L, 3L, 4L, 10L, 11L, 12L),
+      "3 rounds under-peel the deep tail")
+    val fixed = GraphQueries.peelCoreFixpoint(deepTail, k = 2)
+      .select(col("src_id")).distinct().as[Long].collect().toSet
+    assert(fixed === Set(1L, 2L, 3L, 4L), "the true 2-core is the clique alone")
+  }
+
+  test("fixpoint refuses loudly when the cascade outruns the round cap") {
+    val e = intercept[IllegalArgumentException] {
+      GraphQueries.peelCoreFixpoint(deepTail, k = 2, maxRounds = 3)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
+  test("fixpoint equals the unrolled peel once the unroll is deep enough") {
+    val a = GraphQueries.peelCoreFixpoint(graph, k = 2)
+      .groupBy("src_id").agg(count(lit(1)).as("d")).as[(Long, Long)].collect().toMap
+    val b = GraphQueries.peelCore(graph, k = 2, rounds = 3)
+      .groupBy("src_id").agg(count(lit(1)).as("d")).as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
 }
