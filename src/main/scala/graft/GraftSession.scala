@@ -31,6 +31,12 @@ object GraftSession {
           java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
             .toAbsolutePath.resolve("target").resolve("graft_warehouse").toString))
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // storage-partitioned joins over the catalog's bucketed
+      // mergetables: align KeyGroupedPartitioning scans instead of
+      // shuffling both sides (pushPartValues tolerates one side
+      // missing some bucket ids)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

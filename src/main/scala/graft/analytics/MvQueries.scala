@@ -23,7 +23,10 @@ object MvQueries extends QueryModule {
   // one idempotent staleness hook for the whole module (Caches hooks
   // persist across clears — registering per query run would pile up)
   private lazy val staleOnClear: Unit =
-    Caches.onClear(() => MaterializedViews.markStale("mv_orders_by_priority"))
+    Caches.onClear(() => {
+      MaterializedViews.markStale("mv_orders_by_priority")
+      MaterializedViews.markStale("mv_orders_by_pri_status")
+    })
 
   /** The MV definition AND the query's inner subtree — built by one
     * function so the exact-plan match is honest about its contract.
@@ -95,8 +98,43 @@ object MvQueries extends QueryModule {
       |FROM updated WHERE event_id % 7 <> 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Aggregate-rollup rewrite gate: the registered view groups by
+    * (priority, status); the query groups by priority ALONE, so no
+    * exact plan match exists — the rule must answer it by
+    * RE-AGGREGATING the materialization (count → sum of counts,
+    * decimal sum → sum of sums). The oracle recomputes the coarse
+    * aggregate directly from the fact table, so the hash certifies
+    * the rollup algebra; `MaterializedViewSpec` separately proves the
+    * plan reads the store, not the base.
+    */
+  private def ordersByPriorityStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("total"))
+
+  private def mvRollup(s: SparkSession, dir: String): DataFrame = {
+    staleOnClear
+    val path = s"$tmpBase/mvstore_rollup_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    MaterializedViews.register("mv_orders_by_pri_status",
+      () => ordersByPriorityStatus(s, dir), path)
+    MaterializedViews.refresh("mv_orders_by_pri_status")
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2)
+          .as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val mvRollupSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("mv_rewrite", mvRewrite, Some(mvRewriteSql)),
     QueryDef("mv_incremental", mvIncremental, Some(mvIncrementalSql)),
+    QueryDef("mv_rollup", mvRollup, Some(mvRollupSql)),
   )
 }

@@ -295,6 +295,41 @@ object MaterializedViews {
 
   def deregisterIncremental(name: String): Unit = incRegistry.remove(name)
 
+  /** Rollup candidates: fresh, storage-backed views whose canonical
+    * definition is an Aggregate over EXACTLY this canonicalized child
+    * — the precondition for answering a coarser GROUP BY from the
+    * view (every base row lands in exactly one view row, so
+    * re-aggregating view rows over a subset of its grouping keys is
+    * exact). Full MVs validate their base-file fingerprint, incrementals
+    * their commit log, same as the exact-match path.
+    */
+  private[plans] def rollupCandidates(
+      subChild: LogicalPlan): Seq[(String, org.apache.spark.sql.catalyst.plans.logical.Aggregate)] =
+    if (suspended) Nil
+    else {
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      val full = registry.values.toSeq.collect {
+        case mv if mv.fresh && Files.exists(Paths.get(mv.path)) => mv
+      }.flatMap { mv =>
+        mv.canonical match {
+          case a: Aggregate if a.child == subChild &&
+              mv.fingerprint.forall(_ == baseFingerprint(mv.definition)) =>
+            Some((mv.path, a))
+          case _ => None
+        }
+      }
+      val inc = incRegistry.values.toSeq.flatMap { mv =>
+        mv.canonical match {
+          case Some(a: Aggregate) if a.child == subChild &&
+              mv.dir.exists(d => Files.exists(Paths.get(d))) &&
+              mv.table.versions().lastOption.contains(mv.version) =>
+            Some((mv.dir.get, a))
+          case _ => None
+        }
+      }
+      full ++ inc
+    }
+
   private[plans] def matching(sub: LogicalPlan): Option[(String, String)] =
     if (suspended || (registry.isEmpty && incRegistry.isEmpty)) None
     else {
@@ -326,9 +361,20 @@ object MaterializedViews {
 
 /** Analyzer rule: swap fresh-MV-equal subtrees for their parquet
   * materialization, preserving the original output attributes
-  * (names AND exprIds) so the surrounding plan is untouched.
+  * (names AND exprIds) so the surrounding plan is untouched. When no
+  * exact match exists, an Aggregate whose grouping keys are a SUBSET
+  * of a view's (over the identical base subtree) is answered by
+  * RE-AGGREGATING the materialization — count rolls up as sum of
+  * counts, sum as sum of sums, min/max as min/max — the classic
+  * aggregate-rollup rewrite (`GROUP BY year` served from a
+  * `GROUP BY year, month` view).
   */
 class RewriteToMaterializedView(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, Coalesce, Expression, Literal}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+  import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+  import org.apache.spark.sql.types.{DecimalType, IntegralType, LongType}
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case sub if sub.resolved && sub.children.nonEmpty =>
       MaterializedViews.matching(sub) match {
@@ -345,7 +391,110 @@ class RewriteToMaterializedView(session: SparkSession) extends Rule[LogicalPlan]
               else Cast(src, target.dataType)
             Alias(aligned, target.name)(exprId = target.exprId)
           }, rel)
-        case None => sub
+        case None => sub match {
+          case agg: Aggregate => tryRollup(agg).getOrElse(agg)
+          case _ => sub
+        }
       }
+  }
+
+  private def strip(e: Expression): Expression = e match {
+    case a: Alias => a.child
+    case x => x
+  }
+
+  /** Answer `agg` by re-aggregating a registered view: every query
+    * grouping key must be one of the view's grouping outputs, and
+    * every query aggregate must be derivable from a view aggregate
+    * (count→sum, sum→sum on exact numeric types, min→min, max→max;
+    * distinct/filtered/float aggregates refuse — float re-addition
+    * reorders, and this rewrite must never change an answer).
+    */
+  private def tryRollup(agg: Aggregate): Option[LogicalPlan] = {
+    val c = agg.canonicalized match {
+      case a: Aggregate => a
+      case _ => return None
+    }
+    MaterializedViews.rollupCandidates(c.child).view.flatMap { case (path, v) =>
+      rollupAgainst(agg, c, path, v)
+    }.headOption
+  }
+
+  private def rollupAgainst(agg: Aggregate, c: Aggregate, path: String,
+      v: Aggregate): Option[LogicalPlan] = {
+    val vOut: Seq[Expression] = v.aggregateExpressions.map(strip)
+    val rel = session.read.parquet(path).queryExecution.analyzed
+    if (rel.output.length != vOut.length) return None
+
+    // a query grouping key answers from a view output that is itself
+    // a grouping passthrough (never an aggregate)
+    def groupPos(g: Expression): Option[Int] = {
+      val i = vOut.indexWhere(ve =>
+        ve == g && v.groupingExpressions.contains(g))
+      if (i >= 0) Some(i) else None
+    }
+    val groupMap: Map[Expression, Int] =
+      c.groupingExpressions.flatMap(g => groupPos(g).map(g -> _)).toMap
+    if (groupMap.size != c.groupingExpressions.distinct.size) return None
+
+    def exactNumeric(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt.isInstanceOf[IntegralType] || dt.isInstanceOf[DecimalType]
+
+    def aggPos(p: Expression => Boolean): Option[Int] = {
+      val i = vOut.indexWhere {
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          p(ae.aggregateFunction)
+        case _ => false
+      }
+      if (i >= 0) Some(i) else None
+    }
+
+    // one view aggregate → its rollup over the store, cast back to
+    // the original result type so surrounding arithmetic (decimal
+    // precision, CheckOverflow shapes) sees exactly what it resolved
+    // against
+    def deriveAgg(ae: AggregateExpression): Option[Expression] =
+      if (ae.isDistinct || ae.filter.nonEmpty) None
+      else ae.aggregateFunction match {
+        case cnt: Count =>
+          aggPos(_ == cnt).map(j =>
+            Coalesce(Seq(
+              Sum(rel.output(j)).toAggregateExpression(),
+              Literal(0L, LongType))))
+        case s: Sum if exactNumeric(s.dataType) =>
+          aggPos(_ == s).map(j =>
+            Cast(Sum(rel.output(j)).toAggregateExpression(), s.dataType))
+        case m: Min =>
+          aggPos(_ == m).map(j => Min(rel.output(j)).toAggregateExpression())
+        case m: Max =>
+          aggPos(_ == m).map(j => Max(rel.output(j)).toAggregateExpression())
+        case _ => None
+      }
+
+    // derive each query output from the view columns (canonical-space
+    // matching; rel.output positions mirror vOut by construction):
+    // embedded aggregates (e.g. round(sum(x), 2)) roll up in place,
+    // grouping subexpressions pass through, and any leftover base
+    // attribute means the output is NOT derivable — refuse
+    def derive(e: Expression): Option[Expression] = {
+      var ok = true
+      val replaced = strip(e).transformUp {
+        case ae: AggregateExpression =>
+          deriveAgg(ae).getOrElse { ok = false; ae }
+        case g if groupMap.contains(g) => rel.output(groupMap(g))
+      }
+      if (ok && replaced.references.subsetOf(rel.outputSet)) Some(replaced)
+      else None
+    }
+
+    val derived = c.aggregateExpressions.map(derive)
+    if (derived.exists(_.isEmpty)) return None
+    val newList = agg.output.zip(derived.map(_.get)).map { case (target, e) =>
+      val aligned = if (e.dataType == target.dataType) e else Cast(e, target.dataType)
+      Alias(aligned, target.name)(exprId = target.exprId)
+    }
+    val newGroups: Seq[Expression] =
+      c.groupingExpressions.map(g => rel.output(groupMap(g)))
+    Some(Aggregate(newGroups, newList, rel))
   }
 }

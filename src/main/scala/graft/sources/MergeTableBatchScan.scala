@@ -1,0 +1,254 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{InternalRow, StructFilters}
+import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, BoundReference, GenericInternalRow, Predicate => CatPredicate, UnsafeProjection}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** One batch-scan work unit: the parquet files of one bucket (with
+  * [[GraftBucketPartition]]) or one file (unbucketed). Files carry
+  * (path, length, modTime) so executors build `PartitionedFile`s
+  * without re-statting.
+  */
+private[sources] case class GraftFileInfo(path: String, length: Long, modTime: Long)
+
+private[sources] case class GraftFilePartition(files: Seq[GraftFileInfo])
+    extends InputPartition
+
+/** A whole hash bucket as one partition, keyed for Spark's
+  * storage-partitioned join: `HasPartitionKey` lets the planner align
+  * two scans bucket-by-bucket and elide the shuffle entirely.
+  */
+private[sources] case class GraftBucketPartition(files: Seq[GraftFileInfo], bucket: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
+/** DSv2 Batch read path for a MergeTable snapshot (the V1Scan
+  * replacement on the eligible fast path — COW, no pending deltas or
+  * deletion vectors, no active column mapping):
+  *
+  *  - files come from the SAME pinned-manifest pruning pipeline the
+  *    V1 relation uses (bucket dirs → partition dirs → footer stats →
+  *    key blooms), so every pruning tier carries over;
+  *  - rows are read by Spark's own vectorized parquet reader
+  *    ([[ParquetFileFormat.buildReaderWithPartitionValues]]) straight
+  *    into `InternalRow`/`ColumnarBatch` — no Row round-trip like the
+  *    V1 `buildScan` RDD, and filter-free scans feed whole-stage
+  *    codegen columnar batches directly;
+  *  - bucketed tables report [[KeyGroupedPartitioning]] over the
+  *    catalog's `bucket` function with one partition per bucket id, so
+  *    two co-bucketed mergetables JOIN WITHOUT A SHUFFLE (Spark's
+  *    storage-partitioned join) — at 100 TB the fact⋈fact shuffle this
+  *    removes is the dominant cost;
+  *  - [[SupportsRuntimeFiltering]] lets a dimension filter prune
+  *    bucket/partition dirs AT RUNTIME (DSv2 dynamic partition
+  *    pruning) through the same `survivingFiles` pipeline.
+  *
+  * Pushed filters are enforced EXACTLY (the ScanBuilder claims them):
+  * parquet row-group skipping is best-effort, so a filtered scan runs
+  * row-mode with a compiled catalyst predicate over the read schema
+  * (required ∪ filter-referenced columns) and projects back down.
+  */
+private[sources] class MergeTableBatchScan(
+    spark: SparkSession,
+    relation: MergeTableRelation,
+    requiredSchema: StructType,
+    pushed: Array[Filter]) extends Scan with Batch
+    with SupportsReportPartitioning with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  private val fullSchema = relation.schema
+  // filter-only columns ride along for exact enforcement, then drop
+  private val filterRefs: Seq[String] = pushed.flatMap(_.references).distinct
+    .filterNot(requiredSchema.fieldNames.contains).toSeq
+  private val readDataSchema =
+    StructType(requiredSchema.fields ++ filterRefs.map(fullSchema(_)))
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val fstr = if (pushed.isEmpty) "" else s", PushedFilters: [${pushed.mkString(", ")}]"
+    s"MergeTableBatchScan ${relation.path}$fstr"
+  }
+  override def toString: String = description()
+
+  // -- runtime filtering (DSv2 dynamic partition pruning) ------------------
+
+  @volatile private var runtime: Array[Filter] = Array.empty
+  private def allFilters: Array[Filter] = pushed ++ runtime
+
+  override def filterAttributes(): Array[NamedReference] = {
+    val bucketKeys = if (relation.numBuckets.isDefined) relation.keys else Nil
+    (bucketKeys ++ relation.partitionCols).distinct
+      .map(Expressions.column).toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit = { runtime = filters }
+
+  // -- planning -------------------------------------------------------------
+
+  private def survivors: Seq[java.nio.file.Path] =
+    relation.survivingFiles(allFilters).map(_._1).getOrElse(Seq.empty)
+
+  private val bucketPat = "_graft_bucket=(\\d+)".r
+  private def bucketOf(p: java.nio.file.Path): Option[Int] =
+    bucketPat.findFirstMatchIn(p.toString).map(_.group(1).toInt)
+
+  private def info(p: java.nio.file.Path): GraftFileInfo = {
+    val f = p.toFile
+    GraftFileInfo(p.toString, f.length(), f.lastModified())
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = survivors
+    relation.numBuckets match {
+      case Some(n) if fs.forall(p => bucketOf(p).isDefined) =>
+        // one keyed partition per bucket id — EVERY id, so two scans of
+        // co-bucketed tables report identical partition-key sets and
+        // align 1:1; ids a runtime point-lookup filter excludes drop out
+        val byBucket = fs.groupBy(p => bucketOf(p).get)
+        val allowed = relation.pointBuckets(allFilters)
+        (0 until n)
+          .filter(b => allowed.forall(_.contains(b.toLong)))
+          .map(b => GraftBucketPartition(
+            byBucket.getOrElse(b, Seq.empty).map(info), b): InputPartition)
+          .toArray
+      case _ =>
+        fs.map(p => GraftFilePartition(Seq(info(p))): InputPartition).toArray
+    }
+  }
+
+  override def outputPartitioning(): Partitioning = relation.numBuckets match {
+    case Some(n) if survivors.forall(p => bucketOf(p).isDefined) =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(n, relation.keys: _*)), n)
+    case _ => new UnknownPartitioning(survivors.size)
+  }
+
+  override def estimateStatistics(): Statistics = {
+    // post-pruning bytes (manifest-scale driver stat walk), scaled by
+    // the same compression factor Spark applies to its own parquet
+    // relations — so a pruned mergetable side still auto-broadcasts
+    val bytes = (survivors.map(p => p.toFile.length()).sum *
+      spark.sessionState.conf.fileCompressionFactor).toLong
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): OptionalLong = OptionalLong.empty()
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fmt = new ParquetFileFormat()
+    // columnar only on the filter-free path: pushed filters are
+    // claimed exact, and exactness needs the row-mode predicate
+    val columnar = pushed.isEmpty && fmt.supportBatch(spark, readDataSchema)
+    val readFunc = fmt.buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = fullSchema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = readDataSchema,
+      filters = pushed.toSeq, // parquet row-group/page skipping (best-effort)
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
+      hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    new GraftReaderFactory(readFunc, columnar, pushed, readDataSchema,
+      requiredSchema.length)
+  }
+}
+
+private[sources] object MergeTableBatchScan {
+  /** Driver-side check that every claimed filter can be re-evaluated
+    * row-level on the executors — a filter without a row form must
+    * take the V1 path (which enforces via the inner DataFrame).
+    */
+  def rowFormExists(filters: Array[Filter], schema: StructType): Boolean = {
+    def toRef(name: String) = schema.fields.zipWithIndex.collectFirst {
+      case (f, i) if f.name == name => BoundReference(i, f.dataType, f.nullable)
+    }
+    filters.forall(f => StructFilters.filterToExpression(f, toRef).isDefined)
+  }
+}
+
+/** Executor-side reader: replays the driver-built parquet read
+  * function per file, enforces claimed filters exactly with a
+  * compiled catalyst predicate, and projects filter-only columns back
+  * out. Columnar batches pass through untouched (filter-free scans).
+  */
+private[sources] class GraftReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    columnar: Boolean,
+    filters: Array[Filter],
+    readSchema: StructType,
+    outputLen: Int) extends PartitionReaderFactory {
+
+  private def filesOf(p: InputPartition): Seq[GraftFileInfo] = p match {
+    case GraftFilePartition(fs) => fs
+    case GraftBucketPartition(fs, _) => fs
+    case other => throw new IllegalStateException(s"unexpected partition $other")
+  }
+
+  private def partitionedFile(f: GraftFileInfo): PartitionedFile =
+    PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.path),
+      0L, f.length, Array.empty, f.modTime, f.length, Map.empty)
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val base = filesOf(p).iterator.flatMap(f => readFunc(partitionedFile(f)))
+    val filtered =
+      if (filters.isEmpty) base
+      else {
+        def toRef(name: String) =
+          readSchema.fields.zipWithIndex.collectFirst {
+            case (f, i) if f.name == name => BoundReference(i, f.dataType, f.nullable)
+          }
+        val exprs = filters.toSeq.map(f =>
+          StructFilters.filterToExpression(f, toRef).getOrElse(
+            throw new IllegalStateException(
+              s"claimed filter $f has no row-level form — ScanBuilder bug")))
+        val pred = CatPredicate.create(exprs.reduce(CatAnd(_, _)))
+        pred.initialize(0)
+        base.filter(pred.eval)
+      }
+    val projected =
+      if (outputLen == readSchema.length) filtered
+      else {
+        val proj = UnsafeProjection.create(
+          readSchema.fields.take(outputLen).zipWithIndex.map { case (f, i) =>
+            BoundReference(i, f.dataType, f.nullable)
+          }.toSeq)
+        filtered.map(proj)
+      }
+    iteratorReader(projected)
+  }
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    require(columnar, "columnar read requested on a row-mode scan")
+    // the vectorized parquet reader yields ColumnarBatch through the
+    // InternalRow-typed iterator when returning_batch is set — the
+    // same cast Spark's own FileSourceScanExec relies on
+    val it = filesOf(p).iterator.flatMap(f =>
+      readFunc(partitionedFile(f)).asInstanceOf[Iterator[ColumnarBatch]])
+    iteratorReader(it)
+  }
+
+  private def iteratorReader[T](it: Iterator[T]): PartitionReader[T] =
+    new PartitionReader[T] {
+      private var current: T = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): T = current
+      override def close(): Unit = ()
+    }
+}

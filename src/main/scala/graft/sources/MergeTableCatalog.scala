@@ -4,7 +4,7 @@ import graft.cdc.MergeTable
 import java.nio.file.{Files, Paths}
 import java.util
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
@@ -41,10 +41,23 @@ import scala.jdk.CollectionConverters._
   * commits as the `mergetable` format, so every layout (COW, MOR,
   * bucketed) behaves identically under catalog identifiers.
   */
-class MergeTableCatalog extends TableCatalog with SupportsNamespaces {
+class MergeTableCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = "graft"
   private var root: String = "target/graft_warehouse"
+
+  // FunctionCatalog: serves the `bucket` transform the Batch scans
+  // report in their KeyGroupedPartitioning — Spark resolves it here
+  // (Identifier with an EMPTY namespace) when judging whether two
+  // scans are co-partitioned for a storage-partitioned join
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket") GraftBucketUnbound
+    else throw new NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -394,6 +407,16 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
 
       override def build(): Scan = aggResult match {
         case Some((aggSchema, row)) => new MergeTableMetadataAggScan(aggSchema, row)
+        // DSv2 Batch fast path: COW plain-parquet snapshots read
+        // through Spark's vectorized parquet reader with bucket-keyed
+        // partitions (storage-partitioned joins) and runtime filtering
+        // — pushed-filter columns must resolve top-level or the exact
+        // row-mode re-check cannot bind them
+        case None if pinnedRelation.batchReadable &&
+            pushed.flatMap(_.references).forall(r =>
+              pinnedRelation.schema.fieldNames.contains(r)) &&
+            MergeTableBatchScan.rowFormExists(pushed, pinnedRelation.schema) =>
+          new MergeTableBatchScan(spark, pinnedRelation, required, pushed)
         case None => new V1Scan {
           override def readSchema(): StructType = required
           override def toV1TableScan[T <: BaseRelation with TableScan](

@@ -239,7 +239,7 @@ class MergeTableRelation(
     }
   }
 
-  private def survivingFiles(
+  private[sources] def survivingFiles(
       filters: Array[Filter]): Option[(Seq[java.nio.file.Path], Int)] =
     statFiles.map { files =>
       // cheapest cut first: on a hash-bucketed layout a point lookup
@@ -341,7 +341,7 @@ class MergeTableRelation(
     * — replayed on the filter literals, so the mapping is identical
     * by construction. None = not bucketed or not a point lookup.
     */
-  private def pointBuckets(filters: Array[Filter]): Option[Set[Long]] =
+  private[sources] def pointBuckets(filters: Array[Filter]): Option[Set[Long]] =
     numBuckets.flatMap { n =>
       import org.apache.spark.sql.sources.{EqualTo, In}
       import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
@@ -409,6 +409,19 @@ class MergeTableRelation(
   /** Files a scan with these filters would open (test/audit hook). */
   private[graft] def candidateFiles(filters: Array[Filter]): Option[Seq[String]] =
     survivingFiles(filters).map(_._1.map(_.toString))
+
+  /** Whether the DSv2 Batch fast path can serve this snapshot: a
+    * plain-parquet COW layout (no pending deltas / deletion vectors —
+    * [[statFiles]] is the same gate file-skipping uses), current
+    * version, and no active column mapping or dropped columns (the
+    * raw file reader resolves by PHYSICAL name; a mapped or
+    * dropped-then-readded column would read stale bytes). Everything
+    * else falls back to the V1 relation read.
+    */
+  private[sources] def batchReadable: Boolean =
+    version.isEmpty && table.exists && renameMap.isEmpty &&
+      MergeTable.readMeta(path).forall(_.droppedColumns.isEmpty) &&
+      statFiles.isDefined
 
   // translate DSv1 filters back to Column predicates so they reach the
   // parquet scan of the inner DataFrame; untranslated filters are

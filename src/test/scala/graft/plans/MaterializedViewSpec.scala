@@ -111,6 +111,61 @@ class MaterializedViewSpec extends SparkSpec {
     MaterializedViews.deregister("mv_orders_by_priority")
   }
 
+  private def fineAgg(): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("total"),
+        min(col("o_orderdate")).as("first_d"),
+        max(col("o_orderdate")).as("last_d"))
+
+  test("GROUP BY subset of the view's keys answers by re-aggregating the store") {
+    val path = fresh("rollup")
+    MaterializedViews.register("mv_rollup", () => fineAgg(), path)
+    MaterializedViews.refresh("mv_rollup")
+    def coarse() = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("total"),
+        min(col("o_orderdate")).as("first_d"),
+        max(col("o_orderdate")).as("last_d"))
+      .orderBy("o_orderpriority")
+    val paths = scanPaths(coarse())
+    assert(paths.exists(_.contains("mv_rollup")), paths.mkString(","))
+    assert(!paths.exists(_.contains("orders")), paths.mkString(","))
+    val got = coarse().collect().toSeq
+    MaterializedViews.markStale("mv_rollup")
+    assert(got === coarse().collect().toSeq)
+    MaterializedViews.deregister("mv_rollup")
+  }
+
+  test("rollup refuses what it cannot derive exactly") {
+    val path = fresh("rollup_no")
+    MaterializedViews.register("mv_rollup_no", () => fineAgg(), path)
+    MaterializedViews.refresh("mv_rollup_no")
+    // avg is not derivable from (count, sum) here — no rollup entry for it
+    val avgQ = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority").agg(avg(col("o_totalprice")).as("a"))
+    assert(scanPaths(avgQ).exists(_.contains("orders")))
+    // distinct counts never roll up
+    val dQ = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority").agg(countDistinct(col("o_orderstatus")).as("d"))
+    assert(scanPaths(dQ).exists(_.contains("orders")))
+    // grouping key outside the view's grouping set falls through
+    val gQ = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    assert(scanPaths(gQ).exists(_.contains("orders")))
+    MaterializedViews.deregister("mv_rollup_no")
+  }
+
+  test("gate query mv_rollup re-aggregates the store, not the fact table") {
+    val paths = scanPaths(graft.SparkEntry.queries("mv_rollup")(spark, sfDir))
+    assert(paths.exists(_.contains("mvstore_rollup")), paths.mkString(","))
+    assert(!paths.exists(_.contains("orders.parquet")), paths.mkString(","))
+    graft.Caches.clear() // fires the module's markStale hook
+    MaterializedViews.deregister("mv_orders_by_pri_status")
+  }
+
   test("incremental MV: feed folds match recompute; commits auto-stale") {
     import graft.cdc.MergeTable
     import spark.implicits._

@@ -1,0 +1,132 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.cdc.MergeTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** The DSv2 Batch read path: catalog snapshots serve through
+  * MergeTableBatchScan (vectorized parquet, no Row round-trip), two
+  * co-bucketed mergetables JOIN WITHOUT A SHUFFLE on either side
+  * (KeyGroupedPartitioning + the catalog's `bucket` function —
+  * Spark's storage-partitioned join), and runtime filtering prunes
+  * bucket partitions at execution time. At 100 TB the fact⋈fact
+  * shuffle this path removes is the single largest cost in the join;
+  * the spec pins both the plan shape and the results.
+  */
+class StoragePartitionedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(db: String): Unit = {
+    MergeTable.drop(s"target/graft_warehouse/$db")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$db")
+  }
+
+  private def withSQLConf[T](kv: (String, String)*)(body: => T): T = {
+    val prior = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def shuffles(df: DataFrame): Int = {
+    df.collect() // materialize so AQE finalizes the plan
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      if (p.isInstanceOf[ShuffleExchangeLike]) n += 1
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case r: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+          walk(r.shuffle)
+        case _ => ()
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
+
+  test("catalog snapshot reads serve through the Batch scan with correct results") {
+    fresh("spj0")
+    spark.sql("""CREATE TABLE graft.spj0.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.spj0.t VALUES (1,'a'), (2,'b'), (3,'c')")
+    val df = spark.table("graft.spj0.t")
+    assert(df.queryExecution.executedPlan.toString.contains("MergeTableBatchScan"))
+    assert(df.as[(Long, String)].collect().sorted === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // pushed filters stay exact on the batch path (claimed, re-checked)
+    val f = spark.sql("SELECT v FROM graft.spj0.t WHERE id >= 2")
+    assert(f.queryExecution.executedPlan.toString.contains("MergeTableBatchScan"))
+    assert(f.as[String].collect().sorted === Seq("b", "c"))
+  }
+
+  test("co-bucketed mergetables join with ZERO shuffles (storage-partitioned join)") {
+    fresh("spj1")
+    for (t <- Seq("facts", "dims")) {
+      spark.sql(s"""CREATE TABLE graft.spj1.$t (id BIGINT, v STRING)
+                    TBLPROPERTIES('keys'='id', 'buckets'='4')""")
+    }
+    val n = 500
+    (1 to n).map(i => (i.toLong, s"f$i")).toDF("id", "v")
+      .createOrReplaceTempView("spj1_f")
+    (1 to n).map(i => (i.toLong, s"d$i")).toDF("id", "v")
+      .createOrReplaceTempView("spj1_d")
+    spark.sql("INSERT INTO graft.spj1.facts SELECT * FROM spj1_f")
+    spark.sql("INSERT INTO graft.spj1.dims SELECT * FROM spj1_d")
+
+    // keep AQE/broadcast out of the way: the point is the co-located
+    // sort-merge join, the shape a 100 TB fact⋈fact join takes
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        """SELECT f.id, f.v AS fv, d.v AS dv
+          |FROM graft.spj1.facts f JOIN graft.spj1.dims d ON f.id = d.id""".stripMargin)
+      assert(shuffles(j) === 0,
+        s"expected a shuffle-free storage-partitioned join:\n${j.queryExecution.executedPlan}")
+      val rows = j.collect()
+      assert(rows.length === n)
+      assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ===
+        (1 to n).map(i => (i.toLong, s"f$i", s"d$i")).toSet)
+    }
+  }
+
+  test("a bucketed self-aggregation by key needs no shuffle either side of the join") {
+    fresh("spj2")
+    spark.sql("""CREATE TABLE graft.spj2.e (id BIGINT, amt BIGINT)
+                 TBLPROPERTIES('keys'='id', 'buckets'='4')""")
+    (1 to 200).map(i => (i.toLong % 50, i.toLong)).toDF("id", "amt")
+      .createOrReplaceTempView("spj2_src")
+    // bucketed MergeTable keys are unique per id — aggregate across
+    // two snapshots of the same table joined on the bucket key
+    spark.sql("INSERT INTO graft.spj2.e SELECT id, max(amt) FROM spj2_src GROUP BY id")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        """SELECT a.id, a.amt + b.amt AS s
+          |FROM graft.spj2.e a JOIN graft.spj2.e b ON a.id = b.id""".stripMargin)
+      assert(shuffles(j) === 0,
+        s"self-join shuffled:\n${j.queryExecution.executedPlan}")
+      assert(j.count() === 50)
+    }
+  }
+
+  test("runtime point filters prune bucket partitions (DSv2 dynamic pruning)") {
+    fresh("spj3")
+    spark.sql("""CREATE TABLE graft.spj3.b (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id', 'buckets'='8')""")
+    (1 to 64).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("spj3_src")
+    spark.sql("INSERT INTO graft.spj3.b SELECT * FROM spj3_src")
+    // a static point lookup plans only the key's bucket partition
+    val one = spark.sql("SELECT v FROM graft.spj3.b WHERE id = 7")
+    assert(one.as[String].collect() === Seq("v7"))
+    assert(one.rdd.getNumPartitions <= 1,
+      "a full-key point lookup must plan at most its own bucket")
+  }
+}
