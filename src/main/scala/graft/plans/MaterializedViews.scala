@@ -437,8 +437,12 @@ class RewriteToMaterializedView(session: SparkSession) extends Rule[LogicalPlan]
       c.groupingExpressions.flatMap(g => groupPos(g).map(g -> _)).toMap
     if (groupMap.size != c.groupingExpressions.distinct.size) return None
 
-    def exactNumeric(dt: org.apache.spark.sql.types.DataType): Boolean =
-      dt.isInstanceOf[IntegralType] || dt.isInstanceOf[DecimalType]
+    def exactNumeric(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | LongType => true
+      case _ => false
+    }
 
     def aggPos(p: Expression => Boolean): Option[Int] = {
       val i = vOut.indexWhere {
