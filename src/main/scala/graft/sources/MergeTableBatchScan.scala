@@ -15,24 +15,41 @@ import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
-/** One batch-scan work unit: the parquet files of one bucket (with
-  * [[GraftBucketPartition]]) or one file (unbucketed). Files carry
-  * (path, length, modTime) so executors build `PartitionedFile`s
-  * without re-statting.
+/** One batch-scan read slice: a byte range of one parquet file (the
+  * vectorized reader takes the row groups whose midpoint falls in
+  * [start, start+length)). Carries fileSize/modTime so executors
+  * build `PartitionedFile`s without re-statting.
   */
-private[sources] case class GraftFileInfo(path: String, length: Long, modTime: Long)
+private[sources] case class GraftFileSlice(path: String, start: Long, length: Long,
+    fileSize: Long, modTime: Long)
 
-private[sources] case class GraftFilePartition(files: Seq[GraftFileInfo])
+private[sources] case class GraftFilePartition(files: Seq[GraftFileSlice])
     extends InputPartition
 
 /** A whole hash bucket as one partition, keyed for Spark's
   * storage-partitioned join: `HasPartitionKey` lets the planner align
   * two scans bucket-by-bucket and elide the shuffle entirely.
   */
-private[sources] case class GraftBucketPartition(files: Seq[GraftFileInfo], bucket: Int)
+private[sources] case class GraftBucketPartition(files: Seq[GraftFileSlice], bucket: Int)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
+}
+
+/** One VALUE partition (all files of one `_graft_p_…` leaf), keyed by
+  * its typed partition tuple — the identity-transform counterpart of
+  * [[GraftBucketPartition]]: two tables partitioned on the same
+  * columns join partition-for-partition without a shuffle.
+  * Values are stored JVM-serializable (String/Long/Boolean/null) and
+  * converted to catalyst form on demand.
+  */
+private[sources] case class GraftValuePartition(files: Seq[GraftFileSlice],
+    values: Seq[Any]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(values.map {
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case v => v
+    }.toArray)
 }
 
 /** DSv2 Batch read path for a MergeTable snapshot (the V1Scan
@@ -106,9 +123,68 @@ private[sources] class MergeTableBatchScan(
   private def bucketOf(p: java.nio.file.Path): Option[Int] =
     bucketPat.findFirstMatchIn(p.toString).map(_.group(1).toInt)
 
-  private def info(p: java.nio.file.Path): GraftFileInfo = {
+  private def whole(p: java.nio.file.Path): GraftFileSlice = {
     val f = p.toFile
-    GraftFileInfo(p.toString, f.length(), f.lastModified())
+    GraftFileSlice(p.toString, 0L, f.length(), f.length(), f.lastModified())
+  }
+
+  /** The typed partition tuple parsed from a file's `_graft_p_…` path
+    * segments — None when any declared column's segment is missing.
+    * Types mirror the write gate (string/integral/boolean only);
+    * `__HIVE_DEFAULT_PARTITION__` is the null partition.
+    */
+  private def partitionTuple(p: java.nio.file.Path): Option[Seq[Any]] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.types._
+    val path = p.toString
+    val vals = relation.partitionCols.map { c =>
+      s"_graft_p_${java.util.regex.Pattern.quote(c)}=([^/]+)".r
+        .findFirstMatchIn(path).map { m =>
+          val raw = ExternalCatalogUtils.unescapePathName(m.group(1))
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else fullSchema.find(_.name == c).map(_.dataType) match {
+            case Some(ByteType) => raw.toByte
+            case Some(ShortType) => raw.toShort
+            case Some(IntegerType) => raw.toInt
+            case Some(LongType) => raw.toLong
+            case Some(BooleanType) => raw.toBoolean
+            case _ => raw // string partition columns
+          }
+        }
+    }
+    if (vals.exists(_.isEmpty)) None else Some(vals.map(_.orNull))
+  }
+
+  /** Split survivors at row-group-friendly byte ranges and bin-pack
+    * the slices (Spark's own maxPartitionBytes/openCostInBytes
+    * policy) — a handful of giant unbucketed files still fan out
+    * across the cluster, and thousands of small ones do not become
+    * thousands of tasks.
+    */
+  private def packed(fs: Seq[java.nio.file.Path]): Array[InputPartition] = {
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val totalBytes = fs.map(_.toFile.length() + openCost).sum
+    val maxSplit = math.max(openCost, math.min(conf.filesMaxPartitionBytes,
+      totalBytes / math.max(1, spark.sparkContext.defaultParallelism)))
+    val slices = fs.flatMap { p =>
+      val f = p.toFile
+      val (len, mod) = (f.length(), f.lastModified())
+      (0L until math.max(len, 1L) by maxSplit).map(off =>
+        GraftFileSlice(p.toString, off, math.min(maxSplit, len - off), len, mod))
+    }.sortBy(-_.length)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[GraftFileSlice]
+    var curBytes = 0L
+    def flush(): Unit = if (cur.nonEmpty) {
+      parts += GraftFilePartition(cur.toSeq); cur.clear(); curBytes = 0L
+    }
+    slices.foreach { s =>
+      if (curBytes + s.length + openCost > maxSplit) flush()
+      cur += s; curBytes += s.length + openCost
+    }
+    flush()
+    parts.toArray
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -123,10 +199,19 @@ private[sources] class MergeTableBatchScan(
         (0 until n)
           .filter(b => allowed.forall(_.contains(b.toLong)))
           .map(b => GraftBucketPartition(
-            byBucket.getOrElse(b, Seq.empty).map(info), b): InputPartition)
+            byBucket.getOrElse(b, Seq.empty).map(whole), b): InputPartition)
           .toArray
-      case _ =>
-        fs.map(p => GraftFilePartition(Seq(info(p))): InputPartition).toArray
+      case None if relation.partitionCols.nonEmpty &&
+          fs.forall(p => partitionTuple(p).isDefined) =>
+        // one keyed partition per partition VALUE tuple (files of one
+        // leaf dir), so identity-partitioned tables storage-partition-
+        // join on their partition columns
+        fs.groupBy(p => partitionTuple(p).get).toSeq
+          .sortBy(_._1.map(String.valueOf(_)).mkString("/"))
+          .map { case (tuple, files) =>
+            GraftValuePartition(files.map(whole), tuple): InputPartition
+          }.toArray
+      case _ => packed(fs)
     }
   }
 
@@ -134,6 +219,12 @@ private[sources] class MergeTableBatchScan(
     case Some(n) if survivors.forall(p => bucketOf(p).isDefined) =>
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(n, relation.keys: _*)), n)
+    case None if relation.partitionCols.nonEmpty &&
+        survivors.forall(p => partitionTuple(p).isDefined) =>
+      val parts = survivors.flatMap(partitionTuple).distinct.size
+      new KeyGroupedPartitioning(
+        relation.partitionCols.map(Expressions.identity).toArray,
+        math.max(parts, 1))
     case _ => new UnknownPartitioning(survivors.size)
   }
 
@@ -192,15 +283,16 @@ private[sources] class GraftReaderFactory(
     readSchema: StructType,
     outputLen: Int) extends PartitionReaderFactory {
 
-  private def filesOf(p: InputPartition): Seq[GraftFileInfo] = p match {
+  private def filesOf(p: InputPartition): Seq[GraftFileSlice] = p match {
     case GraftFilePartition(fs) => fs
     case GraftBucketPartition(fs, _) => fs
+    case GraftValuePartition(fs, _) => fs
     case other => throw new IllegalStateException(s"unexpected partition $other")
   }
 
-  private def partitionedFile(f: GraftFileInfo): PartitionedFile =
+  private def partitionedFile(f: GraftFileSlice): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.path),
-      0L, f.length, Array.empty, f.modTime, f.length, Map.empty)
+      f.start, f.length, Array.empty, f.modTime, f.fileSize, Map.empty)
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 

@@ -215,7 +215,8 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     new MergeTableRelation(spark.sqlContext, path, meta.keys, meta.mode,
       meta.numBuckets, version,
       meta.schemaJson.map(j =>
-        org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]))
+        org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]),
+      meta.partitionCols)
 
   override def name(): String = (ident.namespace() :+ ident.name()).mkString(".")
 

@@ -116,6 +116,47 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("identity-partitioned tables join partition-for-partition without a shuffle") {
+    fresh("spj4")
+    for (t <- Seq("l", "r")) {
+      spark.sql(s"""CREATE TABLE graft.spj4.$t (id BIGINT, day STRING, v BIGINT)
+                    TBLPROPERTIES('keys'='id') PARTITIONED BY (day)""")
+    }
+    val rows = (1 to 300).map(i => (i.toLong, s"d${i % 5}", i.toLong))
+    rows.toDF("id", "day", "v").createOrReplaceTempView("spj4_src")
+    spark.sql("INSERT INTO graft.spj4.l SELECT * FROM spj4_src")
+    spark.sql("INSERT INTO graft.spj4.r SELECT * FROM spj4_src")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        """SELECT l.day, count(*) AS n, sum(l.v + r.v) AS s
+          |FROM graft.spj4.l l JOIN graft.spj4.r r ON l.day = r.day
+          |GROUP BY l.day""".stripMargin)
+      assert(shuffles(j) === 0,
+        s"identity-partitioned join shuffled:\n${j.queryExecution.executedPlan}")
+      val got = j.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = rows.groupBy(_._2).map { case (d, rs) =>
+        val n = rs.size.toLong
+        (d, n * n, rs.map(_._3).sum * 2 * n)
+      }.toSet
+      assert(got === expect)
+    }
+  }
+
+  test("unbucketed scans pack file slices instead of one-task-per-file") {
+    fresh("spj5")
+    spark.sql("""CREATE TABLE graft.spj5.many (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    // 12 separate commits → 12+ small files; packing must coalesce
+    // them into far fewer read tasks than files
+    for (b <- 0 until 12)
+      spark.sql(s"INSERT INTO graft.spj5.many VALUES ($b, 'v$b')")
+    val df = spark.table("graft.spj5.many")
+    assert(df.count() === 12)
+    assert(df.rdd.getNumPartitions < 12,
+      s"expected packed read tasks, got ${df.rdd.getNumPartitions}")
+  }
+
   test("runtime point filters prune bucket partitions (DSv2 dynamic pruning)") {
     fresh("spj3")
     spark.sql("""CREATE TABLE graft.spj3.b (id BIGINT, v STRING)
