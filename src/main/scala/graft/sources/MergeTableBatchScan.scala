@@ -73,22 +73,27 @@ private[sources] case class GraftValuePartition(files: Seq[GraftFileSlice],
   *    bucket/partition dirs AT RUNTIME (DSv2 dynamic partition
   *    pruning) through the same `survivingFiles` pipeline.
   *
-  * Pushed filters are enforced EXACTLY (the ScanBuilder claims them):
-  * parquet row-group skipping is best-effort, so a filtered scan runs
-  * row-mode with a compiled catalyst predicate over the read schema
-  * (required ∪ filter-referenced columns) and projects back down.
+  * Two filter tiers: `claimed` (partition-column filters the
+  * ScanBuilder reported consumed — the filtered metadata-agg pushdown
+  * requires zero post-scan filters) are enforced EXACTLY by a
+  * compiled row-mode predicate over the read schema (required ∪
+  * filter-referenced columns), projecting back down; `advisory` (all
+  * translatable filters, including residual data filters the engine
+  * re-applies above the scan) drive file skipping and parquet
+  * row-group hints only.
   */
 private[sources] class MergeTableBatchScan(
     spark: SparkSession,
     relation: MergeTableRelation,
     requiredSchema: StructType,
-    pushed: Array[Filter]) extends Scan with Batch
+    claimed: Array[Filter],
+    advisory: Array[Filter]) extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
   private val fullSchema = relation.schema
-  // filter-only columns ride along for exact enforcement, then drop
-  private val filterRefs: Seq[String] = pushed.flatMap(_.references).distinct
+  // claimed-filter-only columns ride along for exact enforcement
+  private val filterRefs: Seq[String] = claimed.flatMap(_.references).distinct
     .filterNot(requiredSchema.fieldNames.contains).toSeq
   private val readDataSchema =
     StructType(requiredSchema.fields ++ filterRefs.map(fullSchema(_)))
@@ -96,7 +101,7 @@ private[sources] class MergeTableBatchScan(
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String = {
-    val fstr = if (pushed.isEmpty) "" else s", PushedFilters: [${pushed.mkString(", ")}]"
+    val fstr = if (advisory.isEmpty) "" else s", PushedFilters: [${advisory.mkString(", ")}]"
     s"MergeTableBatchScan ${relation.path}$fstr"
   }
   override def toString: String = description()
@@ -104,7 +109,7 @@ private[sources] class MergeTableBatchScan(
   // -- runtime filtering (DSv2 dynamic partition pruning) ------------------
 
   @volatile private var runtime: Array[Filter] = Array.empty
-  private def allFilters: Array[Filter] = pushed ++ runtime
+  private def allFilters: Array[Filter] = advisory ++ runtime
 
   override def filterAttributes(): Array[NamedReference] = {
     val bucketKeys = if (relation.numBuckets.isDefined) relation.keys else Nil
@@ -242,18 +247,19 @@ private[sources] class MergeTableBatchScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat()
-    // columnar only on the filter-free path: pushed filters are
-    // claimed exact, and exactness needs the row-mode predicate
-    val columnar = pushed.isEmpty && fmt.supportBatch(spark, readDataSchema)
+    // columnar unless a CLAIMED filter needs the row-mode exactness
+    // predicate (residual data filters are re-applied by the engine
+    // above the scan, so they never force row mode)
+    val columnar = claimed.isEmpty && fmt.supportBatch(spark, readDataSchema)
     val readFunc = fmt.buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = fullSchema,
       partitionSchema = StructType(Nil),
       requiredSchema = readDataSchema,
-      filters = pushed.toSeq, // parquet row-group/page skipping (best-effort)
+      filters = advisory.toSeq, // parquet row-group/page skipping (best-effort)
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
       hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
-    new GraftReaderFactory(readFunc, columnar, pushed, readDataSchema,
+    new GraftReaderFactory(readFunc, columnar, claimed, readDataSchema,
       requiredSchema.length)
   }
 }

@@ -243,7 +243,14 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
         with SupportsPushDownAggregates {
       private var required: StructType = schema
+      // CLAIMED filters (consumed by the scan, absent from the plan):
+      // partition-column filters only — the filtered metadata-agg
+      // pushdown requires zero post-scan filters, and the scan
+      // re-checks them row-level so the claim stays exact
       private var pushed: Array[Filter] = Array.empty
+      // every translatable filter, claimed or not — drives file/dir/
+      // stats/bloom pruning and parquet row-group skipping
+      private var advisory: Array[Filter] = Array.empty
       // COMPLETE aggregate pushdown answered from commit metadata: the
       // (schema, single result row) pair when the whole aggregation
       // folds out of per-file footer stats — count(*) / count(col)
@@ -253,14 +260,22 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
       private var aggResult: Option[(StructType, Row)] = None
 
       override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
-      // accept ONLY filters the relation can translate onto its inner
-      // DataFrame; the rest go back to the engine, which evaluates
-      // them above the scan — claiming an untranslatable filter as
-      // pushed would silently drop the predicate
+      // Translatable filters drive pruning (advisory); but only
+      // PARTITION-column filters are CLAIMED as consumed. Data filters
+      // return to the engine as residuals on purpose: the Filter node
+      // above the scan is what dynamic partition pruning keys its
+      // selectivity check on (a dim whose predicate vanished into the
+      // scan never triggers DPP on the fact side), and it is the
+      // correctness backstop while the scan's own application is
+      // best-effort file skipping. Untranslatable filters were never
+      // claimed — claiming one would silently drop the predicate.
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         val (ok, rejected) = filters.partition(f => pinnedRelation.translate(f).isDefined)
-        pushed = ok
-        rejected
+        advisory = ok
+        val (part, data) = ok.partition(f => f.references.nonEmpty &&
+          f.references.forall(r => meta.partitionCols.exists(_.equalsIgnoreCase(r))))
+        pushed = part
+        rejected ++ data
       }
       override def pushedFilters(): Array[Filter] = pushed
 
@@ -417,14 +432,18 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
             pushed.flatMap(_.references).forall(r =>
               pinnedRelation.schema.fieldNames.contains(r)) &&
             MergeTableBatchScan.rowFormExists(pushed, pinnedRelation.schema) =>
-          new MergeTableBatchScan(spark, pinnedRelation, required, pushed)
+          new MergeTableBatchScan(spark, pinnedRelation, required, pushed, advisory)
         case None => new V1Scan {
           override def readSchema(): StructType = required
           override def toV1TableScan[T <: BaseRelation with TableScan](
               context: SQLContext): T = {
             val rel = pinnedRelation
             val cols = required.fieldNames
-            val fs = pushed
+            // advisory (not just claimed) filters reach the relation
+            // so file skipping still sees residual data filters; the
+            // relation applies them exactly, Spark re-applies above —
+            // idempotent predicates, no correctness interaction
+            val fs = advisory
             new BaseRelation with TableScan {
               override def sqlContext: SQLContext = context
               override def schema: StructType = required

@@ -157,6 +157,39 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       s"expected packed read tasks, got ${df.rdd.getNumPartitions}")
   }
 
+  test("a dim filter dynamically prunes the fact's partition dirs at runtime") {
+    fresh("spj6")
+    spark.sql("""CREATE TABLE graft.spj6.fact (id BIGINT, day STRING, v BIGINT)
+                 TBLPROPERTIES('keys'='id') PARTITIONED BY (day)""")
+    (1 to 1000).map(i => (i.toLong, s"d${i % 10}", i.toLong))
+      .toDF("id", "day", "v").createOrReplaceTempView("spj6_src")
+    spark.sql("INSERT INTO graft.spj6.fact SELECT * FROM spj6_src")
+    // the dim must be FILE-backed with a filter that survives
+    // optimization (a local relation constant-folds the predicate
+    // away and the planner sees nothing selective to prune with)
+    spark.sql("""CREATE TABLE graft.spj6.dim (day STRING, tag STRING)
+                 TBLPROPERTIES('keys'='day')""")
+    spark.sql("INSERT INTO graft.spj6.dim VALUES ('d3','x'), ('d4','y')")
+
+    var recordsRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead += te.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val j = spark.sql(
+        """SELECT count(*) AS n FROM graft.spj6.fact f
+          |JOIN graft.spj6.dim d ON f.day = d.day WHERE d.tag = 'x'""".stripMargin)
+      assert(j.head().getLong(0) === 100L)
+      Thread.sleep(500) // listener bus drains asynchronously
+      // runtime filtering must keep 9 of 10 partition dirs unread:
+      // 100 matching fact rows (+ the broadcast dim row), not 1000
+      assert(recordsRead < 200L,
+        s"expected the runtime filter to prune fact partitions, read $recordsRead rows")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("runtime point filters prune bucket partitions (DSv2 dynamic pruning)") {
     fresh("spj3")
     spark.sql("""CREATE TABLE graft.spj3.b (id BIGINT, v STRING)
