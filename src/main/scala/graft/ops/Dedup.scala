@@ -103,7 +103,7 @@ object Dedup {
     */
   def bloomAddFps(acc: Array[Long], fps: DataFrame): Unit = {
     val bits = acc.length * 64L
-    fps.select(explode(array(
+    fps.filter(col("fp").isNotNull).select(explode(array(
         (0 until BloomProbes).map(i => bloomPos(col("fp"), i, bits)): _*)).as("pos"))
       .groupBy(floor(col("pos") / 64).cast("int").as("lane"))
       .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("b"))
@@ -128,7 +128,10 @@ object Dedup {
       element_at(lanesLit, floor(col(s"_p$i") / 64).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L), (col(s"_p$i") % 64).cast("int"))) =!= 0
     }.reduce(_ && _)
-    marked.withColumn("_maybe", hit)
+    // a NULL fingerprint (null text) probes as null — classify it
+    // "maybe" so it routes through the exact join instead of silently
+    // dropping out of BOTH filter branches
+    marked.withColumn("_maybe", coalesce(hit, lit(true)))
       .drop((0 until BloomProbes).map(i => s"_p$i"): _*)
   }
 

@@ -303,6 +303,11 @@ object MaterializedViews {
     * exact). Full MVs validate their base-file fingerprint, incrementals
     * their commit log, same as the exact-match path.
     */
+  /** Cheap pre-check so the analyzer rule skips canonicalization work
+    * on sessions with no registered views at all. */
+  private[plans] def nothingRegistered: Boolean =
+    registry.isEmpty && incRegistry.isEmpty
+
   private[plans] def rollupCandidates(
       subChild: LogicalPlan): Seq[(String, org.apache.spark.sql.catalyst.plans.logical.Aggregate)] =
     if (suspended) Nil
@@ -411,6 +416,7 @@ class RewriteToMaterializedView(session: SparkSession) extends Rule[LogicalPlan]
     * reorders, and this rewrite must never change an answer).
     */
   private def tryRollup(agg: Aggregate): Option[LogicalPlan] = {
+    if (MaterializedViews.nothingRegistered) return None
     val c = agg.canonicalized match {
       case a: Aggregate => a
       case _ => return None

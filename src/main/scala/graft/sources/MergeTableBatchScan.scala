@@ -121,8 +121,20 @@ private[sources] class MergeTableBatchScan(
 
   // -- planning -------------------------------------------------------------
 
-  private def survivors: Seq[java.nio.file.Path] =
-    relation.survivingFiles(allFilters).map(_._1).getOrElse(Seq.empty)
+  // memoized per filter state: planInputPartitions, outputPartitioning
+  // and estimateStatistics all consult the survivor set, and each
+  // survivingFiles walk re-lists files and re-parses stats
+  @volatile private var survivorsCache: (Array[Filter], Seq[java.nio.file.Path]) = _
+  private def survivors: Seq[java.nio.file.Path] = {
+    val key = allFilters
+    val cached = survivorsCache
+    if (cached != null && (cached._1 sameElements key)) cached._2
+    else {
+      val v = relation.survivingFiles(key).map(_._1).getOrElse(Seq.empty)
+      survivorsCache = (key, v)
+      v
+    }
+  }
 
   private val bucketPat = "_graft_bucket=(\\d+)".r
   private def bucketOf(p: java.nio.file.Path): Option[Int] =

@@ -88,6 +88,23 @@ class DedupStreamSpec extends SparkSpec {
     assert(acceptedIds(root) === Set(1L, 2L, 4L))
   }
 
+  test("null-text docs classify as maybe and survive (never silently dropped)") {
+    val root = "target/test_tables/dedup_stream_null"
+    MergeTable.drop(root)
+    val ds = new DedupStream(spark, root)
+    ds.processBatch(Seq((1L, "aa"), (2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"), 0L)
+    // null fingerprints group together: in-batch first occurrence wins,
+    // and the row must not vanish out of both bloom branches
+    assert(acceptedIds(root) === Set(1L, 2L))
+    // across batches a null fingerprint never matches the index (SQL
+    // null semantics — the anti-join keeps it, mirroring the batch
+    // twin dedup_incremental): within-batch collapse only
+    ds.processBatch(Seq((4L, null.asInstanceOf[String]), (5L, "bb"))
+      .toDF("doc_id", "text"), 1L)
+    assert(acceptedIds(root) === Set(1L, 2L, 4L, 5L))
+  }
+
   test("only the bloom-maybe sliver pays the index join") {
     val root = "target/test_tables/dedup_stream_bloom"
     MergeTable.drop(root)
