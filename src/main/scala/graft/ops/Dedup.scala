@@ -274,10 +274,14 @@ object Dedup {
     * decisions: keep one doc per cluster, drop the rest.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // checkpoint the INPUT first: the candidate-pair derivation feeding
+    // this is usually the expensive stage (banded self-join), and the
+    // symmetrization below scans it twice
+    val e0 = edges.localCheckpoint(true)
     // localCheckpoint (not cache): iterative self-referencing plans
     // grow exponentially unless the lineage is truncated each round
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val sym = e0.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(e0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
@@ -317,10 +321,14 @@ object Dedup {
     */
   def connectedComponentsLSS(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     import org.apache.spark.sql.functions.{greatest, least}
-    val allNodes = edges.select(col("doc_a").as("id"))
-      .union(edges.select(col("doc_b").as("id"))).distinct().localCheckpoint(true)
+    // checkpoint the INPUT once: allNodes and the canonical edge set
+    // below would otherwise each re-run the (expensive) candidate-pair
+    // derivation — three evaluations of the banded self-join
+    val e0 = edges.localCheckpoint(true)
+    val allNodes = e0.select(col("doc_a").as("id"))
+      .union(e0.select(col("doc_b").as("id"))).distinct().localCheckpoint(true)
     // canonical undirected form: (lo < hi), self-loops dropped
-    var e = edges
+    var e = e0
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct().localCheckpoint(true)
