@@ -33,8 +33,11 @@ object GraphQueries extends QueryModule {
   private def pagerank(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    // checkpoint before symmetrizing — the union's first (cache-fill)
+    // evaluation would otherwise run the join+distinct twice
     val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct()
+      .localCheckpoint(true)
     val fwd = pairs.select(lit("c").as("src_t"), col("c").as("src_id"),
       lit("s").as("dst_t"), col("su").as("dst_id"))
     val rev = pairs.select(lit("s").as("src_t"), col("su").as("src_id"),

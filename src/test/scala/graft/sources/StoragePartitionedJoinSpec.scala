@@ -190,6 +190,36 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("a dim join on the bucket key runtime-prunes to the touched buckets") {
+    fresh("spj7")
+    spark.sql("""CREATE TABLE graft.spj7.fact (id BIGINT, v BIGINT)
+                 TBLPROPERTIES('keys'='id', 'buckets'='16')""")
+    (1 to 2000).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+      .createOrReplaceTempView("spj7_src")
+    spark.sql("INSERT INTO graft.spj7.fact SELECT * FROM spj7_src")
+    spark.sql("""CREATE TABLE graft.spj7.dim (id BIGINT, tag STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.spj7.dim VALUES (7,'x'), (8,'x'), (9,'y')")
+
+    var recordsRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead += te.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val j = spark.sql(
+        """SELECT sum(f.v) AS s FROM graft.spj7.fact f
+          |JOIN graft.spj7.dim d ON f.id = d.id WHERE d.tag = 'x'""".stripMargin)
+      assert(j.head().getLong(0) === 15L)
+      Thread.sleep(500) // listener bus drains asynchronously
+      // the In(id, [7,8]) runtime filter hashes to at most 2 of 16
+      // buckets — far fewer than the 2000 fact rows
+      assert(recordsRead < 500L,
+        s"expected runtime bucket pruning, read $recordsRead rows")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("runtime point filters prune bucket partitions (DSv2 dynamic pruning)") {
     fresh("spj3")
     spark.sql("""CREATE TABLE graft.spj3.b (id BIGINT, v STRING)
