@@ -295,6 +295,11 @@ object MaterializedViews {
 
   def deregisterIncremental(name: String): Unit = incRegistry.remove(name)
 
+  /** Cheap pre-check so the analyzer rule skips canonicalization work
+    * on sessions with no registered views at all. */
+  private[plans] def nothingRegistered: Boolean =
+    registry.isEmpty && incRegistry.isEmpty
+
   /** Rollup candidates: fresh, storage-backed views whose canonical
     * definition is an Aggregate over EXACTLY this canonicalized child
     * — the precondition for answering a coarser GROUP BY from the
@@ -303,11 +308,6 @@ object MaterializedViews {
     * exact). Full MVs validate their base-file fingerprint, incrementals
     * their commit log, same as the exact-match path.
     */
-  /** Cheap pre-check so the analyzer rule skips canonicalization work
-    * on sessions with no registered views at all. */
-  private[plans] def nothingRegistered: Boolean =
-    registry.isEmpty && incRegistry.isEmpty
-
   private[plans] def rollupCandidates(
       subChild: LogicalPlan): Seq[(String, org.apache.spark.sql.catalyst.plans.logical.Aggregate)] =
     if (suspended) Nil

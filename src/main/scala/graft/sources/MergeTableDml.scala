@@ -204,9 +204,9 @@ class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
                   s"target but the source side is the wider " +
                   s"${src.dataType.simpleString}; narrowing it could wrap " +
                   "out-of-range keys — narrow the key inside the source " +
-                  "relation/subquery (e.g. SELECT CAST(id AS " +
-                  s"${tgt.dataType.simpleString}) AS id ...), not in the ON " +
-                  "clause, so the merge sees a key already at target width")
+                  s"relation/subquery (e.g. SELECT CAST(${src.name} AS " +
+                  s"${tgt.dataType.simpleString}) AS ${src.name} ...), not in " +
+                  "the ON clause, so the merge sees a key already at target width")
             }
           case _ => () // unresolved or computed: defer to the analyzer
         }

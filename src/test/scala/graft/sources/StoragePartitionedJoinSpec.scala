@@ -116,6 +116,24 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("ADD COLUMNS: the Batch path backfills declared-but-unwritten columns as nulls") {
+    fresh("spj8")
+    spark.sql("""CREATE TABLE graft.spj8.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.spj8.t VALUES (1,'a'), (2,'b')")
+    spark.sql("ALTER TABLE graft.spj8.t ADD COLUMNS (score BIGINT)")
+    val df = spark.table("graft.spj8.t")
+    assert(df.queryExecution.executedPlan.toString.contains("MergeTableBatchScan"),
+      "ADD COLUMNS alone must not evict the Batch fast path")
+    assert(df.select("id", "score").as[(Long, Option[Long])].collect().toSet ===
+      Set((1L, None), (2L, None)))
+    // and once data carries the column, old files still read null
+    spark.sql("INSERT INTO graft.spj8.t VALUES (3,'c', 30)")
+    assert(spark.table("graft.spj8.t").select("id", "score")
+      .as[(Long, Option[Long])].collect().toSet ===
+      Set((1L, None), (2L, None), (3L, Some(30L))))
+  }
+
   test("identity-partitioned tables join partition-for-partition without a shuffle") {
     fresh("spj4")
     for (t <- Seq("l", "r")) {
