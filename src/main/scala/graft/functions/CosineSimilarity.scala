@@ -154,6 +154,15 @@ object GraftFunctions {
     ("graft_winnow", classOf[WinnowSelect], winnowBuilder(_)),
     ("graft_phash", classOf[PerceptualHash],
       arity1("graft_phash", PerceptualHash(_))),
+    // the packed-lane literal is decoded at PLAN TIME into the
+    // constructor field and dropped — the analyzed plan carries the
+    // kernel, never a megabyte literal (see GraftBloomHit)
+    ("graft_bloom_hit", classOf[GraftBloomHit], cs => {
+      require(cs.length == 2, "graft_bloom_hit expects (fp, packed_lanes)")
+      require(cs(1).foldable, "graft_bloom_hit lanes must be a literal")
+      GraftBloomHit(cs.head,
+        GraftBloomHit.unpackLanes(cs(1).eval().asInstanceOf[Array[Byte]]))
+    }),
     ("graft_bounded_collect", classOf[BoundedCollectList], cs => {
       require(cs.length == 2, "graft_bounded_collect expects (expr, cap)")
       require(cs(1).foldable, "graft_bounded_collect cap must be a literal")

@@ -69,13 +69,14 @@ object Dedup {
     * `false_positive` (bloom hit, refuted).
     *
     * The scale shape this buys: the bloom table is FIXED SIZE
-    * (`lanes` longs) whatever the index cardinality, built by one
-    * per-lane bit-OR aggregation and shipped as a literal array — so
-    * the expensive exact join against the 10^9-row historical index
-    * runs only for the maybe-duplicate sliver of the batch, and the
-    * definitely-new majority never shuffles at all. Every hash is a
-    * salted md5 prefix, so bloom bits — and therefore every status —
-    * are a pure function of the input set, reproducible cross-engine.
+    * (`lanes` longs) whatever the index cardinality, built by a
+    * shuffle-free per-partition fold ([[bloomAddFps]]) and probed by
+    * one codegen kernel — so the expensive exact join against the
+    * 10^9-row historical index runs only for the maybe-duplicate
+    * sliver of the batch, and the definitely-new majority never
+    * shuffles at all. Every hash is a salted md5 prefix, so bloom
+    * bits — and therefore every status — are a pure function of the
+    * input set, reproducible cross-engine.
     */
   def bloomPrefilter(batch: DataFrame, index: DataFrame,
                      idCol: String, textCol: String, lanes: Int = 1024): DataFrame = {
@@ -95,44 +96,51 @@ object Dedup {
   }
 
   /** OR the probe bits of every fingerprint in `fps` (a frame with an
-    * `fp` column) into `acc` — one bounded aggregation whose output is
-    * O(lanes) whatever the fingerprint cardinality (the standard
-    * bounded sketch collect, like the count-min table). Callers that
-    * maintain a long-lived bloom (e.g. a streaming dedup index) fold
-    * each batch's accepted fingerprints in with this.
+    * `fp` column) into `acc`: each partition folds its rows into a
+    * LOCAL lane array ([[graft.functions.GraftBloomHit.add]] — md5
+    * positions byte-identical to the SQL derivation the oracle
+    * replays) and the driver ORs the per-partition arrays — O(lanes)
+    * bytes per partition whatever the fingerprint cardinality, no
+    * shuffle at all (the explode+groupBy formulation shuffled
+    * probes·rows rows per fold). Callers that maintain a long-lived
+    * bloom (e.g. a streaming dedup index) fold each batch's accepted
+    * fingerprints in with this.
     */
   def bloomAddFps(acc: Array[Long], fps: DataFrame): Unit = {
-    val bits = acc.length * 64L
-    fps.filter(col("fp").isNotNull).select(explode(array(
-        (0 until BloomProbes).map(i => bloomPos(col("fp"), i, bits)): _*)).as("pos"))
-      .groupBy(floor(col("pos") / 64).cast("int").as("lane"))
-      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("b"))
-      .collect()
-      .foreach(r => acc(r.getInt(0)) |= r.getLong(1))
+    val lanes = acc.length
+    // toRdd: InternalRow straight off the scan — no Row conversion;
+    // the UTF8String may point into a reused buffer, but add() reads
+    // its bytes before the next row
+    val folded = fps.filter(col("fp").isNotNull)
+      .select(col("fp").cast("string")).queryExecution.toRdd
+      .mapPartitions { it =>
+        val local = new Array[Long](lanes)
+        it.foreach(r =>
+          if (!r.isNullAt(0)) graft.functions.GraftBloomHit.add(r.getUTF8String(0), local))
+        Iterator.single(local)
+      }
+      .fold(new Array[Long](lanes)) { (a, b) =>
+        var i = 0; while (i < lanes) { a(i) |= b(i); i += 1 }; a
+      }
+    var i = 0
+    while (i < lanes) { acc(i) |= folded(i); i += 1 }
   }
 
   /** Append a `_maybe` column to a frame carrying an `fp` column: true
     * iff every probe bit is set in `laneBits` — the conservative
-    * membership test. False positives possible; false negatives
-    * impossible for any fingerprint previously folded into `laneBits`
-    * via [[bloomAddFps]] with the same lane count.
+    * membership test, compiled as one codegen kernel holding the lane
+    * array as a reference object (NEVER a plan literal — see
+    * [[graft.functions.GraftBloomHit]]). False positives possible;
+    * false negatives impossible for any fingerprint previously folded
+    * into `laneBits` via [[bloomAddFps]] with the same lane count.
+    * A NULL fingerprint (null text) probes as null and classifies
+    * "maybe", routing through the exact join instead of silently
+    * dropping out of both filter branches.
     */
   def bloomMark(withFp: DataFrame, laneBits: Array[Long]): DataFrame = {
-    val bits = laneBits.length * 64L
-    val lanesLit = typedlit(laneBits.toSeq)
-    var marked = withFp
-    (0 until BloomProbes).foreach { i =>
-      marked = marked.withColumn(s"_p$i", bloomPos(col("fp"), i, bits))
-    }
-    val hit = (0 until BloomProbes).map { i =>
-      element_at(lanesLit, floor(col(s"_p$i") / 64).cast("int") + 1)
-        .bitwiseAND(call_function("shiftleft", lit(1L), (col(s"_p$i") % 64).cast("int"))) =!= 0
-    }.reduce(_ && _)
-    // a NULL fingerprint (null text) probes as null — classify it
-    // "maybe" so it routes through the exact join instead of silently
-    // dropping out of BOTH filter branches
-    marked.withColumn("_maybe", coalesce(hit, lit(true)))
-      .drop((0 until BloomProbes).map(i => s"_p$i"): _*)
+    val packed = graft.functions.GraftBloomHit.packLanes(laneBits)
+    withFp.withColumn("_maybe",
+      coalesce(call_function("graft_bloom_hit", col("fp"), lit(packed)), lit(true)))
   }
 
   // ---- shingling ---------------------------------------------------------

@@ -91,7 +91,9 @@ class DedupStreamSpec extends SparkSpec {
   test("null-text docs classify as maybe and survive (never silently dropped)") {
     val root = "target/test_tables/dedup_stream_null"
     MergeTable.drop(root)
-    val ds = new DedupStream(spark, root)
+    // engage the bloom so the null→maybe classification is what's
+    // under test (the plain path's SQL-null anti-join is the gate twin)
+    val ds = new DedupStream(spark, root, bloomFrom = 0L)
     ds.processBatch(Seq((1L, "aa"), (2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text"), 0L)
     // null fingerprints group together: in-batch first occurrence wins,
@@ -108,7 +110,11 @@ class DedupStreamSpec extends SparkSpec {
   test("only the bloom-maybe sliver pays the index join") {
     val root = "target/test_tables/dedup_stream_bloom"
     MergeTable.drop(root)
-    val ds = new DedupStream(spark, root)
+    // bloomFrom = 0: engage the bloom immediately so the sliver
+    // contract is testable at spec scale (production engages it only
+    // once the index outgrows a direct anti-join)
+    val ds = new DedupStream(spark, root, bloomFrom = 0L)
+    ds.trackBloomStats = true
     ds.processBatch(
       (0L until 50L).map(i => (i, s"seed text $i")).toDF("doc_id", "text"), 0L)
 
