@@ -468,6 +468,53 @@ object CdcQueries extends QueryModule {
     * proves the folded VALUES are exact, nulls included, against a
     * DuckDB replay that aggregates the real rows).
     */
+  /** Storage-partitioned-join gate: two CO-BUCKETED catalog
+    * mergetables (per-customer order aggregates ⋈ customer balances,
+    * both keyed and hash-bucketed on `custkey`) joined through the
+    * DSv2 Batch path — Spark aligns the scans' KeyGroupedPartitioning
+    * bucket-for-bucket and elides the shuffle on BOTH sides (the
+    * plan shape `StoragePartitionedJoinSpec` pins); this gate
+    * hash-certifies the VALUES that come out of that plan against a
+    * DuckDB replay of the same join. At 100 TB this is the fact⋈fact
+    * join shape, with the dominant shuffle gone.
+    */
+  private def catalogSpjJoin(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+    for (t <- Seq(s"spj_orders_$sfx", s"spj_cust_$sfx")) {
+      s.sql(s"DROP TABLE IF EXISTS graft.gate.$t")
+    }
+    s.sql(s"""CREATE TABLE graft.gate.spj_orders_$sfx
+              (custkey BIGINT, n_orders BIGINT, total DECIMAL(18,2))
+              TBLPROPERTIES('keys'='custkey', 'buckets'='8')""")
+    s.sql(s"""CREATE TABLE graft.gate.spj_cust_$sfx
+              (custkey BIGINT, acctbal DOUBLE)
+              TBLPROPERTIES('keys'='custkey', 'buckets'='8')""")
+    graft.tables.Tables.load(s, dir, "orders").createOrReplaceTempView("spj_gate_orders")
+    graft.tables.Tables.load(s, dir, "customer").createOrReplaceTempView("spj_gate_customer")
+    s.sql(s"""INSERT INTO graft.gate.spj_orders_$sfx
+              SELECT o_custkey, count(*), sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              FROM spj_gate_orders GROUP BY o_custkey""")
+    s.sql(s"""INSERT INTO graft.gate.spj_cust_$sfx
+              SELECT c_custkey, c_acctbal FROM spj_gate_customer""")
+    s.sql(
+      s"""SELECT a.custkey, a.n_orders,
+         |  round(CAST(a.total AS DOUBLE), 2) AS total, c.acctbal
+         |FROM graft.gate.spj_orders_$sfx a
+         |JOIN graft.gate.spj_cust_$sfx c ON a.custkey = c.custkey
+         |ORDER BY a.custkey""".stripMargin)
+  }
+
+  private val catalogSpjJoinSql =
+    """WITH a AS (
+      |  SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  FROM orders GROUP BY 1)
+      |SELECT a.custkey, a.n_orders,
+      |  round(CAST(a.total AS DOUBLE), 2) AS total, c.c_acctbal AS acctbal
+      |FROM a JOIN customer c ON a.custkey = c.c_custkey
+      |ORDER BY a.custkey""".stripMargin
+
   private def aggPushdown(s: SparkSession, dir: String): DataFrame = {
     val seed = latestPerUser(events(s, dir))
       .withColumn("nv", when(col("event_type") === "error",
@@ -988,6 +1035,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert_partial", applyUpsertPartialViaSql, Some(applyUpsertPartialSql)),
     QueryDef("cdc_apply_merge_conditional", applyMergeConditional, Some(applyMergeConditionalSql)),
     QueryDef("cdc_apply_upsert_catalog", applyUpsertViaCatalog, Some(applyUpsertSql)),
+    QueryDef("catalog_spj_join", catalogSpjJoin, Some(catalogSpjJoinSql)),
     QueryDef("mergetable_agg_pushdown", aggPushdown, Some(aggPushdownSql)),
     QueryDef("mergetable_agg_pushdown_partitioned", aggPushdownPartitioned, Some(aggPushdownPartitionedSql)),
     QueryDef("mergetable_shallow_clone", shallowCloneUpsert, Some(applyUpsertSql)),
