@@ -52,6 +52,33 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     n
   }
 
+  test("the catalog bucket function replays the write side's hash byte-for-byte") {
+    // Spark only needs canonicalName for SPJ compatibility, but the
+    // one-side-shuffle variants (v2.bucketing.shuffle.enabled) would
+    // EVALUATE produceResult — it must match pmod(xxhash64(k), n)
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = 16
+    val longs = (0 until 200).map(i => (i * 2654435761L) ^ (i.toLong << 13))
+    val bLong = GraftBucketBound(Array(IntegerType, LongType))
+    val expectL = longs.toDF("id")
+      .select(pmod(xxhash64(col("id")), lit(n)).cast("int")).as[Int].collect().toSeq
+    val gotL = longs.map(v =>
+      bLong.produceResult(new GenericInternalRow(Array[Any](n, v))).toInt)
+    assert(gotL === expectL)
+
+    val strs = (0 until 100).map(i => s"key-$i-é中")
+    val bStr = GraftBucketBound(Array(IntegerType, StringType))
+    val expectS = strs.toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(n)).cast("int")).as[Int].collect().toSeq
+    val gotS = strs.map(v =>
+      bStr.produceResult(new GenericInternalRow(
+        Array[Any](n, UTF8String.fromString(v)))).toInt)
+    assert(gotS === expectS)
+  }
+
   test("catalog snapshot reads serve through the Batch scan with correct results") {
     fresh("spj0")
     spark.sql("""CREATE TABLE graft.spj0.t (id BIGINT, v STRING)
