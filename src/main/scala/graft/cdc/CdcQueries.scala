@@ -473,8 +473,10 @@ object CdcQueries extends QueryModule {
     * both keyed and hash-bucketed on `custkey`) joined through the
     * DSv2 Batch path — Spark aligns the scans' KeyGroupedPartitioning
     * bucket-for-bucket and elides the shuffle on BOTH sides (the
-    * plan shape `StoragePartitionedJoinSpec` pins); this gate
-    * hash-certifies the VALUES that come out of that plan against a
+    * plan shape `StoragePartitionedJoinSpec` pins with broadcast
+    * disabled; at gate scale AQE may broadcast the small side
+    * instead, also shuffle-free); this gate
+    * hash-certifies the VALUES that come out of that path against a
     * DuckDB replay of the same join. At 100 TB this is the fact⋈fact
     * join shape, with the dominant shuffle gone.
     */

@@ -202,6 +202,28 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       s"expected packed read tasks, got ${df.rdd.getNumPartitions}")
   }
 
+  test("mismatched bucket counts fall back to a shuffle with correct results") {
+    fresh("spj9")
+    spark.sql("""CREATE TABLE graft.spj9.a (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id', 'buckets'='4')""")
+    spark.sql("""CREATE TABLE graft.spj9.b (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id', 'buckets'='8')""")
+    (1 to 100).map(i => (i.toLong, s"x$i")).toDF("id", "v")
+      .createOrReplaceTempView("spj9_src")
+    spark.sql("INSERT INTO graft.spj9.a SELECT * FROM spj9_src")
+    spark.sql("INSERT INTO graft.spj9.b SELECT * FROM spj9_src")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      // 4 vs 8 buckets are NOT co-partitioned: the planner must insert
+      // the shuffle (never silently mis-align) and values stay right
+      val j = spark.sql(
+        """SELECT count(*) AS n FROM graft.spj9.a a
+          |JOIN graft.spj9.b b ON a.id = b.id""".stripMargin)
+      assert(j.head().getLong(0) === 100L)
+      assert(shuffles(j) > 0, "incompatible bucket layouts must shuffle")
+    }
+  }
+
   test("a dim filter dynamically prunes the fact's partition dirs at runtime") {
     fresh("spj6")
     spark.sql("""CREATE TABLE graft.spj6.fact (id BIGINT, day STRING, v BIGINT)
