@@ -251,9 +251,17 @@ private[sources] class MergeTableBatchScan(
     // relations — so a pruned mergetable side still auto-broadcasts
     val bytes = (survivors.map(p => p.toFile.length()).sum *
       spark.sessionState.conf.fileCompressionFactor).toLong
+    // exact row count from footer stats on the unfiltered scan (the
+    // same metadata the agg pushdown folds); filtered scans keep it
+    // unknown — a post-filter row estimate would be a guess
+    val rows =
+      if (allFilters.isEmpty)
+        relation.aggregatable.map(ms => ms.map(_.rows).sum)
+      else None
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1L))
-      override def numRows(): OptionalLong = OptionalLong.empty()
+      override def numRows(): OptionalLong =
+        rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
     }
   }
 
