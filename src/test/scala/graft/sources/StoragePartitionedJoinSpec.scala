@@ -202,6 +202,22 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       s"expected packed read tasks, got ${df.rdd.getNumPartitions}")
   }
 
+  test("gate audit: catalog gates ride the Batch path; the SPJ gate join never shuffles") {
+    // regression pin against silent eviction of the fast path — a
+    // batchReadable change that quietly re-routed catalog reads to the
+    // V1 fallback would keep results green and lose the plan
+    val upsert = graft.SparkEntry.queries("cdc_apply_upsert_catalog")(spark, sfDir)
+    assert(upsert.queryExecution.executedPlan.toString.contains("MergeTableBatchScan"))
+    val spj = graft.SparkEntry.queries("catalog_spj_join")(spark, sfDir)
+    assert(spj.queryExecution.executedPlan.toString.contains("MergeTableBatchScan"))
+    // broadcast (small side) or storage-partitioned (aligned buckets):
+    // either way the JOIN adds no shuffle — only ORDER BY's range
+    // exchange may appear
+    assert(shuffles(spj) <= 1,
+      s"the SPJ gate join shuffled:\n${spj.queryExecution.executedPlan}")
+    graft.Caches.clear()
+  }
+
   test("mismatched bucket counts fall back to a shuffle with correct results") {
     fresh("spj9")
     spark.sql("""CREATE TABLE graft.spj9.a (id BIGINT, v STRING)
