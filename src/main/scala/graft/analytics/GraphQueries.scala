@@ -315,27 +315,27 @@ object GraphQueries extends QueryModule {
   }
 
   /** [[peelCore]] to the TRUE fixpoint: peel until the edge set stops
-    * changing, detected by the same order-independent checksum the LSS
-    * component contraction uses (count + xor of per-edge hashes — one
-    * O(1)-output aggregation per round instead of an anti-join), with
-    * a LOUD refusal at `maxRounds`: a deep cascade under-peeled by a
-    * fixed unroll silently over-reports the core, and at 100× scale a
-    * cascade can run arbitrarily deep. `localCheckpoint` truncates the
-    * per-round lineage exactly as the LSS loop does — an iterative
+    * changing, with a LOUD refusal past `maxRounds` strict-peel
+    * rounds: a deep cascade under-peeled by a fixed unroll silently
+    * over-reports the core, and at 100× scale a cascade can run
+    * arbitrarily deep. Peeling is MONOTONE (each round's semi-joins
+    * only remove edges, so next ⊆ edges), so COUNT equality alone
+    * proves the fixpoint — one O(1)-output count per round, no
+    * per-edge hashing or anti-join. Detecting convergence costs one
+    * identity round beyond the last strict peel, so the loop allows
+    * `maxRounds + 1` iterations: a cascade whose fixpoint lands at
+    * exactly `maxRounds` peels (the oracle's unroll depth) converges
+    * rather than throwing. `localCheckpoint` truncates the per-round
+    * lineage exactly as the LSS loop does — an iterative
     * self-referencing plan grows exponentially otherwise.
     */
   private[analytics] def peelCoreFixpoint(edges0: DataFrame, k: Int,
       maxRounds: Int = 40): DataFrame = {
-    def checksum(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(src_t, src_id, dst_t, dst_id))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
     var edges = edges0.localCheckpoint(true)
-    var sig = checksum(edges)
-    var converged = sig._1 == 0L
+    var n = edges.count()
+    var converged = n == 0L
     var i = 0
-    while (!converged && i < maxRounds) {
+    while (!converged && i < maxRounds + 1) {
       // alive feeds BOTH semi-joins — checkpoint it (node-sized) or
       // the degree aggregation runs twice per round
       val alive = edges.groupBy("src_t", "src_id")
@@ -345,9 +345,9 @@ object GraphQueries extends QueryModule {
       val next = edges.join(alive, Seq("src_t", "src_id"), "left_semi")
         .join(aliveDst, Seq("dst_t", "dst_id"), "left_semi")
         .localCheckpoint(true)
-      val nextSig = checksum(next)
-      converged = nextSig == sig || nextSig._1 == 0L
-      sig = nextSig
+      val nextN = next.count()
+      converged = nextN == n || nextN == 0L
+      n = nextN
       edges = next
       i += 1
     }

@@ -821,11 +821,13 @@ object CorpusQueries extends QueryModule {
     QueryDef("sketch_countmin_words", sketchCountMin, Some(sketchCountMinSql)),
     QueryDef("docs_feature_hash", featureHash, Some(featureHashSql)),
     QueryDef("docs_split_drift", splitDrift, Some(splitDriftSql)),
+    // both gates serve from the per-corpus-dir training memo: the
+    // 6-round merge loop runs once per dir, shared across queries
     QueryDef("bpe_train_merges",
-      (s, dir) => BpeTrain.trainMerges(s, docs(s, dir), rounds = 6),
+      (s, dir) => BpeTrain.trainMergesMemo(s, dir, docs(s, dir), rounds = 6),
       Some(BpeTrain.trainMergesSql(6))),
     QueryDef("docs_tokenize_bpe",
-      (s, dir) => BpeTrain.tokenizeBpe(s, docs(s, dir), rounds = 6),
+      (s, dir) => BpeTrain.tokenizeBpeMemo(s, dir, docs(s, dir), rounds = 6),
       Some(BpeTrain.tokenizeBpeSql(6))),
   )
 }

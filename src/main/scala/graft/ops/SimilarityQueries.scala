@@ -347,13 +347,20 @@ object SimilarityQueries extends QueryModule {
     val cents = Similarity.kmeansCentroids(s, corpus(s, dir), "embedding", 16)
     // per-run unique path: a fixed relative path races concurrent
     // runs (overwrite vs reload) and scatters artifacts on a
-    // non-repo-root CWD
-    val path = java.nio.file.Files
-      .createTempDirectory("ann_ivf_centroids")
-      .resolve("index").toString
-    ModelArtifacts.saveIvfCentroids(s, cents, path)
-    Similarity.ivfTopKWith(s, queries(s, dir, 10), corpus(s, dir), k = 5,
-      ModelArtifacts.loadIvfCentroids(s, path))
+    // non-repo-root CWD. Deleted after the reload COLLECTS (the
+    // loaded codebook is driver-resident) — a gate run must not leak
+    // one temp dir per invocation.
+    val tmp = java.nio.file.Files.createTempDirectory("ann_ivf_centroids")
+    val loaded =
+      try {
+        ModelArtifacts.saveIvfCentroids(s, cents, tmp.resolve("index").toString)
+        ModelArtifacts.loadIvfCentroids(s, tmp.resolve("index").toString)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    Similarity.ivfTopKWith(s, queries(s, dir, 10), corpus(s, dir), k = 5, loaded)
       .orderBy("query_id", "rank")
   }
 

@@ -72,6 +72,15 @@ class KCoreSpec extends SparkSpec {
     assert(e.getMessage.contains("fixpoint"))
   }
 
+  test("a cascade converging in exactly maxRounds peels converges (identity round is free)") {
+    // the 6-link tail dissolves in exactly 6 strict peel rounds; the
+    // convergence-detection round must not count against the cap, or
+    // the cap would not match the oracle's unroll depth
+    val fixed = GraphQueries.peelCoreFixpoint(deepTail, k = 2, maxRounds = 6)
+      .select(col("src_id")).distinct().as[Long].collect().toSet
+    assert(fixed === Set(1L, 2L, 3L, 4L))
+  }
+
   test("fixpoint equals the unrolled peel once the unroll is deep enough") {
     val a = GraphQueries.peelCoreFixpoint(graph, k = 2)
       .groupBy("src_id").agg(count(lit(1)).as("d")).as[(Long, Long)].collect().toMap
