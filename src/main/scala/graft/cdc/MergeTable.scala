@@ -123,7 +123,7 @@ final class MergeTable(
   private val pointer = rootPath.resolve("_LATEST")
 
   private val Tombstone = "_graft_tombstone"
-  private val BucketCol = "_graft_bucket"
+  private[graft] val BucketCol = "_graft_bucket"
   private val FileCol = "_graft_file"
   private val PosCol = "_graft_pos"
   // commit-version / within-run sequence stamps of the grouped
@@ -334,6 +334,15 @@ final class MergeTable(
     * shape the conflict machinery cannot catch after the fact).
     */
   private def commitAt(newEntries: Seq[(String, String)], baseVersion: Long): Long = {
+    // txnAtomic's single-commit guard must fire BEFORE a second commit
+    // can land: the first commit already carried the watermark, so if a
+    // misused multi-commit op crashed between its commits, replay would
+    // silently skip the unfinished tail. (pendingTxn is set during the
+    // op only under txnAtomic — txn() records its marker after the op.)
+    require(!(inTxn && pendingTxn.isDefined && txnCommitCount >= 1),
+      s"txnAtomic op attempted a SECOND commit (appId=${pendingTxn.map(_._1).getOrElse("?")}); " +
+        "the watermark rode its first commit, so a crash between commits " +
+        "would lose the tail on replay — multi-commit ops must use txn()")
     onBeforeCommit()
     Files.createDirectories(manifestDir)
     persistMeta()
@@ -1279,6 +1288,70 @@ final class MergeTable(
     }
   }
 
+  // -- DSv2 externally-staged appends --------------------------------------
+  //
+  // The catalog's true BATCH_WRITE path: executors write parquet files
+  // directly under data/<staging-uuid> (no Row round-trip through an
+  // InsertableRelation), then the driver commits the staged dirs with
+  // the SAME manifest shapes the V1 writers produce. Spark executes a
+  // V1 fallback write from the stored ANALYZED query (deliberately —
+  // see AppendData.storeAnalyzedQuery), so a write-side
+  // RequiresDistributionAndOrdering request is only honored on a real
+  // v2 write; these commit halves are what make that request real.
+
+  /** Fresh staging dir for a v2 write: (relative dir name, absolute path). */
+  private[graft] def allocateStagingDir(): (String, java.nio.file.Path) = {
+    val dir = UUID.randomUUID().toString
+    val p = dataDir.resolve(dir)
+    Files.createDirectories(p)
+    (dir, p)
+  }
+
+  private[graft] def stagingPathOf(dir: String): java.nio.file.Path =
+    dataDir.resolve(dir)
+
+  /** Commit externally-staged FLAT append files — the staged twin of
+    * [[append]]'s flat branch (COW base entry / MOR delta entry +
+    * compaction bound), with the same blind-append rebase MOR deltas
+    * get: concurrent appends compose, a concurrent rewrite conflicts.
+    */
+  private[graft] def commitStagedAppend(dir: String): Unit = {
+    require(numBuckets.isEmpty && partitionCols.isEmpty,
+      "staged flat append on a bucketed/partitioned table")
+    recordStats(dir)
+    mode match {
+      case MergeTable.MergeOnRead =>
+        commitAppend(entries(), Seq("delta" -> dir), None)
+        maybeCompact()
+      case _ =>
+        commitAppend(entries(), Seq("base" -> dir), None)
+    }
+  }
+
+  /** Commit an externally-staged FIRST write of a bucketed table —
+    * the staged twin of seedBucketed: the staging dir already holds
+    * `_graft_bucket=<i>` leaf dirs (the v2 writer demuxes rows by the
+    * replayed write-side hash). Throws CommitConflictException if a
+    * concurrent writer seeded first — the caller owns the fallback.
+    */
+  private[graft] def commitStagedBucketedSeed(dir: String): Unit = {
+    val written = listBuckets(dir)
+    written.foreach(i => recordStats(s"$dir/$BucketCol=$i"))
+    commit(written.toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i"))
+    ()
+  }
+
+  /** Commit an externally-staged FIRST write of a value-partitioned
+    * table — the staged twin of writePartitioned's seed: the staging
+    * dir holds `_graft_p_<col>=<val>` leaf paths.
+    */
+  private[graft] def commitStagedPartitionedSeed(dir: String): Unit = {
+    val leaves = listPartitionLeaves(dataDir.resolve(dir), partitionCols.size)
+    leaves.foreach(rel => recordStats(s"$dir/$rel"))
+    commit(leaves.sorted.map(rel => "pv" -> s"$dir/$rel"))
+    ()
+  }
+
   /** Incremental file ingest — the COPY INTO / Auto Loader shape:
     * load ONLY the source-dir files not yet ingested, appending their
     * rows and the updated file ledger in ONE atomic commit, so each
@@ -1542,7 +1615,7 @@ final class MergeTable(
 
   // -- value-partitioned layout --------------------------------------------
 
-  private val PartPrefix = "_graft_p_"
+  private[graft] val PartPrefix = "_graft_p_"
 
   /** Partition column types are restricted to the ones whose
     * `toString` rendering is exactly what Spark's partition-dir
@@ -1921,6 +1994,73 @@ final class MergeTable(
   private[graft] def aggregatableFiles(
       rawEs: Seq[(String, String)]): Option[Seq[FileStats.FileMeta]] =
     aggregatableFilesByDir(rawEs).map(_.flatMap(_._2))
+
+  /** [[prunableFiles]] for a DELETION-VECTOR snapshot: per-file stats
+    * of the base data files, with dv (and ledger) entries excluded
+    * from the listing. Pruning a dv snapshot is safe only for a
+    * reader that applies the positional mask ITSELF above the raw
+    * file scan (the DSv2 Batch path) — a mask only ever removes rows,
+    * so dropping a whole file drops its masked positions with it; the
+    * V1 pruned-scan path must keep using [[prunableFiles]], which
+    * refuses. None when the snapshot also carries MOR deltas (row
+    * visibility then needs per-key reconciliation, not a mask).
+    */
+  def prunableFilesDv(es: Seq[(String, String)]): Option[Seq[(Path, Map[String, (String, String, String)])]] = {
+    if (es.isEmpty || es.exists(_._1 == "delta")) None
+    else Some(es.filterNot(e => e._1 == "dv" || e._1 == "ing").flatMap { case (_, d) =>
+      val stats = FileStats.read(rootPath, d)
+      val base = dataDir.resolve(d)
+      FileStats.listParquetFiles(base).map { f =>
+        f -> stats.flatMap(_.get(base.relativize(f).toString)).getOrElse(Map.empty)
+      }
+    })
+  }
+
+  /** dv entry dirs of a snapshot. */
+  private[graft] def dvDirsOf(es: Seq[(String, String)]): Seq[String] =
+    es.filter(_._1 == "dv").map(_._2)
+
+  /** Total masked positions of a snapshot's dv entries, folded from
+    * footer stats (writeMask records them at commit) — the size gate
+    * a driver-resident mask load consults before paying the read.
+    * None when any mask file lacks stats.
+    */
+  private[graft] def dvMaskRows(es: Seq[(String, String)]): Option[Long] = {
+    val per = dvDirsOf(es).map { d =>
+      FileStats.readFull(rootPath, d).flatMap { full =>
+        val base = dataDir.resolve(d)
+        val files = FileStats.listParquetFiles(base)
+        val metas = files.flatMap(f => full.get(base.relativize(f).toString))
+        if (metas.size == files.size) Some(metas.map(_.rows).sum) else None
+      }
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
+  /** The positional mask of a snapshot, collected to the driver and
+    * grouped per base file: normalized path → SORTED masked row
+    * indexes. Size-gated by the caller via [[dvMaskRows]].
+    */
+  private[graft] def dvMaskByFile(es: Seq[(String, String)]): Map[String, Array[Long]] = {
+    val dirs = dvDirsOf(es)
+    if (dirs.isEmpty) return Map.empty
+    readDirs(dirs).select(FileCol, PosCol).collect()
+      .groupBy(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+      .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+  }
+
+  /** Exact row count of the current snapshot folded from parquet
+    * footer stats alone — the same manifest-only fold metadata-only
+    * aggregate pushdown serves `count(*)` from, as a direct API for
+    * engine components (a stream's startup sizing probe) that need
+    * the number without planning a query. O(manifest), ZERO data
+    * files opened. None when the snapshot cannot be answered from
+    * manifests (MOR deltas / dv masks, or a file without recorded
+    * stats) — callers fall back to a real count.
+    */
+  def statsRowCount: Option[Long] =
+    if (!exists) Some(0L)
+    else aggregatableFiles(entries()).map(_.map(_.rows).sum)
 
   /** Per-ENTRY-dir grouping of [[aggregatableFiles]]: the dir string
     * keeps its `_graft_p_<col>=<val>` partition segments, so
@@ -2315,6 +2455,13 @@ object MergeTable {
     * metadata commit and re-adding a dropped name under a fresh
     * physical id can never resurrect old values.
     */
+  /** Physical layout dir-naming constants, shared with the DSv2
+    * writer (graft.sources.MergeTableBatchWrite) whose executor-side
+    * demux must produce byte-identical leaf-dir names.
+    */
+  private[graft] val BucketColName = "_graft_bucket"
+  private[graft] val PartPrefixName = "_graft_p_"
+
   final case class Meta(keys: Seq[String], mode: String,
                         numBuckets: Option[Int], schemaJson: Option[String],
                         constraints: Map[String, String] = Map.empty,

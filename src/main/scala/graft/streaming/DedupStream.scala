@@ -64,10 +64,11 @@ class DedupStream(
   // advanced with each batch's kept fingerprints BEFORE the appends
   // (extra bits on a failed batch are only false positives)
   private var laneBits: Array[Long] = _
-  // -1 = unknown (read from the index on the first batch); counted
+  // -1 = unknown (folded from footer STATS on the first batch — the
+  // startup probe is O(manifest), zero data files opened); counted
   // per batch off the cached kept set until the bloom engages, frozen
   // after (engagement is monotone)
-  private var indexRowsApprox: Long = -1L
+  private[streaming] var indexRowsApprox: Long = -1L
   private def bloomEngaged: Boolean = indexRowsApprox >= bloomFrom
 
   /** (candidate fingerprints, bloom-maybe sliver) of the last batch —
@@ -87,7 +88,11 @@ class DedupStream(
     try {
       if (batch.isEmpty) return
       if (indexRowsApprox < 0L)
-        indexRowsApprox = if (indexTable.exists) indexTable.read().count() else 0L
+        // the COW append-only index is always stats-complete, so the
+        // engagement probe folds from manifests; the count() fallback
+        // only fires on a stats-less legacy table
+        indexRowsApprox = indexTable.statsRowCount
+          .getOrElse(if (indexTable.exists) indexTable.read().count() else 0L)
       if (bloomEngaged && laneBits == null) {
         laneBits = new Array[Long](bloomLanes)
         if (indexTable.exists)
@@ -126,12 +131,15 @@ class DedupStream(
         val accepted = batch.join(
           kept.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
         acceptedTable.txnAtomic(appId, batchId) { acceptedTable.append(accepted) }
-        indexTable.txnAtomic(appId, batchId) {
+        val indexRan = indexTable.txnAtomic(appId, batchId) {
           indexTable.append(kept.select(col("fp"), col("keep_id")))
         }
         // count off the cache (cheap) only while disengaged — the next
-        // batch re-evaluates engagement against the grown index
-        if (!bloomEngaged) indexRowsApprox += kept.count()
+        // batch re-evaluates engagement against the grown index. On a
+        // REPLAYED batch txnAtomic skips (returns None): the index did
+        // not grow, so the approximation must not either, or replays
+        // double-count and engage the bloom before the index earns it
+        if (!bloomEngaged && indexRan.isDefined) indexRowsApprox += kept.count()
       } finally {
         kept.unpersist()
         if (flagged != null) flagged.unpersist()

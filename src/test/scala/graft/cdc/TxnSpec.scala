@@ -159,6 +159,12 @@ class TxnSpec extends SparkSpec {
       }
     }
     assert(e.getMessage.contains("multi-commit ops must use txn()"))
+    // the guard fires at the second commit ATTEMPT — before it can
+    // land carrying nothing — so only the first append is on disk and
+    // replay (which skips on the first commit's watermark) loses nothing
+    // it hadn't already lost at the refusal
+    assert(t.read().select("id").as[Long].collect().toSet === Set(1L, 2L),
+      "second commit must be refused BEFORE landing")
   }
 
   test("watermarks from both writers survive a concurrent-commit rebase") {

@@ -64,6 +64,41 @@ class DedupStreamSpec extends SparkSpec {
     assert(acceptedIds(root) === Set(1L, 2L, 4L), "3 dups history, 4 is new")
   }
 
+  test("a replayed batch does not inflate the engagement approximation") {
+    // the r10 ADVICE low: when both txnAtomic calls skip on replay the
+    // index did NOT grow, so indexRowsApprox must not grow either —
+    // double-counting engages the bloom before the index earns it
+    val root = "target/test_tables/dedup_stream_replay_approx"
+    MergeTable.drop(root)
+    val ds = new DedupStream(spark, root)
+    val b0 = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    ds.processBatch(b0, 0L)
+    assert(ds.indexRowsApprox === 2L)
+    ds.processBatch(b0, 0L) // replay: txn watermark skips both writes
+    assert(ds.indexRowsApprox === 2L, "replayed batch double-counted index rows")
+  }
+
+  test("the startup engagement probe folds from footer stats, not a table scan") {
+    // seed an index, then corrupt the parquet payloads in place: the
+    // stats sidecar still answers the row count, so a fresh writer's
+    // probe succeeds without opening a single data file
+    val root = "target/test_tables/dedup_stream_probe"
+    MergeTable.drop(root)
+    val ds = new DedupStream(spark, root)
+    ds.processBatch(Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "text"), 0L)
+
+    val idx = new MergeTable(spark, s"$root/fp_index", Seq("fp"))
+    assert(idx.statsRowCount === Some(3L))
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dataFiles = Files.walk(Paths.get(s"$root/fp_index")).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach(p => Files.write(p, "garbage".getBytes))
+    assert(new MergeTable(spark, s"$root/fp_index", Seq("fp")).statsRowCount
+      === Some(3L), "probe opened a data file")
+  }
+
   test("crash between the accepted and index commits replays without duplicates") {
     // the ADVICE r9 window: the accepted append committed but the
     // index write never ran. With txnAtomic the watermark rode the
