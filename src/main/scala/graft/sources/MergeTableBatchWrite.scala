@@ -1,0 +1,275 @@
+package graft.sources
+
+import graft.cdc.{CommitConflictException, MergeTable}
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Expression => V2Expression}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.util.SerializableConfiguration
+import scala.collection.mutable
+
+/** The catalog's TRUE DSv2 write path (TableCapability.BATCH_WRITE):
+  * executors write parquet files straight into a staging dir under the
+  * table's `data/` root — no Row round-trip through an
+  * InsertableRelation — and the driver commits the staged leaf dirs
+  * with the SAME manifest shapes the V1 writers produce.
+  *
+  * Why it exists: Spark executes a V1 fallback write from the stored
+  * ANALYZED query (`AppendData.storeAnalyzedQuery` — verified against
+  * the 4.1.2 planner), so `RequiresDistributionAndOrdering` on a
+  * `V1Write` is silently ignored. Only a real v2 write makes the
+  * write-side distribution request REAL: a bucketed seed asks the
+  * engine to cluster incoming rows by the catalog-served
+  * `bucket(n, keys…)` transform (the same seed-42 xxhash64 SPJ reads
+  * resolve), a partitioned seed by identity(partition cols) — so each
+  * task holds whole buckets/partitions and the demuxed write emits
+  * ~one file per leaf dir instead of (tasks × leaves) shards. The
+  * request is advisory (`distributionStrictlyRequired = false`):
+  * Spark plans a REBALANCE, which AQE coalesces or skew-splits.
+  *
+  * Served shapes (chosen by the catalog's WriteBuilder): flat-table
+  * appends (any mode — COW base entry / MOR delta entry), and the
+  * FIRST write of a bucketed or partitioned table (INSERT-into-empty
+  * and CTAS — no merge needed). Everything else (appends into
+  * populated keyed layouts = scoped merges, CHECK constraints, column
+  * mapping) stays on the V1 path, whose read-modify-write semantics a
+  * pure file write cannot express.
+  *
+  * Exactly-one-commit: writer commit messages name every staged file;
+  * the driver deletes stragglers from failed/speculative attempts
+  * before recording stats, so the manifest never references a file no
+  * committed task produced. A lost first-write race (concurrent seed)
+  * recovers through the merge path: the staged rows are read back and
+  * upserted — the same result the V1 writer would have produced.
+  */
+class MergeTableBatchWrite(
+    path: String,
+    meta: MergeTable.Meta,
+    writeSchema: StructType) extends V2WriteLike {
+
+  private def seedLayout: Boolean =
+    meta.numBuckets.isDefined || meta.partitionCols.nonEmpty
+
+  override def requiredDistribution(): Distribution =
+    if (meta.numBuckets.isDefined)
+      Distributions.clustered(
+        Array(Expressions.bucket(meta.numBuckets.get, meta.keys: _*)))
+    else if (meta.partitionCols.nonEmpty)
+      Distributions.clustered(
+        meta.partitionCols.map(c => Expressions.identity(c): V2Expression).toArray)
+    else Distributions.unspecified()
+
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  // advisory: the engine plans a REBALANCE — AQE coalesces tiny
+  // buckets into one task and splits a skewed bucket across several
+  // (each still writing only that bucket's dir) instead of a rigid
+  // one-task-per-bucket shuffle a hot key would bottleneck
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def description(): String =
+    s"MergeTableBatchWrite $path ${requiredDistribution()}"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private def spark = SparkSession.active
+    private def table = new MergeTable(spark, path, meta.keys, meta.mode,
+      meta.numBuckets, partitionCols = meta.partitionCols)
+
+    // allocated once per write job, on the driver
+    private lazy val (stagingRel, stagingAbs) = table.allocateStagingDir()
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+      val job = Job.getInstance(spark.sessionState.newHadoopConf())
+      val owf = new ParquetFileFormat()
+        .prepareWrite(spark, job, Map.empty, writeSchema)
+      val layout: GraftWriteLayout =
+        if (meta.numBuckets.isDefined)
+          GraftWriteLayout.Bucketed(meta.numBuckets.get,
+            meta.keys.map(k => writeSchema.fieldIndex(k)))
+        else if (meta.partitionCols.nonEmpty)
+          GraftWriteLayout.Partitioned(
+            meta.partitionCols.map(c => writeSchema.fieldIndex(c)))
+        else GraftWriteLayout.Flat
+      new GraftDataWriterFactory(writeSchema, stagingAbs.toString, layout,
+        owf, new SerializableConfiguration(job.getConfiguration))
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val committed = messages.collect { case m: GraftCommitMessage => m }
+      val keep = committed.flatMap(_.relFiles).toSet
+      purgeStrays(keep)
+      if (keep.isEmpty) { deleteRecursively(stagingAbs); return }
+      try {
+        if (seedLayout && table.exists)
+          throw new CommitConflictException(
+            s"concurrent first write to $path: another writer seeded the layout")
+        if (meta.numBuckets.isDefined) table.commitStagedBucketedSeed(stagingRel)
+        else if (meta.partitionCols.nonEmpty) table.commitStagedPartitionedSeed(stagingRel)
+        else table.commitStagedAppend(stagingRel)
+      } catch {
+        case _: CommitConflictException if seedLayout =>
+          // lost the first-write race: recover through the merge path —
+          // the winner's layout invariants (one dir per bucket/
+          // partition) now hold, so the staged rows re-enter as a
+          // scoped upsert, the same result the V1 writer produces
+          val staged = spark.read.parquet(stagingAbs.toString)
+            .select(writeSchema.fieldNames.map(col): _*)
+          table.upsert(staged)
+          deleteRecursively(stagingAbs)
+      }
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      deleteRecursively(stagingAbs)
+
+    /** Remove files no committed task reported (failed or speculative
+      * attempts whose own abort never ran) — the manifest is
+      * dir-granular, so a stray file would otherwise be read as data.
+      */
+    private def purgeStrays(keep: Set[String]): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (!Files.exists(stagingAbs)) return
+      Files.walk(stagingAbs).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filterNot(p => keep.contains(stagingAbs.relativize(p).toString.replace('\\', '/')))
+        .foreach(Files.deleteIfExists(_))
+    }
+
+    private def deleteRecursively(p: Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (!Files.exists(p)) return
+      Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    }
+  }
+}
+
+/** Scala can't extend the Java `Write` interface's default methods and
+  * `RequiresDistributionAndOrdering` in an anonymous class cleanly —
+  * a named join point keeps the builder readable.
+  */
+trait V2WriteLike extends Write with RequiresDistributionAndOrdering
+
+/** Routing of a row to its staged leaf dir ("" = flat). */
+sealed trait GraftWriteLayout extends Serializable
+object GraftWriteLayout {
+  case object Flat extends GraftWriteLayout
+  final case class Bucketed(n: Int, keyOrdinals: Seq[Int]) extends GraftWriteLayout
+  final case class Partitioned(partOrdinals: Seq[Int]) extends GraftWriteLayout
+
+  /** Partition column types whose dir-name rendering is exact — the
+    * same restriction MergeTable.requirePartitionable enforces.
+    */
+  def partitionable(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType | BooleanType => true
+    case _ => false
+  }
+}
+
+final case class GraftCommitMessage(relFiles: Seq[String], rows: Long)
+  extends WriterCommitMessage
+
+class GraftDataWriterFactory(
+    schema: StructType,
+    stagingAbs: String,
+    layout: GraftWriteLayout,
+    owf: OutputWriterFactory,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(schema, stagingAbs, layout, owf, conf, partitionId)
+}
+
+/** Executor-side writer: routes each InternalRow to its leaf dir
+  * (replaying the write-side seed-42 xxhash64 for buckets, the
+  * escaped `_graft_p_<col>=<val>` rendering for partitions) and
+  * streams it through Spark's own vectorized-compatible
+  * ParquetOutputWriter — full codegen-to-parquet with no Row
+  * conversion. One open writer per leaf dir per task; the engine's
+  * clustered rebalance keeps that near one.
+  */
+class GraftDataWriter(
+    schema: StructType,
+    stagingAbs: String,
+    layout: GraftWriteLayout,
+    owf: OutputWriterFactory,
+    conf: SerializableConfiguration,
+    partitionId: Int) extends DataWriter[InternalRow] {
+
+  private val ctx = new TaskAttemptContextImpl(conf.value,
+    new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId), 0))
+  private val ext = owf.getFileExtension(ctx)
+  private val uuid = UUID.randomUUID().toString
+  private val writers = mutable.LinkedHashMap.empty[String, org.apache.spark.sql.execution.datasources.OutputWriter]
+  private val files = mutable.ArrayBuffer.empty[String]
+  private var rows = 0L
+  private var closed = false
+
+  private val route: InternalRow => String = layout match {
+    case GraftWriteLayout.Flat => _ => ""
+    case GraftWriteLayout.Bucketed(n, ords) =>
+      val types: Seq[DataType] = ords.map(o => schema(o).dataType)
+      row => {
+        // seed-chained xxhash64 over the key columns, null-skipping —
+        // byte-identical to MergeTable.bucketExpr (pmod(xxhash64, n))
+        var h = 42L
+        var i = 0
+        while (i < ords.length) {
+          val v = row.get(ords(i), types(i))
+          if (v != null) h = XxHash64Function.hash(v, types(i), h)
+          i += 1
+        }
+        s"${MergeTable.BucketColName}=${((h % n) + n) % n}"
+      }
+    case GraftWriteLayout.Partitioned(ords) =>
+      val fields = ords.map(o => schema(o))
+      row => ords.zip(fields).map { case (o, f) =>
+        val v = row.get(o, f.dataType)
+        val rendered =
+          if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          else ExternalCatalogUtils.escapePathName(v.toString)
+        s"${MergeTable.PartPrefixName}${f.name}=$rendered"
+      }.mkString("/")
+  }
+
+  private def writerFor(sub: String) =
+    writers.getOrElseUpdate(sub, {
+      val dir = if (sub.isEmpty) Paths.get(stagingAbs) else Paths.get(stagingAbs, sub)
+      Files.createDirectories(dir)
+      val name = f"part-$partitionId%05d-$uuid$ext"
+      files += (if (sub.isEmpty) name else s"$sub/$name")
+      owf.newInstance(dir.resolve(name).toString, schema, ctx)
+    })
+
+  override def write(row: InternalRow): Unit = {
+    writerFor(route(row)).write(row)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeAll()
+    GraftCommitMessage(files.toSeq, rows)
+  }
+
+  override def abort(): Unit = {
+    try closeAll() catch { case _: Throwable => () }
+    files.foreach(f => Files.deleteIfExists(Paths.get(stagingAbs, f)))
+  }
+
+  override def close(): Unit = closeAll()
+
+  private def closeAll(): Unit = if (!closed) {
+    closed = true
+    writers.values.foreach(_.close())
+  }
+}

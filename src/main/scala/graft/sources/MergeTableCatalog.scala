@@ -6,10 +6,12 @@ import java.util
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.distributions
+import org.apache.spark.sql.connector.expressions
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RequiresDistributionAndOrdering, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -228,8 +230,37 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
 
   override lazy val schema: StructType = pinnedRelation.schema
 
+  /** Whether THIS table instance's writes ride the true DSv2
+    * BatchWrite (executor-side file writes + an honored
+    * RequiresDistributionAndOrdering) — decided once per loaded
+    * Table: Spark demands the declared capability and the built
+    * Write agree, so the same decision drives [[capabilities]] and
+    * the WriteBuilder. Served shapes: flat appends (any mode) and
+    * the FIRST write of a bucketed/partitioned layout; populated
+    * keyed layouts (scoped merges), CHECK constraints, column
+    * mapping, and time travel stay on the V1 InsertableRelation.
+    * A seed-eligibility race (someone seeds after analysis) is
+    * handled by the BatchWrite's conflict-recovery upsert.
+    */
+  private lazy val v2WriteEligible: Boolean = {
+    val current = MergeTable.readMeta(path)
+    val t = new MergeTable(SparkSession.active, path, meta.keys,
+      meta.mode, meta.numBuckets, partitionCols = meta.partitionCols)
+    val layoutSeedOk =
+      (meta.numBuckets.isEmpty && meta.partitionCols.isEmpty) || !t.exists
+    val partTypesOk = meta.partitionCols.forall(c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c))
+        .exists(f => GraftWriteLayout.partitionable(f.dataType)))
+    version.isEmpty && layoutSeedOk && partTypesOk &&
+      current.forall(m => m.constraints.isEmpty &&
+        m.droppedColumns.isEmpty && m.renames.forall { case (l, p) => l == p })
+  }
+
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    if (v2WriteEligible)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    else
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -427,8 +458,12 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
         // through Spark's vectorized parquet reader with bucket-keyed
         // partitions (storage-partitioned joins) and runtime filtering
         // — pushed-filter columns must resolve top-level or the exact
-        // row-mode re-check cannot bind them
-        case None if pinnedRelation.batchReadable &&
+        // row-mode re-check cannot bind them. Deletion-vector
+        // snapshots (bounded mask) ride the same path with the mask
+        // applied positionally above the raw read — the hottest CDC
+        // tables live in dv between compactions, so they keep file
+        // pruning, SPJ partitioning, and runtime filtering too.
+        case None if (pinnedRelation.batchReadable || pinnedRelation.batchReadableDv) &&
             pushed.flatMap(_.references).forall(r =>
               pinnedRelation.schema.fieldNames.contains(r)) &&
             MergeTableBatchScan.rowFormExists(pushed, pinnedRelation.schema) =>
@@ -455,22 +490,42 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
       }
     }
 
+  /** Write planning: the TRUE DSv2 BatchWrite
+    * (sources/MergeTableBatchWrite) serves the shapes a pure
+    * executor-side file write can express — flat-table appends and
+    * the FIRST write of a bucketed/partitioned table (INSERT-into-
+    * empty, CTAS) — making `RequiresDistributionAndOrdering` REAL:
+    * a bucketed seed asks the engine to cluster rows by the
+    * catalog-served `bucket(n, keys…)` transform, a partitioned seed
+    * by identity(partition cols). (On a `V1Write` the request is
+    * silently ignored — Spark executes the V1 fallback from the
+    * stored ANALYZED query, bypassing the prepared rebalance.)
+    * Everything a file write cannot express falls back to V1:
+    * appends into POPULATED keyed layouts (scoped merges), CHECK
+    * constraints (enforced on the batch before any file lands),
+    * column mapping (files carry physical names), and time travel
+    * (refused either way).
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              require(version.isEmpty, "cannot write to a time-travel snapshot")
-              require(!overwrite, "INSERT OVERWRITE is not supported; use MERGE INTO")
-              val t = new MergeTable(data.sparkSession, path, meta.keys,
-                meta.mode, meta.numBuckets,
-                partitionCols = meta.partitionCols)
-              t.append(data)
-            }
-          }
-      }
+      override def build(): Write =
+        if (v2WriteEligible) new MergeTableBatchWrite(path, meta, info.schema())
+        else v1Write
     }
+
+  private def v1Write: V1Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          require(version.isEmpty, "cannot write to a time-travel snapshot")
+          require(!overwrite, "INSERT OVERWRITE is not supported; use MERGE INTO")
+          val t = new MergeTable(data.sparkSession, path, meta.keys,
+            meta.mode, meta.numBuckets,
+            partitionCols = meta.partitionCols)
+          t.append(data)
+        }
+      }
+  }
 }
 
 /** The metadata-answered aggregate scan: one driver-known row, zero

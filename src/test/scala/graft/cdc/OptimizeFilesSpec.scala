@@ -94,9 +94,12 @@ class OptimizeFilesSpec extends SparkSpec {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.optb")
     spark.sql("""CREATE TABLE graft.optb.t (id BIGINT, v STRING)
                  TBLPROPERTIES('keys'='id','buckets'='4')""")
-    (0L until 64L).map(i => (i, s"v$i")).toDF("id", "v").repartition(8)
-      .createOrReplaceTempView("optb_seed")
-    spark.sql("INSERT INTO graft.optb.t SELECT * FROM optb_seed")
+    // fragmented seed through the API upsert: the DSv2 INSERT path now
+    // clusters by bucket (one file per bucket dir), so the
+    // fragmentation OPTIMIZE exists to fix is produced below the
+    // engine's distribution request
+    MergeTable.open(spark, "target/graft_warehouse/optb/t").upsert(
+      (0L until 64L).map(i => (i, s"v$i")).toDF("id", "v").repartition(8))
 
     val parts = spark.sql("SHOW PARTITIONS graft.optb.t")
       .as[(String, Long, Long, Long)].collect().sortBy(_._1)

@@ -254,11 +254,13 @@ class PartitionedTableSpec extends SparkSpec {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pvsql")
     spark.sql("""CREATE TABLE graft.pvsql.t (id BIGINT, grp STRING, v DOUBLE)
                  PARTITIONED BY (grp) TBLPROPERTIES('keys'='id')""")
-    // an 8-way-parallel insert fragments each leaf into up to 8 files
-    (0L until 64L).map(i => (i, if (i % 2 == 0) "red" else "blue", i * 1.0))
-      .toDF("id", "grp", "v").repartition(8)
-      .createOrReplaceTempView("pvsql_seed")
-    spark.sql("INSERT INTO graft.pvsql.t SELECT * FROM pvsql_seed")
+    // seed FRAGMENTED through the API upsert: the DSv2 INSERT path now
+    // clusters by partition (one file per leaf), so the fragmentation
+    // OPTIMIZE exists to fix must be produced below the engine request —
+    // an 8-way-parallel upsert fragments each leaf into up to 8 files
+    MergeTable.open(spark, "target/graft_warehouse/pvsql/t").upsert(
+      (0L until 64L).map(i => (i, if (i % 2 == 0) "red" else "blue", i * 1.0))
+        .toDF("id", "grp", "v").repartition(8))
 
     val parts = spark.sql("SHOW PARTITIONS graft.pvsql.t")
       .as[(String, Long, Long, Long)].collect().sortBy(_._1)
@@ -311,12 +313,13 @@ class PartitionedTableSpec extends SparkSpec {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pvz")
     spark.sql("""CREATE TABLE graft.pvz.t (id BIGINT, grp STRING, v BIGINT)
                  PARTITIONED BY (grp) TBLPROPERTIES('keys'='id')""")
-    (0L until 2000L).map(i =>
-        (i, if (i % 2 == 0) "red" else "blue", (i * 2654435761L) % 100000L))
-      .toDF("id", "grp", "v").repartition(8)
-      .createOrReplaceTempView("pvz_seed")
-    spark.sql("INSERT INTO graft.pvz.t SELECT * FROM pvz_seed")
+    // fragmented seed through the API (the DSv2 INSERT now clusters
+    // by partition — see the SHOW PARTITIONS case above)
     val root = "target/graft_warehouse/pvz/t"
+    MergeTable.open(spark, root).upsert(
+      (0L until 2000L).map(i =>
+          (i, if (i % 2 == 0) "red" else "blue", (i * 2654435761L) % 100000L))
+        .toDF("id", "grp", "v").repartition(8))
     val t = MergeTable.open(spark, root)
     val blueBefore = t.currentEntries().filter(_._2.contains("_graft_p_grp=blue"))
 

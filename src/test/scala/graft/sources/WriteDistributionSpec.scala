@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.cdc.MergeTable
+
+/** The TRUE DSv2 write path (MergeTableBatchWrite) and its
+  * RequiresDistributionAndOrdering request: a bucketed seed INSERT
+  * plans an engine-side rebalance over the catalog-served
+  * `bucket(n, keys…)` transform, a partitioned seed over the
+  * partition columns — and because the write is a real BATCH_WRITE
+  * (not a V1 fallback, which Spark executes from the stored analyzed
+  * query, ignoring the request), the clustering actually executes:
+  * file counts are bounded by the layout, not the source parallelism.
+  * Populated keyed layouts keep their V1 merge semantics.
+  */
+class WriteDistributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(db: String): Unit = {
+    MergeTable.drop(s"target/graft_warehouse/$db")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$db")
+  }
+
+  private def dataFiles(db: String, t: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"target/graft_warehouse/$db/$t"))
+      .iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+  }
+
+  test("a bucketed seed INSERT requests and EXECUTES bucket clustering") {
+    fresh("wd1")
+    spark.sql("""CREATE TABLE graft.wd1.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id', 'buckets'='4')""")
+    (1L to 400L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(16) // deliberately wide source
+      .createOrReplaceTempView("wd1_src")
+    val plan = spark.sql(
+      "EXPLAIN EXTENDED INSERT INTO graft.wd1.t SELECT * FROM wd1_src")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.toLowerCase.contains("rebalancepartitions"),
+      s"INSERT must request engine-side clustering, plan was:\n$plan")
+    assert(plan.contains("GraftBucketBound"),
+      "the rebalance must key on the catalog bucket transform")
+
+    spark.sql("INSERT INTO graft.wd1.t SELECT * FROM wd1_src")
+    assert(spark.table("graft.wd1.t").count() === 400L)
+    // 16 source tasks × 4 buckets would be up to 64 shards if the
+    // request were ignored (the V1Write trap); clustered, each
+    // bucket's rows land together
+    assert(dataFiles("wd1", "t").size <= 8,
+      s"expected ~one file per bucket, got ${dataFiles("wd1", "t").size}")
+    // and the layout is the real write-side layout: a keyed read
+    // through bucket pruning still finds its rows
+    assert(spark.sql("SELECT v FROM graft.wd1.t WHERE id = 7")
+      .as[String].head() === "v7")
+  }
+
+  test("a second INSERT into the populated bucketed table keeps merge semantics") {
+    // (depends on wd1 seeded above) INSERT of an existing key must
+    // UPSERT — the populated-layout path stays on the V1 scoped merge
+    spark.sql("INSERT INTO graft.wd1.t VALUES (7, 'updated'), (900, 'new')")
+    assert(spark.table("graft.wd1.t").count() === 401L)
+    assert(spark.sql("SELECT v FROM graft.wd1.t WHERE id = 7")
+      .as[String].head() === "updated")
+  }
+
+  test("a partitioned seed INSERT clusters by the partition columns") {
+    fresh("wd2")
+    spark.sql("""CREATE TABLE graft.wd2.t (id BIGINT, day STRING, v BIGINT)
+                 PARTITIONED BY (day) TBLPROPERTIES('keys'='id')""")
+    (1L to 300L).map(i => (i, s"d${i % 3}", i)).toDF("id", "day", "v")
+      .repartition(12)
+      .createOrReplaceTempView("wd2_src")
+    val plan = spark.sql(
+      "EXPLAIN EXTENDED INSERT INTO graft.wd2.t SELECT * FROM wd2_src")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.toLowerCase.contains("rebalancepartitions"),
+      s"partitioned INSERT must request identity clustering, plan was:\n$plan")
+    spark.sql("INSERT INTO graft.wd2.t SELECT * FROM wd2_src")
+    assert(spark.table("graft.wd2.t").count() === 300L)
+    assert(dataFiles("wd2", "t").size <= 6,
+      s"expected ~one file per partition, got ${dataFiles("wd2", "t").size}")
+    // partition pruning still sees the expected dirs
+    assert(spark.sql("SELECT count(*) FROM graft.wd2.t WHERE day = 'd1'")
+      .as[Long].head() === 100L)
+    // and a follow-up keyed mutation works against the seeded layout
+    spark.sql("INSERT INTO graft.wd2.t VALUES (1, 'd1', 999)")
+    assert(spark.sql("SELECT v FROM graft.wd2.t WHERE id = 1")
+      .as[Long].head() === 999L)
+    assert(spark.table("graft.wd2.t").count() === 300L, "existing key upserts")
+  }
+
+  test("a flat INSERT rides the v2 write with no gratuitous shuffle") {
+    fresh("wd3")
+    spark.sql("""CREATE TABLE graft.wd3.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    val plan = spark.sql(
+      "EXPLAIN EXTENDED INSERT INTO graft.wd3.t VALUES (1, 'a'), (2, 'b')")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(!plan.toLowerCase.contains("rebalancepartitions"),
+      "a flat append has no layout to satisfy — no rebalance")
+    assert(plan.contains("MergeTableBatchWrite"),
+      s"flat INSERT should ride the v2 write, plan was:\n$plan")
+    spark.sql("INSERT INTO graft.wd3.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.wd3.t VALUES (3, 'c')")
+    assert(spark.table("graft.wd3.t").orderBy("id").as[(Long, String)].collect()
+      === Array((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("bucketed CTAS seeds through the v2 clustered write") {
+    fresh("wd4")
+    (1L to 200L).map(i => (i, i * 2)).toDF("id", "n")
+      .repartition(10).createOrReplaceTempView("wd4_src")
+    spark.sql("""CREATE TABLE graft.wd4.t
+                 TBLPROPERTIES('keys'='id', 'buckets'='4')
+                 AS SELECT * FROM wd4_src""")
+    assert(spark.table("graft.wd4.t").count() === 200L)
+    assert(dataFiles("wd4", "t").size <= 8,
+      s"CTAS should emit ~one file per bucket, got ${dataFiles("wd4", "t").size}")
+    assert(spark.sql("SELECT n FROM graft.wd4.t WHERE id = 42").as[Long].head() === 84L)
+  }
+
+  test("an empty INSERT commits nothing") {
+    fresh("wd5")
+    spark.sql("""CREATE TABLE graft.wd5.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id', 'buckets'='4')""")
+    spark.sql("INSERT INTO graft.wd5.t SELECT CAST(1 AS BIGINT), 'x' WHERE 1 = 0")
+    assert(spark.table("graft.wd5.t").count() === 0L)
+    // ...and the table still seeds normally afterwards
+    spark.sql("INSERT INTO graft.wd5.t VALUES (1, 'a')")
+    assert(spark.table("graft.wd5.t").count() === 1L)
+  }
+
+  test("CHECK constraints route the write back to the enforcing V1 path") {
+    fresh("wd6")
+    spark.sql("""CREATE TABLE graft.wd6.t (id BIGINT, v BIGINT)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("ALTER TABLE graft.wd6.t ADD CONSTRAINT pos CHECK (v > 0)")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.wd6.t VALUES (1, -5)")
+    }
+    assert(e.getMessage.contains("pos"), s"constraint must still enforce: ${e.getMessage}")
+    spark.sql("INSERT INTO graft.wd6.t VALUES (1, 5)")
+    assert(spark.table("graft.wd6.t").count() === 1L)
+  }
+}
