@@ -18,10 +18,13 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 /** One batch-scan read slice: a byte range of one parquet file (the
   * vectorized reader takes the row groups whose midpoint falls in
   * [start, start+length)). Carries fileSize/modTime so executors
-  * build `PartitionedFile`s without re-statting.
+  * build `PartitionedFile`s without re-statting. `masked` is the
+  * file's deletion-vector row indexes (SORTED; empty on COW reads) —
+  * the mask ships ONLY to the partitions reading its file, the
+  * positional-broadcast shape of the V1 dv anti-join.
   */
 private[sources] case class GraftFileSlice(path: String, start: Long, length: Long,
-    fileSize: Long, modTime: Long)
+    fileSize: Long, modTime: Long, masked: Array[Long] = Array.emptyLongArray)
 
 private[sources] case class GraftFilePartition(files: Seq[GraftFileSlice])
     extends InputPartition
@@ -95,8 +98,28 @@ private[sources] class MergeTableBatchScan(
   // claimed-filter-only columns ride along for exact enforcement
   private val filterRefs: Seq[String] = claimed.flatMap(_.references).distinct
     .filterNot(requiredSchema.fieldNames.contains).toSeq
-  private val readDataSchema =
-    StructType(requiredSchema.fields ++ filterRefs.map(fullSchema(_)))
+  // deletion-vector snapshots additionally read the parquet reader's
+  // generated row index (the temporary metadata column the vectorized
+  // reader fills), which the executor-side mask filter consumes and
+  // the output projection drops
+  private val dv = relation.isDvSnapshot
+  private val readDataSchema = {
+    val base = requiredSchema.fields ++ filterRefs.map(fullSchema(_))
+    // NULLABLE on purpose: the reader's column check tolerates a
+    // missing file column only when nullable — the row-index
+    // generator (matched by this exact name) then fills the vector
+    if (dv) StructType(base :+ org.apache.spark.sql.types.StructField(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      org.apache.spark.sql.types.LongType, nullable = true))
+    else StructType(base)
+  }
+  // the whole snapshot's mask, loaded once per scan (size-gated by
+  // batchReadableDv before this path is ever chosen)
+  private lazy val dvMasks: Map[String, Array[Long]] =
+    if (dv) relation.dvMasks else Map.empty
+  private def maskOf(p: java.nio.file.Path): Array[Long] =
+    if (!dv) Array.emptyLongArray
+    else dvMasks.getOrElse(p.toUri.getPath, Array.emptyLongArray)
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -130,7 +153,7 @@ private[sources] class MergeTableBatchScan(
     val cached = survivorsCache
     if (cached != null && (cached._1 sameElements key)) cached._2
     else {
-      val v = relation.survivingFiles(key).map(_._1).getOrElse(Seq.empty)
+      val v = relation.survivingFilesBatch(key).map(_._1).getOrElse(Seq.empty)
       survivorsCache = (key, v)
       v
     }
@@ -142,7 +165,7 @@ private[sources] class MergeTableBatchScan(
 
   private def whole(p: java.nio.file.Path): GraftFileSlice = {
     val f = p.toFile
-    GraftFileSlice(p.toString, 0L, f.length(), f.length(), f.lastModified())
+    GraftFileSlice(p.toString, 0L, f.length(), f.length(), f.lastModified(), maskOf(p))
   }
 
   /** The typed partition tuple parsed from a file's `_graft_p_…` path
@@ -187,8 +210,12 @@ private[sources] class MergeTableBatchScan(
     val slices = fs.flatMap { p =>
       val f = p.toFile
       val (len, mod) = (f.length(), f.lastModified())
+      // a byte-range slice carries the FULL file mask: row indexes are
+      // file-global, and a position outside the slice's row groups
+      // simply never matches
+      val m = maskOf(p)
       (0L until math.max(len, 1L) by maxSplit).map(off =>
-        GraftFileSlice(p.toString, off, math.min(maxSplit, len - off), len, mod))
+        GraftFileSlice(p.toString, off, math.min(maxSplit, len - off), len, mod, m))
     }.sortBy(-_.length)
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     val cur = scala.collection.mutable.ArrayBuffer.empty[GraftFileSlice]
@@ -253,9 +280,11 @@ private[sources] class MergeTableBatchScan(
       spark.sessionState.conf.fileCompressionFactor).toLong
     // exact row count from footer stats on the unfiltered scan (the
     // same metadata the agg pushdown folds); filtered scans keep it
-    // unknown — a post-filter row estimate would be a guess
+    // unknown — a post-filter row estimate would be a guess — and dv
+    // snapshots too (the mask removes an unknowable-without-join
+    // number of the footer-counted rows)
     val rows =
-      if (allFilters.isEmpty)
+      if (allFilters.isEmpty && !dv)
         relation.aggregatable.map(ms => ms.map(_.rows).sum)
       else None
     new Statistics {
@@ -267,10 +296,10 @@ private[sources] class MergeTableBatchScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat()
-    // columnar unless a CLAIMED filter needs the row-mode exactness
-    // predicate (residual data filters are re-applied by the engine
-    // above the scan, so they never force row mode)
-    val columnar = claimed.isEmpty && fmt.supportBatch(spark, readDataSchema)
+    // columnar unless a CLAIMED filter or a dv mask needs the
+    // row-mode path (residual data filters are re-applied by the
+    // engine above the scan, so they never force row mode)
+    val columnar = claimed.isEmpty && !dv && fmt.supportBatch(spark, readDataSchema)
     val readFunc = fmt.buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = fullSchema,
@@ -279,8 +308,11 @@ private[sources] class MergeTableBatchScan(
       filters = advisory.toSeq, // parquet row-group/page skipping (best-effort)
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
       hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    // the generated row index is the LAST read column when dv masks
+    // apply; -1 disables mask filtering
+    val rowIdxOrdinal = if (dv) readDataSchema.length - 1 else -1
     new GraftReaderFactory(readFunc, columnar, claimed, readDataSchema,
-      requiredSchema.length)
+      requiredSchema.length, rowIdxOrdinal)
   }
 }
 
@@ -298,16 +330,20 @@ private[sources] object MergeTableBatchScan {
 }
 
 /** Executor-side reader: replays the driver-built parquet read
-  * function per file, enforces claimed filters exactly with a
-  * compiled catalyst predicate, and projects filter-only columns back
-  * out. Columnar batches pass through untouched (filter-free scans).
+  * function per file, applies the file's deletion-vector mask (a
+  * binary search of the slice-shipped sorted positions against the
+  * reader-generated row index), enforces claimed filters exactly with
+  * a compiled catalyst predicate, and projects filter-only and
+  * row-index columns back out. Columnar batches pass through
+  * untouched (filter-free COW scans).
   */
 private[sources] class GraftReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     columnar: Boolean,
     filters: Array[Filter],
     readSchema: StructType,
-    outputLen: Int) extends PartitionReaderFactory {
+    outputLen: Int,
+    rowIdxOrdinal: Int = -1) extends PartitionReaderFactory {
 
   private def filesOf(p: InputPartition): Seq[GraftFileSlice] = p match {
     case GraftFilePartition(fs) => fs
@@ -323,7 +359,12 @@ private[sources] class GraftReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val base = filesOf(p).iterator.flatMap(f => readFunc(partitionedFile(f)))
+    val base = filesOf(p).iterator.flatMap { f =>
+      val rows = readFunc(partitionedFile(f))
+      if (rowIdxOrdinal < 0 || f.masked.isEmpty) rows
+      else rows.filter(r =>
+        java.util.Arrays.binarySearch(f.masked, r.getLong(rowIdxOrdinal)) < 0)
+    }
     val filtered =
       if (filters.isEmpty) base
       else {

@@ -241,7 +241,25 @@ class MergeTableRelation(
 
   private[sources] def survivingFiles(
       filters: Array[Filter]): Option[(Seq[java.nio.file.Path], Int)] =
-    statFiles.map { files =>
+    statFiles.map(pruneFiles(_, filters))
+
+  /** [[survivingFiles]] for the DSv2 Batch path, which may also serve
+    * deletion-vector snapshots (it applies the positional mask itself
+    * above the raw file scan, so file-level pruning stays safe — a
+    * mask only removes rows). COW snapshots prune identically to the
+    * V1 pipeline; dv snapshots seed from the dv-aware file listing.
+    */
+  private[sources] def survivingFilesBatch(
+      filters: Array[Filter]): Option[(Seq[java.nio.file.Path], Int)] =
+    statFiles.orElse(statFilesDv).map(pruneFiles(_, filters))
+
+  private lazy val statFilesDv =
+    if (pinnedEntries.exists(_._1 == "dv")) table.prunableFilesDv(pinnedEntries)
+    else None
+
+  private def pruneFiles(
+      files: Seq[(java.nio.file.Path, Map[String, (String, String, String)])],
+      filters: Array[Filter]): (Seq[java.nio.file.Path], Int) = {
       // cheapest cut first: on a hash-bucketed layout a point lookup
       // can only live in the buckets its key tuple hashes into — all
       // other bucket DIRECTORIES drop before stats or blooms are
@@ -422,6 +440,37 @@ class MergeTableRelation(
     version.isEmpty && table.exists && renameMap.isEmpty &&
       MergeTable.readMeta(path).forall(_.droppedColumns.isEmpty) &&
       statFiles.isDefined
+
+  /** Whether the Batch fast path can serve this DELETION-VECTOR
+    * snapshot: the same gates as [[batchReadable]] minus the
+    * no-dv requirement, plus a bounded mask — the scan ships each
+    * file's masked row indexes inside its input partition (the
+    * broadcast-mask shape of the V1 anti-join, made positional), so
+    * the driver-resident mask must stay under the same
+    * `broadcastKeyLimit` the key-set broadcast uses. MOR deltas still
+    * refuse (row visibility needs per-key reconciliation); masks
+    * without recorded stats refuse (size unknowable without a read).
+    */
+  private[sources] def batchReadableDv: Boolean =
+    version.isEmpty && table.exists && renameMap.isEmpty &&
+      MergeTable.readMeta(path).forall(_.droppedColumns.isEmpty) &&
+      statFiles.isEmpty && statFilesDv.isDefined &&
+      table.dvMaskRows(pinnedEntries).exists { n =>
+        val limit = sqlContext.sparkSession.conf
+          .getOption("graft.mergetable.broadcastKeyLimit")
+          .map(_.toLong).getOrElse(4000000L)
+        n <= limit
+      }
+
+  /** The pinned snapshot's positional mask, per normalized base-file
+    * path (sorted row indexes) — what the Batch scan attaches to each
+    * file slice. Empty for COW snapshots.
+    */
+  private[sources] def dvMasks: Map[String, Array[Long]] =
+    table.dvMaskByFile(pinnedEntries)
+
+  private[sources] def isDvSnapshot: Boolean =
+    pinnedEntries.exists(_._1 == "dv")
 
   // translate DSv1 filters back to Column predicates so they reach the
   // parquet scan of the inner DataFrame; untranslated filters are

@@ -316,4 +316,72 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     assert(one.rdd.getNumPartitions <= 1,
       "a full-key point lookup must plan at most its own bucket")
   }
+
+  test("partially-clustered SPJ: a skewed co-bucketed join stays shuffle-free and exact") {
+    // spark.sql.sources.v2.bucketing.partiallyClusteredDistribution:
+    // the skew answer for storage-partitioned joins — the larger
+    // side's hot partitions keep their input splits (they are NOT
+    // fully clustered into one task) while the smaller side's
+    // matching partitions replicate to each split. A hot key at
+    // 100 TB would otherwise turn the SPJ's one-task-per-bucket
+    // alignment into a straggler.
+    fresh("spj9")
+    for (t <- Seq("facts", "dims")) {
+      spark.sql(s"""CREATE TABLE graft.spj9.$t (id BIGINT, v STRING)
+                    TBLPROPERTIES('keys'='id', 'buckets'='4')""")
+    }
+    // facts: id 1 is hot (3000 rows via distinct synthetic keys it
+    // joins through), dims small and uniform
+    (1 to 4000).map(i => ((i % 40).toLong, s"f$i")).toDF("id", "v")
+      .createOrReplaceTempView("spj9_f")
+    (0 to 39).map(i => (i.toLong, s"d$i")).toDF("id", "v")
+      .createOrReplaceTempView("spj9_d")
+    spark.sql("INSERT INTO graft.spj9.facts SELECT id, max(v) FROM spj9_f GROUP BY id")
+    spark.sql("INSERT INTO graft.spj9.dims SELECT * FROM spj9_d")
+    withSQLConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true") {
+      val j = spark.sql(
+        """SELECT f.id, f.v AS fv, d.v AS dv
+          |FROM graft.spj9.facts f JOIN graft.spj9.dims d ON f.id = d.id""".stripMargin)
+      assert(shuffles(j) === 0,
+        s"partially-clustered SPJ must stay shuffle-free:\n${j.queryExecution.executedPlan}")
+      assert(j.count() === 40L)
+      assert(j.filter("id = 1").count() === 1L)
+    }
+  }
+
+  test("one-side storage-partitioned shuffle: only the unbucketed side moves") {
+    // spark.sql.sources.v2.bucketing.shuffle.enabled: joining a
+    // bucketed mergetable with an arbitrary frame shuffles ONLY the
+    // frame — by EVALUATING the catalog bucket function
+    // (GraftBucketBound.produceResult) as the shuffle hash, which is
+    // why produceResult replays the write-side xxhash64 byte-for-byte
+    // (a mismatch would silently drop join rows, not slow them).
+    fresh("spj10")
+    spark.sql("""CREATE TABLE graft.spj10.b (id BIGINT, v STRING)
+                  TBLPROPERTIES('keys'='id', 'buckets'='4')""")
+    (1 to 400).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+      .createOrReplaceTempView("spj10_src")
+    spark.sql("INSERT INTO graft.spj10.b SELECT * FROM spj10_src")
+    (1 to 400).map(i => (i.toLong, i * 10L)).toDF("id", "amt")
+      .createOrReplaceTempView("spj10_other")
+    withSQLConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true") {
+      val j = spark.sql(
+        """SELECT b.id, b.v, o.amt FROM graft.spj10.b b
+          |JOIN spj10_other o ON b.id = o.id""".stripMargin)
+      val rows = j.collect()
+      assert(rows.length === 400)
+      assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ===
+        (1 to 400).map(i => (i.toLong, s"b$i", i * 10L)).toSet,
+        "a bucket-hash mismatch would drop rows here")
+      assert(shuffles(j) <= 1,
+        s"only the unbucketed side may shuffle:\n${j.queryExecution.executedPlan}")
+    }
+  }
 }
