@@ -517,6 +517,88 @@ object CdcQueries extends QueryModule {
       |FROM a JOIN customer c ON a.custkey = c.c_custkey
       |ORDER BY a.custkey""".stripMargin
 
+  /** Gate for the TRUE DSv2 write path (11w): CTAS into a BUCKETED
+    * catalog table seeds through `MergeTableBatchWrite` — the engine
+    * rebalances by the catalog bucket function, executors demux rows
+    * into per-bucket dirs replaying the write-side hash, the driver
+    * commits the staged leaves — and the grouped read-back
+    * hash-matches direct DuckDB SQL over the source table. Any row
+    * lost, duplicated, or mis-bucketed by the executor-side writer
+    * breaks the hash; a mis-bucketed row would also surface through
+    * bucket-pruned point reads (spec-pinned in WriteDistributionSpec).
+    */
+  private def catalogCtasClustered(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = s"ctas_clustered_$sfx"
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+    s.sql(s"DROP TABLE IF EXISTS graft.gate.$tbl")
+    graft.tables.Tables.load(s, dir, "customer")
+      .createOrReplaceTempView("ctas_gate_customer")
+    s.sql(s"""CREATE TABLE graft.gate.$tbl
+              TBLPROPERTIES('keys'='custkey', 'buckets'='8')
+              AS SELECT c_custkey AS custkey, c_acctbal AS bal,
+                        c_mktsegment AS seg
+                 FROM ctas_gate_customer""")
+    s.sql(
+      s"""SELECT seg, count(*) AS n, round(sum(bal), 2) AS total
+         |FROM graft.gate.$tbl GROUP BY seg ORDER BY seg""".stripMargin)
+  }
+
+  private val catalogCtasClusteredSql =
+    """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(c_acctbal), 2) AS total
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Gate for DSv2 Batch reads over DELETION-VECTOR snapshots (11x):
+    * a dv-mode catalog table takes an INSERT (v2 flat append), a
+    * masking upsert, and a masking delete, then the full read — served
+    * by `MergeTableBatchScan` with each file's masked positions
+    * shipped in its input partitions — hash-matches a DuckDB replay of
+    * the same upsert-then-delete history. A mask hitting the wrong
+    * physical row, or a masked row resurfacing, breaks the hash.
+    */
+  private def catalogDvBatchRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = s"dv_batch_read_$sfx"
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+    s.sql(s"DROP TABLE IF EXISTS graft.gate.$tbl")
+    s.sql(s"""CREATE TABLE graft.gate.$tbl
+              (okey BIGINT, ckey BIGINT, price DOUBLE)
+              TBLPROPERTIES('keys'='okey', 'mode'='deletion-vectors')""")
+    val orders = graft.tables.Tables.load(s, dir, "orders")
+    orders.createOrReplaceTempView("dv_gate_orders")
+    s.sql(s"""INSERT INTO graft.gate.$tbl
+              SELECT o_orderkey, o_custkey, o_totalprice
+              FROM dv_gate_orders WHERE o_orderkey % 7 = 0""")
+    // the API mutators address the table at the catalog's own root
+    // (absolute, launch-anchored — see GraftSession)
+    val t = MergeTable.open(s,
+      s"${s.conf.get("spark.sql.catalog.graft.root")}/gate/$tbl")
+    t.upsert(orders.filter(col("o_orderkey") % 21 === 0)
+      .select(col("o_orderkey").as("okey"), col("o_custkey").as("ckey"),
+        (col("o_totalprice") * 2).as("price")))
+    t.delete(orders.filter(col("o_orderkey") % 35 === 0)
+      .select(col("o_orderkey").as("okey")))
+    s.sql(
+      s"""SELECT okey, ckey, round(price, 2) AS price
+         |FROM graft.gate.$tbl ORDER BY okey""".stripMargin)
+  }
+
+  private val catalogDvBatchReadSql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS okey, o_custkey AS ckey,
+      |    o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |up AS (
+      |  SELECT o_orderkey AS okey, o_totalprice * 2 AS price
+      |  FROM orders WHERE o_orderkey % 21 = 0),
+      |merged AS (
+      |  SELECT b.okey, b.ckey, coalesce(u.price, b.price) AS price
+      |  FROM base b LEFT JOIN up u ON b.okey = u.okey)
+      |SELECT okey, ckey, round(price, 2) AS price
+      |FROM merged WHERE okey % 35 <> 0 ORDER BY okey""".stripMargin
+
   private def aggPushdown(s: SparkSession, dir: String): DataFrame = {
     val seed = latestPerUser(events(s, dir))
       .withColumn("nv", when(col("event_type") === "error",
@@ -1038,6 +1120,8 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_merge_conditional", applyMergeConditional, Some(applyMergeConditionalSql)),
     QueryDef("cdc_apply_upsert_catalog", applyUpsertViaCatalog, Some(applyUpsertSql)),
     QueryDef("catalog_spj_join", catalogSpjJoin, Some(catalogSpjJoinSql)),
+    QueryDef("catalog_ctas_clustered", catalogCtasClustered, Some(catalogCtasClusteredSql)),
+    QueryDef("catalog_dv_batch_read", catalogDvBatchRead, Some(catalogDvBatchReadSql)),
     QueryDef("mergetable_agg_pushdown", aggPushdown, Some(aggPushdownSql)),
     QueryDef("mergetable_agg_pushdown_partitioned", aggPushdownPartitioned, Some(aggPushdownPartitionedSql)),
     QueryDef("mergetable_shallow_clone", shallowCloneUpsert, Some(applyUpsertSql)),

@@ -375,10 +375,10 @@ object MaterializedViews {
   * `GROUP BY year, month` view).
   */
 class RewriteToMaterializedView(session: SparkSession) extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{Attribute, Coalesce, Expression, Literal}
-  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, Coalesce, Divide, Expression, Literal}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
   import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-  import org.apache.spark.sql.types.{DecimalType, IntegralType, LongType}
+  import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case sub if sub.resolved && sub.children.nonEmpty =>
@@ -478,6 +478,33 @@ class RewriteToMaterializedView(session: SparkSession) extends Rule[LogicalPlan]
           aggPos(_ == m).map(j => Min(rel.output(j)).toAggregateExpression())
         case m: Max =>
           aggPos(_ == m).map(j => Max(rel.output(j)).toAggregateExpression())
+        // avg(x) derives as sum-of-sums / sum-of-counts when the view
+        // materialized BOTH sum(x) and count(x) over the same child —
+        // INTEGRAL x only: the store's long sums re-aggregate exactly
+        // and integer sums below 2^53 are exact in double, matching
+        // Average's own double accumulation bit-for-bit. Float/double
+        // x is refused (the direct plan's addition order differs from
+        // sum-of-partial-sums), decimal too (Average's decimal
+        // division has its own precision rules). Count(x) is the
+        // NON-NULL count, so null-heavy groups derive correctly; an
+        // all-null group yields null/0 → null, matching avg.
+        case a: Average if (a.child.dataType match {
+          case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType | LongType => true
+          case _ => false
+        }) =>
+          for {
+            js <- aggPos {
+              case s: Sum => s.child == a.child
+              case _ => false
+            }
+            jc <- aggPos {
+              case cnt: Count => cnt.children == Seq(a.child)
+              case _ => false
+            }
+          } yield Divide(
+            Cast(Sum(rel.output(js)).toAggregateExpression(), DoubleType),
+            Cast(Sum(rel.output(jc)).toAggregateExpression(), DoubleType))
         case _ => None
       }
 

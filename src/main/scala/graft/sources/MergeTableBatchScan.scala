@@ -296,23 +296,34 @@ private[sources] class MergeTableBatchScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat()
-    // columnar unless a CLAIMED filter or a dv mask needs the
-    // row-mode path (residual data filters are re-applied by the
-    // engine above the scan, so they never force row mode)
-    val columnar = claimed.isEmpty && !dv && fmt.supportBatch(spark, readDataSchema)
+    // columnar unless a CLAIMED filter needs the row-mode exactness
+    // predicate (residual data filters are re-applied by the engine
+    // above the scan, so they never force row mode), or a SURVIVING
+    // file carries a dv mask. Spark refuses mixed row/columnar
+    // partitions in one scan, so the choice is global — but it is
+    // judged on the post-pruning survivor set, not the snapshot: a dv
+    // read whose filters pruned away every masked file (or a
+    // dv-table scan right after compaction cleared the masks) keeps
+    // full vectorized batches.
+    val anyMaskSurvives = dv && survivors.exists(p => maskOf(p).nonEmpty)
+    val columnar = claimed.isEmpty && !anyMaskSurvives &&
+      fmt.supportBatch(spark, requiredSchema)
+    // columnar reads never need the row-index column (no mask to
+    // apply), so they read exactly the required schema
+    val schemaToRead = if (columnar) requiredSchema else readDataSchema
     val readFunc = fmt.buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = fullSchema,
       partitionSchema = StructType(Nil),
-      requiredSchema = readDataSchema,
+      requiredSchema = schemaToRead,
       filters = advisory.toSeq, // parquet row-group/page skipping (best-effort)
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
       hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
     // the generated row index is the LAST read column when dv masks
-    // apply; -1 disables mask filtering
-    val rowIdxOrdinal = if (dv) readDataSchema.length - 1 else -1
-    new GraftReaderFactory(readFunc, columnar, claimed, readDataSchema,
-      requiredSchema.length, rowIdxOrdinal)
+    // apply in row mode; -1 disables mask filtering
+    val rowIdxOrdinal = if (dv && !columnar) readDataSchema.length - 1 else -1
+    new GraftReaderFactory(readFunc, columnar, claimed,
+      schemaToRead, requiredSchema.length, rowIdxOrdinal)
   }
 }
 

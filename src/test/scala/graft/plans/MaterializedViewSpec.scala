@@ -139,6 +139,49 @@ class MaterializedViewSpec extends SparkSpec {
     MaterializedViews.deregister("mv_rollup")
   }
 
+  test("avg over an integral column derives from the view's sum and count") {
+    val path = fresh("rollup_avg")
+    def fine() = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(sum(col("o_custkey")).as("s"), count(col("o_custkey")).as("c"))
+    def q() = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority").agg(avg(col("o_custkey")).as("a"))
+      .orderBy("o_orderpriority")
+    val direct = q().collect().toSeq // truth, computed before the view exists
+    MaterializedViews.register("mv_rollup_avg", () => fine(), path)
+    MaterializedViews.refresh("mv_rollup_avg")
+    val paths = scanPaths(q())
+    assert(paths.exists(_.contains("rollup_avg")), paths.mkString(","))
+    assert(!paths.exists(_.contains("orders")), paths.mkString(","))
+    // long sums re-aggregate exactly and stay under 2^53, so the
+    // derived sum-of-sums / sum-of-counts is bit-equal to direct avg
+    assert(q().collect().toSeq === direct)
+    MaterializedViews.deregister("mv_rollup_avg")
+  }
+
+  test("avg derivation refuses float inputs and a missing non-null count") {
+    val path = fresh("rollup_avg_no")
+    // count(*) is NOT count(x): without the non-null count of the
+    // averaged column the rollup must refuse (null rows would skew)
+    def fine() = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(sum(col("o_custkey")).as("s"), count(lit(1)).as("c"),
+        sum(col("o_totalprice")).as("ts"), count(col("o_totalprice")).as("tc"))
+    MaterializedViews.register("mv_rollup_avg_no", () => fine(), path)
+    MaterializedViews.refresh("mv_rollup_avg_no")
+    val starQ = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority").agg(avg(col("o_custkey")).as("a"))
+    assert(scanPaths(starQ).exists(_.contains("orders")),
+      "count(*) must not stand in for count(x)")
+    // double column: sum-of-partial-sums reorders float addition —
+    // refused even though both inputs are materialized
+    val dblQ = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority").agg(avg(col("o_totalprice")).as("a"))
+    assert(scanPaths(dblQ).exists(_.contains("orders")),
+      "float avg must not derive from partial sums")
+    MaterializedViews.deregister("mv_rollup_avg_no")
+  }
+
   test("rollup refuses what it cannot derive exactly") {
     val path = fresh("rollup_no")
     MaterializedViews.register("mv_rollup_no", () => fineAgg(), path)

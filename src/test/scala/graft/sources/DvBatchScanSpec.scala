@@ -145,15 +145,21 @@ class DvBatchScanSpec extends SparkSpec {
     spark.sql("INSERT INTO graft.dvb5.t SELECT id, id * 10 FROM range(0, 50)")
     spark.sql("INSERT INTO graft.dvb5.t SELECT id, id * 10 FROM range(100, 150)")
     MergeTable.open(spark, "target/graft_warehouse/dvb5/t")
-      .delete(Seq(2L, 4L, 110L).toDF("id"))
+      .delete(Seq(2L, 4L).toDF("id")) // masks touch ONLY the [0,50) commit
 
     val all = spark.table("graft.dvb5.t")
     assert(usesBatchScan(all), all.queryExecution.executedPlan.toString)
-    assert(all.count() === 97L)
-    // the filter prunes the [0,50) file; its masked 2 and 4 never matter
+    assert(all.count() === 98L)
+    // a masked survivor forces row mode (Spark refuses mixed scans)
+    assert(!all.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "a surviving mask must force the row-mode reader")
+    // the filter prunes the [0,50) file; its masked 2 and 4 never
+    // matter — and with no SURVIVING mask the scan regains full
+    // vectorized batches
     val hi = spark.table("graft.dvb5.t").filter($"id" >= 100L)
-    assert(hi.count() === 49L)
-    assert(hi.filter($"id" === 110L).isEmpty)
+    assert(hi.count() === 50L)
+    assert(hi.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"a pruned-clean dv read must stay columnar:\n${hi.queryExecution.executedPlan}")
     val rel = new MergeTableRelation(spark.sqlContext,
       "target/graft_warehouse/dvb5/t", Seq("id"),
       MergeTable.DeletionVectors, None, None, None, Nil)
