@@ -154,6 +154,55 @@ object BpeTrain {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY by language — tokens-per-word under the
+    * trained merges, the statistic a tokenizer choice is judged by
+    * per language (a high-fertility language pays more sequence
+    * length per word, skewing both cost and mixing weights). Serves
+    * from the same per-corpus-dir training memo as the other BPE
+    * gates: one training run, three consumers. Corpus-level ratio of
+    * exact integer sums; zero-word docs contribute nothing to either
+    * sum on both engines.
+    */
+  def fertilityByLang(spark: SparkSession, corpusDir: String,
+      docs: => DataFrame, rounds: Int): DataFrame = {
+    val d = docs
+    tokenizeBpeMemo(spark, corpusDir, d, rounds)
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(sum("n_words").as("words"), sum("n_tokens").as("tokens"))
+      .select(col("lang"), col("words"), col("tokens"),
+        round(col("tokens").cast("double") / col("words"), 4).as("fertility"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB oracle for [[fertilityByLang]]: the training CTEs + the
+    * per-word merge replay of [[tokenizeBpeSql]], aggregated per
+    * language instead of per doc.
+    */
+  def fertilityByLangSql(rounds: Int): String = {
+    val trainCtes = trainMergesSql(rounds).split("\nSELECT 1 AS merge_round")(0)
+    val repl = (1 to rounds).foldLeft("s0.s") { (acc, r) =>
+      s"replace($acc, '|' || m$r.l || '|' || m$r.r2 || '|', '|' || m$r.l || m$r.r2 || '|')"
+    }
+    val mJoins = (1 to rounds).map(r => s"CROSS JOIN m$r").mkString(" ")
+    s"""$trainCtes,
+       |dw AS (
+       |  SELECT doc_id, lang, w.w AS w,
+       |    '|' || array_to_string(regexp_extract_all(w.w, '.'), '|') || '|' AS s
+       |  FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |        FROM documents), unnest(ws) AS w(w)),
+       |enc AS (
+       |  SELECT doc_id, lang, s0.w,
+       |    $repl AS s
+       |  FROM dw s0 $mJoins)
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS words,
+       |  CAST(sum(len(s) - len(replace(s, '|', '')) - 1) AS BIGINT) AS tokens,
+       |  round(CAST(sum(len(s) - len(replace(s, '|', '')) - 1) AS DOUBLE)
+       |        / count(*), 4) AS fertility
+       |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** DuckDB oracle for [[tokenizeBpe]]: the training CTEs of
     * [[trainMergesSql]] replay the merges, then each doc's rendered
     * words fold through the same R replaces via a cross join against

@@ -829,5 +829,8 @@ object CorpusQueries extends QueryModule {
     QueryDef("docs_tokenize_bpe",
       (s, dir) => BpeTrain.tokenizeBpeMemo(s, dir, docs(s, dir), rounds = 6),
       Some(BpeTrain.tokenizeBpeSql(6))),
+    QueryDef("bpe_fertility_by_lang",
+      (s, dir) => BpeTrain.fertilityByLang(s, dir, docs(s, dir), rounds = 6),
+      Some(BpeTrain.fertilityByLangSql(6))),
   )
 }

@@ -102,7 +102,8 @@ class MergeTableBatchWrite(
             meta.partitionCols.map(c => writeSchema.fieldIndex(c)))
         else GraftWriteLayout.Flat
       new GraftDataWriterFactory(writeSchema, stagingAbs.toString, layout,
-        owf, new SerializableConfiguration(job.getConfiguration))
+        owf, new SerializableConfiguration(job.getConfiguration),
+        spark.sessionState.conf.maxRecordsPerFile)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -185,9 +186,11 @@ class GraftDataWriterFactory(
     stagingAbs: String,
     layout: GraftWriteLayout,
     owf: OutputWriterFactory,
-    conf: SerializableConfiguration) extends DataWriterFactory {
+    conf: SerializableConfiguration,
+    maxRecordsPerFile: Long = 0L) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(schema, stagingAbs, layout, owf, conf, partitionId)
+    new GraftDataWriter(schema, stagingAbs, layout, owf, conf, partitionId,
+      maxRecordsPerFile)
 }
 
 /** Executor-side writer: routes each InternalRow to its leaf dir
@@ -204,13 +207,20 @@ class GraftDataWriter(
     layout: GraftWriteLayout,
     owf: OutputWriterFactory,
     conf: SerializableConfiguration,
-    partitionId: Int) extends DataWriter[InternalRow] {
+    partitionId: Int,
+    maxRecordsPerFile: Long = 0L) extends DataWriter[InternalRow] {
 
   private val ctx = new TaskAttemptContextImpl(conf.value,
     new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId), 0))
   private val ext = owf.getFileExtension(ctx)
   private val uuid = UUID.randomUUID().toString
-  private val writers = mutable.LinkedHashMap.empty[String, org.apache.spark.sql.execution.datasources.OutputWriter]
+  // per leaf dir: the open writer, its record count, and its roll
+  // sequence — spark.sql.files.maxRecordsPerFile rolls to a fresh
+  // file exactly as Spark's own FileFormatWriter does, so a skewed
+  // bucket the rebalance could not split still lands as bounded files
+  private final class LeafState(var w: org.apache.spark.sql.execution.datasources.OutputWriter,
+      var inFile: Long, var seq: Int)
+  private val writers = mutable.LinkedHashMap.empty[String, LeafState]
   private val files = mutable.ArrayBuffer.empty[String]
   private var rows = 0L
   private var closed = false
@@ -242,14 +252,25 @@ class GraftDataWriter(
       }.mkString("/")
   }
 
-  private def writerFor(sub: String) =
-    writers.getOrElseUpdate(sub, {
-      val dir = if (sub.isEmpty) Paths.get(stagingAbs) else Paths.get(stagingAbs, sub)
-      Files.createDirectories(dir)
-      val name = f"part-$partitionId%05d-$uuid$ext"
-      files += (if (sub.isEmpty) name else s"$sub/$name")
-      owf.newInstance(dir.resolve(name).toString, schema, ctx)
-    })
+  private def open(sub: String, seq: Int) = {
+    val dir = if (sub.isEmpty) Paths.get(stagingAbs) else Paths.get(stagingAbs, sub)
+    Files.createDirectories(dir)
+    val name = f"part-$partitionId%05d-$uuid-c$seq%03d$ext"
+    files += (if (sub.isEmpty) name else s"$sub/$name")
+    owf.newInstance(dir.resolve(name).toString, schema, ctx)
+  }
+
+  private def writerFor(sub: String): org.apache.spark.sql.execution.datasources.OutputWriter = {
+    val st = writers.getOrElseUpdate(sub, new LeafState(open(sub, 0), 0L, 0))
+    if (maxRecordsPerFile > 0 && st.inFile >= maxRecordsPerFile) {
+      st.w.close()
+      st.seq += 1
+      st.w = open(sub, st.seq)
+      st.inFile = 0L
+    }
+    st.inFile += 1
+    st.w
+  }
 
   override def write(row: InternalRow): Unit = {
     writerFor(route(row)).write(row)
@@ -270,6 +291,6 @@ class GraftDataWriter(
 
   private def closeAll(): Unit = if (!closed) {
     closed = true
-    writers.values.foreach(_.close())
+    writers.values.foreach(_.w.close())
   }
 }

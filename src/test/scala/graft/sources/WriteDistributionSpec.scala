@@ -120,6 +120,27 @@ class WriteDistributionSpec extends SparkSpec {
     assert(spark.sql("SELECT n FROM graft.wd4.t WHERE id = 42").as[Long].head() === 84L)
   }
 
+  test("maxRecordsPerFile rolls the v2 writer's files (skewed buckets stay bounded)") {
+    fresh("wd7")
+    spark.sql("""CREATE TABLE graft.wd7.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id', 'buckets'='4')""")
+    val prior = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    try {
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+      (1L to 400L).map(i => (i, s"v$i")).toDF("id", "v")
+        .createOrReplaceTempView("wd7_src")
+      spark.sql("INSERT INTO graft.wd7.t SELECT * FROM wd7_src")
+      assert(spark.table("graft.wd7.t").count() === 400L)
+      val n = dataFiles("wd7", "t").size
+      // ~100 rows per bucket at 50 records/file → at least 2 files per
+      // bucket; still bounded (not one per input task per bucket)
+      assert(n >= 8 && n <= 16, s"expected rolled-but-bounded files, got $n")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+  }
+
   test("an empty INSERT commits nothing") {
     fresh("wd5")
     spark.sql("""CREATE TABLE graft.wd5.t (id BIGINT, v STRING)
