@@ -1328,6 +1328,25 @@ final class MergeTable(
     }
   }
 
+  /** Commit an externally-staged FULL OVERWRITE of a FLAT table (the
+    * INSERT OVERWRITE / truncate-then-append shape): one new base
+    * entry REPLACES every data entry of the current snapshot — base,
+    * MOR deltas, dv masks all drop — while the COPY INTO ledger
+    * carries (the ledger records which SOURCE files were ingested;
+    * replacing the content does not un-ingest them — the same rule
+    * rewriteSource applies). Time travel still reads the pre-overwrite
+    * versions; the change feed sees an ordinary COW rewrite commit.
+    * A CAS race is a REAL conflict (two writers both replacing the
+    * table, or a mutation racing the overwrite) and propagates.
+    */
+  private[graft] def commitStagedOverwrite(dir: String): Unit = {
+    require(numBuckets.isEmpty && partitionCols.isEmpty,
+      "staged overwrite supports flat layouts only")
+    recordStats(dir)
+    commit(ledgerEntries(entries()) :+ ("base" -> dir))
+    ()
+  }
+
   /** Commit an externally-staged FIRST write of a bucketed table —
     * the staged twin of seedBucketed: the staging dir already holds
     * `_graft_bucket=<i>` leaf dirs (the v2 writer demuxes rows by the

@@ -56,7 +56,8 @@ import scala.collection.mutable
 class MergeTableBatchWrite(
     path: String,
     meta: MergeTable.Meta,
-    writeSchema: StructType) extends V2WriteLike {
+    writeSchema: StructType,
+    overwrite: Boolean = false) extends V2WriteLike {
 
   private def seedLayout: Boolean =
     meta.numBuckets.isDefined || meta.partitionCols.nonEmpty
@@ -117,13 +118,16 @@ class MergeTableBatchWrite(
             s"concurrent first write to $path: another writer seeded the layout")
         if (meta.numBuckets.isDefined) table.commitStagedBucketedSeed(stagingRel)
         else if (meta.partitionCols.nonEmpty) table.commitStagedPartitionedSeed(stagingRel)
+        else if (overwrite) table.commitStagedOverwrite(stagingRel)
         else table.commitStagedAppend(stagingRel)
       } catch {
-        case _: CommitConflictException if seedLayout =>
+        case _: CommitConflictException if seedLayout && !overwrite =>
           // lost the first-write race: recover through the merge path —
           // the winner's layout invariants (one dir per bucket/
           // partition) now hold, so the staged rows re-enter as a
-          // scoped upsert, the same result the V1 writer produces
+          // scoped upsert, the same result the V1 writer produces.
+          // An OVERWRITE race never recovers this way (replace-all vs
+          // upsert are different answers) — it propagates.
           val staged = spark.read.parquet(stagingAbs.toString)
             .select(writeSchema.fieldNames.map(col): _*)
           table.upsert(staged)

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RequiresDistributionAndOrdering, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -258,7 +258,8 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
 
   override def capabilities(): util.Set[TableCapability] =
     if (v2WriteEligible)
-      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE)
     else
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
@@ -506,11 +507,29 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     * column mapping (files carry physical names), and time travel
     * (refused either way).
     */
+  /** INSERT OVERWRITE (the truncate-then-append form) rides the same
+    * v2 write: the staged base REPLACES every data entry in one
+    * commit — the full-refresh pattern for flat snapshot tables.
+    * Partition-filtered overwrite is not offered (no SupportsOverwrite
+    * — Spark refuses it at analysis); keyed layouts, constraints, and
+    * column mapping refuse loudly rather than silently degrade to a
+    * different answer.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write =
-        if (v2WriteEligible) new MergeTableBatchWrite(path, meta, info.schema())
-        else v1Write
+        if (v2WriteEligible)
+          new MergeTableBatchWrite(path, meta, info.schema(),
+            overwrite = truncateFirst)
+        else {
+          require(!truncateFirst,
+            s"INSERT OVERWRITE on ${name()} is not supported for populated " +
+              "keyed layouts, CHECK-constrained, or column-mapped tables; " +
+              "use MERGE INTO / DELETE FROM for row-level replacement")
+          v1Write
+        }
     }
 
   private def v1Write: V1Write = new V1Write {

@@ -152,6 +152,38 @@ class WriteDistributionSpec extends SparkSpec {
     assert(spark.table("graft.wd5.t").count() === 1L)
   }
 
+  test("INSERT OVERWRITE replaces a flat table's contents in one commit") {
+    fresh("wd8")
+    spark.sql("""CREATE TABLE graft.wd8.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.wd8.t VALUES (1, 'old1'), (2, 'old2')")
+    spark.sql("INSERT INTO graft.wd8.t VALUES (3, 'old3')")
+    spark.sql("INSERT OVERWRITE graft.wd8.t VALUES (10, 'new')")
+    assert(spark.table("graft.wd8.t").as[(Long, String)].collect().toSeq
+      === Seq((10L, "new")))
+    // the overwrite is one VERSION: time travel still reads the old
+    val t = MergeTable.open(spark, "target/graft_warehouse/wd8/t")
+    val versions = t.versions()
+    assert(t.readVersion(versions(versions.length - 2))
+      .count() === 3L, "pre-overwrite snapshot must survive for time travel")
+    // ...and the table keeps working after
+    spark.sql("INSERT INTO graft.wd8.t VALUES (11, 'more')")
+    assert(spark.table("graft.wd8.t").count() === 2L)
+  }
+
+  test("INSERT OVERWRITE refuses populated keyed layouts loudly") {
+    fresh("wd9")
+    spark.sql("""CREATE TABLE graft.wd9.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id', 'buckets'='4')""")
+    spark.sql("INSERT INTO graft.wd9.t VALUES (1, 'a')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graft.wd9.t VALUES (2, 'b')")
+    }
+    assert(e.getMessage.toLowerCase.contains("truncate") ||
+      e.getMessage.contains("INSERT OVERWRITE"), e.getMessage)
+    assert(spark.table("graft.wd9.t").count() === 1L, "refusal must not mutate")
+  }
+
   test("CHECK constraints route the write back to the enforcing V1 path") {
     fresh("wd6")
     spark.sql("""CREATE TABLE graft.wd6.t (id BIGINT, v BIGINT)
