@@ -171,6 +171,28 @@ class WriteDistributionSpec extends SparkSpec {
     assert(spark.table("graft.wd8.t").count() === 2L)
   }
 
+  test("the change feed sees v2 appends and overwrites like any COW commit") {
+    fresh("wd10")
+    spark.sql("""CREATE TABLE graft.wd10.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.wd10.t VALUES (1, 'a'), (2, 'b')")
+    val root = "target/graft_warehouse/wd10/t"
+    val ins = spark.sql(s"SELECT id, _change FROM table_changes('$root', 0)")
+      .as[(Long, String)].collect().toSet
+    assert(ins === Set((1L, "I"), (2L, "I")),
+      "an externally-staged v2 append must surface as plain inserts")
+
+    spark.sql("INSERT OVERWRITE graft.wd10.t VALUES (2, 'b2'), (9, 'new')")
+    // startingVersion is the BASE snapshot: changes AFTER it
+    val base = MergeTable.open(spark, root).versions().max - 1
+    val ow = spark.sql(s"SELECT id, _change FROM table_changes('$root', $base)")
+      .as[(Long, String)].collect().toSet
+    // the overwrite commit diffs as a COW rewrite: dropped key → D,
+    // fresh key → I, surviving key with a new value → U
+    assert(ow === Set((1L, "D"), (2L, "U"), (9L, "I")),
+      s"overwrite must replay as a rewrite diff, got $ow")
+  }
+
   test("INSERT OVERWRITE refuses populated keyed layouts loudly") {
     fresh("wd9")
     spark.sql("""CREATE TABLE graft.wd9.t (id BIGINT, v STRING)
