@@ -123,7 +123,10 @@ final class MergeTable(
   private val pointer = rootPath.resolve("_LATEST")
 
   private val Tombstone = "_graft_tombstone"
-  private[graft] val BucketCol = "_graft_bucket"
+  // the ONE definition lives on the companion (shared with the DSv2
+  // writer's executor-side demux, which must produce byte-identical
+  // leaf-dir names)
+  private[graft] val BucketCol = MergeTable.BucketColName
   private val FileCol = "_graft_file"
   private val PosCol = "_graft_pos"
   // commit-version / within-run sequence stamps of the grouped
@@ -1634,7 +1637,7 @@ final class MergeTable(
 
   // -- value-partitioned layout --------------------------------------------
 
-  private[graft] val PartPrefix = "_graft_p_"
+  private[graft] val PartPrefix = MergeTable.PartPrefixName
 
   /** Partition column types are restricted to the ones whose
     * `toString` rendering is exactly what Spark's partition-dir
@@ -2461,6 +2464,15 @@ object MergeTable {
   val MergeOnRead = "merge-on-read"
   val DeletionVectors = "deletion-vectors"
 
+  /** Physical layout dir-naming constants — the single source of
+    * truth: the instance fields (read-side dir parsing, scoped
+    * merges) and the DSv2 writer's executor-side demux
+    * (graft.sources.MergeTableBatchWrite) must produce byte-identical
+    * leaf-dir names.
+    */
+  private[graft] val BucketColName = "_graft_bucket"
+  private[graft] val PartPrefixName = "_graft_p_"
+
   /** Persisted table configuration (`_META.json` at the table root).
     * `schemaJson` is set for catalog-created tables with a declared
     * schema and updated by ALTER TABLE ADD COLUMNS;
@@ -2474,13 +2486,6 @@ object MergeTable {
     * metadata commit and re-adding a dropped name under a fresh
     * physical id can never resurrect old values.
     */
-  /** Physical layout dir-naming constants, shared with the DSv2
-    * writer (graft.sources.MergeTableBatchWrite) whose executor-side
-    * demux must produce byte-identical leaf-dir names.
-    */
-  private[graft] val BucketColName = "_graft_bucket"
-  private[graft] val PartPrefixName = "_graft_p_"
-
   final case class Meta(keys: Seq[String], mode: String,
                         numBuckets: Option[Int], schemaJson: Option[String],
                         constraints: Map[String, String] = Map.empty,

@@ -170,66 +170,66 @@ object BpeTrain {
       .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .groupBy("lang")
       .agg(sum("n_words").as("words"), sum("n_tokens").as("tokens"))
+      // a language with ZERO extractable words has no fertility (the
+      // oracle's word-instance unnest omits it entirely, and 0/0 is
+      // not a statistic) — drop it on this side too
+      .filter(col("words") > 0)
       .select(col("lang"), col("words"), col("tokens"),
         round(col("tokens").cast("double") / col("words"), 4).as("fertility"))
       .orderBy("lang")
   }
 
-  /** DuckDB oracle for [[fertilityByLang]]: the training CTEs + the
-    * per-word merge replay of [[tokenizeBpeSql]], aggregated per
-    * language instead of per doc.
+  /** Shared encode-replay scaffolding for the BPE oracles: the
+    * training CTEs + the per-word-instance dw/enc CTEs (rendered
+    * words folded through the R learned replaces in training order),
+    * parameterized on the extra columns (`carry`) the final SELECT
+    * needs. ONE source of truth — the word-extraction regex, the
+    * rendering, and the replace fold must stay byte-identical across
+    * every BPE gate or their oracles silently diverge.
     */
-  def fertilityByLangSql(rounds: Int): String = {
+  private def encodeReplayCtes(rounds: Int, carry: Seq[String]): String = {
     val trainCtes = trainMergesSql(rounds).split("\nSELECT 1 AS merge_round")(0)
     val repl = (1 to rounds).foldLeft("s0.s") { (acc, r) =>
       s"replace($acc, '|' || m$r.l || '|' || m$r.r2 || '|', '|' || m$r.l || m$r.r2 || '|')"
     }
     val mJoins = (1 to rounds).map(r => s"CROSS JOIN m$r").mkString(" ")
+    val carryCols = ("doc_id" +: carry).mkString(", ")
+    val carryS0 = ("doc_id" +: carry).map(c => s"s0.$c").mkString(", ")
     s"""$trainCtes,
        |dw AS (
-       |  SELECT doc_id, lang, w.w AS w,
+       |  SELECT $carryCols, w.w AS w,
        |    '|' || array_to_string(regexp_extract_all(w.w, '.'), '|') || '|' AS s
-       |  FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |  FROM (SELECT $carryCols, regexp_extract_all(lower(text), '[a-z]+') AS ws
        |        FROM documents), unnest(ws) AS w(w)),
        |enc AS (
-       |  SELECT doc_id, lang, s0.w,
+       |  SELECT $carryS0, s0.w,
        |    $repl AS s
-       |  FROM dw s0 $mJoins)
+       |  FROM dw s0 $mJoins)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[fertilityByLang]]: the shared encode replay
+    * aggregated per language instead of per doc. Zero-word languages
+    * are naturally absent (dw unnests word INSTANCES).
+    */
+  def fertilityByLangSql(rounds: Int): String =
+    s"""${encodeReplayCtes(rounds, Seq("lang"))}
        |SELECT lang,
        |  CAST(count(*) AS BIGINT) AS words,
        |  CAST(sum(len(s) - len(replace(s, '|', '')) - 1) AS BIGINT) AS tokens,
        |  round(CAST(sum(len(s) - len(replace(s, '|', '')) - 1) AS DOUBLE)
        |        / count(*), 4) AS fertility
        |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
-  }
 
-  /** DuckDB oracle for [[tokenizeBpe]]: the training CTEs of
-    * [[trainMergesSql]] replay the merges, then each doc's rendered
-    * words fold through the same R replaces via a cross join against
-    * the 1-row-per-merge CTEs.
+  /** DuckDB oracle for [[tokenizeBpe]]: the shared encode replay
+    * aggregated per doc.
     */
-  def tokenizeBpeSql(rounds: Int): String = {
-    val trainCtes = trainMergesSql(rounds).split("\nSELECT 1 AS merge_round")(0)
-    val repl = (1 to rounds).foldLeft("s0.s") { (acc, r) =>
-      s"replace($acc, '|' || m$r.l || '|' || m$r.r2 || '|', '|' || m$r.l || m$r.r2 || '|')"
-    }
-    val mJoins = (1 to rounds).map(r => s"CROSS JOIN m$r").mkString(" ")
-    s"""$trainCtes,
-       |dw AS (
-       |  SELECT doc_id, w.w AS w,
-       |    '|' || array_to_string(regexp_extract_all(w.w, '.'), '|') || '|' AS s
-       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
-       |        FROM documents), unnest(ws) AS w(w)),
-       |enc AS (
-       |  SELECT doc_id, s0.w,
-       |    $repl AS s
-       |  FROM dw s0 $mJoins)
+  def tokenizeBpeSql(rounds: Int): String =
+    s"""${encodeReplayCtes(rounds, Nil)}
        |SELECT doc_id,
        |  CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(len(w)) AS BIGINT) AS n_chars,
        |  CAST(sum(len(s) - len(replace(s, '|', '')) - 1) AS BIGINT) AS n_tokens
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
 
   /** DuckDB oracle: the identical training loop unrolled to `rounds`
     * CTE stages (the Lloyd's-rounds replay pattern) — pair counting,

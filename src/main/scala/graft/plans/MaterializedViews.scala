@@ -415,6 +415,36 @@ class RewriteToMaterializedView(session: SparkSession) extends Rule[LogicalPlan]
     * distinct/filtered/float aggregates refuse — float re-addition
     * reorders, and this rewrite must never change an answer).
     */
+  /** Footer-stats proof that every listed store column's total
+    * absolute sum stays in double's exact-integer range: for each
+    * file, rows × max(|min|, |max|) bounds the file's contribution,
+    * and the per-file bounds sum (BigInt — the bound itself must not
+    * overflow) under 2^53. Missing stats, a non-integral footer tag,
+    * or an unbounded total all REFUSE — the avg derivation only fires
+    * when exactness is provable. O(store files) driver-side footer
+    * reads, the same class of work as the store schema resolution.
+    */
+  private def storeColumnsBounded(path: String, cols: Seq[String]): Boolean = {
+    try {
+      val p = Paths.get(path)
+      val metas = graft.cdc.FileStats.collect(p.getParent, p.getFileName.toString)
+      if (metas.isEmpty) return false
+      val exact = BigInt(1) << 53
+      cols.forall { c =>
+        val per = metas.values.toSeq.map { m =>
+          m.cols.get(c) match {
+            case Some((mn, mx, "i")) =>
+              Some(BigInt(m.rows) * BigInt(mn).abs.max(BigInt(mx).abs))
+            case _ =>
+              // no range recorded: provably all-null contributes 0
+              if (m.nulls.get(c).contains(m.rows)) Some(BigInt(0)) else None
+          }
+        }
+        per.forall(_.isDefined) && per.flatten.sum < exact
+      }
+    } catch { case _: Throwable => false }
+  }
+
   private def tryRollup(agg: Aggregate): Option[LogicalPlan] = {
     if (MaterializedViews.nothingRegistered) return None
     val c = agg.canonicalized match {
@@ -488,6 +518,15 @@ class RewriteToMaterializedView(session: SparkSession) extends Rule[LogicalPlan]
         // division has its own precision rules). Count(x) is the
         // NON-NULL count, so null-heavy groups derive correctly; an
         // all-null group yields null/0 → null, matching avg.
+        // MAGNITUDE guard: the exactness argument needs every derived
+        // long sum to stay in double's exact-integer range, so the
+        // store's parquet footers must PROVE Σ|sum_g| and Σ counts
+        // stay under 2^53 — beyond it the rewrite could change the
+        // low-order bits of an answer, which this rule never does.
+        // (Residual caveat, accepted like the float refusal's: a
+        // group mixing ±2^53-scale values that cancel has lossy
+        // DIRECT double accumulation the stats cannot see; such sums
+        // also make the direct answer partitioning-dependent.)
         case a: Average if (a.child.dataType match {
           case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
                org.apache.spark.sql.types.IntegerType | LongType => true
@@ -502,6 +541,7 @@ class RewriteToMaterializedView(session: SparkSession) extends Rule[LogicalPlan]
               case cnt: Count => cnt.children == Seq(a.child)
               case _ => false
             }
+            if storeColumnsBounded(path, Seq(rel.output(js).name, rel.output(jc).name))
           } yield Divide(
             Cast(Sum(rel.output(js)).toAggregateExpression(), DoubleType),
             Cast(Sum(rel.output(jc)).toAggregateExpression(), DoubleType))

@@ -210,12 +210,16 @@ private[sources] class MergeTableBatchScan(
     val slices = fs.flatMap { p =>
       val f = p.toFile
       val (len, mod) = (f.length(), f.lastModified())
-      // a byte-range slice carries the FULL file mask: row indexes are
-      // file-global, and a position outside the slice's row groups
-      // simply never matches
       val m = maskOf(p)
-      (0L until math.max(len, 1L) by maxSplit).map(off =>
-        GraftFileSlice(p.toString, off, math.min(maxSplit, len - off), len, mod, m))
+      // a MASKED file ships as ONE whole slice: byte-range splitting
+      // would duplicate its mask array into every slice (driver memory
+      // and task serialization scale with slices × mask), and masked
+      // files are the recently-written minority of a dv snapshot
+      if (m.nonEmpty)
+        Seq(GraftFileSlice(p.toString, 0L, len, len, mod, m))
+      else
+        (0L until math.max(len, 1L) by maxSplit).map(off =>
+          GraftFileSlice(p.toString, off, math.min(maxSplit, len - off), len, mod))
     }.sortBy(-_.length)
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     val cur = scala.collection.mutable.ArrayBuffer.empty[GraftFileSlice]

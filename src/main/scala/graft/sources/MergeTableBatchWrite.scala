@@ -111,7 +111,21 @@ class MergeTableBatchWrite(
       val committed = messages.collect { case m: GraftCommitMessage => m }
       val keep = committed.flatMap(_.relFiles).toSet
       purgeStrays(keep)
-      if (keep.isEmpty) { deleteRecursively(stagingAbs); return }
+      // an empty APPEND (or an empty overwrite of a still-empty seed
+      // layout) commits nothing
+      if (keep.isEmpty && (!overwrite || seedLayout)) {
+        deleteRecursively(stagingAbs); return
+      }
+      if (keep.isEmpty) {
+        // an EMPTY overwrite still truncates (SQL semantics: the old
+        // contents are replaced by nothing) — stage a schema-bearing
+        // empty parquet dir, the same representation a delete-all
+        // leaves behind, so the committed base entry stays readable
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], writeSchema)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(stagingAbs.toString)
+      }
       try {
         if (seedLayout && table.exists)
           throw new CommitConflictException(

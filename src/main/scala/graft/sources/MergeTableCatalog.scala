@@ -6,12 +6,10 @@ import java.util
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.distributions
-import org.apache.spark.sql.connector.expressions
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -243,17 +241,23 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     * handled by the BatchWrite's conflict-recovery upsert.
     */
   private lazy val v2WriteEligible: Boolean = {
-    val current = MergeTable.readMeta(path)
-    val t = new MergeTable(SparkSession.active, path, meta.keys,
-      meta.mode, meta.numBuckets, partitionCols = meta.partitionCols)
+    // judged from the meta snapshot this Table instance was LOADED
+    // with (same freshness as everything else it serves) — re-reading
+    // _META here would tax every read-path capabilities() call; the
+    // one extra I/O kept is the manifest existence probe seed
+    // layouts need
     val layoutSeedOk =
-      (meta.numBuckets.isEmpty && meta.partitionCols.isEmpty) || !t.exists
+      (meta.numBuckets.isEmpty && meta.partitionCols.isEmpty) || {
+        val t = new MergeTable(SparkSession.active, path, meta.keys,
+          meta.mode, meta.numBuckets, partitionCols = meta.partitionCols)
+        !t.exists
+      }
     val partTypesOk = meta.partitionCols.forall(c =>
       schema.fields.find(_.name.equalsIgnoreCase(c))
         .exists(f => GraftWriteLayout.partitionable(f.dataType)))
     version.isEmpty && layoutSeedOk && partTypesOk &&
-      current.forall(m => m.constraints.isEmpty &&
-        m.droppedColumns.isEmpty && m.renames.forall { case (l, p) => l == p })
+      meta.constraints.isEmpty && meta.droppedColumns.isEmpty &&
+      meta.renames.forall { case (l, p) => l == p }
   }
 
   override def capabilities(): util.Set[TableCapability] =

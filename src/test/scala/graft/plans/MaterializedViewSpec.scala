@@ -182,6 +182,26 @@ class MaterializedViewSpec extends SparkSpec {
     MaterializedViews.deregister("mv_rollup_avg_no")
   }
 
+  test("avg derivation refuses when the store's sums outgrow double-exact range") {
+    val path = fresh("rollup_avg_big")
+    // inflate the summed column past 2^53 per group: exact long sums
+    // and double accumulation then diverge in low-order bits, so the
+    // footer-stat magnitude guard must refuse the rewrite
+    val k = 1L << 40
+    def fine() = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(sum(col("o_custkey") * k).as("s"), count(col("o_custkey") * k).as("c"))
+    MaterializedViews.register("mv_rollup_avg_big", () => fine(), path)
+    MaterializedViews.refresh("mv_rollup_avg_big")
+    val q = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority").agg(avg(col("o_custkey") * k).as("a"))
+    assert(scanPaths(q).exists(_.contains("orders")),
+      "sums past 2^53 must refuse the avg rollup")
+    // the magnitude guard is per-column, not a blanket refusal: the
+    // small-sum view from the earlier case still derives
+    MaterializedViews.deregister("mv_rollup_avg_big")
+  }
+
   test("rollup refuses what it cannot derive exactly") {
     val path = fresh("rollup_no")
     MaterializedViews.register("mv_rollup_no", () => fineAgg(), path)

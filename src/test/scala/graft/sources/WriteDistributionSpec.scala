@@ -171,6 +171,22 @@ class WriteDistributionSpec extends SparkSpec {
     assert(spark.table("graft.wd8.t").count() === 2L)
   }
 
+  test("INSERT OVERWRITE with an empty source truncates (never keeps stale rows)") {
+    fresh("wd11")
+    spark.sql("""CREATE TABLE graft.wd11.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.wd11.t VALUES (1, 'stale'), (2, 'stale')")
+    // the full-refresh job's upstream came back empty: SQL semantics
+    // (and Delta/Iceberg) say the table is now empty, not unchanged
+    spark.sql("INSERT OVERWRITE graft.wd11.t SELECT CAST(1 AS BIGINT), 'x' WHERE 1 = 0")
+    assert(spark.table("graft.wd11.t").count() === 0L,
+      "an empty overwrite must truncate")
+    // and the emptied table keeps working
+    spark.sql("INSERT INTO graft.wd11.t VALUES (5, 'fresh')")
+    assert(spark.table("graft.wd11.t").as[(Long, String)].collect().toSeq
+      === Seq((5L, "fresh")))
+  }
+
   test("the change feed sees v2 appends and overwrites like any COW commit") {
     fresh("wd10")
     spark.sql("""CREATE TABLE graft.wd10.t (id BIGINT, v STRING)
