@@ -210,6 +210,14 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     assert(upsert.queryExecution.executedPlan.toString.contains("MergeTableBatchScan"))
     val spj = graft.SparkEntry.queries("catalog_spj_join")(spark, sfDir)
     assert(spj.queryExecution.executedPlan.toString.contains("MergeTableBatchScan"))
+    // r11 gates: the clustered-CTAS read-back and the dv masked read
+    // must also ride the Batch path (the dv gate is the one the
+    // batchReadableDv gate exists for)
+    val ctas = graft.SparkEntry.queries("catalog_ctas_clustered")(spark, sfDir)
+    assert(ctas.queryExecution.executedPlan.toString.contains("MergeTableBatchScan"))
+    val dv = graft.SparkEntry.queries("catalog_dv_batch_read")(spark, sfDir)
+    assert(dv.queryExecution.executedPlan.toString.contains("MergeTableBatchScan"),
+      s"the dv gate fell back to V1:\n${dv.queryExecution.executedPlan}")
     // broadcast (small side) or storage-partitioned (aligned buckets):
     // either way the JOIN adds no shuffle — only ORDER BY's range
     // exchange may appear
@@ -325,19 +333,19 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     // matching partitions replicate to each split. A hot key at
     // 100 TB would otherwise turn the SPJ's one-task-per-bucket
     // alignment into a straggler.
-    fresh("spj9")
+    fresh("spj11")
     for (t <- Seq("facts", "dims")) {
-      spark.sql(s"""CREATE TABLE graft.spj9.$t (id BIGINT, v STRING)
+      spark.sql(s"""CREATE TABLE graft.spj11.$t (id BIGINT, v STRING)
                     TBLPROPERTIES('keys'='id', 'buckets'='4')""")
     }
     // facts: id 1 is hot (3000 rows via distinct synthetic keys it
     // joins through), dims small and uniform
     (1 to 4000).map(i => ((i % 40).toLong, s"f$i")).toDF("id", "v")
-      .createOrReplaceTempView("spj9_f")
+      .createOrReplaceTempView("spj11_f")
     (0 to 39).map(i => (i.toLong, s"d$i")).toDF("id", "v")
-      .createOrReplaceTempView("spj9_d")
-    spark.sql("INSERT INTO graft.spj9.facts SELECT id, max(v) FROM spj9_f GROUP BY id")
-    spark.sql("INSERT INTO graft.spj9.dims SELECT * FROM spj9_d")
+      .createOrReplaceTempView("spj11_d")
+    spark.sql("INSERT INTO graft.spj11.facts SELECT id, max(v) FROM spj11_f GROUP BY id")
+    spark.sql("INSERT INTO graft.spj11.dims SELECT * FROM spj11_d")
     withSQLConf(
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
@@ -345,7 +353,7 @@ class StoragePartitionedJoinSpec extends SparkSpec {
         "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true") {
       val j = spark.sql(
         """SELECT f.id, f.v AS fv, d.v AS dv
-          |FROM graft.spj9.facts f JOIN graft.spj9.dims d ON f.id = d.id""".stripMargin)
+          |FROM graft.spj11.facts f JOIN graft.spj11.dims d ON f.id = d.id""".stripMargin)
       assert(shuffles(j) === 0,
         s"partially-clustered SPJ must stay shuffle-free:\n${j.queryExecution.executedPlan}")
       assert(j.count() === 40L)
