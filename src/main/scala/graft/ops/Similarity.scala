@@ -259,14 +259,28 @@ object Similarity {
     * exact parquet floats, a reloaded codebook serves bit-identically
     * to the in-memory one (`ModelArtifactSpec`).
     */
+  /** Per-cell `(score, cell)` structs against an IVF codebook — the
+    * ONE definition of IVF scoring, shared by batch assignment,
+    * query probing, and the streaming index maintainer
+    * (graft.streaming.AnnIndexStream): a write-side assignment and a
+    * read-side probe that disagreed would silently lose recall.
+    */
+  def cellScores(spark: SparkSession, v: Column,
+      cents: Seq[(Int, Seq[Float])]): Column = array(cents.map { case (i, c) =>
+    struct(round(cosine(spark, v, typedLit(c)), 6).as("s"), lit(i).as("cell"))
+  }: _*)
+
+  /** The argmax IVF cell of a vector under the codebook. */
+  def assignCell(spark: SparkSession, v: Column,
+      cents: Seq[(Int, Seq[Float])]): Column =
+    array_max(cellScores(spark, v, cents)).getField("cell")
+
   def ivfTopKWith(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
                   k: Int, cents: Seq[(Int, Seq[Float])], nProbe: Int = 4): DataFrame = {
 
-    def cellScores(v: Column): Column = array(cents.map { case (i, c) =>
-      struct(round(cosine(spark, v, typedLit(c)), 6).as("s"), lit(i).as("cell"))
-    }: _*)
+    def cellScores(v: Column): Column = Similarity.cellScores(spark, v, cents)
 
-    val assigned = corpus.withColumn("cell", array_max(cellScores(col("embedding"))).getField("cell"))
+    val assigned = corpus.withColumn("cell", assignCell(spark, col("embedding"), cents))
     val probes = queries.withColumn("probe_cells",
         slice(reverse(array_sort(cellScores(col("qe")))), 1, nProbe))
       .withColumn("cell", explode(transform(col("probe_cells"), p => p.getField("cell"))))

@@ -222,6 +222,23 @@ class WriteDistributionSpec extends SparkSpec {
     assert(spark.table("graft.wd9.t").count() === 1L, "refusal must not mutate")
   }
 
+  test("VACUUM reclaims a crashed v2 write's orphaned staging dir") {
+    fresh("wd12")
+    spark.sql("""CREATE TABLE graft.wd12.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.wd12.t VALUES (1, 'a')")
+    // simulate a driver crash between staging and commit: files exist
+    // under data/<uuid> but no manifest references the dir
+    val orphan = java.nio.file.Paths.get(
+      "target/graft_warehouse/wd12/t/data/deadbeef-orphan")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-00000-x.parquet"), "junk".getBytes)
+    MergeTable.open(spark, "target/graft_warehouse/wd12/t").vacuum()
+    assert(!java.nio.file.Files.exists(orphan),
+      "the unreferenced staging dir must be reclaimed")
+    assert(spark.table("graft.wd12.t").count() === 1L, "live data untouched")
+  }
+
   test("CHECK constraints route the write back to the enforcing V1 path") {
     fresh("wd6")
     spark.sql("""CREATE TABLE graft.wd6.t (id BIGINT, v BIGINT)
