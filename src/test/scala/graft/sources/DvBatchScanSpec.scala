@@ -102,6 +102,28 @@ class DvBatchScanSpec extends SparkSpec {
     }
   }
 
+  test("runtime (DPP) bucket pruning composes with the mask on a dv fact") {
+    // a dim filter prunes the dv fact's bucket partitions at RUNTIME,
+    // and the surviving buckets' masks still apply — the two tiers
+    // must compose, not race
+    fresh("dvb6")
+    spark.sql("""CREATE TABLE graft.dvb6.f (id BIGINT, amt BIGINT)
+                 TBLPROPERTIES('keys'='id', 'buckets'='8',
+                               'mode'='deletion-vectors')""")
+    spark.sql("INSERT INTO graft.dvb6.f SELECT id, id * 3 FROM range(0, 800)")
+    MergeTable.open(spark, "target/graft_warehouse/dvb6/f")
+      .delete(Seq(5L, 6L).toDF("id"))
+    (0L until 10L).map(i => (i, s"d$i")).toDF("id", "v")
+      .createOrReplaceTempView("dvb6_dim")
+    val j = spark.sql(
+      """SELECT f.id, f.amt, d.v FROM graft.dvb6.f f
+        |JOIN dvb6_dim d ON f.id = d.id""".stripMargin)
+    assert(usesBatchScan(j), j.queryExecution.executedPlan.toString)
+    val rows = j.collect().map(r => r.getLong(0)).sorted
+    assert(rows.toSeq === Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 9L),
+      "masked rows must stay deleted under runtime-filtered reads")
+  }
+
   test("an oversized mask refuses the Batch path (V1 keeps serving)") {
     fresh("dvb3")
     spark.sql("""CREATE TABLE graft.dvb3.t (id BIGINT, v STRING)

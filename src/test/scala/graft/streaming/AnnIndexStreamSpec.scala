@@ -56,6 +56,28 @@ class AnnIndexStreamSpec extends SparkSpec {
     assert(new MergeTable(spark, ais.indexRoot, Seq("vec_id")).read().count() === n)
   }
 
+  test("Z-order maintenance preserves serving exactly (the growth story)") {
+    // a long-lived index accumulates per-trigger files; OPTIMIZE
+    // ZORDER on `cell` is its maintenance op — it must change the
+    // layout, not the answers
+    val root = "target/test_tables/ann_index_zorder"
+    MergeTable.drop(root)
+    val cents = Similarity.kmeansCentroids(spark, corpus, "embedding", 8)
+    val ais = new AnnIndexStream(spark, root, cents)
+    (0 until 4).foreach { b =>
+      ais.processBatch(corpus.filter(col("vec_id") % 4 === b)
+        .select("vec_id", "embedding"), b.toLong)
+    }
+    val queries = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val before = ais.topK(queries, k = 5).orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    new MergeTable(spark, ais.indexRoot, Seq("vec_id")).cluster(Seq("cell"))
+    val after = ais.topK(queries, k = 5).orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(after === before, "clustering must be answer-preserving")
+  }
+
   test("cell-contiguous files let the probe prune the index scan") {
     val root = "target/test_tables/ann_index_prune"
     MergeTable.drop(root)
