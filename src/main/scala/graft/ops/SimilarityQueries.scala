@@ -343,6 +343,30 @@ object SimilarityQueries extends QueryModule {
     * certifies the full train → publish-artifact → serve loop a
     * fleet deployment runs, not just the in-memory path.
     */
+  /** Gate for the STREAMING ANN index maintainer (§2 75): the corpus
+    * arrives as two micro-batches through AnnIndexStream — per-trigger
+    * cell assignment against the trained codebook, exactly-once
+    * MergeTable appends, cell-contiguous files — and `topK` serves
+    * from the TABLE. Serving is bit-identical to the batch IVF by
+    * construction (write-side assignment and read-side probing share
+    * the one `Similarity.cellScores` definition), so the gate reuses
+    * `ann_ivf_topk`'s full DuckDB training-replay oracle: the hash
+    * certifies the streamed index end to end — assignment, exactly-
+    * once ingest, storage, probe, and rescoring.
+    */
+  private def annStream(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
+      .toAbsolutePath.resolve("target").resolve("graft_tmp")
+      .resolve(s"ann_stream_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}").toString
+    graft.cdc.MergeTable.drop(root)
+    val cents = Similarity.kmeansCentroids(s, corpus(s, dir), "embedding", 16)
+    val ais = new graft.streaming.AnnIndexStream(s, root, cents)
+    val c = corpus(s, dir).select("vec_id", "embedding")
+    ais.processBatch(c.filter(col("vec_id") % 2 === 0), 0L)
+    ais.processBatch(c.filter(col("vec_id") % 2 === 1), 1L)
+    ais.topK(queries(s, dir, 10), k = 5).orderBy("query_id", "rank")
+  }
+
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val cents = Similarity.kmeansCentroids(s, corpus(s, dir), "embedding", 16)
     // per-run unique path: a fixed relative path races concurrent
@@ -887,6 +911,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
+    QueryDef("ann_stream_topk", annStream, Some(annIvfSql)),
     QueryDef("embed_hard_negatives_ivf", hardNegativesIvf, Some(hardNegativesIvfSql)),
     QueryDef("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),
     QueryDef("media_features", mediaFeatures, Some(mediaFeaturesSql)),
