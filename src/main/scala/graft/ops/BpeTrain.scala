@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** BPE tokenizer training — the full iterative merge loop, not just
@@ -205,6 +205,72 @@ object BpeTrain {
        |  SELECT $carryS0, s0.w,
        |    $repl AS s
        |  FROM dw s0 $mJoins)""".stripMargin
+  }
+
+  /** Vocabulary-growth CURVE — corpus token count (and chars/token
+    * compression) after each merge-count prefix k = 0..rounds: the
+    * statistic that answers "how many merges does this corpus need"
+    * when sizing a tokenizer. BPE training is greedy, so the first k
+    * merges of an R-round training ARE the k-round training — the
+    * whole curve reads off ONE memoized training run, and the encode
+    * side computes every prefix in ONE corpus pass (k+1 fused
+    * replace-chains per word, no per-k re-scan). The final 1-row
+    * melt is driver-side O(rounds).
+    */
+  def vocabCurve(spark: SparkSession, corpusDir: String,
+      docs: => DataFrame, rounds: Int): DataFrame = {
+    val merges = trainedMergesFor(corpusDir, docs, rounds)
+      .map(m => (m.left, m.right))
+    val words = TextAnalysis.words(col("text"))
+    def tokensForK(k: Int): Column = {
+      val applied = transform(words, w => {
+        val rendered = concat(lit("|"), array_join(split(w, ""), "|"), lit("|"))
+        merges.take(k).foldLeft(rendered) { case (acc, (l, r)) =>
+          org.apache.spark.sql.functions.replace(acc, lit(s"|$l|$r|"), lit(s"|$l$r|"))
+        }
+      })
+      aggregate(transform(applied,
+        s => length(s) - length(org.apache.spark.sql.functions.replace(s, lit("|"))) - 1),
+        lit(0L), (a, x) => a + x)
+    }
+    val aggs = (0 to rounds).map(k => sum(tokensForK(k)).as(s"t$k")) :+
+      sum(aggregate(transform(words, w => length(w).cast("long")),
+        lit(0L), (a, x) => a + x)).as("chars")
+    val row = docs.agg(aggs.head, aggs.tail: _*).head()
+    val chars = row.getLong(rounds + 1)
+    import spark.implicits._
+    (0 to rounds).map { k =>
+      val t = row.getLong(k)
+      (k, t, BigDecimal(chars.toDouble / t)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("merges", "tokens", "chars_per_token").orderBy("merges")
+  }
+
+  /** DuckDB oracle for [[vocabCurve]]: the 6-round training CTEs +
+    * one UNION branch per prefix k, each inlining its own k-deep
+    * replace chain over the shared word-instance rendering.
+    */
+  def vocabCurveSql(rounds: Int): String = {
+    val trainCtes = trainMergesSql(rounds).split("\nSELECT 1 AS merge_round")(0)
+    val branches = (0 to rounds).map { k =>
+      val repl = (1 to k).foldLeft("s0.s") { (acc, r) =>
+        s"replace($acc, '|' || m$r.l || '|' || m$r.r2 || '|', '|' || m$r.l || m$r.r2 || '|')"
+      }
+      val joins = (1 to k).map(r => s"CROSS JOIN m$r").mkString(" ")
+      s"""SELECT $k AS merges,
+         |  CAST(sum(len(s) - len(replace(s, '|', '')) - 1) AS BIGINT) AS tokens,
+         |  round(CAST(sum(len(w)) AS DOUBLE)
+         |        / sum(len(s) - len(replace(s, '|', '')) - 1), 4) AS chars_per_token
+         |FROM (SELECT s0.w AS w, $repl AS s FROM dw s0 $joins)""".stripMargin
+    }
+    s"""$trainCtes,
+       |dw AS (
+       |  SELECT doc_id, w.w AS w,
+       |    '|' || array_to_string(regexp_extract_all(w.w, '.'), '|') || '|' AS s
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |        FROM documents), unnest(ws) AS w(w))
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY merges""".stripMargin
   }
 
   /** DuckDB oracle for [[fertilityByLang]]: the shared encode replay

@@ -832,5 +832,8 @@ object CorpusQueries extends QueryModule {
     QueryDef("bpe_fertility_by_lang",
       (s, dir) => BpeTrain.fertilityByLang(s, dir, docs(s, dir), rounds = 6),
       Some(BpeTrain.fertilityByLangSql(6))),
+    QueryDef("bpe_vocab_curve",
+      (s, dir) => BpeTrain.vocabCurve(s, dir, docs(s, dir), rounds = 6),
+      Some(BpeTrain.vocabCurveSql(6))),
   )
 }
