@@ -75,15 +75,38 @@ object BpeTrain {
     * run instead of each re-running the R-round loop. The memoized
     * value is the R-row driver-side merge list (the model artifact,
     * bytes not gigabytes), session-lived like the trained model it
-    * stands in for. Corpus-dir keying is sound for the gates (the
-    * test corpora are immutable per dir); a mutable-corpus caller
-    * should use [[trainMerges]] directly.
+    * stands in for. The key carries a CONTENT fingerprint of the dir
+    * (sorted relpath/size/mtime, the MaterializedViews staleness
+    * shape) alongside the path, so a corpus dir whose files change
+    * within one JVM retrains instead of silently serving the stale
+    * model; the fingerprint is a driver-side directory listing, no
+    * data files opened.
     */
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[Merge]]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), Seq[Merge]]
+
+  /** Cheap content fingerprint of a corpus path: every regular file's
+    * (relative path, size, mtime), sorted and hashed. O(listing). */
+  private def corpusFingerprint(corpusDir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(corpusDir)
+    if (!java.nio.file.Files.exists(root)) return "absent"
+    val entries = scala.util.Using.resource(java.nio.file.Files.walk(root)) {
+      _.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .map { p =>
+          val rel = root.relativize(p).toString.replace('\\', '/')
+          s"$rel:${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+        }.toSeq
+    }
+    java.lang.Long.toHexString(
+      entries.sorted.foldLeft(17L)((h, e) => h * 31 + e.hashCode))
+  }
+
   def trainedMergesFor(corpusDir: String, docs: => DataFrame,
       rounds: Int): Seq[Merge] =
-    memo.getOrElseUpdate((corpusDir, rounds), runTraining(docs, rounds))
+    memo.getOrElseUpdate((corpusDir, corpusFingerprint(corpusDir), rounds),
+      runTraining(docs, rounds))
 
   private def mergesToDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
     import spark.implicits._
@@ -237,8 +260,16 @@ object BpeTrain {
       sum(aggregate(transform(words, w => length(w).cast("long")),
         lit(0L), (a, x) => a + x)).as("chars")
     val row = docs.agg(aggs.head, aggs.tail: _*).head()
-    val chars = row.getLong(rounds + 1)
     import spark.implicits._
+    // Empty corpus (or one with zero extractable words): every sum is
+    // NULL — getLong would NPE and the ratio would be NaN. An empty
+    // curve is the honest answer (there is nothing to measure), and
+    // any nonempty corpus has every prefix's token count ≥ its word
+    // count > 0, so this is the only degenerate shape.
+    if (row.isNullAt(rounds + 1) || row.getLong(rounds + 1) == 0L)
+      return Seq.empty[(Int, Long, Double)]
+        .toDF("merges", "tokens", "chars_per_token")
+    val chars = row.getLong(rounds + 1)
     (0 to rounds).map { k =>
       val t = row.getLong(k)
       (k, t, BigDecimal(chars.toDouble / t)

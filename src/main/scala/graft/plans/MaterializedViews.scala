@@ -544,7 +544,13 @@ class RewriteToMaterializedView(session: SparkSession) extends Rule[LogicalPlan]
             if storeColumnsBounded(path, Seq(rel.output(js).name, rel.output(jc).name))
           } yield Divide(
             Cast(Sum(rel.output(js)).toAggregateExpression(), DoubleType),
-            Cast(Sum(rel.output(jc)).toAggregateExpression(), DoubleType))
+            Cast(Sum(rel.output(jc)).toAggregateExpression(), DoubleType),
+            // LEGACY division mirrors Average.evaluateExpression: an
+            // all-null group (count sums to 0) must derive to NULL,
+            // exactly what the unrewritten Average returns — under
+            // the session's ANSI default a bare Divide would turn
+            // that answer into a DIVIDE_BY_ZERO error.
+            org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
         case _ => None
       }
 

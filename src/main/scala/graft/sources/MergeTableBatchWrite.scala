@@ -159,16 +159,21 @@ class MergeTableBatchWrite(
     private def purgeStrays(keep: Set[String]): Unit = {
       import scala.jdk.CollectionConverters._
       if (!Files.exists(stagingAbs)) return
-      Files.walk(stagingAbs).iterator().asScala
-        .filter(p => Files.isRegularFile(p))
-        .filterNot(p => keep.contains(stagingAbs.relativize(p).toString.replace('\\', '/')))
-        .foreach(Files.deleteIfExists(_))
+      // Files.walk returns a live stream backed by open directory
+      // handles — materialize under Using so the driver doesn't leak
+      // an fd per v2 commit.
+      scala.util.Using.resource(Files.walk(stagingAbs)) { walk =>
+        walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .filterNot(p => keep.contains(stagingAbs.relativize(p).toString.replace('\\', '/')))
+          .toSeq
+      }.foreach(Files.deleteIfExists(_))
     }
 
     private def deleteRecursively(p: Path): Unit = {
       import scala.jdk.CollectionConverters._
       if (!Files.exists(p)) return
-      Files.walk(p).iterator().asScala.toSeq
+      scala.util.Using.resource(Files.walk(p))(_.iterator().asScala.toSeq)
         .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
     }
   }

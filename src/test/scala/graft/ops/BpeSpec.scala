@@ -44,4 +44,34 @@ class BpeSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(three.size === 3)
   }
+
+  test("the memo retrains when the corpus dir's contents change") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_memo_fp").toString
+    def write(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").parquet(dir)
+    write(corpus)
+    val first = BpeTrain.trainMergesMemo(spark, dir,
+      spark.read.parquet(dir), rounds = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(first === Seq((1, "a", "a", 6L)))
+    // same dir, different bytes: the content fingerprint must force a
+    // retrain instead of serving the stale model (mtime granularity
+    // can be coarse, so make the file SIZES differ too)
+    write(Seq((1L, "qq qq qq qq qq qq qq qq"), (2L, "qq qq zz")).toDF("doc_id", "text"))
+    val second = BpeTrain.trainMergesMemo(spark, dir,
+      spark.read.parquet(dir), rounds = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(second.map(m => (m._2, m._3)) === Seq(("q", "q")), second.toString)
+  }
+
+  test("vocabCurve on an empty corpus is an empty curve, not an NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val curve = BpeTrain.vocabCurve(spark, "spec://bpe-empty", empty, rounds = 2)
+    assert(curve.columns.toSeq === Seq("merges", "tokens", "chars_per_token"))
+    assert(curve.count() === 0L)
+    // punctuation-only corpus extracts zero words → same clean shape
+    val noWords = Seq((1L, "1234 !!! ...")).toDF("doc_id", "text")
+    val c2 = BpeTrain.vocabCurve(spark, "spec://bpe-nowords", noWords, rounds = 2)
+    assert(c2.count() === 0L)
+  }
 }

@@ -378,6 +378,30 @@ class MaterializedViewSpec extends SparkSpec {
     MaterializedViews.deregister("mv_fp_app")
   }
 
+  test("avg rollup of an all-null group derives NULL, not a division error") {
+    import spark.implicits._
+    val base = fresh("rollup_avg_null_base")
+    val path = fresh("rollup_avg_null")
+    // group "B" has an all-null averaged column: its count(x) sums to
+    // 0 across the view's finer groups, so the derived division must
+    // ride Average's LEGACY semantics (NULL) — under the session's
+    // ANSI default a bare Divide would throw DIVIDE_BY_ZERO
+    Seq(("A", 1, Some(10L)), ("A", 2, Some(20L)),
+        ("B", 1, Option.empty[Long]), ("B", 2, Option.empty[Long]))
+      .toDF("g", "sub", "x").write.mode("overwrite").parquet(base)
+    def fine() = spark.read.parquet(base).groupBy("g", "sub")
+      .agg(sum(col("x")).as("s"), count(col("x")).as("c"))
+    MaterializedViews.register("mv_rollup_avg_null", () => fine(), path)
+    MaterializedViews.refresh("mv_rollup_avg_null")
+    def q() = spark.read.parquet(base)
+      .groupBy("g").agg(avg(col("x")).as("a")).orderBy("g")
+    assert(scanPaths(q()).exists(_.contains("rollup_avg_null")),
+      "rewrite did not fire; the test would not exercise the derived divide")
+    assert(q().as[(String, Option[Double])].collect().toSeq ===
+      Seq(("A", Some(15.0)), ("B", None)))
+    MaterializedViews.deregister("mv_rollup_avg_null")
+  }
+
   test("refresh after base mutation re-materializes current data") {
     import spark.implicits._
     val base = fresh("base_data")
