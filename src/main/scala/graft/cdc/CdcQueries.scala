@@ -208,6 +208,28 @@ object CdcQueries extends QueryModule {
     applyUpsertWith("partitioned_mor", MergeTable.MergeOnRead, None,
       compactAfter = true, partitions = Seq("event_type"))(s, dir)
 
+  /** Same semantics through the COMPOSED layout (value partitions ×
+    * hash buckets — the Iceberg `PARTITIONED BY (date, bucket(n,id))`
+    * shape): the scoped merge rewrites only the touched
+    * (partition × bucket) cells, with the holder scan cut by the key
+    * hash to the batch's buckets across all partitions — so the gate
+    * hashes cell-scoped merge correctness including cross-partition
+    * key moves inside a bucket.
+    */
+  private def applyUpsertComposed(s: SparkSession, dir: String): DataFrame =
+    applyUpsertWith("composed", MergeTable.CopyOnWrite, Some(8),
+      partitions = Seq("event_type"))(s, dir)
+
+  /** The composed layout under MOR — the high-rate CDC shape at its
+    * most pruned: partitioned × bucketed seed, O(batch) flat delta
+    * upsert, then compaction (`compactAfter`) folding ONLY the dirty
+    * cells, so the gate hashes the full
+    * delta→reconcile→dirty-cell-compact lifecycle.
+    */
+  private def applyUpsertComposedMor(s: SparkSession, dir: String): DataFrame =
+    applyUpsertWith("composed_mor", MergeTable.MergeOnRead, Some(8),
+      compactAfter = true, partitions = Seq("event_type"))(s, dir)
+
   private val applyUpsertSql =
     """WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
       |base AS (
@@ -1113,6 +1135,8 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert_dv_bucketed", applyUpsertDvBucketed, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_partitioned", applyUpsertPartitioned, Some(applyUpsertSql)),
     QueryDef("cdc_apply_upsert_partitioned_mor", applyUpsertPartitionedMor, Some(applyUpsertSql)),
+    QueryDef("cdc_apply_upsert_composed", applyUpsertComposed, Some(applyUpsertSql)),
+    QueryDef("cdc_apply_upsert_composed_mor", applyUpsertComposedMor, Some(applyUpsertSql)),
     QueryDef("cdc_apply_delete", applyDelete, Some(applyDeleteSql)),
     QueryDef("cdc_apply_delete_dv", applyDeleteDv, Some(applyDeleteSql)),
     QueryDef("cdc_apply_upsert_sql", applyUpsertViaSql, Some(applyUpsertSql)),

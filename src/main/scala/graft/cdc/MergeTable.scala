@@ -92,17 +92,22 @@ final class MergeTable(
   // batch touches (its own rows' partitions plus the partitions
   // currently holding the batch's keys — so a row MOVING partitions
   // is removed from its old home), and analytic reads prune whole
-  // partition directories from pushed filters. Orthogonal layouts
-  // don't stack: a table is bucketed (write-optimized, key-hash) or
-  // value-partitioned (read-optimized, predicate-aligned), not both.
-  // The partition-scoped rewrite composes with COW (per-batch
-  // partition rewrites) and with MOR (O(batch) flat delta appends +
-  // dirty-partition compaction — the standard high-rate CDC lake
-  // layout); deletion vectors don't compose (masks address flat base
-  // files, and a partitioned dv write would pay the same key-
-  // restricted scan as the COW rewrite without its read-side payoff).
-  require(partitionCols.isEmpty || numBuckets.isEmpty,
-    "value partitioning does not compose with hash bucketing")
+  // partition directories from pushed filters. The partition-scoped
+  // rewrite composes with COW (per-batch partition rewrites) and with
+  // MOR (O(batch) flat delta appends + dirty-partition compaction —
+  // the standard high-rate CDC lake layout); deletion vectors don't
+  // compose (masks address flat base files, and a partitioned dv
+  // write would pay the same key-restricted scan as the COW rewrite
+  // without its read-side payoff).
+  //
+  // The two layouts ALSO stack (partitionCols + numBuckets — the
+  // Iceberg `PARTITIONED BY (date, bucket(n, id))` shape): rows live
+  // in `_graft_p_<col>=<v>/…/_graft_bucket=<i>` leaf dirs ("pb"
+  // manifest entries), analytic reads prune on the partition
+  // predicate AND point lookups prune to one bucket, and the scoped
+  // merge pays for the touched (partition × bucket) cells — with the
+  // holder scan first cut by the key hash to the batch's buckets
+  // across all partitions, something neither layout gives alone.
   require(partitionCols.isEmpty || mode == MergeTable.CopyOnWrite ||
       mode == MergeTable.MergeOnRead,
     "value partitioning composes with copy-on-write or merge-on-read only")
@@ -571,6 +576,9 @@ final class MergeTable(
 
   private def bucketExpr = pmod(xxhash64(keys.map(col): _*), lit(numBuckets.get))
 
+  /** Both layouts declared: partition dirs nest per-bucket subdirs. */
+  private def composed: Boolean = numBuckets.isDefined && partitionCols.nonEmpty
+
   /** The change batch's key set for COW anti-joins, broadcast when
     * small. Key-only and O(batch) — bounded by maxOffsetsPerTrigger in
     * the streaming path — but an unbounded batch API caller could OOM
@@ -1035,7 +1043,7 @@ final class MergeTable(
         // rows living in UNTOUCHED dirs)
         val touched = added ++ removed
         val okTypes = touched.forall(e =>
-          e._1 == "pv" || e._1 == "base" || e._1 == "delta" ||
+          e._1 == "pv" || e._1 == "pb" || e._1 == "base" || e._1 == "delta" ||
             e._1 == "ing" || e._1.matches("b\\d+"))
         val touchedData = touched.filterNot(_._1 == "ing").map(_._2)
         val someUntouched = before.intersect(after).exists(_._1 != "ing")
@@ -1048,7 +1056,7 @@ final class MergeTable(
         Some(readDirs(added.map(_._2)).select(keys.map(col): _*).distinct())
       else {
         val dataAdds = added.filter(e =>
-          e._1 == "base" || e._1 == "pv" || e._1.matches("b\\d+"))
+          e._1 == "base" || e._1 == "pv" || e._1 == "pb" || e._1.matches("b\\d+"))
         val dvAdds = added.filter(_._1 == "dv")
         if (dvAdds.size + dataAdds.size != added.size) None
         else if (dataAdds.nonEmpty)
@@ -1081,9 +1089,11 @@ final class MergeTable(
     else if (deltas.isEmpty) readDirs(es.map(_._2))
     else {
       // bucketed MOR: b<i> entries are per-bucket bases; partitioned
-      // MOR: pv entries are per-partition bases
+      // MOR: pv entries are per-partition bases; composed MOR: pb
+      // entries are per-(partition × bucket) bases
       val baseDirs = es.filter(e =>
-        e._1 == "base" || e._1 == "pv" || e._1.matches("b\\d+")).map(_._2)
+        e._1 == "base" || e._1 == "pv" || e._1 == "pb" ||
+          e._1.matches("b\\d+")).map(_._2)
       val parts =
         (if (baseDirs.nonEmpty) Seq(readDirs(baseDirs).withColumn("_graft_seq", lit(0))) else Nil) ++
           deltas.zipWithIndex.map { case ((_, d), i) =>
@@ -1374,6 +1384,17 @@ final class MergeTable(
     ()
   }
 
+  /** Commit an externally-staged FIRST write of a COMPOSED
+    * (partitioned × bucketed) table: the staging dir holds
+    * `_graft_p_<col>=<val>/…/_graft_bucket=<i>` leaf paths.
+    */
+  private[graft] def commitStagedComposedSeed(dir: String): Unit = {
+    val leaves = listComposedLeaves(dataDir.resolve(dir))
+    leaves.foreach(rel => recordStats(s"$dir/$rel"))
+    commit(leaves.sorted.map(rel => "pb" -> s"$dir/$rel"))
+    ()
+  }
+
   /** Incremental file ingest — the COPY INTO / Auto Loader shape:
     * load ONLY the source-dir files not yet ingested, appending their
     * rows and the updated file ledger in ONE atomic commit, so each
@@ -1485,7 +1506,8 @@ final class MergeTable(
       // when the new one belongs to a DIFFERENT partition, so
       // partition moves need no write-time index lookup
       if (!exists) {
-        if (numBuckets.isDefined) seedBucketed(changes)
+        if (composed) { requirePartitionable(changes); commit(writeComposed(changes)) }
+        else if (numBuckets.isDefined) seedBucketed(changes)
         else if (partitionCols.nonEmpty) {
           requirePartitionable(changes); commit(writePartitioned(changes))
         } else commit(Seq("base" -> writeData(changes)))
@@ -1496,6 +1518,9 @@ final class MergeTable(
         commitAppend(entries(), Seq("delta" -> writeData(changes)), None)
         maybeCompact()
       }
+    case _ if composed =>
+      if (!exists) { requirePartitionable(changes); commit(writeComposed(changes)) }
+      else composedMerge(changes, isDelete = false)
     case _ if partitionCols.nonEmpty =>
       if (!exists) { requirePartitionable(changes); commit(writePartitioned(changes)) }
       else partitionedMerge(changes, isDelete = false)
@@ -1547,6 +1572,7 @@ final class MergeTable(
           .withColumn(Tombstone, lit(true))
         commitAppend(entries(), Seq("delta" -> writeData(tombstones)), None)
         maybeCompact()
+      case _ if composed => composedMerge(deleteKeys, isDelete = true)
       case _ if partitionCols.nonEmpty => partitionedMerge(deleteKeys, isDelete = true)
       case _ if numBuckets.isDefined => bucketedMerge(deleteKeys, isDelete = true)
       case _ =>
@@ -1758,12 +1784,173 @@ final class MergeTable(
     ()
   }
 
+  // -- composed (partitioned × bucketed) layout ------------------------------
+
+  /** Bucket id of a composed/bucketed entry dir (its trailing
+    * `_graft_bucket=<i>` segment). */
+  private def bucketIdOf(d: String): Option[Long] =
+    s"$BucketCol=(\\d+)".r.findFirstMatchIn(d).map(_.group(1).toLong)
+
+  /** One composed write job: partition-column twins for the value
+    * dirs PLUS the bucket column, so each leaf is one
+    * (partition tuple × bucket) cell. Returns one "pb" manifest entry
+    * per leaf written.
+    */
+  private def writeComposed(df: DataFrame): Seq[(String, String)] = {
+    val dir = UUID.randomUUID().toString
+    val tagged = partitionCols.foldLeft(df)((d, c) => d.withColumn(PartPrefix + c, col(c)))
+      .withColumn(BucketCol, bucketExpr)
+    tagged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols.map(PartPrefix + _) :+ BucketCol: _*)
+      .parquet(dataDir.resolve(dir).toString)
+    val leaves = listComposedLeaves(dataDir.resolve(dir))
+    leaves.foreach(rel => recordStats(s"$dir/$rel"))
+    leaves.sorted.map(rel => "pb" -> s"$dir/$rel")
+  }
+
+  /** Relative leaf paths of a composed write: the partition-depth walk
+    * plus each leaf's bucket subdirs. Driver-side, O(leaves).
+    */
+  private def listComposedLeaves(base: Path): Seq[String] =
+    listPartitionLeaves(base, partitionCols.size).flatMap { rel =>
+      Option(base.resolve(rel).toFile.list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith(s"$BucketCol=")).toSeq.map(b => s"$rel/$b")
+    }
+
+  /** The composed leaf names a batch's rows land in — the partition
+    * rendering of [[partitionLeafNames]] extended by the key-hash
+    * bucket. Bounded by the batch's distinct (partition, bucket)
+    * tuples.
+    */
+  private def composedLeafNames(df: DataFrame): Set[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    df.select(partitionCols.map(col) :+ bucketExpr.as(BucketCol): _*)
+      .distinct().collect().map { r =>
+        val parts = partitionCols.zipWithIndex.map { case (c, i) =>
+          val v = r.get(i)
+          val rendered =
+            if (v == null) "__HIVE_DEFAULT_PARTITION__"
+            else ExternalCatalogUtils.escapePathName(v.toString)
+          s"$PartPrefix$c=$rendered"
+        }.mkString("/")
+        s"$parts/$BucketCol=${r.getLong(partitionCols.size)}"
+      }.toSet
+  }
+
+  /** Scoped COW merge on the composed layout: rewrite ONLY the
+    * (partition × bucket) cells the batch touches. The holder scan —
+    * the one key-restricted pass that catches partition moves — is
+    * first cut by the KEY HASH to the batch's buckets across all
+    * partitions (a key can only live in its own bucket, whatever its
+    * partition), so at 100 TB it reads |batch buckets| cells per
+    * partition, not the table; the plain partitioned layout has no
+    * such cut. Untouched cells keep their directories verbatim.
+    */
+  private def composedMerge(changes: DataFrame, isDelete: Boolean): Unit = {
+    if (!isDelete) requirePartitionable(changes)
+    val current = entries()
+    require(current.forall(e => e._1 == "pb" || e._1 == "ing"),
+      s"table at $root has a non-composed layout; migrate before opening " +
+        "with both partitionCols and numBuckets")
+    def scopeOf(d: String): String = d.split("/", 2)(1)
+    val ks = keySet(changes, dedup = true)
+    val bs = affectedBuckets(changes)
+    val candidates = current.filter(e =>
+      e._1 == "pb" && bucketIdOf(e._2).exists(bs.contains))
+    // leaf attribution from the file path Spark itself wrote — exact
+    // by construction, one scan restricted to the batch's buckets
+    val holders: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readDirs(candidates.map(_._2))
+        .select(col("_metadata.file_path").as("_graft_f") +: keys.map(col): _*)
+        .join(ks, keys, "left_semi")
+        .select(regexp_extract(col("_graft_f"),
+          s"/((?:_graft_p_[^/]+/)+$BucketCol=\\d+)/[^/]+$$", 1).as("_graft_leaf"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val affected = holders ++
+      (if (isDelete) Set.empty[String] else composedLeafNames(changes))
+    if (isDelete && affected.isEmpty) return // nothing held these keys
+    val affectedDirs = current.filter(e =>
+      e._1 == "pb" && affected.contains(scopeOf(e._2)))
+    val base =
+      if (affectedDirs.isEmpty) None
+      else Some(readDirs(affectedDirs.map(_._2)))
+    val result =
+      if (isDelete) base.map(_.join(ks, keys, "left_anti")).getOrElse(return)
+      else base match {
+        case None => changes
+        case Some(b) =>
+          changes.unionByName(b.join(ks, keys, "left_anti"),
+            allowMissingColumns = true)
+      }
+    // cell scopes are only HALF value-addressed: the bucket half is a
+    // pure key hash, but a key concurrently upserted under ANOTHER
+    // partition lands in a disjoint cell of the SAME bucket — so the
+    // rebase validates the winner added no rows for this batch's
+    // keys, exactly like the plain partitioned layout
+    commitScoped(current, affected, writeComposed(result),
+      { case (t, d) => if (t == "pb") Some(scopeOf(d)) else None },
+      validateKeys = Some(ks))
+    ()
+  }
+
+  /** Composed-MOR housekeeping: fold the flat deltas into ONLY the
+    * dirty (partition × bucket) cells — the delta keys' buckets cut
+    * the holder scan exactly as in [[composedMerge]], and new rows
+    * land in their own cells. Untouched cells carry over verbatim.
+    */
+  private def compactComposed(): Unit = {
+    val es = entries()
+    val deltaEntries = es.filter(_._1 == "delta")
+    if (deltaEntries.isEmpty) return
+    val pbEntries = es.filter(_._1 == "pb")
+    def scopeOf(d: String): String = d.split("/", 2)(1)
+    val deltas = readDirs(deltaEntries.map(_._2))
+    val ks = keySet(deltas, dedup = true)
+    val bs = affectedBuckets(deltas)
+    val candidates = pbEntries.filter(e => bucketIdOf(e._2).exists(bs.contains))
+    val holders: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readDirs(candidates.map(_._2))
+        .select(col("_metadata.file_path").as("_graft_f") +: keys.map(col): _*)
+        .join(ks, keys, "left_semi")
+        .select(regexp_extract(col("_graft_f"),
+          s"/((?:_graft_p_[^/]+/)+$BucketCol=\\d+)/[^/]+$$", 1).as("_graft_leaf"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val live =
+      if (deltas.columns.contains(Tombstone))
+        deltas.filter(!coalesce(col(Tombstone), lit(false)))
+      else deltas
+    val landing: Set[String] =
+      if (partitionCols.forall(live.columns.contains)) composedLeafNames(live)
+      else {
+        // tombstone-only deltas carry no partition columns; a LIVE
+        // row could only come from an upsert delta, type-gated to
+        // include them
+        require(live.isEmpty, s"delta rows lack partition columns $partitionCols")
+        Set.empty
+      }
+    val dirty = holders ++ landing
+    if (dirty.isEmpty) {
+      commit(ledgerEntries(es) ++ pbEntries)
+      return
+    }
+    val dirtyPb = pbEntries.filter(e => dirty.contains(scopeOf(e._2)))
+    val untouched = pbEntries.filterNot(e => dirty.contains(scopeOf(e._2)))
+    val reconciled = readEntries(dirtyPb ++ deltaEntries)
+    val dropped = MergeTable.readMeta(root).map(_.droppedColumns).getOrElse(Nil)
+      .filter(reconciled.columns.contains)
+    val result = if (dropped.isEmpty) reconciled else reconciled.drop(dropped: _*)
+    commit(ledgerEntries(es) ++ untouched ++ writeComposed(result))
+  }
+
   /** Fold deltas into the base (MOR housekeeping). Bucketed tables
     * compact ONLY the buckets the pending deltas touch — at 100 TB a
     * compaction pays for the dirty buckets, not the table.
     */
   def compact(): Unit =
-    if (numBuckets.isDefined && mode == MergeTable.DeletionVectors) compactDvBuckets()
+    if (composed) compactComposed()
+    else if (numBuckets.isDefined && mode == MergeTable.DeletionVectors) compactDvBuckets()
     else if (numBuckets.isDefined) compactBuckets()
     else if (partitionCols.nonEmpty) compactPartitioned()
     else {
@@ -2147,6 +2334,8 @@ final class MergeTable(
     val dataEs = es.filterNot(_._1 == "ing")
     if (dataEs.exists(e => e._1 == "delta" || e._1 == "dv"))
       return currentFileCount()
+    if (composed)
+      return optimizeComposedDirs(es, targetBytes, keepLeaf)
     if (numBuckets.isDefined)
       return optimizeBucketDirs(es, targetBytes, keepLeaf)
     if (partitionCols.nonEmpty)
@@ -2244,6 +2433,46 @@ final class MergeTable(
     currentFileCount()
   }
 
+  /** Cell-scoped bin-packing on the composed layout (the
+    * partitioned × bucketed twin of [[optimizeBucketDirs]]): each
+    * selected fragmented (partition × bucket) cell coalesces with its
+    * own O(cell) job, untouched cells keep their directories
+    * verbatim, and the commit is CELL-SCOPED so concurrent
+    * disjoint-cell writers rebase instead of conflicting (the rewrite
+    * adds no rows, so no key validation is needed).
+    */
+  private def optimizeComposedDirs(es: Seq[(String, String)], targetBytes: Long,
+      keepLeaf: String => Boolean): Int = {
+    def leafOf(d: String): String = d.split("/", 2)(1)
+    def wantOf(d: String): (Int, Int) = {
+      val fs = FileStats.listParquetFiles(dataDir.resolve(d))
+      val total = fs.map(f => Files.size(f)).sum
+      (fs.size, math.max(1, math.ceil(total.toDouble / targetBytes).toInt))
+    }
+    val dropped = MergeTable.readMeta(root).map(_.droppedColumns).getOrElse(Nil)
+    // stat each dir ONCE and carry want into the rewrite (see
+    // optimizeBucketDirs for why)
+    val toRewrite = es.filter(e => e._1 == "pb" && keepLeaf(leafOf(e._2)))
+      .map { case (t, d) => (t, d, wantOf(d)) }
+      .collect { case (t, d, (n, want)) if n > want => (d, want) }
+    if (toRewrite.nonEmpty) {
+      val updated = toRewrite.flatMap { case (d, want) =>
+        val src0 = readDirs(Seq(d))
+        val src = dropped.filter(src0.columns.contains) match {
+          case Nil => src0
+          case ds => src0.drop(ds: _*)
+        }
+        // each source dir is ONE cell, so the composed write emits
+        // exactly one leaf back
+        writeComposed(src.repartition(want))
+      }
+      commitScoped(es, toRewrite.map(r => leafOf(r._1)).toSet, updated,
+        { case (t, d) => if (t == "pb") Some(leafOf(d)) else None },
+        validateKeys = None)
+    }
+    currentFileCount()
+  }
+
   /** Metadata-only per-bucket summary (`SHOW PARTITIONS` on a
     * hash-bucketed table): one row per bucket — spec `bucket=<i>`,
     * file count, EXACT row count when every file has footer stats
@@ -2254,17 +2483,26 @@ final class MergeTable(
   def bucketSummary(): Seq[(String, Long, Option[Long], Long)] = {
     require(numBuckets.isDefined, s"table at $root is not hash-bucketed")
     val es = entries()
-    val perBucket = es.filter(_._1.matches("b\\d+"))
-      .sortBy(_._1.stripPrefix("b").toLong)
-      .map { case (tag, d) =>
-        val base = dataDir.resolve(d)
-        val files = FileStats.listParquetFiles(base)
-        val rows = FileStats.readFull(rootPath, d).flatMap { full =>
-          val metas = files.map(f => full.get(base.relativize(f).toString))
-          if (metas.exists(_.isEmpty)) None else Some(metas.flatten.map(_.rows).sum)
+    // composed layouts attribute each pb cell to its bucket id, so a
+    // bucket's row folds across every partition it appears in
+    val dirsByBucket =
+      es.filter(_._1.matches("b\\d+"))
+        .map(e => (e._1.stripPrefix("b").toLong, e._2)) ++
+        es.filter(_._1 == "pb").flatMap(e => bucketIdOf(e._2).map(_ -> e._2))
+    val perBucket = dirsByBucket.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (i, tagged) =>
+        val stats = tagged.map { case (_, d) =>
+          val base = dataDir.resolve(d)
+          val files = FileStats.listParquetFiles(base)
+          val rows = FileStats.readFull(rootPath, d).flatMap { full =>
+            val metas = files.map(f => full.get(base.relativize(f).toString))
+            if (metas.exists(_.isEmpty)) None else Some(metas.flatten.map(_.rows).sum)
+          }
+          (files.size.toLong, rows, files.map(f => Files.size(f)).sum)
         }
-        (s"bucket=${tag.stripPrefix("b")}", files.size.toLong, rows,
-          files.map(f => Files.size(f)).sum)
+        (s"bucket=$i", stats.map(_._1).sum,
+          if (stats.exists(_._2.isEmpty)) None else Some(stats.flatMap(_._2).sum),
+          stats.map(_._3).sum)
       }
     val deltas = es.filter(_._1 == "delta")
     val deltaRow =
@@ -2288,10 +2526,13 @@ final class MergeTable(
   def partitionSummary(): Seq[(String, Long, Option[Long], Long)] = {
     require(partitionCols.nonEmpty, s"table at $root is not value-partitioned")
     def leafOf(d: String): String = d.split("/", 2)(1)
+    // the composed layout's trailing bucket segment is not part of
+    // the partition spec — its cells fold into their partition's row
     def specOf(leaf: String): String =
-      leaf.split('/').map(_.stripPrefix(PartPrefix)).mkString("/")
+      leaf.split('/').filter(_.startsWith(PartPrefix))
+        .map(_.stripPrefix(PartPrefix)).mkString("/")
     val es = entries()
-    val perLeaf = es.filter(_._1 == "pv").map { case (_, d) =>
+    val perLeaf = es.filter(e => e._1 == "pv" || e._1 == "pb").map { case (_, d) =>
       val base = dataDir.resolve(d)
       val files = FileStats.listParquetFiles(base)
       val rows = FileStats.readFull(rootPath, d).flatMap { full =>

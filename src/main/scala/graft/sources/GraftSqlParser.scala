@@ -207,7 +207,33 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
       val meta = MergeTable.readMeta(path).getOrElse(
         throw new IllegalArgumentException(s"no mergetable at $path"))
       val eqs = GraftSqlParser.parsePartitionEqualities(w)
-      if (meta.numBuckets.isDefined) {
+      if (meta.numBuckets.isDefined && meta.partitionCols.nonEmpty) {
+        // composed layout: partition equalities and/or bucket = <id>,
+        // conjoined — a leaf is `<partition segs>/_graft_bucket=<i>`
+        val (bucketEqs, partEqs) = eqs.partition(_._1.equalsIgnoreCase("bucket"))
+        val ids = bucketEqs.map { case (_, v) =>
+          if (v.isEmpty || !v.forall(_.isDigit))
+            throw new IllegalArgumentException(
+              s"OPTIMIZE ... WHERE bucket = <id> needs an integer id, got '$v'")
+          v.toLong
+        }.toSet
+        if (ids.size > 1)
+          throw new IllegalArgumentException(
+            s"OPTIMIZE ... WHERE bucket = <id> takes exactly one bucket; " +
+              s"got contradictory ids (${ids.toSeq.sorted.mkString(", ")})")
+        val cols = partEqs.map { case (c, v) =>
+          meta.partitionCols.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"OPTIMIZE ... WHERE supports partition columns and 'bucket' " +
+                s"only; '$c' is not one of (${meta.partitionCols.mkString(", ")})")) -> v
+        }
+        leaf =>
+          ids.forall(i => leaf.endsWith(s"/_graft_bucket=$i")) &&
+            cols.forall { case (c, v) =>
+              PartitionFilters.exact(leaf, meta.partitionCols,
+                org.apache.spark.sql.sources.EqualTo(c, v)).contains(true)
+            }
+      } else if (meta.numBuckets.isDefined) {
         val ids = eqs.map { case (c, v) =>
           if (!c.equalsIgnoreCase("bucket"))
             throw new IllegalArgumentException(
@@ -341,9 +367,13 @@ case class MergeTableShowPartitionsCommand(catalogName: String,
     if (!t.exists) Seq.empty
     else {
       // a bucketed table's operational units are its buckets — report
-      // them with the same (spec, files, rows, bytes) shape
+      // them with the same (spec, files, rows, bytes) shape; a
+      // COMPOSED table's partitions are its VALUE partitions (each
+      // row folding that partition's bucket cells)
       val summary =
-        if (meta.numBuckets.isDefined) t.bucketSummary() else t.partitionSummary()
+        if (meta.numBuckets.isDefined && meta.partitionCols.isEmpty)
+          t.bucketSummary()
+        else t.partitionSummary()
       summary.map { case (spec, nf, rows, bytes) =>
         Row(spec, nf, rows.map(Long.box).orNull, bytes)
       }

@@ -137,6 +137,12 @@ private[sources] class MergeTableBatchScan(
   override def filterAttributes(): Array[NamedReference] = {
     val bucketKeys = if (relation.numBuckets.isDefined) relation.keys else Nil
     (bucketKeys ++ relation.partitionCols).distinct
+      // only columns the pruned scan still OUTPUTS: Spark resolves
+      // these against the scan relation's (column-pruned) output and
+      // throws on a miss — advertising a projected-away partition
+      // column would fail ANY join over the table at planning time,
+      // not just skip runtime filtering
+      .filter(requiredSchema.fieldNames.contains)
       .map(Expressions.column).toArray
   }
 

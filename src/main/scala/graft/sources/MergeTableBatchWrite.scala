@@ -63,7 +63,14 @@ class MergeTableBatchWrite(
     meta.numBuckets.isDefined || meta.partitionCols.nonEmpty
 
   override def requiredDistribution(): Distribution =
-    if (meta.numBuckets.isDefined)
+    if (meta.numBuckets.isDefined && meta.partitionCols.nonEmpty)
+      // composed seed: cluster by the full cell id — identity over
+      // the partition columns AND the key-hash bucket, so each task
+      // holds whole (partition × bucket) cells
+      Distributions.clustered(
+        meta.partitionCols.map(c => Expressions.identity(c): V2Expression).toArray :+
+          (Expressions.bucket(meta.numBuckets.get, meta.keys: _*): V2Expression))
+    else if (meta.numBuckets.isDefined)
       Distributions.clustered(
         Array(Expressions.bucket(meta.numBuckets.get, meta.keys: _*)))
     else if (meta.partitionCols.nonEmpty)
@@ -95,7 +102,11 @@ class MergeTableBatchWrite(
       val owf = new ParquetFileFormat()
         .prepareWrite(spark, job, Map.empty, writeSchema)
       val layout: GraftWriteLayout =
-        if (meta.numBuckets.isDefined)
+        if (meta.numBuckets.isDefined && meta.partitionCols.nonEmpty)
+          GraftWriteLayout.Composed(meta.numBuckets.get,
+            meta.keys.map(k => writeSchema.fieldIndex(k)),
+            meta.partitionCols.map(c => writeSchema.fieldIndex(c)))
+        else if (meta.numBuckets.isDefined)
           GraftWriteLayout.Bucketed(meta.numBuckets.get,
             meta.keys.map(k => writeSchema.fieldIndex(k)))
         else if (meta.partitionCols.nonEmpty)
@@ -130,7 +141,9 @@ class MergeTableBatchWrite(
         if (seedLayout && table.exists)
           throw new CommitConflictException(
             s"concurrent first write to $path: another writer seeded the layout")
-        if (meta.numBuckets.isDefined) table.commitStagedBucketedSeed(stagingRel)
+        if (meta.numBuckets.isDefined && meta.partitionCols.nonEmpty)
+          table.commitStagedComposedSeed(stagingRel)
+        else if (meta.numBuckets.isDefined) table.commitStagedBucketedSeed(stagingRel)
         else if (meta.partitionCols.nonEmpty) table.commitStagedPartitionedSeed(stagingRel)
         else if (overwrite) table.commitStagedOverwrite(stagingRel)
         else table.commitStagedAppend(stagingRel)
@@ -191,6 +204,10 @@ object GraftWriteLayout {
   case object Flat extends GraftWriteLayout
   final case class Bucketed(n: Int, keyOrdinals: Seq[Int]) extends GraftWriteLayout
   final case class Partitioned(partOrdinals: Seq[Int]) extends GraftWriteLayout
+  /** Partition dirs nesting per-bucket subdirs — one leaf per
+    * (partition tuple × key-hash bucket) cell. */
+  final case class Composed(n: Int, keyOrdinals: Seq[Int], partOrdinals: Seq[Int])
+    extends GraftWriteLayout
 
   /** Partition column types whose dir-name rendering is exact — the
     * same restriction MergeTable.requirePartitionable enforces.
@@ -248,31 +265,41 @@ class GraftDataWriter(
   private var rows = 0L
   private var closed = false
 
+  // seed-chained xxhash64 over the key columns, null-skipping —
+  // byte-identical to MergeTable.bucketExpr (pmod(xxhash64, n))
+  private def bucketRoute(n: Int, ords: Seq[Int]): InternalRow => String = {
+    val types: Seq[DataType] = ords.map(o => schema(o).dataType)
+    row => {
+      var h = 42L
+      var i = 0
+      while (i < ords.length) {
+        val v = row.get(ords(i), types(i))
+        if (v != null) h = XxHash64Function.hash(v, types(i), h)
+        i += 1
+      }
+      s"${MergeTable.BucketColName}=${((h % n) + n) % n}"
+    }
+  }
+
+  private def partitionRoute(ords: Seq[Int]): InternalRow => String = {
+    val fields = ords.map(o => schema(o))
+    row => ords.zip(fields).map { case (o, f) =>
+      val v = row.get(o, f.dataType)
+      val rendered =
+        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(v.toString)
+      s"${MergeTable.PartPrefixName}${f.name}=$rendered"
+    }.mkString("/")
+  }
+
   private val route: InternalRow => String = layout match {
     case GraftWriteLayout.Flat => _ => ""
-    case GraftWriteLayout.Bucketed(n, ords) =>
-      val types: Seq[DataType] = ords.map(o => schema(o).dataType)
-      row => {
-        // seed-chained xxhash64 over the key columns, null-skipping —
-        // byte-identical to MergeTable.bucketExpr (pmod(xxhash64, n))
-        var h = 42L
-        var i = 0
-        while (i < ords.length) {
-          val v = row.get(ords(i), types(i))
-          if (v != null) h = XxHash64Function.hash(v, types(i), h)
-          i += 1
-        }
-        s"${MergeTable.BucketColName}=${((h % n) + n) % n}"
-      }
-    case GraftWriteLayout.Partitioned(ords) =>
-      val fields = ords.map(o => schema(o))
-      row => ords.zip(fields).map { case (o, f) =>
-        val v = row.get(o, f.dataType)
-        val rendered =
-          if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-          else ExternalCatalogUtils.escapePathName(v.toString)
-        s"${MergeTable.PartPrefixName}${f.name}=$rendered"
-      }.mkString("/")
+    case GraftWriteLayout.Bucketed(n, ords) => bucketRoute(n, ords)
+    case GraftWriteLayout.Partitioned(ords) => partitionRoute(ords)
+    case GraftWriteLayout.Composed(n, keyOrds, partOrds) =>
+      val parts = partitionRoute(partOrds)
+      val bucket = bucketRoute(n, keyOrds)
+      row => s"${parts(row)}/${bucket(row)}"
   }
 
   private def open(sub: String, seq: Int) = {

@@ -139,8 +139,13 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces
         "CREATE TABLE requires TBLPROPERTIES('keys'='pk1[,pk2…]')"))
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"primary key column '$k' is not in the schema"))
-    require(partitionCols.isEmpty || props.get("buckets").isEmpty,
-      "value partitioning does not compose with hash bucketing")
+    // PARTITIONED BY + TBLPROPERTIES('buckets') COMPOSE: rows land in
+    // (partition × key-hash bucket) cells — the Iceberg
+    // `PARTITIONED BY (date, bucket(n, id))` shape. dv mode is the
+    // one write mode partitioning (composed or not) refuses.
+    require(partitionCols.isEmpty || props.get("buckets").isEmpty ||
+      props.getOrElse("mode", MergeTable.CopyOnWrite) != MergeTable.DeletionVectors,
+      "partitioned × bucketed composes with copy-on-write or merge-on-read only")
     val meta = MergeTable.Meta(
       keys,
       props.getOrElse("mode", MergeTable.CopyOnWrite),

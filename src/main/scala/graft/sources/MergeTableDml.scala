@@ -44,7 +44,17 @@ import org.apache.spark.sql.functions.col
 class ResolveMergeTableDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
-    case m: MergeIntoTable if m.targetTable.resolved && m.sourceTable.resolved =>
+    // the CONDITION must be resolved too, not just the children: a
+    // multi-iteration source (an inline UNION subquery) leaves the ON
+    // clause unresolved for one more analyzer pass, and judging
+    // `'t.id = 's.id` then would mis-reject it (UnresolvedAttribute IS
+    // an Attribute, so the outputSet side checks all read false).
+    // Resolution is a fixed point — skipping this iteration just means
+    // firing on the next one; a condition that never resolves surfaces
+    // as the analyzer's own UNRESOLVED_COLUMN error, which names the
+    // real problem
+    case m: MergeIntoTable if m.targetTable.resolved && m.sourceTable.resolved &&
+        m.mergeCondition.resolved =>
       mergeTarget(m.targetTable) match {
         case Some(rel) => rewriteMerge(m, rel)
         case None => m

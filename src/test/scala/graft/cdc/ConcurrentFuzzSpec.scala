@@ -151,4 +151,17 @@ class ConcurrentFuzzSpec extends SparkSpec {
       MergeTable.createIfAbsent(spark, root, Seq("id"), initial = Some(seed),
         partitionCols = Seq("grp")))
   }
+
+  test("fuzz: composed partitioned × bucketed (cell-scoped rebases)") {
+    runFuzz("pb", 6, (root, seed) =>
+      MergeTable.createIfAbsent(spark, root, Seq("id"), initial = Some(seed),
+        numBuckets = Some(4), partitionCols = Seq("grp")))
+  }
+
+  test("fuzz: composed MOR (flat deltas over cells)") {
+    runFuzz("pb_mor", 7, (root, seed) =>
+      MergeTable.createIfAbsent(spark, root, Seq("id"), initial = Some(seed),
+        mode = MergeTable.MergeOnRead, numBuckets = Some(4),
+        partitionCols = Seq("grp")))
+  }
 }

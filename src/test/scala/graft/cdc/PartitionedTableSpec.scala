@@ -152,11 +152,14 @@ class PartitionedTableSpec extends SparkSpec {
         partitionCols = Seq("score"))
     }
     assert(floatCol.getMessage.contains("partition column"))
+    // buckets × partitions COMPOSE since r12 (ComposedLayoutSpec);
+    // what still refuses is composing either with deletion vectors
     val both = intercept[IllegalArgumentException] {
       new MergeTable(spark, fresh("badboth"), Seq("id"),
-        numBuckets = Some(4), partitionCols = Seq("grp"))
+        MergeTable.DeletionVectors, numBuckets = Some(4),
+        partitionCols = Seq("grp"))
     }
-    assert(both.getMessage.contains("bucketing"))
+    assert(both.getMessage.contains("copy-on-write or merge-on-read"))
     val dv = intercept[IllegalArgumentException] {
       new MergeTable(spark, fresh("baddv"), Seq("id"),
         MergeTable.DeletionVectors, partitionCols = Seq("grp"))

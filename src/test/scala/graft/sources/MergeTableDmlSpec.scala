@@ -19,6 +19,24 @@ class MergeTableDmlSpec extends SparkSpec {
     spark.read.format("mergetable").option("path", root).load()
       .createOrReplaceTempView(name)
 
+  test("MERGE USING an inline subquery source (multi-iteration resolution)") {
+    // an inline UNION source leaves the ON clause unresolved for one
+    // extra analyzer pass; the rule must wait for it instead of
+    // mis-judging `'t.id = 's.id` (regression: UnresolvedAttribute IS
+    // an Attribute, so the premature side checks all read false and
+    // the merge was rejected as a non-key condition)
+    val (_, t) = freshTable("merge_subquery")
+    view(t.root, "dml_subq_target")
+    spark.sql("""MERGE INTO dml_subq_target t USING
+                 (SELECT 2L AS id, 'B' AS name, 200L AS v
+                  UNION ALL SELECT 4L, 'd', 40L) s
+                 ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(t.read().orderBy("id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
   test("SQL MERGE INTO: UPDATE SET * / INSERT * is a transactional upsert") {
     val (root, t) = freshTable("merge_upsert")
     view(root, "dml_target")
