@@ -458,6 +458,52 @@ object CdcQueries extends QueryModule {
     out
   }
 
+  /** DYNAMIC partition overwrite through the catalog (r12): seed a
+    * value-partitioned table, then `INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic` with a source covering ONE
+    * partition (its own users reweighted — their keys live only
+    * there, so the PK guard stays quiet). The staged v2 write must
+    * replace exactly that partition and carry every other one
+    * verbatim; the oracle recomputes the expected table with a CASE.
+    */
+  private def dynamicOverwriteGate(s: SparkSession, dir: String): DataFrame = {
+    val base = latestPerUser(events(s, dir))
+      .select("user_id", "event_id", "event_type", "value")
+    val tbl = "dynow_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+    s.sql(s"DROP TABLE IF EXISTS graft.gate.$tbl")
+    s.sql(s"""CREATE TABLE graft.gate.$tbl
+              (user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE)
+              TBLPROPERTIES('keys'='user_id') PARTITIONED BY (event_type)""")
+    base.createOrReplaceTempView("graft_dynow_base")
+    s.sql(s"INSERT INTO graft.gate.$tbl SELECT * FROM graft_dynow_base")
+    val minType = base.agg(min("event_type")).head().getString(0)
+    base.filter(col("event_type") === minType)
+      .withColumn("value", round(col("value") * 2, 2))
+      .createOrReplaceTempView("graft_dynow_src")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try s.sql(s"INSERT OVERWRITE graft.gate.$tbl SELECT * FROM graft_dynow_src")
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    s.table(s"graft.gate.$tbl")
+      .select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+  }
+
+  private val dynamicOverwriteSql =
+    """WITH base AS (
+      |  SELECT user_id, event_id, event_type, value FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1)
+      |SELECT user_id, event_id, event_type,
+      |  CASE WHEN event_type = (SELECT min(event_type) FROM base)
+      |       THEN round(value * 2, 2) ELSE value END AS value
+      |FROM base ORDER BY user_id""".stripMargin
+
   /** SHALLOW CLONE lifecycle: seed a table, zero-copy clone it, apply
     * the change batch to the CLONE, read the clone back. Same oracle
     * as the plain upsert — the clone must behave exactly like a real
@@ -1143,6 +1189,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert_partial", applyUpsertPartialViaSql, Some(applyUpsertPartialSql)),
     QueryDef("cdc_apply_merge_conditional", applyMergeConditional, Some(applyMergeConditionalSql)),
     QueryDef("cdc_apply_upsert_catalog", applyUpsertViaCatalog, Some(applyUpsertSql)),
+    QueryDef("cdc_dynamic_overwrite", dynamicOverwriteGate, Some(dynamicOverwriteSql)),
     QueryDef("catalog_spj_join", catalogSpjJoin, Some(catalogSpjJoinSql)),
     QueryDef("catalog_ctas_clustered", catalogCtasClustered, Some(catalogCtasClusteredSql)),
     QueryDef("catalog_dv_batch_read", catalogDvBatchRead, Some(catalogDvBatchReadSql)),

@@ -1395,6 +1395,67 @@ final class MergeTable(
     ()
   }
 
+  /** Commit an externally-staged DYNAMIC partition overwrite: the
+    * staged leaves REPLACE exactly the partitions present in the
+    * staged data (all their cells on a composed layout — buckets the
+    * source skipped drop with their partition); untouched partitions
+    * carry over verbatim, and the commit is partition-scoped so
+    * disjoint-partition writers rebase. Two loud refusals guard the
+    * semantics: pending MOR deltas (flat, not partition-attributable
+    * — compact first), and a staged key already living in an
+    * UNTOUCHED partition (partition replacement never reaches other
+    * partitions, so the table would end up with a duplicated primary
+    * key; cover that partition in the source or use MERGE INTO).
+    */
+  private[graft] def commitStagedDynamicOverwrite(dir: String): Unit = {
+    require(partitionCols.nonEmpty,
+      "dynamic partition overwrite requires a value-partitioned layout")
+    val tag = if (composed) "pb" else "pv"
+    val leaves =
+      if (composed) listComposedLeaves(dataDir.resolve(dir))
+      else listPartitionLeaves(dataDir.resolve(dir), partitionCols.size)
+    leaves.foreach(rel => recordStats(s"$dir/$rel"))
+    val updated = leaves.sorted.map(rel => tag -> s"$dir/$rel")
+    if (!exists) { commit(updated); return }
+    val es = entries()
+    require(!es.exists(_._1 == "delta"),
+      s"dynamic partition overwrite on $root requires compaction first: " +
+        "pending MOR deltas are not partition-attributable")
+    require(es.forall(e => e._1 == tag || e._1 == "ing"),
+      s"table at $root has a different layout than its metadata declares")
+    def partOf(d: String): String =
+      d.split("/", 2)(1).split('/').filter(_.startsWith(PartPrefix)).mkString("/")
+    val replaced = updated.map(e => partOf(e._2)).toSet
+    val untouched = es.filter(e => e._1 == tag && !replaced.contains(partOf(e._2)))
+    lazy val stagedKeys =
+      keySet(readDirs(Seq(dir)).select(keys.map(col): _*), dedup = true)
+    if (untouched.nonEmpty) {
+      // composed layouts cut the clash scan by the key hash first: a
+      // staged key can only hide in its own bucket's cells, whatever
+      // the partition — |staged buckets| cells per untouched
+      // partition, not the partition
+      val scanEs =
+        if (composed) {
+          val bs = affectedBuckets(readDirs(Seq(dir)))
+          untouched.filter(e => bucketIdOf(e._2).exists(bs.contains))
+        } else untouched
+      val clash =
+        if (scanEs.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else readDirs(scanEs.map(_._2))
+          .join(stagedKeys, keys, "left_semi")
+          .select(keys.map(col): _*).limit(1).collect()
+      require(clash.isEmpty,
+        s"dynamic partition overwrite would duplicate primary key " +
+          s"(${keys.mkString(", ")}) = ${clash.mkString(", ")}: it lives in " +
+          "a partition the source does not overwrite — cover that partition " +
+          "in the source or use MERGE INTO for row-level movement")
+    }
+    commitScoped(es, replaced, updated,
+      { case (t, d) => if (t == tag) Some(partOf(d)) else None },
+      validateKeys = Some(stagedKeys))
+    ()
+  }
+
   /** Incremental file ingest — the COPY INTO / Auto Loader shape:
     * load ONLY the source-dir files not yet ingested, appending their
     * rows and the updated file ledger in ONE atomic commit, so each

@@ -165,30 +165,110 @@ class MergeTableBatchWrite(
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       deleteRecursively(stagingAbs)
 
-    /** Remove files no committed task reported (failed or speculative
-      * attempts whose own abort never ran) — the manifest is
-      * dir-granular, so a stray file would otherwise be read as data.
-      */
-    private def purgeStrays(keep: Set[String]): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (!Files.exists(stagingAbs)) return
-      // Files.walk returns a live stream backed by open directory
-      // handles — materialize under Using so the driver doesn't leak
-      // an fd per v2 commit.
-      scala.util.Using.resource(Files.walk(stagingAbs)) { walk =>
-        walk.iterator().asScala
-          .filter(p => Files.isRegularFile(p))
-          .filterNot(p => keep.contains(stagingAbs.relativize(p).toString.replace('\\', '/')))
-          .toSeq
-      }.foreach(Files.deleteIfExists(_))
+    private def purgeStrays(keep: Set[String]): Unit =
+      StagedFiles.purgeStrays(stagingAbs, keep)
+    private def deleteRecursively(p: Path): Unit =
+      StagedFiles.deleteRecursively(p)
+  }
+}
+
+/** Staging-dir hygiene shared by the v2 writes. */
+private[sources] object StagedFiles {
+  /** Remove files no committed task reported (failed or speculative
+    * attempts whose own abort never ran) — the manifest is
+    * dir-granular, so a stray file would otherwise be read as data.
+    */
+  def purgeStrays(stagingAbs: Path, keep: Set[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(stagingAbs)) return
+    // Files.walk returns a live stream backed by open directory
+    // handles — materialize under Using so the driver doesn't leak
+    // an fd per v2 commit.
+    scala.util.Using.resource(Files.walk(stagingAbs)) { walk =>
+      walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filterNot(p => keep.contains(stagingAbs.relativize(p).toString.replace('\\', '/')))
+        .toSeq
+    }.foreach(Files.deleteIfExists(_))
+  }
+
+  def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(p)) return
+    scala.util.Using.resource(Files.walk(p))(_.iterator().asScala.toSeq)
+      .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+  }
+}
+
+/** DYNAMIC partition overwrite through the true v2 write
+  * (`SupportsDynamicOverwrite` → `OverwritePartitionsDynamic`):
+  * executors demux the source rows into staged partition leaves
+  * (bucket subdirs too on a composed layout), and the driver commits
+  * ONE atomic manifest that replaces exactly the partitions present
+  * in the staged data — untouched partitions carry over verbatim,
+  * the Hive/Iceberg dynamic-overwrite contract. An empty source
+  * replaces nothing (dynamic semantics: only partitions WITH data
+  * overwrite — the truncate form is the replace-all surface).
+  *
+  * The table's PRIMARY-KEY invariant survives by validation, not by
+  * luck: a staged key already living in an UNTOUCHED partition would
+  * end up duplicated (partition replacement never reaches other
+  * partitions), so the commit refuses loudly — rewrite the source to
+  * cover the key's current partition, or use MERGE for row-level
+  * movement. Spark executes OverwritePartitionsDynamic only as a v2
+  * write (no V1 fallback exec exists), which is why this class must
+  * exist for the statement to be servable at all.
+  */
+class MergeTableDynamicOverwrite(
+    path: String,
+    meta: MergeTable.Meta,
+    writeSchema: StructType) extends V2WriteLike {
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(
+      (meta.partitionCols.map(c => Expressions.identity(c): V2Expression) ++
+        meta.numBuckets.map(n =>
+          Expressions.bucket(n, meta.keys: _*): V2Expression)).toArray)
+
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def description(): String =
+    s"MergeTableDynamicOverwrite $path ${requiredDistribution()}"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private def spark = SparkSession.active
+    private def table = new MergeTable(spark, path, meta.keys, meta.mode,
+      meta.numBuckets, partitionCols = meta.partitionCols)
+
+    private lazy val (stagingRel, stagingAbs) = table.allocateStagingDir()
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+      val job = Job.getInstance(spark.sessionState.newHadoopConf())
+      val owf = new ParquetFileFormat()
+        .prepareWrite(spark, job, Map.empty, writeSchema)
+      val layout: GraftWriteLayout = meta.numBuckets match {
+        case Some(n) => GraftWriteLayout.Composed(n,
+          meta.keys.map(k => writeSchema.fieldIndex(k)),
+          meta.partitionCols.map(c => writeSchema.fieldIndex(c)))
+        case None => GraftWriteLayout.Partitioned(
+          meta.partitionCols.map(c => writeSchema.fieldIndex(c)))
+      }
+      new GraftDataWriterFactory(writeSchema, stagingAbs.toString, layout,
+        owf, new SerializableConfiguration(job.getConfiguration),
+        spark.sessionState.conf.maxRecordsPerFile)
     }
 
-    private def deleteRecursively(p: Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (!Files.exists(p)) return
-      scala.util.Using.resource(Files.walk(p))(_.iterator().asScala.toSeq)
-        .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val committed = messages.collect { case m: GraftCommitMessage => m }
+      val keep = committed.flatMap(_.relFiles).toSet
+      StagedFiles.purgeStrays(stagingAbs, keep)
+      if (keep.isEmpty) { StagedFiles.deleteRecursively(stagingAbs); return }
+      table.commitStagedDynamicOverwrite(stagingRel)
     }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      StagedFiles.deleteRecursively(stagingAbs)
   }
 }
 

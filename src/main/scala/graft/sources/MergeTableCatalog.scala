@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -245,6 +245,14 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     * A seed-eligibility race (someone seeds after analysis) is
     * handled by the BatchWrite's conflict-recovery upsert.
     */
+  private lazy val partTypesOk: Boolean = meta.partitionCols.forall(c =>
+    schema.fields.find(_.name.equalsIgnoreCase(c))
+      .exists(f => GraftWriteLayout.partitionable(f.dataType)))
+
+  private lazy val metaPlainOk: Boolean =
+    meta.constraints.isEmpty && meta.droppedColumns.isEmpty &&
+      meta.renames.forall { case (l, p) => l == p }
+
   private lazy val v2WriteEligible: Boolean = {
     // judged from the meta snapshot this Table instance was LOADED
     // with (same freshness as everything else it serves) — re-reading
@@ -257,20 +265,51 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
           meta.mode, meta.numBuckets, partitionCols = meta.partitionCols)
         !t.exists
       }
-    val partTypesOk = meta.partitionCols.forall(c =>
-      schema.fields.find(_.name.equalsIgnoreCase(c))
-        .exists(f => GraftWriteLayout.partitionable(f.dataType)))
-    version.isEmpty && layoutSeedOk && partTypesOk &&
-      meta.constraints.isEmpty && meta.droppedColumns.isEmpty &&
-      meta.renames.forall { case (l, p) => l == p }
+    version.isEmpty && layoutSeedOk && partTypesOk && metaPlainOk
   }
 
-  override def capabilities(): util.Set[TableCapability] =
-    if (v2WriteEligible)
-      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE)
-    else
-      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+  /** DYNAMIC partition overwrite (`INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`) is a PURE
+    * partition-replacement — servable by a staged v2 write on any
+    * partitioned snapshot, POPULATED included (unlike appends, which
+    * need the scoped merge): the staged leaves replace exactly the
+    * partitions present in the source. Same file-write exclusions as
+    * the append path (constraints/mapping/time travel).
+    */
+  private lazy val dynamicOverwriteEligible: Boolean =
+    version.isEmpty && meta.partitionCols.nonEmpty && partTypesOk && metaPlainOk
+
+  /** Declared so `ResolveInsertInto` can tell a partitioned table
+    * from a flat one (the dynamic-overwrite decision keys off it);
+    * composed layouts also declare their bucket transform, the
+    * Iceberg `PARTITIONED BY (date, bucket(n, id))` rendering.
+    */
+  override def partitioning(): Array[Transform] =
+    if (meta.partitionCols.isEmpty) Array.empty
+    else (meta.partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c): Transform) ++
+      meta.numBuckets.map(n =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(n, meta.keys: _*): Transform)).toArray
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps =
+      if (v2WriteEligible)
+        util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+          TableCapability.TRUNCATE)
+      else
+        util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    if (dynamicOverwriteEligible) {
+      // appends on a POPULATED layout still build a V1Write (the
+      // scoped merge) — declaring BATCH_WRITE alongside is what lets
+      // OverwritePartitionsDynamic pass the capability check, and the
+      // planner picks the exec from the BUILT Write's type, so the
+      // two paths coexist
+      caps.add(TableCapability.BATCH_WRITE)
+      caps.add(TableCapability.OVERWRITE_DYNAMIC)
+    }
+    caps
+  }
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -525,11 +564,20 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     * different answer.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
       private var truncateFirst = false
+      private var dynamicOverwrite = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        require(dynamicOverwriteEligible,
+          s"dynamic partition overwrite on ${name()} requires a partitioned, " +
+            "constraint-free, unmapped table (no time travel)")
+        dynamicOverwrite = true; this
+      }
       override def build(): Write =
-        if (v2WriteEligible)
+        if (dynamicOverwrite)
+          new MergeTableDynamicOverwrite(path, meta, info.schema())
+        else if (v2WriteEligible)
           new MergeTableBatchWrite(path, meta, info.schema(),
             overwrite = truncateFirst)
         else {
