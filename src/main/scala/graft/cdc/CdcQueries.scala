@@ -504,6 +504,46 @@ object CdcQueries extends QueryModule {
       |       THEN round(value * 2, 2) ELSE value END AS value
       |FROM base ORDER BY user_id""".stripMargin
 
+  /** Write-audit-publish through the catalog (r12, Iceberg refs): the
+    * change batch MERGEs onto a WAP branch (`spark.graft.wap.branch`,
+    * auto-forked at the current head), main stays UNTOUCHED for the
+    * audit window — asserted loudly, a silent write-through would
+    * still hash-match after publish — and `ALTER TABLE … FAST
+    * FORWARD` publishes the branch. The published main state must
+    * equal a direct upsert, which is exactly what the oracle
+    * recomputes.
+    */
+  private def applyUpsertWapBranch(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).cache()
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    val base = latestPerUser(ev.filter(col("event_id") < cut))
+    val changes = latestPerUser(ev.filter(col("event_id") >= cut))
+    val tbl = "wap_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+    s.sql(s"DROP TABLE IF EXISTS graft.gate.$tbl")
+    s.sql(s"""CREATE TABLE graft.gate.$tbl
+              (user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE)
+              TBLPROPERTIES('keys'='user_id')""")
+    base.createOrReplaceTempView("graft_wap_base")
+    changes.createOrReplaceTempView("graft_wap_changes")
+    s.sql(s"INSERT INTO graft.gate.$tbl SELECT user_id, event_id, event_type, value FROM graft_wap_base")
+    val seeded = s.table(s"graft.gate.$tbl").count()
+    s.conf.set(MergeTable.WapBranchConf, "audit")
+    try {
+      s.sql(s"""MERGE INTO graft.gate.$tbl t USING graft_wap_changes s
+                ON t.user_id = s.user_id
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+    } finally s.conf.unset(MergeTable.WapBranchConf)
+    require(s.table(s"graft.gate.$tbl").count() == seeded,
+      "WAP leak: main advanced during the audit window")
+    s.sql(s"ALTER TABLE graft.gate.$tbl FAST FORWARD audit")
+    val out = s.table(s"graft.gate.$tbl")
+      .select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+    ev.unpersist()
+    out
+  }
+
   /** SHALLOW CLONE lifecycle: seed a table, zero-copy clone it, apply
     * the change batch to the CLONE, read the clone back. Same oracle
     * as the plain upsert — the clone must behave exactly like a real
@@ -1190,6 +1230,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_merge_conditional", applyMergeConditional, Some(applyMergeConditionalSql)),
     QueryDef("cdc_apply_upsert_catalog", applyUpsertViaCatalog, Some(applyUpsertSql)),
     QueryDef("cdc_dynamic_overwrite", dynamicOverwriteGate, Some(dynamicOverwriteSql)),
+    QueryDef("cdc_branch_wap", applyUpsertWapBranch, Some(applyUpsertSql)),
     QueryDef("catalog_spj_join", catalogSpjJoin, Some(catalogSpjJoinSql)),
     QueryDef("catalog_ctas_clustered", catalogCtasClustered, Some(catalogCtasClusteredSql)),
     QueryDef("catalog_dv_batch_read", catalogDvBatchRead, Some(catalogDvBatchReadSql)),

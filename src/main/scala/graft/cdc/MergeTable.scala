@@ -84,7 +84,18 @@ final class MergeTable(
     val mode: String = MergeTable.CopyOnWrite,
     val numBuckets: Option[Int] = None,
     val maxDeltas: Int = 8,
-    val partitionCols: Seq[String] = Nil) {
+    val partitionCols: Seq[String] = Nil,
+    val branch: String = MergeTable.MainBranch) {
+
+  // BRANCHES (Iceberg refs): a branch is a forked manifest LINEAGE —
+  // its own `branches/<name>/manifests/` dir seeded with a copy of the
+  // fork-point manifest, version numbering continuing the parent's.
+  // Data/stats/bloom dirs are shared (branch commits land new dirs in
+  // the same `data/`), so branching is O(1 manifest copy) and
+  // fast-forward is pure metadata. All mutators, time travel, and the
+  // change feed on a branch instance address the branch lineage
+  // unchanged — the ONE root of indirection is `manifestDir`.
+  require(MergeTable.validRefName(branch), s"invalid branch name '$branch'")
 
   // VALUE partitioning (the data-lake date-partition layout,
   // complementing hash buckets): rows live in per-value directories
@@ -124,8 +135,14 @@ final class MergeTable(
 
   private val rootPath = Paths.get(root)
   private val dataDir = rootPath.resolve("data")
-  private val manifestDir = rootPath.resolve("manifests")
-  private val pointer = rootPath.resolve("_LATEST")
+  private val branchesDir = rootPath.resolve("branches")
+  private val refsDir = rootPath.resolve("refs")
+  private val manifestDir =
+    if (branch == MergeTable.MainBranch) rootPath.resolve("manifests")
+    else branchesDir.resolve(branch).resolve("manifests")
+  private val pointer =
+    if (branch == MergeTable.MainBranch) rootPath.resolve("_LATEST")
+    else branchesDir.resolve(branch).resolve("_LATEST")
 
   private val Tombstone = "_graft_tombstone"
   // the ONE definition lives on the companion (shared with the DSv2
@@ -352,6 +369,12 @@ final class MergeTable(
         "the watermark rode its first commit, so a crash between commits " +
         "would lose the tail on replay — multi-commit ops must use txn()")
     onBeforeCommit()
+    // a branch lineage only accepts commits once createBranch recorded
+    // its fork — otherwise a typo'd branch name would silently start
+    // an EMPTY independent lineage instead of a fork
+    if (branch != MergeTable.MainBranch && baseVersion == 0)
+      require(Files.exists(branchesDir.resolve(branch).resolve("_FORK")),
+        s"branch '$branch' at $root was never created — run createBranch first")
     Files.createDirectories(manifestDir)
     persistMeta()
     val version = baseVersion + 1
@@ -2165,18 +2188,41 @@ final class MergeTable(
     */
   def expireSnapshots(keepLast: Int): Int = {
     require(keepLast >= 1, "expireSnapshots must keep at least the current snapshot")
-    val expired = versions().dropRight(keepLast)
+    // TAGGED versions are pinned retention points the user explicitly
+    // asked to keep (Iceberg's tag-retention rule) — expiry skips them,
+    // so a tag read never dangles
+    val pinned = tags().map(tagVersion).toSet
+    val expired = versions().dropRight(keepLast).filterNot(pinned.contains)
     expired.foreach(v => Files.deleteIfExists(manifestPath(v)))
     expired.length
   }
 
-  /** Remove data directories no longer referenced by the current
-    * manifest (Iceberg-style expire/vacuum). Readers of the current
-    * snapshot are unaffected; time travel to pre-vacuum manifests is
-    * given up, which is the standard retention trade-off.
+  /** Remove data directories no longer referenced by any REF — the
+    * current manifest, every branch head, and every tagged version
+    * (Iceberg-style expire/vacuum; data dirs are shared across
+    * branches, so reclamation must see all lineages). Readers of the
+    * current snapshot are unaffected; time travel to pre-vacuum,
+    * untagged manifests is given up — the standard retention
+    * trade-off.
     */
   def vacuum(): Int = {
-    val live = entries().map(_._2.split("/", 2)(0)).toSet
+    def headEntries(dir: Path): Seq[(String, String)] = {
+      val names = Option(dir.toFile.list()).getOrElse(Array.empty[String])
+        .filter(_.matches("v\\d+\\.txt"))
+      if (names.isEmpty) Nil
+      else parseManifest(dir.resolve(
+        names.maxBy(_.stripPrefix("v").stripSuffix(".txt").toLong)))
+    }
+    val mainDir = rootPath.resolve("manifests")
+    val refEntries: Seq[(String, String)] =
+      entries() ++ headEntries(mainDir) ++
+        branches().flatMap(b => headEntries(branchManifestDir(b))) ++
+        tags().flatMap { t =>
+          val m = mainDir.resolve(f"v${tagVersion(t)}%05d.txt")
+          if (Files.exists(m)) parseManifest(m) else Nil
+        }
+    val live = refEntries.filterNot(e => e._1 == "txn" || e._1 == "ref")
+      .map(_._2.split("/", 2)(0)).toSet
     val onDisk = Option(dataDir.toFile.list()).getOrElse(Array.empty)
     val orphans = onDisk.filterNot(live.contains)
     val statsDir = rootPath.resolve("stats")
@@ -2196,6 +2242,187 @@ final class MergeTable(
       }
     }
     orphans.length
+  }
+
+  // -- branches & tags (Iceberg refs) ---------------------------------------
+
+  private def branchManifestDir(name: String): Path =
+    branchesDir.resolve(name).resolve("manifests")
+
+  private def manifestVersionsIn(dir: Path): Seq[Long] =
+    Option(dir.toFile.list()).getOrElse(Array.empty[String])
+      .filter(_.matches("v\\d+\\.txt"))
+      .map(_.stripPrefix("v").stripSuffix(".txt").toLong).sorted.toSeq
+
+  /** A branch exists once its fork record landed — a branch of an
+    * EMPTY table legitimately has no manifest until its first commit.
+    */
+  def branchExists(name: String): Boolean =
+    Files.exists(branchesDir.resolve(name).resolve("_FORK")) ||
+      manifestVersionsIn(branchManifestDir(name)).nonEmpty
+
+  def branches(): Seq[String] =
+    Option(branchesDir.toFile.list()).getOrElse(Array.empty[String])
+      .filter(branchExists).sorted.toSeq
+
+  /** Fork a branch at `fromVersion` (default: the current head). O(1):
+    * the fork manifest is copied into the branch's own lineage dir and
+    * version numbering continues from there; data dirs are shared.
+    * The copied manifest's atomic link is the existence CAS — two
+    * concurrent creators race to exactly one winner.
+    */
+  def createBranch(name: String, fromVersion: Option[Long] = None): Long = {
+    require(MergeTable.validRefName(name) && name != MergeTable.MainBranch,
+      s"invalid branch name '$name'")
+    require(!branchExists(name), s"branch '$name' already exists at $root")
+    entries()
+    val v = fromVersion.getOrElse(readVersion)
+    require(v == 0 || Files.exists(manifestPath(v)),
+      s"cannot branch at version $v of $root: no such committed version")
+    val bdir = branchManifestDir(name)
+    Files.createDirectories(bdir)
+    if (v > 0) {
+      val staged = bdir.resolve(s".staged.${UUID.randomUUID()}")
+      Files.write(staged, Files.readAllBytes(manifestPath(v)))
+      try Files.createLink(bdir.resolve(f"v$v%05d.txt"), staged)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(s"branch '$name' already exists at $root")
+      } finally Files.deleteIfExists(staged)
+    }
+    val tmp = branchesDir.resolve(name).resolve(s"_FORK.tmp.${UUID.randomUUID()}")
+    Files.write(tmp, v.toString.getBytes)
+    Files.move(tmp, branchesDir.resolve(name).resolve("_FORK"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** This table on another branch — same configuration, the branch's
+    * manifest lineage. The write surface (upsert/delete/compact/DML),
+    * time travel, and the change feed all work on the returned
+    * instance unchanged.
+    */
+  def forBranch(name: String): MergeTable =
+    if (name == branch) this
+    else {
+      require(name == MergeTable.MainBranch || branchExists(name),
+        s"no branch '$name' at $root (existing: ${branches().mkString(", ")})")
+      new MergeTable(spark, root, keys, mode, numBuckets, maxDeltas,
+        partitionCols, name)
+    }
+
+  def dropBranch(name: String): Unit = {
+    require(name != MergeTable.MainBranch, "cannot drop the main branch")
+    require(name != branch, s"cannot drop branch '$name' from an instance reading it")
+    require(branchExists(name), s"no branch '$name' at $root")
+    MergeTable.drop(branchesDir.resolve(name).toString)
+  }
+
+  /** The version a branch forked at (recorded at create; falls back to
+    * the branch's lowest manifest — its seeded fork copy).
+    */
+  def forkVersion(name: String): Long = {
+    val f = branchesDir.resolve(name).resolve("_FORK")
+    if (Files.exists(f)) new String(Files.readAllBytes(f)).trim.toLong
+    else manifestVersionsIn(branchManifestDir(name)).headOption.getOrElse(
+      throw new IllegalStateException(s"branch '$name' at $root has no fork record"))
+  }
+
+  /** Fast-forward publish (Iceberg's `fast_forward`, the WAP commit
+    * step): replay the branch's commits (fork, head] onto THIS lineage
+    * one manifest at a time — history-preserving (the change feed sees
+    * the branch's individual commits) and IDEMPOTENT/resumable: a
+    * version this lineage already has must be byte-identical (an
+    * earlier partial publish), anything else is a divergence refusal.
+    * Each manifest appearance is atomic and every intermediate state
+    * is a committed branch snapshot, so concurrent readers are safe at
+    * any point. Refuses when this lineage advanced past the fork with
+    * its OWN commits — fast-forward never merges.
+    */
+  def fastForward(from: String): Long = {
+    require(branchExists(from), s"no branch '$from' at $root")
+    val srcDir = branchManifestDir(from)
+    val fork = forkVersion(from)
+    val srcVers = manifestVersionsIn(srcDir)
+    val head = srcVers.lastOption.getOrElse(
+      throw new IllegalStateException(s"branch '$from' has no commits to publish"))
+    if (head == fork) { entries(); return readVersion } // nothing new on the branch
+    val missing = ((fork + 1) to head).filterNot(srcVers.contains)
+    require(missing.isEmpty,
+      s"branch '$from' expired snapshot(s) ${missing.mkString(", ")}: " +
+        "fast-forward replays the full commit range — re-create the branch " +
+        "or avoid EXPIRE SNAPSHOTS on unpublished branches")
+    ((fork + 1) to head).foreach { v =>
+      val target = manifestPath(v)
+      val srcBytes = Files.readAllBytes(srcDir.resolve(f"v$v%05d.txt"))
+      def sameAsTarget(): Boolean =
+        java.util.Arrays.equals(Files.readAllBytes(target), srcBytes)
+      if (Files.exists(target)) {
+        if (!sameAsTarget()) throw new CommitConflictException(
+          s"cannot fast-forward '$from' into '$branch' at $root: version $v " +
+            s"diverged ('$branch' advanced past the fork at $fork with its own " +
+            "commits) — fast-forward never merges")
+      } else {
+        Files.createDirectories(manifestDir)
+        val staged = manifestDir.resolve(s".staged.${UUID.randomUUID()}")
+        Files.write(staged, srcBytes)
+        try Files.createLink(target, staged)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            if (!sameAsTarget()) throw new CommitConflictException(
+              s"concurrent commit to $root claimed version $v during " +
+                s"fast-forward of '$from'; re-read and retry")
+        } finally Files.deleteIfExists(staged)
+      }
+    }
+    entries() // refresh readVersion to the published head
+    val tmp = rootPath.resolve(s"_LATEST.tmp.${UUID.randomUUID()}")
+    Files.write(tmp, f"v$head%05d.txt".getBytes)
+    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    head
+  }
+
+  private def tagPath(name: String): Path = refsDir.resolve(s"tag.$name.txt")
+
+  def tagExists(name: String): Boolean = Files.exists(tagPath(name))
+
+  def tags(): Seq[String] =
+    Option(refsDir.toFile.list()).getOrElse(Array.empty[String])
+      .filter(n => n.startsWith("tag.") && n.endsWith(".txt"))
+      .map(_.stripPrefix("tag.").stripSuffix(".txt")).sorted.toSeq
+
+  /** Pin a named immutable tag on a committed MAIN-lineage version
+    * (Iceberg tags). Tagged manifests are protected from
+    * [[expireSnapshots]] and their data dirs from [[vacuum]], so a
+    * `VERSION AS OF '<tag>'` read never dangles.
+    */
+  def createTag(name: String, version: Option[Long] = None): Long = {
+    require(branch == MergeTable.MainBranch,
+      "tags pin main-lineage versions; create them from the main instance")
+    require(MergeTable.validRefName(name), s"invalid tag name '$name'")
+    entries()
+    val v = version.getOrElse(readVersion)
+    require(v >= 1 && Files.exists(manifestPath(v)),
+      s"cannot tag version $v of $root: no such committed version")
+    Files.createDirectories(refsDir)
+    val staged = refsDir.resolve(s".staged.${UUID.randomUUID()}")
+    Files.write(staged, s"ref:$v".getBytes)
+    try Files.createLink(tagPath(name), staged)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(s"tag '$name' already exists at $root")
+    } finally Files.deleteIfExists(staged)
+    v
+  }
+
+  def tagVersion(name: String): Long = {
+    require(tagExists(name), s"no tag '$name' at $root")
+    new String(Files.readAllBytes(tagPath(name))).trim.stripPrefix("ref:").toLong
+  }
+
+  def dropTag(name: String): Unit = {
+    require(tagExists(name), s"no tag '$name' at $root")
+    Files.deleteIfExists(tagPath(name))
   }
 
   // -- stats-pruned reads & clustering -------------------------------------
@@ -2765,6 +2992,52 @@ object MergeTable {
   val CopyOnWrite = "copy-on-write"
   val MergeOnRead = "merge-on-read"
   val DeletionVectors = "deletion-vectors"
+
+  /** The default (unforked) manifest lineage. */
+  val MainBranch = "main"
+
+  /** Branch/tag names become directory/file segments — keep them to
+    * the portable-safe charset.
+    */
+  private[graft] def validRefName(n: String): Boolean =
+    n.nonEmpty && n.length <= 128 && n.matches("[A-Za-z0-9_\\-]+")
+
+  /** The WAP session conf (Iceberg's `spark.wap.branch`): when set,
+    * catalog reads serve the named branch IF the table has it (main
+    * otherwise) and catalog writes land ON it, forking it from the
+    * current head on first write — so an audit pipeline runs
+    * unmodified against staged data, and a validated branch publishes
+    * with one `ALTER TABLE … FAST FORWARD`.
+    */
+  val WapBranchConf = "spark.graft.wap.branch"
+
+  private[graft] def wapBranch(spark: SparkSession): Option[String] =
+    spark.conf.getOption(WapBranchConf).map(_.trim).filter(_.nonEmpty)
+
+  /** The branch a catalog WRITE lands on under an active WAP conf,
+    * ensured to exist: forked at the table's current head on first
+    * use (Iceberg's `spark.wap.branch` ergonomics). Returns the
+    * branch-scoped table, or the main instance when no WAP branch is
+    * set. Concurrent first writers race on createBranch's atomic
+    * seed — the loser sees the branch exist and proceeds onto it.
+    */
+  private[graft] def forWrite(spark: SparkSession, root: String, keys: Seq[String],
+                              mode: String = CopyOnWrite,
+                              numBuckets: Option[Int] = None,
+                              partitionCols: Seq[String] = Nil): MergeTable = {
+    val t = new MergeTable(spark, root, keys, mode, numBuckets,
+      partitionCols = partitionCols)
+    wapBranch(spark) match {
+      case None => t
+      case Some(b) =>
+        if (!t.branchExists(b)) {
+          try t.createBranch(b)
+          catch { case _: IllegalArgumentException | _: IllegalStateException
+            if t.branchExists(b) => () } // concurrent creator won the seed
+        }
+        t.forBranch(b)
+    }
+  }
 
   /** Physical layout dir-naming constants — the single source of
     * truth: the instance fields (read-side dir parsing, scoped

@@ -71,6 +71,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ADD\s+CONSTRAINT\s+([a-zA-Z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
     """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+DROP\s+CONSTRAINT\s+([a-zA-Z0-9_]+)\s*;?\s*""".r
+  private val CreateBranch =
+    """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+CREATE\s+BRANCH\s+([a-zA-Z0-9_\-]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val CreateTag =
+    """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+CREATE\s+TAG\s+([a-zA-Z0-9_\-]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val DropBranch =
+    """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+DROP\s+BRANCH\s+([a-zA-Z0-9_\-]+)\s*;?\s*""".r
+  private val DropTag =
+    """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+DROP\s+TAG\s+([a-zA-Z0-9_\-]+)\s*;?\s*""".r
+  private val FastForward =
+    """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+FAST\s+FORWARD\s+([a-zA-Z0-9_\-]+)\s*;?\s*""".r
+  private val ShowBranches =
+    """(?is)\s*SHOW\s+BRANCHES\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
+  private val ShowTags =
+    """(?is)\s*SHOW\s+TAGS\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Maintenance(op, catalog, ident) =>
@@ -129,6 +143,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropColumns(catalog, ident, cols) =>
       MergeTableDropColumnsCommand(catalog, ident.split('.').toSeq,
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    case CreateBranch(catalog, ident, name, v) =>
+      MergeTableRefCommand("create_branch", catalog, ident.split('.').toSeq,
+        name, Option(v).map(_.toLong))
+    case CreateTag(catalog, ident, name, v) =>
+      MergeTableRefCommand("create_tag", catalog, ident.split('.').toSeq,
+        name, Option(v).map(_.toLong))
+    case DropBranch(catalog, ident, name) =>
+      MergeTableRefCommand("drop_branch", catalog, ident.split('.').toSeq, name)
+    case DropTag(catalog, ident, name) =>
+      MergeTableRefCommand("drop_tag", catalog, ident.split('.').toSeq, name)
+    case FastForward(catalog, ident, name) =>
+      MergeTableRefCommand("fast_forward", catalog, ident.split('.').toSeq, name)
+    case ShowBranches(catalog, ident) =>
+      MergeTableShowRefsCommand(branches = true, catalog, ident.split('.').toSeq)
+    case ShowTags(catalog, ident) =>
+      MergeTableShowRefsCommand(branches = false, catalog, ident.split('.').toSeq)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -647,5 +677,67 @@ case class MergeTableHistoryCommand(catalogName: String,
       case (v, millis, bases, deltas) =>
         Row(v, new java.sql.Timestamp(millis), bases.toLong, deltas.toLong)
     }
+  }
+}
+
+/** Branch/tag ref maintenance (Iceberg refs on graft tables):
+  *
+  * {{{
+  *   ALTER TABLE graft.db.t CREATE BRANCH audit [VERSION AS OF 3]
+  *   ALTER TABLE graft.db.t CREATE TAG release [VERSION AS OF 3]
+  *   ALTER TABLE graft.db.t DROP BRANCH audit
+  *   ALTER TABLE graft.db.t DROP TAG release
+  *   ALTER TABLE graft.db.t FAST FORWARD audit   -- publish the branch
+  * }}}
+  *
+  * `affected`: the forked/tagged version on create, the published
+  * head on fast-forward, 1 on drop.
+  */
+case class MergeTableRefCommand(op: String, catalogName: String,
+                                ident: Seq[String], refName: String,
+                                version: Option[Long] = None) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.mergetablePath(session, catalogName, ident, op)
+    val t = MergeTable.open(session, path)
+    val n: Long = op match {
+      case "create_branch" => t.createBranch(refName, version)
+      case "create_tag" => t.createTag(refName, version)
+      case "drop_branch" => t.dropBranch(refName); 1L
+      case "drop_tag" => t.dropTag(refName); 1L
+      case "fast_forward" => t.fastForward(refName)
+    }
+    Seq(Row(n))
+  }
+}
+
+/** `SHOW BRANCHES graft.db.t` / `SHOW TAGS graft.db.t` — the table's
+  * refs with their anchor versions (branches also report the fork).
+  */
+case class MergeTableShowRefsCommand(branches: Boolean, catalogName: String,
+                                     ident: Seq[String]) extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[Attribute] =
+    if (branches) Seq(
+      AttributeReference("branch", StringType, nullable = false)(),
+      AttributeReference("head_version", LongType, nullable = false)(),
+      AttributeReference("fork_version", LongType, nullable = false)())
+    else Seq(
+      AttributeReference("tag", StringType, nullable = false)(),
+      AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.mergetablePath(session, catalogName, ident,
+      if (branches) "SHOW BRANCHES" else "SHOW TAGS")
+    val t = MergeTable.open(session, path)
+    if (branches) t.branches().map { b =>
+      val head = t.forBranch(b).versions().lastOption.getOrElse(t.forkVersion(b))
+      Row(b, head, t.forkVersion(b))
+    } else t.tags().map(g => Row(g, t.tagVersion(g)))
   }
 }

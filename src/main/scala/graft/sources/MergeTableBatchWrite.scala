@@ -91,7 +91,10 @@ class MergeTableBatchWrite(
 
   override def toBatch: BatchWrite = new BatchWrite {
     private def spark = SparkSession.active
-    private def table = new MergeTable(spark, path, meta.keys, meta.mode,
+    // forWrite: an active spark.graft.wap.branch routes the staged
+    // commit onto the branch (forked from the current head on first
+    // write) — write-audit-publish for the v2 path too
+    private def table = MergeTable.forWrite(spark, path, meta.keys, meta.mode,
       meta.numBuckets, partitionCols = meta.partitionCols)
 
     // allocated once per write job, on the driver
@@ -238,7 +241,10 @@ class MergeTableDynamicOverwrite(
 
   override def toBatch: BatchWrite = new BatchWrite {
     private def spark = SparkSession.active
-    private def table = new MergeTable(spark, path, meta.keys, meta.mode,
+    // forWrite: an active spark.graft.wap.branch routes the staged
+    // commit onto the branch (forked from the current head on first
+    // write) — write-audit-publish for the v2 path too
+    private def table = MergeTable.forWrite(spark, path, meta.keys, meta.mode,
       meta.numBuckets, partitionCols = meta.partitionCols)
 
     private lazy val (stagingRel, stagingAbs) = table.allocateStagingDir()

@@ -99,9 +99,17 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = loadVersioned(ident, None)
 
-  /** `VERSION AS OF <v>` — version strings are committed manifest numbers. */
+  /** `VERSION AS OF <v>` — a numeric string is a committed manifest
+    * number; anything else names a REF (Iceberg parity): a tag reads
+    * its pinned version, a branch reads the branch head.
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadVersioned(ident, Some(version.toLong))
+    if (version.matches("\\d+")) loadVersioned(ident, Some(version.toLong))
+    else {
+      val path = tablePath(ident)
+      val meta = MergeTable.readMeta(path).getOrElse(throw new NoSuchTableException(ident))
+      new MergeTableV2(ident, path, meta, None, ref = Some(version))
+    }
 
   /** `TIMESTAMP AS OF <ts>` — resolved to the last version whose
     * manifest was committed at or before the timestamp (micros).
@@ -209,25 +217,61 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces
   * appends through the table's transactional commit (V1Write).
   */
 class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
-                   version: Option[Long]) extends Table with SupportsRead with SupportsWrite {
+                   version: Option[Long],
+                   ref: Option[String] = None) extends Table with SupportsRead with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
+
+  // ref/branch resolution, decided once per loaded Table:
+  //  - an explicit `VERSION AS OF '<ref>'` string names a TAG (reads
+  //    the tagged main-lineage version) or a BRANCH (reads the branch
+  //    head) — anything else refuses loudly;
+  //  - otherwise an active WAP session conf (spark.graft.wap.branch)
+  //    routes reads to that branch IF the table has it, main when it
+  //    doesn't (Iceberg's spark.wap.branch read rule).
+  private lazy val refTable = new MergeTable(spark, path, meta.keys,
+    meta.mode, meta.numBuckets, partitionCols = meta.partitionCols)
+
+  private lazy val (resolvedVersion: Option[Long], readBranch: String) = ref match {
+    case Some(r) =>
+      if (refTable.tagExists(r)) (Some(refTable.tagVersion(r)), MergeTable.MainBranch)
+      else if (refTable.branchExists(r)) (None, r)
+      else throw new IllegalArgumentException(
+        s"VERSION AS OF '$r' on ${name()}: no such tag or branch " +
+          s"(tags: ${refTable.tags().mkString(", ")}; " +
+          s"branches: ${refTable.branches().mkString(", ")})")
+    case None => version match {
+      // explicit numeric time travel always addresses the MAIN
+      // lineage — branch version numbering continues the fork's, so
+      // routing it to a WAP branch would serve fork-gapped history
+      case Some(v) => (Some(v), MergeTable.MainBranch)
+      case None =>
+        (None,
+          MergeTable.wapBranch(spark).filter(refTable.branchExists)
+            .getOrElse(MergeTable.MainBranch))
+    }
+  }
 
   // ONE relation per loaded table: schema resolution and every scan
   // of this Table instance read the same pinned snapshot, even while
   // writers commit between analysis and execution
   private lazy val pinnedRelation: MergeTableRelation =
     new MergeTableRelation(spark.sqlContext, path, meta.keys, meta.mode,
-      meta.numBuckets, version,
+      meta.numBuckets, resolvedVersion,
       meta.schemaJson.map(j =>
         org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]),
-      meta.partitionCols)
+      meta.partitionCols, branch = readBranch)
 
   override def name(): String = (ident.namespace() :+ ident.name()).mkString(".")
 
-  /** Target handle for MERGE INTO / DELETE FROM resolution. */
+  /** Target handle for MERGE INTO / DELETE FROM resolution. DML under
+    * an active WAP branch lands on the branch (created from the
+    * current head on first write).
+    */
   private[sources] def dmlTarget: DmlTarget = {
-    require(version.isEmpty, "cannot run DML against a time-travel snapshot")
+    require(version.isEmpty && ref.isEmpty,
+      "cannot run DML against a time-travel or ref-pinned snapshot " +
+        "(set spark.graft.wap.branch to write to a branch)")
     DmlTarget(path, meta.keys, meta.mode, meta.numBuckets)
   }
 
@@ -261,11 +305,14 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     // layouts need
     val layoutSeedOk =
       (meta.numBuckets.isEmpty && meta.partitionCols.isEmpty) || {
-        val t = new MergeTable(SparkSession.active, path, meta.keys,
-          meta.mode, meta.numBuckets, partitionCols = meta.partitionCols)
+        // under WAP the write lands on the branch — judge seed
+        // emptiness there (a not-yet-created WAP branch forks at the
+        // current head, so main's state IS its state)
+        val t = MergeTable.wapBranch(spark).filter(refTable.branchExists)
+          .map(refTable.forBranch).getOrElse(refTable)
         !t.exists
       }
-    version.isEmpty && layoutSeedOk && partTypesOk && metaPlainOk
+    version.isEmpty && ref.isEmpty && layoutSeedOk && partTypesOk && metaPlainOk
   }
 
   /** DYNAMIC partition overwrite (`INSERT OVERWRITE` under
@@ -277,7 +324,8 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     * the append path (constraints/mapping/time travel).
     */
   private lazy val dynamicOverwriteEligible: Boolean =
-    version.isEmpty && meta.partitionCols.nonEmpty && partTypesOk && metaPlainOk
+    version.isEmpty && ref.isEmpty && meta.partitionCols.nonEmpty &&
+      partTypesOk && metaPlainOk
 
   /** Declared so `ResolveInsertInto` can tell a partitioned table
     * from a flat one (the dynamic-overwrite decision keys off it);
@@ -593,9 +641,13 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-          require(version.isEmpty, "cannot write to a time-travel snapshot")
+          require(version.isEmpty && ref.isEmpty,
+            "cannot write to a time-travel or ref-pinned snapshot")
           require(!overwrite, "INSERT OVERWRITE is not supported; use MERGE INTO")
-          val t = new MergeTable(data.sparkSession, path, meta.keys,
+          // forWrite routes onto the WAP branch (forking it from the
+          // current head on first use) when spark.graft.wap.branch is
+          // set — the Iceberg write-audit-publish shape
+          val t = MergeTable.forWrite(data.sparkSession, path, meta.keys,
             meta.mode, meta.numBuckets,
             partitionCols = meta.partitionCols)
           t.append(data)

@@ -504,7 +504,11 @@ case class MergeTableDmlCommand(
     // come from the table's own metadata, so DML against a
     // partitioned table takes the partition-scoped merge path
     val partitions = MergeTable.readMeta(path).map(_.partitionCols).getOrElse(Nil)
-    val t = new MergeTable(session, path, keys, mode, numBuckets,
+    // forWrite: under an active spark.graft.wap.branch the DML lands
+    // on the branch (forked from the current head on first write);
+    // the source plan's target reads resolve the same branch through
+    // the catalog's load-time routing, so read and write agree
+    val t = MergeTable.forWrite(session, path, keys, mode, numBuckets,
       partitionCols = partitions)
     kind match {
       case MergeTableDmlCommand.Upsert =>

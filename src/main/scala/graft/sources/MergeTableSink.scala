@@ -35,7 +35,8 @@ class MergeTableSink(
     applyMode: String,
     ordering: Seq[String],
     partitionCols: Seq[String] = Nil,
-    txnAppId: Option[String] = None) extends Sink {
+    txnAppId: Option[String] = None,
+    branch: String = MergeTable.MainBranch) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // rewrap: the engine hands a DataFrame over the streaming plan,
@@ -51,7 +52,8 @@ class MergeTableSink(
     val table = new MergeTable(data.sparkSession, path, keys,
       meta.map(_.mode).getOrElse(mode),
       meta.map(_.numBuckets).getOrElse(numBuckets),
-      partitionCols = meta.map(_.partitionCols).getOrElse(partitionCols))
+      partitionCols = meta.map(_.partitionCols).getOrElse(partitionCols),
+      branch = branch)
     // idempotent-writer option: with txnAppId set, the (appId,
     // batchId) watermark rides the batch's own commits, so a
     // checkpoint-replayed batch SKIPS instead of re-applying —
@@ -127,6 +129,7 @@ object MergeTableSink {
     val partitions = parameters.get("partitions")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
     new MergeTableSink(path, keys, mode, buckets, applyMode, ordering, partitions,
-      txnAppId = parameters.get("txnAppId"))
+      txnAppId = parameters.get("txnAppId"),
+      branch = parameters.getOrElse("branch", MergeTable.MainBranch))
   }
 }

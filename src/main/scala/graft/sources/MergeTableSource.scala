@@ -113,7 +113,15 @@ class MergeTableSource extends RelationProvider with DataSourceRegister
         s"mergetable at $path has no _META.json and no 'keys' option — the key " +
           "columns drive DML and MOR reconciliation and must not be guessed")),
       mode, buckets, version, declared,
-      meta.map(_.partitionCols).getOrElse(Nil))
+      meta.map(_.partitionCols).getOrElse(Nil),
+      branch = parameters.get("branch").map { b =>
+        require(b == MergeTable.MainBranch ||
+            java.nio.file.Files.exists(
+              java.nio.file.Paths.get(path, "branches", b, "_FORK")),
+          s"no branch '$b' at $path — create it first (createBranch / " +
+            "ALTER TABLE ... CREATE BRANCH)")
+        b
+      }.getOrElse(MergeTable.MainBranch))
   }
 }
 
@@ -125,12 +133,13 @@ class MergeTableRelation(
     val numBuckets: Option[Int] = None,
     val version: Option[Long] = None,
     val declaredSchema: Option[StructType] = None,
-    val partitionCols: Seq[String] = Nil) extends BaseRelation with PrunedFilteredScan {
+    val partitionCols: Seq[String] = Nil,
+    val branch: String = MergeTable.MainBranch) extends BaseRelation with PrunedFilteredScan {
 
   private def spark: SparkSession = sqlContext.sparkSession
 
   private lazy val table = new MergeTable(spark, path, keys, mode, numBuckets,
-    partitionCols = partitionCols)
+    partitionCols = partitionCols, branch = branch)
 
   // resolve the manifest pointer ONCE per relation: schema, every
   // buildScan, and stats pruning all read the same committed snapshot
