@@ -625,6 +625,43 @@ object CdcQueries extends QueryModule {
       |FROM a JOIN customer c ON a.custkey = c.c_custkey
       |ORDER BY a.custkey""".stripMargin
 
+  /** Sorted-bucket join gate (r12): the SPJ gate's co-bucketed pair,
+    * rewritten with `OPTIMIZE … SORT BY (custkey)` before the join —
+    * the read path now also reports per-partition ordering
+    * (`SupportsReportOrdering`), so the merge join runs with neither a
+    * shuffle nor a sort (`SortedBucketSpec` pins the plan; a falsely
+    * reported order would make THIS gate's values wrong, which is
+    * what the DuckDB replay certifies).
+    */
+  private def catalogSortedJoin(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+    for (t <- Seq(s"srt_orders_$sfx", s"srt_cust_$sfx")) {
+      s.sql(s"DROP TABLE IF EXISTS graft.gate.$t")
+    }
+    s.sql(s"""CREATE TABLE graft.gate.srt_orders_$sfx
+              (custkey BIGINT, n_orders BIGINT, total DECIMAL(18,2))
+              TBLPROPERTIES('keys'='custkey', 'buckets'='8')""")
+    s.sql(s"""CREATE TABLE graft.gate.srt_cust_$sfx
+              (custkey BIGINT, acctbal DOUBLE)
+              TBLPROPERTIES('keys'='custkey', 'buckets'='8')""")
+    graft.tables.Tables.load(s, dir, "orders").createOrReplaceTempView("srt_gate_orders")
+    graft.tables.Tables.load(s, dir, "customer").createOrReplaceTempView("srt_gate_customer")
+    s.sql(s"""INSERT INTO graft.gate.srt_orders_$sfx
+              SELECT o_custkey, count(*), sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              FROM srt_gate_orders GROUP BY o_custkey""")
+    s.sql(s"""INSERT INTO graft.gate.srt_cust_$sfx
+              SELECT c_custkey, c_acctbal FROM srt_gate_customer""")
+    s.sql(s"OPTIMIZE graft.gate.srt_orders_$sfx SORT BY (custkey)")
+    s.sql(s"OPTIMIZE graft.gate.srt_cust_$sfx SORT BY (custkey)")
+    s.sql(
+      s"""SELECT a.custkey, a.n_orders,
+         |  round(CAST(a.total AS DOUBLE), 2) AS total, c.acctbal
+         |FROM graft.gate.srt_orders_$sfx a
+         |JOIN graft.gate.srt_cust_$sfx c ON a.custkey = c.custkey
+         |ORDER BY a.custkey""".stripMargin)
+  }
+
   /** Gate for the TRUE DSv2 write path (11w): CTAS into a BUCKETED
     * catalog table seeds through `MergeTableBatchWrite` — the engine
     * rebalances by the catalog bucket function, executors demux rows
@@ -1232,6 +1269,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_dynamic_overwrite", dynamicOverwriteGate, Some(dynamicOverwriteSql)),
     QueryDef("cdc_branch_wap", applyUpsertWapBranch, Some(applyUpsertSql)),
     QueryDef("catalog_spj_join", catalogSpjJoin, Some(catalogSpjJoinSql)),
+    QueryDef("catalog_sorted_join", catalogSortedJoin, Some(catalogSpjJoinSql)),
     QueryDef("catalog_ctas_clustered", catalogCtasClustered, Some(catalogCtasClusteredSql)),
     QueryDef("catalog_dv_batch_read", catalogDvBatchRead, Some(catalogDvBatchReadSql)),
     QueryDef("mergetable_agg_pushdown", aggPushdown, Some(aggPushdownSql)),

@@ -209,11 +209,22 @@ final class MergeTable(
     currentManifest() match {
       case Some(m) if Files.exists(m) =>
         readVersion = manifestVersion(m)
-        parseManifest(m).filterNot(_._1 == "txn")
+        parseManifest(m).filterNot(e => e._1 == "txn" || e._1 == "sort")
       case _ =>
         readVersion = 0L
         Nil
     }
+
+  /** The within-bucket sort recorded by the CURRENT manifest, if any
+    * (see [[sortBuckets]]): the `sort` marker line rides the sorting
+    * rewrite's own commit and — because every later commit rebuilds
+    * its manifest from [[entries]], which drops it — is invalidated
+    * by ANY subsequent write. Physical column names.
+    */
+  def currentSortedBy(): Seq[String] =
+    currentManifest().toSeq.flatMap(parseManifest).collectFirst {
+      case ("sort", cols) => cols.split(",").toSeq
+    }.getOrElse(Nil)
 
   /** Per-application transaction watermarks recorded in the current
     * manifest (Delta's txnAppId/txnVersion idempotent-writer state).
@@ -594,7 +605,7 @@ final class MergeTable(
   private def entriesAt(version: Long): Seq[(String, String)] = {
     val m = manifestPath(version)
     require(Files.exists(m), s"no version $version at $root")
-    parseManifest(m).filterNot(_._1 == "txn")
+    parseManifest(m).filterNot(e => e._1 == "txn" || e._1 == "sort")
   }
 
   private def bucketExpr = pmod(xxhash64(keys.map(col): _*), lit(numBuckets.get))
@@ -2221,7 +2232,8 @@ final class MergeTable(
           val m = mainDir.resolve(f"v${tagVersion(t)}%05d.txt")
           if (Files.exists(m)) parseManifest(m) else Nil
         }
-    val live = refEntries.filterNot(e => e._1 == "txn" || e._1 == "ref")
+    val live = refEntries.filterNot(e =>
+        e._1 == "txn" || e._1 == "ref" || e._1 == "sort")
       .map(_._2.split("/", 2)(0)).toSet
     val onDisk = Option(dataDir.toFile.list()).getOrElse(Array.empty)
     val orphans = onDisk.filterNot(live.contains)
@@ -2432,6 +2444,25 @@ final class MergeTable(
     */
   private[graft] def currentEntries(): Seq[(String, String)] =
     entries().filterNot(_._1 == "ing") // ledger entries are not data
+
+  /** [[currentEntries]] plus the snapshot's `sort` marker, from ONE
+    * manifest resolution — a reader claiming per-partition ordering
+    * must read the marker from the SAME manifest its entries were
+    * pinned at, or a commit landing between the two reads could pin
+    * unsorted entries under a newer manifest's sort claim.
+    */
+  private[graft] def currentEntriesWithSort(): (Seq[(String, String)], Seq[String]) = {
+    val raw = currentManifest() match {
+      case Some(m) if Files.exists(m) =>
+        readVersion = manifestVersion(m)
+        parseManifest(m)
+      case _ =>
+        readVersion = 0L
+        Nil
+    }
+    (raw.filterNot(e => e._1 == "txn" || e._1 == "sort" || e._1 == "ing"),
+      raw.collectFirst { case ("sort", c) => c.split(",").toSeq }.getOrElse(Nil))
+  }
 
   private[graft] def entriesAtVersion(version: Long): Seq[(String, String)] =
     entriesAt(version)
@@ -2849,6 +2880,55 @@ final class MergeTable(
     entries().filterNot(_._1 == "ing").map { case (_, d) =>
       FileStats.listParquetFiles(dataDir.resolve(d)).size
     }.sum
+
+  /** Sorting rewrite for hash-bucketed tables (Hive/Spark's
+    * bucketed-SORTED-table shape, `OPTIMIZE … SORT BY`): the
+    * reconciled snapshot is rewritten one task per bucket with rows
+    * sorted by `cols` inside each bucket dir, and the commit carries a
+    * `sort` marker line recording it. While the marker is current, the
+    * DSv2 batch scan reports per-partition ordering
+    * ([[graft.sources.MergeTableBatchScan]]'s `SupportsReportOrdering`)
+    * — so two co-bucketed sorted tables SORT-MERGE JOIN with neither a
+    * shuffle (storage-partitioned join) nor a sort, the dominant two
+    * costs of a fact⋈fact join at scale. Any later commit rebuilds its
+    * manifest without the marker, so a write invalidates the ordering
+    * claim automatically and the scan falls back to reporting none.
+    * MOR deltas and dv masks are folded by the rewrite (it starts from
+    * the reconciled snapshot); the marker then lasts until their next
+    * delta lands.
+    */
+  def sortBuckets(cols: Seq[String]): Int = {
+    require(exists, s"cannot sort uninitialized table $root")
+    require(cols.nonEmpty, "sortBuckets needs at least one sort column")
+    val n = numBuckets.getOrElse(throw new IllegalArgumentException(
+      "sortBuckets needs a hash-bucketed layout (use cluster() to z-order " +
+        "flat or partitioned tables)"))
+    require(partitionCols.isEmpty,
+      "sortBuckets does not compose with value partitioning: a bucket's scan " +
+        "partition concatenates its per-partition cells, which no single-column " +
+        "sort order survives")
+    val snap = rewriteSource()
+    val rn = renames
+    val phys = cols.map(c => rn.getOrElse(c, c))
+    phys.foreach(c => require(snap.columns.contains(c),
+      s"sort column '$c' is not in the table schema"))
+    val dir = UUID.randomUUID().toString
+    // repartition BY THE BUCKET ID: each id lands in exactly one task,
+    // so each bucket dir is written by one writer as one sorted run
+    // (sortWithinPartitions leads with the id — ids sharing a task
+    // stay contiguous and each dir's file is still fully sorted)
+    snap.withColumn(BucketCol, bucketExpr)
+      .repartition(n, col(BucketCol))
+      .sortWithinPartitions((BucketCol +: phys).map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(dataDir.resolve(dir).toString)
+    val written = listBuckets(dir)
+    written.foreach(i => recordStats(s"$dir/$BucketCol=$i"))
+    commit(ledgerEntries(entries()) ++
+      written.toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i") ++
+      Seq("sort" -> phys.mkString(",")))
+    written.size
+  }
 
   def cluster(cols: Seq[String], targetFiles: Int = 0,
               keepLeaf: String => Boolean = _ => true): Unit = {

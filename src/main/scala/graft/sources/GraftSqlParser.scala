@@ -39,6 +39,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*(VACUUM|COMPACT)\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+ZORDER\s+BY\s*\(\s*([a-zA-Z0-9_\s,]+?)\s*\)\s*;?\s*""".r
+  private val OptimizeSort =
+    """(?is)\s*OPTIMIZE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+SORT\s+BY\s*\(\s*([a-zA-Z0-9_\s,]+?)\s*\)\s*;?\s*""".r
   private val OptimizeFiles =
     """(?is)\s*OPTIMIZE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
   private val OptimizeWhereZorder =
@@ -92,6 +94,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         ident.split('.').toSeq)
     case Optimize(catalog, ident, cols) =>
       MergeTableMaintenanceCommand("optimize", catalog, ident.split('.').toSeq,
+        cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    case OptimizeSort(catalog, ident, cols) =>
+      MergeTableMaintenanceCommand("sort_buckets", catalog, ident.split('.').toSeq,
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     case OptimizeFiles(catalog, ident) =>
       MergeTableMaintenanceCommand("optimize_files", catalog, ident.split('.').toSeq)
@@ -202,6 +207,7 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
       case "optimize" =>
         t.cluster(zorderCols, keepLeaf = whereKeep(path))
         t.prunableFiles(t.currentEntries()).map(_.size.toLong).getOrElse(0L)
+      case "sort_buckets" => t.sortBuckets(zorderCols).toLong
       case "optimize_files" =>
         val target = session.conf.getOption("graft.mergetable.targetFileBytes")
           .map(_.toLong).getOrElse(128L * 1024 * 1024)

@@ -92,7 +92,7 @@ private[sources] class MergeTableBatchScan(
     claimed: Array[Filter],
     advisory: Array[Filter]) extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportOrdering {
 
   private val fullSchema = relation.schema
   // claimed-filter-only columns ride along for exact enforcement
@@ -252,8 +252,11 @@ private[sources] class MergeTableBatchScan(
         val allowed = relation.pointBuckets(allFilters)
         (0 until n)
           .filter(b => allowed.forall(_.contains(b.toLong)))
+          // path order: a sorted bucket's rolled files (…-c000, -c001)
+          // must concatenate in roll order for the reported
+          // per-partition ordering to hold
           .map(b => GraftBucketPartition(
-            byBucket.getOrElse(b, Seq.empty).map(whole), b): InputPartition)
+            byBucket.getOrElse(b, Seq.empty).sortBy(_.toString).map(whole), b): InputPartition)
           .toArray
       case None if relation.partitionCols.nonEmpty &&
           fs.forall(p => partitionTuple(p).isDefined) =>
@@ -280,6 +283,27 @@ private[sources] class MergeTableBatchScan(
         relation.partitionCols.map(Expressions.identity).toArray,
         math.max(parts, 1))
     case _ => new UnknownPartitioning(survivors.size)
+  }
+
+  /** Per-partition ordering (`SupportsReportOrdering`), reported ONLY
+    * when the pinned snapshot is a current `sortBuckets` rewrite on a
+    * plain bucketed layout: each scan partition is one bucket whose
+    * file(s) were written as a single sorted run, so rows arrive
+    * sorted by the recorded columns. Combined with the bucket-keyed
+    * [[outputPartitioning]], a join of two co-bucketed sorted tables
+    * plans as a sort-merge join with NEITHER a shuffle NOR a sort.
+    * Any commit after the sorting rewrite drops the manifest's sort
+    * marker, so a stale claim cannot outlive its snapshot; dv-masked
+    * reads never carry the marker (the mask's own commit clears it).
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    if (relation.sortedBy.nonEmpty && relation.numBuckets.isDefined &&
+        relation.partitionCols.isEmpty &&
+        relation.sortedBy.forall(fullSchema.fieldNames.contains))
+      relation.sortedBy.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    else Array.empty
   }
 
   override def estimateStatistics(): Statistics = {

@@ -145,8 +145,18 @@ class MergeTableRelation(
   // buildScan, and stats pruning all read the same committed snapshot
   // even while writers commit (or vacuum) concurrently; `version` pins
   // a time-travel read (which skips the stats-pruning fast path)
-  private lazy val pinnedEntries: Seq[(String, String)] =
-    if (version.isEmpty && table.exists) table.currentEntries() else Nil
+  private lazy val pinned: (Seq[(String, String)], Seq[String]) =
+    if (version.isEmpty && table.exists) table.currentEntriesWithSort()
+    else (Nil, Nil)
+  private lazy val pinnedEntries: Seq[(String, String)] = pinned._1
+
+  /** The pinned snapshot's within-bucket sort columns (empty unless
+    * the CURRENT manifest is a `sortBuckets` rewrite) — read from the
+    * same manifest resolution as [[pinnedEntries]], so the batch
+    * scan's ordering report can never outlive the snapshot it
+    * describes.
+    */
+  private[sources] def sortedBy: Seq[String] = pinned._2
 
   private lazy val renameMap: Map[String, String] =
     MergeTable.readMeta(path).map(_.renames).getOrElse(Map.empty)

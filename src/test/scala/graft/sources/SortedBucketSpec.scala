@@ -1,0 +1,154 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.cdc.MergeTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Bucketed-SORTED tables (`OPTIMIZE … SORT BY` / `sortBuckets`): the
+  * sorting rewrite records a `sort` marker on its own commit, the DSv2
+  * batch scan reports per-partition ordering while the marker is
+  * current, and a join of two co-bucketed sorted tables plans as a
+  * sort-merge join with NEITHER a shuffle NOR a sort — the two
+  * dominant costs of a 100 TB fact⋈fact join. Any later write drops
+  * the marker, so the ordering claim can never outlive its snapshot.
+  * (A falsely-claimed order would make the merge join silently wrong,
+  * so the exact-result assertions below are the semantic proof, not
+  * just the plan shape.)
+  */
+class SortedBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(db: String): Unit = {
+    MergeTable.drop(s"target/graft_warehouse/$db")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$db")
+  }
+
+  private def withSQLConf[T](kv: (String, String)*)(body: => T): T = {
+    val prior = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def planCounts(df: DataFrame): (Int, Int) = {
+    df.collect() // materialize so AQE finalizes the plan
+    var shuffles = 0
+    var sorts = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      if (p.isInstanceOf[ShuffleExchangeLike]) shuffles += 1
+      if (p.isInstanceOf[org.apache.spark.sql.execution.SortExec]) sorts += 1
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => ()
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    (shuffles, sorts)
+  }
+
+  private val noBroadcast = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  test("co-bucketed SORTED tables merge-join with zero shuffles AND zero sorts") {
+    fresh("sb1")
+    for (t <- Seq("facts", "dims")) {
+      spark.sql(s"""CREATE TABLE graft.sb1.$t (id BIGINT, v STRING)
+                    TBLPROPERTIES('keys'='id', 'buckets'='4')""")
+    }
+    val n = 400
+    (1 to n).map(i => (i.toLong, s"f$i")).toDF("id", "v")
+      .createOrReplaceTempView("sb1_f")
+    (1 to n).map(i => (i.toLong, s"d$i")).toDF("id", "v")
+      .createOrReplaceTempView("sb1_d")
+    spark.sql("INSERT INTO graft.sb1.facts SELECT * FROM sb1_f")
+    spark.sql("INSERT INTO graft.sb1.dims SELECT * FROM sb1_d")
+
+    def join() = spark.sql(
+      """SELECT f.id, f.v AS fv, d.v AS dv
+        |FROM graft.sb1.facts f JOIN graft.sb1.dims d ON f.id = d.id""".stripMargin)
+
+    withSQLConf(noBroadcast: _*) {
+      // baseline: SPJ removes the shuffles but the merge join still sorts
+      val (sh0, so0) = planCounts(join())
+      assert(sh0 === 0)
+      assert(so0 > 0, "expected the unsorted baseline to sort before merging")
+
+      assert(spark.sql("OPTIMIZE graft.sb1.facts SORT BY (id)").head().getLong(0) === 4L)
+      assert(spark.sql("OPTIMIZE graft.sb1.dims SORT BY (id)").head().getLong(0) === 4L)
+
+      val j = join()
+      val (sh1, so1) = planCounts(j)
+      assert(sh1 === 0,
+        s"sorted join shuffled:\n${j.queryExecution.executedPlan}")
+      assert(so1 === 0,
+        s"sorted join re-sorted:\n${j.queryExecution.executedPlan}")
+      // exact results — a falsely-reported order would corrupt these
+      assert(j.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ===
+        (1 to n).map(i => (i.toLong, s"f$i", s"d$i")).toSet)
+    }
+  }
+
+  test("a write after the sorting rewrite invalidates the ordering claim") {
+    fresh("sb2")
+    spark.sql("""CREATE TABLE graft.sb2.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id', 'buckets'='2')""")
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("sb2_src")
+    spark.sql("INSERT INTO graft.sb2.t SELECT * FROM sb2_src")
+    spark.sql("OPTIMIZE graft.sb2.t SORT BY (id)")
+    val t = MergeTable.open(spark, "target/graft_warehouse/sb2/t")
+    assert(t.currentSortedBy() === Seq("id"))
+
+    spark.sql("INSERT INTO graft.sb2.t VALUES (101, 'x')")
+    assert(t.currentSortedBy() === Nil)
+    withSQLConf(noBroadcast: _*) {
+      val j = spark.sql(
+        """SELECT a.id FROM graft.sb2.t a JOIN graft.sb2.t b ON a.id = b.id""")
+      val (sh, so) = planCounts(j)
+      assert(sh === 0)
+      assert(so > 0, "stale sort marker: the scan still reported ordering")
+      assert(j.count() === 101)
+    }
+  }
+
+  test("sortBuckets folds pending MOR deltas and the next delta drops the marker") {
+    val root = "target/test_tmp/sorted_mor"
+    MergeTable.drop(root)
+    val t = new MergeTable(spark, root, Seq("id"),
+      mode = MergeTable.MergeOnRead, numBuckets = Some(2))
+    t.upsert((1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    t.upsert(Seq((7L, "V7"), (51L, "v51")).toDF("id", "v")) // pending delta
+    assert(t.sortBuckets(Seq("id")) === 2)
+    assert(t.currentSortedBy() === Seq("id"))
+    val got = t.read().select("id", "v").as[(Long, String)].collect().toMap
+    assert(got(7L) === "V7" && got(51L) === "v51" && got.size === 51)
+    t.upsert(Seq((52L, "v52")).toDF("id", "v"))
+    assert(t.currentSortedBy() === Nil)
+  }
+
+  test("sortBuckets refuses unbucketed and composed layouts") {
+    val root = "target/test_tmp/sorted_refuse"
+    MergeTable.drop(root)
+    val flat = MergeTable.createIfAbsent(spark, root, Seq("id"),
+      initial = Some(Seq((1L, "a")).toDF("id", "v")))
+    assert(intercept[IllegalArgumentException](
+      flat.sortBuckets(Seq("id"))).getMessage.contains("hash-bucketed"))
+
+    val root2 = "target/test_tmp/sorted_refuse_pb"
+    MergeTable.drop(root2)
+    val pb = new MergeTable(spark, root2, Seq("id"), numBuckets = Some(2),
+      partitionCols = Seq("p"))
+    pb.upsert(Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "v", "p"))
+    assert(intercept[IllegalArgumentException](
+      pb.sortBuckets(Seq("id"))).getMessage.contains("value partitioning"))
+  }
+}
