@@ -544,6 +544,46 @@ object CdcQueries extends QueryModule {
     out
   }
 
+  /** ANALYZE gate (r12): seed a catalog table, `ANALYZE TABLE …
+    * COMPUTE STATISTICS FOR COLUMNS event_type`, and emit the persisted
+    * statistics as a row. At 5 distinct values HLL++'s linear-counting
+    * correction is exact and deterministic, so the NDV (plus the exact
+    * null count and row count) hash-matches a DuckDB replay — value
+    * certification for the stats CBO consumes (`TableStatsSpec` pins
+    * the attributeStats plumbing).
+    */
+  private def analyzeStatsGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = latestPerUser(events(s, dir))
+      .select("user_id", "event_id", "event_type", "value")
+    val tbl = "anlz_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+    s.sql(s"DROP TABLE IF EXISTS graft.gate.$tbl")
+    s.sql(s"""CREATE TABLE graft.gate.$tbl
+              (user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE)
+              TBLPROPERTIES('keys'='user_id')""")
+    base.createOrReplaceTempView("graft_anlz_base")
+    s.sql(s"INSERT INTO graft.gate.$tbl SELECT * FROM graft_anlz_base")
+    s.sql(s"ANALYZE TABLE graft.gate.$tbl COMPUTE STATISTICS FOR COLUMNS event_type")
+    val wh = s.conf.get("spark.sql.catalog.graft.root", "target/graft_warehouse")
+    val st = MergeTable.open(s, s"$wh/gate/$tbl").tableStats().get
+    val c = st.cols("event_type")
+    Seq(("event_type", c.ndv, c.nullCount, st.rows))
+      .toDF("column", "ndv", "null_count", "n_rows")
+  }
+
+  private val analyzeStatsSql =
+    """WITH base AS (
+      |  SELECT user_id, event_type FROM (
+      |    SELECT user_id, event_type,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1)
+      |SELECT 'event_type' AS column,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS ndv,
+      |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM base""".stripMargin
+
   /** SHALLOW CLONE lifecycle: seed a table, zero-copy clone it, apply
     * the change batch to the CLONE, read the clone back. Same oracle
     * as the plain upsert — the clone must behave exactly like a real
@@ -1270,6 +1310,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_branch_wap", applyUpsertWapBranch, Some(applyUpsertSql)),
     QueryDef("catalog_spj_join", catalogSpjJoin, Some(catalogSpjJoinSql)),
     QueryDef("catalog_sorted_join", catalogSortedJoin, Some(catalogSpjJoinSql)),
+    QueryDef("cdc_analyze_stats", analyzeStatsGate, Some(analyzeStatsSql)),
     QueryDef("catalog_ctas_clustered", catalogCtasClustered, Some(catalogCtasClusteredSql)),
     QueryDef("catalog_dv_batch_read", catalogDvBatchRead, Some(catalogDvBatchReadSql)),
     QueryDef("mergetable_agg_pushdown", aggPushdown, Some(aggPushdownSql)),

@@ -2437,6 +2437,72 @@ final class MergeTable(
     Files.deleteIfExists(tagPath(name))
   }
 
+  // -- table-level column statistics (ANALYZE TABLE → CBO) ------------------
+
+  private def tableStatsPath: Path =
+    rootPath.resolve("stats").resolve("_TABLE_STATS.json")
+
+  /** `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`: ONE aggregate
+    * job over the snapshot computes per-column NDV (HLL++ — the only
+    * scale-safe distinct count; a 100 TB exact distinct per column is
+    * a shuffle each), null count (exact), and avg/max byte length
+    * (computed for string/binary, the type's fixed width otherwise),
+    * persisted atomically beside the file stats with the version they
+    * were computed at. Served to the planner through the DSv2 scan's
+    * `columnStats()` (graft.sources.MergeTableBatchScan), where
+    * `spark.sql.cbo.enabled` join reordering and selectivity
+    * estimation pick them up — NDVs are what decides a join order, and
+    * like every engine's ANALYZE they are estimates that survive later
+    * writes (the recorded version makes staleness inspectable).
+    */
+  def analyzeColumns(columns: Seq[String] = Nil): MergeTable.TableStats = {
+    require(exists, s"cannot analyze uninitialized table $root")
+    val snap = read()
+    val cols = if (columns.nonEmpty) columns else snap.columns.toSeq
+    cols.foreach(c => require(snap.columns.contains(c),
+      s"ANALYZE column '$c' is not in the table schema"))
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val fixedWidth: Map[String, Long] = cols.flatMap { c =>
+      snap.schema(c).dataType match {
+        case StringType | BinaryType => None
+        case t => Some(c -> t.defaultSize.toLong)
+      }
+    }.toMap
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+      val base = Seq(
+        approx_count_distinct(col(c)).as(s"__ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+      if (fixedWidth.contains(c)) base
+      else base ++ Seq(
+        avg(length(col(c))).as(s"__avg_$c"),
+        max(length(col(c))).as(s"__max_$c"))
+    }
+    val row = snap.agg(aggs.head, aggs.tail: _*).head()
+    val rows = row.getAs[Long]("__rows")
+    val colStats = cols.map { c =>
+      val nulls = Option(row.getAs[Any](s"__nulls_$c"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val (avgLen, maxLen) = fixedWidth.get(c) match {
+        case Some(w) => (w, w)
+        case None => (
+          Option(row.getAs[Any](s"__avg_$c"))
+            .map(v => math.max(1L, math.round(v.asInstanceOf[Double]))).getOrElse(1L),
+          Option(row.getAs[Any](s"__max_$c"))
+            .map(v => v.asInstanceOf[Number].longValue).getOrElse(1L))
+      }
+      c -> MergeTable.ColumnStats(
+        ndv = row.getAs[Long](s"__ndv_$c"),
+        nullCount = nulls, avgLen = avgLen, maxLen = maxLen)
+    }.toMap
+    val stats = MergeTable.TableStats(readVersion, rows, colStats)
+    MergeTable.writeTableStats(tableStatsPath, stats)
+    stats
+  }
+
+  /** The persisted ANALYZE result, if any. */
+  def tableStats(): Option[MergeTable.TableStats] =
+    MergeTable.readTableStats(tableStatsPath)
+
   // -- stats-pruned reads & clustering -------------------------------------
 
   /** Current manifest entries, exposed so a reader can pin ONE pointer
@@ -3149,6 +3215,46 @@ object MergeTable {
                         partitionCols: Seq[String] = Nil)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Per-column ANALYZE statistics (byte lengths; ndv is HLL++). */
+  final case class ColumnStats(ndv: Long, nullCount: Long, avgLen: Long, maxLen: Long)
+
+  /** Table-level ANALYZE result, stamped with the version it was
+    * computed at (staleness is inspectable; serving stale stats is the
+    * standard engine trade-off).
+    */
+  final case class TableStats(version: Long, rows: Long, cols: Map[String, ColumnStats])
+
+  private[cdc] def writeTableStats(path: java.nio.file.Path, stats: TableStats): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("version", stats.version)
+    node.put("rows", stats.rows)
+    val cs = node.putObject("cols")
+    stats.cols.toSeq.sortBy(_._1).foreach { case (c, s) =>
+      val cn = cs.putObject(c)
+      cn.put("ndv", s.ndv); cn.put("nulls", s.nullCount)
+      cn.put("avgLen", s.avgLen); cn.put("maxLen", s.maxLen)
+    }
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(s".stats.tmp.${java.util.UUID.randomUUID()}")
+    Files.write(tmp, mapper.writeValueAsBytes(node))
+    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private[cdc] def readTableStats(path: java.nio.file.Path): Option[TableStats] = {
+    if (!Files.exists(path)) None
+    else {
+      import scala.jdk.CollectionConverters._
+      val n = mapper.readTree(Files.readAllBytes(path))
+      Some(TableStats(n.get("version").asLong, n.get("rows").asLong,
+        n.get("cols").fields().asScala.map { e =>
+          e.getKey -> ColumnStats(e.getValue.get("ndv").asLong,
+            e.getValue.get("nulls").asLong, e.getValue.get("avgLen").asLong,
+            e.getValue.get("maxLen").asLong)
+        }.toMap))
+    }
+  }
 
   def writeMeta(root: String, meta: Meta): Unit = {
     val node = mapper.createObjectNode()

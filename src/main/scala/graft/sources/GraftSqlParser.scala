@@ -83,6 +83,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+DROP\s+TAG\s+([a-zA-Z0-9_\-]+)\s*;?\s*""".r
   private val FastForward =
     """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+FAST\s+FORWARD\s+([a-zA-Z0-9_\-]+)\s*;?\s*""".r
+  private val AnalyzeCols =
+    """(?is)\s*ANALYZE\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+([a-zA-Z0-9_\s,]+?)\s*;?\s*""".r
+  private val AnalyzeAll =
+    """(?is)\s*ANALYZE\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+ALL\s+COLUMNS)?\s*;?\s*""".r
   private val ShowBranches =
     """(?is)\s*SHOW\s+BRANCHES\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
   private val ShowTags =
@@ -160,6 +164,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       MergeTableRefCommand("drop_tag", catalog, ident.split('.').toSeq, name)
     case FastForward(catalog, ident, name) =>
       MergeTableRefCommand("fast_forward", catalog, ident.split('.').toSeq, name)
+    // ANALYZE TABLE is Spark syntax (like SHOW PARTITIONS) — intercept
+    // only for mergetable catalogs so other catalogs keep Spark's own
+    // (v2 tables otherwise refuse ANALYZE at analysis)
+    case AnalyzeCols(catalog, ident, cols)
+        if GraftSqlParser.isMergetableCatalog(catalog) =>
+      MergeTableAnalyzeCommand(catalog, ident.split('.').toSeq,
+        cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    case AnalyzeAll(catalog, ident)
+        if GraftSqlParser.isMergetableCatalog(catalog) =>
+      MergeTableAnalyzeCommand(catalog, ident.split('.').toSeq, Nil)
     case ShowBranches(catalog, ident) =>
       MergeTableShowRefsCommand(branches = true, catalog, ident.split('.').toSeq)
     case ShowTags(catalog, ident) =>
@@ -745,5 +759,25 @@ case class MergeTableShowRefsCommand(branches: Boolean, catalogName: String,
       val head = t.forBranch(b).versions().lastOption.getOrElse(t.forkVersion(b))
       Row(b, head, t.forkVersion(b))
     } else t.tags().map(g => Row(g, t.tagVersion(g)))
+  }
+}
+
+/** `ANALYZE TABLE graft.db.t COMPUTE STATISTICS [FOR COLUMNS a, b |
+  * FOR ALL COLUMNS]` — one aggregate job computes per-column NDV
+  * (HLL++), null count, and avg/max lengths, persisted beside the file
+  * stats; the DSv2 scan serves them through `columnStats()` so
+  * `spark.sql.cbo.enabled` join reordering sees real NDVs.
+  * `affected` = columns analyzed.
+  */
+case class MergeTableAnalyzeCommand(catalogName: String, ident: Seq[String],
+                                    cols: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.mergetablePath(session, catalogName, ident, "ANALYZE")
+    val stats = MergeTable.open(session, path).analyzeColumns(cols)
+    Seq(Row(stats.cols.size.toLong))
   }
 }

@@ -321,10 +321,35 @@ private[sources] class MergeTableBatchScan(
       if (allFilters.isEmpty && !dv)
         relation.aggregatable.map(ms => ms.map(_.rows).sum)
       else None
+    // ANALYZE-computed column stats (ndv/nulls/lengths) ride along for
+    // CBO join reordering and selectivity under spark.sql.cbo.enabled —
+    // served only on the unfiltered scan (post-filter per-column stats
+    // would be guesses, same rule as numRows)
+    val colStats: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (allFilters.isEmpty && !dv) {
+        relation.tableColumnStats.foreach { case (c, s) =>
+          if (fullSchema.fieldNames.contains(c))
+            m.put(Expressions.column(c),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): OptionalLong = OptionalLong.of(s.ndv)
+                override def nullCount(): OptionalLong = OptionalLong.of(s.nullCount)
+                override def avgLen(): OptionalLong = OptionalLong.of(s.avgLen)
+                override def maxLen(): OptionalLong = OptionalLong.of(s.maxLen)
+              })
+        }
+      }
+      m
+    }
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1L))
       override def numRows(): OptionalLong =
         rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 

@@ -41,9 +41,11 @@ class MergeTableChangeFeedSource(
     startingVersion: Long,
     maxVersionsPerBatch: Long,
     metadataPath: String,
-    updatePreImages: Boolean = false) extends Source with SupportsTriggerAvailableNow {
+    updatePreImages: Boolean = false,
+    branch: String = MergeTable.MainBranch) extends Source with SupportsTriggerAvailableNow {
 
-  private val table = new MergeTable(spark, path, keys, mode, numBuckets)
+  private val table = new MergeTable(spark, path, keys, mode, numBuckets,
+    branch = branch)
 
   // The engine never tells a restarted v1 source its committed offset,
   // so the high-water version persists in the stream's own metadata
@@ -200,7 +202,17 @@ object MergeTableChangeFeedSource {
         "mergetable stream requires option 'keys' (the change feed diffs by primary key)"))
     val mode = parameters.getOrElse("mode", MergeTable.CopyOnWrite)
     val buckets = parameters.get("buckets").map(_.toInt)
-    val t = new MergeTable(spark, path, keys, mode, buckets)
+    // a WAP audit stream can follow the branch's commits before they
+    // publish; the branch must already exist (same guard as the batch
+    // source — a typo'd name must not silently stream an empty lineage)
+    val branch = parameters.get("branch").map { b =>
+      require(b == MergeTable.MainBranch ||
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(path, "branches", b, "_FORK")),
+        s"no branch '$b' at $path — create it first")
+      b
+    }.getOrElse(MergeTable.MainBranch)
+    val t = new MergeTable(spark, path, keys, mode, buckets, branch = branch)
     // default: only changes committed after stream creation
     val startingVersion = parameters.get("startingVersion").map(_.toLong)
       .getOrElse(t.versions().lastOption.getOrElse(0L))
@@ -211,6 +223,6 @@ object MergeTableChangeFeedSource {
     // new) — see MergeTable.changesBetween
     val preImages = parameters.get("updatePreImages").exists(_.toBoolean)
     new MergeTableChangeFeedSource(spark, path, keys, mode, buckets,
-      startingVersion, maxVersions, metadataPath, preImages)
+      startingVersion, maxVersions, metadataPath, preImages, branch)
   }
 }

@@ -150,6 +150,15 @@ class MergeTableRelation(
     else (Nil, Nil)
   private lazy val pinnedEntries: Seq[(String, String)] = pinned._1
 
+  /** ANALYZE-computed per-column statistics (ndv/nulls/lengths), for
+    * the batch scan's `columnStats()` — absent until `ANALYZE TABLE …
+    * COMPUTE STATISTICS` runs; like every engine's ANALYZE they are
+    * estimates that survive later writes.
+    */
+  private[sources] lazy val tableColumnStats: Map[String, MergeTable.ColumnStats] =
+    if (version.isEmpty) table.tableStats().map(_.cols).getOrElse(Map.empty)
+    else Map.empty
+
   /** The pinned snapshot's within-bucket sort columns (empty unless
     * the CURRENT manifest is a `sortBuckets` rewrite) — read from the
     * same manifest resolution as [[pinnedEntries]], so the batch

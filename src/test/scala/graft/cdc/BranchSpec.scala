@@ -163,6 +163,33 @@ class BranchSpec extends SparkSpec {
       Seq((2L, "B"), (3L, "c"), (4L, "d")))
   }
 
+  test("the streaming change feed follows a branch's commits before they publish") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (root, t) = freshTable("feed")
+    t.createBranch("audit")
+    val b = t.forBranch("audit")
+    b.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v")) // branch v2: U(2), I(3)
+    t.upsert(Seq((9L, "z")).toDF("id", "v"))            // main v2 (diverges — not in the feed)
+
+    val stream = spark.readStream.format("mergetable")
+      .option("path", root).option("keys", "id")
+      .option("branch", "audit")
+      .option("startingVersion", "1")
+      .load()
+    val q = stream.writeStream.format("memory")
+      .queryName("branch_feed").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table("branch_feed")
+      .select("id", "v", "_change").as[(Long, String, String)].collect().toSet
+    assert(got === Set((2L, "B", "U"), (3L, "c", "I")))
+
+    // a typo'd branch name refuses instead of streaming an empty lineage
+    val e = intercept[Exception](spark.readStream.format("mergetable")
+      .option("path", root).option("keys", "id").option("branch", "nope").load())
+    assert(e.getMessage.contains("no branch"))
+  }
+
   test("branch of an empty table starts the lineage at the first branch commit") {
     val root = "target/test_tmp/branch_empty"
     MergeTable.drop(root)
