@@ -503,7 +503,74 @@ object GraphQueries extends QueryModule {
        |JOIN deg db ON db.su = b
        |ORDER BY jaccard_micro DESC, a, b LIMIT 20""".stripMargin
 
+  /** Hop-distance BFS from a seed node over the customer–supplier
+    * bipartite graph (r12): the Pregel frontier shape — each of the
+    * BOUNDED rounds expands the previous frontier through one
+    * edge⋈frontier shuffle, dedups, and anti-joins the visited set so
+    * a node keeps its MINIMUM distance; `localCheckpoint` cuts the
+    * per-round lineage (an unrolled iterative plan would otherwise
+    * recompute round k-1 inside round k). Scale: the frontier and
+    * visited sets carry only (type, id) rows; each round is one
+    * shuffle on node id; rounds are fixed so the whole walk is
+    * replayable — the oracle recomputes it as a DuckDB recursive CTE
+    * with min-dist aggregation (path enumeration is bounded by the
+    * same round cap).
+    */
+  private val BfsRounds = 3
+
+  private def bfsLayers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct()
+      .localCheckpoint(true)
+    val fwd = pairs.select(lit("c").as("src_t"), col("c").as("src_id"),
+      lit("s").as("dst_t"), col("su").as("dst_id"))
+    val rev = pairs.select(lit("s").as("src_t"), col("su").as("src_id"),
+      lit("c").as("dst_t"), col("c").as("dst_id"))
+    val edges = graft.Caches.register(fwd.unionAll(rev))
+    // seed: the lowest customer id that HAS orders — deterministic on
+    // both engines, and guaranteed a non-trivial neighborhood
+    val seedId = ord.agg(min("o_custkey")).head().getLong(0)
+    // checkpointed seed: an opaque LogicalRDD — Spark 4.1's
+    // PushDownLeftSemiAntiJoin invalidates the plan when the visited
+    // anti-join is pushed into this literal projection otherwise
+    var visited = s.range(1).select(lit("c").as("node_t"),
+      lit(seedId).as("node_id"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = visited.select("node_t", "node_id").localCheckpoint(true)
+    for (d <- 1 to BfsRounds) {
+      val next = edges
+        .join(frontier, col("src_t") === col("node_t") && col("src_id") === col("node_id"))
+        .select(col("dst_t").as("node_t"), col("dst_id").as("node_id")).distinct()
+        .join(visited.select("node_t", "node_id"), Seq("node_t", "node_id"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionAll(next.withColumn("dist", lit(d.toLong)))
+        .localCheckpoint(true)
+      frontier = next
+    }
+    visited.orderBy(col("dist"), col("node_t"), col("node_id"))
+  }
+
+  private val bfsLayersSql =
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS su
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT 'c' AS st, c AS sid, 's' AS dt, su AS did FROM pairs
+      |  UNION ALL
+      |  SELECT 's', su, 'c', c FROM pairs),
+      |bfs(t, id, dist) AS (
+      |  SELECT 'c', (SELECT min(o_custkey) FROM orders), 0
+      |  UNION ALL
+      |  SELECT e.dt, e.did, b.dist + 1
+      |  FROM bfs b JOIN edges e ON e.st = b.t AND e.sid = b.id
+      |  WHERE b.dist < ${BfsRounds})
+      |SELECT t AS node_t, id AS node_id, CAST(min(dist) AS BIGINT) AS dist
+      |FROM bfs GROUP BY 1, 2
+      |ORDER BY dist, node_t, node_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_bfs_layers", bfsLayers, Some(bfsLayersSql)),
     QueryDef("graph_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("parts_item_cf", itemCf, Some(itemCfSql)),
     QueryDef("graph_triangles", triangles, Some(trianglesSql)),

@@ -658,7 +658,9 @@ case class MergeTableDetailCommand(catalogName: String,
     AttributeReference("constraints", StringType, nullable = false)(),
     AttributeReference("partition_columns", StringType, nullable = false)(),
     AttributeReference("column_mapping", StringType, nullable = false)(),
-    AttributeReference("dropped_columns", StringType, nullable = false)())
+    AttributeReference("dropped_columns", StringType, nullable = false)(),
+    AttributeReference("branches", StringType, nullable = false)(),
+    AttributeReference("tags", StringType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.mergetablePath(session, catalogName, ident,
@@ -677,7 +679,9 @@ case class MergeTableDetailCommand(catalogName: String,
       t.numBuckets.getOrElse(0).toLong, files, t.snapshotBytes(es),
       t.versions().size.toLong, cs,
       t.partitionCols.mkString(","), mapping,
-      meta.map(_.droppedColumns).getOrElse(Nil).mkString(",")))
+      meta.map(_.droppedColumns).getOrElse(Nil).mkString(","),
+      t.branches().mkString(","),
+      t.tags().map(g => s"$g=v${t.tagVersion(g)}").mkString(",")))
   }
 }
 

@@ -127,6 +127,11 @@ class BranchSpec extends SparkSpec {
     assert(spark.sql("SHOW TAGS graft.br1.t").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("seed", 1L)))
 
+    val detail = spark.sql("DESCRIBE DETAIL graft.br1.t").head()
+    val byName = spark.sql("DESCRIBE DETAIL graft.br1.t").columns.zipWithIndex.toMap
+    assert(detail.getString(byName("branches")) === "audit")
+    assert(detail.getString(byName("tags")) === "seed=v1")
+
     assert(spark.sql("ALTER TABLE graft.br1.t FAST FORWARD audit")
       .head().getLong(0) === 2L)
     assert(spark.table("graft.br1.t").count() === 3)
