@@ -1461,6 +1461,18 @@ final class MergeTable(
       d.split("/", 2)(1).split('/').filter(_.startsWith(PartPrefix)).mkString("/")
     val replaced = updated.map(e => partOf(e._2)).toSet
     val untouched = es.filter(e => e._1 == tag && !replaced.contains(partOf(e._2)))
+    // the staged data itself must be PK-unique: partition replacement
+    // writes rows VERBATIM (no merge), so a duplicate key inside the
+    // source — within one partition or split across two staged
+    // partitions — would commit a silent PK violation the
+    // untouched-partition clash scan can never see
+    val dup = readDirs(Seq(dir)).groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(keys.map(col): _*).limit(1).collect()
+    require(dup.isEmpty,
+      s"dynamic partition overwrite source is not unique on primary key " +
+        s"(${keys.mkString(", ")}): e.g. ${dup.mkString(", ")} — deduplicate " +
+        "the source or use MERGE INTO")
     lazy val stagedKeys =
       keySet(readDirs(Seq(dir)).select(keys.map(col): _*), dedup = true)
     if (untouched.nonEmpty) {
@@ -1941,27 +1953,40 @@ final class MergeTable(
     * partition, not the table; the plain partitioned layout has no
     * such cut. Untouched cells keep their directories verbatim.
     */
+  /** The composed-layout cell scope of a manifest entry's dir (the
+    * `_graft_p_…/_graft_bucket=i` suffix below the commit dir). */
+  private def composedScopeOf(d: String): String = d.split("/", 2)(1)
+
+  /** Cells of `candidateEntries` currently HOLDING any of `ks`'s keys,
+    * attributed from the file path Spark itself wrote — exact by
+    * construction. Callers pre-cut `candidateEntries` by the batch's
+    * key-hash buckets, so the one key-restricted scan reads
+    * |batch buckets| cells per partition, not the table. ONE
+    * definition: composedMerge and compactComposed must derive holder
+    * cells identically or the two write paths silently diverge.
+    */
+  private def composedHolders(candidateEntries: Seq[(String, String)],
+                              ks: DataFrame): Set[String] =
+    if (candidateEntries.isEmpty) Set.empty
+    else readDirs(candidateEntries.map(_._2))
+      .select(col("_metadata.file_path").as("_graft_f") +: keys.map(col): _*)
+      .join(ks, keys, "left_semi")
+      .select(regexp_extract(col("_graft_f"),
+        s"/((?:_graft_p_[^/]+/)+$BucketCol=\\d+)/[^/]+$$", 1).as("_graft_leaf"))
+      .distinct().collect().map(_.getString(0)).toSet
+
   private def composedMerge(changes: DataFrame, isDelete: Boolean): Unit = {
     if (!isDelete) requirePartitionable(changes)
     val current = entries()
     require(current.forall(e => e._1 == "pb" || e._1 == "ing"),
       s"table at $root has a non-composed layout; migrate before opening " +
         "with both partitionCols and numBuckets")
-    def scopeOf(d: String): String = d.split("/", 2)(1)
+    def scopeOf(d: String): String = composedScopeOf(d)
     val ks = keySet(changes, dedup = true)
     val bs = affectedBuckets(changes)
     val candidates = current.filter(e =>
       e._1 == "pb" && bucketIdOf(e._2).exists(bs.contains))
-    // leaf attribution from the file path Spark itself wrote — exact
-    // by construction, one scan restricted to the batch's buckets
-    val holders: Set[String] =
-      if (candidates.isEmpty) Set.empty
-      else readDirs(candidates.map(_._2))
-        .select(col("_metadata.file_path").as("_graft_f") +: keys.map(col): _*)
-        .join(ks, keys, "left_semi")
-        .select(regexp_extract(col("_graft_f"),
-          s"/((?:_graft_p_[^/]+/)+$BucketCol=\\d+)/[^/]+$$", 1).as("_graft_leaf"))
-        .distinct().collect().map(_.getString(0)).toSet
+    val holders = composedHolders(candidates, ks)
     val affected = holders ++
       (if (isDelete) Set.empty[String] else composedLeafNames(changes))
     if (isDelete && affected.isEmpty) return // nothing held these keys
@@ -1999,19 +2024,12 @@ final class MergeTable(
     val deltaEntries = es.filter(_._1 == "delta")
     if (deltaEntries.isEmpty) return
     val pbEntries = es.filter(_._1 == "pb")
-    def scopeOf(d: String): String = d.split("/", 2)(1)
+    def scopeOf(d: String): String = composedScopeOf(d)
     val deltas = readDirs(deltaEntries.map(_._2))
     val ks = keySet(deltas, dedup = true)
     val bs = affectedBuckets(deltas)
     val candidates = pbEntries.filter(e => bucketIdOf(e._2).exists(bs.contains))
-    val holders: Set[String] =
-      if (candidates.isEmpty) Set.empty
-      else readDirs(candidates.map(_._2))
-        .select(col("_metadata.file_path").as("_graft_f") +: keys.map(col): _*)
-        .join(ks, keys, "left_semi")
-        .select(regexp_extract(col("_graft_f"),
-          s"/((?:_graft_p_[^/]+/)+$BucketCol=\\d+)/[^/]+$$", 1).as("_graft_leaf"))
-        .distinct().collect().map(_.getString(0)).toSet
+    val holders = composedHolders(candidates, ks)
     val live =
       if (deltas.columns.contains(Tombstone))
         deltas.filter(!coalesce(col(Tombstone), lit(false)))
@@ -3143,10 +3161,14 @@ object MergeTable {
   val MainBranch = "main"
 
   /** Branch/tag names become directory/file segments — keep them to
-    * the portable-safe charset.
+    * the portable-safe charset. ALL-DIGIT names are rejected:
+    * `VERSION AS OF '<digits>'` always resolves as numeric time
+    * travel, so a tag or branch named `7` could be created but never
+    * read by name (or worse, silently shadowed by manifest version 7).
     */
   private[graft] def validRefName(n: String): Boolean =
-    n.nonEmpty && n.length <= 128 && n.matches("[A-Za-z0-9_\\-]+")
+    n.nonEmpty && n.length <= 128 && n.matches("[A-Za-z0-9_\\-]+") &&
+      !n.forall(_.isDigit)
 
   /** The WAP session conf (Iceberg's `spark.wap.branch`): when set,
     * catalog reads serve the named branch IF the table has it (main
@@ -3175,6 +3197,9 @@ object MergeTable {
       partitionCols = partitionCols)
     wapBranch(spark) match {
       case None => t
+      // 'main' names the unforked lineage — setting the conf to it is
+      // the natural way to say "no WAP routing", not a branch to fork
+      case Some(MainBranch) => t
       case Some(b) =>
         if (!t.branchExists(b)) {
           try t.createBranch(b)

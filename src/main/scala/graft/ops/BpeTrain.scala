@@ -82,8 +82,12 @@ object BpeTrain {
     * model; the fingerprint is a driver-side directory listing, no
     * data files opened.
     */
+  // keyed by (path, rounds) with the fingerprint IN THE VALUE (replace
+  // on mismatch): at most one live entry per corpus dir — a fingerprint
+  // in the key would leak one dead entry per corpus mutation, since old
+  // fingerprints never recur
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int), Seq[Merge]]
+    scala.collection.concurrent.TrieMap.empty[(String, Int), (String, Seq[Merge])]
 
   /** Cheap content fingerprint of a corpus path: every regular file's
     * (relative path, size, mtime), sorted and hashed. O(listing). */
@@ -104,9 +108,16 @@ object BpeTrain {
   }
 
   def trainedMergesFor(corpusDir: String, docs: => DataFrame,
-      rounds: Int): Seq[Merge] =
-    memo.getOrElseUpdate((corpusDir, corpusFingerprint(corpusDir), rounds),
-      runTraining(docs, rounds))
+      rounds: Int): Seq[Merge] = {
+    val fp = corpusFingerprint(corpusDir)
+    memo.get((corpusDir, rounds)) match {
+      case Some((`fp`, merges)) => merges
+      case _ =>
+        val merges = runTraining(docs, rounds)
+        memo.put((corpusDir, rounds), (fp, merges))
+        merges
+    }
+  }
 
   private def mergesToDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
     import spark.implicits._

@@ -299,11 +299,18 @@ private[sources] class MergeTableBatchScan(
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.SortDirection
     if (relation.sortedBy.nonEmpty && relation.numBuckets.isDefined &&
-        relation.partitionCols.isEmpty &&
-        relation.sortedBy.forall(fullSchema.fieldNames.contains))
-      relation.sortedBy.map(c =>
-        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
-    else Array.empty
+        relation.partitionCols.isEmpty) {
+      // only columns the PRUNED scan actually outputs: Spark resolves
+      // these against readSchema() and THROWS on a miss (verified in
+      // V2ExpressionUtils.toCatalystOrdering — no fallback), so a
+      // projection that drops a sort column must shrink the claim.
+      // Rows sorted by (a, b) are sorted by the PREFIX (a) — the claim
+      // stays truthful up to the first pruned column and stops there.
+      relation.sortedBy
+        .takeWhile(requiredSchema.fieldNames.contains)
+        .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+        .toArray
+    } else Array.empty
   }
 
   override def estimateStatistics(): Statistics = {

@@ -1,13 +1,58 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-/** Shared local SparkSession for specs. */
+/** Shared local SparkSession for specs, plus the plan-shape helpers
+  * the DSv2 specs share — ONE definition of the AQE-aware plan walker
+  * so a plan-shape change can't get fixed in one spec's copy and
+  * silently miss another's.
+  */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Set confs for the body, restoring prior values (incl. unset). */
+  def withSQLConf[T](kv: (String, String)*)(body: => T): T = {
+    val prior = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** (shuffles, sorts) in the EXECUTED plan — materializes the frame
+    * first so AQE finalizes, then walks children, subqueries, and
+    * every adaptive/query-stage wrapper.
+    */
+  def planCounts(df: DataFrame): (Int, Int) = {
+    df.collect()
+    var shuffles = 0
+    var sorts = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      if (p.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+        shuffles += 1
+      if (p.isInstanceOf[org.apache.spark.sql.execution.SortExec]) sorts += 1
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case r: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+          walk(r.shuffle)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => ()
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    (shuffles, sorts)
+  }
+
+  /** Shuffle count in the executed plan (see [[planCounts]]). */
+  def shuffles(df: DataFrame): Int = planCounts(df)._1
 }
 
 object SparkSpec {

@@ -195,6 +195,29 @@ class BranchSpec extends SparkSpec {
     assert(e.getMessage.contains("no branch"))
   }
 
+  test("wap.branch=main is a no-op route and all-digit ref names refuse") {
+    MergeTable.drop("target/graft_warehouse/br3")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.br3")
+    spark.sql("""CREATE TABLE graft.br3.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    // 'main' names the unforked lineage: the natural way to say "no
+    // WAP routing" — writes land on main instead of crashing on an
+    // unforkable branch name
+    spark.conf.set(MergeTable.WapBranchConf, "main")
+    try spark.sql("INSERT INTO graft.br3.t VALUES (1, 'a')")
+    finally spark.conf.unset(MergeTable.WapBranchConf)
+    assert(spark.table("graft.br3.t").count() === 1)
+    val t = MergeTable.open(spark, "target/graft_warehouse/br3/t")
+    assert(t.branches() === Nil)
+
+    // VERSION AS OF '<digits>' always resolves numerically, so an
+    // all-digit ref could be created but never read by name — refused
+    assert(intercept[IllegalArgumentException](
+      t.createTag("7")).getMessage.contains("invalid tag name"))
+    assert(intercept[IllegalArgumentException](
+      t.createBranch("2024")).getMessage.contains("invalid branch name"))
+  }
+
   test("branch of an empty table starts the lineage at the first branch commit") {
     val root = "target/test_tmp/branch_empty"
     MergeTable.drop(root)

@@ -24,27 +24,6 @@ class DvBatchScanSpec extends SparkSpec {
   private def usesBatchScan(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("MergeTableBatchScan")
 
-  private def shuffles(df: DataFrame): Int = {
-    df.collect()
-    var n = 0
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
-      if (p.isInstanceOf[ShuffleExchangeLike]) n += 1
-      p.children.foreach(walk)
-      p.subqueries.foreach(walk)
-      p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(q.plan)
-        case r: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
-          walk(r.shuffle)
-        case _ => ()
-      }
-    }
-    walk(df.queryExecution.executedPlan)
-    n
-  }
-
   test("a dv snapshot reads through the Batch scan with the mask applied") {
     fresh("dvb1")
     spark.sql("""CREATE TABLE graft.dvb1.t (id BIGINT, v STRING)

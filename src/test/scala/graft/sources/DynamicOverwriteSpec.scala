@@ -35,6 +35,28 @@ class DynamicOverwriteSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/${manifests.last}"))).linesIterator.toSeq
   }
 
+  test("a source that duplicates a key WITHIN ITSELF refuses (PK invariant)") {
+    fresh("dyn9")
+    spark.sql("""CREATE TABLE graft.dyn9.t (id BIGINT, day STRING, v BIGINT)
+                 TBLPROPERTIES('keys'='id') PARTITIONED BY (day)""")
+    spark.sql("INSERT INTO graft.dyn9.t VALUES (1,'a',10), (2,'b',20)")
+    // partition replacement writes rows VERBATIM — a key duplicated
+    // inside the source (here split across two staged partitions)
+    // would commit a silent PK violation the untouched-partition
+    // clash scan can never see
+    val e = intercept[Exception](withDynamic {
+      spark.sql("INSERT OVERWRITE graft.dyn9.t VALUES (1L,'a',11L), (1L,'b',12L)")
+    })
+    assert(e.getMessage.contains("not unique on primary key"), e.getMessage)
+    // same-partition duplicates refuse too
+    val e2 = intercept[Exception](withDynamic {
+      spark.sql("INSERT OVERWRITE graft.dyn9.t VALUES (5L,'a',1L), (5L,'a',2L)")
+    })
+    assert(e2.getMessage.contains("not unique on primary key"), e2.getMessage)
+    // the table is unchanged by both refusals
+    assert(spark.table("graft.dyn9.t").count() === 2)
+  }
+
   test("dynamic INSERT OVERWRITE replaces only the partitions present in the source") {
     fresh("dyn0")
     spark.sql("""CREATE TABLE graft.dyn0.t (id BIGINT, day STRING, v BIGINT)

@@ -24,36 +24,6 @@ class SortedBucketSpec extends SparkSpec {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$db")
   }
 
-  private def withSQLConf[T](kv: (String, String)*)(body: => T): T = {
-    val prior = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kv.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
-  private def planCounts(df: DataFrame): (Int, Int) = {
-    df.collect() // materialize so AQE finalizes the plan
-    var shuffles = 0
-    var sorts = 0
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
-      if (p.isInstanceOf[ShuffleExchangeLike]) shuffles += 1
-      if (p.isInstanceOf[org.apache.spark.sql.execution.SortExec]) sorts += 1
-      p.children.foreach(walk)
-      p.subqueries.foreach(walk)
-      p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(q.plan)
-        case _ => ()
-      }
-    }
-    walk(df.queryExecution.executedPlan)
-    (shuffles, sorts)
-  }
-
   private val noBroadcast = Seq(
     "spark.sql.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
@@ -95,6 +65,22 @@ class SortedBucketSpec extends SparkSpec {
       assert(j.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ===
         (1 to n).map(i => (i.toLong, s"f$i", s"d$i")).toSet)
     }
+  }
+
+  test("a projection that prunes the sort column still plans (prefix ordering claim)") {
+    fresh("sb3")
+    spark.sql("""CREATE TABLE graft.sb3.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id', 'buckets'='2')""")
+    (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("sb3_src")
+    spark.sql("INSERT INTO graft.sb3.t SELECT * FROM sb3_src")
+    spark.sql("OPTIMIZE graft.sb3.t SORT BY (id)")
+    // Spark resolves the reported ordering against the PRUNED scan
+    // output and throws on a miss — the claim must shrink to the
+    // prefix of sort columns the projection keeps (here: none)
+    assert(spark.sql("SELECT v FROM graft.sb3.t").collect().length === 50)
+    // and a projection keeping the sort column keeps the claim
+    assert(spark.sql("SELECT id FROM graft.sb3.t").collect().length === 50)
   }
 
   test("a write after the sorting rewrite invalidates the ordering claim") {

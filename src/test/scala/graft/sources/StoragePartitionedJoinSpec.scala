@@ -22,36 +22,6 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$db")
   }
 
-  private def withSQLConf[T](kv: (String, String)*)(body: => T): T = {
-    val prior = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kv.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
-  private def shuffles(df: DataFrame): Int = {
-    df.collect() // materialize so AQE finalizes the plan
-    var n = 0
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
-      if (p.isInstanceOf[ShuffleExchangeLike]) n += 1
-      p.children.foreach(walk)
-      p.subqueries.foreach(walk)
-      p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(q.plan)
-        case r: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
-          walk(r.shuffle)
-        case _ => ()
-      }
-    }
-    walk(df.queryExecution.executedPlan)
-    n
-  }
-
   test("the catalog bucket function replays the write side's hash byte-for-byte") {
     // Spark only needs canonicalName for SPJ compatibility, but the
     // one-side-shuffle variants (v2.bucketing.shuffle.enabled) would

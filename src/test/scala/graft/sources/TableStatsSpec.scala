@@ -12,15 +12,6 @@ import graft.cdc.MergeTable
 class TableStatsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withSQLConf[T](kv: (String, String)*)(body: => T): T = {
-    val prior = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kv.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("ANALYZE computes ndv, exact null counts, and lengths in one job") {
     MergeTable.drop("target/graft_warehouse/ts1")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ts1")
