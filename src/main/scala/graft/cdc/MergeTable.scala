@@ -1403,7 +1403,18 @@ final class MergeTable(
   private[graft] def commitStagedBucketedSeed(dir: String): Unit = {
     val written = listBuckets(dir)
     written.foreach(i => recordStats(s"$dir/$BucketCol=$i"))
-    commit(written.toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i"))
+    // a declared write-side sort (meta.sortBy + the v2 write's
+    // requiredOrdering) lands the seed PRESORTED — record the marker
+    // ONLY when every bucket dir is a single file (one sorted run):
+    // an AQE skew-split writes a bucket as two sorted files with
+    // overlapping ranges, which is not a per-partition order a scan
+    // may claim
+    val sortCols = MergeTable.readMeta(root).map(_.sortBy).getOrElse(Nil)
+    val sortable = sortCols.nonEmpty && partitionCols.isEmpty &&
+      written.forall(i => FileStats.listParquetFiles(
+        dataDir.resolve(dir).resolve(s"$BucketCol=$i")).size == 1)
+    commit(written.toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i") ++
+      (if (sortable) Seq("sort" -> sortCols.mkString(",")) else Nil))
     ()
   }
 
@@ -3237,7 +3248,8 @@ object MergeTable {
                         constraints: Map[String, String] = Map.empty,
                         droppedColumns: Seq[String] = Nil,
                         renames: Map[String, String] = Map.empty,
-                        partitionCols: Seq[String] = Nil)
+                        partitionCols: Seq[String] = Nil,
+                        sortBy: Seq[String] = Nil)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -3304,6 +3316,10 @@ object MergeTable {
       val pc = node.putArray("partitions")
       meta.partitionCols.foreach(pc.add)
     }
+    if (meta.sortBy.nonEmpty) {
+      val sb = node.putArray("sortBy")
+      meta.sortBy.foreach(sb.add)
+    }
     Files.createDirectories(Paths.get(root))
     Files.write(Paths.get(root).resolve("_META.json"),
       mapper.writeValueAsBytes(node))
@@ -3329,6 +3345,8 @@ object MergeTable {
           r.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
         }.getOrElse(Map.empty),
         Option(n.get("partitions")).map(_.elements().asScala.map(_.asText).toSeq)
+          .getOrElse(Nil),
+        Option(n.get("sortBy")).map(_.elements().asScala.map(_.asText).toSeq)
           .getOrElse(Nil)))
     }
   }

@@ -78,7 +78,24 @@ class MergeTableBatchWrite(
         meta.partitionCols.map(c => Expressions.identity(c): V2Expression).toArray)
     else Distributions.unspecified()
 
-  override def requiredOrdering(): Array[SortOrder] = Array.empty
+  /** A declared table sort (`TBLPROPERTIES('sortBy'='c1,c2')`, plain
+    * bucketed layouts) asks the engine to sort each write task by
+    * (bucket, sortBy…) — the bucket transform leads so a task holding
+    * several buckets still writes each dir as ONE sorted run. The seed
+    * then lands PRESORTED and its commit records the `sort` marker
+    * (see MergeTable.commitStagedBucketedSeed), giving the scan's
+    * `SupportsReportOrdering` claim without a separate `OPTIMIZE …
+    * SORT BY` rewrite pass over the data.
+    */
+  override def requiredOrdering(): Array[SortOrder] =
+    if (meta.sortBy.nonEmpty && meta.numBuckets.isDefined &&
+        meta.partitionCols.isEmpty)
+      (Expressions.sort(
+        Expressions.bucket(meta.numBuckets.get, meta.keys: _*),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING) +:
+        meta.sortBy.map(c => Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))).toArray
+    else Array.empty
 
   // advisory: the engine plans a REBALANCE — AQE coalesces tiny
   // buckets into one task and splits a skewed bucket across several

@@ -154,12 +154,26 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces
     require(partitionCols.isEmpty || props.get("buckets").isEmpty ||
       props.getOrElse("mode", MergeTable.CopyOnWrite) != MergeTable.DeletionVectors,
       "partitioned × bucketed composes with copy-on-write or merge-on-read only")
+    // declared write-side sort (Hive's bucketed-sorted-table shape):
+    // v2 seed writes request (bucket, sortBy…) ordering and record the
+    // scan-consumable sort marker — plain bucketed layouts only, the
+    // same rule as OPTIMIZE … SORT BY
+    val sortBy = props.get("sortBy").map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Nil)
+    if (sortBy.nonEmpty) {
+      require(props.contains("buckets") && partitionCols.isEmpty,
+        "TBLPROPERTIES('sortBy') requires a plain hash-bucketed layout " +
+          "('buckets' set, no PARTITIONED BY)")
+      sortBy.foreach(c => require(schema.fieldNames.contains(c),
+        s"sortBy column '$c' is not in the schema"))
+    }
     val meta = MergeTable.Meta(
       keys,
       props.getOrElse("mode", MergeTable.CopyOnWrite),
       props.get("buckets").map(_.toInt),
       Some(schema.json),
-      partitionCols = partitionCols)
+      partitionCols = partitionCols,
+      sortBy = sortBy)
     MergeTable.writeMeta(tablePath(ident), meta)
     new MergeTableV2(ident, tablePath(ident), meta, None)
   }

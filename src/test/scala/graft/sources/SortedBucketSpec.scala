@@ -121,6 +121,42 @@ class SortedBucketSpec extends SparkSpec {
     assert(t.currentSortedBy() === Nil)
   }
 
+  test("a declared sortBy property lands the v2 seed presorted — no rewrite pass") {
+    fresh("sb4")
+    for (t <- Seq("facts", "dims")) {
+      spark.sql(s"""CREATE TABLE graft.sb4.$t (id BIGINT, v STRING)
+                    TBLPROPERTIES('keys'='id', 'buckets'='4', 'sortBy'='id')""")
+    }
+    val n = 300
+    (1 to n).map(i => (i.toLong, s"f$i")).toDF("id", "v")
+      .createOrReplaceTempView("sb4_f")
+    (1 to n).map(i => (i.toLong, s"d$i")).toDF("id", "v")
+      .createOrReplaceTempView("sb4_d")
+    spark.sql("INSERT INTO graft.sb4.facts SELECT * FROM sb4_f")
+    spark.sql("INSERT INTO graft.sb4.dims SELECT * FROM sb4_d")
+    // the seed commit itself carries the marker — no OPTIMIZE ran
+    for (t <- Seq("facts", "dims")) {
+      assert(MergeTable.open(spark, s"target/graft_warehouse/sb4/$t")
+        .currentSortedBy() === Seq("id"))
+    }
+    withSQLConf(noBroadcast: _*) {
+      val j = spark.sql(
+        """SELECT f.id, f.v AS fv, d.v AS dv
+          |FROM graft.sb4.facts f JOIN graft.sb4.dims d ON f.id = d.id""".stripMargin)
+      val (sh, so) = planCounts(j)
+      assert(sh === 0, s"shuffled:\n${j.queryExecution.executedPlan}")
+      assert(so === 0, s"re-sorted:\n${j.queryExecution.executedPlan}")
+      assert(j.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ===
+        (1 to n).map(i => (i.toLong, s"f$i", s"d$i")).toSet)
+    }
+
+    // sortBy without a bucketed layout refuses at CREATE
+    val e = intercept[Exception](
+      spark.sql("""CREATE TABLE graft.sb4.bad (id BIGINT, v STRING)
+                   TBLPROPERTIES('keys'='id', 'sortBy'='id')"""))
+    assert(e.getMessage.contains("hash-bucketed"), e.getMessage)
+  }
+
   test("sortBuckets refuses unbucketed and composed layouts") {
     val root = "target/test_tmp/sorted_refuse"
     MergeTable.drop(root)
