@@ -569,8 +569,70 @@ object GraphQueries extends QueryModule {
       |FROM bfs GROUP BY 1, 2
       |ORDER BY dist, node_t, node_id""".stripMargin
 
+  /** Bounded-round single-source shortest paths (r12) — weighted
+    * BFS's big sibling: distributed Bellman-Ford over the trade graph
+    * with edge weight 1 + distinct-order count per trading pair, K
+    * fixed relaxation rounds (= min cost over paths of ≤K edges, the
+    * bounded-horizon form that replays exactly cross-engine — an
+    * unbounded SSSP's round count is data-dependent). Each round is
+    * one edge⋈dist shuffle + a min aggregation; dist rows are
+    * (type, id, long); `localCheckpoint` cuts the per-round lineage.
+    * Integer weights keep min-plus arithmetic exact on both engines;
+    * the oracle enumerates ≤K-edge paths with a recursive CTE and
+    * min-aggregates — relaxation vs path enumeration agreeing is part
+    * of the check.
+    */
+  private def ssspBounded(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val weighted = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("su"))
+      .agg((countDistinct(col("l_orderkey")) + lit(1L)).as("w"))
+      .localCheckpoint(true)
+    val fwd = weighted.select(lit("c").as("src_t"), col("c").as("src_id"),
+      lit("s").as("dst_t"), col("su").as("dst_id"), col("w"))
+    val rev = weighted.select(lit("s").as("src_t"), col("su").as("src_id"),
+      lit("c").as("dst_t"), col("c").as("dst_id"), col("w"))
+    val edges = graft.Caches.register(fwd.unionAll(rev))
+    val seedId = ord.agg(min("o_custkey")).head().getLong(0)
+    var dist = s.range(1).select(lit("c").as("node_t"),
+      lit(seedId).as("node_id"), lit(0L).as("d")).localCheckpoint(true)
+    for (_ <- 1 to BfsRounds) {
+      val relaxed = edges
+        .join(dist, col("src_t") === col("node_t") && col("src_id") === col("node_id"))
+        .select(col("dst_t").as("node_t"), col("dst_id").as("node_id"),
+          (col("d") + col("w")).as("d"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node_t", "node_id").agg(min("d").as("d"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("node_t"), col("node_id"), col("d").as("dist"))
+      .orderBy(col("dist"), col("node_t"), col("node_id"))
+  }
+
+  private val ssspBoundedSql =
+    s"""WITH RECURSIVE weighted AS (
+      |  SELECT o_custkey AS c, l_suppkey AS su,
+      |    CAST(count(DISTINCT l_orderkey) + 1 AS BIGINT) AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT 'c' AS st, c AS sid, 's' AS dt, su AS did, w FROM weighted
+      |  UNION ALL
+      |  SELECT 's', su, 'c', c, w FROM weighted),
+      |sp(t, id, d, hops) AS (
+      |  SELECT 'c', (SELECT min(o_custkey) FROM orders), CAST(0 AS BIGINT), 0
+      |  UNION ALL
+      |  SELECT e.dt, e.did, s.d + e.w, s.hops + 1
+      |  FROM sp s JOIN edges e ON e.st = s.t AND e.sid = s.id
+      |  WHERE s.hops < ${BfsRounds})
+      |SELECT t AS node_t, id AS node_id, CAST(min(d) AS BIGINT) AS dist
+      |FROM sp GROUP BY 1, 2
+      |ORDER BY dist, node_t, node_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("graph_bfs_layers", bfsLayers, Some(bfsLayersSql)),
+    QueryDef("graph_sssp_bounded", ssspBounded, Some(ssspBoundedSql)),
     QueryDef("graph_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("parts_item_cf", itemCf, Some(itemCfSql)),
     QueryDef("graph_triangles", triangles, Some(trianglesSql)),

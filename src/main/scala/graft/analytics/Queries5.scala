@@ -301,6 +301,33 @@ object Queries5 extends QueryModule {
       .orderBy("level", "qi_nation", "c_mktsegment", "bal_band")
   }
 
+  /** l-diversity audit (r12) — k-anonymity's complement: a
+    * quasi-identifier group can be large (k-safe) yet leak its
+    * sensitive attribute when every member SHARES it, so each
+    * (nation-band, segment) group is scored by the DISTINCT count of
+    * the sensitive balance band; groups with l < 3 are flagged. One
+    * groupBy + count-distinct shuffle, exact (the audit must not
+    * approximate what it certifies).
+    */
+  private def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer")
+      .groupBy((col("c_nationkey") % 5).cast("int").as("qi_nation"),
+        col("c_mktsegment"))
+      .agg(countDistinct(floor(col("c_acctbal") / 2000)).as("l"),
+        count(lit(1)).as("n"))
+      .select(col("qi_nation"), col("c_mktsegment"), col("l"), col("n"),
+        (col("l") < 3).as("at_risk"))
+      .orderBy("qi_nation", "c_mktsegment")
+  }
+
+  private val lDiversitySql =
+    """SELECT CAST(c_nationkey % 5 AS INT) AS qi_nation, c_mktsegment,
+      |  CAST(count(DISTINCT floor(c_acctbal / 2000)) AS BIGINT) AS l,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  (count(DISTINCT floor(c_acctbal / 2000)) < 3) AS at_risk
+      |FROM customer GROUP BY 1, 2
+      |ORDER BY qi_nation, c_mktsegment""".stripMargin
+
   private val kAnonymitySql =
     """SELECT 0 AS level, CAST(c_nationkey % 5 AS INT) AS qi_nation, c_mktsegment,
       |  CAST(NULL AS BIGINT) AS bal_band,
@@ -377,6 +404,7 @@ object Queries5 extends QueryModule {
     QueryDef("events_anomaly", eventsAnomaly, Some(eventsAnomalySql)),
     QueryDef("events_markov_transitions", eventsMarkov, Some(eventsMarkovSql)),
     QueryDef("privacy_k_anonymity", kAnonymity, Some(kAnonymitySql)),
+    QueryDef("privacy_l_diversity", lDiversity, Some(lDiversitySql)),
     QueryDef("orders_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
   )
 }

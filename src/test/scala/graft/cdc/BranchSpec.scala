@@ -195,6 +195,24 @@ class BranchSpec extends SparkSpec {
     assert(e.getMessage.contains("no branch"))
   }
 
+  test("fast-forward resumes after a crash mid-publish") {
+    val (root, t) = freshTable("resume")
+    t.createBranch("audit")
+    val b = t.forBranch("audit")
+    b.upsert(Seq((3L, "c")).toDF("id", "v")) // branch v2
+    b.upsert(Seq((4L, "d")).toDF("id", "v")) // branch v3
+    // simulate a publish that crashed after copying ONLY v2: link the
+    // branch manifest into main by hand (byte-identical prefix)
+    val src = java.nio.file.Paths.get(root, "branches", "audit", "manifests", "v00002.txt")
+    val dst = java.nio.file.Paths.get(root, "manifests", "v00002.txt")
+    java.nio.file.Files.createLink(dst, src)
+    // resume: already-present identical versions are accepted, the
+    // remainder publishes, and the result is the full branch state
+    assert(t.fastForward("audit") === 3L)
+    assert(rows(t) === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(t.versions() === Seq(1L, 2L, 3L))
+  }
+
   test("wap.branch=main is a no-op route and all-digit ref names refuse") {
     MergeTable.drop("target/graft_warehouse/br3")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.br3")
