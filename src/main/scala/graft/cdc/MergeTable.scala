@@ -1410,9 +1410,17 @@ final class MergeTable(
     // overlapping ranges, which is not a per-partition order a scan
     // may claim
     val sortCols = MergeTable.readMeta(root).map(_.sortBy).getOrElse(Nil)
+    // one sorted run per dir = all of the dir's files came from ONE
+    // writer: a maxRecordsPerFile roll shares the part-NNNNN-uuid
+    // prefix (differing only in the -cNNN sequence, concatenating in
+    // roll = path order), while an AQE skew-split writes under two
+    // prefixes with overlapping ranges
     val sortable = sortCols.nonEmpty && partitionCols.isEmpty &&
-      written.forall(i => FileStats.listParquetFiles(
-        dataDir.resolve(dir).resolve(s"$BucketCol=$i")).size == 1)
+      written.forall { i =>
+        FileStats.listParquetFiles(dataDir.resolve(dir).resolve(s"$BucketCol=$i"))
+          .map(_.getFileName.toString.replaceAll("-c\\d+.*$", ""))
+          .distinct.size <= 1
+      }
     commit(written.toSeq.sorted.map(i => s"b$i" -> s"$dir/$BucketCol=$i") ++
       (if (sortable) Seq("sort" -> sortCols.mkString(",")) else Nil))
     ()

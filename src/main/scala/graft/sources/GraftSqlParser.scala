@@ -563,6 +563,9 @@ case class MergeTableRenameColumnCommand(catalogName: String, ident: Seq[String]
     require(!current.contains(to),
       s"column '$to' already exists in ${ident.mkString(".")}")
     require(!meta.keys.contains(from), s"cannot rename key column '$from'")
+    require(!meta.sortBy.contains(from),
+      s"cannot rename declared sortBy column '$from': future seeds would " +
+        "sort by a stale name — drop the property first")
     require(!meta.droppedColumns.contains(to),
       s"column '$to' was previously dropped from ${ident.mkString(".")} and " +
         "not yet reclaimed — renaming onto it would shadow its pending data")
@@ -608,6 +611,8 @@ case class MergeTableDropColumnsCommand(catalogName: String, ident: Seq[String],
       require(current.contains(c),
         s"column '$c' does not exist in ${ident.mkString(".")}")
       require(!meta.keys.contains(c), s"cannot drop key column '$c'")
+      require(!meta.sortBy.contains(c),
+        s"cannot drop declared sortBy column '$c'")
       // the partition-scoped merge derives leaf dirs from this column
       // on every write — dropping it would wedge the write path with
       // an unresolvable reference on the next upsert/delete

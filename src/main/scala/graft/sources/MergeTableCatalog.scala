@@ -378,6 +378,7 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     m.put("keys", meta.keys.mkString(","))
     m.put("mode", meta.mode)
     meta.numBuckets.foreach(b => m.put("buckets", b.toString))
+    if (meta.sortBy.nonEmpty) m.put("sortBy", meta.sortBy.mkString(","))
     m
   }
 

@@ -155,6 +155,43 @@ class SortedBucketSpec extends SparkSpec {
       spark.sql("""CREATE TABLE graft.sb4.bad (id BIGINT, v STRING)
                    TBLPROPERTIES('keys'='id', 'sortBy'='id')"""))
     assert(e.getMessage.contains("hash-bucketed"), e.getMessage)
+
+    // the property round-trips through the catalog's reported set,
+    // and renaming/dropping a declared (non-key) sort column refuses
+    assert(spark.sql("SHOW TBLPROPERTIES graft.sb4.facts").collect()
+      .exists(r => r.getString(0) == "sortBy" && r.getString(1) == "id"))
+    spark.sql("""CREATE TABLE graft.sb4.byv (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id', 'buckets'='2', 'sortBy'='v')""")
+    assert(intercept[Exception](
+      spark.sql("ALTER TABLE graft.sb4.byv RENAME COLUMN v TO w"))
+      .getMessage.contains("sortBy"))
+    assert(intercept[Exception](
+      spark.sql("ALTER TABLE graft.sb4.byv DROP COLUMN (v)"))
+      .getMessage.contains("sortBy"))
+  }
+
+  test("a maxRecordsPerFile roll keeps the seed marker (one writer = one sorted run)") {
+    fresh("sb5")
+    spark.sql("""CREATE TABLE graft.sb5.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id', 'buckets'='2', 'sortBy'='id')""")
+    (1 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("sb5_src")
+    withSQLConf("spark.sql.files.maxRecordsPerFile" -> "40") {
+      spark.sql("INSERT INTO graft.sb5.t SELECT * FROM sb5_src")
+    }
+    val t = MergeTable.open(spark, "target/graft_warehouse/sb5/t")
+    // each bucket rolled to ~3 files from ONE writer — still one
+    // sorted run in roll order, so the marker holds and reads are right
+    assert(t.currentSortedBy() === Seq("id"))
+    assert(spark.table("graft.sb5.t").count() === 200)
+    withSQLConf(noBroadcast: _*) {
+      val j = spark.sql(
+        "SELECT a.id FROM graft.sb5.t a JOIN graft.sb5.t b ON a.id = b.id")
+      val (sh, so) = planCounts(j)
+      assert(sh === 0 && so === 0,
+        s"rolled sorted seed lost its claim:\n${j.queryExecution.executedPlan}")
+      assert(j.count() === 200)
+    }
   }
 
   test("sortBuckets refuses unbucketed and composed layouts") {
