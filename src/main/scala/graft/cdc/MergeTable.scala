@@ -190,16 +190,33 @@ final class MergeTable(
     manifestDir.resolve(f"v$version%05d.txt")
 
   /** Typed manifest entries in commit order. Bare lines are bases
-    * (backward compat with the original format).
+    * (backward compat with the original format). RAW view: on an
+    * incremental manifest this returns the `@delta` directive and
+    * `+tag`/`-tag` op lines verbatim — every snapshot consumer must
+    * go through [[resolveManifest]] instead; the raw parse is only
+    * correct for per-manifest verbatim lines (`txn`, `sort`), which
+    * full AND incremental manifests both carry in full.
     */
   private def parseManifest(m: Path): Seq[(String, String)] =
-    new String(Files.readAllBytes(m)).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-      .map { line =>
-        line.split(":", 2) match {
-          case Array(tag, dir) => (tag, dir)
-          case Array(dir) => ("base", dir)
-        }
-      }
+    MergeTable.parseManifestLines(m)
+
+  /** Materialized manifest: this manifest's verbatim `txn`/`sort`
+    * lines followed by its full data entry list, resolving
+    * incremental (`@delta:<baseVersion>`) manifests against their
+    * base chain in the same lineage directory. Commits write O(delta)
+    * bytes (the Delta-log shape — at 1M-file scale a small append
+    * must not rewrite a 1M-line manifest); reads pay a bounded chain
+    * walk (the checkpoint interval caps depth) over immutable files.
+    */
+  private def resolveManifest(m: Path): Seq[(String, String)] =
+    MergeTable.resolveManifestIn(m)
+
+  /** True when `m` holds an incremental body. */
+  private def isDeltaManifest(m: Path): Boolean =
+    MergeTable.deltaBaseOf(m).isDefined
+
+  /** Length of the `@delta` chain under `m` (0 = full manifest). */
+  private def chainDepth(m: Path): Int = MergeTable.chainDepthOf(m)
 
   /** Data entries only: `txn` watermark lines (idempotent-writer
     * bookkeeping, see [[txn]]) ride the same manifest for atomicity
@@ -209,7 +226,7 @@ final class MergeTable(
     currentManifest() match {
       case Some(m) if Files.exists(m) =>
         readVersion = manifestVersion(m)
-        parseManifest(m).filterNot(e => e._1 == "txn" || e._1 == "sort")
+        resolveManifest(m).filterNot(e => e._1 == "txn" || e._1 == "sort")
       case _ =>
         readVersion = 0L
         Nil
@@ -401,7 +418,44 @@ final class MergeTable(
         }.toMap
       else Map.empty[String, Long]) ++ pendingTxn
     val txnLines = carried.toSeq.sortBy(_._1).map { case (a, v) => s"txn:$a=$v" }
-    val body = (txnLines ++ newEntries.map { case (t, d) => s"$t:$d" }).mkString("\n")
+    // Incremental encoding (the Delta-log shape): when the new entry
+    // list is the base's list minus some removals plus a trailing
+    // suffix — every append/scoped commit — write only the diff plus
+    // this commit's verbatim txn/sort lines, so commit cost is
+    // O(changed entries), not O(table files). A 100 TB table holds
+    // ~1M data files; a small streaming append must not rewrite a
+    // 1M-line manifest on every trigger. Every `checkpointInterval`th
+    // chain link falls back to a full manifest to bound the read-side
+    // chain walk, and any non-diff-shaped commit (restore, layout
+    // migration) writes full. Correctness is checked by ROUND-TRIP:
+    // the encoded diff is accepted only if replaying it over the base
+    // reproduces `newEntries` exactly.
+    val fullBody = (txnLines ++ newEntries.map { case (t, d) => s"$t:$d" }).mkString("\n")
+    val deltaBody: Option[String] =
+      if (baseVersion > 0 && Files.exists(baseM) &&
+          chainDepth(baseM) + 1 < MergeTable.checkpointInterval(spark)) {
+        // `sort` markers are per-manifest metadata (dropped by any
+        // later commit), written verbatim like `txn` lines — the diff
+        // covers data entries only, so raw-parse consumers of the
+        // newest manifest's txn/sort lines stay correct on deltas
+        val sortLines = newEntries.collect { case ("sort", c) => s"sort:$c" }
+        val newData = newEntries.filterNot(_._1 == "sort")
+        val baseData = resolveManifest(baseM)
+          .filterNot(e => e._1 == "txn" || e._1 == "sort")
+        val newSet = newData.toSet
+        val removed = baseData.filterNot(newSet.contains)
+        val removedSet = removed.toSet
+        val kept = baseData.filterNot(removedSet.contains)
+        val appended = newData.drop(kept.length)
+        if (kept ++ appended == newData &&
+            removed.length + appended.length < newData.length) {
+          val ops = removed.map { case (t, d) => s"-$t:$d" } ++
+            appended.map { case (t, d) => s"+$t:$d" }
+          Some((Seq(s"@delta:$baseVersion") ++ txnLines ++ sortLines ++ ops)
+            .mkString("\n"))
+        } else None
+      } else None
+    val body = deltaBody.getOrElse(fullBody)
     val staged = manifestDir.resolve(s".staged.${UUID.randomUUID()}")
     Files.write(staged, body.getBytes)
     try Files.createLink(target, staged)
@@ -605,7 +659,7 @@ final class MergeTable(
   private def entriesAt(version: Long): Seq[(String, String)] = {
     val m = manifestPath(version)
     require(Files.exists(m), s"no version $version at $root")
-    parseManifest(m).filterNot(e => e._1 == "txn" || e._1 == "sort")
+    resolveManifest(m).filterNot(e => e._1 == "txn" || e._1 == "sort")
   }
 
   private def bucketExpr = pmod(xxhash64(keys.map(col): _*), lit(numBuckets.get))
@@ -2240,7 +2294,27 @@ final class MergeTable(
     // asked to keep (Iceberg's tag-retention rule) — expiry skips them,
     // so a tag read never dangles
     val pinned = tags().map(tagVersion).toSet
-    val expired = versions().dropRight(keepLast).filterNot(pinned.contains)
+    val all = versions()
+    val expired = all.dropRight(keepLast).filterNot(pinned.contains)
+    val expiredSet = expired.toSet
+    // a retained INCREMENTAL manifest whose `@delta` base is about to
+    // expire is MATERIALIZED first (full body, atomic in-place
+    // replace, original mtime preserved so `timestampAsOf` keeps
+    // resolving the same instant) — the user's KEEP-n contract trims
+    // exactly what was asked while every retained snapshot stays
+    // readable. Chains passing through another RETAINED manifest need
+    // no work: materializing that one repairs every chain above it.
+    all.filterNot(expiredSet.contains).foreach { v =>
+      val m = manifestPath(v)
+      if (MergeTable.deltaBaseOf(m).exists(expiredSet.contains)) {
+        val mtime = Files.getLastModifiedTime(m)
+        val tmp = manifestDir.resolve(s".materialize.${UUID.randomUUID()}")
+        Files.write(tmp, MergeTable.materializedBody(m))
+        Files.move(tmp, m, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        Files.setLastModifiedTime(m, mtime)
+      }
+    }
     expired.foreach(v => Files.deleteIfExists(manifestPath(v)))
     expired.length
   }
@@ -2258,7 +2332,7 @@ final class MergeTable(
       val names = Option(dir.toFile.list()).getOrElse(Array.empty[String])
         .filter(_.matches("v\\d+\\.txt"))
       if (names.isEmpty) Nil
-      else parseManifest(dir.resolve(
+      else resolveManifest(dir.resolve(
         names.maxBy(_.stripPrefix("v").stripSuffix(".txt").toLong)))
     }
     val mainDir = rootPath.resolve("manifests")
@@ -2267,7 +2341,7 @@ final class MergeTable(
         branches().flatMap(b => headEntries(branchManifestDir(b))) ++
         tags().flatMap { t =>
           val m = mainDir.resolve(f"v${tagVersion(t)}%05d.txt")
-          if (Files.exists(m)) parseManifest(m) else Nil
+          if (Files.exists(m)) resolveManifest(m) else Nil
         }
     val live = refEntries.filterNot(e =>
         e._1 == "txn" || e._1 == "ref" || e._1 == "sort")
@@ -2332,7 +2406,14 @@ final class MergeTable(
     Files.createDirectories(bdir)
     if (v > 0) {
       val staged = bdir.resolve(s".staged.${UUID.randomUUID()}")
-      Files.write(staged, Files.readAllBytes(manifestPath(v)))
+      // a fork seed crosses lineage directories, so an incremental
+      // fork manifest is MATERIALIZED (its @delta chain lives in the
+      // source dir and would dangle in the branch's); full manifests
+      // copy byte-identically as before
+      val srcM = manifestPath(v)
+      Files.write(staged,
+        if (isDeltaManifest(srcM)) MergeTable.materializedBody(srcM)
+        else Files.readAllBytes(srcM))
       try Files.createLink(bdir.resolve(f"v$v%05d.txt"), staged)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -2403,9 +2484,23 @@ final class MergeTable(
         "or avoid EXPIRE SNAPSHOTS on unpublished branches")
     ((fork + 1) to head).foreach { v =>
       val target = manifestPath(v)
-      val srcBytes = Files.readAllBytes(srcDir.resolve(f"v$v%05d.txt"))
+      val srcM = srcDir.resolve(f"v$v%05d.txt")
+      // an incremental source manifest resolves in-place after the
+      // copy (version numbering is shared across lineages and its
+      // bases were published first) EXCEPT when this lineage expired
+      // the base (the fork manifest) — that one is materialized
+      val srcBytes =
+        if (MergeTable.deltaBaseOf(srcM).exists(b => !Files.exists(manifestPath(b))))
+          MergeTable.materializedBody(srcM)
+        else Files.readAllBytes(srcM)
+      // resumability must accept a logically-identical prior publish
+      // (an earlier run may have materialized where this one copies
+      // verbatim, or vice versa) — byte equality first, resolved
+      // content equality as the tie-breaker
       def sameAsTarget(): Boolean =
-        java.util.Arrays.equals(Files.readAllBytes(target), srcBytes)
+        java.util.Arrays.equals(Files.readAllBytes(target), srcBytes) ||
+          (try resolveManifest(target) == MergeTable.resolveManifestIn(srcM)
+          catch { case _: Exception => false })
       if (Files.exists(target)) {
         if (!sameAsTarget()) throw new CommitConflictException(
           s"cannot fast-forward '$from' into '$branch' at $root: version $v " +
@@ -2558,7 +2653,7 @@ final class MergeTable(
     val raw = currentManifest() match {
       case Some(m) if Files.exists(m) =>
         readVersion = manifestVersion(m)
-        parseManifest(m)
+        resolveManifest(m)
       case _ =>
         readVersion = 0L
         Nil
@@ -3175,6 +3270,81 @@ object MergeTable {
   val CopyOnWrite = "copy-on-write"
   val MergeOnRead = "merge-on-read"
   val DeletionVectors = "deletion-vectors"
+
+  // -- incremental manifests ------------------------------------------------
+  //
+  // A manifest file is either FULL (every `tag:dir` line verbatim) or
+  // INCREMENTAL: first line `@delta:<baseVersion>`, then this commit's
+  // verbatim `txn:`/`sort:` lines, then `-tag:dir` (entry removed vs
+  // the base's resolved list) and `+tag:dir` (entry appended) ops.
+  // Resolution replays the chain of immutable files; the writer caps
+  // chain depth at `graft.mergetable.manifestCheckpointInterval`
+  // (default 16) by periodically writing a full checkpoint manifest,
+  // so reads stay O(interval) file opens while commits stay O(delta)
+  // bytes — without this, every commit rewrites the whole file list
+  // and a 100 TB table's streaming append pays O(1M lines) per trigger.
+
+  private[graft] def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.getOption("graft.mergetable.manifestCheckpointInterval")
+      .map(_.toInt).getOrElse(16)
+
+  /** Raw lines of one manifest file, split `tag:rest`. */
+  private[graft] def parseManifestLines(m: Path): Seq[(String, String)] =
+    new String(Files.readAllBytes(m)).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { line =>
+        line.split(":", 2) match {
+          case Array(tag, dir) => (tag, dir)
+          case Array(dir) => ("base", dir)
+        }
+      }
+
+  /** The base version an incremental manifest resolves against. */
+  private[graft] def deltaBaseOf(m: Path): Option[Long] =
+    parseManifestLines(m).headOption.collect { case ("@delta", v) => v.toLong }
+
+  private[graft] def chainDepthOf(m: Path): Int =
+    deltaBaseOf(m) match {
+      case Some(v) => 1 + chainDepthOf(m.getParent.resolve(f"v$v%05d.txt"))
+      case None => 0
+    }
+
+  /** Materialized (tag, rest) lines of the manifest at `m`, resolving
+    * an `@delta` chain within `m`'s own directory: this manifest's
+    * verbatim `txn`/`sort` lines first, then the full data entry list
+    * in commit order. Full manifests return their lines unchanged.
+    */
+  private[graft] def resolveManifestIn(m: Path): Seq[(String, String)] = {
+    val raw = parseManifestLines(m)
+    raw.headOption match {
+      case Some(("@delta", bv)) =>
+        val basePath = m.getParent.resolve(f"v${bv.toLong}%05d.txt")
+        require(Files.exists(basePath),
+          s"incremental manifest $m references missing base v$bv — its " +
+            "checkpoint chain was broken (snapshot expiry must retain chain bases)")
+        val baseData = resolveManifestIn(basePath)
+          .filterNot(e => e._1 == "txn" || e._1 == "sort")
+        val removed = raw.collect {
+          case (t, d) if t.startsWith("-") => (t.stripPrefix("-"), d) }.toSet
+        val added = raw.collect {
+          case (t, d) if t.startsWith("+") => (t.stripPrefix("+"), d) }
+        val meta = raw.filter(e => e._1 == "txn" || e._1 == "sort")
+        meta ++ baseData.filterNot(removed.contains) ++ added
+      case _ => raw
+    }
+  }
+
+  /** Test/tooling view of one manifest's RESOLVED full body as
+    * `tag:rest` lines — what the equivalent full manifest would hold.
+    */
+  def manifestLines(m: Path): Seq[String] =
+    resolveManifestIn(m).map { case (t, d) => s"$t:$d" }
+
+  /** Resolved full body bytes for materializing a delta manifest when
+    * a lineage copy cannot carry its chain (branch seeds, publishes
+    * over an expired base).
+    */
+  private[graft] def materializedBody(m: Path): Array[Byte] =
+    manifestLines(m).mkString("\n").getBytes
 
   /** The default (unforked) manifest lineage. */
   val MainBranch = "main"

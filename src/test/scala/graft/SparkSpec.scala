@@ -53,6 +53,20 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Shuffle count in the executed plan (see [[planCounts]]). */
   def shuffles(df: DataFrame): Int = planCounts(df)._1
+
+  /** RESOLVED `tag:rest` lines of a table's newest manifest —
+    * manifests may be stored incrementally (`@delta` bodies), so
+    * specs asserting on snapshot content must read the materialized
+    * view, not raw bytes.
+    */
+  def latestManifestLines(tableRoot: String): Seq[String] =
+    manifestLinesOf(tableRoot,
+      new java.io.File(s"$tableRoot/manifests").list().sorted.last)
+
+  /** RESOLVED lines of one named manifest file under `root/manifests`. */
+  def manifestLinesOf(tableRoot: String, name: String): Seq[String] =
+    graft.cdc.MergeTable.manifestLines(
+      java.nio.file.Paths.get(s"$tableRoot/manifests/$name"))
 }
 
 object SparkSpec {

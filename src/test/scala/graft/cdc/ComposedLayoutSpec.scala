@@ -22,12 +22,8 @@ class ComposedLayoutSpec extends SparkSpec {
     root
   }
 
-  private def lastManifest(root: String): Seq[String] = {
-    val manifests = new java.io.File(s"$root/manifests").list().sorted
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$root/manifests/${manifests.last}")))
-      .linesIterator.toSeq
-  }
+  private def lastManifest(root: String): Seq[String] =
+    latestManifestLines(root)
 
   // ids 1..8 spread over several buckets; two partition values
   private val seedRows = (1L to 8L).map(i =>

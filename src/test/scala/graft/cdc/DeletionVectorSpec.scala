@@ -17,11 +17,8 @@ class DeletionVectorSpec extends SparkSpec {
     root
   }
 
-  private def lastManifest(root: String): String = {
-    val manifests = new java.io.File(s"$root/manifests").list().sorted
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$root/manifests/${manifests.last}")))
-  }
+  private def lastManifest(root: String): String =
+    latestManifestLines(root).mkString("\n")
 
   private def dataFiles(root: String): Set[String] = {
     def walk(f: java.io.File): Seq[java.io.File] =

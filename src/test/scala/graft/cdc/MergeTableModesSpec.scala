@@ -19,10 +19,8 @@ class MergeTableModesSpec extends SparkSpec {
     t.upsert(Seq((2L, "B"), (4L, "d")).toDF("id", "v"))
     t.delete(Seq(3L).toDF("id"))
     // base + 2 deltas on disk, reconciliation hides all of it
-    val manifests = new java.io.File(s"$root/manifests").list().sorted
-    val lastManifest = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$root/manifests/${manifests.last}")))
-    assert(lastManifest.linesIterator.count(_.startsWith("delta:")) === 2)
+    val lastManifest = latestManifestLines(root)
+    assert(lastManifest.count(_.startsWith("delta:")) === 2)
     assert(t.read().as[(Long, String)].collect().sorted ===
       Seq((1L, "a"), (2L, "B"), (4L, "d")))
   }
@@ -43,10 +41,8 @@ class MergeTableModesSpec extends SparkSpec {
     t.upsert(Seq((2L, "b")).toDF("id", "v"))
     t.upsert(Seq((3L, "c")).toDF("id", "v"))
     t.upsert(Seq((1L, "A")).toDF("id", "v")) // 3rd delta -> compaction
-    val manifests = new java.io.File(s"$root/manifests").list().sorted
-    val last = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$root/manifests/${manifests.last}")))
-    assert(last.linesIterator.forall(_.startsWith("base:")), last)
+    val last = latestManifestLines(root)
+    assert(last.forall(_.startsWith("base:")), last)
     assert(t.read().as[(Long, String)].collect().sorted ===
       Seq((1L, "A"), (2L, "b"), (3L, "c")))
   }
@@ -58,15 +54,13 @@ class MergeTableModesSpec extends SparkSpec {
       initial = Some(rows.toDF("id", "v")), numBuckets = Some(8))
     val before = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/_LATEST")))
-    val beforeEntries = scala.io.Source.fromFile(
-      s"$root/manifests/$before").getLines().toSeq.sorted
+    val beforeEntries = manifestLinesOf(root, before).sorted
 
     t.upsert(Seq((5L, "V5")).toDF("id", "v"))
 
     val after = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/_LATEST")))
-    val afterEntries = scala.io.Source.fromFile(
-      s"$root/manifests/$after").getLines().toSeq.sorted
+    val afterEntries = manifestLinesOf(root, after).sorted
     // exactly one bucket entry changed
     assert(beforeEntries.size === afterEntries.size)
     assert(beforeEntries.intersect(afterEntries).size === beforeEntries.size - 1)
@@ -83,7 +77,7 @@ class MergeTableModesSpec extends SparkSpec {
     t.delete((0L until 32L).toDF("id")) // delete everything
     val after = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/_LATEST")))
-    val afterEntries = scala.io.Source.fromFile(s"$root/manifests/$after").getLines().toSeq
+    val afterEntries = manifestLinesOf(root, after)
     assert(afterEntries.isEmpty, afterEntries)
   }
 
@@ -99,14 +93,10 @@ class MergeTableModesSpec extends SparkSpec {
     val got = t.read().as[(Long, String)].collect().toMap
     assert(got.size === 64 && got(5L) === "V5" && got(100L) === "new" && !got.contains(6L))
 
-    val before = scala.io.Source.fromFile(s"$root/manifests/" + new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/_LATEST"))))
-      .getLines().toSeq
+    val before = latestManifestLines(root)
     assert(before.count(_.startsWith("delta:")) === 2)
     t.compact()
-    val after = scala.io.Source.fromFile(s"$root/manifests/" + new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/_LATEST"))))
-      .getLines().toSeq
+    val after = latestManifestLines(root)
     // deltas folded away; only the buckets hit by keys 5/100/6 moved
     assert(after.forall(_.matches("b\\d+:.*")), after)
     val beforeBuckets = before.filter(_.startsWith("b")).sorted
@@ -145,9 +135,7 @@ class MergeTableModesSpec extends SparkSpec {
     assert(bucket0.nonEmpty)
     t.delete(bucket0.toDF("id"))
     t.compact()
-    val after = scala.io.Source.fromFile(s"$root/manifests/" + new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/_LATEST"))))
-      .getLines().toSeq
+    val after = latestManifestLines(root)
     assert(!after.exists(_.startsWith("b0:")), after)
     assert(t.read().count() === 16L - bucket0.size)
   }

@@ -19,12 +19,8 @@ class PartitionedTableSpec extends SparkSpec {
     root
   }
 
-  private def lastManifest(root: String): Seq[String] = {
-    val manifests = new java.io.File(s"$root/manifests").list().sorted
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$root/manifests/${manifests.last}")))
-      .linesIterator.toSeq
-  }
+  private def lastManifest(root: String): Seq[String] =
+    latestManifestLines(root)
 
   private val seedRows = Seq(
     (1L, "red", 10L), (2L, "red", 20L), (3L, "blue", 30L), (4L, "green", 40L))
@@ -192,9 +188,7 @@ class PartitionedTableSpec extends SparkSpec {
       Seq((1L, "red", 10L), (2L, "blue", 20L), (3L, "red", 30L)))
     // the layout is still partition-dir based under the OLD physical name
     val root = spark.sql("DESCRIBE DETAIL graft.db.pv_ren").head().getString(0)
-    val ms = new java.io.File(s"$root/manifests").list().sorted
-    val manifest = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$root/manifests/${ms.last}")))
+    val manifest = latestManifestLines(root).mkString("\n")
     assert(manifest.linesIterator.forall(_.startsWith("pv:")), manifest)
     assert(manifest.contains("_graft_p_grp="))
     // predicate reads on the new name stay correct (partition-dir

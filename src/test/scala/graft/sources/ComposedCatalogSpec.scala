@@ -31,10 +31,7 @@ class ComposedCatalogSpec extends SparkSpec {
     rows.toDF("id", "day", "v").createOrReplaceTempView("pbc0_src")
     spark.sql("INSERT INTO graft.pbc0.t SELECT * FROM pbc0_src")
     // the seed landed as pb manifest entries (the composed layout)
-    val manifests = new java.io.File("target/graft_warehouse/pbc0/t/manifests")
-      .list().sorted
-    val m = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-      s"target/graft_warehouse/pbc0/t/manifests/${manifests.last}"))).linesIterator.toSeq
+    val m = latestManifestLines("target/graft_warehouse/pbc0/t")
     assert(m.forall(e => e.startsWith("pb:") || e.startsWith("txn:")), m.mkString("|"))
     assert(m.exists(e => e.contains("_graft_p_day=") && e.contains("_graft_bucket=")))
     // snapshot reads serve through the Batch scan with correct results

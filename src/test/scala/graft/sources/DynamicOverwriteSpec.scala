@@ -28,12 +28,8 @@ class DynamicOverwriteSpec extends SparkSpec {
     }
   }
 
-  private def lastManifest(db: String, t: String): Seq[String] = {
-    val dir = s"target/graft_warehouse/$db/$t/manifests"
-    val manifests = new java.io.File(dir).list().sorted
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/${manifests.last}"))).linesIterator.toSeq
-  }
+  private def lastManifest(db: String, t: String): Seq[String] =
+    latestManifestLines(s"target/graft_warehouse/$db/$t")
 
   test("a source that duplicates a key WITHIN ITSELF refuses (PK invariant)") {
     fresh("dyn9")

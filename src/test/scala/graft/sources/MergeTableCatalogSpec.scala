@@ -133,9 +133,7 @@ class MergeTableCatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graft.cat8.m VALUES (1,'A')") // delta
     spark.sql("COMPACT graft.cat8.m") // folds the deltas into one base
     val root = "target/graft_warehouse/cat8/m"
-    val manifests = new java.io.File(s"$root/manifests").list().sorted
-    val last = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$root/manifests/${manifests.last}")))
+    val last = latestManifestLines(root).mkString("\n")
     assert(last.linesIterator.forall(_.startsWith("base:")), last)
     // old versions' data dirs become unreferenced → vacuum removes them
     val removed = spark.sql("VACUUM graft.cat8.m").as[Long].head()
@@ -242,11 +240,7 @@ class MergeTableCatalogSpec extends SparkSpec {
     assert(MergeTable.readMeta(root).get.partitionCols === Seq("grp"))
     spark.sql("INSERT INTO graft.cat5.p VALUES (1,'red',10), (2,'blue',20)")
     // the insert landed partition-scoped: pv entries, per-value dirs
-    val manifest = {
-      val ms = new java.io.File(s"$root/manifests").list().sorted
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$root/manifests/${ms.last}")))
-    }
+    val manifest = latestManifestLines(root).mkString("\n")
     assert(manifest.linesIterator.forall(_.startsWith("pv:")), manifest)
     assert(manifest.contains("_graft_p_grp=red") && manifest.contains("_graft_p_grp=blue"))
     // MERGE through SQL keeps the layout partition-scoped

@@ -53,11 +53,7 @@ class MergeTableSinkSpec extends SparkSpec {
       // second batch: update moves id=1 across partitions
       in.addData((1L, "blue", 2L), (3L, "red", 2L))
       q.processAllAvailable()
-      def manifest(): Seq[String] = {
-        val ms = new java.io.File(s"$root/manifests").list().sorted
-        new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(s"$root/manifests/${ms.last}"))).linesIterator.toSeq
-      }
+      def manifest(): Seq[String] = latestManifestLines(root)
       assert(manifest().forall(_.startsWith("pv:")), manifest().mkString("|"))
       assert(MergeTable.readMeta(root).get.partitionCols === Seq("grp"))
       val got = MergeTable.open(spark, root).read()
