@@ -328,6 +328,83 @@ object Queries5 extends QueryModule {
       |FROM customer GROUP BY 1, 2
       |ORDER BY qi_nation, c_mktsegment""".stripMargin
 
+  /** t-closeness audit (r12) — the third rung of the privacy ladder:
+    * a group can be k-large and l-diverse yet still leak when its
+    * sensitive-attribute DISTRIBUTION skews far from the table's (all
+    * its members sit in the top balance bands, say). Each
+    * (nation-band, segment) group's balance-band distribution is
+    * scored against the global one with the Earth Mover's Distance
+    * over the ordered bands — computed in EXACT integer arithmetic:
+    * with group counts nᵢ (size N), global counts mᵢ (size M), the
+    * per-band gap pᵢ−qᵢ scales to the integer dᵢ = nᵢ·M − mᵢ·N, so
+    * EMD·(bins−1)·N·M = Σ|prefix-sum(d)| is a BIGINT (`emd_scaled`)
+    * and the t = 0.2 flag is the exact comparison 5·emd_scaled >
+    * (bins−1)·N·M — no float division anywhere, hash-stable across
+    * engines. Scale shape: two bounded-cardinality aggregations plus
+    * a window over the |groups|×|bands| grid (≈165 rows whatever the
+    * input size).
+    */
+  private def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = t(s, dir, "customer").select(
+      (col("c_nationkey") % 5).cast("int").as("qi_nation"),
+      col("c_mktsegment"),
+      floor(col("c_acctbal") / 2000).cast("long").as("band"))
+    val grp = c.groupBy("qi_nation", "c_mktsegment", "band")
+      .agg(count(lit(1)).as("ni"))
+    val glob = c.groupBy("band").agg(count(lit(1)).as("mi"))
+    val sizes = c.groupBy("qi_nation", "c_mktsegment").agg(count(lit(1)).as("ng"))
+    val totals = c.agg(count(lit(1)).as("mm"),
+      countDistinct(col("band")).as("nbins"))
+    val grid = sizes.crossJoin(broadcast(glob))
+      .join(grp, Seq("qi_nation", "c_mktsegment", "band"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("qi_nation"), col("c_mktsegment"), col("band"), col("ng"),
+        col("nbins"), col("mm"),
+        (coalesce(col("ni"), lit(0L)) * col("mm") - col("mi") * col("ng")).as("d"))
+    val w = Window.partitionBy("qi_nation", "c_mktsegment")
+      .orderBy("band").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cum", sum("d").over(w))
+      .groupBy("qi_nation", "c_mktsegment")
+      .agg(first("ng").as("n"), sum(abs(col("cum"))).as("emd_scaled"),
+        first("nbins").as("nbins"), first("mm").as("mm"))
+      .select(col("qi_nation"), col("c_mktsegment"), col("n"), col("emd_scaled"),
+        (col("emd_scaled") * 5 > (col("nbins") - 1) * col("n") * col("mm"))
+          .as("at_risk"))
+      .orderBy("qi_nation", "c_mktsegment")
+  }
+
+  private val tClosenessSql =
+    """WITH c AS (
+      |  SELECT CAST(c_nationkey % 5 AS INT) AS qi_nation, c_mktsegment,
+      |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS band
+      |  FROM customer),
+      |grp AS (SELECT qi_nation, c_mktsegment, band, count(*)::BIGINT AS ni
+      |        FROM c GROUP BY 1, 2, 3),
+      |gband AS (SELECT band, count(*)::BIGINT AS mi FROM c GROUP BY 1),
+      |sizes AS (SELECT qi_nation, c_mktsegment, count(*)::BIGINT AS ng
+      |          FROM c GROUP BY 1, 2),
+      |totals AS (SELECT count(*)::BIGINT AS mm,
+      |                  count(DISTINCT band)::BIGINT AS nbins FROM c),
+      |grid AS (
+      |  SELECT s.qi_nation, s.c_mktsegment, g.band, s.ng, t.nbins, t.mm,
+      |    (coalesce(p.ni, 0) * t.mm - g.mi * s.ng) AS d
+      |  FROM sizes s CROSS JOIN gband g
+      |  LEFT JOIN grp p ON p.qi_nation = s.qi_nation
+      |    AND p.c_mktsegment = s.c_mktsegment AND p.band = g.band
+      |  CROSS JOIN totals t),
+      |cums AS (
+      |  SELECT qi_nation, c_mktsegment, ng, nbins, mm,
+      |    sum(d) OVER (PARTITION BY qi_nation, c_mktsegment
+      |                 ORDER BY band ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM grid)
+      |SELECT qi_nation, c_mktsegment, any_value(ng) AS n,
+      |  sum(abs(cum))::BIGINT AS emd_scaled,
+      |  (sum(abs(cum)) * 5 > (any_value(nbins) - 1) * any_value(ng) * any_value(mm))
+      |    AS at_risk
+      |FROM cums GROUP BY 1, 2
+      |ORDER BY qi_nation, c_mktsegment""".stripMargin
+
   private val kAnonymitySql =
     """SELECT 0 AS level, CAST(c_nationkey % 5 AS INT) AS qi_nation, c_mktsegment,
       |  CAST(NULL AS BIGINT) AS bal_band,
@@ -405,6 +482,7 @@ object Queries5 extends QueryModule {
     QueryDef("events_markov_transitions", eventsMarkov, Some(eventsMarkovSql)),
     QueryDef("privacy_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("privacy_l_diversity", lDiversity, Some(lDiversitySql)),
+    QueryDef("privacy_t_closeness", tCloseness, Some(tClosenessSql)),
     QueryDef("orders_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
   )
 }

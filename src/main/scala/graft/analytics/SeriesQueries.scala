@@ -358,8 +358,61 @@ object SeriesQueries extends QueryModule {
       |  CAST(abs(cnt - med) > 3 * mad AS INT) AS is_outlier
       |FROM scored ORDER BY day""".stripMargin
 
+  // -- autocorrelation function (exact integer form) -----------------------
+
+  /** ACF of the daily event-count series at lags 1–7 (r12) — the
+    * seasonality probe: a weekly cycle shows as a lag-7 peak. The
+    * textbook r_k = Σ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σ(xₜ−x̄)² divides by the float
+    * mean, so instead each deviation is scaled by n: dₜ = n·xₜ − S is
+    * an exact BIGINT (Σxₜ = S), and the reported (acf_num, acf_den) =
+    * (Σ dₜ·dₜ₊ₖ, Σ dₜ²) carry the n² factor in BOTH terms — their
+    * ratio IS r_k, every intermediate is integer, hash-stable across
+    * engines. Magnitudes: |d| ≤ n·max(x) and the series length is
+    * #days, so even 10⁹ events/day over 10 years stays inside int64.
+    * Scale shape: one date aggregation over the raw events (the only
+    * data-sized stage), then windows over the #days-row series — the
+    * post-aggregate frame is bounded by calendar length, not data.
+    */
+  private def acf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(row_number().over(Window.orderBy("day")).as("t"),
+        (col("n") * col("x") - col("s")).as("dev"))
+    val den = dev.agg(sum(col("dev") * col("dev")).as("acf_den"))
+    val lags = s.range(1, 8).select(col("id").cast("int").as("lag_k"))
+    broadcast(lags).join(dev.as("a"), lit(true))
+      .join(dev.as("b"), col("b.t") === col("a.t") + col("lag_k"))
+      .groupBy("lag_k")
+      .agg(sum(col("a.dev") * col("b.dev")).as("acf_num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag_k"), col("acf_num"), col("acf_den"))
+      .orderBy("lag_k")
+  }
+
+  private val acfSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS x
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s FROM daily),
+      |dev AS (
+      |  SELECT row_number() OVER (ORDER BY day) AS t, (t2.n * d.x - t2.s) AS dev
+      |  FROM daily d CROSS JOIN tot t2),
+      |den AS (SELECT sum(dev * dev)::BIGINT AS acf_den FROM dev),
+      |lags AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag_k)
+      |SELECT l.lag_k, sum(a.dev * b.dev)::BIGINT AS acf_num,
+      |  any_value(den.acf_den) AS acf_den
+      |FROM lags l
+      |JOIN dev a ON true
+      |JOIN dev b ON b.t = a.t + l.lag_k
+      |CROSS JOIN den
+      |GROUP BY l.lag_k ORDER BY lag_k""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("events_ewma", ewma, Some(ewmaSql)),
+    QueryDef("events_acf", acf, Some(acfSql)),
     QueryDef("events_changepoint", changepoint, Some(changepointSql)),
     QueryDef("orders_seasonal_naive", seasonalNaive, Some(seasonalNaiveSql)),
     QueryDef("orders_hampel_daily", hampel, Some(hampelSql)),

@@ -663,8 +663,119 @@ object SearchQueries extends QueryModule {
        |FROM per_doc LEFT JOIN matched ON per_doc.doc_id = matched.doc_id
        |ORDER BY per_doc.doc_id""".stripMargin
 
+  // -- content-defined chunking (FastCDC-shaped, word level) ----------------
+
+  private val CdcK = 4   // rolling-window words
+  private val CdcD = 16  // cut divisor → expected chunk ≈ 16 words
+
+  /** Content-defined chunk dedup (r12) — the sub-document rung of the
+    * dedup ladder: fixed-size chunking (`docs_chunk`) breaks at
+    * arbitrary offsets, so one inserted word shifts every later
+    * boundary and kills chunk-level dedup; CONTENT-defined cuts
+    * (rsync/LBFS/FastCDC) place boundaries where a rolling hash ≡ 0
+    * mod D, so boundaries re-synchronize after any edit and shared
+    * passages chunk identically in every document. Word-level here
+    * (the training-data unit): the same compiled Rabin–Karp pass as
+    * winnowing ([[graft.functions.WindowHashes]]) rolls a 4-word
+    * window, cuts where the hash % 16 = 0, identifies each chunk by
+    * the exact fold of its word hashes, and reports per doc how many
+    * of its chunks appear in OTHER documents. Scale shape: text never
+    * shuffles — only (doc, chunk_hash) longs do; chunk counts
+    * partial-aggregate; the shared-set join is on the hash.
+    */
+  private def contentChunks(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.WindowHashes.P
+    val d = docs(s, dir).select(col("doc_id"),
+        transform(TextAnalysis.words(col("text")),
+          w => conv(substring(md5(w), 1, 12), 16, 10).cast("long") % P).as("whs"))
+      .filter(size(col("whs")) >= CdcK)
+    val exploded = graft.Caches.register(d
+      .withColumn("hs", call_function("graft_window_hashes", col("whs"), lit(CdcK)))
+      // a window i cuts AFTER word i+K-1; the final boundary is the
+      // doc end (cuts landing exactly there are dropped as redundant)
+      .withColumn("ends", expr(
+        s"""concat(
+           |  transform(
+           |    filter(sequence(1, size(hs)),
+           |      i -> element_at(hs, i) % $CdcD = 0 AND i < size(hs)),
+           |    i -> i + ${CdcK - 1}),
+           |  array(size(whs)))""".stripMargin))
+      .withColumn("j", explode(expr("sequence(1, size(ends))")))
+      .select(col("doc_id"), size(col("whs")).cast("long").as("n_words"),
+        expr(
+          s"""aggregate(
+             |  slice(whs,
+             |    IF(j = 1, 1, element_at(ends, j - 1) + 1),
+             |    element_at(ends, j) - IF(j = 1, 1, element_at(ends, j - 1) + 1) + 1),
+             |  CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % $P)""".stripMargin)
+          .as("chunk_hash")))
+    val shared = exploded.groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("_nd")).filter(col("_nd") > 1)
+      .select("chunk_hash")
+    val perDoc = exploded.groupBy("doc_id", "n_words")
+      .agg(count(lit(1)).as("n_chunks"), sum("chunk_hash").as("chunk_checksum"))
+    val matched = exploded.join(shared, "chunk_hash")
+      .groupBy("doc_id").agg(count(lit(1)).as("_nshared"))
+    perDoc.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_chunks"),
+        coalesce(col("_nshared"), lit(0L)).as("n_dup_chunks"),
+        (coalesce(col("_nshared"), lit(0L)) > 0).as("has_dup"),
+        col("chunk_checksum"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replays the whole pipeline: word hashes, the rolling
+    * 4-gram fold, divisor cuts, per-chunk hash folds over the exact
+    * word ranges, and the cross-document shared set — boundary
+    * placement is certified bit-for-bit, not just chunk counts.
+    */
+  private val contentChunksSql =
+    s"""WITH ws AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+       |      w -> ('0x' || substr(md5(w), 1, 12))::BIGINT % 1000000007) AS whs
+       |  FROM documents),
+       |base AS (SELECT doc_id, whs, len(whs) AS n FROM ws WHERE len(whs) >= $CdcK),
+       |hs AS (
+       |  SELECT doc_id, whs, n,
+       |    [list_reduce(list_prepend(CAST(0 AS BIGINT), whs[i:i + ${CdcK - 1}]),
+       |       (a, x) -> (a * 31 + x) % 1000000007)
+       |     FOR i IN generate_series(1, n - ${CdcK - 1})] AS hs
+       |  FROM base),
+       |ends AS (
+       |  SELECT doc_id, whs, n,
+       |    list_append(
+       |      [i + ${CdcK - 1} FOR i IN generate_series(1, len(hs))
+       |         IF hs[i] % $CdcD = 0 AND i < len(hs)],
+       |      n) AS ends
+       |  FROM hs),
+       |chunk AS (
+       |  SELECT doc_id, n,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        whs[(CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END):(ends[j])]),
+       |      (a, x) -> (a * 31 + x) % 1000000007) AS chunk_hash
+       |  FROM (SELECT doc_id, whs, n, ends,
+       |          unnest(generate_series(1, len(ends))) AS j FROM ends)),
+       |shared AS (
+       |  SELECT chunk_hash FROM chunk GROUP BY chunk_hash
+       |  HAVING count(DISTINCT doc_id) > 1),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(n AS BIGINT) AS n_words, count(*)::BIGINT AS n_chunks,
+       |    CAST(sum(chunk_hash) AS BIGINT) AS chunk_checksum
+       |  FROM chunk GROUP BY 1, 2),
+       |matched AS (
+       |  SELECT doc_id, count(*)::BIGINT AS nshared
+       |  FROM chunk JOIN shared USING (chunk_hash) GROUP BY 1)
+       |SELECT per_doc.doc_id, n_words, n_chunks,
+       |  coalesce(nshared, 0) AS n_dup_chunks,
+       |  coalesce(nshared, 0) > 0 AS has_dup, chunk_checksum
+       |FROM per_doc LEFT JOIN matched ON per_doc.doc_id = matched.doc_id
+       |ORDER BY per_doc.doc_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("docs_winnowing_fingerprint", winnowing, Some(winnowingSql)),
+    QueryDef("dedup_content_chunks", contentChunks, Some(contentChunksSql)),
     QueryDef("docs_tfidf_topk", tfidfTopk, Some(tfidfSql)),
     QueryDef("docs_bm25_search", bm25Search, Some(bm25Sql)),
     QueryDef("search_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),

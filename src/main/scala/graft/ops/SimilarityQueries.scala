@@ -460,6 +460,46 @@ object SimilarityQueries extends QueryModule {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Attribute-FILTERED ANN through the IVF index (r12) — the serving
+    * shape RAG pipelines need ("nearest docs WHERE lang='en' AND
+    * license=permissive"): the index is built over the FULL corpus
+    * once, and the predicate (label = 3 here) applies to candidates
+    * INSIDE the probed cells BEFORE any distance math. Because a
+    * vector's cell assignment is independent of every other vector,
+    * filter-then-assign ≡ assign-then-filter, so the filter legally
+    * pushes all the way to the corpus scan — Catalyst serves it as a
+    * parquet PushedFilter and the per-row cosine work shrinks by the
+    * selectivity. Top-k per query comes from the bounded heap, never
+    * a per-group sort.
+    */
+  private def annIvfFiltered(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.kmeansCentroids(s, corpus(s, dir), "embedding", 16)
+    Similarity.ivfTopKWith(s, queries(s, dir, 10),
+        corpus(s, dir).filter(col("label") === 3), k = 5, cents)
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB re-trains the full-corpus IVF index (shared CTEs) and
+    * replays the filtered read path: 4-cell probes, cell-join
+    * candidates restricted to the predicate rows, exact rescoring,
+    * (score desc, neighbor asc) top-5 — certifying that the filter
+    * composes with every index approximation bit-for-bit.
+    */
+  private val annIvfFilteredSql =
+    s"""$ivfIndexCtes,
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qe, a.e), 6) AS score
+       |  FROM probe p JOIN asn a USING (cell)
+       |  JOIN embeddings al ON al.vec_id = a.vec_id
+       |  WHERE p.query_id <> a.vec_id AND al.label = 3),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, rank, score FROM r
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Hard-negative mining routed through the IVF index — the shape
     * that scales to every-doc-as-anchor (see
     * [[Similarity.ivfHardNegatives]]); 50 anchors here, candidates
@@ -911,6 +951,7 @@ object SimilarityQueries extends QueryModule {
     QueryDef("embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     QueryDef("ann_lsh_topk", annLsh, Some(annLshSql)),
     QueryDef("ann_ivf_topk", annIvf, Some(annIvfSql)),
+    QueryDef("ann_ivf_filtered_topk", annIvfFiltered, Some(annIvfFilteredSql)),
     QueryDef("ann_stream_topk", annStream, Some(annIvfSql)),
     QueryDef("embed_hard_negatives_ivf", hardNegativesIvf, Some(hardNegativesIvfSql)),
     QueryDef("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),
