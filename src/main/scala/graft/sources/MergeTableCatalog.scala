@@ -97,7 +97,27 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     MergeTable.readMeta(tablePath(ident)).isDefined
 
-  override def loadTable(ident: Identifier): Table = loadVersioned(ident, None)
+  override def loadTable(ident: Identifier): Table =
+    if (tableExists(ident)) loadVersioned(ident, None)
+    else metadataTableFor(ident).getOrElse(loadVersioned(ident, None))
+
+  /** Iceberg-style inspection tables: `SELECT * FROM graft.db.t.files
+    * / .history / .refs` resolves here when `db.t` is a MergeTable
+    * and no REAL table shadows the suffix (a genuine table named
+    * `files` under `db.t` wins — checked first). Driver-computed
+    * manifest/ref facts, read-only, always the CURRENT state at scan
+    * time.
+    */
+  private def metadataTableFor(ident: Identifier): Option[Table] =
+    if (ident.namespace().length >= 2 &&
+        MergeTableMetadataTable.Kinds.contains(ident.name().toLowerCase)) {
+      val ns = ident.namespace()
+      val parent = Identifier.of(ns.dropRight(1), ns.last)
+      MergeTable.readMeta(tablePath(parent)).map { _ =>
+        new MergeTableMetadataTable(ident, tablePath(parent),
+          ident.name().toLowerCase)
+      }
+    } else None
 
   /** `VERSION AS OF <v>` — a numeric string is a committed manifest
     * number; anything else names a REF (Iceberg parity): a tag reads
@@ -678,6 +698,112 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
   * V1Scan prints its default `Class$$anon$N@hash` and the marker never
   * appears even when the pushdown works.
   */
+/** Inspection tables (Iceberg's `db.t.files` / `.history` / `.refs`
+  * metadata-table surface):
+  *
+  *  - `files`:   one row per live data FILE of the current snapshot —
+  *               (content, file_path, size_bytes, commit_dir), the
+  *               audit surface for layout/compaction health;
+  *  - `history`: the commit log — (version, committed_at,
+  *               base_entries, delta_entries), same facts as
+  *               DESCRIBE HISTORY but queryable/joinable as a table;
+  *  - `refs`:    branches and tags with their head/pinned versions.
+  *
+  * Read-only; rows are computed driver-side from the manifest at
+  * buildScan time (metadata scale — the same class of driver work as
+  * any table format's planning), so a metadata query never opens data
+  * files. Honors the WAP branch conf the way snapshot reads do:
+  * `spark.graft.wap.branch` routes `files`/`history` to that branch's
+  * lineage when the table has it.
+  */
+private[sources] class MergeTableMetadataTable(ident: Identifier, path: String,
+    kind: String) extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  override def name(): String = (ident.namespace() :+ ident.name()).mkString(".")
+  override def schema(): StructType = MergeTableMetadataTable.schemaOf(kind)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): util.Map[String, String] =
+    Map("kind" -> s"metadata:$kind").asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema()
+        override def description(): String = s"MergeTableMetadataTable($kind) $path"
+        override def toString: String = description()
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = MergeTableMetadataTable.schemaOf(kind)
+            override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+              context.sparkSession.sparkContext.parallelize(
+                MergeTableMetadataTable.rows(context.sparkSession, path, kind), 1)
+          }.asInstanceOf[T]
+      }
+    }
+}
+
+private[sources] object MergeTableMetadataTable {
+  import org.apache.spark.sql.types._
+
+  val Kinds: Set[String] = Set("files", "history", "refs")
+
+  def schemaOf(kind: String): StructType = kind match {
+    case "files" => StructType(Seq(
+      StructField("content", StringType),
+      StructField("file_path", StringType),
+      StructField("size_bytes", LongType),
+      StructField("commit_dir", StringType)))
+    case "history" => StructType(Seq(
+      StructField("version", LongType),
+      StructField("committed_at", TimestampType),
+      StructField("base_entries", IntegerType),
+      StructField("delta_entries", IntegerType)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType),
+      StructField("type", StringType),
+      StructField("version", LongType)))
+  }
+
+  def rows(spark: SparkSession, path: String, kind: String): Seq[Row] = {
+    val base = MergeTable.open(spark, path)
+    val t = MergeTable.wapBranch(spark).filter(base.branchExists)
+      .map(base.forBranch).getOrElse(base)
+    kind match {
+      case "files" =>
+        t.currentEntries().flatMap { case (tag, d) =>
+          val dir = t.dirPath(d)
+          if (!Files.isDirectory(dir)) Nil
+          else {
+            val s = Files.walk(dir)
+            try s.iterator().asScala.toSeq
+              .filter(p => Files.isRegularFile(p) &&
+                !p.getFileName.toString.startsWith("_") &&
+                !p.getFileName.toString.startsWith("."))
+              .map(p => Row(tag, s"data/$d/${dir.relativize(p)}",
+                Files.size(p), d))
+            finally s.close()
+          }
+        }
+      case "history" =>
+        t.history().map { case (v, ms, b, d) =>
+          Row(v, new java.sql.Timestamp(ms), b, d)
+        }
+      case "refs" =>
+        val main = Row("main", "branch", base.versions().lastOption.getOrElse(0L))
+        val branches = base.branches().sorted.map { b =>
+          Row(b, "branch", base.forBranch(b).versions().lastOption.getOrElse(0L))
+        }
+        val tags = base.tags().map(tg => Row(tg, "tag", base.tagVersion(tg)))
+        main +: (branches ++ tags)
+    }
+  }
+}
+
 private[sources] class MergeTableMetadataAggScan(
     aggSchema: StructType, row: Row) extends V1Scan {
   override def readSchema(): StructType = aggSchema

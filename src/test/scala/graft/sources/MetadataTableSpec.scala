@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Iceberg-style inspection tables: `graft.db.t.files` / `.history` /
+  * `.refs` resolve through the catalog as read-only metadata tables —
+  * driver-computed manifest facts, no data files opened, WAP-branch
+  * aware, and shadowed by any REAL table of the same name.
+  */
+class MetadataTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(db: String): Unit = {
+    graft.cdc.MergeTable.drop(s"target/graft_warehouse/$db")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$db")
+  }
+
+  test("files lists every live data file; compaction shrinks it") {
+    fresh("meta1")
+    spark.sql("""CREATE TABLE graft.meta1.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id','mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.meta1.t VALUES (1,'a')")
+    spark.sql("INSERT INTO graft.meta1.t VALUES (2,'b')")
+    val files = spark.table("graft.meta1.t.files")
+      .as[(String, String, Long, String)].collect()
+    // base + one MOR delta, every row a real parquet file under data/
+    assert(files.length >= 2, files.mkString("|"))
+    assert(files.map(_._1).toSet.subsetOf(Set("base", "delta")))
+    assert(files.forall(f => f._2.startsWith("data/") && f._2.endsWith(".parquet")))
+    assert(files.forall(_._3 > 0))
+    spark.sql("COMPACT graft.meta1.t")
+    val after = spark.table("graft.meta1.t.files")
+      .as[(String, String, Long, String)].collect()
+    assert(after.forall(_._1 == "base"), after.mkString("|"))
+  }
+
+  test("history is the queryable commit log; refs lists branches and tags") {
+    fresh("meta2")
+    spark.sql("""CREATE TABLE graft.meta2.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.meta2.t VALUES (1,'a')") // v1
+    spark.sql("INSERT INTO graft.meta2.t VALUES (2,'b')") // v2
+    val h = spark.sql(
+      "SELECT version, base_entries FROM graft.meta2.t.history ORDER BY version")
+      .as[(Long, Int)].collect()
+    assert(h.map(_._1).toSeq === Seq(1L, 2L))
+    // metadata tables are plain relations: joins/aggregates compose
+    assert(spark.sql(
+      "SELECT max(version) FROM graft.meta2.t.history").as[Long].head() === 2L)
+    val root = "target/graft_warehouse/meta2/t"
+    val t = graft.cdc.MergeTable.open(spark, root)
+    t.createBranch("audit")
+    t.createTag("rel1", Some(1L))
+    val refs = spark.table("graft.meta2.t.refs")
+      .as[(String, String, Long)].collect().toSet
+    assert(refs === Set(("main", "branch", 2L), ("audit", "branch", 2L),
+      ("rel1", "tag", 1L)))
+  }
+
+  test("wap branch conf routes files/history to the branch lineage") {
+    fresh("meta3")
+    spark.sql("""CREATE TABLE graft.meta3.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.meta3.t VALUES (1,'a')")
+    val t = graft.cdc.MergeTable.open(spark, "target/graft_warehouse/meta3/t")
+    t.createBranch("wip")
+    import spark.implicits._
+    t.forBranch("wip").append(Seq((2L, "b")).toDF("id", "v"))
+    withSQLConf("spark.graft.wap.branch" -> "wip") {
+      assert(spark.sql("SELECT max(version) FROM graft.meta3.t.history")
+        .as[Long].head() === 2L)
+    }
+    assert(spark.sql("SELECT max(version) FROM graft.meta3.t.history")
+      .as[Long].head() === 1L)
+  }
+
+  test("a real table named files shadows the metadata surface") {
+    fresh("meta4")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta4.t")
+    spark.sql("""CREATE TABLE graft.meta4.t.files (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.meta4.t.files VALUES (7,'real')")
+    val got = spark.table("graft.meta4.t.files").as[(Long, String)].collect()
+    assert(got === Array((7L, "real")))
+  }
+
+  test("metadata suffix on a missing table still errors as no-such-table") {
+    fresh("meta5")
+    val e = intercept[Exception](spark.table("graft.meta5.nope.files").collect())
+    assert(e.getMessage.toLowerCase.contains("table"))
+  }
+}
