@@ -476,6 +476,65 @@ object CorpusQueries extends QueryModule {
        |ORDER BY ex.source""".stripMargin
   }
 
+  /** Vocabulary overlap between corpus slices from their KMV sketches
+    * (r12, [[Sketches.kmvOverlap]]) — theta-sketch set algebra: each
+    * source's distinct word-trigram set reduces to its 64 smallest hashes,
+    * and every pairwise intersection is estimated from the sketches
+    * alone as |S_a ∩ S_b ∩ [0,θ)|·2^48/θ, θ = min(θ_a, θ_b). The
+    * cross-slice contamination/affinity question at 100 TB, where the
+    * element sets never co-locate and an exact distinct-join is off
+    * the table; here the exact overlap rides alongside as the
+    * judged-against column. Fully deterministic — the oracle replays
+    * sketch construction, θ, the filtered common count, and the
+    * estimate division bit-for-bit.
+    */
+  private def sketchOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val grams = docs(s, dir).select(col("source"),
+      explode(call_function("graft_word_trigrams", split(col("text"), " "))).as("w"))
+    Sketches.kmvOverlap(grams, "source", "w").orderBy("group_a", "group_b")
+  }
+
+  private val sketchOverlapSql = {
+    val k = Sketches.DefaultK
+    s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT DISTINCT source, unnest(
+       |        CASE WHEN len(ws) >= 3 THEN
+       |          [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]
+       |        ELSE [array_to_string(ws, ' ')] END) AS word
+       |      FROM w),
+       |d AS (SELECT DISTINCT source, ('0x' || substr(md5(word), 1, 12))::BIGINT AS h
+       |      FROM g),
+       |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |      FROM d),
+       |sk AS (SELECT source, h, rn FROM r WHERE rn <= $k),
+       |th AS (SELECT source,
+       |         coalesce(max(CASE WHEN rn = $k THEN h END), 281474976710656) AS theta
+       |       FROM sk GROUP BY 1),
+       |pairs AS (
+       |  SELECT ta.source AS group_a, tb.source AS group_b,
+       |    least(ta.theta, tb.theta) AS theta
+       |  FROM th ta JOIN th tb ON ta.source < tb.source),
+       |common AS (
+       |  SELECT p.group_a, p.group_b, count(*)::BIGINT AS n_common
+       |  FROM pairs p
+       |  JOIN sk a ON a.source = p.group_a
+       |  JOIN sk b ON b.source = p.group_b AND b.h = a.h
+       |  WHERE a.h < p.theta GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT a.source AS group_a, b.source AS group_b,
+       |    count(*)::BIGINT AS exact_overlap
+       |  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+       |SELECT p.group_a, p.group_b, p.theta,
+       |  coalesce(n_common, 0) AS n_common,
+       |  round(coalesce(n_common, 0) * 281474976710656.0 / p.theta, 2) AS est_overlap,
+       |  coalesce(exact_overlap, 0) AS exact_overlap
+       |FROM pairs p
+       |LEFT JOIN common USING (group_a, group_b)
+       |LEFT JOIN ex USING (group_a, group_b)
+       |ORDER BY group_a, group_b""".stripMargin
+  }
+
   /** Distinct users per HOUR, exact and by the same KMV sketch — the
     * time-bucketed uniques question ("DAU per window") that exact
     * distinct cannot answer over an unbounded stream but k longs per
@@ -817,6 +876,7 @@ object CorpusQueries extends QueryModule {
     QueryDef("docs_pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("sketch_uniques_hourly", sketchUniquesHourly, Some(sketchUniquesHourlySql)),
     QueryDef("sketch_distinct_ngrams", sketchDistinct, Some(sketchDistinctSql)),
+    QueryDef("sketch_overlap_kmv", sketchOverlap, Some(sketchOverlapSql)),
     QueryDef("sketch_quantiles", sketchQuantiles, Some(sketchQuantilesSql)),
     QueryDef("sketch_countmin_words", sketchCountMin, Some(sketchCountMinSql)),
     QueryDef("docs_feature_hash", featureHash, Some(featureHashSql)),

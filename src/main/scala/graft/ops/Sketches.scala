@@ -73,6 +73,53 @@ object Sketches {
           col("exact_distinct").cast("double")), 2).as("kmv_estimate"))
   }
 
+  /** Pairwise intersection estimates between per-group KMV sketches —
+    * theta-sketch set algebra (Dasgupta et al.): with S_g the group's
+    * k smallest distinct hashes and θ_g its k-th smallest (2^48 when
+    * the sketch holds the whole set), the pair (a,b) estimates
+    * |A ∩ B| ≈ |S_a ∩ S_b ∩ [0, θ)| · 2^48/θ at θ = min(θ_a, θ_b).
+    * This is the question exact distinct-joins cannot answer at
+    * 100 TB — corpus-overlap across slices whose element sets never
+    * co-locate — from k longs per group: sketches merge by keeping
+    * the k smallest, and set operations need only the sketches.
+    * Deterministic (md5-prefix hash), so the DuckDB oracle reproduces
+    * θ, the raw common count, AND the estimate bit-for-bit. The exact
+    * overlap rides alongside as the judged-against column (gate scale
+    * only; production keeps just the sketch side).
+    */
+  def kmvOverlap(elems: DataFrame, groupCol: String, elemCol: String,
+                 k: Int = DefaultK): DataFrame = {
+    val TwoPow48L = 281474976710656L
+    val hashes = graft.Caches.register(elems
+      .select(col(groupCol), portableHash(col(elemCol)).as("h"))
+      .distinct())
+    val sk = graft.Caches.register(
+      graft.plans.TopK.perKey(hashes, Seq(groupCol), Seq(-col("h")), k))
+    val theta = sk.groupBy(groupCol)
+      .agg(max(when(col("rank") === k, col("h"))).as("hk"))
+      .select(col(groupCol), coalesce(col("hk"), lit(TwoPow48L)).as("theta"))
+    val pairs = theta.select(col(groupCol).as("group_a"), col("theta").as("ta"))
+      .join(theta.select(col(groupCol).as("group_b"), col("theta").as("tb")),
+        col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"), least(col("ta"), col("tb")).as("theta"))
+    val common = pairs
+      .join(sk.select(col(groupCol).as("group_a"), col("h")), Seq("group_a"))
+      .join(sk.select(col(groupCol).as("group_b"), col("h")), Seq("group_b", "h"))
+      .filter(col("h") < col("theta"))
+      .groupBy("group_a", "group_b").agg(count(lit(1)).as("n_common"))
+    val exact = hashes.select(col(groupCol).as("group_a"), col("h"))
+      .join(hashes.select(col(groupCol).as("group_b"), col("h")), Seq("h"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b").agg(count(lit(1)).as("exact_overlap"))
+    pairs.join(common, Seq("group_a", "group_b"), "left")
+      .join(exact, Seq("group_a", "group_b"), "left")
+      .select(col("group_a"), col("group_b"), col("theta"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)) * lit(TwoPow48) / col("theta"), 2)
+          .as("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+  }
+
   /** Count-min sketch: frequency estimation with d×w counters of
     * state no matter how many distinct elements flow through — the
     * heavy-hitter counting primitive at 100 TB, where exact per-token
