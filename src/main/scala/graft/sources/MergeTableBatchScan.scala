@@ -90,7 +90,8 @@ private[sources] class MergeTableBatchScan(
     relation: MergeTableRelation,
     requiredSchema: StructType,
     claimed: Array[Filter],
-    advisory: Array[Filter]) extends Scan with Batch
+    advisory: Array[Filter],
+    wantFile: Boolean = false) extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics with SupportsReportOrdering {
 
@@ -121,7 +122,14 @@ private[sources] class MergeTableBatchScan(
     if (!dv) Array.emptyLongArray
     else dvMasks.getOrElse(p.toUri.getPath, Array.emptyLongArray)
 
-  override def readSchema(): StructType = requiredSchema
+  // the scan's OUTPUT includes the `_graft_file` lineage column when
+  // requested (SupportsMetadataColumns); it is synthesized per file by
+  // the reader, never read from parquet
+  override def readSchema(): StructType =
+    if (!wantFile) requiredSchema
+    else StructType(requiredSchema.fields :+
+      org.apache.spark.sql.types.StructField(MergeTableV2.FileColumnName,
+        org.apache.spark.sql.types.StringType, nullable = false))
   override def toBatch: Batch = this
   override def description(): String = {
     val fstr = if (advisory.isEmpty) "" else s", PushedFilters: [${advisory.mkString(", ")}]"
@@ -372,7 +380,9 @@ private[sources] class MergeTableBatchScan(
     // dv-table scan right after compaction cleared the masks) keeps
     // full vectorized batches.
     val anyMaskSurvives = dv && survivors.exists(p => maskOf(p).nonEmpty)
-    val columnar = claimed.isEmpty && !anyMaskSurvives &&
+    // the lineage column appends per row, so `_graft_file` queries run
+    // row-mode — a diagnostic shape, not the hot path
+    val columnar = claimed.isEmpty && !anyMaskSurvives && !wantFile &&
       fmt.supportBatch(spark, requiredSchema)
     // columnar reads never need the row-index column (no mask to
     // apply), so they read exactly the required schema
@@ -389,7 +399,7 @@ private[sources] class MergeTableBatchScan(
     // apply in row mode; -1 disables mask filtering
     val rowIdxOrdinal = if (dv && !columnar) readDataSchema.length - 1 else -1
     new GraftReaderFactory(readFunc, columnar, claimed,
-      schemaToRead, requiredSchema.length, rowIdxOrdinal)
+      schemaToRead, requiredSchema.length, rowIdxOrdinal, wantFile)
   }
 }
 
@@ -420,7 +430,8 @@ private[sources] class GraftReaderFactory(
     filters: Array[Filter],
     readSchema: StructType,
     outputLen: Int,
-    rowIdxOrdinal: Int = -1) extends PartitionReaderFactory {
+    rowIdxOrdinal: Int = -1,
+    wantFile: Boolean = false) extends PartitionReaderFactory {
 
   private def filesOf(p: InputPartition): Seq[GraftFileSlice] = p match {
     case GraftFilePartition(fs) => fs
@@ -436,37 +447,45 @@ private[sources] class GraftReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val base = filesOf(p).iterator.flatMap { f =>
-      val rows = readFunc(partitionedFile(f))
-      if (rowIdxOrdinal < 0 || f.masked.isEmpty) rows
-      else rows.filter(r =>
-        java.util.Arrays.binarySearch(f.masked, r.getLong(rowIdxOrdinal)) < 0)
+    val pred = if (filters.isEmpty) None else {
+      def toRef(name: String) =
+        readSchema.fields.zipWithIndex.collectFirst {
+          case (f, i) if f.name == name => BoundReference(i, f.dataType, f.nullable)
+        }
+      val exprs = filters.toSeq.map(f =>
+        StructFilters.filterToExpression(f, toRef).getOrElse(
+          throw new IllegalStateException(
+            s"claimed filter $f has no row-level form — ScanBuilder bug")))
+      val pr = CatPredicate.create(exprs.reduce(CatAnd(_, _)))
+      pr.initialize(0)
+      Some(pr)
     }
-    val filtered =
-      if (filters.isEmpty) base
+    val dataRefs = readSchema.fields.take(outputLen).zipWithIndex
+      .map { case (f, i) =>
+        BoundReference(i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+      }.toSeq
+    val out = filesOf(p).iterator.flatMap { f =>
+      var rows = readFunc(partitionedFile(f))
+      if (rowIdxOrdinal >= 0 && f.masked.nonEmpty)
+        rows = rows.filter(r =>
+          java.util.Arrays.binarySearch(f.masked, r.getLong(rowIdxOrdinal)) < 0)
+      pred.foreach(pr => rows = rows.filter(pr.eval))
+      if (wantFile) {
+        // per-file projection: the lineage column is a CONSTANT for
+        // every row of this slice — a literal in the projection, no
+        // per-row string work
+        val proj = UnsafeProjection.create(dataRefs :+
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(f.path),
+            org.apache.spark.sql.types.StringType))
+        rows.map(proj)
+      } else if (outputLen == readSchema.length) rows
       else {
-        def toRef(name: String) =
-          readSchema.fields.zipWithIndex.collectFirst {
-            case (f, i) if f.name == name => BoundReference(i, f.dataType, f.nullable)
-          }
-        val exprs = filters.toSeq.map(f =>
-          StructFilters.filterToExpression(f, toRef).getOrElse(
-            throw new IllegalStateException(
-              s"claimed filter $f has no row-level form — ScanBuilder bug")))
-        val pred = CatPredicate.create(exprs.reduce(CatAnd(_, _)))
-        pred.initialize(0)
-        base.filter(pred.eval)
+        val proj = UnsafeProjection.create(dataRefs)
+        rows.map(proj)
       }
-    val projected =
-      if (outputLen == readSchema.length) filtered
-      else {
-        val proj = UnsafeProjection.create(
-          readSchema.fields.take(outputLen).zipWithIndex.map { case (f, i) =>
-            BoundReference(i, f.dataType, f.nullable)
-          }.toSeq)
-        filtered.map(proj)
-      }
-    iteratorReader(projected)
+    }
+    iteratorReader(out)
   }
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {

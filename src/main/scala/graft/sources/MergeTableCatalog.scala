@@ -252,7 +252,23 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces
   */
 class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
                    version: Option[Long],
-                   ref: Option[String] = None) extends Table with SupportsRead with SupportsWrite {
+                   ref: Option[String] = None) extends Table with SupportsRead
+    with SupportsWrite with SupportsMetadataColumns {
+
+  /** `_graft_file` (Iceberg's `_file` / Delta's
+    * `_metadata.file_path`): the data file each row was read from —
+    * the row-lineage handle for targeted rewrites ("which files hold
+    * this user's rows"), skew forensics, and compaction audits.
+    * Served on the snapshots whose scan reads raw parquet (the
+    * Batch-path shapes: plain COW and deletion-vector snapshots,
+    * where the mask drops rows but survivors keep their file); MOR
+    * reconciliation and column-mapped reads synthesize rows across
+    * files, so those snapshots don't advertise it — compact first.
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (pinnedRelation.batchReadable || pinnedRelation.batchReadableDv)
+      Array(MergeTableV2.FileMetadataColumn)
+    else Array.empty
 
   private def spark: SparkSession = SparkSession.active
 
@@ -421,8 +437,17 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
       // Delta/Iceberg "SELECT count(*) never touches data" path: at
       // 100 TB the difference between O(manifest) and a full scan.
       private var aggResult: Option[(StructType, Row)] = None
+      // `_graft_file` requested (SupportsMetadataColumns): stripped
+      // from the data schema here, re-attached by the scan per file
+      private var wantFile: Boolean = false
 
-      override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        wantFile = requiredSchema.fieldNames.contains(MergeTableV2.FileColumnName)
+        required =
+          if (!wantFile) requiredSchema
+          else StructType(requiredSchema.fields
+            .filterNot(_.name == MergeTableV2.FileColumnName))
+      }
       // Translatable filters drive pruning (advisory); but only
       // PARTITION-column filters are CLAIMED as consumed. Data filters
       // return to the engine as residuals on purpose: the Filter node
@@ -599,13 +624,19 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
             pushed.flatMap(_.references).forall(r =>
               pinnedRelation.schema.fieldNames.contains(r)) &&
             MergeTableBatchScan.rowFormExists(pushed, pinnedRelation.schema) =>
-          new MergeTableBatchScan(spark, pinnedRelation, required, pushed, advisory)
+          new MergeTableBatchScan(spark, pinnedRelation, required, pushed, advisory,
+            wantFile)
         case None => new V1Scan {
-          override def readSchema(): StructType = required
+          override def readSchema(): StructType =
+            if (!wantFile) required
+            else StructType(required.fields :+ org.apache.spark.sql.types
+              .StructField(MergeTableV2.FileColumnName,
+                org.apache.spark.sql.types.StringType, nullable = false))
           override def toV1TableScan[T <: BaseRelation with TableScan](
               context: SQLContext): T = {
             val rel = pinnedRelation
             val cols = required.fieldNames
+            val out = readSchema()
             // advisory (not just claimed) filters reach the relation
             // so file skipping still sees residual data filters; the
             // relation applies them exactly, Spark re-applies above —
@@ -613,9 +644,14 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
             val fs = advisory
             new BaseRelation with TableScan {
               override def sqlContext: SQLContext = context
-              override def schema: StructType = required
+              override def schema: StructType = out
               override def buildScan(): org.apache.spark.rdd.RDD[Row] =
-                rel.buildScan(cols, fs)
+                // wantFile only reaches V1 when a claimed filter lost
+                // its row form AFTER metadataColumns() advertised on a
+                // batch-readable snapshot — the relation's direct
+                // parquet scan still knows each row's file
+                if (wantFile) rel.buildScanWithFile(cols, fs)
+                else rel.buildScan(cols, fs)
             }.asInstanceOf[T]
           }
         }
@@ -698,6 +734,20 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
   * V1Scan prints its default `Class$$anon$N@hash` and the marker never
   * appears even when the pushdown works.
   */
+object MergeTableV2 {
+  /** The one definition of the file-lineage metadata column name. */
+  val FileColumnName = "_graft_file"
+
+  private[sources] object FileMetadataColumn extends MetadataColumn {
+    override def name: String = FileColumnName
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def isNullable: Boolean = false
+    override def comment: String =
+      "absolute path of the data file this row was read from"
+  }
+}
+
 /** Inspection tables (Iceberg's `db.t.files` / `.history` / `.refs`
   * metadata-table surface):
   *

@@ -239,6 +239,24 @@ class MergeTableRelation(
     pruned.rdd
   }
 
+  /** [[buildScan]] plus a trailing `_graft_file` lineage column — the
+    * metadata-column fallback for batch-readable snapshots forced
+    * onto the V1 path (a claimed filter without a row form): here the
+    * snapshot IS a direct parquet read, so `input_file_name()` names
+    * each row's real file.
+    */
+  private[sources] def buildScanWithFile(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val base = prunedSnapshot(filters).getOrElse(snapshot)
+    val filtered = filters.foldLeft(base) { (df, f) =>
+      translate(f).map(df.filter).getOrElse(df)
+    }
+    val withFile = filtered.withColumn(MergeTableV2.FileColumnName,
+      org.apache.spark.sql.functions.input_file_name())
+    withFile.select((requiredColumns :+ MergeTableV2.FileColumnName)
+      .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*).rdd
+  }
+
   // commit dirs of the pinned snapshot whose bloom index exists and
   // covers all their files (absent unless the table was written with
   // graft.mergetable.bloomIndex=true); O(dirs) marker checks only —
