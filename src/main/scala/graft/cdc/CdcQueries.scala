@@ -458,6 +458,41 @@ object CdcQueries extends QueryModule {
     out
   }
 
+  /** LAYOUT MIGRATION mid-pipeline (r12): seed FLAT through the
+    * catalog, migrate to 8 hash buckets (`ALTER TABLE … SET LAYOUT
+    * BUCKETS 8` — the rewrite + `_META` update every table performs
+    * when it outgrows its first layout), then MERGE the second half
+    * of the stream against the MIGRATED table. The oracle is the same
+    * upsert oracle as the un-migrated gates, so the hash certifies
+    * both that the migration preserved every row bit-for-bit AND that
+    * the post-migration bucket-scoped MERGE path produces the
+    * identical answer the flat path would have.
+    */
+  private def applyUpsertMigrated(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).cache()
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    val base = latestPerUser(ev.filter(col("event_id") < cut))
+    val changes = latestPerUser(ev.filter(col("event_id") >= cut))
+    val tbl = "migrate_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+    s.sql(s"DROP TABLE IF EXISTS graft.gate.$tbl")
+    s.sql(s"""CREATE TABLE graft.gate.$tbl
+              (user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE)
+              TBLPROPERTIES('keys'='user_id')""")
+    base.createOrReplaceTempView("graft_migrate_base")
+    changes.createOrReplaceTempView("graft_migrate_changes")
+    s.sql(s"INSERT INTO graft.gate.$tbl SELECT user_id, event_id, event_type, value FROM graft_migrate_base")
+    s.sql(s"ALTER TABLE graft.gate.$tbl SET LAYOUT BUCKETS 8")
+    s.sql(s"""MERGE INTO graft.gate.$tbl t USING graft_migrate_changes s
+              ON t.user_id = s.user_id
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+    val out = s.table(s"graft.gate.$tbl")
+      .select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+    ev.unpersist()
+    out
+  }
+
   /** DYNAMIC partition overwrite through the catalog (r12): seed a
     * value-partitioned table, then `INSERT OVERWRITE` under
     * `partitionOverwriteMode=dynamic` with a source covering ONE
@@ -1306,6 +1341,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_upsert_partial", applyUpsertPartialViaSql, Some(applyUpsertPartialSql)),
     QueryDef("cdc_apply_merge_conditional", applyMergeConditional, Some(applyMergeConditionalSql)),
     QueryDef("cdc_apply_upsert_catalog", applyUpsertViaCatalog, Some(applyUpsertSql)),
+    QueryDef("cdc_migrate_layout", applyUpsertMigrated, Some(applyUpsertSql)),
     QueryDef("cdc_dynamic_overwrite", dynamicOverwriteGate, Some(dynamicOverwriteSql)),
     QueryDef("cdc_branch_wap", applyUpsertWapBranch, Some(applyUpsertSql)),
     QueryDef("catalog_spj_join", catalogSpjJoin, Some(catalogSpjJoinSql)),

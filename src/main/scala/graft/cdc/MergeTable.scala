@@ -2367,6 +2367,67 @@ final class MergeTable(
     orphans.length
   }
 
+  // -- layout migration ------------------------------------------------------
+
+  /** One-shot LAYOUT MIGRATION — the "table outgrew its first layout"
+    * operation (flat → bucketed when upserts start rewriting the
+    * whole base; 8 → 64 buckets when the table grew 10×; flat →
+    * partitioned-by-day when retention/pruning arrives): rewrites the
+    * CURRENT snapshot into the target layout in ONE commit and
+    * records the new layout in `_META.json`. History is preserved —
+    * time travel and the change feed read pre-migration versions
+    * through their own entry tags (reads are tag-driven, not
+    * config-driven), and the migration commit itself is an ordinary
+    * version in the log. MOR deltas and dv masks fold into the
+    * rewritten base (the migration doubles as a compaction).
+    *
+    * Concurrency: the rewrite commits through the normal CAS; a
+    * concurrent writer that loses re-reads the NEW manifest but may
+    * still hold the OLD layout config — its rewrite-from-snapshot
+    * paths stay row-correct (every reader/writer reconciles from
+    * tags), but its entries land in the old layout, undoing the
+    * migration's file arrangement. Like every table format's layout
+    * change, run it in a quiet window. Refuses with active branches
+    * (their lineages would pin mixed layouts across `_META` updates)
+    * and with a declared `sortBy` (drop it first). THIS instance's
+    * cached config is stale after the call — reopen via
+    * [[MergeTable.open]].
+    *
+    * Returns the migration commit's version.
+    */
+  def migrateLayout(toBuckets: Option[Int], toPartitionCols: Seq[String]): Long = {
+    require(branch == MergeTable.MainBranch,
+      "layout migration runs on the main lineage")
+    require(branches().isEmpty,
+      s"cannot migrate layout of $root with active branches " +
+        s"(${branches().mkString(", ")}) — publish or drop them first")
+    toBuckets.foreach(n => require(n > 0, s"buckets must be positive, got $n"))
+    val meta0 = MergeTable.readMeta(root).getOrElse(
+      throw new IllegalStateException(s"no _META.json at $root — nothing to migrate"))
+    require(meta0.sortBy.isEmpty,
+      "declared sortBy pins the bucketed-sorted layout — drop it before migrating")
+    require(toPartitionCols.isEmpty || mode != MergeTable.DeletionVectors,
+      "deletion-vectors mode refuses partitioned layouts (same rule as CREATE)")
+    val target = new MergeTable(spark, root, keys, mode, toBuckets, maxDeltas,
+      toPartitionCols)
+    val snap = rewriteSource() // reconciled snapshot, physical names
+    toPartitionCols.foreach(c => require(snap.columns.contains(c),
+      s"partition column '$c' is not in the schema"))
+    if (toPartitionCols.nonEmpty) target.requirePartitionable(snap)
+    val newEntries =
+      if (toBuckets.isDefined && toPartitionCols.nonEmpty) target.writeComposed(snap)
+      else if (toPartitionCols.nonEmpty) target.writePartitioned(snap)
+      else if (toBuckets.isDefined) target.writeBucketed(snap)
+      else Seq("base" -> target.writeData(snap))
+    // data first, commit second, meta last: a crash before the meta
+    // write leaves new-tagged entries under the old config — reads
+    // stay correct (tag-driven) and re-running the migration converges
+    val v = commit(newEntries)
+    MergeTable.writeMeta(root, meta0.copy(numBuckets = toBuckets,
+      partitionCols = toPartitionCols, sortBy = Nil))
+    v
+  }
+
   // -- branches & tags (Iceberg refs) ---------------------------------------
 
   private def branchManifestDir(name: String): Path =

@@ -87,6 +87,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ANALYZE\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+([a-zA-Z0-9_\s,]+?)\s*;?\s*""".r
   private val AnalyzeAll =
     """(?is)\s*ANALYZE\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+ALL\s+COLUMNS)?\s*;?\s*""".r
+  private val SetLayout =
+    """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+SET\s+LAYOUT\s+(.+?)\s*;?\s*""".r
+  private val LayoutFlat = """(?is)\s*FLAT\s*""".r
+  private val LayoutBuckets = """(?is)\s*BUCKETS\s+(\d+)\s*""".r
+  private val LayoutParts =
+    """(?is)\s*PARTITIONED\s+BY\s*\(\s*([a-zA-Z0-9_\s,]+?)\s*\)\s*""".r
+  private val LayoutBucketsParts =
+    """(?is)\s*BUCKETS\s+(\d+)\s+PARTITIONED\s+BY\s*\(\s*([a-zA-Z0-9_\s,]+?)\s*\)\s*""".r
   private val ShowBranches =
     """(?is)\s*SHOW\s+BRANCHES\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
   private val ShowTags =
@@ -104,6 +112,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     case OptimizeFiles(catalog, ident) =>
       MergeTableMaintenanceCommand("optimize_files", catalog, ident.split('.').toSeq)
+    // ALTER TABLE t SET LAYOUT FLAT | BUCKETS n | PARTITIONED BY (c…)
+    // | BUCKETS n PARTITIONED BY (c…) — one-shot layout migration
+    // (rewrite + _META update; see MergeTable.migrateLayout)
+    case SetLayout(catalog, ident, spec) =>
+      val (buckets, parts) = spec match {
+        case LayoutFlat() => (None, Nil)
+        case LayoutBucketsParts(n, cols) =>
+          (Some(n.toInt), cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        case LayoutBuckets(n) => (Some(n.toInt), Nil)
+        case LayoutParts(cols) =>
+          (None, cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        case other => throw new IllegalArgumentException(
+          s"SET LAYOUT expects FLAT, BUCKETS n, PARTITIONED BY (cols), or " +
+            s"BUCKETS n PARTITIONED BY (cols); got '$other'")
+      }
+      MergeTableMaintenanceCommand("migrate_layout", catalog,
+        ident.split('.').toSeq, zorderCols = parts, migrateBuckets = buckets)
     // WHERE + ZORDER must match BEFORE the plain WHERE form: the
     // non-greedy where-text would otherwise swallow the ZORDER clause
     case OptimizeWhereZorder(catalog, ident, where, cols) =>
@@ -203,7 +228,8 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
                                         restoreTo: Option[Either[Long, String]] = None,
                                         expireKeep: Option[Int] = None,
                                         copyFrom: Option[String] = None,
-                                        optimizeWhere: Option[String] = None) extends LeafRunnableCommand {
+                                        optimizeWhere: Option[String] = None,
+                                        migrateBuckets: Option[Int] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("affected", LongType, nullable = false)())
@@ -222,6 +248,8 @@ case class MergeTableMaintenanceCommand(op: String, catalogName: String,
         t.cluster(zorderCols, keepLeaf = whereKeep(path))
         t.prunableFiles(t.currentEntries()).map(_.size.toLong).getOrElse(0L)
       case "sort_buckets" => t.sortBuckets(zorderCols).toLong
+      // zorderCols carries the target partition columns here
+      case "migrate_layout" => t.migrateLayout(migrateBuckets, zorderCols)
       case "optimize_files" =>
         val target = session.conf.getOption("graft.mergetable.targetFileBytes")
           .map(_.toLong).getOrElse(128L * 1024 * 1024)
