@@ -226,7 +226,8 @@ final class MergeTable(
     currentManifest() match {
       case Some(m) if Files.exists(m) =>
         readVersion = manifestVersion(m)
-        resolveManifest(m).filterNot(e => e._1 == "txn" || e._1 == "sort")
+        resolveManifest(m).filterNot(e =>
+          e._1 == "txn" || e._1 == "sort" || e._1 == "op")
       case _ =>
         readVersion = 0L
         Nil
@@ -265,6 +266,20 @@ final class MergeTable(
   @volatile private var pendingTxn: Option[(String, Long)] = None
   @volatile private var inTxn: Boolean = false
   @volatile private var txnCommitCount: Int = 0
+
+  /** Operation label the NEXT commits record (Delta's
+    * `DESCRIBE HISTORY` operation column): public mutators wrap their
+    * body so every commit they produce carries an `op:` line — a
+    * verbatim per-manifest metadata line like `txn`, never part of
+    * the entry diff. Nested wraps keep the innermost label (an
+    * auto-compaction inside an upsert records `compact`).
+    */
+  @volatile private var pendingOp: String = ""
+  private def withOp[T](name: String)(body: => T): T = {
+    val prev = pendingOp
+    pendingOp = name
+    try body finally pendingOp = prev
+  }
 
   /** Idempotent writer transaction (Delta's txnAppId/txnVersion):
     * runs `op` only when `version` is strictly newer than the last
@@ -418,6 +433,7 @@ final class MergeTable(
         }.toMap
       else Map.empty[String, Long]) ++ pendingTxn
     val txnLines = carried.toSeq.sortBy(_._1).map { case (a, v) => s"txn:$a=$v" }
+    val opLines = if (pendingOp.isEmpty) Nil else Seq(s"op:$pendingOp")
     // Incremental encoding (the Delta-log shape): when the new entry
     // list is the base's list minus some removals plus a trailing
     // suffix — every append/scoped commit — write only the diff plus
@@ -430,7 +446,8 @@ final class MergeTable(
     // migration) writes full. Correctness is checked by ROUND-TRIP:
     // the encoded diff is accepted only if replaying it over the base
     // reproduces `newEntries` exactly.
-    val fullBody = (txnLines ++ newEntries.map { case (t, d) => s"$t:$d" }).mkString("\n")
+    val fullBody =
+      (opLines ++ txnLines ++ newEntries.map { case (t, d) => s"$t:$d" }).mkString("\n")
     val deltaBody: Option[String] =
       if (baseVersion > 0 && Files.exists(baseM) &&
           chainDepth(baseM) + 1 < MergeTable.checkpointInterval(spark)) {
@@ -441,7 +458,7 @@ final class MergeTable(
         val sortLines = newEntries.collect { case ("sort", c) => s"sort:$c" }
         val newData = newEntries.filterNot(_._1 == "sort")
         val baseData = resolveManifest(baseM)
-          .filterNot(e => e._1 == "txn" || e._1 == "sort")
+          .filterNot(e => e._1 == "txn" || e._1 == "sort" || e._1 == "op")
         val newSet = newData.toSet
         val removed = baseData.filterNot(newSet.contains)
         val removedSet = removed.toSet
@@ -451,7 +468,7 @@ final class MergeTable(
             removed.length + appended.length < newData.length) {
           val ops = removed.map { case (t, d) => s"-$t:$d" } ++
             appended.map { case (t, d) => s"+$t:$d" }
-          Some((Seq(s"@delta:$baseVersion") ++ txnLines ++ sortLines ++ ops)
+          Some((Seq(s"@delta:$baseVersion") ++ opLines ++ txnLines ++ sortLines ++ ops)
             .mkString("\n"))
         } else None
       } else None
@@ -659,7 +676,8 @@ final class MergeTable(
   private def entriesAt(version: Long): Seq[(String, String)] = {
     val m = manifestPath(version)
     require(Files.exists(m), s"no version $version at $root")
-    resolveManifest(m).filterNot(e => e._1 == "txn" || e._1 == "sort")
+    resolveManifest(m).filterNot(e =>
+      e._1 == "txn" || e._1 == "sort" || e._1 == "op")
   }
 
   private def bucketExpr = pmod(xxhash64(keys.map(col): _*), lit(numBuckets.get))
@@ -756,7 +774,7 @@ final class MergeTable(
     * unreferenced, for [[vacuum]] to reclaim. Returns the NEW
     * (post-restore) table version.
     */
-  def restore(version: Long): Long = {
+  def restore(version: Long): Long = withOp("restore") {
     val target = entriesAt(version)
     entries() // refresh readVersion — the optimistic-concurrency base
     require(version <= readVersion, s"cannot restore $root to $version: latest is $readVersion")
@@ -765,14 +783,20 @@ final class MergeTable(
 
   /** Commit-log facts per version, oldest first: (version, commit
     * wall-clock millis — the same manifest mtime that `timestampAsOf`
-    * resolves against — base entry count, delta entry count). Reports
-    * what the log actually records; no invented operation labels.
+    * resolves against — base entry count, delta entry count, and the
+    * operation label the committing mutator recorded (`op:` manifest
+    * line; empty for commits that predate labels or bypassed the
+    * public mutator surface).
     */
-  def history(): Seq[(Long, Long, Int, Int)] =
+  def history(): Seq[(Long, Long, Int, Int, String)] =
     versions().map { v =>
       val es = entriesAt(v)
+      // the op label is verbatim per manifest (full AND incremental) —
+      // a raw parse reads it without resolving the chain
+      val op = parseManifest(manifestPath(v))
+        .collectFirst { case ("op", name) => name }.getOrElse("")
       (v, Files.getLastModifiedTime(manifestPath(v)).toMillis,
-        es.count(_._1 == "base"), es.count(_._1 == "delta"))
+        es.count(_._1 == "base"), es.count(_._1 == "delta"), op)
     }
 
   /** Change feed between two committed versions: one row per changed
@@ -1373,7 +1397,9 @@ final class MergeTable(
     * table converges to one row per key); bucketed tables route
     * appends through upsert to keep the bucket invariant.
     */
-  def append(df: DataFrame): Unit = {
+  def append(df: DataFrame): Unit = withOp("append") { appendImpl(df) }
+
+  private def appendImpl(df: DataFrame): Unit = {
     // bucketed/partitioned layouts keep their one-dir-per-partition
     // invariant by routing appends through the scoped merge
     if (numBuckets.isDefined || partitionCols.nonEmpty) { upsert(df); return }
@@ -1416,7 +1442,7 @@ final class MergeTable(
     * compaction bound), with the same blind-append rebase MOR deltas
     * get: concurrent appends compose, a concurrent rewrite conflicts.
     */
-  private[graft] def commitStagedAppend(dir: String): Unit = {
+  private[graft] def commitStagedAppend(dir: String): Unit = withOp("append") {
     require(numBuckets.isEmpty && partitionCols.isEmpty,
       "staged flat append on a bucketed/partitioned table")
     recordStats(dir)
@@ -1440,7 +1466,7 @@ final class MergeTable(
     * A CAS race is a REAL conflict (two writers both replacing the
     * table, or a mutation racing the overwrite) and propagates.
     */
-  private[graft] def commitStagedOverwrite(dir: String): Unit = {
+  private[graft] def commitStagedOverwrite(dir: String): Unit = withOp("overwrite") {
     require(numBuckets.isEmpty && partitionCols.isEmpty,
       "staged overwrite supports flat layouts only")
     recordStats(dir)
@@ -1454,7 +1480,7 @@ final class MergeTable(
     * replayed write-side hash). Throws CommitConflictException if a
     * concurrent writer seeded first — the caller owns the fallback.
     */
-  private[graft] def commitStagedBucketedSeed(dir: String): Unit = {
+  private[graft] def commitStagedBucketedSeed(dir: String): Unit = withOp("append") {
     val written = listBuckets(dir)
     written.foreach(i => recordStats(s"$dir/$BucketCol=$i"))
     // a declared write-side sort (meta.sortBy + the v2 write's
@@ -1484,7 +1510,7 @@ final class MergeTable(
     * table — the staged twin of writePartitioned's seed: the staging
     * dir holds `_graft_p_<col>=<val>` leaf paths.
     */
-  private[graft] def commitStagedPartitionedSeed(dir: String): Unit = {
+  private[graft] def commitStagedPartitionedSeed(dir: String): Unit = withOp("append") {
     val leaves = listPartitionLeaves(dataDir.resolve(dir), partitionCols.size)
     leaves.foreach(rel => recordStats(s"$dir/$rel"))
     commit(leaves.sorted.map(rel => "pv" -> s"$dir/$rel"))
@@ -1495,7 +1521,7 @@ final class MergeTable(
     * (partitioned × bucketed) table: the staging dir holds
     * `_graft_p_<col>=<val>/…/_graft_bucket=<i>` leaf paths.
     */
-  private[graft] def commitStagedComposedSeed(dir: String): Unit = {
+  private[graft] def commitStagedComposedSeed(dir: String): Unit = withOp("append") {
     val leaves = listComposedLeaves(dataDir.resolve(dir))
     leaves.foreach(rel => recordStats(s"$dir/$rel"))
     commit(leaves.sorted.map(rel => "pb" -> s"$dir/$rel"))
@@ -1514,7 +1540,7 @@ final class MergeTable(
     * partitions, so the table would end up with a duplicated primary
     * key; cover that partition in the source or use MERGE INTO).
     */
-  private[graft] def commitStagedDynamicOverwrite(dir: String): Unit = {
+  private[graft] def commitStagedDynamicOverwrite(dir: String): Unit = withOp("dynamic-overwrite") {
     require(partitionCols.nonEmpty,
       "dynamic partition overwrite requires a value-partitioned layout")
     val tag = if (composed) "pb" else "pv"
@@ -1597,7 +1623,9 @@ final class MergeTable(
     * append-shaped, so concurrent copyInto/upsert writers compose
     * through the rebase path.
     */
-  def copyInto(srcDir: String): Int = {
+  def copyInto(srcDir: String): Int = withOp("copy-into") { copyIntoImpl(srcDir) }
+
+  private def copyIntoImpl(srcDir: String): Int = {
     require(numBuckets.isEmpty && partitionCols.isEmpty,
       "copyInto supports flat layouts; route bucketed/partitioned tables through upsert")
     import spark.implicits._
@@ -1645,7 +1673,7 @@ final class MergeTable(
     * containing changed keys are rewritten. MOR: O(batch) delta
     * append + periodic compaction.
     */
-  def upsert(changes: DataFrame): Unit = {
+  def upsert(changes: DataFrame): Unit = withOp("upsert") {
     // constraints are declared against LOGICAL names, so they check
     // the batch before the column-mapping translation
     enforceConstraints(changes)
@@ -1729,7 +1757,7 @@ final class MergeTable(
     es.filter(_._1 == "ing")
 
   /** Key-delete: drop all rows whose PK appears in `deleteKeys`. */
-  def delete(deleteKeys: DataFrame): Unit = {
+  def delete(deleteKeys: DataFrame): Unit = withOp("delete") {
     require(exists, s"cannot delete from uninitialized table $root")
     mode match {
       case MergeTable.DeletionVectors =>
@@ -2134,7 +2162,11 @@ final class MergeTable(
     * compact ONLY the buckets the pending deltas touch — at 100 TB a
     * compaction pays for the dirty buckets, not the table.
     */
-  def compact(): Unit =
+  def compact(): Unit = withOp("compact") {
+    compactImpl()
+  }
+
+  private def compactImpl(): Unit =
     if (composed) compactComposed()
     else if (numBuckets.isDefined && mode == MergeTable.DeletionVectors) compactDvBuckets()
     else if (numBuckets.isDefined) compactBuckets()
@@ -2344,7 +2376,7 @@ final class MergeTable(
           if (Files.exists(m)) resolveManifest(m) else Nil
         }
     val live = refEntries.filterNot(e =>
-        e._1 == "txn" || e._1 == "ref" || e._1 == "sort")
+        e._1 == "txn" || e._1 == "ref" || e._1 == "sort" || e._1 == "op")
       .map(_._2.split("/", 2)(0)).toSet
     val onDisk = Option(dataDir.toFile.list()).getOrElse(Array.empty)
     val orphans = onDisk.filterNot(live.contains)
@@ -2395,7 +2427,7 @@ final class MergeTable(
     *
     * Returns the migration commit's version.
     */
-  def migrateLayout(toBuckets: Option[Int], toPartitionCols: Seq[String]): Long = {
+  def migrateLayout(toBuckets: Option[Int], toPartitionCols: Seq[String]): Long = withOp("migrate-layout") {
     require(branch == MergeTable.MainBranch,
       "layout migration runs on the main lineage")
     require(branches().isEmpty,
@@ -2719,7 +2751,8 @@ final class MergeTable(
         readVersion = 0L
         Nil
     }
-    (raw.filterNot(e => e._1 == "txn" || e._1 == "sort" || e._1 == "ing"),
+    (raw.filterNot(e =>
+      e._1 == "txn" || e._1 == "sort" || e._1 == "ing" || e._1 == "op"),
       raw.collectFirst { case ("sort", c) => c.split(",").toSeq }.getOrElse(Nil))
   }
 
@@ -2906,7 +2939,11 @@ final class MergeTable(
     * Returns the number of files after the call.
     */
   def optimizeFiles(targetBytes: Long = 128L * 1024 * 1024,
-                    keepLeaf: String => Boolean = _ => true): Int = {
+                    keepLeaf: String => Boolean = _ => true): Int =
+    withOp("optimize")(optimizeFilesImpl(targetBytes, keepLeaf))
+
+  private def optimizeFilesImpl(targetBytes: Long,
+                                keepLeaf: String => Boolean): Int = {
     require(exists, s"cannot optimize uninitialized table $root")
     val es = entries()
     val dataEs = es.filterNot(_._1 == "ing")
@@ -3156,7 +3193,7 @@ final class MergeTable(
     * the reconciled snapshot); the marker then lasts until their next
     * delta lands.
     */
-  def sortBuckets(cols: Seq[String]): Int = {
+  def sortBuckets(cols: Seq[String]): Int = withOp("sort") {
     require(exists, s"cannot sort uninitialized table $root")
     require(cols.nonEmpty, "sortBuckets needs at least one sort column")
     val n = numBuckets.getOrElse(throw new IllegalArgumentException(
@@ -3190,7 +3227,11 @@ final class MergeTable(
   }
 
   def cluster(cols: Seq[String], targetFiles: Int = 0,
-              keepLeaf: String => Boolean = _ => true): Unit = {
+              keepLeaf: String => Boolean = _ => true): Unit =
+    withOp("zorder")(clusterImpl(cols, targetFiles, keepLeaf))
+
+  private def clusterImpl(cols: Seq[String], targetFiles: Int,
+                          keepLeaf: String => Boolean): Unit = {
     require(exists, s"cannot cluster uninitialized table $root")
     require(numBuckets.isEmpty, "cluster() conflicts with a hash-bucketed layout")
     if (partitionCols.nonEmpty) {
@@ -3285,7 +3326,10 @@ final class MergeTable(
     * micro-batch — foreachBatch is at-least-once — reapplies to the
     * identical table state instead of appending duplicate-PK rows.
     */
-  def applyChanges(batch: DataFrame, ordering: Seq[String], metaCols: Seq[String] = Nil): Unit = {
+  def applyChanges(batch: DataFrame, ordering: Seq[String], metaCols: Seq[String] = Nil): Unit =
+    withOp("apply-changes")(applyChangesImpl(batch, ordering, metaCols))
+
+  private def applyChangesImpl(batch: DataFrame, ordering: Seq[String], metaCols: Seq[String]): Unit = {
     val drops = if (metaCols.nonEmpty) metaCols else ordering
     if (!exists) {
       // Fast path for a fresh table: the stepwise semantics (inserts,
@@ -3383,12 +3427,12 @@ object MergeTable {
           s"incremental manifest $m references missing base v$bv — its " +
             "checkpoint chain was broken (snapshot expiry must retain chain bases)")
         val baseData = resolveManifestIn(basePath)
-          .filterNot(e => e._1 == "txn" || e._1 == "sort")
+          .filterNot(e => e._1 == "txn" || e._1 == "sort" || e._1 == "op")
         val removed = raw.collect {
           case (t, d) if t.startsWith("-") => (t.stripPrefix("-"), d) }.toSet
         val added = raw.collect {
           case (t, d) if t.startsWith("+") => (t.stripPrefix("+"), d) }
-        val meta = raw.filter(e => e._1 == "txn" || e._1 == "sort")
+        val meta = raw.filter(e => e._1 == "txn" || e._1 == "sort" || e._1 == "op")
         meta ++ baseData.filterNot(removed.contains) ++ added
       case _ => raw
     }

@@ -726,13 +726,15 @@ case class MergeTableHistoryCommand(catalogName: String,
     AttributeReference("committed_at", org.apache.spark.sql.types.TimestampType,
       nullable = false)(),
     AttributeReference("base_entries", LongType, nullable = false)(),
-    AttributeReference("delta_entries", LongType, nullable = false)())
+    AttributeReference("delta_entries", LongType, nullable = false)(),
+    AttributeReference("operation", org.apache.spark.sql.types.StringType,
+      nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.mergetablePath(session, catalogName, ident, "DESCRIBE HISTORY")
     MergeTable.open(session, path).history().sortBy(-_._1).map {
-      case (v, millis, bases, deltas) =>
-        Row(v, new java.sql.Timestamp(millis), bases.toLong, deltas.toLong)
+      case (v, millis, bases, deltas, op) =>
+        Row(v, new java.sql.Timestamp(millis), bases.toLong, deltas.toLong, op)
     }
   }
 }

@@ -812,7 +812,8 @@ private[sources] object MergeTableMetadataTable {
       StructField("version", LongType),
       StructField("committed_at", TimestampType),
       StructField("base_entries", IntegerType),
-      StructField("delta_entries", IntegerType)))
+      StructField("delta_entries", IntegerType),
+      StructField("operation", StringType)))
     case "refs" => StructType(Seq(
       StructField("name", StringType),
       StructField("type", StringType),
@@ -840,8 +841,8 @@ private[sources] object MergeTableMetadataTable {
           }
         }
       case "history" =>
-        t.history().map { case (v, ms, b, d) =>
-          Row(v, new java.sql.Timestamp(ms), b, d)
+        t.history().map { case (v, ms, b, d, op) =>
+          Row(v, new java.sql.Timestamp(ms), b, d, op)
         }
       case "refs" =>
         val main = Row("main", "branch", base.versions().lastOption.getOrElse(0L))

@@ -63,10 +63,15 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     manifestLinesOf(tableRoot,
       new java.io.File(s"$tableRoot/manifests").list().sorted.last)
 
-  /** RESOLVED lines of one named manifest file under `root/manifests`. */
+  /** RESOLVED lines of one named manifest file under `root/manifests`.
+    * `op:` labels are commit metadata, not snapshot content — dropped
+    * here for the same reason `entries()` drops them, so content
+    * assertions stay stable as mutators gain labels.
+    */
   def manifestLinesOf(tableRoot: String, name: String): Seq[String] =
     graft.cdc.MergeTable.manifestLines(
       java.nio.file.Paths.get(s"$tableRoot/manifests/$name"))
+      .filterNot(_.startsWith("op:"))
 }
 
 object SparkSpec {

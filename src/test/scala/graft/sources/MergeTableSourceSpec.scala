@@ -172,7 +172,7 @@ class MergeTableSourceSpec extends SparkSpec {
     t.upsert(Seq((2L, "b")).toDF("id", "v"))
     // commit times from the log (manifest mtimes), formatted UTC —
     // the same clock timestampAsOf resolves against
-    val times = t.history().map { case (v, ms, _, _) => v -> ms }.toMap
+    val times = t.history().map { case (v, ms, _, _, _) => v -> ms }.toMap
     def fmt(ms: Long): String = {
       val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
       f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))

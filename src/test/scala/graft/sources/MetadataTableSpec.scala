@@ -74,6 +74,26 @@ class MetadataTableSpec extends SparkSpec {
       .as[Long].head() === 1L)
   }
 
+  test("history records operation labels (append / upsert / delete / compact)") {
+    fresh("meta6")
+    spark.sql("""CREATE TABLE graft.meta6.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id','mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.meta6.t VALUES (1,'a')")
+    spark.sql("""MERGE INTO graft.meta6.t t USING (SELECT CAST(1 AS BIGINT) id, 'A' v) s
+                 ON t.id = s.id WHEN MATCHED THEN UPDATE SET *""")
+    spark.sql("DELETE FROM graft.meta6.t WHERE id = 99")
+    spark.sql("COMPACT graft.meta6.t")
+    val ops = spark.sql("DESCRIBE HISTORY graft.meta6.t")
+      .selectExpr("version", "operation").as[(Long, String)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    assert(ops.head === "append", ops)
+    assert(ops.last === "compact", ops)
+    assert(ops.contains("upsert") && ops.contains("delete"), ops)
+    // the metadata table serves the same labels
+    assert(spark.table("graft.meta6.t.history").selectExpr("operation")
+      .as[String].collect().toSet === ops.toSet)
+  }
+
   test("a real table named files shadows the metadata surface") {
     fresh("meta4")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta4.t")

@@ -33,7 +33,7 @@ class TableChangesSqlSpec extends SparkSpec {
       initial = Some(Seq((1L, "a")).toDF("id", "v")))
     Thread.sleep(5)
     t.upsert(Seq((2L, "b")).toDF("id", "v"))
-    val times = t.history().map { case (v, ms, _, _) => v -> ms }.toMap
+    val times = t.history().map { case (v, ms, _, _, _) => v -> ms }.toMap
     def fmt(ms: Long): String = {
       val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
       f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
