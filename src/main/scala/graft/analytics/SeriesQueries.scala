@@ -410,9 +410,53 @@ object SeriesQueries extends QueryModule {
       |CROSS JOIN den
       |GROUP BY l.lag_k ORDER BY lag_k""".stripMargin
 
+  // -- survival / hazard curve ---------------------------------------------
+
+  /** Discrete hazard curve over user lifetimes (r12) — the
+    * Kaplan-Meier-adjacent churn statistic: score every user by
+    * ACTIVE-day count (distinct event days — the engagement lifetime,
+    * which spreads where wall-clock spans saturate the capture
+    * window), then for each age a report
+    * deaths d_a (users whose span ended at exactly a) and the at-risk
+    * count n_a (span ≥ a, a suffix sum), with hazard = d_a / n_a.
+    * Reporting the (d, n) hazard TABLE instead of the survival
+    * product keeps every number an exact integer ratio — the KM
+    * product telescopes from exactly these terms. Scale shape: one
+    * per-user aggregation over the raw events; the suffix-sum window
+    * runs over the #distinct-ages frame (calendar-bounded, not
+    * data-bounded).
+    */
+  private def hazard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(countDistinct(to_date(col("ts"))).cast("long").as("age_days"))
+    val d = spans.groupBy("age_days").agg(count(lit(1)).as("n_ended"))
+    val w = Window.orderBy(desc("age_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("n_at_risk", sum("n_ended").over(w))
+      .select(col("age_days"), col("n_ended"), col("n_at_risk"),
+        round(col("n_ended").cast("double") / col("n_at_risk"), 6).as("hazard"))
+      .orderBy("age_days")
+  }
+
+  private val hazardSql =
+    """WITH spans AS (
+      |  SELECT user_id,
+      |    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS age_days
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT age_days, count(*)::BIGINT AS n_ended FROM spans GROUP BY 1)
+      |SELECT age_days, n_ended,
+      |  CAST(sum(n_ended) OVER (ORDER BY age_days DESC
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk,
+      |  round(CAST(n_ended AS DOUBLE) / CAST(sum(n_ended) OVER (ORDER BY age_days DESC
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT), 6) AS hazard
+      |FROM d ORDER BY age_days""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("events_ewma", ewma, Some(ewmaSql)),
     QueryDef("events_acf", acf, Some(acfSql)),
+    QueryDef("events_hazard_curve", hazard, Some(hazardSql)),
     QueryDef("events_changepoint", changepoint, Some(changepointSql)),
     QueryDef("orders_seasonal_naive", seasonalNaive, Some(seasonalNaiveSql)),
     QueryDef("orders_hampel_daily", hampel, Some(hampelSql)),

@@ -87,6 +87,25 @@ object Sketches {
     * overlap rides alongside as the judged-against column (gate scale
     * only; production keeps just the sketch side).
     */
+  /** Scalar twin of [[kmvOverlap]]'s pair math — the SAME θ rule
+    * (k-th smallest; 2^48 when the sketch holds the whole set), the
+    * same `h < θ` common count, the same HALF_UP 2 dp estimate. The
+    * streaming sketch maintainer ([[graft.streaming.StreamOps
+    * .kmvSketchStream]]) pairs its state through this, and the spec
+    * asserts it against the DataFrame gate so the two paths cannot
+    * drift.
+    */
+  def overlapEstimate(minsA: Seq[Long], minsB: Seq[Long],
+                      k: Int = DefaultK): (Long, Long, Double) = {
+    val TwoPow48L = 281474976710656L
+    def theta(m: Seq[Long]): Long = if (m.length < k) TwoPow48L else m.max
+    val th = math.min(theta(minsA), theta(minsB))
+    val common = minsA.toSet.intersect(minsB.toSet).count(_ < th).toLong
+    val est = BigDecimal(common.toDouble * TwoPow48 / th)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (th, common, est)
+  }
+
   def kmvOverlap(elems: DataFrame, groupCol: String, elemCol: String,
                  k: Int = DefaultK): DataFrame = {
     val TwoPow48L = 281474976710656L

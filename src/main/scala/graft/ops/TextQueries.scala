@@ -31,6 +31,58 @@ object TextQueries extends QueryModule {
       |  len(regexp_extract_all(lower(text), '[aeiou]+|[bcdfghjklmnpqrstvwxyz]+')) AS n_subwords
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- readability ---------------------------------------------------------
+
+  /** Flesch-style readability per document (r12) — the classic
+    * surface-statistics quality signal corpus filters bucket on:
+    * words per sentence and (vowel-group-proxied) syllables per word,
+    * folded into the standard 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+    * score. All three counts are exact integers from the same
+    * regex-token definitions as the other text gates (one vowel run ≈
+    * one syllable, floor 1 per word — the usual heuristic), and the
+    * score itself is reported as the EXACT scaled integer
+    * flesch_scaled = 206835·S·W − 1015·W² − 84600·Syl·S over
+    * denominator 1000·S·W — multiplying the formula through clears
+    * every division, so no float (or round-half mode) ever enters and
+    * the hash is engine-exact. Pure per-row scan work — parallelizes
+    * with the read, nothing shuffles.
+    */
+  private def readability(s: SparkSession, dir: String): DataFrame = {
+    val nWords = greatest(TextAnalysis.wordCount(col("text")), lit(1L))
+    val nSents = greatest(
+      expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("long"), lit(1L))
+    val nSyl = expr(
+      """aggregate(
+        |  transform(regexp_extract_all(lower(text), '[a-z]+', 0),
+        |    w -> greatest(size(regexp_extract_all(w, '[aeiou]+', 0)), 1)),
+        |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+    docs(s, dir)
+      .select(col("doc_id"), nWords.as("n_words"), nSents.as("n_sentences"),
+        nSyl.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        (lit(206835L) * col("n_sentences") * col("n_words")
+          - lit(1015L) * col("n_words") * col("n_words")
+          - lit(84600L) * col("n_syllables") * col("n_sentences"))
+          .as("flesch_scaled"),
+        (lit(1000L) * col("n_sentences") * col("n_words")).as("flesch_denom"))
+      .orderBy("doc_id")
+  }
+
+  private val readabilitySql =
+    """SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  (206835 * n_sentences * n_words - 1015 * n_words * n_words
+      |   - 84600 * n_syllables * n_sentences)::BIGINT AS flesch_scaled,
+      |  (1000 * n_sentences * n_words)::BIGINT AS flesch_denom
+      |FROM (
+      |  SELECT doc_id,
+      |    greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1)::BIGINT AS n_words,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+      |    CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+      |      w -> greatest(len(regexp_extract_all(w, '[aeiou]+')), 1))) AS BIGINT)
+      |      AS n_syllables
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // -- quality features ----------------------------------------------------
 
   private def quality(s: SparkSession, dir: String): DataFrame = {
@@ -898,6 +950,7 @@ object TextQueries extends QueryModule {
     QueryDef("dedup_threshold_curve", thresholdCurve, Some(thresholdCurveSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
+    QueryDef("text_readability", readability, Some(readabilitySql)),
     QueryDef("text_langid", langid, Some(langidSql)),
     QueryDef("text_langid_confusion", langidConfusion, Some(langidConfusionSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),

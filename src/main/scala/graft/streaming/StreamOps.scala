@@ -52,6 +52,11 @@ case class KmvState(mins: Seq[Long])
   */
 case class KmvRow(bucketMs: Long, kmvEstimate: Double, closed: Boolean)
 
+/** One group's current KMV sketch — the MERGEABLE unit theta-sketch
+  * set algebra operates on (see `Sketches.overlapEstimate`).
+  */
+case class SketchRow(group: String, mins: Seq[Long])
+
 /** Streaming analytics building blocks: watermarked windowed
   * aggregation and within-watermark dedup. Batch-equivalent semantics
   * are what the correctness gate checks (events_hourly); these wire
@@ -318,6 +323,45 @@ object StreamOps {
             state.setTimeoutTimestamp(math.max(bucketMs + idleMs, wm + 1))
             KmvRow(bucketMs, kmvEstimate(merged, k), closed = false)
           }
+        })
+  }
+
+  /** Streaming KMV sketch MAINTAINER per group (the mergeable half of
+    * the theta-sketch family): folds each micro-batch's element
+    * hashes into the group's ≤k smallest — O(k) state per group
+    * forever, any batch split, any order — and emits the group's
+    * current sketch each trigger (update mode). Downstream set
+    * algebra (overlap/Jaccard across groups,
+    * [[graft.ops.Sketches.overlapEstimate]]) runs on the emitted
+    * sketches alone: the streaming corpus-overlap monitor costs k
+    * longs per source, never a distinct-join. The fold is the same
+    * k-min rule as the batch `kmvDistinct`/`kmvOverlap`, over the
+    * same portable hash — batch equality is the spec's contract.
+    * Input needs (group STRING-castable, elem STRING-castable).
+    */
+  def kmvSketchStream(elems: DataFrame,
+                      k: Int = graft.ops.Sketches.DefaultK): Dataset[SketchRow] = {
+    implicit val outEnc = Encoders.product[SketchRow]
+    implicit val stEnc = Encoders.product[KmvState]
+    implicit val keyEnc = Encoders.STRING
+    implicit val rowEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    elems
+      .select(col("group").cast("string").as("g"),
+        graft.ops.Sketches.portableHash(col("elem").cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (g: String, rows: Iterator[(String, Long)], state: GroupState[KmvState]) => {
+          val acc = scala.collection.mutable.TreeSet.empty[Long]
+          acc ++= state.getOption.map(_.mins).getOrElse(Seq.empty)
+          rows.foreach { r =>
+            val h = r._2
+            if (acc.size < k) acc += h
+            else if (h < acc.last) { acc += h; if (acc.size > k) acc -= acc.last }
+          }
+          val merged = acc.toSeq
+          state.update(KmvState(merged))
+          SketchRow(g, merged)
         })
   }
 
