@@ -493,6 +493,46 @@ object CdcQueries extends QueryModule {
     out
   }
 
+  /** HIDDEN day-partitioning end to end (r12b): the table declares
+    * `PARTITIONED BY (days(ts))` — the Iceberg transform — so rows
+    * land in day dirs derived from the timestamp at write time while
+    * the derived column stays invisible to every reader and writer
+    * (users insert and select only `ts`). Seed + MERGE flow through
+    * the derived-injection write path; the final projection drops
+    * `ts`, so the gate hash-matches the SAME upsert oracle as the
+    * identity-partitioned gates — certifying that hidden partitioning
+    * changes the LAYOUT and nothing else.
+    */
+  private def applyUpsertHidden(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).cache()
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    def latestWithTs(df: DataFrame): DataFrame =
+      Precombine.latestByKey(
+        df.select("user_id", "event_id", "event_type", "value", "ts"),
+        Seq("user_id"), Seq("ts", "event_id"))
+    val base = latestWithTs(ev.filter(col("event_id") < cut))
+    val changes = latestWithTs(ev.filter(col("event_id") >= cut))
+    val tbl = "hidden_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+    s.sql(s"DROP TABLE IF EXISTS graft.gate.$tbl")
+    s.sql(s"""CREATE TABLE graft.gate.$tbl
+              (user_id BIGINT, event_id BIGINT, event_type STRING,
+               value DOUBLE, ts TIMESTAMP_NTZ)
+              TBLPROPERTIES('keys'='user_id') PARTITIONED BY (days(ts))""")
+    base.createOrReplaceTempView("graft_hidden_base")
+    changes.createOrReplaceTempView("graft_hidden_changes")
+    s.sql(s"""INSERT INTO graft.gate.$tbl
+              SELECT user_id, event_id, event_type, value, ts FROM graft_hidden_base""")
+    s.sql(s"""MERGE INTO graft.gate.$tbl t USING graft_hidden_changes s
+              ON t.user_id = s.user_id
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+    val out = s.table(s"graft.gate.$tbl")
+      .select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+    ev.unpersist()
+    out
+  }
+
   /** DYNAMIC partition overwrite through the catalog (r12): seed a
     * value-partitioned table, then `INSERT OVERWRITE` under
     * `partitionOverwriteMode=dynamic` with a source covering ONE
@@ -1342,6 +1382,7 @@ object CdcQueries extends QueryModule {
     QueryDef("cdc_apply_merge_conditional", applyMergeConditional, Some(applyMergeConditionalSql)),
     QueryDef("cdc_apply_upsert_catalog", applyUpsertViaCatalog, Some(applyUpsertSql)),
     QueryDef("cdc_migrate_layout", applyUpsertMigrated, Some(applyUpsertSql)),
+    QueryDef("cdc_apply_upsert_hidden", applyUpsertHidden, Some(applyUpsertSql)),
     QueryDef("cdc_dynamic_overwrite", dynamicOverwriteGate, Some(dynamicOverwriteSql)),
     QueryDef("cdc_branch_wap", applyUpsertWapBranch, Some(applyUpsertSql)),
     QueryDef("catalog_spj_join", catalogSpjJoin, Some(catalogSpjJoinSql)),

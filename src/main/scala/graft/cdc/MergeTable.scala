@@ -732,19 +732,47 @@ final class MergeTable(
   private def renames: Map[String, String] =
     MergeTable.readMeta(root).map(_.renames).getOrElse(Map.empty)
 
+  /** HIDDEN partitioning (Iceberg's `days(ts)` transform): derived
+    * partition column → source column, read fresh like [[renames]].
+    * The derived column is INJECTED into write batches (day string of
+    * the source timestamp), stored with the rows (so key-addressed
+    * scoped merges and compactions see it), dropped from every public
+    * read surface, and absent from the declared schema — callers
+    * write and read only the source column, yet the layout, pruning,
+    * SHOW PARTITIONS, and partition-scoped maintenance all work on
+    * the derived day dirs.
+    */
+  private def derivedPartitions: Map[String, String] =
+    MergeTable.readMeta(root).map(_.derivedPartitions).getOrElse(Map.empty)
+
+  /** Inject derived partition columns into a write batch (no-op when
+    * the batch already carries them — base rows re-written by a
+    * scoped merge do).
+    */
+  private def withDerived(df: DataFrame): DataFrame =
+    derivedPartitions.foldLeft(df) { case (d, (c, src)) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, to_date(col(src)).cast("string"))
+    }
+
   /** physical → logical rename at every public read surface: data
     * files keep their physical names forever, so renamed columns —
     * including in TIME-TRAVEL reads of pre-rename versions and the
     * change feed — always surface under the current logical name.
     */
   private def toLogical(df: DataFrame): DataFrame = {
+    // derived partition columns are LAYOUT artifacts, not table
+    // columns — every public read surface hides them (Iceberg's
+    // hidden-partitioning contract)
+    val hidden = derivedPartitions.keys.toSeq.filter(df.columns.contains)
+    val visible = if (hidden.isEmpty) df else df.drop(hidden: _*)
     // ONE positional pass over all names at once (toDF), never a
     // sequential withColumnRenamed fold: a legal RENAME chain whose
     // intermediate name is later reused makes the fold rename the
     // wrong (just-renamed) column and emit duplicate names
     val phys2log = renames.collect { case (l, p) if l != p => p -> l }
-    if (phys2log.isEmpty) df
-    else df.toDF(df.columns.map(c => phys2log.getOrElse(c, c)).toIndexedSeq: _*)
+    if (phys2log.isEmpty) visible
+    else visible.toDF(visible.columns.map(c => phys2log.getOrElse(c, c)).toIndexedSeq: _*)
   }
 
   /** logical → physical translation for incoming write batches. */
@@ -1677,7 +1705,7 @@ final class MergeTable(
     // constraints are declared against LOGICAL names, so they check
     // the batch before the column-mapping translation
     enforceConstraints(changes)
-    upsertUnchecked(toPhysical(changes))
+    upsertUnchecked(withDerived(toPhysical(changes)))
   }
 
   private def upsertUnchecked(changes: DataFrame): Unit = mode match {
@@ -2438,6 +2466,9 @@ final class MergeTable(
       throw new IllegalStateException(s"no _META.json at $root — nothing to migrate"))
     require(meta0.sortBy.isEmpty,
       "declared sortBy pins the bucketed-sorted layout — drop it before migrating")
+    require(meta0.derivedPartitions.isEmpty,
+      "hidden (derived) partitioning migrates by recreating the table — " +
+        "SET LAYOUT does not rewrite derived columns")
     require(toPartitionCols.isEmpty || mode != MergeTable.DeletionVectors,
       "deletion-vectors mode refuses partitioned layouts (same rule as CREATE)")
     val target = new MergeTable(spark, root, keys, mode, toBuckets, maxDeltas,
@@ -3532,7 +3563,8 @@ object MergeTable {
                         droppedColumns: Seq[String] = Nil,
                         renames: Map[String, String] = Map.empty,
                         partitionCols: Seq[String] = Nil,
-                        sortBy: Seq[String] = Nil)
+                        sortBy: Seq[String] = Nil,
+                        derivedPartitions: Map[String, String] = Map.empty)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -3603,6 +3635,10 @@ object MergeTable {
       val sb = node.putArray("sortBy")
       meta.sortBy.foreach(sb.add)
     }
+    if (meta.derivedPartitions.nonEmpty) {
+      val dp = node.putObject("derivedPartitions")
+      meta.derivedPartitions.foreach { case (c, src) => dp.put(c, src) }
+    }
     Files.createDirectories(Paths.get(root))
     Files.write(Paths.get(root).resolve("_META.json"),
       mapper.writeValueAsBytes(node))
@@ -3630,7 +3666,10 @@ object MergeTable {
         Option(n.get("partitions")).map(_.elements().asScala.map(_.asText).toSeq)
           .getOrElse(Nil),
         Option(n.get("sortBy")).map(_.elements().asScala.map(_.asText).toSeq)
-          .getOrElse(Nil)))
+          .getOrElse(Nil),
+        Option(n.get("derivedPartitions")).map { d =>
+          d.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+        }.getOrElse(Map.empty)))
     }
   }
 

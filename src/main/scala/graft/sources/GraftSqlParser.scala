@@ -594,6 +594,9 @@ case class MergeTableRenameColumnCommand(catalogName: String, ident: Seq[String]
     require(!meta.sortBy.contains(from),
       s"cannot rename declared sortBy column '$from': future seeds would " +
         "sort by a stale name — drop the property first")
+    require(!meta.derivedPartitions.values.toSeq.contains(from),
+      s"cannot rename column '$from': a hidden partition derives from it " +
+        "(future writes would inject from a stale name)")
     require(!meta.droppedColumns.contains(to),
       s"column '$to' was previously dropped from ${ident.mkString(".")} and " +
         "not yet reclaimed — renaming onto it would shadow its pending data")
@@ -646,6 +649,8 @@ case class MergeTableDropColumnsCommand(catalogName: String, ident: Seq[String],
       // an unresolvable reference on the next upsert/delete
       require(!meta.partitionCols.contains(c),
         s"cannot drop partition column '$c'")
+      require(!meta.derivedPartitions.values.toSeq.contains(c),
+        s"cannot drop column '$c': a hidden partition derives from it")
       meta.constraints.foreach { case (name, sql) =>
         // resolve actual attribute references, not a textual match —
         // a column name inside a string LITERAL (CHECK (tag != 'v'))

@@ -285,6 +285,11 @@ private[sources] class MergeTableBatchScan(
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(n, relation.keys: _*)), n)
     case None if relation.partitionCols.nonEmpty &&
+        // hidden (derived) partition columns are not in the scan
+        // output — a KeyGroupedPartitioning over them could never
+        // resolve, so derived layouts report unknown
+        graft.cdc.MergeTable.readMeta(relation.path)
+          .forall(_.derivedPartitions.isEmpty) &&
         survivors.forall(p => partitionTuple(p).isDefined) =>
       val parts = survivors.flatMap(partitionTuple).distinct.size
       new KeyGroupedPartitioning(

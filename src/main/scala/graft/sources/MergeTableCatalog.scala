@@ -151,16 +151,42 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     // PARTITIONED BY (c1, c2): identity transforms declare the
-    // value-partitioned layout; any other transform (bucket(), days()
-    // ...) is rejected loudly rather than silently ignored
-    val partitionCols = partitions.toSeq.map { t =>
-      require(t.name == "identity" && t.references.length == 1,
-        s"mergetable supports only identity PARTITIONED BY columns, got $t " +
-          "(use the 'buckets' property for hash bucketing)")
-      t.references.head.fieldNames.mkString(".")
+    // value-partitioned layout. PARTITIONED BY (days(ts)) declares
+    // HIDDEN day partitioning (Iceberg's days transform): the layout
+    // column <ts>_day is DERIVED from the source at write time,
+    // hidden from the schema and every read, yet drives dir pruning,
+    // SHOW PARTITIONS, and partition-scoped maintenance. Any other
+    // transform (bucket(), months() ...) is rejected loudly rather
+    // than silently ignored.
+    val resolved: Seq[(String, Option[String])] = partitions.toSeq.map { t =>
+      require(t.references.length == 1,
+        s"mergetable PARTITIONED BY supports single-column transforms, got $t")
+      val src = t.references.head.fieldNames.mkString(".")
+      t.name match {
+        case "identity" => (src, None)
+        case "days" => (s"${src}_day", Some(src))
+        case other => throw new IllegalArgumentException(
+          s"mergetable supports identity and days() PARTITIONED BY columns, " +
+            s"got $other($src) (use the 'buckets' property for hash bucketing)")
+      }
     }
-    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column '$c' is not in the schema"))
+    val partitionCols = resolved.map(_._1)
+    val derived: Map[String, String] =
+      resolved.collect { case (c, Some(src)) => c -> src }.toMap
+    resolved.foreach {
+      case (c, None) => require(schema.fieldNames.contains(c),
+        s"partition column '$c' is not in the schema")
+      case (c, Some(src)) =>
+        require(schema.fieldNames.contains(src),
+          s"days($src) partition source column is not in the schema")
+        require(!schema.fieldNames.contains(c),
+          s"derived partition column '$c' collides with a declared column")
+        val dt = schema(src).dataType
+        require(dt == org.apache.spark.sql.types.TimestampType ||
+            dt == org.apache.spark.sql.types.TimestampNTZType ||
+            dt == org.apache.spark.sql.types.DateType,
+          s"days($src) requires a timestamp/date source column, got $dt")
+    }
     val props = properties.asScala
     val keys = props.get("keys").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(throw new IllegalArgumentException(
@@ -193,7 +219,8 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces
       props.get("buckets").map(_.toInt),
       Some(schema.json),
       partitionCols = partitionCols,
-      sortBy = sortBy)
+      sortBy = sortBy,
+      derivedPartitions = derived)
     MergeTable.writeMeta(tablePath(ident), meta)
     new MergeTableV2(ident, tablePath(ident), meta, None)
   }
@@ -362,7 +389,11 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
           .map(refTable.forBranch).getOrElse(refTable)
         !t.exists
       }
-    version.isEmpty && ref.isEmpty && layoutSeedOk && partTypesOk && metaPlainOk
+    // hidden partitioning injects the derived column driver-side in
+    // MergeTable.upsert — the executor-side v2 demux never sees it,
+    // so derived tables always take the V1 path
+    version.isEmpty && ref.isEmpty && layoutSeedOk && partTypesOk &&
+      metaPlainOk && meta.derivedPartitions.isEmpty
   }
 
   /** DYNAMIC partition overwrite (`INSERT OVERWRITE` under
@@ -375,7 +406,7 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     */
   private lazy val dynamicOverwriteEligible: Boolean =
     version.isEmpty && ref.isEmpty && meta.partitionCols.nonEmpty &&
-      partTypesOk && metaPlainOk
+      partTypesOk && metaPlainOk && meta.derivedPartitions.isEmpty
 
   /** Declared so `ResolveInsertInto` can tell a partitioned table
     * from a flat one (the dynamic-overwrite decision keys off it);
@@ -384,8 +415,16 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     */
   override def partitioning(): Array[Transform] =
     if (meta.partitionCols.isEmpty) Array.empty
-    else (meta.partitionCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c): Transform) ++
+    else (meta.partitionCols.map { c =>
+      // hidden partitions declare the TRANSFORM on their (resolvable)
+      // source column — the hidden layout column isn't in the schema
+      meta.derivedPartitions.get(c) match {
+        case Some(src) =>
+          org.apache.spark.sql.connector.expressions.Expressions.days(src): Transform
+        case None =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c): Transform
+      }
+    } ++
       meta.numBuckets.map(n =>
         org.apache.spark.sql.connector.expressions.Expressions
           .bucket(n, meta.keys: _*): Transform)).toArray

@@ -182,7 +182,11 @@ class MergeTableRelation(
         // hidden from CURRENT-snapshot reads (time-travel keeps
         // history — Iceberg's drop contract), then the column mapping
         // renames physical → logical
-        val dropped = MergeTable.readMeta(path).map(_.droppedColumns).getOrElse(Nil)
+        // derived (hidden) partition columns are layout artifacts
+        // stored with the rows — hidden from every read, like drops
+        val meta0 = MergeTable.readMeta(path)
+        val dropped = (meta0.map(_.droppedColumns).getOrElse(Nil) ++
+          meta0.map(_.derivedPartitions.keys.toSeq).getOrElse(Nil))
           .filter(phys.columns.contains)
         val undropped = if (dropped.isEmpty) phys else phys.drop(dropped: _*)
         renameMap.foldLeft(undropped) { case (df, (logical, physical)) =>
@@ -303,9 +307,65 @@ class MergeTableRelation(
     if (pinnedEntries.exists(_._1 == "dv")) table.prunableFilesDv(pinnedEntries)
     else None
 
+  /** Hidden-partitioning pruning bridge: user predicates on a derived
+    * partition's SOURCE column (the timestamp) translate to
+    * CONSERVATIVE day-string predicates on the derived dir column —
+    * strict bounds relax to inclusive at day granularity, and day
+    * strings compare correctly lexicographically — so `WHERE ts >= X`
+    * prunes day dirs without the user ever naming the hidden column.
+    * Day computation honors the session time zone, matching the
+    * write-side `to_date` injection.
+    */
+  private def derivedDayFilters(filters: Array[Filter]): Array[Filter] = {
+    val derived = MergeTable.readMeta(path).map(_.derivedPartitions)
+      .getOrElse(Map.empty)
+    if (derived.isEmpty) return Array.empty
+    val bySrc: Map[String, String] = derived.map(_.swap)
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    // (day string, value is exactly midnight) — midnight lets strict
+    // upper bounds tighten: `ts < day-D 00:00` reaches nothing ON day
+    // D, the retention-cutoff shape
+    def dayOf(v: Any): Option[(String, Boolean)] = v match {
+      case t: java.sql.Timestamp =>
+        val z = java.time.Instant.ofEpochMilli(t.getTime).atZone(zone)
+        Some((z.toLocalDate.toString, z.toLocalTime == java.time.LocalTime.MIDNIGHT))
+      case t: java.time.Instant =>
+        val z = t.atZone(zone)
+        Some((z.toLocalDate.toString, z.toLocalTime == java.time.LocalTime.MIDNIGHT))
+      case t: java.time.LocalDateTime =>
+        Some((t.toLocalDate.toString, t.toLocalTime == java.time.LocalTime.MIDNIGHT))
+      case d: java.sql.Date => Some((d.toLocalDate.toString, true))
+      case d: java.time.LocalDate => Some((d.toString, true))
+      case _ => None
+    }
+    import org.apache.spark.sql.sources._
+    filters.flatMap {
+      case EqualTo(a, v) if bySrc.contains(a) =>
+        dayOf(v).map { case (d, _) => EqualTo(bySrc(a), d) }
+      case GreaterThan(a, v) if bySrc.contains(a) =>
+        dayOf(v).map { case (d, _) => GreaterThanOrEqual(bySrc(a), d) }
+      case GreaterThanOrEqual(a, v) if bySrc.contains(a) =>
+        dayOf(v).map { case (d, _) => GreaterThanOrEqual(bySrc(a), d) }
+      case LessThan(a, v) if bySrc.contains(a) =>
+        dayOf(v).map { case (d, midnight) =>
+          if (midnight) LessThan(bySrc(a), d) else LessThanOrEqual(bySrc(a), d) }
+      case LessThanOrEqual(a, v) if bySrc.contains(a) =>
+        dayOf(v).map { case (d, _) => LessThanOrEqual(bySrc(a), d) }
+      case In(a, vs) if bySrc.contains(a) =>
+        val days = vs.toSeq.map(dayOf)
+        if (days.forall(_.isDefined))
+          Some(In(bySrc(a), days.flatten.map(_._1).distinct.toArray))
+        else None
+      case _ => None
+    }
+  }
+
   private def pruneFiles(
-      files: Seq[(java.nio.file.Path, Map[String, (String, String, String)])],
-      filters: Array[Filter]): (Seq[java.nio.file.Path], Int) = {
+      allFiles: Seq[(java.nio.file.Path, Map[String, (String, String, String)])],
+      rawFilters: Array[Filter]): (Seq[java.nio.file.Path], Int) = {
+    val files = allFiles
+    val filters = rawFilters ++ derivedDayFilters(rawFilters)
       // cheapest cut first: on a hash-bucketed layout a point lookup
       // can only live in the buckets its key tuple hashes into — all
       // other bucket DIRECTORIES drop before stats or blooms are

@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.cdc.MergeTable
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+
+/** Hidden partitioning (`PARTITIONED BY (days(ts))` — Iceberg's days
+  * transform): the derived day column is injected at write, drives
+  * the dir layout, pruning, SHOW PARTITIONS, and scoped maintenance —
+  * and is invisible to every reader and writer.
+  */
+class HiddenPartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(db: String): Unit = {
+    MergeTable.drop(s"target/graft_warehouse/$db")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$db")
+  }
+
+  private def ts(s: String) = java.time.LocalDateTime.parse(s)
+
+  test("rows land in day dirs; the derived column never surfaces") {
+    fresh("hp1")
+    spark.sql("""CREATE TABLE graft.hp1.t (id BIGINT, v STRING, ts TIMESTAMP_NTZ)
+                 TBLPROPERTIES('keys'='id') PARTITIONED BY (days(ts))""")
+    Seq((1L, "a", ts("2024-03-01T10:00:00")), (2L, "b", ts("2024-03-01T23:59:00")),
+        (3L, "c", ts("2024-03-02T00:01:00")))
+      .toDF("id", "v", "ts").createOrReplaceTempView("hp1_src")
+    spark.sql("INSERT INTO graft.hp1.t SELECT * FROM hp1_src")
+    // layout: pv entries addressed by the DERIVED day
+    val lines = latestManifestLines("target/graft_warehouse/hp1/t")
+    assert(lines.forall(_.startsWith("pv:")), lines.mkString("|"))
+    assert(lines.exists(_.contains("_graft_p_ts_day=2024-03-01")), lines)
+    assert(lines.exists(_.contains("_graft_p_ts_day=2024-03-02")), lines)
+    // invisible: schema, SELECT *, and a direct reference all exclude it
+    assert(spark.table("graft.hp1.t").columns.toSeq === Seq("id", "v", "ts"))
+    assert(intercept[Exception](
+      spark.sql("SELECT ts_day FROM graft.hp1.t").collect())
+      .getMessage.contains("ts_day"))
+    assert(spark.table("graft.hp1.t").count() === 3)
+    // SHOW PARTITIONS reports the hidden day values
+    val parts = spark.sql("SHOW PARTITIONS graft.hp1.t")
+      .select("partition").as[String].collect().toSet
+    assert(parts.exists(_.contains("2024-03-01")) &&
+      parts.exists(_.contains("2024-03-02")), parts)
+  }
+
+  test("timestamp predicates prune day dirs without naming the hidden column") {
+    fresh("hp2")
+    spark.sql("""CREATE TABLE graft.hp2.t (id BIGINT, v STRING, ts TIMESTAMP_NTZ)
+                 TBLPROPERTIES('keys'='id') PARTITIONED BY (days(ts))""")
+    (1 to 30).map(i => (i.toLong, s"v$i", ts(f"2024-03-${i % 3 + 1}%02dT12:00:00")))
+      .toDF("id", "v", "ts").createOrReplaceTempView("hp2_src")
+    spark.sql("INSERT INTO graft.hp2.t SELECT * FROM hp2_src")
+    val meta = MergeTable.readMeta("target/graft_warehouse/hp2/t").get
+    val rel = new MergeTableRelation(spark.sqlContext,
+      "target/graft_warehouse/hp2/t", meta.keys, meta.mode, meta.numBuckets,
+      partitionCols = meta.partitionCols)
+    val (keptGe, total) = rel.survivingFiles(
+      Array(GreaterThanOrEqual("ts", ts("2024-03-03T00:00:00")))).get
+    assert(total >= 3, s"expected >=3 day files, got $total")
+    assert(keptGe.nonEmpty && keptGe.size < total)
+    assert(keptGe.forall(_.toString.contains("_graft_p_ts_day=2024-03-03")),
+      keptGe.mkString("|"))
+    val (keptLt, _) = rel.survivingFiles(
+      Array(LessThan("ts", ts("2024-03-02T00:00:00")))).get
+    // strict bound relaxes to inclusive at day granularity: day 1 only
+    assert(keptLt.nonEmpty &&
+      keptLt.forall(_.toString.contains("_graft_p_ts_day=2024-03-01")),
+      keptLt.mkString("|"))
+    // pruned reads stay correct end to end
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.hp2.t WHERE ts >= TIMESTAMP_NTZ'2024-03-03 00:00:00'")
+      .as[Long].head() === 10L)
+  }
+
+  test("upserts rewrite only the touched day; maintenance stays scoped") {
+    fresh("hp3")
+    spark.sql("""CREATE TABLE graft.hp3.t (id BIGINT, v STRING, ts TIMESTAMP_NTZ)
+                 TBLPROPERTIES('keys'='id') PARTITIONED BY (days(ts))""")
+    Seq((1L, "a", ts("2024-03-01T10:00:00")), (2L, "b", ts("2024-03-02T10:00:00")))
+      .toDF("id", "v", "ts").createOrReplaceTempView("hp3_src")
+    spark.sql("INSERT INTO graft.hp3.t SELECT * FROM hp3_src")
+    val before = latestManifestLines("target/graft_warehouse/hp3/t").sorted
+    spark.sql("""MERGE INTO graft.hp3.t t
+                 USING (SELECT CAST(1 AS BIGINT) id, 'A' v,
+                        TIMESTAMP_NTZ'2024-03-01 11:00:00' ts) s
+                 ON t.id = s.id WHEN MATCHED THEN UPDATE SET *""")
+    val after = latestManifestLines("target/graft_warehouse/hp3/t").sorted
+    // one day rewritten, the other verbatim
+    assert(before.intersect(after).size === before.size - 1, (before, after))
+    assert(spark.table("graft.hp3.t").select("id", "v").as[(Long, String)]
+      .collect().sorted === Seq((1L, "A"), (2L, "b")))
+    // DELETE flows through the key-addressed scoped path too
+    spark.sql("DELETE FROM graft.hp3.t WHERE id = 2")
+    assert(spark.table("graft.hp3.t").select("id").as[Long].collect() === Seq(1L))
+  }
+
+  test("source-column DDL refusals and change-feed hiding") {
+    fresh("hp4")
+    spark.sql("""CREATE TABLE graft.hp4.t (id BIGINT, v STRING, ts TIMESTAMP_NTZ)
+                 TBLPROPERTIES('keys'='id') PARTITIONED BY (days(ts))""")
+    spark.sql("INSERT INTO graft.hp4.t VALUES (1, 'a', TIMESTAMP_NTZ'2024-03-01 10:00:00')")
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.hp4.t RENAME COLUMN ts TO t2"))
+    assert(e1.getMessage.contains("hidden partition"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.hp4.t DROP COLUMN ts"))
+    assert(e2.getMessage.contains("hidden partition"), e2.getMessage)
+    // time travel and the change feed hide the derived column too
+    val t = MergeTable.open(spark, "target/graft_warehouse/hp4/t")
+    assert(!t.readVersion(1L).columns.contains("ts_day"))
+    assert(!t.changesBetween(0L, 1L).columns.contains("ts_day"))
+  }
+}

@@ -253,11 +253,13 @@ class MergeTableCatalogSpec extends SparkSpec {
     assert(spark.table("graft.cat5.p").orderBy("id")
       .as[(Long, String, Long)].collect().toSeq ===
       Seq((1L, "red", 10L), (2L, "blue", 25L)))
-    // non-identity transforms are rejected loudly, not ignored
+    // unsupported transforms are rejected loudly, not ignored
+    // (identity and days() are the supported set — HiddenPartitionSpec
+    // covers days)
     val bad = intercept[Exception](spark.sql(
       """CREATE TABLE graft.cat5.bad (id BIGINT, ts TIMESTAMP)
-         PARTITIONED BY (days(ts)) TBLPROPERTIES('keys'='id')"""))
-    assert(bad.getMessage.contains("identity"))
+         PARTITIONED BY (months(ts)) TBLPROPERTIES('keys'='id')"""))
+    assert(bad.getMessage.contains("identity"), bad.getMessage)
   }
 
   test("DESCRIBE DETAIL reports layout, mapping, and drop state") {
