@@ -2427,6 +2427,42 @@ final class MergeTable(
     orphans.length
   }
 
+  // -- metadata-only partition delete ---------------------------------------
+
+  /** Drop whole partition dirs from the manifest WITHOUT touching a
+    * data file — the retention shape (`DELETE WHERE ts < cutoff` on a
+    * day-partitioned table) that at 100 TB must be a metadata commit,
+    * not a rewrite of every surviving row. `drop(leafDir)` decides per
+    * pv leaf (the caller proved its predicate partition-COMPLETE:
+    * every row of a matched dir satisfies it — see
+    * `MergeTableDmlCommand.partitionDropKeep`). Eligible only when
+    * the snapshot is PURE pv entries: MOR deltas or dv masks hold
+    * rows OUTSIDE the dirs and a dir drop would resurrect or miss
+    * them — those layouts return None and the caller falls back to
+    * the row-level delete. Commits through the scoped-rebase path, so
+    * disjoint-partition writers compose. Returns the dropped-dir
+    * count (Some(0) = eligible, nothing matched, no commit).
+    */
+  def deletePartitions(drop: String => Boolean): Option[Int] = withOp("delete") {
+    if (!exists) Some(0)
+    else {
+      val es = entries()
+      if (es.exists(e => e._1 != "pv" && e._1 != "ing")) None
+      else {
+        val baseV = readVersion
+        def leafOf(d: String): String = d.split("/", 2)(1)
+        val dropped = es.filter(e => e._1 == "pv" && drop(leafOf(e._2)))
+        if (dropped.isEmpty) Some(0)
+        else {
+          commitScoped(es, dropped.map(e => leafOf(e._2)).toSet, Nil,
+            { case (t, d) => if (t == "pv") Some(leafOf(d)) else None },
+            validateKeys = None, baseVersion = baseV)
+          Some(dropped.size)
+        }
+      }
+    }
+  }
+
   // -- layout migration ------------------------------------------------------
 
   /** One-shot LAYOUT MIGRATION — the "table outgrew its first layout"

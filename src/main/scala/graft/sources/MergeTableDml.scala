@@ -527,7 +527,19 @@ case class MergeTableDmlCommand(
       case MergeTableDmlCommand.Delete =>
         // deleting from an empty table matches nothing: a no-op, not
         // an error (ANSI DELETE/MERGE-DELETE semantics)
-        if (t.exists) t.delete(src.select(keys.map(col): _*).distinct())
+        if (t.exists) {
+          // metadata-only fast path: a predicate proven
+          // partition-COMPLETE (every row of a matched dir satisfies
+          // it — retention's `ts < cutoff` on a day-partitioned
+          // table) drops whole pv dirs in one commit, zero data I/O.
+          // Anything else — or any layout holding rows outside pv
+          // dirs — takes the row-level delete below.
+          val metaOnly = MergeTableDmlCommand
+            .partitionDropKeep(session, path, source)
+            .flatMap(t.deletePartitions)
+          if (metaOnly.isEmpty)
+            t.delete(src.select(keys.map(col): _*).distinct())
+        }
       case MergeTableDmlCommand.Apply =>
         // general MERGE: rows routed by `_op` (see generalMerge).
         // localCheckpoint: the routing plan embeds the CURRENT target
@@ -579,4 +591,118 @@ object MergeTableDmlCommand {
   val OpUpsert = "U"
   val OpDelete = "D"
   val OpKeep = "K"
+
+  /** Decide whether a DELETE's predicate is PARTITION-COMPLETE — every
+    * row of any matched pv dir satisfies it — and if so compile the
+    * leaf-dir drop decision. Accepted conjuncts:
+    *
+    *  - predicates referencing ONLY identity partition columns (every
+    *    row of a dir shares its partition values, so a partition-col
+    *    predicate decides the whole dir);
+    *  - on a hidden day partition: `ts < cutoff` / `ts >= cutoff`
+    *    with the cutoff EXACTLY at midnight — the retention shape —
+    *    which translate to strict/inclusive day-string bounds that
+    *    cover matched dirs completely.
+    *
+    * Anything else (a data-column conjunct, a mid-day cutoff, an
+    * equality on the source timestamp) returns None and the caller
+    * runs the exact row-level delete. The whole conjunction must
+    * translate — one undecidable conjunct poisons the fast path, or
+    * the delete would drop MORE rows than the predicate matched.
+    */
+  def partitionDropKeep(session: SparkSession, path: String,
+                        source: LogicalPlan): Option[String => Boolean] = {
+    val meta = MergeTable.readMeta(path).getOrElse(return None)
+    if (meta.partitionCols.isEmpty) return None
+    val cond = source match {
+      case Filter(c, _) => c
+      case _ => return None
+    }
+    val conjuncts = {
+      def split(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => split(l) ++ split(r)
+        case other => Seq(other)
+      }
+      split(cond)
+    }
+    // minimal catalyst→source translation for the shapes the drop
+    // decision accepts: attribute-vs-literal comparisons (both
+    // orders), IN over literals, IS [NOT] NULL — anything else
+    // (casts, functions, Not, Or) refuses the fast path
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    def ext(l: ce.Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    def translateOne(e: Expression): Option[org.apache.spark.sql.sources.Filter] = {
+      import org.apache.spark.sql.sources
+      e match {
+        case ce.EqualTo(a: Attribute, l: ce.Literal) =>
+          Some(sources.EqualTo(a.name, ext(l)))
+        case ce.EqualTo(l: ce.Literal, a: Attribute) =>
+          Some(sources.EqualTo(a.name, ext(l)))
+        case ce.LessThan(a: Attribute, l: ce.Literal) =>
+          Some(sources.LessThan(a.name, ext(l)))
+        case ce.LessThan(l: ce.Literal, a: Attribute) =>
+          Some(sources.GreaterThan(a.name, ext(l)))
+        case ce.LessThanOrEqual(a: Attribute, l: ce.Literal) =>
+          Some(sources.LessThanOrEqual(a.name, ext(l)))
+        case ce.LessThanOrEqual(l: ce.Literal, a: Attribute) =>
+          Some(sources.GreaterThanOrEqual(a.name, ext(l)))
+        case ce.GreaterThan(a: Attribute, l: ce.Literal) =>
+          Some(sources.GreaterThan(a.name, ext(l)))
+        case ce.GreaterThan(l: ce.Literal, a: Attribute) =>
+          Some(sources.LessThan(a.name, ext(l)))
+        case ce.GreaterThanOrEqual(a: Attribute, l: ce.Literal) =>
+          Some(sources.GreaterThanOrEqual(a.name, ext(l)))
+        case ce.GreaterThanOrEqual(l: ce.Literal, a: Attribute) =>
+          Some(sources.LessThanOrEqual(a.name, ext(l)))
+        case ce.In(a: Attribute, vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
+          Some(sources.In(a.name,
+            vs.map(v => ext(v.asInstanceOf[ce.Literal])).toArray))
+        case ce.IsNull(a: Attribute) => Some(sources.IsNull(a.name))
+        case ce.IsNotNull(a: Attribute) => Some(sources.IsNotNull(a.name))
+        case _ => None
+      }
+    }
+    val translated = conjuncts.map(translateOne)
+    if (translated.exists(_.isEmpty)) return None
+    val bySrc: Map[String, String] = meta.derivedPartitions.map(_.swap)
+    val zone = java.time.ZoneId.of(session.sessionState.conf.sessionLocalTimeZone)
+    def midnightDay(v: Any): Option[String] = v match {
+      case t: java.sql.Timestamp =>
+        val z = java.time.Instant.ofEpochMilli(t.getTime).atZone(zone)
+        if (z.toLocalTime == java.time.LocalTime.MIDNIGHT)
+          Some(z.toLocalDate.toString) else None
+      case t: java.time.Instant =>
+        val z = t.atZone(zone)
+        if (z.toLocalTime == java.time.LocalTime.MIDNIGHT)
+          Some(z.toLocalDate.toString) else None
+      case t: java.time.LocalDateTime =>
+        if (t.toLocalTime == java.time.LocalTime.MIDNIGHT)
+          Some(t.toLocalDate.toString) else None
+      case d: java.sql.Date => Some(d.toLocalDate.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case _ => None
+    }
+    import org.apache.spark.sql.sources._
+    val mapped: Seq[Option[org.apache.spark.sql.sources.Filter]] =
+      translated.flatten.map {
+        case f if f.references.nonEmpty &&
+            f.references.forall(meta.partitionCols.contains) => Some(f)
+        case LessThan(a, v) if bySrc.contains(a) =>
+          midnightDay(v).map(LessThan(bySrc(a), _))
+        case GreaterThanOrEqual(a, v) if bySrc.contains(a) =>
+          midnightDay(v).map(GreaterThanOrEqual(bySrc(a), _))
+        case _ => None
+      }
+    if (mapped.exists(_.isEmpty)) None
+    else {
+      val fs = mapped.flatten
+      // mustMatch: every uncertainty (unknown shape — Not, nested Or —
+      // unparseable value, absent column) refuses the drop; the
+      // row-level fallback then applies the predicate exactly
+      Some((leaf: String) =>
+        fs.forall(f => PartitionDirFilter.mustMatch(leaf, meta.partitionCols, f)))
+    }
+  }
 }

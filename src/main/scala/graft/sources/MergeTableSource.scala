@@ -416,48 +416,8 @@ class MergeTableRelation(
     * (SQL null semantics) but survives IsNull; anything unparseable
     * or untranslated keeps the file.
     */
-  private def partitionMayMatch(path: String, f: Filter): Boolean = {
-    import org.apache.spark.sql.sources._
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    def valueOf(c: String): Option[Option[String]] = // None = col not in path
-      s"_graft_p_${java.util.regex.Pattern.quote(c)}=([^/]+)".r
-        .findFirstMatchIn(path).map { m =>
-          val raw = ExternalCatalogUtils.unescapePathName(m.group(1))
-          if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)
-        }
-    def cmp(s: String, v: Any): Option[Int] = v match {
-      case n: Number =>
-        try Some(BigDecimal(s).compare(BigDecimal(n.toString)))
-        catch { case _: NumberFormatException => None }
-      case b: Boolean => Some(s.toLowerCase.compareTo(b.toString))
-      // UTF-8 byte order, matching Spark/parquet string ordering —
-      // UTF-16 compareTo disagrees above the BMP and would prune a
-      // dir a supplementary-plane range predicate actually matches
-      case other => Some(graft.cdc.FileStats.utf8Cmp(s, String.valueOf(other)))
-    }
-    def eval(f: Filter): Boolean = f match {
-      case EqualTo(a, v) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ == 0)))
-      case In(a, vs) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.exists(s => vs.exists(v => cmp(s, v).forall(_ == 0))))
-      case GreaterThan(a, v) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ > 0)))
-      case GreaterThanOrEqual(a, v) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ >= 0)))
-      case LessThan(a, v) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ < 0)))
-      case LessThanOrEqual(a, v) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ <= 0)))
-      case IsNull(a) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.isEmpty)
-      case IsNotNull(a) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.nonEmpty)
-      case And(l, r) => eval(l) && eval(r)
-      case Or(l, r) => eval(l) || eval(r)
-      case _ => true // untranslated / non-partition filter: keep
-    }
-    eval(f)
-  }
+  private def partitionMayMatch(path: String, f: Filter): Boolean =
+    PartitionDirFilter.mayMatch(path, partitionCols, f)
 
   /** Bucket ids a full-key point lookup can touch on a hash-bucketed
     * layout: the WRITE side's bucket expression —
@@ -712,6 +672,111 @@ private[sources] object PartitionFilters {
         case _ => None
       }
       case _ => None
+    }
+    eval(f)
+  }
+}
+
+/** Conservative partition-dir filter evaluation over the
+  * `_graft_p_<col>=<val>` segments Spark wrote into a file/dir path —
+  * shared by the relation's scan pruning and the DML layer's
+  * metadata-only partition deletes. Every row in a dir shares its
+  * partition values, so for a predicate referencing ONLY partition
+  * columns "may match" IS "all rows match" — the property the
+  * metadata-only delete rests on. The null partition
+  * (`__HIVE_DEFAULT_PARTITION__`) fails every comparison (SQL null
+  * semantics) but survives IsNull; anything unparseable or
+  * untranslated keeps the dir.
+  */
+private[sources] object PartitionDirFilter {
+  def mayMatch(path: String, partitionCols: Seq[String],
+               f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def valueOf(c: String): Option[Option[String]] = // None = col not in path
+      s"_graft_p_${java.util.regex.Pattern.quote(c)}=([^/]+)".r
+        .findFirstMatchIn(path).map { m =>
+          val raw = ExternalCatalogUtils.unescapePathName(m.group(1))
+          if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)
+        }
+    def cmp(s: String, v: Any): Option[Int] = v match {
+      case n: Number =>
+        try Some(BigDecimal(s).compare(BigDecimal(n.toString)))
+        catch { case _: NumberFormatException => None }
+      case b: Boolean => Some(s.toLowerCase.compareTo(b.toString))
+      // UTF-8 byte order, matching Spark/parquet string ordering —
+      // UTF-16 compareTo disagrees above the BMP and would prune a
+      // dir a supplementary-plane range predicate actually matches
+      case other => Some(graft.cdc.FileStats.utf8Cmp(s, String.valueOf(other)))
+    }
+    def eval(f: Filter): Boolean = f match {
+      case EqualTo(a, v) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ == 0)))
+      case In(a, vs) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.exists(s => vs.exists(v => cmp(s, v).forall(_ == 0))))
+      case GreaterThan(a, v) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ > 0)))
+      case GreaterThanOrEqual(a, v) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ >= 0)))
+      case LessThan(a, v) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ < 0)))
+      case LessThanOrEqual(a, v) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ <= 0)))
+      case IsNull(a) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.isEmpty)
+      case IsNotNull(a) if partitionCols.contains(a) =>
+        valueOf(a).forall(_.nonEmpty)
+      case And(l, r) => eval(l) && eval(r)
+      case Or(l, r) => eval(l) || eval(r)
+      case _ => true // untranslated / non-partition filter: keep
+    }
+    eval(f)
+  }
+
+  /** STRICT twin of [[mayMatch]] with the opposite failure polarity:
+    * every uncertainty — an unparseable value, a filter shape the
+    * evaluator doesn't know, a column absent from the path — resolves
+    * to FALSE. Used for metadata-only partition DROPS, where a wrong
+    * TRUE deletes data a wrong FALSE merely leaves behind (the
+    * row-level fallback then handles it exactly).
+    */
+  def mustMatch(path: String, partitionCols: Seq[String],
+                f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def valueOf(c: String): Option[String] =
+      s"_graft_p_${java.util.regex.Pattern.quote(c)}=([^/]+)".r
+        .findFirstMatchIn(path).map(m =>
+          ExternalCatalogUtils.unescapePathName(m.group(1)))
+        .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+    def cmp(s: String, v: Any): Option[Int] = v match {
+      case n: Number =>
+        try Some(BigDecimal(s).compare(BigDecimal(n.toString)))
+        catch { case _: NumberFormatException => None }
+      case b: Boolean => Some(s.toLowerCase.compareTo(b.toString))
+      case other => Some(graft.cdc.FileStats.utf8Cmp(s, String.valueOf(other)))
+    }
+    def eval(f: Filter): Boolean = f match {
+      case EqualTo(a, v) if partitionCols.contains(a) =>
+        valueOf(a).exists(s => cmp(s, v).exists(_ == 0))
+      case In(a, vs) if partitionCols.contains(a) =>
+        valueOf(a).exists(s => vs.exists(v => cmp(s, v).exists(_ == 0)))
+      case GreaterThan(a, v) if partitionCols.contains(a) =>
+        valueOf(a).exists(s => cmp(s, v).exists(_ > 0))
+      case GreaterThanOrEqual(a, v) if partitionCols.contains(a) =>
+        valueOf(a).exists(s => cmp(s, v).exists(_ >= 0))
+      case LessThan(a, v) if partitionCols.contains(a) =>
+        valueOf(a).exists(s => cmp(s, v).exists(_ < 0))
+      case LessThanOrEqual(a, v) if partitionCols.contains(a) =>
+        valueOf(a).exists(s => cmp(s, v).exists(_ <= 0))
+      case IsNull(a) if partitionCols.contains(a) =>
+        s"_graft_p_${java.util.regex.Pattern.quote(a)}=([^/]+)".r
+          .findFirstMatchIn(path).exists(m =>
+            ExternalCatalogUtils.unescapePathName(m.group(1)) ==
+              "__HIVE_DEFAULT_PARTITION__")
+      case IsNotNull(a) if partitionCols.contains(a) => valueOf(a).isDefined
+      case And(l, r) => eval(l) && eval(r)
+      case _ => false // unknown shape: NEVER a metadata-only drop
     }
     eval(f)
   }
