@@ -747,11 +747,15 @@ final class MergeTable(
 
   /** Inject derived partition columns into a write batch (no-op when
     * the batch already carries them — base rows re-written by a
-    * scoped merge do).
+    * scoped merge do). The transform granularity is carried by the
+    * derived column's NAME suffix, fixed at CREATE: `<src>_day` =
+    * days(src) (date string), `<src>_month` = months(src) (yyyy-MM).
     */
   private def withDerived(df: DataFrame): DataFrame =
     derivedPartitions.foldLeft(df) { case (d, (c, src)) =>
       if (d.columns.contains(c)) d
+      else if (c.endsWith("_month"))
+        d.withColumn(c, date_format(col(src), "yyyy-MM"))
       else d.withColumn(c, to_date(col(src)).cast("string"))
     }
 

@@ -165,9 +165,10 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces
       t.name match {
         case "identity" => (src, None)
         case "days" => (s"${src}_day", Some(src))
+        case "months" => (s"${src}_month", Some(src))
         case other => throw new IllegalArgumentException(
-          s"mergetable supports identity and days() PARTITIONED BY columns, " +
-            s"got $other($src) (use the 'buckets' property for hash bucketing)")
+          s"mergetable supports identity, days() and months() PARTITIONED BY " +
+            s"columns, got $other($src) (use the 'buckets' property for hash bucketing)")
       }
     }
     val partitionCols = resolved.map(_._1)
@@ -419,6 +420,8 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
       // hidden partitions declare the TRANSFORM on their (resolvable)
       // source column — the hidden layout column isn't in the schema
       meta.derivedPartitions.get(c) match {
+        case Some(src) if c.endsWith("_month") =>
+          org.apache.spark.sql.connector.expressions.Expressions.months(src): Transform
         case Some(src) =>
           org.apache.spark.sql.connector.expressions.Expressions.days(src): Transform
         case None =>

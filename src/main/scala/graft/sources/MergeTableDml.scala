@@ -668,31 +668,21 @@ object MergeTableDmlCommand {
     if (translated.exists(_.isEmpty)) return None
     val bySrc: Map[String, String] = meta.derivedPartitions.map(_.swap)
     val zone = java.time.ZoneId.of(session.sessionState.conf.sessionLocalTimeZone)
-    def midnightDay(v: Any): Option[String] = v match {
-      case t: java.sql.Timestamp =>
-        val z = java.time.Instant.ofEpochMilli(t.getTime).atZone(zone)
-        if (z.toLocalTime == java.time.LocalTime.MIDNIGHT)
-          Some(z.toLocalDate.toString) else None
-      case t: java.time.Instant =>
-        val z = t.atZone(zone)
-        if (z.toLocalTime == java.time.LocalTime.MIDNIGHT)
-          Some(z.toLocalDate.toString) else None
-      case t: java.time.LocalDateTime =>
-        if (t.toLocalTime == java.time.LocalTime.MIDNIGHT)
-          Some(t.toLocalDate.toString) else None
-      case d: java.sql.Date => Some(d.toLocalDate.toString)
-      case d: java.time.LocalDate => Some(d.toString)
-      case _ => None
-    }
+    // a cutoff qualifies only EXACTLY on the granule boundary
+    // (midnight for _day, first-of-month midnight for _month) — only
+    // then does the granule bound cover matched dirs completely
+    def boundaryGranule(derivedCol: String, v: Any): Option[String] =
+      PartitionDirFilter.granuleOf(derivedCol, v, zone)
+        .collect { case (g, true) => g }
     import org.apache.spark.sql.sources._
     val mapped: Seq[Option[org.apache.spark.sql.sources.Filter]] =
       translated.flatten.map {
         case f if f.references.nonEmpty &&
             f.references.forall(meta.partitionCols.contains) => Some(f)
         case LessThan(a, v) if bySrc.contains(a) =>
-          midnightDay(v).map(LessThan(bySrc(a), _))
+          boundaryGranule(bySrc(a), v).map(LessThan(bySrc(a), _))
         case GreaterThanOrEqual(a, v) if bySrc.contains(a) =>
-          midnightDay(v).map(GreaterThanOrEqual(bySrc(a), _))
+          boundaryGranule(bySrc(a), v).map(GreaterThanOrEqual(bySrc(a), _))
         case _ => None
       }
     if (mapped.exists(_.isEmpty)) None

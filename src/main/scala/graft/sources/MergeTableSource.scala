@@ -174,7 +174,15 @@ class MergeTableRelation(
     // readVersion already applies drops-skip + renames for time
     // travel; the pinned-entry path is raw physical and surfaces here
     val base =
-      if (!table.exists && declaredSchema.isDefined)
+      // a table can also be EMPTIED: a delete that drained the last
+      // rows (or a metadata-only partition drop of every dir) leaves
+      // a committed manifest with zero data entries — a legal state
+      // that must read as an empty frame, not a scan failure
+      // (time-travel relations skip entry pinning entirely — their
+      // empty pinnedEntries are not an emptied table)
+      if ((!table.exists ||
+          (version.isEmpty && pinnedEntries.forall(_._1 == "ing"))) &&
+          declaredSchema.isDefined)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declaredSchema.get)
       else version.map(table.readVersion).getOrElse {
         val phys = table.readFrom(pinnedEntries)
@@ -323,37 +331,27 @@ class MergeTableRelation(
     val bySrc: Map[String, String] = derived.map(_.swap)
     val zone = java.time.ZoneId.of(
       spark.sessionState.conf.sessionLocalTimeZone)
-    // (day string, value is exactly midnight) — midnight lets strict
-    // upper bounds tighten: `ts < day-D 00:00` reaches nothing ON day
-    // D, the retention-cutoff shape
-    def dayOf(v: Any): Option[(String, Boolean)] = v match {
-      case t: java.sql.Timestamp =>
-        val z = java.time.Instant.ofEpochMilli(t.getTime).atZone(zone)
-        Some((z.toLocalDate.toString, z.toLocalTime == java.time.LocalTime.MIDNIGHT))
-      case t: java.time.Instant =>
-        val z = t.atZone(zone)
-        Some((z.toLocalDate.toString, z.toLocalTime == java.time.LocalTime.MIDNIGHT))
-      case t: java.time.LocalDateTime =>
-        Some((t.toLocalDate.toString, t.toLocalTime == java.time.LocalTime.MIDNIGHT))
-      case d: java.sql.Date => Some((d.toLocalDate.toString, true))
-      case d: java.time.LocalDate => Some((d.toString, true))
-      case _ => None
-    }
+    // (granule string, value exactly at the granule boundary) — a
+    // boundary value lets strict upper bounds tighten: `ts < day-D
+    // 00:00` reaches nothing ON day D (retention-cutoff shape); same
+    // for `_month` granules at first-of-month midnight
+    def granuleOf(derivedCol: String, v: Any): Option[(String, Boolean)] =
+      PartitionDirFilter.granuleOf(derivedCol, v, zone)
     import org.apache.spark.sql.sources._
     filters.flatMap {
       case EqualTo(a, v) if bySrc.contains(a) =>
-        dayOf(v).map { case (d, _) => EqualTo(bySrc(a), d) }
+        granuleOf(bySrc(a), v).map { case (d, _) => EqualTo(bySrc(a), d) }
       case GreaterThan(a, v) if bySrc.contains(a) =>
-        dayOf(v).map { case (d, _) => GreaterThanOrEqual(bySrc(a), d) }
+        granuleOf(bySrc(a), v).map { case (d, _) => GreaterThanOrEqual(bySrc(a), d) }
       case GreaterThanOrEqual(a, v) if bySrc.contains(a) =>
-        dayOf(v).map { case (d, _) => GreaterThanOrEqual(bySrc(a), d) }
+        granuleOf(bySrc(a), v).map { case (d, _) => GreaterThanOrEqual(bySrc(a), d) }
       case LessThan(a, v) if bySrc.contains(a) =>
-        dayOf(v).map { case (d, midnight) =>
-          if (midnight) LessThan(bySrc(a), d) else LessThanOrEqual(bySrc(a), d) }
+        granuleOf(bySrc(a), v).map { case (d, boundary) =>
+          if (boundary) LessThan(bySrc(a), d) else LessThanOrEqual(bySrc(a), d) }
       case LessThanOrEqual(a, v) if bySrc.contains(a) =>
-        dayOf(v).map { case (d, _) => LessThanOrEqual(bySrc(a), d) }
+        granuleOf(bySrc(a), v).map { case (d, _) => LessThanOrEqual(bySrc(a), d) }
       case In(a, vs) if bySrc.contains(a) =>
-        val days = vs.toSeq.map(dayOf)
+        val days = vs.toSeq.map(granuleOf(bySrc(a), _))
         if (days.forall(_.isDefined))
           Some(In(bySrc(a), days.flatten.map(_._1).distinct.toArray))
         else None
@@ -689,6 +687,35 @@ private[sources] object PartitionFilters {
   * untranslated keeps the dir.
   */
 private[sources] object PartitionDirFilter {
+  /** The granule string a timestamp/date value renders to for a
+    * derived partition column, plus whether the value sits EXACTLY on
+    * the granule boundary (midnight for `_day`, first-of-month
+    * midnight for `_month`). The transform is carried by the derived
+    * column's name suffix, fixed at CREATE.
+    */
+  def granuleOf(derivedCol: String, v: Any,
+                zone: java.time.ZoneId): Option[(String, Boolean)] = {
+    val monthly = derivedCol.endsWith("_month")
+    def of(d: java.time.LocalDate, atMidnight: Boolean): (String, Boolean) =
+      if (monthly)
+        (f"${d.getYear}%04d-${d.getMonthValue}%02d",
+          atMidnight && d.getDayOfMonth == 1)
+      else (d.toString, atMidnight)
+    v match {
+      case t: java.sql.Timestamp =>
+        val z = java.time.Instant.ofEpochMilli(t.getTime).atZone(zone)
+        Some(of(z.toLocalDate, z.toLocalTime == java.time.LocalTime.MIDNIGHT))
+      case t: java.time.Instant =>
+        val z = t.atZone(zone)
+        Some(of(z.toLocalDate, z.toLocalTime == java.time.LocalTime.MIDNIGHT))
+      case t: java.time.LocalDateTime =>
+        Some(of(t.toLocalDate, t.toLocalTime == java.time.LocalTime.MIDNIGHT))
+      case d: java.sql.Date => Some(of(d.toLocalDate, true))
+      case d: java.time.LocalDate => Some(of(d, true))
+      case _ => None
+    }
+  }
+
   def mayMatch(path: String, partitionCols: Seq[String],
                f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._

@@ -97,6 +97,36 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(spark.table("graft.hp3.t").select("id").as[Long].collect() === Seq(1L))
   }
 
+  test("months(ts): month dirs, pruning, and month-boundary retention") {
+    fresh("hp5")
+    spark.sql("""CREATE TABLE graft.hp5.t (id BIGINT, v STRING, ts TIMESTAMP_NTZ)
+                 TBLPROPERTIES('keys'='id') PARTITIONED BY (months(ts))""")
+    Seq((1L, "a", ts("2024-01-15T10:00:00")), (2L, "b", ts("2024-02-10T10:00:00")),
+        (3L, "c", ts("2024-03-05T10:00:00")))
+      .toDF("id", "v", "ts").createOrReplaceTempView("hp5_src")
+    spark.sql("INSERT INTO graft.hp5.t SELECT * FROM hp5_src")
+    val root = "target/graft_warehouse/hp5/t"
+    val lines = latestManifestLines(root)
+    assert(lines.exists(_.contains("_graft_p_ts_month=2024-01")), lines)
+    assert(spark.table("graft.hp5.t").columns.toSeq === Seq("id", "v", "ts"))
+    // ts-range pruning at month granularity
+    val meta = MergeTable.readMeta(root).get
+    val rel = new MergeTableRelation(spark.sqlContext, root, meta.keys,
+      meta.mode, meta.numBuckets, partitionCols = meta.partitionCols)
+    val (kept, total) = rel.survivingFiles(
+      Array(GreaterThanOrEqual("ts", ts("2024-03-01T00:00:00")))).get
+    assert(kept.nonEmpty && kept.size < total)
+    assert(kept.forall(_.toString.contains("ts_month=2024-03")), kept)
+    // month-boundary retention: metadata-only dir drop
+    val dirsBefore = Option(new java.io.File(s"$root/data").list()).get.length
+    spark.sql("DELETE FROM graft.hp5.t WHERE ts < TIMESTAMP_NTZ'2024-03-01 00:00:00'")
+    assert(Option(new java.io.File(s"$root/data").list()).get.length === dirsBefore)
+    assert(spark.table("graft.hp5.t").select("id").as[Long].collect() === Seq(3L))
+    // a MID-month cutoff must take the exact row path, not drop dirs
+    spark.sql("DELETE FROM graft.hp5.t WHERE ts < TIMESTAMP_NTZ'2024-03-10 00:00:00'")
+    assert(spark.table("graft.hp5.t").count() === 0)
+  }
+
   test("source-column DDL refusals and change-feed hiding") {
     fresh("hp4")
     spark.sql("""CREATE TABLE graft.hp4.t (id BIGINT, v STRING, ts TIMESTAMP_NTZ)

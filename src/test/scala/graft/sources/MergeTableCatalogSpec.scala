@@ -254,11 +254,11 @@ class MergeTableCatalogSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq ===
       Seq((1L, "red", 10L), (2L, "blue", 25L)))
     // unsupported transforms are rejected loudly, not ignored
-    // (identity and days() are the supported set — HiddenPartitionSpec
-    // covers days)
+    // (identity, days() and months() are the supported set —
+    // HiddenPartitionSpec covers the derived pair)
     val bad = intercept[Exception](spark.sql(
       """CREATE TABLE graft.cat5.bad (id BIGINT, ts TIMESTAMP)
-         PARTITIONED BY (months(ts)) TBLPROPERTIES('keys'='id')"""))
+         PARTITIONED BY (hours(ts)) TBLPROPERTIES('keys'='id')"""))
     assert(bad.getMessage.contains("identity"), bad.getMessage)
   }
 
