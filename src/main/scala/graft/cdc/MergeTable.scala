@@ -3397,8 +3397,11 @@ final class MergeTable(
     * micro-batch — foreachBatch is at-least-once — reapplies to the
     * identical table state instead of appending duplicate-PK rows.
     */
+  // NOTE on labels: applyChanges commits exclusively through the
+  // nested upsert()/delete(), so its history rows read `upsert` /
+  // `delete` — accurate per commit (each commit IS one of those)
   def applyChanges(batch: DataFrame, ordering: Seq[String], metaCols: Seq[String] = Nil): Unit =
-    withOp("apply-changes")(applyChangesImpl(batch, ordering, metaCols))
+    applyChangesImpl(batch, ordering, metaCols)
 
   private def applyChangesImpl(batch: DataFrame, ordering: Seq[String], metaCols: Seq[String]): Unit = {
     val drops = if (metaCols.nonEmpty) metaCols else ordering

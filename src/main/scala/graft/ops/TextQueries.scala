@@ -77,8 +77,8 @@ object TextQueries extends QueryModule {
       |  SELECT doc_id,
       |    greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1)::BIGINT AS n_words,
       |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
-      |    CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z]+'),
-      |      w -> greatest(len(regexp_extract_all(w, '[aeiou]+')), 1))) AS BIGINT)
+      |    CAST(coalesce(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+      |      w -> greatest(len(regexp_extract_all(w, '[aeiou]+')), 1))), 0) AS BIGINT)
       |      AS n_syllables
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin

@@ -280,16 +280,18 @@ private[sources] class MergeTableBatchScan(
     }
   }
 
+  // hidden (derived) partition columns are not in the scan output — a
+  // KeyGroupedPartitioning over them could never resolve, so derived
+  // layouts report unknown. Read once per scan, not per planner call.
+  private lazy val noDerivedPartitions: Boolean =
+    graft.cdc.MergeTable.readMeta(relation.path)
+      .forall(_.derivedPartitions.isEmpty)
+
   override def outputPartitioning(): Partitioning = relation.numBuckets match {
     case Some(n) if survivors.forall(p => bucketOf(p).isDefined) =>
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(n, relation.keys: _*)), n)
-    case None if relation.partitionCols.nonEmpty &&
-        // hidden (derived) partition columns are not in the scan
-        // output — a KeyGroupedPartitioning over them could never
-        // resolve, so derived layouts report unknown
-        graft.cdc.MergeTable.readMeta(relation.path)
-          .forall(_.derivedPartitions.isEmpty) &&
+    case None if relation.partitionCols.nonEmpty && noDerivedPartitions &&
         survivors.forall(p => partitionTuple(p).isDefined) =>
       val parts = survivors.flatMap(partitionTuple).distinct.size
       new KeyGroupedPartitioning(

@@ -183,10 +183,16 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces
         require(!schema.fieldNames.contains(c),
           s"derived partition column '$c' collides with a declared column")
         val dt = schema(src).dataType
-        require(dt == org.apache.spark.sql.types.TimestampType ||
-            dt == org.apache.spark.sql.types.TimestampNTZType ||
+        // ZONED timestamps are refused on purpose: the stored granule
+        // would depend on the WRITER's session time zone and the
+        // pruned granule on the READER's — silently wrong scans and
+        // retention drops. Declare the intended zone by storing
+        // TIMESTAMP_NTZ (the reference's event-time type) or DATE.
+        require(dt == org.apache.spark.sql.types.TimestampNTZType ||
             dt == org.apache.spark.sql.types.DateType,
-          s"days($src) requires a timestamp/date source column, got $dt")
+          s"derived partitioning on $src requires a TIMESTAMP_NTZ or DATE " +
+            s"source column, got $dt (zoned timestamps make the stored " +
+            "granule session-dependent)")
     }
     val props = properties.asScala
     val keys = props.get("keys").map(_.split(",").map(_.trim).toSeq)

@@ -667,12 +667,12 @@ object MergeTableDmlCommand {
     val translated = conjuncts.map(translateOne)
     if (translated.exists(_.isEmpty)) return None
     val bySrc: Map[String, String] = meta.derivedPartitions.map(_.swap)
-    val zone = java.time.ZoneId.of(session.sessionState.conf.sessionLocalTimeZone)
     // a cutoff qualifies only EXACTLY on the granule boundary
     // (midnight for _day, first-of-month midnight for _month) — only
-    // then does the granule bound cover matched dirs completely
+    // then does the granule bound cover matched dirs completely;
+    // zone-free by construction (ntz/date sources only)
     def boundaryGranule(derivedCol: String, v: Any): Option[String] =
-      PartitionDirFilter.granuleOf(derivedCol, v, zone)
+      PartitionDirFilter.granuleOf(derivedCol, v)
         .collect { case (g, true) => g }
     import org.apache.spark.sql.sources._
     val mapped: Seq[Option[org.apache.spark.sql.sources.Filter]] =

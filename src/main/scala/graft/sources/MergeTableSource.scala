@@ -324,19 +324,20 @@ class MergeTableRelation(
     * Day computation honors the session time zone, matching the
     * write-side `to_date` injection.
     */
+  // pinned once per relation like renameMap — not re-read per scan
+  private lazy val derivedPartitionsMap: Map[String, String] =
+    MergeTable.readMeta(path).map(_.derivedPartitions).getOrElse(Map.empty)
+
   private def derivedDayFilters(filters: Array[Filter]): Array[Filter] = {
-    val derived = MergeTable.readMeta(path).map(_.derivedPartitions)
-      .getOrElse(Map.empty)
+    val derived = derivedPartitionsMap
     if (derived.isEmpty) return Array.empty
     val bySrc: Map[String, String] = derived.map(_.swap)
-    val zone = java.time.ZoneId.of(
-      spark.sessionState.conf.sessionLocalTimeZone)
     // (granule string, value exactly at the granule boundary) — a
     // boundary value lets strict upper bounds tighten: `ts < day-D
     // 00:00` reaches nothing ON day D (retention-cutoff shape); same
     // for `_month` granules at first-of-month midnight
     def granuleOf(derivedCol: String, v: Any): Option[(String, Boolean)] =
-      PartitionDirFilter.granuleOf(derivedCol, v, zone)
+      PartitionDirFilter.granuleOf(derivedCol, v)
     import org.apache.spark.sql.sources._
     filters.flatMap {
       case EqualTo(a, v) if bySrc.contains(a) =>
@@ -691,10 +692,15 @@ private[sources] object PartitionDirFilter {
     * derived partition column, plus whether the value sits EXACTLY on
     * the granule boundary (midnight for `_day`, first-of-month
     * midnight for `_month`). The transform is carried by the derived
-    * column's name suffix, fixed at CREATE.
+    * column's name suffix, fixed at CREATE. ZONE-FREE on purpose:
+    * derived partitioning admits only TIMESTAMP_NTZ/DATE sources
+    * (zoned timestamps would make the stored day depend on the
+    * WRITER's session time zone and the pruned day on the READER's —
+    * silently wrong scans and dir drops), so only zone-free filter
+    * value types translate; anything else refuses, and the scan/drop
+    * falls back to exact evaluation.
     */
-  def granuleOf(derivedCol: String, v: Any,
-                zone: java.time.ZoneId): Option[(String, Boolean)] = {
+  def granuleOf(derivedCol: String, v: Any): Option[(String, Boolean)] = {
     val monthly = derivedCol.endsWith("_month")
     def of(d: java.time.LocalDate, atMidnight: Boolean): (String, Boolean) =
       if (monthly)
@@ -702,12 +708,6 @@ private[sources] object PartitionDirFilter {
           atMidnight && d.getDayOfMonth == 1)
       else (d.toString, atMidnight)
     v match {
-      case t: java.sql.Timestamp =>
-        val z = java.time.Instant.ofEpochMilli(t.getTime).atZone(zone)
-        Some(of(z.toLocalDate, z.toLocalTime == java.time.LocalTime.MIDNIGHT))
-      case t: java.time.Instant =>
-        val z = t.atZone(zone)
-        Some(of(z.toLocalDate, z.toLocalTime == java.time.LocalTime.MIDNIGHT))
       case t: java.time.LocalDateTime =>
         Some(of(t.toLocalDate, t.toLocalTime == java.time.LocalTime.MIDNIGHT))
       case d: java.sql.Date => Some(of(d.toLocalDate, true))
@@ -716,95 +716,24 @@ private[sources] object PartitionDirFilter {
     }
   }
 
+  /** Conservative dir-filter evaluation for SCAN PRUNING: keep the
+    * dir unless the predicate PROVABLY fails — i.e. the three-valued
+    * [[PartitionFilters.exact]] did not decide false. One evaluator
+    * serves pruning, metadata-only aggregates, and drops, so a fix
+    * (null guards, EqualNullSafe, numeric parsing) lands everywhere.
+    */
   def mayMatch(path: String, partitionCols: Seq[String],
-               f: org.apache.spark.sql.sources.Filter): Boolean = {
-    import org.apache.spark.sql.sources._
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    def valueOf(c: String): Option[Option[String]] = // None = col not in path
-      s"_graft_p_${java.util.regex.Pattern.quote(c)}=([^/]+)".r
-        .findFirstMatchIn(path).map { m =>
-          val raw = ExternalCatalogUtils.unescapePathName(m.group(1))
-          if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)
-        }
-    def cmp(s: String, v: Any): Option[Int] = v match {
-      case n: Number =>
-        try Some(BigDecimal(s).compare(BigDecimal(n.toString)))
-        catch { case _: NumberFormatException => None }
-      case b: Boolean => Some(s.toLowerCase.compareTo(b.toString))
-      // UTF-8 byte order, matching Spark/parquet string ordering —
-      // UTF-16 compareTo disagrees above the BMP and would prune a
-      // dir a supplementary-plane range predicate actually matches
-      case other => Some(graft.cdc.FileStats.utf8Cmp(s, String.valueOf(other)))
-    }
-    def eval(f: Filter): Boolean = f match {
-      case EqualTo(a, v) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ == 0)))
-      case In(a, vs) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.exists(s => vs.exists(v => cmp(s, v).forall(_ == 0))))
-      case GreaterThan(a, v) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ > 0)))
-      case GreaterThanOrEqual(a, v) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ >= 0)))
-      case LessThan(a, v) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ < 0)))
-      case LessThanOrEqual(a, v) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.exists(s => cmp(s, v).forall(_ <= 0)))
-      case IsNull(a) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.isEmpty)
-      case IsNotNull(a) if partitionCols.contains(a) =>
-        valueOf(a).forall(_.nonEmpty)
-      case And(l, r) => eval(l) && eval(r)
-      case Or(l, r) => eval(l) || eval(r)
-      case _ => true // untranslated / non-partition filter: keep
-    }
-    eval(f)
-  }
+               f: org.apache.spark.sql.sources.Filter): Boolean =
+    !PartitionFilters.exact(path, partitionCols, f).contains(false)
 
-  /** STRICT twin of [[mayMatch]] with the opposite failure polarity:
-    * every uncertainty — an unparseable value, a filter shape the
-    * evaluator doesn't know, a column absent from the path — resolves
-    * to FALSE. Used for metadata-only partition DROPS, where a wrong
-    * TRUE deletes data a wrong FALSE merely leaves behind (the
-    * row-level fallback then handles it exactly).
+  /** STRICT twin for metadata-only partition DROPS — the predicate
+    * must PROVABLY hold for every row of the dir: exact == true.
+    * Every uncertainty (unknown shape, unparseable or NULL value,
+    * column absent) resolves to keep — the polarity where a wrong
+    * answer deletes data a wrong keep merely leaves for the row-level
+    * fallback.
     */
   def mustMatch(path: String, partitionCols: Seq[String],
-                f: org.apache.spark.sql.sources.Filter): Boolean = {
-    import org.apache.spark.sql.sources._
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    def valueOf(c: String): Option[String] =
-      s"_graft_p_${java.util.regex.Pattern.quote(c)}=([^/]+)".r
-        .findFirstMatchIn(path).map(m =>
-          ExternalCatalogUtils.unescapePathName(m.group(1)))
-        .filter(_ != "__HIVE_DEFAULT_PARTITION__")
-    def cmp(s: String, v: Any): Option[Int] = v match {
-      case n: Number =>
-        try Some(BigDecimal(s).compare(BigDecimal(n.toString)))
-        catch { case _: NumberFormatException => None }
-      case b: Boolean => Some(s.toLowerCase.compareTo(b.toString))
-      case other => Some(graft.cdc.FileStats.utf8Cmp(s, String.valueOf(other)))
-    }
-    def eval(f: Filter): Boolean = f match {
-      case EqualTo(a, v) if partitionCols.contains(a) =>
-        valueOf(a).exists(s => cmp(s, v).exists(_ == 0))
-      case In(a, vs) if partitionCols.contains(a) =>
-        valueOf(a).exists(s => vs.exists(v => cmp(s, v).exists(_ == 0)))
-      case GreaterThan(a, v) if partitionCols.contains(a) =>
-        valueOf(a).exists(s => cmp(s, v).exists(_ > 0))
-      case GreaterThanOrEqual(a, v) if partitionCols.contains(a) =>
-        valueOf(a).exists(s => cmp(s, v).exists(_ >= 0))
-      case LessThan(a, v) if partitionCols.contains(a) =>
-        valueOf(a).exists(s => cmp(s, v).exists(_ < 0))
-      case LessThanOrEqual(a, v) if partitionCols.contains(a) =>
-        valueOf(a).exists(s => cmp(s, v).exists(_ <= 0))
-      case IsNull(a) if partitionCols.contains(a) =>
-        s"_graft_p_${java.util.regex.Pattern.quote(a)}=([^/]+)".r
-          .findFirstMatchIn(path).exists(m =>
-            ExternalCatalogUtils.unescapePathName(m.group(1)) ==
-              "__HIVE_DEFAULT_PARTITION__")
-      case IsNotNull(a) if partitionCols.contains(a) => valueOf(a).isDefined
-      case And(l, r) => eval(l) && eval(r)
-      case _ => false // unknown shape: NEVER a metadata-only drop
-    }
-    eval(f)
-  }
+                f: org.apache.spark.sql.sources.Filter): Boolean =
+    PartitionFilters.exact(path, partitionCols, f).contains(true)
 }
