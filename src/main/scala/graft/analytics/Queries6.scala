@@ -700,7 +700,77 @@ object Queries6 extends QueryModule {
       |FROM slots
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- growth accounting ----------------------------------------------------
+
+  /** Weekly growth accounting (r12b) — the canonical user-base
+    * decomposition every growth team runs: each week's active users
+    * split EXACTLY into new (first-ever activity), retained (active
+    * last week too), and resurrected (returning after a gap), plus
+    * churned (active last week, absent this week) — with the identity
+    * actives(w) = new + retained + resurrected certified by the hash.
+    * Weeks are epoch-day/7 buckets (integer arithmetic, identical on
+    * both engines — calendar week functions differ across engines).
+    * Scale shape: one distinct (user, week) aggregation over raw
+    * events, then self-joins over the |users|×|weeks| activity frame
+    * on (user, week) — partial-aggregated, no windows.
+    */
+  private def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")), lit("1970-01-05").cast("date")) / 7)
+          .cast("long").as("week"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min("week").as("first_week"))
+    val a = act.join(first, "user_id")
+    val prev = act.select(col("user_id"), (col("week") + 1).as("week"))
+      .withColumn("_active_prev", lit(1))
+    val cur = a.join(prev, Seq("user_id", "week"), "left")
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("week") === col("first_week"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("_active_prev").isNotNull &&
+          col("week") =!= col("first_week"), 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("_active_prev").isNull &&
+          col("week") =!= col("first_week"), 1L).otherwise(0L)).as("n_resurrected"))
+    val churned = act.select(col("user_id"), (col("week") + 1).as("week"))
+      .join(act, Seq("user_id", "week"), "left_anti")
+      .groupBy("week").agg(count(lit(1)).as("n_churned"))
+    cur.join(churned, Seq("week"), "left")
+      .select(col("week"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("week")
+  }
+
+  private val growthAccountingSql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) / 7.0)
+      |      AS BIGINT) AS week
+      |  FROM events),
+      |fw AS (SELECT user_id, min(week) AS first_week FROM act GROUP BY 1),
+      |cur AS (
+      |  SELECT a.week,
+      |    count(*)::BIGINT AS n_active,
+      |    CAST(sum(CASE WHEN a.week = fw.first_week THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(sum(CASE WHEN p.user_id IS NOT NULL AND a.week <> fw.first_week
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |    CAST(sum(CASE WHEN p.user_id IS NULL AND a.week <> fw.first_week
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM act a
+      |  JOIN fw ON fw.user_id = a.user_id
+      |  LEFT JOIN act p ON p.user_id = a.user_id AND p.week = a.week - 1
+      |  GROUP BY 1),
+      |ch AS (
+      |  SELECT a.week + 1 AS week, count(*)::BIGINT AS n_churned
+      |  FROM act a LEFT JOIN act n ON n.user_id = a.user_id AND n.week = a.week + 1
+      |  WHERE n.user_id IS NULL GROUP BY 1)
+      |SELECT cur.week, n_active, n_new, n_retained, n_resurrected,
+      |  coalesce(n_churned, 0) AS n_churned
+      |FROM cur LEFT JOIN ch ON ch.week = cur.week
+      |ORDER BY cur.week""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_growth_accounting", growthAccounting, Some(growthAccountingSql)),
     QueryDef("events_hopping_window", hoppingWindow, Some(hoppingWindowSql)),
     QueryDef("events_dau_mau", dauMau, Some(dauMauSql)),
     QueryDef("orders_abc_analysis", abcAnalysis, Some(abcAnalysisSql)),
