@@ -2431,6 +2431,19 @@ final class MergeTable(
     orphans.length
   }
 
+  /** TRUNCATE: commit an EMPTY entry list — every row leaves the
+    * current snapshot in one metadata commit, zero data I/O, history
+    * intact (time travel still reads pre-truncate versions; [[vacuum]]
+    * reclaims the now-unreferenced dirs). The Delta/Iceberg truncate
+    * shape, and the degenerate case the emptied-table read path
+    * serves. Returns the truncation commit's version.
+    */
+  def truncate(): Long = withOp("truncate") {
+    require(exists, s"cannot truncate uninitialized table $root")
+    entries() // refresh the CAS base
+    commit(Nil)
+  }
+
   // -- metadata-only partition delete ---------------------------------------
 
   /** Drop whole partition dirs from the manifest WITHOUT touching a

@@ -287,7 +287,20 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces
 class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
                    version: Option[Long],
                    ref: Option[String] = None) extends Table with SupportsRead
-    with SupportsWrite with SupportsMetadataColumns {
+    with SupportsWrite with SupportsMetadataColumns with TruncatableTable {
+
+  /** `TRUNCATE TABLE graft.db.t` — one empty-entry metadata commit
+    * (history preserved, vacuum reclaims). Routes to the WAP branch
+    * like every other write; refused on time-travel/ref pins.
+    */
+  override def truncateTable(): Boolean = {
+    require(version.isEmpty && ref.isEmpty,
+      "cannot TRUNCATE a time-travel or ref-pinned snapshot")
+    val t = MergeTable.wapBranch(spark).filter(refTable.branchExists)
+      .map(refTable.forBranch).getOrElse(refTable)
+    t.truncate()
+    true
+  }
 
   /** `_graft_file` (Iceberg's `_file` / Delta's
     * `_metadata.file_path`): the data file each row was read from —

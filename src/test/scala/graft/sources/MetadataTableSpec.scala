@@ -104,6 +104,30 @@ class MetadataTableSpec extends SparkSpec {
     assert(got === Array((7L, "real")))
   }
 
+  test("TRUNCATE TABLE: one metadata commit, history intact, vacuum reclaims") {
+    fresh("meta7")
+    spark.sql("""CREATE TABLE graft.meta7.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("INSERT INTO graft.meta7.t VALUES (1,'a'), (2,'b')") // v1
+    val root = "target/graft_warehouse/meta7/t"
+    val dirsBefore = new java.io.File(s"$root/data").list().length
+    spark.sql("TRUNCATE TABLE graft.meta7.t") // v2: empty-entry commit
+    assert(new java.io.File(s"$root/data").list().length === dirsBefore,
+      "truncate must not write data")
+    assert(spark.table("graft.meta7.t").count() === 0)
+    // schema survives; writes keep working
+    spark.sql("INSERT INTO graft.meta7.t VALUES (3,'c')")
+    assert(spark.table("graft.meta7.t").as[(Long, String)].collect() ===
+      Array((3L, "c")))
+    // history intact: pre-truncate snapshot still reads; op labeled
+    val t = graft.cdc.MergeTable.open(spark, root)
+    assert(t.readVersion(1L).count() === 2)
+    assert(spark.sql("DESCRIBE HISTORY graft.meta7.t")
+      .selectExpr("operation").as[String].collect().contains("truncate"))
+    // vacuum reclaims the now-unreferenced seed dir
+    assert(t.vacuum() >= 1)
+  }
+
   test("metadata suffix on a missing table still errors as no-such-table") {
     fresh("meta5")
     val e = intercept[Exception](spark.table("graft.meta5.nope.files").collect())
