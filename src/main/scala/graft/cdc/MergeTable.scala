@@ -144,7 +144,7 @@ final class MergeTable(
     if (branch == MergeTable.MainBranch) rootPath.resolve("_LATEST")
     else branchesDir.resolve(branch).resolve("_LATEST")
 
-  private val Tombstone = "_graft_tombstone"
+  private val Tombstone = MergeTable.TombstoneColName
   // the ONE definition lives on the companion (shared with the DSv2
   // writer's executor-side demux, which must produce byte-identical
   // leaf-dir names)
@@ -2920,6 +2920,77 @@ final class MergeTable(
     })
   }
 
+  /** [[prunableFiles]] for a MOR (delta-bearing) snapshot: per-file
+    * stats of the BASE data files only, deltas excluded. Pruning a
+    * delta-bearing snapshot is safe ONLY for a reader that reconciles
+    * the delta layer ITSELF above the raw file scan (the DSv2 Batch
+    * path: superseded base rows are dropped against the broadcast
+    * delta key set, and the reconciled delta rows ride along) —
+    * dropping a whole base file then drops only rows that are either
+    * superseded (replaced by a delta winner) or provably filtered.
+    * The V1 pruned-scan path must keep using [[prunableFiles]], which
+    * refuses. None when the snapshot has no deltas (COW/dv shapes own
+    * those) or also carries dv masks.
+    */
+  def prunableFilesMor(es: Seq[(String, String)]): Option[Seq[(Path, Map[String, (String, String, String)])]] = {
+    if (es.isEmpty || !es.exists(_._1 == "delta") || es.exists(_._1 == "dv")) None
+    else Some(es.filterNot(e => e._1 == "delta" || e._1 == "ing").flatMap { case (_, d) =>
+      val stats = FileStats.read(rootPath, d)
+      val base = dataDir.resolve(d)
+      FileStats.listParquetFiles(base).map { f =>
+        f -> stats.flatMap(_.get(base.relativize(f).toString)).getOrElse(Map.empty)
+      }
+    })
+  }
+
+  /** Total rows across a snapshot's MOR delta entries, folded from
+    * footer stats (recorded at commit) — the size gate the Batch
+    * read's driver-side delta reconciliation consults before paying
+    * the collect. None when any delta file lacks a stats entry (size
+    * unknowable without a read).
+    */
+  private[graft] def morDeltaRows(es: Seq[(String, String)]): Option[Long] = {
+    val per = es.filter(_._1 == "delta").map { case (_, d) =>
+      FileStats.readFull(rootPath, d).flatMap { full =>
+        val base = dataDir.resolve(d)
+        val files = FileStats.listParquetFiles(base)
+        val metas = files.flatMap(f => full.get(base.relativize(f).toString))
+        if (metas.size == files.size) Some(metas.map(_.rows).sum) else None
+      }
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
+  /** On-disk bytes of a snapshot's delta entries — the Batch scan's
+    * size-estimate top-up (reconciliation only replaces/removes base
+    * rows, so base + delta stays a safe upper bound).
+    */
+  private[graft] def morDeltaBytes(es: Seq[(String, String)]): Long =
+    snapshotBytes(es.filter(_._1 == "delta"))
+
+  /** The RECONCILED delta layer of a MOR snapshot: one row per key —
+    * the latest delta row across the snapshot's delta commits, with a
+    * [[MergeTable.TombstoneColName]] boolean preserved (true = the
+    * key's final state is deleted). Exactly the per-key resolution
+    * [[readEntries]] applies, restricted to seq ≥ 1: base rows carry
+    * seq 0 and lose to ANY delta row, so "reconciled deltas + base
+    * rows whose key appears in no delta" is the same visible set.
+    */
+  private[graft] def morDeltaLatest(es: Seq[(String, String)]): DataFrame = {
+    val deltas = es.filter(_._1 == "delta")
+    require(deltas.nonEmpty, s"snapshot at $root has no delta entries")
+    val parts = deltas.zipWithIndex.map { case ((_, d), i) =>
+      readDirs(Seq(d)).withColumn("_graft_seq", lit(i + 1))
+    }
+    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val withTomb =
+      if (unioned.columns.contains(Tombstone)) unioned
+      else unioned.withColumn(Tombstone, lit(false))
+    Precombine.latestByKey(withTomb, keys, Seq("_graft_seq"))
+      .withColumn(Tombstone, coalesce(col(Tombstone), lit(false)))
+      .drop("_graft_seq")
+  }
+
   /** dv entry dirs of a snapshot. */
   private[graft] def dvDirsOf(es: Seq[(String, String)]): Seq[String] =
     es.filter(_._1 == "dv").map(_._2)
@@ -3462,6 +3533,11 @@ object MergeTable {
   val CopyOnWrite = "copy-on-write"
   val MergeOnRead = "merge-on-read"
   val DeletionVectors = "deletion-vectors"
+
+  /** MOR delete markers inside delta files — shared with the DSv2
+    * Batch scan's driver-side delta reconciliation.
+    */
+  private[graft] val TombstoneColName = "_graft_tombstone"
 
   // -- incremental manifests ------------------------------------------------
   //

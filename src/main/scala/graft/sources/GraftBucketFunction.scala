@@ -49,3 +49,60 @@ case class GraftBucketBound(argTypes: Array[DataType]) extends ScalarFunction[In
     Int.box((((h % n) + n) % n).toInt)
   }
 }
+
+/** The catalog-published twins of MergeTable's HIDDEN (derived)
+  * partitioning transforms: `days(src)` / `months(src)` over a
+  * zone-free TIMESTAMP_NTZ or DATE source render the day ("yyyy-MM-dd")
+  * or month ("yyyy-MM") granule STRING — byte-identical to the
+  * write-side derivation (`to_date(src).cast("string")` /
+  * `date_format(src, "yyyy-MM")`, MergeTable.withDerived), which is
+  * also the `_graft_p_…` dir value the Batch scan parses into its
+  * partition keys. Two day-partitioned mergetable scans reporting
+  * `KeyGroupedPartitioning(days(ts))` with this canonical function
+  * storage-partition-join without a shuffle — the most common 100 TB
+  * lake layout (date-partitioned facts) joining partition-for-
+  * partition like identity layouts already do.
+  */
+sealed abstract class GraftGranuleUnbound(fn: String) extends UnboundFunction {
+  override def name(): String = fn
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      (inputType.fields.head.dataType == TimestampNTZType ||
+        inputType.fields.head.dataType == DateType),
+      s"$fn expects one TIMESTAMP_NTZ/DATE column; got $inputType")
+    GraftGranuleBound(fn, inputType.fields.head.dataType)
+  }
+}
+
+object GraftDaysUnbound extends GraftGranuleUnbound("days") {
+  override def description(): String =
+    "days(ts): the 'yyyy-MM-dd' day granule — mergetable hidden day partition value"
+}
+
+object GraftMonthsUnbound extends GraftGranuleUnbound("months") {
+  override def description(): String =
+    "months(ts): the 'yyyy-MM' month granule — mergetable hidden month partition value"
+}
+
+case class GraftGranuleBound(fn: String, srcType: DataType)
+    extends ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
+  override def inputTypes(): Array[DataType] = Array(srcType)
+  override def resultType(): DataType = StringType
+  override def name(): String = fn
+  override def canonicalName(): String = s"graft.$fn"
+  override def produceResult(input: InternalRow): org.apache.spark.unsafe.types.UTF8String = {
+    if (input.isNullAt(0)) return null
+    // catalyst internals: TIMESTAMP_NTZ = zone-free epoch micros,
+    // DATE = epoch days; both floor-divide cleanly to a LocalDate
+    val day = srcType match {
+      case DateType => java.time.LocalDate.ofEpochDay(input.getInt(0).toLong)
+      case _ =>
+        val micros = input.getLong(0)
+        java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, 86400000000L))
+    }
+    val s =
+      if (fn == "months") f"${day.getYear}%04d-${day.getMonthValue}%02d"
+      else f"${day.getYear}%04d-${day.getMonthValue}%02d-${day.getDayOfMonth}%02d"
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  }
+}

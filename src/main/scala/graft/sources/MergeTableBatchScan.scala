@@ -55,6 +55,67 @@ private[sources] case class GraftValuePartition(files: Seq[GraftFileSlice],
     }.toArray)
 }
 
+/** The extra partition an UNBUCKETED MOR scan plans to carry the
+  * reconciled delta winners (bucketed scans route winners into their
+  * bucket's keyed partition instead, preserving SPJ alignment). Holds
+  * no files — the reader emits the broadcast winner rows.
+  */
+private[sources] case object GraftMorWinnersPartition extends InputPartition
+
+/** The broadcast delta layer of a Batch-MOR scan: the reconciled
+  * latest-per-key delta rows (already projected to the scan's read
+  * schema; tombstones excluded) tagged with their hash-bucket id (-1
+  * when unbucketed), plus the EXACT key identities every delta
+  * mentions — a base row whose key is in `superseded` lost to a newer
+  * delta row (or tombstone) and is dropped executor-side.
+  */
+private[sources] case class GraftMorLayer(winners: Array[(Int, InternalRow)],
+    superseded: Set[AnyRef])
+
+/** Exact key identity for the Batch-MOR supersede set, shared by the
+  * driver (building from collected delta rows) and executors (probing
+  * with base-scan rows): the boxed catalyst value for single-column
+  * keys, an element-wise Seq for composites. Identity semantics match
+  * the V1 reconcile's groupBy: null groups with null (a sentinel, not
+  * SQL null), and -0.0 normalizes to 0.0 / NaNs canonicalize like
+  * Spark's grouping keys.
+  */
+private[sources] object MorKeys {
+  case object NullKey
+
+  def keyOf(r: InternalRow, ordinals: Array[Int],
+      types: Array[org.apache.spark.sql.types.DataType]): AnyRef = {
+    def v(i: Int): AnyRef =
+      if (r.isNullAt(ordinals(i))) NullKey
+      else r.get(ordinals(i), types(i)) match {
+        // grouping-key normalization (SPARK-26021): boxed Float/Double
+        // equals() distinguishes -0.0 from 0.0; Spark's groupBy does not
+        case f: java.lang.Float if f.floatValue() == 0.0f => Float.box(0.0f)
+        case d: java.lang.Double if d.doubleValue() == 0.0d => Double.box(0.0d)
+        case other => other.asInstanceOf[AnyRef]
+      }
+    if (ordinals.length == 1) v(0)
+    else Seq.tabulate(ordinals.length)(v)
+  }
+
+  /** The write-side bucket id of a row's key tuple — seed-chained
+    * null-skipping xxhash64, byte-identical to `MergeTable.bucketExpr`
+    * and [[GraftBucketBound.produceResult]].
+    */
+  def bucketOf(r: InternalRow, n: Int, ordinals: Array[Int],
+      types: Array[org.apache.spark.sql.types.DataType]): Int = {
+    var h = 42L
+    var i = 0
+    while (i < ordinals.length) {
+      if (!r.isNullAt(ordinals(i)))
+        h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(r.get(ordinals(i), types(i)), types(i), h)
+      i += 1
+    }
+    (((h % n) + n) % n).toInt
+  }
+}
+
 /** DSv2 Batch read path for a MergeTable snapshot (the V1Scan
   * replacement on the eligible fast path — COW, no pending deltas or
   * deletion vectors, no active column mapping):
@@ -104,8 +165,16 @@ private[sources] class MergeTableBatchScan(
   // reader fills), which the executor-side mask filter consumes and
   // the output projection drops
   private val dv = relation.isDvSnapshot
+  // MOR snapshots (mutually exclusive with dv) reconcile the
+  // broadcast delta layer by KEY, so the key columns ride along like
+  // filterRefs and the output projection drops them
+  private val mor = relation.isMorSnapshot
+  private val keyRefs: Seq[String] =
+    if (!mor) Nil
+    else relation.keys.filterNot(k =>
+      requiredSchema.fieldNames.contains(k) || filterRefs.contains(k))
   private val readDataSchema = {
-    val base = requiredSchema.fields ++ filterRefs.map(fullSchema(_))
+    val base = requiredSchema.fields ++ (filterRefs ++ keyRefs).map(fullSchema(_))
     // NULLABLE on purpose: the reader's column check tolerates a
     // missing file column only when nullable — the row-index
     // generator (matched by this exact name) then fills the vector
@@ -266,38 +335,63 @@ private[sources] class MergeTableBatchScan(
           .map(b => GraftBucketPartition(
             byBucket.getOrElse(b, Seq.empty).sortBy(_.toString).map(whole), b): InputPartition)
           .toArray
-      case None if relation.partitionCols.nonEmpty &&
+      case None if relation.partitionCols.nonEmpty && !mor &&
           fs.forall(p => partitionTuple(p).isDefined) =>
         // one keyed partition per partition VALUE tuple (files of one
         // leaf dir), so identity-partitioned tables storage-partition-
-        // join on their partition columns
+        // join on their partition columns. MOR snapshots refuse this
+        // shape: delta winners may belong to partition values with no
+        // base dir, so the reported key set could not cover them —
+        // they pack instead (still vectorized; SPJ needs compaction)
         fs.groupBy(p => partitionTuple(p).get).toSeq
           .sortBy(_._1.map(String.valueOf(_)).mkString("/"))
           .map { case (tuple, files) =>
             GraftValuePartition(files.map(whole), tuple): InputPartition
           }.toArray
-      case _ => packed(fs)
+      case _ =>
+        val base = packed(fs)
+        // the reconciled delta winners of an unbucketed MOR scan need a
+        // home even when every base file was pruned away
+        if (mor) base :+ (GraftMorWinnersPartition: InputPartition) else base
     }
   }
 
-  // hidden (derived) partition columns are not in the scan output — a
-  // KeyGroupedPartitioning over them could never resolve, so derived
-  // layouts report unknown. Read once per scan, not per planner call.
-  private lazy val noDerivedPartitions: Boolean =
+  // hidden (derived) partition columns are dir-layout artifacts, not
+  // scan output — their KeyGroupedPartitioning expression is the
+  // TRANSFORM over the (visible) SOURCE column instead: days(ts) /
+  // months(ts), resolved against the catalog's FunctionCatalog
+  // exactly like the bucket transform, so two day-partitioned tables
+  // storage-partition-join on the timestamp. Read once per scan, not
+  // per planner call.
+  private lazy val derivedPartitionsMap: Map[String, String] =
     graft.cdc.MergeTable.readMeta(relation.path)
-      .forall(_.derivedPartitions.isEmpty)
+      .map(_.derivedPartitions).getOrElse(Map.empty)
+
+  /** The partition-key expression of one declared partition column:
+    * identity for value partitioning; the granule transform over the
+    * source column for hidden day/month partitioning (the partition
+    * VALUE stays the granule string the dir carries — byte-identical
+    * to what [[GraftGranuleBound]] produces from the source).
+    */
+  private def partitionExpr(c: String): org.apache.spark.sql.connector.expressions.Transform =
+    derivedPartitionsMap.get(c) match {
+      case Some(src) if c.endsWith("_month") => Expressions.months(src)
+      case Some(src) => Expressions.days(src)
+      case None => Expressions.identity(c)
+    }
 
   override def outputPartitioning(): Partitioning = relation.numBuckets match {
     case Some(n) if survivors.forall(p => bucketOf(p).isDefined) =>
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(n, relation.keys: _*)), n)
-    case None if relation.partitionCols.nonEmpty && noDerivedPartitions &&
-        survivors.forall(p => partitionTuple(p).isDefined) =>
+    case None if relation.partitionCols.nonEmpty &&
+        !mor && survivors.forall(p => partitionTuple(p).isDefined) =>
       val parts = survivors.flatMap(partitionTuple).distinct.size
       new KeyGroupedPartitioning(
-        relation.partitionCols.map(Expressions.identity).toArray,
+        relation.partitionCols.map(partitionExpr).toArray,
         math.max(parts, 1))
-    case _ => new UnknownPartitioning(survivors.size)
+    case _ =>
+      new UnknownPartitioning(survivors.size + (if (mor) 1 else 0))
   }
 
   /** Per-partition ordering (`SupportsReportOrdering`), reported ONLY
@@ -314,7 +408,7 @@ private[sources] class MergeTableBatchScan(
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.SortDirection
     if (relation.sortedBy.nonEmpty && relation.numBuckets.isDefined &&
-        relation.partitionCols.isEmpty) {
+        relation.partitionCols.isEmpty && !mor) {
       // only columns the PRUNED scan actually outputs: Spark resolves
       // these against readSchema() and THROWS on a miss (verified in
       // V2ExpressionUtils.toCatalystOrdering — no fallback), so a
@@ -331,16 +425,19 @@ private[sources] class MergeTableBatchScan(
   override def estimateStatistics(): Statistics = {
     // post-pruning bytes (manifest-scale driver stat walk), scaled by
     // the same compression factor Spark applies to its own parquet
-    // relations — so a pruned mergetable side still auto-broadcasts
-    val bytes = (survivors.map(p => p.toFile.length()).sum *
+    // relations — so a pruned mergetable side still auto-broadcasts;
+    // MOR adds its delta bytes (reconciliation only replaces/removes
+    // base rows, so base + delta stays a safe upper bound)
+    val bytes = ((survivors.map(p => p.toFile.length()).sum +
+      (if (mor) relation.morDeltaBytes else 0L)) *
       spark.sessionState.conf.fileCompressionFactor).toLong
     // exact row count from footer stats on the unfiltered scan (the
     // same metadata the agg pushdown folds); filtered scans keep it
-    // unknown — a post-filter row estimate would be a guess — and dv
-    // snapshots too (the mask removes an unknowable-without-join
-    // number of the footer-counted rows)
+    // unknown — a post-filter row estimate would be a guess — and
+    // dv/MOR snapshots too (masks and delta reconciliation change the
+    // visible row set by an unknowable-without-join amount)
     val rows =
-      if (allFilters.isEmpty && !dv)
+      if (allFilters.isEmpty && !dv && !mor)
         relation.aggregatable.map(ms => ms.map(_.rows).sum)
       else None
     // ANALYZE-computed column stats (ndv/nulls/lengths) ride along for
@@ -351,7 +448,7 @@ private[sources] class MergeTableBatchScan(
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
       val m = new java.util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      if (allFilters.isEmpty && !dv) {
+      if (allFilters.isEmpty && !dv && !mor) {
         relation.tableColumnStats.foreach { case (c, s) =>
           if (fullSchema.fieldNames.contains(c))
             m.put(Expressions.column(c),
@@ -375,21 +472,76 @@ private[sources] class MergeTableBatchScan(
     }
   }
 
+  /** The broadcast delta layer of a MOR scan, built ONCE per scan at
+    * reader-factory time: the reconciled latest-per-key delta rows
+    * projected to the read schema (missing columns backfilled as
+    * typed nulls — the read-side half of schema evolution, same rule
+    * as the base files' null fill), split into winners (non-tombstone
+    * rows, tagged with their write-side bucket id) and the exact
+    * superseded-key set. Driver-resident and size-gated by
+    * `batchReadableMor` via delta footer stats before this path is
+    * ever chosen.
+    */
+  private lazy val morLayer: Option[(org.apache.spark.broadcast.Broadcast[GraftMorLayer],
+      Array[Int], Array[org.apache.spark.sql.types.DataType])] =
+    if (!mor) None
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val latest = relation.morDeltaLatest
+      val tombCol = "_graft_mor_tomb"
+      val selected = latest.select(
+        (readDataSchema.fields.map { f =>
+          // cast even present columns: a delta-only union can resolve a
+          // column narrower than the full snapshot schema (unionByName
+          // coercion), and the collected rows must lay out EXACTLY as
+          // readDataSchema declares
+          if (latest.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        } :+ col(graft.cdc.MergeTable.TombstoneColName)
+          .cast(org.apache.spark.sql.types.BooleanType).as(tombCol)).toIndexedSeq: _*)
+      // one bounded collect (≤ broadcastKeyLimit rows by the gate);
+      // rows are copied — toRdd iterators reuse row buffers
+      val collected = selected.queryExecution.toRdd.map(_.copy()).collect()
+      val keyOrdinals = relation.keys.map(readDataSchema.fieldIndex).toArray
+      val keyTypes = keyOrdinals.map(readDataSchema.fields(_).dataType)
+      val tombOrd = readDataSchema.length
+      val strip = UnsafeProjection.create(
+        readDataSchema.fields.zipWithIndex.map { case (f, i) =>
+          BoundReference(i, f.dataType, f.nullable)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        }.toIndexedSeq)
+      val winners = collected.iterator
+        .filter(r => !r.getBoolean(tombOrd))
+        .map { r =>
+          val row = strip(r).copy(): InternalRow
+          val bucket = relation.numBuckets
+            .map(n => MorKeys.bucketOf(row, n, keyOrdinals, keyTypes))
+            .getOrElse(-1)
+          (bucket, row)
+        }.toArray
+      // EVERY delta key supersedes its base row — tombstoned keys too
+      val superseded: Set[AnyRef] =
+        collected.iterator.map(MorKeys.keyOf(_, keyOrdinals, keyTypes)).toSet
+      Some((spark.sparkContext.broadcast(GraftMorLayer(winners, superseded)),
+        keyOrdinals, keyTypes))
+    }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat()
     // columnar unless a CLAIMED filter needs the row-mode exactness
     // predicate (residual data filters are re-applied by the engine
-    // above the scan, so they never force row mode), or a SURVIVING
-    // file carries a dv mask. Spark refuses mixed row/columnar
-    // partitions in one scan, so the choice is global — but it is
-    // judged on the post-pruning survivor set, not the snapshot: a dv
-    // read whose filters pruned away every masked file (or a
-    // dv-table scan right after compaction cleared the masks) keeps
-    // full vectorized batches.
+    // above the scan, so they never force row mode), a SURVIVING
+    // file carries a dv mask, or the snapshot is MOR (the per-row key
+    // supersede probe). Spark refuses mixed row/columnar partitions
+    // in one scan, so the choice is global — but it is judged on the
+    // post-pruning survivor set, not the snapshot: a dv read whose
+    // filters pruned away every masked file (or a dv-table scan right
+    // after compaction cleared the masks) keeps full vectorized
+    // batches.
     val anyMaskSurvives = dv && survivors.exists(p => maskOf(p).nonEmpty)
     // the lineage column appends per row, so `_graft_file` queries run
     // row-mode — a diagnostic shape, not the hot path
-    val columnar = claimed.isEmpty && !anyMaskSurvives && !wantFile &&
+    val columnar = claimed.isEmpty && !anyMaskSurvives && !wantFile && !mor &&
       fmt.supportBatch(spark, requiredSchema)
     // columnar reads never need the row-index column (no mask to
     // apply), so they read exactly the required schema
@@ -405,8 +557,14 @@ private[sources] class MergeTableBatchScan(
     // the generated row index is the LAST read column when dv masks
     // apply in row mode; -1 disables mask filtering
     val rowIdxOrdinal = if (dv && !columnar) readDataSchema.length - 1 else -1
+    val (morBc, morOrds, morTypes) = morLayer match {
+      case Some((bc, ords, types)) => (Some(bc), ords, types)
+      case None => (None, Array.empty[Int],
+        Array.empty[org.apache.spark.sql.types.DataType])
+    }
     new GraftReaderFactory(readFunc, columnar, claimed,
-      schemaToRead, requiredSchema.length, rowIdxOrdinal, wantFile)
+      schemaToRead, requiredSchema.length, rowIdxOrdinal, wantFile,
+      morBc, morOrds, morTypes)
   }
 }
 
@@ -438,14 +596,35 @@ private[sources] class GraftReaderFactory(
     readSchema: StructType,
     outputLen: Int,
     rowIdxOrdinal: Int = -1,
-    wantFile: Boolean = false) extends PartitionReaderFactory {
+    wantFile: Boolean = false,
+    morLayer: Option[org.apache.spark.broadcast.Broadcast[GraftMorLayer]] = None,
+    morKeyOrdinals: Array[Int] = Array.empty,
+    morKeyTypes: Array[org.apache.spark.sql.types.DataType] = Array.empty)
+    extends PartitionReaderFactory {
 
   private def filesOf(p: InputPartition): Seq[GraftFileSlice] = p match {
     case GraftFilePartition(fs) => fs
     case GraftBucketPartition(fs, _) => fs
     case GraftValuePartition(fs, _) => fs
+    case GraftMorWinnersPartition => Seq.empty
     case other => throw new IllegalStateException(s"unexpected partition $other")
   }
+
+  /** The broadcast delta winners THIS partition must emit: its
+    * bucket's on a bucket-keyed scan (so SPJ alignment holds), all of
+    * them on the dedicated winners partition of an unbucketed scan.
+    */
+  private def winnersOf(p: InputPartition): Iterator[InternalRow] =
+    morLayer match {
+      case Some(bc) => p match {
+        case GraftBucketPartition(_, b) =>
+          bc.value.winners.iterator.filter(_._1 == b).map(_._2)
+        case GraftMorWinnersPartition =>
+          bc.value.winners.iterator.map(_._2)
+        case _ => Iterator.empty
+      }
+      case None => Iterator.empty
+    }
 
   private def partitionedFile(f: GraftFileSlice): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.path),
@@ -471,27 +650,48 @@ private[sources] class GraftReaderFactory(
       .map { case (f, i) =>
         BoundReference(i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
       }.toSeq
-    val out = filesOf(p).iterator.flatMap { f =>
+    // exact supersede set: a base row whose key any delta mentions
+    // lost to that (newer) delta row — the keyed twin of the dv mask
+    val superseded = morLayer.map(_.value.superseded)
+    val base = filesOf(p).iterator.flatMap { f =>
       var rows = readFunc(partitionedFile(f))
       if (rowIdxOrdinal >= 0 && f.masked.nonEmpty)
         rows = rows.filter(r =>
           java.util.Arrays.binarySearch(f.masked, r.getLong(rowIdxOrdinal)) < 0)
-      pred.foreach(pr => rows = rows.filter(pr.eval))
+      superseded.foreach { sup =>
+        rows = rows.filter(r =>
+          !sup.contains(MorKeys.keyOf(r, morKeyOrdinals, morKeyTypes)))
+      }
       if (wantFile) {
-        // per-file projection: the lineage column is a CONSTANT for
-        // every row of this slice — a literal in the projection, no
-        // per-row string work
+        // per-file projection (wantFile never co-occurs with MOR: the
+        // table does not advertise `_graft_file` on delta-bearing
+        // snapshots): the lineage column is a CONSTANT for every row
+        // of this slice — a literal in the projection, no per-row
+        // string work. The claimed predicate runs BEFORE this
+        // projection (it binds against readSchema ordinals).
+        pred.foreach(pr => rows = rows.filter(pr.eval))
         val proj = UnsafeProjection.create(dataRefs :+
           org.apache.spark.sql.catalyst.expressions.Literal(
             org.apache.spark.unsafe.types.UTF8String.fromString(f.path),
             org.apache.spark.sql.types.StringType))
         rows.map(proj)
-      } else if (outputLen == readSchema.length) rows
-      else {
-        val proj = UnsafeProjection.create(dataRefs)
-        rows.map(proj)
-      }
+      } else rows
     }
+    // delta winners join the stream AFTER the per-file stages (no
+    // mask, no supersede — they ARE the latest) but BEFORE the claimed
+    // predicate and output projection, which apply to every row
+    val all = if (morLayer.isEmpty) base else base ++ winnersOf(p)
+    val out =
+      if (wantFile) all // predicate + projection already applied per file
+      else {
+        var rows = all
+        pred.foreach(pr => rows = rows.filter(pr.eval))
+        if (outputLen == readSchema.length) rows
+        else {
+          val proj = UnsafeProjection.create(dataRefs)
+          rows.map(proj)
+        }
+      }
     iteratorReader(out)
   }
 

@@ -52,12 +52,18 @@ class MergeTableCatalog extends TableCatalog with SupportsNamespaces
   // (Identifier with an EMPTY namespace) when judging whether two
   // scans are co-partitioned for a storage-partitioned join
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    if (namespace.isEmpty)
+      Array("bucket", "days", "months").map(Identifier.of(namespace, _))
     else Array.empty
 
   override def loadFunction(ident: Identifier): functions.UnboundFunction =
-    if (ident.namespace().isEmpty && ident.name() == "bucket") GraftBucketUnbound
-    else throw new NoSuchFunctionException(ident)
+    if (ident.namespace().nonEmpty) throw new NoSuchFunctionException(ident)
+    else ident.name() match {
+      case "bucket" => GraftBucketUnbound
+      case "days" => GraftDaysUnbound
+      case "months" => GraftMonthsUnbound
+      case _ => throw new NoSuchFunctionException(ident)
+    }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -678,10 +684,13 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
         // — pushed-filter columns must resolve top-level or the exact
         // row-mode re-check cannot bind them. Deletion-vector
         // snapshots (bounded mask) ride the same path with the mask
-        // applied positionally above the raw read — the hottest CDC
-        // tables live in dv between compactions, so they keep file
+        // applied positionally above the raw read, and MOR snapshots
+        // (bounded delta layer) with latest-by-key reconciliation
+        // against a broadcast delta key set — the hottest CDC tables
+        // live in dv/MOR between compactions, so they keep file
         // pruning, SPJ partitioning, and runtime filtering too.
-        case None if (pinnedRelation.batchReadable || pinnedRelation.batchReadableDv) &&
+        case None if (pinnedRelation.batchReadable || pinnedRelation.batchReadableDv ||
+            pinnedRelation.batchReadableMor) &&
             pushed.flatMap(_.references).forall(r =>
               pinnedRelation.schema.fieldNames.contains(r)) &&
             MergeTableBatchScan.rowFormExists(pushed, pinnedRelation.schema) =>

@@ -309,10 +309,14 @@ class MergeTableRelation(
     */
   private[sources] def survivingFilesBatch(
       filters: Array[Filter]): Option[(Seq[java.nio.file.Path], Int)] =
-    statFiles.orElse(statFilesDv).map(pruneFiles(_, filters))
+    statFiles.orElse(statFilesDv).orElse(statFilesMor).map(pruneFiles(_, filters))
 
   private lazy val statFilesDv =
     if (pinnedEntries.exists(_._1 == "dv")) table.prunableFilesDv(pinnedEntries)
+    else None
+
+  private lazy val statFilesMor =
+    if (pinnedEntries.exists(_._1 == "delta")) table.prunableFilesMor(pinnedEntries)
     else None
 
   /** Hidden-partitioning pruning bridge: user predicates on a derived
@@ -536,6 +540,61 @@ class MergeTableRelation(
 
   private[sources] def isDvSnapshot: Boolean =
     pinnedEntries.exists(_._1 == "dv")
+
+  private[sources] def isMorSnapshot: Boolean =
+    pinnedEntries.exists(_._1 == "delta")
+
+  /** Whether the Batch fast path can serve this MOR (delta-bearing)
+    * snapshot: the same gates as [[batchReadable]] minus the no-delta
+    * requirement, plus a BOUNDED delta layer — the scan reconciles by
+    * broadcasting the reconciled delta rows and their key set above
+    * the vectorized base scan (latest-by-key wins, the keyed twin of
+    * the dv positional mask), so the driver-resident layer must stay
+    * under the same `broadcastKeyLimit` the dv mask uses (footer-stat
+    * row counts; any delta file without stats refuses — size
+    * unknowable without a read). Key types are restricted to the ones
+    * whose catalyst values compare exactly in a JVM hash set (the
+    * supersede check is EXACT key equality, never a hash that could
+    * collide a live base row away).
+    */
+  private[sources] def batchReadableMor: Boolean =
+    version.isEmpty && table.exists && renameMap.isEmpty &&
+      MergeTable.readMeta(path).forall(_.droppedColumns.isEmpty) &&
+      statFiles.isEmpty && statFilesDv.isEmpty && statFilesMor.isDefined &&
+      morKeyTypesOk &&
+      table.morDeltaRows(pinnedEntries).exists { n =>
+        val limit = sqlContext.sparkSession.conf
+          .getOption("graft.mergetable.broadcastKeyLimit")
+          .map(_.toLong).getOrElse(4000000L)
+        n <= limit
+      }
+
+  /** Key columns usable for the Batch-MOR exact supersede set: fixed-
+    * width primitives and strings, whose catalyst representations
+    * (boxed primitives, UTF8String) define value-equality
+    * equals/hashCode. Anything else (binary, decimal, nested) falls
+    * back to the V1 reconciling read.
+    */
+  private def morKeyTypesOk: Boolean = {
+    import org.apache.spark.sql.types._
+    keys.forall { k =>
+      schema.fields.find(_.name == k).map(_.dataType).exists {
+        case ByteType | ShortType | IntegerType | LongType | BooleanType |
+             FloatType | DoubleType | StringType | DateType |
+             TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+    }
+  }
+
+  /** The reconciled delta layer for the Batch-MOR scan (see
+    * [[MergeTable.morDeltaLatest]]): latest row per key across the
+    * pinned snapshot's deltas, tombstone flag preserved.
+    */
+  private[sources] def morDeltaLatest: org.apache.spark.sql.DataFrame =
+    table.morDeltaLatest(pinnedEntries)
+
+  private[sources] def morDeltaBytes: Long = table.morDeltaBytes(pinnedEntries)
 
   // translate DSv1 filters back to Column predicates so they reach the
   // parquet scan of the inner DataFrame; untranslated filters are

@@ -123,7 +123,7 @@ class DvBatchScanSpec extends SparkSpec {
     }
   }
 
-  test("MOR deltas still refuse the Batch path") {
+  test("MOR deltas ride the Batch path too (r13) — reconciled above the raw scan") {
     fresh("dvb4")
     spark.sql("""CREATE TABLE graft.dvb4.t (id BIGINT, v STRING)
                  TBLPROPERTIES('keys'='id', 'mode'='merge-on-read')""")
@@ -131,6 +131,7 @@ class DvBatchScanSpec extends SparkSpec {
     MergeTable.open(spark, "target/graft_warehouse/dvb4/t")
       .upsert(Seq((1L, "b"), (2L, "c")).toDF("id", "v"))
     val df = spark.table("graft.dvb4.t")
+    assert(usesBatchScan(df), df.queryExecution.executedPlan.toString)
     assert(df.count() === 2L)
     assert(df.filter($"id" === 1L).as[(Long, String)].head() === ((1L, "b")))
   }

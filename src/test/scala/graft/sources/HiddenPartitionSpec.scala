@@ -127,6 +127,48 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(spark.table("graft.hp5.t").count() === 0)
   }
 
+  test("two day-partitioned tables storage-partition-join on ts with zero shuffles (r13)") {
+    // date-partitioned facts are THE most common 100 TB lake layout:
+    // the scan now reports KeyGroupedPartitioning over the days(ts)
+    // transform (resolved through the catalog's FunctionCatalog like
+    // bucket), so two day-partitioned tables join partition-for-
+    // partition — a.ts = b.ts implies equal day granules, the SPJ
+    // alignment invariant
+    fresh("hp6")
+    for (n <- Seq("a", "b")) {
+      spark.sql(s"""CREATE TABLE graft.hp6.$n (id BIGINT, v STRING, ts TIMESTAMP_NTZ)
+                    TBLPROPERTIES('keys'='id') PARTITIONED BY (days(ts))""")
+      (1 to 90).map(i => (i.toLong, s"$n$i", ts(f"2024-03-${i % 3 + 1}%02dT0${i % 9}:00:00")))
+        .toDF("id", "v", "ts").createOrReplaceTempView(s"hp6_src_$n")
+      spark.sql(s"INSERT INTO graft.hp6.$n SELECT * FROM hp6_src_$n")
+    }
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      // join ON the granule source alone: cluster keys fully covered
+      val j = spark.sql(
+        """SELECT a.id, b.id FROM graft.hp6.a a
+           JOIN graft.hp6.b b ON a.ts = b.ts""")
+      assert(shuffles(j) === 0,
+        s"day-partitioned tables must SPJ:\n${j.queryExecution.executedPlan}")
+      // ts repeats with period 9 (i%9 fixes both day and hour):
+      // 9 distinct timestamps × 10 rows each side → 9 × 10 × 10
+      assert(j.count() === 900L)
+      // the production shape — join ON (ts, id): days(ts) covers only
+      // part of the join keys, so Spark needs the Iceberg-recommended
+      // relaxation to accept partial clustering
+      withSQLConf("spark.sql.requireAllClusterKeysForCoPartition" -> "false") {
+        val j2 = spark.sql(
+          """SELECT a.id, a.v, b.v FROM graft.hp6.a a
+             JOIN graft.hp6.b b ON a.ts = b.ts AND a.id = b.id""")
+        assert(shuffles(j2) === 0,
+          s"partial-clustering SPJ must hold:\n${j2.queryExecution.executedPlan}")
+        assert(j2.count() === 90L)
+      }
+    }
+  }
+
   test("source-column DDL refusals and change-feed hiding") {
     fresh("hp4")
     spark.sql("""CREATE TABLE graft.hp4.t (id BIGINT, v STRING, ts TIMESTAMP_NTZ)
