@@ -769,7 +769,36 @@ object Queries6 extends QueryModule {
       |FROM cur LEFT JOIN ch ON ch.week = cur.week
       |ORDER BY cur.week""".stripMargin
 
+  // -- equi-height histogram bin edges (ANALYZE's CBO histogram math) -------
+
+  /** The bin-edge computation behind `ANALYZE TABLE`'s equi-height CBO
+    * histograms ([[graft.cdc.MergeTable.analyzeColumns]]), run with
+    * EXACT percentiles so the oracle can replay it: edges at
+    * probabilities 0, 1/n, …, 1 over `l_quantity` (linear
+    * interpolation — Spark's `percentile` and DuckDB's `quantile_cont`
+    * are both type-7 quantiles). The engine's ANALYZE swaps in
+    * `approx_percentile` at scale; this gate certifies the edge
+    * FORMULATION the histogram rests on.
+    */
+  private def histogramEdges(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val probs = (0 to n).map(i => i.toDouble / n)
+    t(s, dir, "lineitem")
+      .agg(expr(s"percentile(CAST(l_quantity AS DOUBLE), array(${probs.mkString(", ")}))").as("qs"))
+      .select(posexplode(col("qs")))
+      .select(col("pos").cast("long").as("bin"), round(col("col"), 6).as("edge"))
+      .orderBy("bin")
+  }
+
+  private val histogramEdgesSql =
+    """WITH q AS (SELECT quantile_cont(CAST(l_quantity AS DOUBLE),
+      |                 [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]) AS qs
+      |           FROM lineitem)
+      |SELECT CAST(t.i AS BIGINT) AS bin, ROUND(qs[t.i + 1], 6) AS edge
+      |FROM q, range(9) AS t(i) ORDER BY bin""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("stats_histogram_edges", histogramEdges, Some(histogramEdgesSql)),
     QueryDef("events_growth_accounting", growthAccounting, Some(growthAccountingSql)),
     QueryDef("events_hopping_window", hoppingWindow, Some(hoppingWindowSql)),
     QueryDef("events_dau_mau", dauMau, Some(dauMauSql)),

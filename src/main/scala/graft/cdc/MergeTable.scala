@@ -472,7 +472,21 @@ final class MergeTable(
             .mkString("\n"))
         } else None
       } else None
-    val body = deltaBody.getOrElse(fullBody)
+    // Two-level checkpoint: when the commit cannot encode as a diff
+    // (interval reached or non-diff shape) and the entry list is big
+    // enough to matter, the checkpoint body is a manifest LIST over
+    // immutable content-addressed segment files — unchanged runs
+    // re-reference the previous checkpoint's segments, so checkpoint
+    // cost is O(list + changed segments), not O(table files)
+    val body = deltaBody.getOrElse {
+      val dataEntries = newEntries.filterNot(_._1 == "sort")
+      if (dataEntries.length >= 2 * MergeTable.segmentSize(spark)) {
+        val sortLines = newEntries.collect { case ("sort", c) => s"sort:$c" }
+        segmentedBody(
+          if (baseVersion > 0 && Files.exists(baseM)) Some(baseM) else None,
+          opLines ++ txnLines ++ sortLines, dataEntries)
+      } else fullBody
+    }
     val staged = manifestDir.resolve(s".staged.${UUID.randomUUID()}")
     Files.write(staged, body.getBytes)
     try Files.createLink(target, staged)
@@ -491,6 +505,84 @@ final class MergeTable(
     readVersion = version
     if (inTxn) txnCommitCount += 1
     version
+  }
+
+  /** Build a two-level (`@segments:1`) checkpoint body for `data`
+    * entries, reusing the previous checkpoint's segment files for
+    * every contiguous unchanged run (greedy first-entry match), and
+    * writing the rest as fresh content-addressed segments — full-size
+    * chunks only; each run's trailing partial chunk stays inline as
+    * `e:` lines (a partial chunk would never be re-referenced
+    * verbatim, the next commits' appends land right after it).
+    * Segment files land BEFORE the manifest CAS — a losing commit
+    * leaves only unreferenced segments for vacuum's GC. Self-checked
+    * by reconstruction before returning.
+    */
+  private def segmentedBody(baseM: Option[Path], metaLines: Seq[String],
+      data: Seq[(String, String)]): String = {
+    val segsDir = manifestDir.resolve("segs")
+    Files.createDirectories(segsDir)
+    val segSize = MergeTable.segmentSize(spark)
+    // prior checkpoint's segments (the base's chain root), indexed by
+    // first entry for O(1) candidate lookup during the greedy walk
+    val prior: Seq[(String, Seq[(String, String)])] = baseM.toSeq.flatMap { b =>
+      val chainRoot = MergeTable.chainRootOf(b)
+      if (!MergeTable.isSegmentsManifest(chainRoot)) Nil
+      else MergeTable.parseManifestLines(chainRoot).collect {
+        case ("s", name) if Files.exists(chainRoot.getParent.resolve("segs").resolve(name)) =>
+          name -> MergeTable.parseManifestLines(
+            chainRoot.getParent.resolve("segs").resolve(name))
+      }
+    }
+    val byFirst = prior.filter(_._2.nonEmpty).groupBy(_._2.head)
+    def writeSeg(lines: Seq[(String, String)]): String = {
+      val bytes = lines.map { case (t, d) => s"$t:$d" }.mkString("\n").getBytes
+      val digest = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+        .map("%02x".format(_)).mkString
+      val name = s"$digest.seg"
+      val f = segsDir.resolve(name)
+      if (!Files.exists(f)) {
+        val stagedSeg = segsDir.resolve(s".staged.${UUID.randomUUID()}")
+        Files.write(stagedSeg, bytes)
+        try Files.move(stagedSeg, f, StandardCopyOption.ATOMIC_MOVE)
+        catch { // concurrent writer of the SAME content — fine either way
+          case _: java.nio.file.FileAlreadyExistsException => ()
+        } finally Files.deleteIfExists(stagedSeg)
+      }
+      name
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def flush(): Unit = {
+      var i = 0
+      while (pending.length - i >= segSize) {
+        val chunk = pending.slice(i, i + segSize).toSeq
+        out += s"s:${writeSeg(chunk)}"
+        emitted ++= chunk
+        i += segSize
+      }
+      pending.drop(i).foreach { case (t, d) =>
+        out += s"e:$t:$d"; emitted += ((t, d))
+      }
+      pending.clear()
+    }
+    var i = 0
+    while (i < data.length) {
+      val reused = byFirst.getOrElse(data(i), Nil).iterator
+        .filter(_._2.length <= data.length - i)
+        .find { case (_, lines) => data.slice(i, i + lines.length) == lines }
+      reused match {
+        case Some((name, lines)) =>
+          flush(); out += s"s:$name"; emitted ++= lines; i += lines.length
+        case None =>
+          pending += data(i); i += 1
+      }
+    }
+    flush()
+    require(emitted.toSeq == data,
+      s"segmented checkpoint round-trip mismatch at $root — refusing to commit")
+    (Seq("@segments:1") ++ metaLines ++ out).mkString("\n")
   }
 
   // -- conflict-validated rebase commits -----------------------------------
@@ -1606,7 +1698,15 @@ final class MergeTable(
         "the source or use MERGE INTO")
     lazy val stagedKeys =
       keySet(readDirs(Seq(dir)).select(keys.map(col): _*), dedup = true)
-    if (untouched.nonEmpty) {
+    // PARTITION-KEYED tables (partition cols ⊆ primary key) skip the
+    // untouched-partition clash scan entirely: a row's partition values
+    // are part of its key, every row physically sits in the partition
+    // its own values name, so a staged key can only ever collide inside
+    // a partition the source REPLACES — the commit is pure dir
+    // replacement, zero data files opened beyond the staged-dup check
+    val partitionKeyed =
+      partitionCols.forall(c => keys.exists(_.equalsIgnoreCase(c)))
+    if (untouched.nonEmpty && !partitionKeyed) {
       // composed layouts cut the clash scan by the key hash first: a
       // staged key can only hide in its own bucket's cells, whatever
       // the partition — |staged buckets| cells per untouched
@@ -2410,6 +2510,23 @@ final class MergeTable(
     val live = refEntries.filterNot(e =>
         e._1 == "txn" || e._1 == "ref" || e._1 == "sort" || e._1 == "op")
       .map(_._2.split("/", 2)(0)).toSet
+    // segment files no manifest of their lineage references are
+    // checkpoint leftovers (expired checkpoints, lost CAS races) —
+    // GC'd alongside the data orphans. O(manifests) raw scans.
+    def gcSegs(dir: Path): Unit = {
+      val segs = dir.resolve("segs")
+      if (!Files.isDirectory(segs)) return
+      val referenced = Option(dir.toFile.list()).getOrElse(Array.empty[String])
+        .filter(_.matches("v\\d+\\.txt"))
+        .flatMap(n => MergeTable.parseManifestLines(dir.resolve(n))
+          .collect { case ("s", s) => s })
+        .toSet
+      Option(segs.toFile.list()).getOrElse(Array.empty[String])
+        .filter(n => n.endsWith(".seg") && !referenced.contains(n))
+        .foreach(n => Files.deleteIfExists(segs.resolve(n)))
+    }
+    gcSegs(mainDir)
+    branches().foreach(b => gcSegs(branchManifestDir(b)))
     val onDisk = Option(dataDir.toFile.list()).getOrElse(Array.empty)
     val orphans = onDisk.filterNot(live.contains)
     val statsDir = rootPath.resolve("stats")
@@ -2583,13 +2700,13 @@ final class MergeTable(
     Files.createDirectories(bdir)
     if (v > 0) {
       val staged = bdir.resolve(s".staged.${UUID.randomUUID()}")
-      // a fork seed crosses lineage directories, so an incremental
-      // fork manifest is MATERIALIZED (its @delta chain lives in the
-      // source dir and would dangle in the branch's); full manifests
-      // copy byte-identically as before
+      // a fork seed crosses lineage directories, so an incremental or
+      // segmented fork manifest is MATERIALIZED (its @delta chain and
+      // `s:` segment refs live in the source dir and would dangle in
+      // the branch's); plain full manifests copy byte-identically
       val srcM = manifestPath(v)
       Files.write(staged,
-        if (isDeltaManifest(srcM)) MergeTable.materializedBody(srcM)
+        if (MergeTable.needsMaterializing(srcM)) MergeTable.materializedBody(srcM)
         else Files.readAllBytes(srcM))
       try Files.createLink(bdir.resolve(f"v$v%05d.txt"), staged)
       catch {
@@ -2665,9 +2782,12 @@ final class MergeTable(
       // an incremental source manifest resolves in-place after the
       // copy (version numbering is shared across lineages and its
       // bases were published first) EXCEPT when this lineage expired
-      // the base (the fork manifest) — that one is materialized
+      // the base (the fork manifest) — that one is materialized, as
+      // is any SEGMENTED checkpoint (its `s:` refs resolve against
+      // the branch's segs dir, not this lineage's)
       val srcBytes =
-        if (MergeTable.deltaBaseOf(srcM).exists(b => !Files.exists(manifestPath(b))))
+        if (MergeTable.deltaBaseOf(srcM).exists(b => !Files.exists(manifestPath(b))) ||
+            MergeTable.isSegmentsManifest(srcM))
           MergeTable.materializedBody(srcM)
         else Files.readAllBytes(srcM)
       // resumability must accept a logically-identical prior publish
@@ -2786,8 +2906,56 @@ final class MergeTable(
         avg(length(col(c))).as(s"__avg_$c"),
         max(length(col(c))).as(s"__max_$c"))
     }
-    val row = snap.agg(aggs.head, aggs.tail: _*).head()
+    // equi-height histograms for the NUMERIC analyzed columns (the CBO
+    // skew signal — NDV alone cannot show a heavy hitter): bin
+    // endpoints ride the SAME aggregate job as approximate percentiles
+    // at 0, 1/n, …, 1 (ApproximatePercentile — the only scale-safe
+    // quantile; Spark's own ANALYZE histogram uses it too)
+    val numBins = spark.conf.getOption("graft.mergetable.histogramBins")
+      .map(_.toInt).getOrElse(64)
+    val numericCols: Seq[String] = cols.filter { c =>
+      import org.apache.spark.sql.types._
+      snap.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | _: DecimalType => true
+        case _ => false
+      }
+    }
+    val histCols: Seq[String] = if (numBins <= 0) Nil else numericCols
+    // exact numeric min/max ride the same job — CBO's FilterEstimation
+    // gates every estimate on the value interval before NDV/histogram
+    val rangeAggs = numericCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max2_$c")))
+    val histAggs = histCols.map { c =>
+      val probs = array((0 to numBins).map(i => lit(i.toDouble / numBins)): _*)
+      percentile_approx(col(c).cast("double"), probs, lit(10000)).as(s"__pct_$c")
+    }
+    val row = snap.agg(aggs.head, (aggs.tail ++ rangeAggs ++ histAggs): _*).head()
     val rows = row.getAs[Long]("__rows")
+    // per-bin NDVs in ONE more pass: ApproxCountDistinctForIntervals
+    // (the expression Spark's ANALYZE histogram uses) sketches every
+    // bin of every histogram column in a single aggregate job
+    val endpoints: Map[String, Seq[Double]] = histCols.flatMap { c =>
+      Option(row.getAs[scala.collection.Seq[Double]](s"__pct_$c"))
+        .map(v => c -> v.toSeq)
+    }.toMap
+    val binNdvs: Map[String, Seq[Long]] =
+      if (endpoints.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.GraftSqlBridge
+        import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal => CatLit}
+        val ndvAggs = endpoints.toSeq.sortBy(_._1).map { case (c, eps) =>
+          val agg = org.apache.spark.sql.catalyst.expressions.aggregate
+            .ApproxCountDistinctForIntervals(
+              GraftSqlBridge.expression(col(c).cast("double")),
+              CreateArray(eps.map(e => CatLit(e): org.apache.spark.sql.catalyst.expressions.Expression)))
+          GraftSqlBridge.column(agg.toAggregateExpression()).as(s"__ndvs_$c")
+        }
+        val r = snap.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+        endpoints.keys.map(c =>
+          c -> r.getAs[scala.collection.Seq[Long]](s"__ndvs_$c").toSeq).toMap
+      }
     val colStats = cols.map { c =>
       val nulls = Option(row.getAs[Any](s"__nulls_$c"))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -2799,9 +2967,22 @@ final class MergeTable(
           Option(row.getAs[Any](s"__max_$c"))
             .map(v => v.asInstanceOf[Number].longValue).getOrElse(1L))
       }
+      val hist = for {
+        eps <- endpoints.get(c)
+        ndvs <- binNdvs.get(c)
+        if eps.length == numBins + 1 && ndvs.length == numBins && rows > nulls
+      } yield MergeTable.Hist(
+        height = (rows - nulls).toDouble / numBins,
+        bins = (0 until numBins).map(i =>
+          MergeTable.HistBin(eps(i), eps(i + 1), math.max(ndvs(i), 1L))))
+      val (mn, mx) =
+        if (!numericCols.contains(c)) (None, None)
+        else (Option(row.getAs[Any](s"__min_$c")).map(_.asInstanceOf[Double]),
+          Option(row.getAs[Any](s"__max2_$c")).map(_.asInstanceOf[Double]))
       c -> MergeTable.ColumnStats(
         ndv = row.getAs[Long](s"__ndv_$c"),
-        nullCount = nulls, avgLen = avgLen, maxLen = maxLen)
+        nullCount = nulls, avgLen = avgLen, maxLen = maxLen, hist = hist,
+        min = mn, max = mx)
     }.toMap
     val stats = MergeTable.TableStats(readVersion, rows, colStats)
     MergeTable.writeTableStats(tableStatsPath, stats)
@@ -2989,6 +3170,29 @@ final class MergeTable(
     Precombine.latestByKey(withTomb, keys, Seq("_graft_seq"))
       .withColumn(Tombstone, coalesce(col(Tombstone), lit(false)))
       .drop("_graft_seq")
+  }
+
+  /** Per-file EXACT footer row counts of a snapshot's base data files
+    * (path-keyed, all-or-nothing like [[aggregatableFiles]]) — the
+    * Batch scan's post-pruning numRows source: advisory filters prune
+    * whole files but never change a surviving file's output, so the
+    * survivors' footer rows ARE the scan's exact output count, and
+    * CBO selectivity math above the scan gets a real child cardinality
+    * even on filtered reads. None when any file lacks a stats entry.
+    */
+  private[graft] def fileRowsByPath(es: Seq[(String, String)]): Option[Map[Path, Long]] = {
+    val dirs = es.filterNot(e =>
+      e._1 == "dv" || e._1 == "ing" || e._1 == "delta").map(_._2)
+    val per = dirs.map { d =>
+      FileStats.readFull(rootPath, d).flatMap { full =>
+        val base = dataDir.resolve(d)
+        val files = FileStats.listParquetFiles(base)
+        val metas = files.map(f =>
+          full.get(base.relativize(f).toString).map(f -> _.rows))
+        if (metas.forall(_.isDefined)) Some(metas.flatten) else None
+      }
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.flatten.toMap)
   }
 
   /** dv entry dirs of a snapshot. */
@@ -3354,16 +3558,39 @@ final class MergeTable(
     val n = numBuckets.getOrElse(throw new IllegalArgumentException(
       "sortBuckets needs a hash-bucketed layout (use cluster() to z-order " +
         "flat or partitioned tables)"))
-    require(partitionCols.isEmpty,
-      "sortBuckets does not compose with value partitioning: a bucket's scan " +
-        "partition concatenates its per-partition cells, which no single-column " +
-        "sort order survives")
     val snap = rewriteSource()
     val rn = renames
     val phys = cols.map(c => rn.getOrElse(c, c))
     phys.foreach(c => require(snap.columns.contains(c),
       s"sort column '$c' is not in the table schema"))
     val dir = UUID.randomUUID().toString
+    if (composed) {
+      // per-CELL sorted runs on the composed layout: one writer task
+      // per (partition × bucket) cell, each cell's file(s) one sorted
+      // run. A WHOLE bucket's scan partition concatenates its cells
+      // across partitions, which no column order survives — so the
+      // marker's scan-side claim is conditional: the Batch scan
+      // reports the ordering only when pruning left ≤ ONE cell per
+      // surviving bucket (the day-filtered join shape), and composed
+      // SPJ joins then skip their sorts too.
+      val tagged = partitionCols.foldLeft(snap)((d, c) =>
+          d.withColumn(PartPrefix + c, col(c)))
+        .withColumn(BucketCol, bucketExpr)
+      val cellCols = partitionCols.map(PartPrefix + _) :+ BucketCol
+      tagged.repartition(cellCols.map(col): _*)
+        .sortWithinPartitions((cellCols ++ phys).map(col): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(cellCols: _*)
+        .parquet(dataDir.resolve(dir).toString)
+      val leaves = listComposedLeaves(dataDir.resolve(dir))
+      leaves.foreach(rel => recordStats(s"$dir/$rel"))
+      commit(ledgerEntries(entries()) ++
+        leaves.sorted.map(rel => "pb" -> s"$dir/$rel") ++
+        Seq("sort" -> phys.mkString(",")))
+      return leaves.size
+    }
+    require(partitionCols.isEmpty,
+      "sortBuckets needs a hash-bucketed layout; plain value partitioning " +
+        "z-orders per dir via OPTIMIZE … ZORDER BY instead")
     // repartition BY THE BUCKET ID: each id lands in exactly one task,
     // so each bucket dir is written by one writer as one sorted run
     // (sortWithinPartitions leads with the id — ids sharing a task
@@ -3576,6 +3803,45 @@ object MergeTable {
       case None => 0
     }
 
+  /** The chain's root (checkpoint) manifest — `m` itself when full. */
+  private[graft] def chainRootOf(m: Path): Path =
+    deltaBaseOf(m) match {
+      case Some(v) => chainRootOf(m.getParent.resolve(f"v$v%05d.txt"))
+      case None => m
+    }
+
+  // -- segmented (two-level) checkpoint manifests ---------------------------
+  //
+  // A CHECKPOINT manifest (chain root) can itself be TWO-LEVEL: first
+  // line `@segments:1`, then this commit's verbatim op/txn/sort lines,
+  // then — in entry order — `s:<file>` references to immutable
+  // content-addressed segment files under `<manifestDir>/segs/` (each
+  // holding a run of `tag:dir` entry lines) and inline `e:<tag>:<dir>`
+  // tail entries. The incremental log (r12) made COMMITS O(delta)
+  // bytes, but every `checkpointInterval`th chain root still rewrote
+  // O(table files) lines — at ~1M files the residual metadata
+  // bottleneck. Two-level checkpoints cap that at O(manifest list +
+  // changed segments): unchanged entry runs re-REFERENCE the previous
+  // checkpoint's segment files; only runs the interval's commits
+  // touched are rewritten. Content addressing (sha1 of body) makes
+  // segments immutable, naturally deduplicated, and safe under
+  // concurrent checkpointers (same content → same file).
+
+  private[graft] def segmentSize(spark: SparkSession): Int =
+    spark.conf.getOption("graft.mergetable.manifestSegmentSize")
+      .map(_.toInt).getOrElse(512)
+
+  /** True when `m` holds a two-level (`@segments`) checkpoint body. */
+  private[graft] def isSegmentsManifest(m: Path): Boolean =
+    parseManifestLines(m).headOption.exists(_._1 == "@segments")
+
+  /** A checkpoint manifest that cannot be byte-copied across lineage
+    * directories: `@delta` chains dangle and `s:` segment references
+    * resolve against the manifest's OWN `segs/` dir.
+    */
+  private[graft] def needsMaterializing(m: Path): Boolean =
+    deltaBaseOf(m).isDefined || isSegmentsManifest(m)
+
   /** Materialized (tag, rest) lines of the manifest at `m`, resolving
     * an `@delta` chain within `m`'s own directory: this manifest's
     * verbatim `txn`/`sort` lines first, then the full data entry list
@@ -3584,6 +3850,22 @@ object MergeTable {
   private[graft] def resolveManifestIn(m: Path): Seq[(String, String)] = {
     val raw = parseManifestLines(m)
     raw.headOption match {
+      case Some(("@segments", _)) =>
+        val segsDir = m.getParent.resolve("segs")
+        raw.tail.flatMap {
+          case ("s", name) =>
+            val f = segsDir.resolve(name)
+            require(Files.exists(f),
+              s"segmented checkpoint $m references missing segment $name — " +
+                "segments are retained while any manifest references them " +
+                "(vacuum GCs only unreferenced ones)")
+            parseManifestLines(f)
+          case ("e", rest) => rest.split(":", 2) match {
+            case Array(t, d) => Seq((t, d))
+            case Array(d) => Seq(("base", d))
+          }
+          case meta => Seq(meta) // verbatim op/txn/sort lines
+        }
       case Some(("@delta", bv)) =>
         val basePath = m.getParent.resolve(f"v${bv.toLong}%05d.txt")
         require(Files.exists(basePath),
@@ -3700,8 +3982,26 @@ object MergeTable {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Per-column ANALYZE statistics (byte lengths; ndv is HLL++). */
-  final case class ColumnStats(ndv: Long, nullCount: Long, avgLen: Long, maxLen: Long)
+  /** One equi-height histogram bin: value range + distinct count. */
+  final case class HistBin(lo: Double, hi: Double, ndv: Long)
+
+  /** Equi-height histogram of a numeric column (Spark's CBO shape —
+    * `spark.sql.statistics.histogram.enabled`): ~rows/numBins rows per
+    * bin, so SKEW is visible as narrow heavy bins — the thing NDV
+    * alone cannot show, and the thing that actually breaks 100 TB
+    * joins.
+    */
+  final case class Hist(height: Double, bins: Seq[HistBin])
+
+  /** Per-column ANALYZE statistics (byte lengths; ndv is HLL++).
+    * `min`/`max` are exact, recorded for numeric columns (CBO's
+    * FilterEstimation gates EVERY range/equality estimate on the
+    * value interval before it ever consults NDV or the histogram).
+    */
+  final case class ColumnStats(ndv: Long, nullCount: Long, avgLen: Long,
+                               maxLen: Long, hist: Option[Hist] = None,
+                               min: Option[Double] = None,
+                               max: Option[Double] = None)
 
   /** Table-level ANALYZE result, stamped with the version it was
     * computed at (staleness is inspectable; serving stale stats is the
@@ -3718,6 +4018,17 @@ object MergeTable {
       val cn = cs.putObject(c)
       cn.put("ndv", s.ndv); cn.put("nulls", s.nullCount)
       cn.put("avgLen", s.avgLen); cn.put("maxLen", s.maxLen)
+      s.min.foreach(cn.put("min", _))
+      s.max.foreach(cn.put("max", _))
+      s.hist.foreach { h =>
+        val hn = cn.putObject("hist")
+        hn.put("height", h.height)
+        val bs = hn.putArray("bins")
+        h.bins.foreach { b =>
+          val bn = bs.addArray()
+          bn.add(b.lo); bn.add(b.hi); bn.add(b.ndv)
+        }
+      }
     }
     Files.createDirectories(path.getParent)
     val tmp = path.resolveSibling(s".stats.tmp.${java.util.UUID.randomUUID()}")
@@ -3733,9 +4044,17 @@ object MergeTable {
       val n = mapper.readTree(Files.readAllBytes(path))
       Some(TableStats(n.get("version").asLong, n.get("rows").asLong,
         n.get("cols").fields().asScala.map { e =>
+          val hist = Option(e.getValue.get("hist")).map { h =>
+            Hist(h.get("height").asDouble,
+              h.get("bins").elements().asScala.map { b =>
+                HistBin(b.get(0).asDouble, b.get(1).asDouble, b.get(2).asLong)
+              }.toSeq)
+          }
           e.getKey -> ColumnStats(e.getValue.get("ndv").asLong,
             e.getValue.get("nulls").asLong, e.getValue.get("avgLen").asLong,
-            e.getValue.get("maxLen").asLong)
+            e.getValue.get("maxLen").asLong, hist,
+            Option(e.getValue.get("min")).map(_.asDouble),
+            Option(e.getValue.get("max")).map(_.asDouble))
         }.toMap))
     }
   }

@@ -100,6 +100,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val ShowTags =
     """(?is)\s*SHOW\s+TAGS\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s*;?\s*""".r
 
+  // ALTER TABLE graft.db.t DROP [IF EXISTS] PARTITION (col = 'v'[, …])
+  private val DropPartition =
+    """(?is)\s*ALTER\s+TABLE\s+([a-zA-Z0-9_]+)\.([a-zA-Z0-9_.]+)\s+DROP\s+(IF\s+EXISTS\s+)?PARTITION\s*\((.+?)\)\s*;?\s*""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Maintenance(op, catalog, ident) =>
       MergeTableMaintenanceCommand(op.toLowerCase, catalog,
@@ -177,6 +181,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropColumns(catalog, ident, cols) =>
       MergeTableDropColumnsCommand(catalog, ident.split('.').toSeq,
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    // DROP PARTITION is Spark-parseable syntax (like SHOW PARTITIONS /
+    // ANALYZE) — intercept only for mergetable catalogs
+    case DropPartition(catalog, ident, ifExists, spec)
+        if GraftSqlParser.isMergetableCatalog(catalog) =>
+      MergeTableDropPartitionCommand(catalog, ident.split('.').toSeq,
+        GraftSqlParser.parsePartitionSpec(spec), ifExists != null)
     case CreateBranch(catalog, ident, name, v) =>
       MergeTableRefCommand("create_branch", catalog, ident.split('.').toSeq,
         name, Option(v).map(_.toLong))
@@ -385,6 +395,22 @@ object GraftSqlParser {
       try GraftSqlBridge.catalogPlugin(sp, name).isInstanceOf[MergeTableCatalog]
       catch { case _: Throwable => false }
     }
+
+  /** `col = 'v'[, col2 = 3 …]` — the Hive PARTITION-spec shape (comma-
+    * separated equalities; `NULL` names the null partition). Anything
+    * else errors loudly rather than silently dropping the wrong dirs.
+    */
+  private[sources] def parsePartitionSpec(spec: String): Seq[(String, Option[String])] = {
+    val Eq = """\s*([a-zA-Z0-9_]+)\s*=\s*(?:'([^']*)'|"([^"]*)"|([a-zA-Z0-9_.\-]+))\s*""".r
+    spec.split(',').toSeq.map {
+      case Eq(c, q1, q2, bare) =>
+        val v = Option(q1).orElse(Option(q2)).orElse(Option(bare)).get
+        if (q1 == null && q2 == null && v.equalsIgnoreCase("null")) c -> None
+        else c -> Some(v)
+      case other => throw new IllegalArgumentException(
+        s"PARTITION spec expects col = value equalities; got '${other.trim}'")
+    }
+  }
 
   /** `col = 'val' [AND col2 = 3 …]` — the only predicate shape
     * OPTIMIZE … WHERE accepts (partition equalities; anything else
@@ -673,6 +699,66 @@ case class MergeTableDropColumnsCommand(catalogName: String, ident: Seq[String],
       renames = meta.renames -- cols,
       schemaJson = newSchema))
     Seq(Row(cols.length.toLong))
+  }
+}
+
+/** `ALTER TABLE graft.db.t DROP [IF EXISTS] PARTITION (col = 'v'[, …])`
+  * — the explicit twin of the partition-complete DELETE: drop the
+  * named partition's dirs from the manifest in ONE metadata commit,
+  * zero data I/O (history preserved; vacuum reclaims). A PARTIAL spec
+  * (a prefix of the partition columns, or any subset) drops every
+  * matching leaf — the Hive multi-level semantics. Hidden layouts
+  * address the DERIVED column (`ts_day = '2024-03-01'`). Unlike the
+  * predicate DELETE, this command never falls back to a row-level
+  * path: a snapshot whose rows live outside pv dirs (pending MOR
+  * deltas, dv masks, bucketed/composed layouts) refuses loudly —
+  * metadata-only is the CONTRACT here, not an optimization.
+  */
+case class MergeTableDropPartitionCommand(catalogName: String, ident: Seq[String],
+    spec: Seq[(String, Option[String])], ifExists: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("dropped_partitions", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val path = GraftSqlParser.mergetablePath(session, catalogName, ident,
+      "ALTER TABLE ... DROP PARTITION")
+    val meta = MergeTable.readMeta(path).getOrElse(
+      throw new IllegalArgumentException(s"no mergetable at $path"))
+    require(meta.partitionCols.nonEmpty,
+      s"${ident.mkString(".")} is not a partitioned table")
+    spec.foreach { case (c, _) =>
+      require(meta.partitionCols.exists(_.equalsIgnoreCase(c)),
+        s"'$c' is not a partition column of ${ident.mkString(".")} " +
+          s"(partitioned by ${meta.partitionCols.mkString(", ")})")
+    }
+    // WAP routing like every other write: the drop lands on the branch
+    val t = MergeTable.forWrite(session, path, meta.keys, meta.mode,
+      meta.numBuckets, meta.partitionCols)
+    val wanted = spec.map { case (c, v) =>
+      val canonical = meta.partitionCols.find(_.equalsIgnoreCase(c)).get
+      val rendered = v.map(ExternalCatalogUtils.escapePathName)
+        .getOrElse("__HIVE_DEFAULT_PARTITION__")
+      s"${MergeTable.PartPrefixName}$canonical=$rendered"
+    }
+    val drop: String => Boolean = leaf => {
+      val segs = leaf.split('/').toSet
+      wanted.forall(segs.contains)
+    }
+    t.deletePartitions(drop) match {
+      case None => throw new IllegalStateException(
+        s"DROP PARTITION on ${ident.mkString(".")} requires a pure " +
+          "value-partitioned snapshot: pending MOR deltas / dv masks hold " +
+          "rows outside the partition dirs — run COMPACT TABLE first " +
+          "(bucketed layouts have no partition dirs to drop)")
+      case Some(0) if !ifExists => throw new IllegalArgumentException(
+        s"no partition of ${ident.mkString(".")} matches " +
+          spec.map { case (c, v) => s"$c=${v.getOrElse("NULL")}" }.mkString(", ") +
+          " (use IF EXISTS to ignore)")
+      case Some(n) => Seq(Row(n.toLong))
+    }
   }
 }
 

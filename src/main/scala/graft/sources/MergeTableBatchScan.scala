@@ -407,8 +407,22 @@ private[sources] class MergeTableBatchScan(
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.SortDirection
-    if (relation.sortedBy.nonEmpty && relation.numBuckets.isDefined &&
-        relation.partitionCols.isEmpty && !mor) {
+    // composed (partition × bucket) sorted tables: each CELL is one
+    // sorted run, but a bucket's scan partition CONCATENATES its cells
+    // across partition values — the claim is truthful exactly when
+    // pruning left at most ONE cell (partition leaf) per surviving
+    // bucket, the day-filtered join shape. Later runtime filters only
+    // remove files, so a made claim cannot become false.
+    lazy val onePerBucket = {
+      val leafPat = "((?:_graft_p_[^/]+/)+)".r
+      def leafOf(p: java.nio.file.Path): String =
+        leafPat.findFirstMatchIn(p.toString).map(_.group(1)).getOrElse("")
+      survivors.forall(p => bucketOf(p).isDefined) &&
+        survivors.groupBy(bucketOf).values
+          .forall(fs => fs.map(leafOf).distinct.size <= 1)
+    }
+    if (relation.sortedBy.nonEmpty && relation.numBuckets.isDefined && !mor &&
+        (relation.partitionCols.isEmpty || onePerBucket)) {
       // only columns the PRUNED scan actually outputs: Spark resolves
       // these against readSchema() and THROWS on a miss (verified in
       // V2ExpressionUtils.toCatalystOrdering — no fallback), so a
@@ -431,33 +445,82 @@ private[sources] class MergeTableBatchScan(
     val bytes = ((survivors.map(p => p.toFile.length()).sum +
       (if (mor) relation.morDeltaBytes else 0L)) *
       spark.sessionState.conf.fileCompressionFactor).toLong
-    // exact row count from footer stats on the unfiltered scan (the
-    // same metadata the agg pushdown folds); filtered scans keep it
-    // unknown — a post-filter row estimate would be a guess — and
-    // dv/MOR snapshots too (masks and delta reconciliation change the
-    // visible row set by an unknowable-without-join amount)
+    // exact row count from footer stats: advisory (and runtime)
+    // filters prune whole FILES but never change a surviving file's
+    // output, so the survivors' footer rows are the scan's EXACT
+    // output count even on filtered reads — the child cardinality
+    // CBO's FilterEstimation needs. Claimed filters DO change the
+    // output (enforced row-level), and dv/MOR snapshots change the
+    // visible row set by an unknowable-without-join amount — unknown.
     val rows =
-      if (allFilters.isEmpty && !dv && !mor)
-        relation.aggregatable.map(ms => ms.map(_.rows).sum)
+      if (claimed.isEmpty && !dv && !mor)
+        relation.fileRows.flatMap { m =>
+          val per = survivors.map(m.get)
+          if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+        }
       else None
-    // ANALYZE-computed column stats (ndv/nulls/lengths) ride along for
-    // CBO join reordering and selectivity under spark.sql.cbo.enabled —
-    // served only on the unfiltered scan (post-filter per-column stats
-    // would be guesses, same rule as numRows)
+    // ANALYZE-computed column stats (ndv/nulls/lengths + histogram)
+    // ride along for CBO join reordering and selectivity under
+    // spark.sql.cbo.enabled — same serving rule as numRows: the scan's
+    // OUTPUT is unchanged by advisory filters, and the estimation of
+    // the residual Filter above is exactly what these stats feed
     val colStats: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
       val m = new java.util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      if (allFilters.isEmpty && !dv && !mor) {
+      if (claimed.isEmpty && !dv && !mor) {
         relation.tableColumnStats.foreach { case (c, s) =>
-          if (fullSchema.fieldNames.contains(c))
+          if (fullSchema.fieldNames.contains(c)) {
+            // the ANALYZE-computed equi-height histogram rides along —
+            // Spark's transformV2Stats maps it into the catalyst
+            // ColumnStat, where FilterEstimation's selectivity math
+            // (the skew signal) consumes it under spark.sql.cbo.enabled
+            val hist: java.util.Optional[org.apache.spark.sql.connector.read.colstats.Histogram] =
+              s.hist match {
+                case Some(h) => java.util.Optional.of(
+                  new org.apache.spark.sql.connector.read.colstats.Histogram {
+                    override def height(): Double = h.height
+                    override def bins(): Array[org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                      h.bins.map { b =>
+                        new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                          override def lo(): Double = b.lo
+                          override def hi(): Double = b.hi
+                          override def ndv(): Long = b.ndv
+                        }
+                      }.toArray
+                  })
+                case None => java.util.Optional.empty()
+              }
+            // exact numeric bounds, re-typed to the column (CBO's value
+            // interval wants the attribute's own type, not a double)
+            def typed(v: Double): Object = {
+              import org.apache.spark.sql.types._
+              fullSchema(c).dataType match {
+                case ByteType => Byte.box(v.toByte)
+                case ShortType => Short.box(v.toShort)
+                case IntegerType => Int.box(v.toInt)
+                case LongType => Long.box(v.toLong)
+                case FloatType => Float.box(v.toFloat)
+                case DoubleType => Double.box(v)
+                case _ => null
+              }
+            }
+            def bound(v: Option[Double]): java.util.Optional[Object] =
+              v.map(typed).filter(_ != null)
+                .map(java.util.Optional.of[Object])
+                .getOrElse(java.util.Optional.empty[Object]())
             m.put(Expressions.column(c),
               new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
                 override def distinctCount(): OptionalLong = OptionalLong.of(s.ndv)
+                override def min(): java.util.Optional[Object] = bound(s.min)
+                override def max(): java.util.Optional[Object] = bound(s.max)
                 override def nullCount(): OptionalLong = OptionalLong.of(s.nullCount)
                 override def avgLen(): OptionalLong = OptionalLong.of(s.avgLen)
                 override def maxLen(): OptionalLong = OptionalLong.of(s.maxLen)
+                override def histogram(): java.util.Optional[
+                    org.apache.spark.sql.connector.read.colstats.Histogram] = hist
               })
+          }
         }
       }
       m

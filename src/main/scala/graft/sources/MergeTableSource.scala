@@ -319,6 +319,13 @@ class MergeTableRelation(
     if (pinnedEntries.exists(_._1 == "delta")) table.prunableFilesMor(pinnedEntries)
     else None
 
+  /** Exact per-file footer row counts of the pinned snapshot's base
+    * files — the Batch scan's post-pruning numRows source.
+    */
+  private[sources] lazy val fileRows: Option[Map[java.nio.file.Path, Long]] =
+    if (version.isEmpty && table.exists) table.fileRowsByPath(pinnedEntries)
+    else None
+
   /** Hidden-partitioning pruning bridge: user predicates on a derived
     * partition's SOURCE column (the timestamp) translate to
     * CONSERVATIVE day-string predicates on the derived dir column —

@@ -79,6 +79,35 @@ class DynamicOverwriteSpec extends SparkSpec {
       .as[Long].head() === 4L)
   }
 
+  test("partition-keyed tables skip the untouched-partition clash scan (r13)") {
+    // partition cols ⊆ primary key → a row's partition values are part
+    // of its key, so a staged key can only collide inside a partition
+    // the source REPLACES: the commit is pure dir replacement and must
+    // never read the untouched partitions' (large) data
+    fresh("dyn10")
+    spark.sql("""CREATE TABLE graft.dyn10.t (id BIGINT, day STRING, v BIGINT)
+                 TBLPROPERTIES('keys'='id,day') PARTITIONED BY (day)""")
+    spark.sql("INSERT INTO graft.dyn10.t SELECT id, concat('d', id % 5), id " +
+      "FROM range(0, 5000)")
+    var recordsRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead += te.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try withDynamic {
+      spark.sql("INSERT OVERWRITE graft.dyn10.t VALUES " +
+        "(9001L, 'd1', 1L), (9002L, 'd1', 2L)")
+      Thread.sleep(500) // listener bus drains asynchronously
+      // only the staged rows (the PK-dup self-check) are read — never
+      // the ~4000 rows of the four untouched partitions
+      assert(recordsRead < 100L,
+        s"clash scan must be skipped on a partition-keyed table: read $recordsRead")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(spark.table("graft.dyn10.t").filter($"day" === "d1").count() === 2L)
+    assert(spark.table("graft.dyn10.t").filter($"day" =!= "d1").count() === 4000L)
+  }
+
   test("a staged key living in an untouched partition refuses loudly") {
     fresh("dyn1")
     spark.sql("""CREATE TABLE graft.dyn1.t (id BIGINT, day STRING, v BIGINT)

@@ -55,6 +55,75 @@ class PartitionDeleteSpec extends SparkSpec {
     assert(lines.forall(_.contains("ts_day=2024-03-03")), lines.mkString("|"))
   }
 
+  test("ALTER TABLE DROP PARTITION: one metadata commit, zero records read (r13)") {
+    fresh("pd5")
+    spark.sql("""CREATE TABLE graft.pd5.t (id BIGINT, grp STRING, g2 BIGINT, v BIGINT)
+                 TBLPROPERTIES('keys'='id') PARTITIONED BY (grp, g2)""")
+    spark.sql("""INSERT INTO graft.pd5.t VALUES
+                 (1,'red',1,10), (2,'red',2,20), (3,'blue',1,30), (4,'green',1,40)""")
+    val root = "target/graft_warehouse/pd5/t"
+    val dirsBefore = dataDirCount(root)
+    var recordsRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead += te.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // PARTIAL spec: grp='red' drops BOTH red leaves (g2=1, g2=2)
+      assert(spark.sql("ALTER TABLE graft.pd5.t DROP PARTITION (grp = 'red')")
+        .head().getLong(0) === 2L)
+      Thread.sleep(500) // listener bus drains asynchronously
+      assert(recordsRead === 0L, "DROP PARTITION must open zero data files")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(dataDirCount(root) === dirsBefore, "drop must not write data")
+    assert(!latestManifestLines(root).exists(_.contains("grp=red")))
+    assert(spark.table("graft.pd5.t").select("id").as[Long].collect().sorted
+      === Seq(3L, 4L))
+    // full spec drops exactly one leaf; a miss errors without IF EXISTS
+    assert(spark.sql("ALTER TABLE graft.pd5.t DROP PARTITION (grp = 'blue', g2 = 1)")
+      .head().getLong(0) === 1L)
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.pd5.t DROP PARTITION (grp = 'absent')").collect())
+    assert(e.getMessage.contains("no partition"), e.getMessage)
+    assert(spark.sql(
+      "ALTER TABLE graft.pd5.t DROP IF EXISTS PARTITION (grp = 'absent')")
+      .head().getLong(0) === 0L)
+    // non-partition column refuses loudly
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.pd5.t DROP PARTITION (v = 40)").collect())
+    assert(e2.getMessage.contains("not a partition column"), e2.getMessage)
+  }
+
+  test("DROP PARTITION on hidden-day layouts addresses the derived column") {
+    fresh("pd6")
+    spark.sql("""CREATE TABLE graft.pd6.t (id BIGINT, v STRING, ts TIMESTAMP_NTZ)
+                 TBLPROPERTIES('keys'='id') PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO graft.pd6.t VALUES
+                 (1,'a',TIMESTAMP_NTZ'2024-03-01 10:00:00'),
+                 (2,'b',TIMESTAMP_NTZ'2024-03-02 10:00:00')""")
+    assert(spark.sql(
+      "ALTER TABLE graft.pd6.t DROP PARTITION (ts_day = '2024-03-01')")
+      .head().getLong(0) === 1L)
+    assert(spark.table("graft.pd6.t").select("id").as[Long].collect() === Seq(2L))
+    // time travel still reads the pre-drop snapshot
+    assert(spark.sql("SELECT count(*) FROM graft.pd6.t VERSION AS OF 1")
+      .head().getLong(0) === 2L)
+  }
+
+  test("DROP PARTITION refuses MOR pending deltas instead of silently row-deleting") {
+    fresh("pd7")
+    spark.sql("""CREATE TABLE graft.pd7.t (id BIGINT, grp STRING)
+                 PARTITIONED BY (grp)
+                 TBLPROPERTIES('keys'='id', 'mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.pd7.t VALUES (1, 'a'), (2, 'b')")
+    MergeTable.open(spark, "target/graft_warehouse/pd7/t")
+      .upsert(Seq((3L, "a")).toDF("id", "grp"))
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.pd7.t DROP PARTITION (grp = 'a')").collect())
+    assert(e.getMessage.contains("COMPACT"), e.getMessage)
+  }
+
   test("uncertain predicates fall back to the exact row delete") {
     fresh("pd3")
     spark.sql("""CREATE TABLE graft.pd3.t (id BIGINT, v STRING, ts TIMESTAMP_NTZ)

@@ -194,20 +194,44 @@ class SortedBucketSpec extends SparkSpec {
     }
   }
 
-  test("sortBuckets refuses unbucketed and composed layouts") {
+  test("sortBuckets refuses unbucketed layouts") {
     val root = "target/test_tmp/sorted_refuse"
     MergeTable.drop(root)
     val flat = MergeTable.createIfAbsent(spark, root, Seq("id"),
       initial = Some(Seq((1L, "a")).toDF("id", "v")))
     assert(intercept[IllegalArgumentException](
       flat.sortBuckets(Seq("id"))).getMessage.contains("hash-bucketed"))
+  }
 
-    val root2 = "target/test_tmp/sorted_refuse_pb"
-    MergeTable.drop(root2)
-    val pb = new MergeTable(spark, root2, Seq("id"), numBuckets = Some(2),
-      partitionCols = Seq("p"))
-    pb.upsert(Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "v", "p"))
-    assert(intercept[IllegalArgumentException](
-      pb.sortBuckets(Seq("id"))).getMessage.contains("value partitioning"))
+  test("COMPOSED sorted cells: one-partition joins skip sorts; full scans claim nothing (r13)") {
+    fresh("sb9")
+    for (t <- Seq("a", "b")) {
+      spark.sql(s"""CREATE TABLE graft.sb9.$t (id BIGINT, day STRING, v BIGINT)
+                    TBLPROPERTIES('keys'='id', 'buckets'='4') PARTITIONED BY (day)""")
+      (1 to 400).map(i => (i.toLong, s"d${i % 3}", i.toLong)).toDF("id", "day", "v")
+        .createOrReplaceTempView(s"sb9_$t")
+      spark.sql(s"INSERT INTO graft.sb9.$t SELECT * FROM sb9_$t")
+      // per-cell sorted rewrite (3 partitions × up to 4 buckets)
+      assert(spark.sql(s"OPTIMIZE graft.sb9.$t SORT BY (id)").head().getLong(0) >= 3L)
+    }
+    def join(where: String) = spark.sql(
+      s"""SELECT a.id, a.v, b.v FROM graft.sb9.a a JOIN graft.sb9.b b
+          ON a.id = b.id WHERE $where""")
+    withSQLConf(noBroadcast: _*) {
+      // pruned to ONE partition: every surviving bucket is one sorted
+      // cell — the merge join skips BOTH the shuffle and the sorts
+      val one = join("a.day = 'd1' AND b.day = 'd1'")
+      val (sh1, so1) = planCounts(one)
+      assert(sh1 === 0, s"one-partition composed join shuffled:\n${one.queryExecution.executedPlan}")
+      assert(so1 === 0, s"one-partition composed join re-sorted:\n${one.queryExecution.executedPlan}")
+      assert(one.count() === 134L) // ids ≡ 1 (mod 3): 1, 4, …, 400 → 134
+      // FULL scan: a bucket concatenates 3 cells — the ordering claim
+      // must NOT be made, and the join sorts (correctness over claims)
+      val full = join("true")
+      val (sh2, so2) = planCounts(full)
+      assert(sh2 === 0, "composed SPJ itself must still hold")
+      assert(so2 > 0, "a multi-cell bucket must not claim a sorted scan")
+      assert(full.count() === 400L)
+    }
   }
 }
