@@ -15,6 +15,7 @@ object SparkEntry {
     graft.analytics.Queries4,
     graft.analytics.Queries5,
     graft.analytics.Queries6,
+    graft.analytics.Queries7,
     graft.analytics.PartsuppQueries,
     graft.analytics.MvQueries,
     graft.analytics.GraphQueries,
