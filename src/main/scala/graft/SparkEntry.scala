@@ -26,6 +26,7 @@ object SparkEntry {
     graft.ops.CorpusQueries,
     graft.ops.SearchQueries,
     graft.ops.QualityQueries,
+    graft.ops.ProfileQueries,
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

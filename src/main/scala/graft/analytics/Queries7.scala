@@ -232,7 +232,79 @@ object Queries7 extends QueryModule {
       |  - (count(*) + 1.0) / count(*), 6) AS gini
       |FROM ranked""".stripMargin
 
+  // -- inter-purchase cadence ---------------------------------------------------
+
+  /** Median days between consecutive orders for repeat customers (≥5
+    * orders) — the cadence metric replenishment forecasting starts
+    * from. The lag window partitions per customer; gaps are integer
+    * day differences, the median a type-7 quantile (both engines
+    * interpolate identically — certified by the histogram-edge gate).
+    */
+  private def interPurchase(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+    val w = Window.partitionBy("o_custkey").orderBy("d")
+    o.withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(w)))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap, 0.5)"), 1).as("median_gap_days"))
+      .filter(col("n_gaps") >= 4) // ≥5 orders
+      .orderBy(col("median_gap_days"), col("custkey"))
+      .limit(15)
+  }
+
+  private val interPurchaseSql =
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |    date_diff('day',
+      |      lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+      |        ORDER BY CAST(o_orderdate AS DATE)),
+      |      CAST(o_orderdate AS DATE)) AS gap
+      |  FROM orders)
+      |SELECT o_custkey AS custkey, count(*)::BIGINT AS n_gaps,
+      |  ROUND(quantile_cont(gap, 0.5), 1) AS median_gap_days
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY 1 HAVING count(*) >= 4
+      |ORDER BY median_gap_days, custkey LIMIT 15""".stripMargin
+
+  // -- peak-hour profile ----------------------------------------------------------
+
+  /** Each event type's peak hour of day and the share of its traffic
+    * that hour carries — the capacity-planning profile. Ties break to
+    * the earliest hour; the rank window runs over the bounded
+    * (type × 24h) aggregate, never over events.
+    */
+  private def peakHours(s: SparkSession, dir: String): DataFrame = {
+    val byHour = Tables.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val n = byHour.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(desc("c"), col("h"))
+    byHour.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(n, "event_type")
+      .select(col("event_type"), col("h").as("peak_hour"),
+        round(col("c").cast("double") / col("n"), 6).as("peak_share"))
+      .orderBy("event_type")
+  }
+
+  private val peakHoursSql =
+    """WITH c AS (
+      |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+      |r AS (SELECT event_type, h, c,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY c DESC, h) AS rk
+      |      FROM c)
+      |SELECT r.event_type, r.h AS peak_hour,
+      |  ROUND(r.c::DOUBLE / n.n, 6) AS peak_share
+      |FROM r JOIN n ON n.event_type = r.event_type
+      |WHERE r.rk = 1 ORDER BY r.event_type""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("orders_inter_purchase", interPurchase, Some(interPurchaseSql)),
+    QueryDef("events_peak_hours", peakHours, Some(peakHoursSql)),
     QueryDef("orders_theil_sen", theilSen, Some(theilSenSql)),
     QueryDef("customer_order_streaks", orderStreaks, Some(orderStreaksSql)),
     QueryDef("events_user_entropy", userEntropy, Some(userEntropySql)),
