@@ -92,17 +92,28 @@ case class GraftGranuleBound(fn: String, srcType: DataType)
   override def canonicalName(): String = s"graft.$fn"
   override def produceResult(input: InternalRow): org.apache.spark.unsafe.types.UTF8String = {
     if (input.isNullAt(0)) return null
-    // catalyst internals: TIMESTAMP_NTZ = zone-free epoch micros,
-    // DATE = epoch days; both floor-divide cleanly to a LocalDate
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      GraftGranule.render(srcType, input.get(0, srcType), fn == "months"))
+  }
+}
+
+/** The ONE rendering of a zone-free timestamp/date to its day/month
+  * granule string — shared by the FunctionCatalog transform, the v2
+  * writer's executor-side derived-partition routing, and (by
+  * construction) byte-identical to the V1 write path's
+  * `to_date(src).cast("string")` / `date_format(src, "yyyy-MM")`.
+  */
+object GraftGranule {
+  /** `v` is the catalyst value: epoch days (DATE) or zone-free epoch
+    * micros (TIMESTAMP_NTZ).
+    */
+  def render(srcType: DataType, v: Any, monthly: Boolean): String = {
     val day = srcType match {
-      case DateType => java.time.LocalDate.ofEpochDay(input.getInt(0).toLong)
-      case _ =>
-        val micros = input.getLong(0)
-        java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, 86400000000L))
+      case DateType => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+      case _ => java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(v.asInstanceOf[Long], 86400000000L))
     }
-    val s =
-      if (fn == "months") f"${day.getYear}%04d-${day.getMonthValue}%02d"
-      else f"${day.getYear}%04d-${day.getMonthValue}%02d-${day.getDayOfMonth}%02d"
-    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    if (monthly) f"${day.getYear}%04d-${day.getMonthValue}%02d"
+    else f"${day.getYear}%04d-${day.getMonthValue}%02d-${day.getDayOfMonth}%02d"
   }
 }

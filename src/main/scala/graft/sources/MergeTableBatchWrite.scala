@@ -62,20 +62,32 @@ class MergeTableBatchWrite(
   private def seedLayout: Boolean =
     meta.numBuckets.isDefined || meta.partitionCols.nonEmpty
 
+  // a partition column's clustering expression: identity for value
+  // partitioning, the FunctionCatalog-resolved days(ts)/months(ts)
+  // transform for hidden layouts — the seed clusters by the derived
+  // granule without the (hidden) column existing in the write plan
+  private def partClusterExprs: Array[V2Expression] =
+    meta.partitionCols.map { c =>
+      meta.derivedPartitions.get(c) match {
+        case Some(src) if c.endsWith("_month") =>
+          Expressions.months(src): V2Expression
+        case Some(src) => Expressions.days(src): V2Expression
+        case None => Expressions.identity(c): V2Expression
+      }
+    }.toArray
+
   override def requiredDistribution(): Distribution =
     if (meta.numBuckets.isDefined && meta.partitionCols.nonEmpty)
-      // composed seed: cluster by the full cell id — identity over
-      // the partition columns AND the key-hash bucket, so each task
+      // composed seed: cluster by the full cell id — the partition
+      // columns' expressions AND the key-hash bucket, so each task
       // holds whole (partition × bucket) cells
-      Distributions.clustered(
-        meta.partitionCols.map(c => Expressions.identity(c): V2Expression).toArray :+
-          (Expressions.bucket(meta.numBuckets.get, meta.keys: _*): V2Expression))
+      Distributions.clustered(partClusterExprs :+
+        (Expressions.bucket(meta.numBuckets.get, meta.keys: _*): V2Expression))
     else if (meta.numBuckets.isDefined)
       Distributions.clustered(
         Array(Expressions.bucket(meta.numBuckets.get, meta.keys: _*)))
     else if (meta.partitionCols.nonEmpty)
-      Distributions.clustered(
-        meta.partitionCols.map(c => Expressions.identity(c): V2Expression).toArray)
+      Distributions.clustered(partClusterExprs)
     else Distributions.unspecified()
 
   /** A declared table sort (`TBLPROPERTIES('sortBy'='c1,c2')`, plain
@@ -119,20 +131,22 @@ class MergeTableBatchWrite(
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
       val job = Job.getInstance(spark.sessionState.newHadoopConf())
-      val owf = new ParquetFileFormat()
-        .prepareWrite(spark, job, Map.empty, writeSchema)
       val layout: GraftWriteLayout =
         if (meta.numBuckets.isDefined && meta.partitionCols.nonEmpty)
           GraftWriteLayout.Composed(meta.numBuckets.get,
             meta.keys.map(k => writeSchema.fieldIndex(k)),
-            meta.partitionCols.map(c => writeSchema.fieldIndex(c)))
+            GraftWriteLayout.partSegments(meta, writeSchema))
         else if (meta.numBuckets.isDefined)
           GraftWriteLayout.Bucketed(meta.numBuckets.get,
             meta.keys.map(k => writeSchema.fieldIndex(k)))
         else if (meta.partitionCols.nonEmpty)
           GraftWriteLayout.Partitioned(
-            meta.partitionCols.map(c => writeSchema.fieldIndex(c)))
+            GraftWriteLayout.partSegments(meta, writeSchema))
         else GraftWriteLayout.Flat
+      // the FILE schema appends the derived granule columns (hidden
+      // layouts store them with the rows) — prepareWrite must see it
+      val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty,
+        GraftWriteLayout.fileSchema(writeSchema, layout))
       new GraftDataWriterFactory(writeSchema, stagingAbs.toString, layout,
         owf, new SerializableConfiguration(job.getConfiguration),
         spark.sessionState.conf.maxRecordsPerFile)
@@ -246,7 +260,14 @@ class MergeTableDynamicOverwrite(
 
   override def requiredDistribution(): Distribution =
     Distributions.clustered(
-      (meta.partitionCols.map(c => Expressions.identity(c): V2Expression) ++
+      (meta.partitionCols.map { c =>
+        meta.derivedPartitions.get(c) match {
+          case Some(src) if c.endsWith("_month") =>
+            Expressions.months(src): V2Expression
+          case Some(src) => Expressions.days(src): V2Expression
+          case None => Expressions.identity(c): V2Expression
+        }
+      } ++
         meta.numBuckets.map(n =>
           Expressions.bucket(n, meta.keys: _*): V2Expression)).toArray)
 
@@ -268,15 +289,15 @@ class MergeTableDynamicOverwrite(
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
       val job = Job.getInstance(spark.sessionState.newHadoopConf())
-      val owf = new ParquetFileFormat()
-        .prepareWrite(spark, job, Map.empty, writeSchema)
       val layout: GraftWriteLayout = meta.numBuckets match {
         case Some(n) => GraftWriteLayout.Composed(n,
           meta.keys.map(k => writeSchema.fieldIndex(k)),
-          meta.partitionCols.map(c => writeSchema.fieldIndex(c)))
+          GraftWriteLayout.partSegments(meta, writeSchema))
         case None => GraftWriteLayout.Partitioned(
-          meta.partitionCols.map(c => writeSchema.fieldIndex(c)))
+          GraftWriteLayout.partSegments(meta, writeSchema))
       }
+      val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty,
+        GraftWriteLayout.fileSchema(writeSchema, layout))
       new GraftDataWriterFactory(writeSchema, stagingAbs.toString, layout,
         owf, new SerializableConfiguration(job.getConfiguration),
         spark.sessionState.conf.maxRecordsPerFile)
@@ -304,12 +325,24 @@ trait V2WriteLike extends Write with RequiresDistributionAndOrdering
 /** Routing of a row to its staged leaf dir ("" = flat). */
 sealed trait GraftWriteLayout extends Serializable
 object GraftWriteLayout {
+  /** One partition-dir level: an identity column of the incoming row,
+    * or a HIDDEN (derived) day/month granule computed executor-side
+    * from its zone-free source column — rendered by [[GraftGranule]]
+    * (byte-identical to the V1 path's driver-side injection) and ALSO
+    * stored with the rows (appended string column), because scoped
+    * merges and compactions re-derive leaf dirs from the stored value.
+    */
+  sealed trait PartSeg extends Serializable { def name: String }
+  final case class IdentitySeg(ordinal: Int, name: String) extends PartSeg
+  final case class DerivedSeg(srcOrdinal: Int, srcType: DataType,
+      monthly: Boolean, name: String) extends PartSeg
+
   case object Flat extends GraftWriteLayout
   final case class Bucketed(n: Int, keyOrdinals: Seq[Int]) extends GraftWriteLayout
-  final case class Partitioned(partOrdinals: Seq[Int]) extends GraftWriteLayout
+  final case class Partitioned(segs: Seq[PartSeg]) extends GraftWriteLayout
   /** Partition dirs nesting per-bucket subdirs — one leaf per
     * (partition tuple × key-hash bucket) cell. */
-  final case class Composed(n: Int, keyOrdinals: Seq[Int], partOrdinals: Seq[Int])
+  final case class Composed(n: Int, keyOrdinals: Seq[Int], segs: Seq[PartSeg])
     extends GraftWriteLayout
 
   /** Partition column types whose dir-name rendering is exact — the
@@ -319,6 +352,34 @@ object GraftWriteLayout {
     case StringType | ByteType | ShortType | IntegerType | LongType | BooleanType => true
     case _ => false
   }
+
+  /** The partition segments of a table's layout against an incoming
+    * write schema: derived columns resolve to their SOURCE ordinal
+    * (unless the batch already carries the derived column — rewrite
+    * sources do), identity columns to their own.
+    */
+  def partSegments(meta: graft.cdc.MergeTable.Meta,
+      schema: StructType): Seq[PartSeg] =
+    meta.partitionCols.map { c =>
+      meta.derivedPartitions.get(c) match {
+        case Some(src) if !schema.fieldNames.contains(c) =>
+          val o = schema.fieldIndex(src)
+          DerivedSeg(o, schema(o).dataType, c.endsWith("_month"), c)
+        case _ => IdentitySeg(schema.fieldIndex(c), c)
+      }
+    }
+
+  /** Derived segments needing a stored column appended to the file. */
+  def derivedOf(layout: GraftWriteLayout): Seq[DerivedSeg] = layout match {
+    case Partitioned(segs) => segs.collect { case d: DerivedSeg => d }
+    case Composed(_, _, segs) => segs.collect { case d: DerivedSeg => d }
+    case _ => Nil
+  }
+
+  /** The file schema: incoming rows plus the derived string columns. */
+  def fileSchema(schema: StructType, layout: GraftWriteLayout): StructType =
+    StructType(schema.fields ++ derivedOf(layout).map(d =>
+      org.apache.spark.sql.types.StructField(d.name, StringType, nullable = true)))
 }
 
 final case class GraftCommitMessage(relFiles: Seq[String], rows: Long)
@@ -357,6 +418,23 @@ class GraftDataWriter(
     new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId), 0))
   private val ext = owf.getFileExtension(ctx)
   private val uuid = UUID.randomUUID().toString
+
+  // hidden-partition layouts append the derived granule strings to
+  // every stored row (one reused buffer + JoinedRow — no per-row
+  // allocation); `owf` was prepared with the matching file schema
+  private val derivedSegs = GraftWriteLayout.derivedOf(layout)
+  private val fileSchema = GraftWriteLayout.fileSchema(schema, layout)
+  private val derivedBuf = new Array[Any](derivedSegs.length)
+  private val derivedRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(derivedBuf)
+  private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+
+  /** The rendered granule of one derived segment for `row` (null for
+    * a null source — the null partition).
+    */
+  private def granuleOf(d: GraftWriteLayout.DerivedSeg, row: InternalRow): String =
+    if (row.isNullAt(d.srcOrdinal)) null
+    else GraftGranule.render(d.srcType, row.get(d.srcOrdinal, d.srcType), d.monthly)
   // per leaf dir: the open writer, its record count, and its roll
   // sequence — spark.sql.files.maxRecordsPerFile rolls to a fresh
   // file exactly as Spark's own FileFormatWriter does, so a skewed
@@ -384,23 +462,25 @@ class GraftDataWriter(
     }
   }
 
-  private def partitionRoute(ords: Seq[Int]): InternalRow => String = {
-    val fields = ords.map(o => schema(o))
-    row => ords.zip(fields).map { case (o, f) =>
-      val v = row.get(o, f.dataType)
+  private def partitionRoute(segs: Seq[GraftWriteLayout.PartSeg]): InternalRow => String =
+    row => segs.map { seg =>
+      val v: Any = seg match {
+        case GraftWriteLayout.IdentitySeg(o, _) =>
+          row.get(o, schema(o).dataType)
+        case d: GraftWriteLayout.DerivedSeg => granuleOf(d, row)
+      }
       val rendered =
         if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
         else ExternalCatalogUtils.escapePathName(v.toString)
-      s"${MergeTable.PartPrefixName}${f.name}=$rendered"
+      s"${MergeTable.PartPrefixName}${seg.name}=$rendered"
     }.mkString("/")
-  }
 
   private val route: InternalRow => String = layout match {
     case GraftWriteLayout.Flat => _ => ""
     case GraftWriteLayout.Bucketed(n, ords) => bucketRoute(n, ords)
-    case GraftWriteLayout.Partitioned(ords) => partitionRoute(ords)
-    case GraftWriteLayout.Composed(n, keyOrds, partOrds) =>
-      val parts = partitionRoute(partOrds)
+    case GraftWriteLayout.Partitioned(segs) => partitionRoute(segs)
+    case GraftWriteLayout.Composed(n, keyOrds, segs) =>
+      val parts = partitionRoute(segs)
       val bucket = bucketRoute(n, keyOrds)
       row => s"${parts(row)}/${bucket(row)}"
   }
@@ -410,7 +490,7 @@ class GraftDataWriter(
     Files.createDirectories(dir)
     val name = f"part-$partitionId%05d-$uuid-c$seq%03d$ext"
     files += (if (sub.isEmpty) name else s"$sub/$name")
-    owf.newInstance(dir.resolve(name).toString, schema, ctx)
+    owf.newInstance(dir.resolve(name).toString, fileSchema, ctx)
   }
 
   private def writerFor(sub: String): org.apache.spark.sql.execution.datasources.OutputWriter = {
@@ -426,7 +506,21 @@ class GraftDataWriter(
   }
 
   override def write(row: InternalRow): Unit = {
-    writerFor(route(row)).write(row)
+    val w = writerFor(route(row))
+    if (derivedSegs.isEmpty) w.write(row)
+    else {
+      // the stored row carries the derived granule columns the scoped
+      // merge/compaction paths re-derive leaf dirs from
+      var i = 0
+      while (i < derivedSegs.length) {
+        val g = granuleOf(derivedSegs(i), row)
+        derivedBuf(i) =
+          if (g == null) null
+          else org.apache.spark.unsafe.types.UTF8String.fromString(g)
+        i += 1
+      }
+      w.write(joined(row, derivedRow))
+    }
     rows += 1
   }
 

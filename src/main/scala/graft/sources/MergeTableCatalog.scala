@@ -392,9 +392,17 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     * A seed-eligibility race (someone seeds after analysis) is
     * handled by the BatchWrite's conflict-recovery upsert.
     */
-  private lazy val partTypesOk: Boolean = meta.partitionCols.forall(c =>
-    schema.fields.find(_.name.equalsIgnoreCase(c))
-      .exists(f => GraftWriteLayout.partitionable(f.dataType)))
+  private lazy val partTypesOk: Boolean = meta.partitionCols.forall { c =>
+    meta.derivedPartitions.get(c) match {
+      // hidden layouts: the write derives the granule from the SOURCE
+      // column, which must be zone-free (the layout's CREATE gate)
+      case Some(src) => schema.fields.find(_.name.equalsIgnoreCase(src))
+        .exists(f => f.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+          f.dataType == org.apache.spark.sql.types.DateType)
+      case None => schema.fields.find(_.name.equalsIgnoreCase(c))
+        .exists(f => GraftWriteLayout.partitionable(f.dataType))
+    }
+  }
 
   private lazy val metaPlainOk: Boolean =
     meta.constraints.isEmpty && meta.droppedColumns.isEmpty &&
@@ -415,11 +423,12 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
           .map(refTable.forBranch).getOrElse(refTable)
         !t.exists
       }
-    // hidden partitioning injects the derived column driver-side in
-    // MergeTable.upsert — the executor-side v2 demux never sees it,
-    // so derived tables always take the V1 path
+    // hidden partitioning rides the v2 path too (r13): the executor-
+    // side demux derives the granule itself (GraftWriteLayout
+    // DerivedSeg) and stores it with the rows, exactly like the V1
+    // driver-side injection
     version.isEmpty && ref.isEmpty && layoutSeedOk && partTypesOk &&
-      metaPlainOk && meta.derivedPartitions.isEmpty
+      metaPlainOk
   }
 
   /** DYNAMIC partition overwrite (`INSERT OVERWRITE` under
@@ -432,7 +441,7 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     */
   private lazy val dynamicOverwriteEligible: Boolean =
     version.isEmpty && ref.isEmpty && meta.partitionCols.nonEmpty &&
-      partTypesOk && metaPlainOk && meta.derivedPartitions.isEmpty
+      partTypesOk && metaPlainOk
 
   /** Declared so `ResolveInsertInto` can tell a partitioned table
     * from a flat one (the dynamic-overwrite decision keys off it);

@@ -163,6 +163,28 @@ class DynamicOverwriteSpec extends SparkSpec {
       err.getMessage.toLowerCase.contains("overwrite"), err.getMessage)
   }
 
+  test("dynamic overwrite on a HIDDEN-DAY layout replaces the source's days (r13)") {
+    fresh("dyn11")
+    spark.sql("""CREATE TABLE graft.dyn11.t (id BIGINT, v STRING, ts TIMESTAMP_NTZ)
+                 TBLPROPERTIES('keys'='id') PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO graft.dyn11.t VALUES
+      (1, 'a', TIMESTAMP_NTZ'2024-03-01 08:00:00'),
+      (2, 'b', TIMESTAMP_NTZ'2024-03-01 18:00:00'),
+      (3, 'c', TIMESTAMP_NTZ'2024-03-02 09:00:00')""")
+    withDynamic {
+      // the source covers ONLY day 2024-03-01 (fresh ids) — day 02
+      // carries over verbatim, the derived granule computed
+      // executor-side routes the staged rows
+      spark.sql("INSERT OVERWRITE graft.dyn11.t VALUES " +
+        "(11, 'x', TIMESTAMP_NTZ'2024-03-01 01:00:00')")
+    }
+    assert(spark.table("graft.dyn11.t").orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq
+      === Seq((3L, "c"), (11L, "x")))
+    val lines = lastManifest("dyn11", "t")
+    assert(lines.exists(_.contains("_graft_p_ts_day=2024-03-02")), lines.mkString("|"))
+  }
+
   test("MOR pending deltas refuse dynamic overwrite until compaction") {
     fresh("dyn4")
     spark.sql("""CREATE TABLE graft.dyn4.t (id BIGINT, day STRING, v BIGINT)

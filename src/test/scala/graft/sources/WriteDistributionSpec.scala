@@ -90,6 +90,52 @@ class WriteDistributionSpec extends SparkSpec {
     assert(spark.table("graft.wd2.t").count() === 300L, "existing key upserts")
   }
 
+  test("a hidden-day seed INSERT rides the v2 write, clustered by days(ts) (r13)") {
+    fresh("wd7")
+    spark.sql("""CREATE TABLE graft.wd7.t (id BIGINT, v STRING, ts TIMESTAMP_NTZ)
+                 TBLPROPERTIES('keys'='id') PARTITIONED BY (days(ts))""")
+    (1L to 300L).map(i => (i, s"v$i",
+        java.time.LocalDateTime.parse(f"2024-03-${i % 3 + 1}%02dT0${i % 9}:00:00")))
+      .toDF("id", "v", "ts").repartition(12).createOrReplaceTempView("wd7_src")
+    val plan = spark.sql(
+      "EXPLAIN EXTENDED INSERT INTO graft.wd7.t SELECT * FROM wd7_src")
+      .collect().map(_.getString(0)).mkString("\n")
+    // the seed clusters by the FunctionCatalog-resolved days(ts)
+    // transform — the derived column itself never enters the plan
+    assert(plan.contains("MergeTableBatchWrite"),
+      s"derived seed should ride the v2 write, plan was:\n$plan")
+    assert(plan.toLowerCase.contains("rebalancepartitions"),
+      s"derived seed must request granule clustering, plan was:\n$plan")
+    spark.sql("INSERT INTO graft.wd7.t SELECT * FROM wd7_src")
+    assert(spark.table("graft.wd7.t").count() === 300L)
+    // ~one file per day dir: the clustering actually took effect
+    assert(dataFiles("wd7", "t").size <= 6,
+      s"expected ~one file per day, got ${dataFiles("wd7", "t").size}")
+    // the executor-side derivation is byte-identical to the V1 path:
+    // day dirs, hidden column, pruning, and a follow-up V1 upsert all
+    // compose with the v2-seeded layout
+    val lines = latestManifestLines("target/graft_warehouse/wd7/t")
+    assert(lines.forall(_.startsWith("pv:")), lines.mkString("|"))
+    assert(lines.exists(_.contains("_graft_p_ts_day=2024-03-01")), lines.mkString("|"))
+    assert(!spark.table("graft.wd7.t").columns.contains("ts_day"))
+    assert(spark.sql("SELECT count(*) FROM graft.wd7.t " +
+      "WHERE ts >= TIMESTAMP_NTZ'2024-03-03 00:00:00'").as[Long].head() === 100L)
+    spark.sql("INSERT INTO graft.wd7.t VALUES " +
+      "(1, 'updated', TIMESTAMP_NTZ'2024-03-01 05:00:00')")
+    assert(spark.sql("SELECT v FROM graft.wd7.t WHERE id = 1")
+      .as[String].head() === "updated")
+    assert(spark.table("graft.wd7.t").count() === 300L)
+    // and the v2-seeded table still SPJs on ts (scan-side r13 feature)
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        "SELECT a.id FROM graft.wd7.t a JOIN graft.wd7.t b ON a.ts = b.ts")
+      assert(shuffles(j) === 0, j.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("a flat INSERT rides the v2 write with no gratuitous shuffle") {
     fresh("wd3")
     spark.sql("""CREATE TABLE graft.wd3.t (id BIGINT, v STRING)
