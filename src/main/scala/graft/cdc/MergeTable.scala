@@ -757,6 +757,12 @@ final class MergeTable(
   private[cdc] def commitProbe(newEntries: Seq[(String, String)]): Unit =
     commit(newEntries)
 
+  /** The manifest file of one committed version in THIS lineage
+    * (inspection-table surface — raw bytes, see the object's
+    * parse/resolve helpers).
+    */
+  private[graft] def manifestFile(v: Long): Path = manifestPath(v)
+
   /** Committed version numbers, ascending (manifests are immutable —
     * this is the time-travel index).
     */

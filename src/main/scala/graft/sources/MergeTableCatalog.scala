@@ -879,7 +879,7 @@ private[sources] class MergeTableMetadataTable(ident: Identifier, path: String,
 private[sources] object MergeTableMetadataTable {
   import org.apache.spark.sql.types._
 
-  val Kinds: Set[String] = Set("files", "history", "refs")
+  val Kinds: Set[String] = Set("files", "history", "refs", "manifests")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
@@ -887,6 +887,16 @@ private[sources] object MergeTableMetadataTable {
       StructField("file_path", StringType),
       StructField("size_bytes", LongType),
       StructField("commit_dir", StringType)))
+    // the commit-log HEALTH surface for the incremental/two-level
+    // machinery: is the log actually staying O(delta)? how deep are
+    // the chains, how big the checkpoints, how much re-referencing?
+    case "manifests" => StructType(Seq(
+      StructField("version", LongType),
+      StructField("kind", StringType), // full | delta | segments
+      StructField("chain_depth", IntegerType),
+      StructField("bytes", LongType),
+      StructField("entries", IntegerType),
+      StructField("segment_refs", IntegerType)))
     case "history" => StructType(Seq(
       StructField("version", LongType),
       StructField("committed_at", TimestampType),
@@ -922,6 +932,20 @@ private[sources] object MergeTableMetadataTable {
       case "history" =>
         t.history().map { case (v, ms, b, d, op) =>
           Row(v, new java.sql.Timestamp(ms), b, d, op)
+        }
+      case "manifests" =>
+        t.versions().map { v =>
+          val m = t.manifestFile(v)
+          val raw = MergeTable.parseManifestLines(m)
+          val mkind = raw.headOption match {
+            case Some(("@delta", _)) => "delta"
+            case Some(("@segments", _)) => "segments"
+            case _ => "full"
+          }
+          val meta = Set("txn", "sort", "op")
+          Row(v, mkind, MergeTable.chainDepthOf(m), Files.size(m),
+            MergeTable.resolveManifestIn(m).count(e => !meta.contains(e._1)),
+            raw.count(_._1 == "s"))
         }
       case "refs" =>
         val main = Row("main", "branch", base.versions().lastOption.getOrElse(0L))

@@ -57,6 +57,29 @@ class MetadataTableSpec extends SparkSpec {
       ("rel1", "tag", 1L)))
   }
 
+  test("manifests inspection table reports the commit-log shapes (r13)") {
+    fresh("meta7")
+    withSQLConf("graft.mergetable.manifestSegmentSize" -> "4",
+        "graft.mergetable.manifestCheckpointInterval" -> "3") {
+      spark.sql("""CREATE TABLE graft.meta7.t (id BIGINT, v STRING)
+                   TBLPROPERTIES('keys'='id', 'buckets'='32')""")
+      spark.sql("INSERT INTO graft.meta7.t SELECT id, concat('v', id) " +
+        "FROM range(0, 256)") // v1: 32-entry seed → segmented checkpoint
+      val t = graft.cdc.MergeTable.open(spark, "target/graft_warehouse/meta7/t")
+      t.upsert(Seq((5L, "V5")).toDF("id", "v")) // v2: delta
+      val m = spark.sql(
+        """SELECT version, kind, chain_depth, entries, segment_refs
+           FROM graft.meta7.t.manifests ORDER BY version""")
+        .as[(Long, String, Int, Int, Int)].collect()
+      assert(m(0) === ((1L, "segments", 0, 32, 8)), m.mkString("|"))
+      assert(m(1)._2 === "delta" && m(1)._3 === 1 && m(1)._4 === 32, m.mkString("|"))
+      // the health question the table exists for: is the log O(delta)?
+      assert(spark.sql(
+        """SELECT max(chain_depth) FROM graft.meta7.t.manifests""")
+        .head().getInt(0) <= 3)
+    }
+  }
+
   test("wap branch conf routes files/history to the branch lineage") {
     fresh("meta3")
     spark.sql("""CREATE TABLE graft.meta3.t (id BIGINT, v STRING)
