@@ -2519,9 +2519,17 @@ final class MergeTable(
     // segment files no manifest of their lineage references are
     // checkpoint leftovers (expired checkpoints, lost CAS races) —
     // GC'd alongside the data orphans. O(manifests) raw scans.
+    // AGE-GATED: a checkpointing writer stages its segments BEFORE the
+    // manifest CAS, so a fresh unreferenced segment may belong to an
+    // in-flight commit — deleting it would brick the manifest the
+    // writer is about to link. Only segments older than the grace
+    // window reclaim (the standard object-store GC rule).
     def gcSegs(dir: Path): Unit = {
       val segs = dir.resolve("segs")
       if (!Files.isDirectory(segs)) return
+      val grace = spark.conf.getOption("graft.mergetable.vacuumSegGraceMs")
+        .map(_.toLong).getOrElse(600000L)
+      val cutoff = System.currentTimeMillis() - grace
       val referenced = Option(dir.toFile.list()).getOrElse(Array.empty[String])
         .filter(_.matches("v\\d+\\.txt"))
         .flatMap(n => MergeTable.parseManifestLines(dir.resolve(n))
@@ -2529,7 +2537,9 @@ final class MergeTable(
         .toSet
       Option(segs.toFile.list()).getOrElse(Array.empty[String])
         .filter(n => n.endsWith(".seg") && !referenced.contains(n))
-        .foreach(n => Files.deleteIfExists(segs.resolve(n)))
+        .map(segs.resolve)
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach(Files.deleteIfExists)
     }
     gcSegs(mainDir)
     branches().foreach(b => gcSegs(branchManifestDir(b)))
@@ -3064,7 +3074,10 @@ final class MergeTable(
     // path builds a raw file scan that would bypass the positional
     // anti-join; compaction restores prunability
     if (es.isEmpty || es.exists(e => e._1 == "delta" || e._1 == "dv")) None
-    else Some(es.flatMap { case (_, d) =>
+    // `ing` ledger files are bookkeeping, not rows — current callers
+    // already pre-filter them (currentEntriesWithSort), but a future
+    // caller passing raw entries must not surface phantom ledger rows
+    else Some(es.filterNot(_._1 == "ing").flatMap { case (_, d) =>
       val stats = FileStats.read(rootPath, d)
       val base = dataDir.resolve(d)
       FileStats.listParquetFiles(base).map { f =>

@@ -104,6 +104,23 @@ case class GraftGranuleBound(fn: String, srcType: DataType)
   * `to_date(src).cast("string")` / `date_format(src, "yyyy-MM")`.
   */
 object GraftGranule {
+  /** The catalog transform of one declared partition column — THE one
+    * dispatch rule (identity for value partitioning, days/months over
+    * the source for hidden layouts; the granularity is carried by the
+    * derived column's name suffix, fixed at CREATE). Shared by the
+    * scan's reported partitioning and both write paths' required
+    * distributions, so they can never drift apart.
+    */
+  def transformOf(derived: Map[String, String],
+      c: String): org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    derived.get(c) match {
+      case Some(src) if c.endsWith("_month") => Expressions.months(src)
+      case Some(src) => Expressions.days(src)
+      case None => Expressions.identity(c)
+    }
+  }
+
   /** `v` is the catalyst value: epoch days (DATE) or zone-free epoch
     * micros (TIMESTAMP_NTZ).
     */

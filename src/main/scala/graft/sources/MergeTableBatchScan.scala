@@ -230,17 +230,18 @@ private[sources] class MergeTableBatchScan(
   // memoized per filter state: planInputPartitions, outputPartitioning
   // and estimateStatistics all consult the survivor set, and each
   // survivingFiles walk re-lists files and re-parses stats
-  @volatile private var survivorsCache: (Array[Filter], Seq[java.nio.file.Path]) = _
-  private def survivors: Seq[java.nio.file.Path] = {
+  @volatile private var survivorsCache: (Array[Filter], (Seq[java.nio.file.Path], Int)) = _
+  private def survivorsWithTotal: (Seq[java.nio.file.Path], Int) = {
     val key = allFilters
     val cached = survivorsCache
     if (cached != null && (cached._1 sameElements key)) cached._2
     else {
-      val v = relation.survivingFilesBatch(key).map(_._1).getOrElse(Seq.empty)
+      val v = relation.survivingFilesBatch(key).getOrElse((Seq.empty, 0))
       survivorsCache = (key, v)
       v
     }
   }
+  private def survivors: Seq[java.nio.file.Path] = survivorsWithTotal._1
 
   private val bucketPat = "_graft_bucket=(\\d+)".r
   private def bucketOf(p: java.nio.file.Path): Option[Int] =
@@ -371,14 +372,11 @@ private[sources] class MergeTableBatchScan(
     * identity for value partitioning; the granule transform over the
     * source column for hidden day/month partitioning (the partition
     * VALUE stays the granule string the dir carries — byte-identical
-    * to what [[GraftGranuleBound]] produces from the source).
+    * to what [[GraftGranuleBound]] produces from the source). ONE
+    * dispatch rule shared with the write paths' distributions.
     */
   private def partitionExpr(c: String): org.apache.spark.sql.connector.expressions.Transform =
-    derivedPartitionsMap.get(c) match {
-      case Some(src) if c.endsWith("_month") => Expressions.months(src)
-      case Some(src) => Expressions.days(src)
-      case None => Expressions.identity(c)
-    }
+    GraftGranule.transformOf(derivedPartitionsMap, c)
 
   override def outputPartitioning(): Partitioning = relation.numBuckets match {
     case Some(n) if survivors.forall(p => bucketOf(p).isDefined) =>
@@ -461,14 +459,17 @@ private[sources] class MergeTableBatchScan(
       else None
     // ANALYZE-computed column stats (ndv/nulls/lengths + histogram)
     // ride along for CBO join reordering and selectivity under
-    // spark.sql.cbo.enabled — same serving rule as numRows: the scan's
-    // OUTPUT is unchanged by advisory filters, and the estimation of
-    // the residual Filter above is exactly what these stats feed
+    // spark.sql.cbo.enabled — served only while the scan still reads
+    // EVERY file: once pruning drops files, whole-table nullCount/ndv
+    // would contradict the post-pruning numRows (nullCount > rowCount
+    // feeds FilterEstimation garbage), so a pruned scan keeps its
+    // exact row count and drops the per-column claims
     val colStats: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
       val m = new java.util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      if (claimed.isEmpty && !dv && !mor) {
+      if (claimed.isEmpty && !dv && !mor &&
+          survivorsWithTotal._1.size == survivorsWithTotal._2) {
         relation.tableColumnStats.foreach { case (c, s) =>
           if (fullSchema.fieldNames.contains(c)) {
             // the ANALYZE-computed equi-height histogram rides along —

@@ -67,14 +67,8 @@ class MergeTableBatchWrite(
   // transform for hidden layouts — the seed clusters by the derived
   // granule without the (hidden) column existing in the write plan
   private def partClusterExprs: Array[V2Expression] =
-    meta.partitionCols.map { c =>
-      meta.derivedPartitions.get(c) match {
-        case Some(src) if c.endsWith("_month") =>
-          Expressions.months(src): V2Expression
-        case Some(src) => Expressions.days(src): V2Expression
-        case None => Expressions.identity(c): V2Expression
-      }
-    }.toArray
+    meta.partitionCols.map(c =>
+      GraftGranule.transformOf(meta.derivedPartitions, c): V2Expression).toArray
 
   override def requiredDistribution(): Distribution =
     if (meta.numBuckets.isDefined && meta.partitionCols.nonEmpty)
@@ -260,14 +254,8 @@ class MergeTableDynamicOverwrite(
 
   override def requiredDistribution(): Distribution =
     Distributions.clustered(
-      (meta.partitionCols.map { c =>
-        meta.derivedPartitions.get(c) match {
-          case Some(src) if c.endsWith("_month") =>
-            Expressions.months(src): V2Expression
-          case Some(src) => Expressions.days(src): V2Expression
-          case None => Expressions.identity(c): V2Expression
-        }
-      } ++
+      (meta.partitionCols.map(c =>
+        GraftGranule.transformOf(meta.derivedPartitions, c): V2Expression) ++
         meta.numBuckets.map(n =>
           Expressions.bucket(n, meta.keys: _*): V2Expression)).toArray)
 
@@ -421,9 +409,15 @@ class GraftDataWriter(
 
   // hidden-partition layouts append the derived granule strings to
   // every stored row (one reused buffer + JoinedRow — no per-row
-  // allocation); `owf` was prepared with the matching file schema
+  // allocation); `owf` was prepared with the matching file schema.
+  // Each granule renders ONCE per row into `granules` (write() fills
+  // it before routing); the route closure and the stored column both
+  // read the same slot.
   private val derivedSegs = GraftWriteLayout.derivedOf(layout)
+  private val derivedIdx: Map[GraftWriteLayout.DerivedSeg, Int] =
+    derivedSegs.zipWithIndex.toMap
   private val fileSchema = GraftWriteLayout.fileSchema(schema, layout)
+  private val granules = new Array[String](derivedSegs.length)
   private val derivedBuf = new Array[Any](derivedSegs.length)
   private val derivedRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(derivedBuf)
@@ -467,7 +461,8 @@ class GraftDataWriter(
       val v: Any = seg match {
         case GraftWriteLayout.IdentitySeg(o, _) =>
           row.get(o, schema(o).dataType)
-        case d: GraftWriteLayout.DerivedSeg => granuleOf(d, row)
+        // already rendered for THIS row by write() — never re-derive
+        case d: GraftWriteLayout.DerivedSeg => granules(derivedIdx(d))
       }
       val rendered =
         if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
@@ -506,20 +501,21 @@ class GraftDataWriter(
   }
 
   override def write(row: InternalRow): Unit = {
-    val w = writerFor(route(row))
-    if (derivedSegs.isEmpty) w.write(row)
+    if (derivedSegs.isEmpty) writerFor(route(row)).write(row)
     else {
-      // the stored row carries the derived granule columns the scoped
+      // render each granule once; the route reads the same slots, and
+      // the stored row carries the derived columns the scoped
       // merge/compaction paths re-derive leaf dirs from
       var i = 0
       while (i < derivedSegs.length) {
         val g = granuleOf(derivedSegs(i), row)
+        granules(i) = g
         derivedBuf(i) =
           if (g == null) null
           else org.apache.spark.unsafe.types.UTF8String.fromString(g)
         i += 1
       }
-      w.write(joined(row, derivedRow))
+      writerFor(route(row)).write(joined(row, derivedRow))
     }
     rows += 1
   }

@@ -450,18 +450,12 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     */
   override def partitioning(): Array[Transform] =
     if (meta.partitionCols.isEmpty) Array.empty
-    else (meta.partitionCols.map { c =>
-      // hidden partitions declare the TRANSFORM on their (resolvable)
-      // source column — the hidden layout column isn't in the schema
-      meta.derivedPartitions.get(c) match {
-        case Some(src) if c.endsWith("_month") =>
-          org.apache.spark.sql.connector.expressions.Expressions.months(src): Transform
-        case Some(src) =>
-          org.apache.spark.sql.connector.expressions.Expressions.days(src): Transform
-        case None =>
-          org.apache.spark.sql.connector.expressions.Expressions.identity(c): Transform
-      }
-    } ++
+    // hidden partitions declare the TRANSFORM on their (resolvable)
+    // source column — the hidden layout column isn't in the schema;
+    // ONE dispatch rule (GraftGranule.transformOf) shared with the
+    // scan's reported partitioning and the write distributions
+    else (meta.partitionCols.map(c =>
+      GraftGranule.transformOf(meta.derivedPartitions, c): Transform) ++
       meta.numBuckets.map(n =>
         org.apache.spark.sql.connector.expressions.Expressions
           .bucket(n, meta.keys: _*): Transform)).toArray

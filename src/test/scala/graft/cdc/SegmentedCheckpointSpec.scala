@@ -114,7 +114,11 @@ class SegmentedCheckpointSpec extends SparkSpec {
   test("vacuum GCs only unreferenced segments; expiry keeps readable checkpoints") {
     val root = fresh("gc")
     withSQLConf("graft.mergetable.manifestSegmentSize" -> "4",
-        "graft.mergetable.manifestCheckpointInterval" -> "2") {
+        "graft.mergetable.manifestCheckpointInterval" -> "2",
+        // grace 0: this test's segments are seconds old, and it wants
+        // to exercise the deletion path (production keeps the window —
+        // a fresh unreferenced segment may be an in-flight checkpoint's)
+        "graft.mergetable.vacuumSegGraceMs" -> "0") {
       val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
         initial = Some((0L until 256L).map(i => (i, s"v$i")).toDF("id", "v")),
         numBuckets = Some(32))
@@ -125,6 +129,7 @@ class SegmentedCheckpointSpec extends SparkSpec {
       t.expireSnapshots(2)
       t.vacuum()
       val after = segFiles(root)
+      assert(after.subsetOf(before))
       // every segment the REMAINING manifests reference must survive…
       val referenced = Option(Paths.get(s"$root/manifests").toFile.list()).get
         .filter(_.matches("v\\d+\\.txt"))
