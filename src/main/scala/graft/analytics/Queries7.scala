@@ -302,7 +302,50 @@ object Queries7 extends QueryModule {
       |FROM r JOIN n ON n.event_type = r.event_type
       |WHERE r.rk = 1 ORDER BY r.event_type""".stripMargin
 
+  // -- cohort LTV triangle --------------------------------------------------------
+
+  /** The customer-lifetime-value triangle: customers cohorted by
+    * first-order YEAR, cumulative revenue per cohort at each age
+    * (years since first order) — the retention-economics staple. Money
+    * stays exact: revenue sums as decimal micro-units (integer cents ×
+    * 100) so the cumulative fold is bit-exact cross-engine (reported
+    * as BIGINT micros); the window runs over the bounded cohort × age
+    * grid, never over orders.
+    */
+  private def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate").cast("date")).as("y"),
+        (col("o_totalprice") * 1000000L).cast("decimal(38,0)").as("micros"))
+    val cohort = o.groupBy(col("o_custkey")).agg(min(col("y")).as("cohort"))
+    val cells = o.join(cohort, "o_custkey")
+      .groupBy(col("cohort"), (col("y") - col("cohort")).as("age"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("micros")).as("rev_micros"))
+    val w = Window.partitionBy("cohort").orderBy("age")
+    cells
+      .withColumn("cum_rev_micros", sum(col("rev_micros")).over(w))
+      .select(col("cohort"), col("age"), col("n_orders"),
+        col("cum_rev_micros").cast("long").as("cum_rev_micros"))
+      .orderBy("cohort", "age")
+  }
+
+  private val cohortLtvSql =
+    """WITH o AS (
+      |  SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS y,
+      |    CAST(o_totalprice * 1000000 AS HUGEINT) AS micros
+      |  FROM orders),
+      |c AS (SELECT o_custkey, min(y) AS cohort FROM o GROUP BY 1),
+      |cells AS (
+      |  SELECT c.cohort, o.y - c.cohort AS age,
+      |    count(*)::BIGINT AS n_orders, sum(o.micros) AS rev
+      |  FROM o JOIN c ON c.o_custkey = o.o_custkey
+      |  GROUP BY 1, 2)
+      |SELECT cohort, age, n_orders,
+      |  CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age) AS BIGINT)
+      |    AS cum_rev_micros
+      |FROM cells ORDER BY cohort, age""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("orders_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("orders_inter_purchase", interPurchase, Some(interPurchaseSql)),
     QueryDef("events_peak_hours", peakHours, Some(peakHoursSql)),
     QueryDef("orders_theil_sen", theilSen, Some(theilSenSql)),
