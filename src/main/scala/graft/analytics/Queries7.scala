@@ -272,22 +272,22 @@ object Queries7 extends QueryModule {
 
   /** Each event type's peak hour of day and the share of its traffic
     * that hour carries — the capacity-planning profile. Ties break to
-    * the earliest hour; the rank window runs over the bounded
-    * (type × 24h) aggregate, never over events.
+    * the earliest hour via a lexicographic struct argmax
+    * (max(struct(count, −hour))) — one hash aggregation over the
+    * bounded type×24h grid, NO window at all (a window partitioned by
+    * the low-cardinality type would mean one reducer per type at any
+    * scale).
     */
-  private def peakHours(s: SparkSession, dir: String): DataFrame = {
-    val byHour = Tables.events(s, dir)
+  private def peakHours(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .groupBy(col("event_type"), hour(col("ts")).cast("long").as("h"))
       .agg(count(lit(1)).as("c"))
-    val n = byHour.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
-    val w = Window.partitionBy("event_type").orderBy(desc("c"), col("h"))
-    byHour.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .join(n, "event_type")
-      .select(col("event_type"), col("h").as("peak_hour"),
-        round(col("c").cast("double") / col("n"), 6).as("peak_share"))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("c"), (-col("h")).as("negh"))).as("m"),
+        sum(col("c")).as("n"))
+      .select(col("event_type"), (-col("m.negh")).as("peak_hour"),
+        round(col("m.c").cast("double") / col("n"), 6).as("peak_share"))
       .orderBy("event_type")
-  }
 
   private val peakHoursSql =
     """WITH c AS (
