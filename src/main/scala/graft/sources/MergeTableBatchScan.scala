@@ -210,10 +210,16 @@ private[sources] class MergeTableBatchScan(
 
   @volatile private var runtime: Array[Filter] = Array.empty
   private def allFilters: Array[Filter] = advisory ++ runtime
+  // every file-facing consumer (pruning, stats, blooms, bucket math,
+  // parquet row-group hints) speaks PHYSICAL names; the engine-facing
+  // filters above stay logical
+  private def physFilters: Array[Filter] =
+    allFilters.map(relation.toPhysicalFilter)
 
   override def filterAttributes(): Array[NamedReference] = {
     val bucketKeys = if (relation.numBuckets.isDefined) relation.keys else Nil
     (bucketKeys ++ relation.partitionCols).distinct
+      .map(relation.logicalName) // engine-facing: the scan output's names
       // only columns the pruned scan still OUTPUTS: Spark resolves
       // these against the scan relation's (column-pruned) output and
       // throws on a miss — advertising a projected-away partition
@@ -236,7 +242,7 @@ private[sources] class MergeTableBatchScan(
     val cached = survivorsCache
     if (cached != null && (cached._1 sameElements key)) cached._2
     else {
-      val v = relation.survivingFilesBatch(key).getOrElse((Seq.empty, 0))
+      val v = relation.survivingFilesBatch(physFilters).getOrElse((Seq.empty, 0))
       survivorsCache = (key, v)
       v
     }
@@ -327,7 +333,7 @@ private[sources] class MergeTableBatchScan(
         // co-bucketed tables report identical partition-key sets and
         // align 1:1; ids a runtime point-lookup filter excludes drop out
         val byBucket = fs.groupBy(p => bucketOf(p).get)
-        val allowed = relation.pointBuckets(allFilters)
+        val allowed = relation.pointBuckets(physFilters)
         (0 until n)
           .filter(b => allowed.forall(_.contains(b.toLong)))
           // path order: a sorted bucket's rolled files (…-c000, -c001)
@@ -376,12 +382,17 @@ private[sources] class MergeTableBatchScan(
     * dispatch rule shared with the write paths' distributions.
     */
   private def partitionExpr(c: String): org.apache.spark.sql.connector.expressions.Transform =
-    GraftGranule.transformOf(derivedPartitionsMap, c)
+    GraftGranule.transformOf(
+      // transform args resolve against the scan output: logical names
+      derivedPartitionsMap.map { case (d, src) => d -> relation.logicalName(src) },
+      relation.logicalName(c))
 
   override def outputPartitioning(): Partitioning = relation.numBuckets match {
     case Some(n) if survivors.forall(p => bucketOf(p).isDefined) =>
+      // reported expressions resolve against the scan OUTPUT — under
+      // an active column mapping that means LOGICAL names
       new KeyGroupedPartitioning(
-        Array(Expressions.bucket(n, relation.keys: _*)), n)
+        Array(Expressions.bucket(n, relation.keys.map(relation.logicalName): _*)), n)
     case None if relation.partitionCols.nonEmpty &&
         !mor && survivors.forall(p => partitionTuple(p).isDefined) =>
       val parts = survivors.flatMap(partitionTuple).distinct.size
@@ -427,7 +438,8 @@ private[sources] class MergeTableBatchScan(
       // projection that drops a sort column must shrink the claim.
       // Rows sorted by (a, b) are sorted by the PREFIX (a) — the claim
       // stays truthful up to the first pruned column and stops there.
-      relation.sortedBy
+      // sort markers record PHYSICAL names; the claim speaks logical.
+      relation.sortedBy.map(relation.logicalName)
         .takeWhile(requiredSchema.fieldNames.contains)
         .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
         .toArray
@@ -608,14 +620,23 @@ private[sources] class MergeTableBatchScan(
     val columnar = claimed.isEmpty && !anyMaskSurvives && !wantFile && !mor &&
       fmt.supportBatch(spark, requiredSchema)
     // columnar reads never need the row-index column (no mask to
-    // apply), so they read exactly the required schema
-    val schemaToRead = if (columnar) requiredSchema else readDataSchema
+    // apply), so they read exactly the required schema.
+    // PHYSICAL twins under an active column mapping: the files, their
+    // footers, and the parquet reader all speak physical names; the
+    // positions and types are identical, so the emitted rows line up
+    // positionally under the scan's logical output schema with no
+    // projection at all (the row-index temp column is unmapped and
+    // keeps its reserved name).
+    def physical(st: StructType): StructType =
+      StructType(st.fields.map(f => f.copy(name = relation.physicalName(f.name))))
+    val schemaToRead = physical(if (columnar) requiredSchema else readDataSchema)
     val readFunc = fmt.buildReaderWithPartitionValues(
       sparkSession = spark,
-      dataSchema = fullSchema,
+      dataSchema = physical(fullSchema),
       partitionSchema = StructType(Nil),
       requiredSchema = schemaToRead,
-      filters = advisory.toSeq, // parquet row-group/page skipping (best-effort)
+      // parquet row-group/page skipping (best-effort), physical-named
+      filters = advisory.toSeq.map(relation.toPhysicalFilter),
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
       hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
     // the generated row index is the LAST read column when dv masks
@@ -626,7 +647,8 @@ private[sources] class MergeTableBatchScan(
       case None => (None, Array.empty[Int],
         Array.empty[org.apache.spark.sql.types.DataType])
     }
-    new GraftReaderFactory(readFunc, columnar, claimed,
+    new GraftReaderFactory(readFunc, columnar,
+      claimed.map(relation.toPhysicalFilter), // binds against physical names
       schemaToRead, requiredSchema.length, rowIdxOrdinal, wantFile,
       morBc, morOrds, morTypes)
   }

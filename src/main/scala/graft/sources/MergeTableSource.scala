@@ -170,6 +170,43 @@ class MergeTableRelation(
   private lazy val renameMap: Map[String, String] =
     MergeTable.readMeta(path).map(_.renames).getOrElse(Map.empty)
 
+  /** Column mapping, both directions: data files keep PHYSICAL names
+    * forever; the visible schema is LOGICAL. */
+  private[sources] def physicalName(c: String): String = renameMap.getOrElse(c, c)
+  private lazy val phys2log: Map[String, String] =
+    renameMap.collect { case (l, p) if l != p => p -> l }
+  private[sources] def logicalName(p: String): String = phys2log.getOrElse(p, p)
+
+  /** logical → physical translation of a pushed filter tree (column
+    * mapping: file bytes, footer stats, blooms, and partition dir
+    * names are all keyed PHYSICAL — a filter must speak their
+    * language before it prunes or re-checks anything). Identity when
+    * no mapping is active.
+    */
+  private[sources] def toPhysicalFilter(f: Filter): Filter = {
+    if (renameMap.forall { case (l, p) => l == p }) return f
+    import org.apache.spark.sql.sources._
+    def n(a: String) = physicalName(a)
+    f match {
+      case EqualTo(a, v) => EqualTo(n(a), v)
+      case EqualNullSafe(a, v) => EqualNullSafe(n(a), v)
+      case GreaterThan(a, v) => GreaterThan(n(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(n(a), v)
+      case LessThan(a, v) => LessThan(n(a), v)
+      case LessThanOrEqual(a, v) => LessThanOrEqual(n(a), v)
+      case In(a, vs) => In(n(a), vs)
+      case IsNull(a) => IsNull(n(a))
+      case IsNotNull(a) => IsNotNull(n(a))
+      case StringStartsWith(a, v) => StringStartsWith(n(a), v)
+      case StringEndsWith(a, v) => StringEndsWith(n(a), v)
+      case StringContains(a, v) => StringContains(n(a), v)
+      case And(l, r) => And(toPhysicalFilter(l), toPhysicalFilter(r))
+      case Or(l, r) => Or(toPhysicalFilter(l), toPhysicalFilter(r))
+      case Not(c) => Not(toPhysicalFilter(c))
+      case other => other
+    }
+  }
+
   private lazy val snapshot = {
     // readVersion already applies drops-skip + renames for time
     // travel; the pinned-entry path is raw physical and surfaces here
@@ -506,16 +543,32 @@ class MergeTableRelation(
 
   /** Whether the DSv2 Batch fast path can serve this snapshot: a
     * plain-parquet COW layout (no pending deltas / deletion vectors —
-    * [[statFiles]] is the same gate file-skipping uses), current
-    * version, and no active column mapping or dropped columns (the
-    * raw file reader resolves by PHYSICAL name; a mapped or
-    * dropped-then-readded column would read stale bytes). Everything
-    * else falls back to the V1 relation read.
+    * [[statFiles]] is the same gate file-skipping uses) at the
+    * current version. An ACTIVE COLUMN MAPPING rides along (r13): the
+    * scan reads by PHYSICAL name (same positions/types — rows line up
+    * positionally under the logical output schema) and translates
+    * every filter physical-side, so renamed tables keep vectorized
+    * reads, pruning, and SPJ. The one mapping shape that must refuse
+    * is a dropped physical name COLLIDING with a live column's
+    * physical name (the raw reader would read the dropped column's
+    * stale bytes) — impossible by construction (re-adds get fresh
+    * physical names), checked anyway. Everything else falls back to
+    * the V1 relation read.
     */
   private[sources] def batchReadable: Boolean =
-    version.isEmpty && table.exists && renameMap.isEmpty &&
-      MergeTable.readMeta(path).forall(_.droppedColumns.isEmpty) &&
-      statFiles.isDefined
+    version.isEmpty && table.exists && statFiles.isDefined && {
+      // the raw reader resolves by PHYSICAL name, so every live
+      // logical column needs its OWN physical column: a re-ADD of a
+      // renamed-away name gives two logicals the same physical (the
+      // new column would read the old column's stale bytes), and a
+      // dropped physical colliding with a live one is the same trap —
+      // both refuse back to the V1 read, which resolves through the
+      // mapping instead
+      val phys = schema.fieldNames.map(physicalName)
+      phys.distinct.length == phys.length &&
+        MergeTable.readMeta(path).forall(
+          _.droppedColumns.forall(d => !phys.contains(d)))
+    }
 
   /** Whether the Batch fast path can serve this DELETION-VECTOR
     * snapshot: the same gates as [[batchReadable]] minus the
