@@ -374,13 +374,15 @@ object SeriesQueries extends QueryModule {
     * post-aggregate frame is bounded by calendar length, not data.
     */
   private def acf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .withColumn("_one", lit(1L))
     val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("s"))
-    val dev = daily.crossJoin(broadcast(tot))
-      .select(row_number().over(Window.orderBy("day")).as("t"),
-        (col("n") * col("x") - col("s")).as("dev"))
+    // t = position of day in ascending order — a distributed running
+    // count (PrefixSum), not a partition-less row_number window
+    val dev = graft.ops.PrefixSum.runningTotalGlobal(daily, Seq("day"), "_one", "t")
+      .crossJoin(broadcast(tot))
+      .select(col("t"), (col("n") * col("x") - col("s")).as("dev"))
     val den = dev.agg(sum(col("dev") * col("dev")).as("acf_den"))
     val lags = s.range(1, 8).select(col("id").cast("int").as("lag_k"))
     broadcast(lags).join(dev.as("a"), lit(true))
@@ -427,14 +429,14 @@ object SeriesQueries extends QueryModule {
     * data-bounded).
     */
   private def hazard(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spans = Tables.events(s, dir)
       .groupBy("user_id")
       .agg(countDistinct(to_date(col("ts"))).cast("long").as("age_days"))
     val d = spans.groupBy("age_days").agg(count(lit(1)).as("n_ended"))
-    val w = Window.orderBy(desc("age_days"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.withColumn("n_at_risk", sum("n_ended").over(w))
+      .withColumn("_nage", -col("age_days"))
+    // n_at_risk = Σ n_ended over ages ≥ this age — a suffix sum,
+    // computed as a distributed prefix sum over -age_days (window-free)
+    graft.ops.PrefixSum.runningTotalGlobal(d, Seq("_nage"), "n_ended", "n_at_risk")
       .select(col("age_days"), col("n_ended"), col("n_at_risk"),
         round(col("n_ended").cast("double") / col("n_at_risk"), 6).as("hazard"))
       .orderBy("age_days")

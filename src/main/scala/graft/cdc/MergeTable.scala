@@ -548,6 +548,20 @@ final class MergeTable(
         catch { // concurrent writer of the SAME content — fine either way
           case _: java.nio.file.FileAlreadyExistsException => ()
         } finally Files.deleteIfExists(stagedSeg)
+      } else {
+        // content-dedup hit on a segment that may only be referenced by
+        // an already-expired manifest — refresh its mtime so vacuum's
+        // grace window protects it until this checkpoint's CAS; if it
+        // vanished between the exists check and the touch, write fresh
+        try Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        catch { case _: java.nio.file.NoSuchFileException | _: java.io.IOException =>
+          val stagedSeg = segsDir.resolve(s".staged.${UUID.randomUUID()}")
+          Files.write(stagedSeg, bytes)
+          try Files.move(stagedSeg, f, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          finally Files.deleteIfExists(stagedSeg)
+        }
       }
       name
     }
@@ -574,7 +588,21 @@ final class MergeTable(
         .find { case (_, lines) => data.slice(i, i + lines.length) == lines }
       reused match {
         case Some((name, lines)) =>
-          flush(); out += s"s:$name"; emitted ++= lines; i += lines.length
+          flush()
+          // Refresh the reused segment's mtime so vacuum's age-gated GC
+          // covers REUSE, not just fresh staging: concurrent
+          // expireSnapshots can drop the prior checkpoint (the only
+          // manifest referencing this segment) and a vacuum would then
+          // see an old unreferenced file — deleting it just before this
+          // checkpoint's CAS links it. Touching moves it inside the
+          // grace window; if it already vanished, rewrite it fresh
+          // (content-addressed: same bytes -> same name).
+          val kept =
+            try { Files.setLastModifiedTime(segsDir.resolve(name),
+              java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())); name }
+            catch { case _: java.nio.file.NoSuchFileException | _: java.io.IOException =>
+              writeSeg(lines) }
+          out += s"s:$kept"; emitted ++= lines; i += lines.length
         case None =>
           pending += data(i); i += 1
       }
@@ -2597,15 +2625,22 @@ final class MergeTable(
     if (!exists) Some(0)
     else {
       val es = entries()
-      if (es.exists(e => e._1 != "pv" && e._1 != "ing")) None
+      // pv (value-partitioned) and pb (composed partition×bucket) leaves
+      // both carry partition dirs, so both drop metadata-only — for pb
+      // every bucket cell of a matched partition leaf goes (the
+      // predicate ignores the trailing _graft_bucket segment). Anything
+      // holding rows OUTSIDE partition dirs (MOR deltas, dv masks,
+      // plain/bucketed bases) refuses to the row-level fallback.
+      if (es.exists(e => e._1 != "pv" && e._1 != "pb" && e._1 != "ing")) None
       else {
         val baseV = readVersion
         def leafOf(d: String): String = d.split("/", 2)(1)
-        val dropped = es.filter(e => e._1 == "pv" && drop(leafOf(e._2)))
+        val partTags = Set("pv", "pb")
+        val dropped = es.filter(e => partTags(e._1) && drop(leafOf(e._2)))
         if (dropped.isEmpty) Some(0)
         else {
           commitScoped(es, dropped.map(e => leafOf(e._2)).toSet, Nil,
-            { case (t, d) => if (t == "pv") Some(leafOf(d)) else None },
+            { case (t, d) => if (partTags(t)) Some(leafOf(d)) else None },
             validateKeys = None, baseVersion = baseV)
           Some(dropped.size)
         }

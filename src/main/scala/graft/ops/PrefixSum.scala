@@ -36,6 +36,20 @@ object PrefixSum {
     * `orderCols` must be unique per row within a group for the result
     * to be well-defined (true for primary-key-ish columns).
     */
+  /** Global (ungrouped) running total of `valueCol` in `orderCols`
+    * order — the scale-safe replacement for
+    * `Window.orderBy(...)` with NO partitionBy, which Spark itself
+    * flags ("No Partition Defined for Window operation! Moving all
+    * data to a single partition"). Same mechanics as [[runningTotal]]
+    * with a single constant group: one range shuffle, partition-local
+    * sums, broadcast per-partition offsets.
+    */
+  def runningTotalGlobal(df: DataFrame, orderCols: Seq[String],
+                         valueCol: String, cumCol: String): DataFrame = {
+    val g = "_psg"
+    runningTotal(df.withColumn(g, lit(0)), g, orderCols, valueCol, cumCol).drop(g)
+  }
+
   def runningTotal(df: DataFrame, groupCol: String, orderCols: Seq[String],
                    valueCol: String, cumCol: String): DataFrame = {
     val sortCols = (groupCol +: orderCols).map(col)

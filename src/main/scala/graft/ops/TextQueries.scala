@@ -875,12 +875,15 @@ object TextQueries extends QueryModule {
     * running-total window.
     */
   private def thresholdCurve(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hist = Dedup.minhashAgreements(docs(s, dir), "doc_id", "text")
       .groupBy(col("agree").cast("long").as("agree"))
       .agg(count(lit(1)).as("n_pairs"))
-    hist.withColumn("pairs_at_or_above",
-        sum("n_pairs").over(Window.orderBy(col("agree").desc)))
+      .withColumn("_nagree", -col("agree"))
+    // suffix sum over agree DESC — a prefix sum over -agree. The frame
+    // is ≤ #bands+1 rows, but PrefixSum keeps it window-free (no
+    // "moving all data to a single partition" plan ever appears).
+    PrefixSum.runningTotalGlobal(hist, Seq("_nagree"), "n_pairs", "pairs_at_or_above")
+      .drop("_nagree")
       .orderBy("agree")
   }
 

@@ -124,13 +124,24 @@ object GraftGranule {
   /** `v` is the catalyst value: epoch days (DATE) or zone-free epoch
     * micros (TIMESTAMP_NTZ).
     */
+  /** Year rendered exactly like Spark's DateFormatter (java.time
+    * SignStyle.EXCEEDS_PAD): 4-digit zero-pad inside 0–9999, a '+'
+    * prefix beyond ("+10000"), a sign-then-pad for negatives
+    * ("-0001") — so v2 executor-derived granule dirs can never
+    * diverge from V1's `to_date(src).cast("string")` dirs, even for
+    * extreme timestamps (a divergence would split one logical
+    * partition across two leaf dirs).
+    */
+  private def isoYear(y: Int): String =
+    if (y > 9999) s"+$y" else if (y < 0) f"-${-y}%04d" else f"$y%04d"
+
   def render(srcType: DataType, v: Any, monthly: Boolean): String = {
     val day = srcType match {
       case DateType => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
       case _ => java.time.LocalDate.ofEpochDay(
         Math.floorDiv(v.asInstanceOf[Long], 86400000000L))
     }
-    if (monthly) f"${day.getYear}%04d-${day.getMonthValue}%02d"
-    else f"${day.getYear}%04d-${day.getMonthValue}%02d-${day.getDayOfMonth}%02d"
+    if (monthly) f"${isoYear(day.getYear)}-${day.getMonthValue}%02d"
+    else f"${isoYear(day.getYear)}-${day.getMonthValue}%02d-${day.getDayOfMonth}%02d"
   }
 }

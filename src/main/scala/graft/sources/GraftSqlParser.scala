@@ -749,10 +749,11 @@ case class MergeTableDropPartitionCommand(catalogName: String, ident: Seq[String
     }
     t.deletePartitions(drop) match {
       case None => throw new IllegalStateException(
-        s"DROP PARTITION on ${ident.mkString(".")} requires a pure " +
-          "value-partitioned snapshot: pending MOR deltas / dv masks hold " +
-          "rows outside the partition dirs — run COMPACT TABLE first " +
-          "(bucketed layouts have no partition dirs to drop)")
+        s"DROP PARTITION on ${ident.mkString(".")} requires a snapshot of " +
+          "pure partition leaves (value-partitioned or composed " +
+          "partition×bucket): pending MOR deltas / dv masks hold rows " +
+          "outside the partition dirs — run COMPACT TABLE first " +
+          "(unpartitioned bucketed layouts have no partition dirs to drop)")
       case Some(0) if !ifExists => throw new IllegalArgumentException(
         s"no partition of ${ident.mkString(".")} matches " +
           spec.map { case (c, v) => s"$c=${v.getOrElse("NULL")}" }.mkString(", ") +

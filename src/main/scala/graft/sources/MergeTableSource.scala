@@ -638,7 +638,7 @@ class MergeTableRelation(
   private def morKeyTypesOk: Boolean = {
     import org.apache.spark.sql.types._
     keys.forall { k =>
-      schema.fields.find(_.name == k).map(_.dataType).exists {
+      schema.fields.find(_.name.equalsIgnoreCase(k)).map(_.dataType).exists {
         case ByteType | ShortType | IntegerType | LongType | BooleanType |
              FloatType | DoubleType | StringType | DateType |
              TimestampType | TimestampNTZType => true

@@ -111,6 +111,35 @@ class SegmentedCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint reuse refreshes segment mtimes — vacuum's grace window covers reuse") {
+    // The r13-advice race: a reused segment's only referencing manifest
+    // can be expired mid-checkpoint, and an old mtime would let an
+    // age-gated vacuum delete it BEFORE this checkpoint's CAS links it.
+    // The writer therefore touches every segment it re-references (and
+    // every content-dedup hit), pulling it inside the grace window.
+    val root = fresh("touch")
+    withSQLConf("graft.mergetable.manifestSegmentSize" -> "4",
+        "graft.mergetable.manifestCheckpointInterval" -> "3") {
+      val t = MergeTable.createIfAbsent(spark, root, Seq("id"),
+        initial = Some((0L until 256L).map(i => (i, s"v$i")).toDF("id", "v")),
+        numBuckets = Some(32))
+      val segsDir = Paths.get(s"$root/manifests/segs")
+      val ancient = java.nio.file.attribute.FileTime.fromMillis(1000L)
+      segFiles(root).foreach(n => Files.setLastModifiedTime(segsDir.resolve(n), ancient))
+      val t0 = System.currentTimeMillis()
+      (1 to 3).foreach(i => t.upsert(Seq((i.toLong, s"u$i")).toDF("id", "v")))
+      val v1Segs = rawLines(root, 1L).filter(_.startsWith("s:"))
+        .map(_.stripPrefix("s:")).toSet
+      val reused = rawLines(root, 4L).filter(_.startsWith("s:"))
+        .map(_.stripPrefix("s:")).filter(v1Segs.contains)
+      assert(reused.nonEmpty, "checkpoint re-referenced no seed segments")
+      reused.foreach { n =>
+        val mt = Files.getLastModifiedTime(segsDir.resolve(n)).toMillis
+        assert(mt >= t0, s"reused segment $n kept its stale mtime ($mt < $t0)")
+      }
+    }
+  }
+
   test("vacuum GCs only unreferenced segments; expiry keeps readable checkpoints") {
     val root = fresh("gc")
     withSQLConf("graft.mergetable.manifestSegmentSize" -> "4",

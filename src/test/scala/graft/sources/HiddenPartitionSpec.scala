@@ -169,6 +169,32 @@ class HiddenPartitionSpec extends SparkSpec {
     }
   }
 
+  test("granule rendering matches Spark's cast for extreme years (r14)") {
+    // the v2 writer derives granule dirs executor-side via
+    // GraftGranule.render; the V1 path derives them with
+    // to_date(src).cast("string") / date_format(src, "yyyy-MM").
+    // Spark's formatter renders years > 9999 with a '+' prefix
+    // (SignStyle.EXCEEDS_PAD) — a %04d render would split one logical
+    // partition across two leaf dirs for extreme timestamps.
+    import org.apache.spark.sql.functions.{date_format, to_date}
+    import org.apache.spark.sql.types.DateType
+    val days = Seq(
+      java.time.LocalDate.of(0, 1, 3), java.time.LocalDate.of(1, 1, 2),
+      java.time.LocalDate.of(999, 12, 31), java.time.LocalDate.of(9999, 12, 31),
+      java.time.LocalDate.of(10000, 1, 1), java.time.LocalDate.of(99999, 6, 15))
+    val df = days.zipWithIndex.toDF("d", "i")
+      .select(col("i"), to_date(col("d")).cast("string").as("day_v1"),
+        date_format(col("d"), "yyyy-MM").as("month_v1"))
+    df.collect().foreach { r =>
+      val d = days(r.getAs[Int]("i"))
+      val epochDay = d.toEpochDay.toInt
+      assert(GraftGranule.render(DateType, epochDay, monthly = false) === r.getString(1),
+        s"day granule diverges from V1 cast at $d")
+      assert(GraftGranule.render(DateType, epochDay, monthly = true) === r.getString(2),
+        s"month granule diverges from V1 date_format at $d")
+    }
+  }
+
   test("source-column DDL refusals and change-feed hiding") {
     fresh("hp4")
     spark.sql("""CREATE TABLE graft.hp4.t (id BIGINT, v STRING, ts TIMESTAMP_NTZ)

@@ -95,6 +95,39 @@ class PartitionDeleteSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a partition column"), e2.getMessage)
   }
 
+  test("DROP PARTITION drops all bucket cells of a composed partition leaf (r14)") {
+    fresh("pd6")
+    spark.sql("""CREATE TABLE graft.pd6.t (id BIGINT, grp STRING, v BIGINT)
+                 TBLPROPERTIES('keys'='id', 'buckets'='4') PARTITIONED BY (grp)""")
+    spark.sql("""INSERT INTO graft.pd6.t VALUES
+                 (1,'red',10), (2,'red',20), (3,'red',30), (4,'blue',40), (5,'blue',50)""")
+    val root = "target/graft_warehouse/pd6/t"
+    assert(latestManifestLines(root).exists(_.startsWith("pb")),
+      "precondition: composed layout commits pb leaves")
+    val dirsBefore = dataDirCount(root)
+    var recordsRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead += te.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the returned count is LEAF CELLS (one per live bucket of the
+      // partition), and the whole partition must vanish metadata-only
+      assert(spark.sql("ALTER TABLE graft.pd6.t DROP PARTITION (grp = 'red')")
+        .head().getLong(0) >= 1L)
+      Thread.sleep(500)
+      assert(recordsRead === 0L, "composed DROP PARTITION must open zero data files")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(dataDirCount(root) === dirsBefore, "drop must not write data")
+    assert(!latestManifestLines(root).exists(_.contains("grp=red")))
+    assert(spark.table("graft.pd6.t").select("id").as[Long].collect().sorted
+      === Seq(4L, 5L))
+    // and the survivors keep their composed layout + bucketed semantics
+    spark.sql("INSERT INTO graft.pd6.t VALUES (6,'blue',60)")
+    assert(spark.table("graft.pd6.t").count() === 3)
+  }
+
   test("DROP PARTITION on hidden-day layouts addresses the derived column") {
     fresh("pd6")
     spark.sql("""CREATE TABLE graft.pd6.t (id BIGINT, v STRING, ts TIMESTAMP_NTZ)

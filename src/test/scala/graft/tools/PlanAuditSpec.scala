@@ -186,4 +186,70 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- global (partition-less) windows --------------------------------------
+  // The r13 blind spot: the bounded-key check above requires a NONEMPTY
+  // partitionSpec, so a GLOBAL window — strictly worse, Spark itself warns
+  // "Moving all data to a single partition" — was never audited. The rule,
+  // measured the same way boundedCols is: a global window is tolerable only
+  // when its INPUT row count stays flat across a 10× SF step (a calendar- or
+  // band-bounded aggregate); over an SF-scaling input it is a single-reducer
+  // sort at any scale and fails.
+
+  private val biggerSfDir = "/root/testdata/sf0.01"
+
+  /** Row counts of every global-window input in the query, measured by
+    * wrapping each logical Window child as its own frame. Foldable-only
+    * partition keys (e.g. partitionBy(lit(0))) count as global — they are
+    * the same single reducer without the warning.
+    */
+  private def globalWindowInputCounts(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                                      dir: String): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = fn(spark, dir)
+    val counts = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.forall(_.foldable) =>
+        org.apache.spark.sql.GraftSqlBridge.ofRows(spark, w.child).count()
+    }
+    graft.Caches.clear()
+    counts
+  }
+
+  private def assertGlobalWindowsFlat(n: String,
+                                      fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+    val small = globalWindowInputCounts(fn, sfDir)
+    val big = globalWindowInputCounts(fn, biggerSfDir)
+    assert(small.size == big.size, s"$n: global-window count differs across SFs")
+    small.zip(big).foreach { case (lo, hi) =>
+      assert(hi <= (lo * 3) / 2 + 2,
+        s"$n has a GLOBAL window whose input grows with SF ($lo -> $hi rows " +
+          s"across a 10x step) — a single-reducer sort at scale; use " +
+          s"PrefixSum.runningTotalGlobal or a distributed rank instead")
+    }
+  }
+
+  test("no global window over an SF-scaling input") {
+    val withGlobal = audited.collect {
+      case (n, p) if p.exists {
+        case w: WindowExec => w.partitionSpec.forall(_.foldable)
+        case _ => false
+      } => n
+    }
+    // after the r14 PrefixSum rewrites no registry query should carry a
+    // global window at all; any future one must at least be SF-flat
+    withGlobal.foreach(n => assertGlobalWindowsFlat(n, graft.SparkEntry.queries(n)))
+  }
+
+  test("audit rejects a planted global-window query over a fact table") {
+    import org.apache.spark.sql.expressions.{Window => WSpec}
+    import org.apache.spark.sql.functions.row_number
+    val planted = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("i", row_number().over(WSpec.orderBy("o_orderkey")))
+    val small = globalWindowInputCounts(planted, sfDir)
+    val big = globalWindowInputCounts(planted, biggerSfDir)
+    assert(small.nonEmpty, "planted global window not detected in the logical plan")
+    assert(small.zip(big).exists { case (lo, hi) => hi > (lo * 3) / 2 + 2 },
+      "planted global window over a fact table was not flagged as SF-scaling")
+  }
 }
