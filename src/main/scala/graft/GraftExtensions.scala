@@ -14,6 +14,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // histogram-driven skew salting: ANALYZE's heavy-hitter signal
+    // re-shapes shuffle joins AQE's byte thresholds would miss
+    ext.injectOptimizerRule(session => graft.plans.SaltSkewedJoin(session))
     ext.injectResolutionRule(session => new graft.sources.ResolveMergeTableDml(session))
     ext.injectResolutionRule(session => new graft.plans.RewriteToMaterializedView(session))
     ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))

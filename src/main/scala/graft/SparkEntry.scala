@@ -16,6 +16,7 @@ object SparkEntry {
     graft.analytics.Queries5,
     graft.analytics.Queries6,
     graft.analytics.Queries7,
+    graft.analytics.Queries8,
     graft.analytics.PartsuppQueries,
     graft.analytics.MvQueries,
     graft.analytics.GraphQueries,

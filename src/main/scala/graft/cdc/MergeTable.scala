@@ -2951,7 +2951,14 @@ final class MergeTable(
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
       val base = Seq(
         approx_count_distinct(col(c)).as(s"__ndv_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        // the column's HLL REGISTERS (DataSketches), persisted so
+        // incremental ANALYZE can union a delta sketch in later —
+        // values sketch through a canonical string rendering so the
+        // delta pass (possibly a narrower unioned delta schema)
+        // hashes identically
+        hll_sketch_agg(col(c).cast("string"), MergeTable.hllLgK(spark))
+          .as(s"__hll_$c"))
       if (fixedWidth.contains(c)) base
       else base ++ Seq(
         avg(length(col(c))).as(s"__avg_$c"),
@@ -3033,9 +3040,126 @@ final class MergeTable(
       c -> MergeTable.ColumnStats(
         ndv = row.getAs[Long](s"__ndv_$c"),
         nullCount = nulls, avgLen = avgLen, maxLen = maxLen, hist = hist,
-        min = mn, max = mx)
+        min = mn, max = mx,
+        hllB64 = Option(row.getAs[Array[Byte]](s"__hll_$c"))
+          .map(java.util.Base64.getEncoder.encodeToString))
     }.toMap
     val stats = MergeTable.TableStats(readVersion, rows, colStats)
+    MergeTable.writeTableStats(tableStatsPath, stats)
+    stats
+  }
+
+  /** Incremental ANALYZE (r14): fold the rows COMMITTED SINCE the
+    * last ANALYZE into the persisted stats instead of rescanning the
+    * table — at 100 TB a nightly full ANALYZE is a full table pass;
+    * this is O(delta rows read) + O(manifest).
+    *
+    *  - NDV: the delta rows' HLL sketch unions into the PERSISTED
+    *    registers — sketch algebra is exact under union, and
+    *    re-observed values (COW rewrites, upserts of existing keys)
+    *    are idempotent, so the estimate matches a full recompute's;
+    *  - row count: exact from footer stats when every file carries
+    *    them (`statsRowCount` — covers COW rewrites and deletes),
+    *    else prev + delta;
+    *  - null counts / lengths / min-max: folded monotonically from
+    *    the delta (exact under append; deletes can leave them
+    *    conservative, like every engine's incremental stats);
+    *  - histograms: kept from the last FULL analyze (the skew signal
+    *    decays slowly; bin boundaries cannot be maintained
+    *    incrementally without a quantile sketch — run a full ANALYZE
+    *    to refresh them).
+    *
+    * Falls back to a full [[analyzeColumns]] when no prior stats (or
+    * pre-r14 stats without sketches) exist.
+    */
+  def analyzeIncremental(): MergeTable.TableStats = {
+    require(exists, s"cannot analyze uninitialized table $root")
+    val prev = tableStats() match {
+      case Some(p) if p.cols.nonEmpty && p.cols.values.forall(_.hllB64.isDefined) => p
+      case _ => return analyzeColumns()
+    }
+    val es = entries() // refresh the version pointer
+    val curV = readVersion
+    if (curV == prev.version) return prev
+    val dataTags = Set("base", "pv", "pb", "delta")
+    def dataEntries(s: Seq[(String, String)]) =
+      s.filter(e => dataTags(e._1) || e._1.matches("b\\d+"))
+    val prevSet = dataEntries(entriesAtVersion(prev.version)).toSet
+    val added = dataEntries(es).filterNot(prevSet)
+    if (added.isEmpty) { // deletes only: counts tighten, sketches hold
+      val s = prev.copy(version = curV,
+        rows = statsRowCount.getOrElse(prev.rows))
+      MergeTable.writeTableStats(tableStatsPath, s)
+      return s
+    }
+    // O(delta): ONLY the added dirs are read, logical-named like the
+    // full pass; MOR tombstones carry no values and fold out
+    val raw = toLogical(readDirs(added.map(_._2)))
+    val delta =
+      if (raw.columns.contains(Tombstone))
+        raw.filter(!coalesce(col(Tombstone), lit(false))).drop(Tombstone)
+      else raw
+    val analyzed = prev.cols.keys.toSeq.sorted.filter(delta.columns.contains)
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val varWidth = analyzed.filter(c => delta.schema(c).dataType match {
+      case StringType | BinaryType => true
+      case _ => false
+    }).toSet
+    val numericCols = analyzed.filter(c => prev.cols(c).min.isDefined ||
+      prev.cols(c).max.isDefined)
+    val aggs = count(lit(1)).as("__rows") +: analyzed.flatMap { c =>
+      val base = Seq(
+        hll_sketch_agg(col(c).cast("string"), MergeTable.hllLgK(spark)).as(s"__hll_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+      val len = if (!varWidth.contains(c)) Nil else Seq(
+        avg(length(col(c))).as(s"__avg_$c"),
+        max(length(col(c))).as(s"__max_$c"))
+      val rng = if (!numericCols.contains(c)) Nil else Seq(
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max2_$c"))
+      base ++ len ++ rng
+    }
+    val row = delta.agg(aggs.head, aggs.tail: _*).head()
+    val deltaRows = row.getAs[Long]("__rows")
+    val cols = prev.cols.map { case (c, p) =>
+      // a stats column the delta files don't carry reads as NULL in
+      // the added rows (schema-evolution backfill) — fold the nulls
+      if (!analyzed.contains(c)) c -> p.copy(nullCount = p.nullCount + deltaRows)
+      else {
+        val deltaSketch = Option(row.getAs[Array[Byte]](s"__hll_$c"))
+        val (ndv, hll) = MergeTable.hllUnion(p.hllB64.get, deltaSketch)
+        val dNulls = Option(row.getAs[Any](s"__nulls_$c"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val (avgLen, maxLen) =
+          if (!varWidth.contains(c)) (p.avgLen, p.maxLen)
+          else {
+            val dAvg = Option(row.getAs[Any](s"__avg_$c"))
+              .map(_.asInstanceOf[Double]).getOrElse(0.0)
+            val dMax = Option(row.getAs[Any](s"__max_$c"))
+              .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+            val pN = math.max(prev.rows - p.nullCount, 0L)
+            val dN = math.max(deltaRows - dNulls, 0L)
+            val blended =
+              if (pN + dN == 0) p.avgLen
+              else math.max(1L, math.round(
+                (p.avgLen.toDouble * pN + dAvg * dN) / (pN + dN)))
+            (blended, math.max(p.maxLen, dMax))
+          }
+        def widen(old: Option[Double], dv: Option[Double], lo: Boolean) =
+          (old ++ dv).reduceOption((a, b) => if (lo == (a <= b)) a else b)
+        val (mn, mx) =
+          if (!numericCols.contains(c)) (p.min, p.max)
+          else (widen(p.min, Option(row.getAs[Any](s"__min_$c"))
+                  .map(_.asInstanceOf[Double]), lo = true),
+                widen(p.max, Option(row.getAs[Any](s"__max2_$c"))
+                  .map(_.asInstanceOf[Double]), lo = false))
+        c -> p.copy(ndv = ndv, nullCount = p.nullCount + dNulls,
+          avgLen = avgLen, maxLen = maxLen, min = mn, max = mx,
+          hllB64 = Some(hll))
+      }
+    }
+    val stats = MergeTable.TableStats(curV,
+      statsRowCount.getOrElse(prev.rows + deltaRows), cols)
     MergeTable.writeTableStats(tableStatsPath, stats)
     stats
   }
@@ -4051,11 +4175,16 @@ object MergeTable {
     * `min`/`max` are exact, recorded for numeric columns (CBO's
     * FilterEstimation gates EVERY range/equality estimate on the
     * value interval before it ever consults NDV or the histogram).
+    * `hllB64` persists the column's DataSketches HLL REGISTERS (not
+    * the estimate) so incremental ANALYZE can union a delta sketch
+    * into them — merging estimates is impossible, merging registers
+    * is exact sketch algebra.
     */
   final case class ColumnStats(ndv: Long, nullCount: Long, avgLen: Long,
                                maxLen: Long, hist: Option[Hist] = None,
                                min: Option[Double] = None,
-                               max: Option[Double] = None)
+                               max: Option[Double] = None,
+                               hllB64: Option[String] = None)
 
   /** Table-level ANALYZE result, stamped with the version it was
     * computed at (staleness is inspectable; serving stale stats is the
@@ -4074,6 +4203,7 @@ object MergeTable {
       cn.put("avgLen", s.avgLen); cn.put("maxLen", s.maxLen)
       s.min.foreach(cn.put("min", _))
       s.max.foreach(cn.put("max", _))
+      s.hllB64.foreach(cn.put("hll", _))
       s.hist.foreach { h =>
         val hn = cn.putObject("hist")
         hn.put("height", h.height)
@@ -4090,6 +4220,37 @@ object MergeTable {
     Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** HLL precision (DataSketches lgConfigK) used by ANALYZE sketches;
+    * must stay stable across full and incremental passes of one table
+    * (unions of mixed-precision sketches degrade to the coarser).
+    */
+  private[graft] def hllLgK(spark: SparkSession): Int =
+    spark.conf.getOption("graft.mergetable.hllLgK").map(_.toInt).getOrElse(12)
+
+  /** Union the persisted HLL registers with a delta sketch; returns
+    * (estimate, merged registers base64). Pure sketch algebra — no
+    * Spark job.
+    */
+  private[graft] def hllUnion(prevB64: String,
+      delta: Option[Array[Byte]]): (Long, String) = {
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    val prevSketch = HllSketch.heapify(java.util.Base64.getDecoder.decode(prevB64))
+    val u = new Union(prevSketch.getLgConfigK)
+    u.update(prevSketch)
+    delta.foreach(b => u.update(HllSketch.heapify(b)))
+    val merged = u.getResult(prevSketch.getTgtHllType)
+    (math.round(merged.getEstimate),
+      java.util.Base64.getEncoder.encodeToString(merged.toUpdatableByteArray))
+  }
+
+  /** The persisted ANALYZE result of the table at `root`, if any —
+    * the path-keyed twin of `tableStats()` for callers (the skew-
+    * salting optimizer rule) that hold a relation, not an instance.
+    */
+  private[graft] def statsAt(root: String): Option[TableStats] =
+    readTableStats(java.nio.file.Paths.get(root)
+      .resolve("stats").resolve("_TABLE_STATS.json"))
 
   private[cdc] def readTableStats(path: java.nio.file.Path): Option[TableStats] = {
     if (!Files.exists(path)) None
@@ -4108,7 +4269,8 @@ object MergeTable {
             e.getValue.get("nulls").asLong, e.getValue.get("avgLen").asLong,
             e.getValue.get("maxLen").asLong, hist,
             Option(e.getValue.get("min")).map(_.asDouble),
-            Option(e.getValue.get("max")).map(_.asDouble))
+            Option(e.getValue.get("max")).map(_.asDouble),
+            Option(e.getValue.get("hll")).map(_.asText))
         }.toMap))
     }
   }

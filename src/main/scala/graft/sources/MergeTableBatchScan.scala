@@ -55,10 +55,12 @@ private[sources] case class GraftValuePartition(files: Seq[GraftFileSlice],
     }.toArray)
 }
 
-/** The extra partition an UNBUCKETED MOR scan plans to carry the
-  * reconciled delta winners (bucketed scans route winners into their
-  * bucket's keyed partition instead, preserving SPJ alignment). Holds
-  * no files — the reader emits the broadcast winner rows.
+/** The extra partition an UNBUCKETED, UNPARTITIONED MOR scan plans to
+  * carry the reconciled delta winners (bucketed scans route winners
+  * into their bucket's keyed partition; value-partitioned scans into
+  * their partition tuple's keyed split — both preserving SPJ
+  * alignment). Holds no files — the reader emits the broadcast winner
+  * rows.
   */
 private[sources] case object GraftMorWinnersPartition extends InputPartition
 
@@ -67,10 +69,17 @@ private[sources] case object GraftMorWinnersPartition extends InputPartition
   * schema; tombstones excluded) tagged with their hash-bucket id (-1
   * when unbucketed), plus the EXACT key identities every delta
   * mentions — a base row whose key is in `superseded` lost to a newer
-  * delta row (or tombstone) and is dropped executor-side.
+  * delta row (or tombstone) and is dropped executor-side. On a
+  * value-partitioned layout (`pvRouted`), `winnerTuples(i)` is winner
+  * i's TRUE partition tuple — derived from the row exactly like the
+  * write side routes it — so each winner rides its tuple's keyed
+  * split and the scan keeps its storage-partition-join claim between
+  * compactions.
   */
 private[sources] case class GraftMorLayer(winners: Array[(Int, InternalRow)],
-    superseded: Set[AnyRef])
+    superseded: Set[AnyRef],
+    winnerTuples: Array[Seq[Any]] = Array.empty,
+    pvRouted: Boolean = false)
 
 /** Exact key identity for the Batch-MOR supersede set, shared by the
   * driver (building from collected delta rows) and executors (probing
@@ -342,18 +351,22 @@ private[sources] class MergeTableBatchScan(
           .map(b => GraftBucketPartition(
             byBucket.getOrElse(b, Seq.empty).sortBy(_.toString).map(whole), b): InputPartition)
           .toArray
-      case None if relation.partitionCols.nonEmpty && !mor &&
-          fs.forall(p => partitionTuple(p).isDefined) =>
+      case None if relation.partitionCols.nonEmpty &&
+          fs.forall(p => partitionTuple(p).isDefined) &&
+          (!mor || morWinnerTuples.isDefined) =>
         // one keyed partition per partition VALUE tuple (files of one
         // leaf dir), so identity-partitioned tables storage-partition-
-        // join on their partition columns. MOR snapshots refuse this
-        // shape: delta winners may belong to partition values with no
-        // base dir, so the reported key set could not cover them —
-        // they pack instead (still vectorized; SPJ needs compaction)
-        fs.groupBy(p => partitionTuple(p).get).toSeq
-          .sortBy(_._1.map(String.valueOf(_)).mkString("/"))
-          .map { case (tuple, files) =>
-            GraftValuePartition(files.map(whole), tuple): InputPartition
+        // join on their partition columns. MOR snapshots join in (r14):
+        // each broadcast delta winner rides its TRUE partition tuple's
+        // keyed split — a winner whose partition value has no base dir
+        // gets a file-less split of its own, so the reported key set
+        // covers every emitted row and SPJ holds between compactions.
+        val byTuple = fs.groupBy(p => partitionTuple(p).get)
+        (byTuple.keys.toSeq ++ morWinnerTuples.getOrElse(Nil)).distinct
+          .sortBy(_.map(String.valueOf(_)).mkString("/"))
+          .map { tuple =>
+            GraftValuePartition(
+              byTuple.getOrElse(tuple, Seq.empty).map(whole), tuple): InputPartition
           }.toArray
       case _ =>
         val base = packed(fs)
@@ -394,8 +407,12 @@ private[sources] class MergeTableBatchScan(
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(n, relation.keys.map(relation.logicalName): _*)), n)
     case None if relation.partitionCols.nonEmpty &&
-        !mor && survivors.forall(p => partitionTuple(p).isDefined) =>
-      val parts = survivors.flatMap(partitionTuple).distinct.size
+        survivors.forall(p => partitionTuple(p).isDefined) &&
+        (!mor || morWinnerTuples.isDefined) =>
+      // partition count = base-file tuples ∪ delta-winner tuples —
+      // must equal planInputPartitions' split count exactly
+      val parts = (survivors.flatMap(partitionTuple) ++
+        morWinnerTuples.getOrElse(Nil)).distinct.size
       new KeyGroupedPartitioning(
         relation.partitionCols.map(partitionExpr).toArray,
         math.max(parts, 1))
@@ -562,11 +579,60 @@ private[sources] class MergeTableBatchScan(
       Array[Int], Array[org.apache.spark.sql.types.DataType])] =
     if (!mor) None
     else {
-      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.functions.{col, date_format, lit, to_date}
+      import org.apache.spark.sql.types.StringType
       val latest = relation.morDeltaLatest
       val tombCol = "_graft_mor_tomb"
+      // value-partitioned layouts route each winner into its partition
+      // tuple's keyed split (pvRouted): derive the TRUE partition value
+      // per delta row, exactly like the write side routes rows —
+      // identity column value as its declared type; the granule string
+      // for hidden day/month layouts (reuse the already-derived column
+      // when the delta files carry it). A failed derivation falls back
+      // to the unrouted (packed) shape rather than failing the read.
+      // identity tuple values must round-trip the same JVM types the
+      // file-path parse produces — anything else (a date-typed
+      // partition col, should the write gate ever admit one) would
+      // mis-align winner tuples against file tuples, so it refuses
+      // routing instead
+      val pvTypesOk = relation.partitionCols.forall { c =>
+        derivedPartitionsMap.contains(c) ||
+          fullSchema.find(_.name == c).map(_.dataType).exists {
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.BooleanType | StringType => true
+            case _ => false
+          }
+      }
+      val pvRouting = relation.numBuckets.isEmpty &&
+        relation.partitionCols.nonEmpty && pvTypesOk
+      val tupleTypes: Seq[org.apache.spark.sql.types.DataType] =
+        relation.partitionCols.map { c =>
+          if (derivedPartitionsMap.contains(c)) StringType
+          else fullSchema.find(_.name == c).map(_.dataType).getOrElse(StringType)
+        }
+      def tupleColsOf(cols: Seq[String]): Option[Seq[org.apache.spark.sql.Column]] =
+        if (!pvRouting) Some(Nil)
+        else try Some(relation.partitionCols.zipWithIndex.map { case (c, i) =>
+          val e = derivedPartitionsMap.get(c) match {
+            case Some(_) if cols.contains(c) => col(c).cast(StringType)
+            // a delete-only delta layer carries neither the derived nor
+            // the source column — its rows are all tombstones (never
+            // winners), so a typed null keeps the projection resolvable
+            case Some(src) if !cols.contains(src) => lit(null).cast(StringType)
+            case Some(src) if c.endsWith("_month") => date_format(col(src), "yyyy-MM")
+            case Some(src) => to_date(col(src)).cast(StringType)
+            case None if cols.contains(c) => col(c).cast(tupleTypes(i))
+            case None => lit(null).cast(tupleTypes(i))
+          }
+          e.as(s"_graft_pt_$i")
+        }) catch { case scala.util.control.NonFatal(_) => None }
+      val tupleCols = tupleColsOf(latest.columns.toSeq)
+      val pvRouted = pvRouting && tupleCols.isDefined
       val selected = latest.select(
-        (readDataSchema.fields.map { f =>
+        ((readDataSchema.fields.map { f =>
           // cast even present columns: a delta-only union can resolve a
           // column narrower than the full snapshot schema (unionByName
           // coercion), and the collected rows must lay out EXACTLY as
@@ -574,53 +640,81 @@ private[sources] class MergeTableBatchScan(
           if (latest.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
           else lit(null).cast(f.dataType).as(f.name)
         } :+ col(graft.cdc.MergeTable.TombstoneColName)
-          .cast(org.apache.spark.sql.types.BooleanType).as(tombCol)).toIndexedSeq: _*)
+          .cast(org.apache.spark.sql.types.BooleanType).as(tombCol))
+          ++ tupleCols.getOrElse(Nil)).toIndexedSeq: _*)
       // one bounded collect (≤ broadcastKeyLimit rows by the gate);
       // rows are copied — toRdd iterators reuse row buffers
       val collected = selected.queryExecution.toRdd.map(_.copy()).collect()
       val keyOrdinals = relation.keys.map(readDataSchema.fieldIndex).toArray
       val keyTypes = keyOrdinals.map(readDataSchema.fields(_).dataType)
       val tombOrd = readDataSchema.length
+      // JVM-comparable tuple values matching partitionTuple's file parse
+      def tupleOf(r: InternalRow): Seq[Any] =
+        relation.partitionCols.indices.map { i =>
+          val ord = tombOrd + 1 + i
+          if (r.isNullAt(ord)) null
+          else r.get(ord, tupleTypes(i)) match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case v => v
+          }
+        }
       val strip = UnsafeProjection.create(
         readDataSchema.fields.zipWithIndex.map { case (f, i) =>
           BoundReference(i, f.dataType, f.nullable)
             : org.apache.spark.sql.catalyst.expressions.Expression
         }.toIndexedSeq)
-      val winners = collected.iterator
-        .filter(r => !r.getBoolean(tombOrd))
-        .map { r =>
-          val row = strip(r).copy(): InternalRow
-          val bucket = relation.numBuckets
-            .map(n => MorKeys.bucketOf(row, n, keyOrdinals, keyTypes))
-            .getOrElse(-1)
-          (bucket, row)
-        }.toArray
+      val winnerRows = collected.filter(r => !r.getBoolean(tombOrd))
+      val winners = winnerRows.map { r =>
+        val row = strip(r).copy(): InternalRow
+        val bucket = relation.numBuckets
+          .map(n => MorKeys.bucketOf(row, n, keyOrdinals, keyTypes))
+          .getOrElse(-1)
+        (bucket, row)
+      }
+      val winnerTuples: Array[Seq[Any]] =
+        if (pvRouted) winnerRows.map(tupleOf) else Array.empty
       // EVERY delta key supersedes its base row — tombstoned keys too
       val superseded: Set[AnyRef] =
         collected.iterator.map(MorKeys.keyOf(_, keyOrdinals, keyTypes)).toSet
-      Some((spark.sparkContext.broadcast(GraftMorLayer(winners, superseded)),
+      Some((spark.sparkContext.broadcast(
+        GraftMorLayer(winners, superseded, winnerTuples, pvRouted)),
         keyOrdinals, keyTypes))
     }
+
+  /** The distinct partition tuples of the reconciled delta winners —
+    * defined exactly when this MOR scan can route winners into keyed
+    * value partitions (unbucketed pv layout, derivation succeeded).
+    */
+  private def morWinnerTuples: Option[Seq[Seq[Any]]] =
+    morLayer.collect { case (bc, _, _) if bc.value.pvRouted =>
+      bc.value.winnerTuples.toSeq.distinct }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat()
     // columnar unless a CLAIMED filter needs the row-mode exactness
     // predicate (residual data filters are re-applied by the engine
-    // above the scan, so they never force row mode), a SURVIVING
-    // file carries a dv mask, or the snapshot is MOR (the per-row key
-    // supersede probe). Spark refuses mixed row/columnar partitions
-    // in one scan, so the choice is global — but it is judged on the
-    // post-pruning survivor set, not the snapshot: a dv read whose
-    // filters pruned away every masked file (or a dv-table scan right
-    // after compaction cleared the masks) keeps full vectorized
-    // batches.
+    // above the scan, so they never force row mode) or a SURVIVING
+    // file carries a dv mask. Spark refuses mixed row/columnar
+    // partitions in one scan, so the choice is global — but it is
+    // judged on the post-pruning survivor set, not the snapshot: a dv
+    // read whose filters pruned away every masked file (or a dv-table
+    // scan right after compaction cleared the masks) keeps full
+    // vectorized batches. MOR snapshots stay columnar too (r14): the
+    // superseded-key probe runs per ColumnarBatch (zero-copy
+    // passthrough for hit-free batches, survivor compaction
+    // otherwise; winners emit as built batches) — provided every read
+    // column is a vector-copyable type (nested types take row mode).
     val anyMaskSurvives = dv && survivors.exists(p => maskOf(p).nonEmpty)
     // the lineage column appends per row, so `_graft_file` queries run
     // row-mode — a diagnostic shape, not the hot path
-    val columnar = claimed.isEmpty && !anyMaskSurvives && !wantFile && !mor &&
-      fmt.supportBatch(spark, requiredSchema)
+    val columnar = claimed.isEmpty && !anyMaskSurvives && !wantFile &&
+      (if (mor) MorColumnar.allSupported(readDataSchema) &&
+        fmt.supportBatch(spark, readDataSchema)
+       else fmt.supportBatch(spark, requiredSchema))
     // columnar reads never need the row-index column (no mask to
-    // apply), so they read exactly the required schema.
+    // apply), so they read exactly the required schema — except
+    // columnar MOR, whose supersede probe needs the ride-along key
+    // columns and prunes them back out batch-side.
     // PHYSICAL twins under an active column mapping: the files, their
     // footers, and the parquet reader all speak physical names; the
     // positions and types are identical, so the emitted rows line up
@@ -629,7 +723,7 @@ private[sources] class MergeTableBatchScan(
     // keeps its reserved name).
     def physical(st: StructType): StructType =
       StructType(st.fields.map(f => f.copy(name = relation.physicalName(f.name))))
-    val schemaToRead = physical(if (columnar) requiredSchema else readDataSchema)
+    val schemaToRead = physical(if (columnar && !mor) requiredSchema else readDataSchema)
     val readFunc = fmt.buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = physical(fullSchema),
@@ -697,14 +791,20 @@ private[sources] class GraftReaderFactory(
   }
 
   /** The broadcast delta winners THIS partition must emit: its
-    * bucket's on a bucket-keyed scan (so SPJ alignment holds), all of
-    * them on the dedicated winners partition of an unbucketed scan.
+    * bucket's on a bucket-keyed scan, its partition tuple's on a
+    * pv-keyed scan (both preserve SPJ alignment), all of them on the
+    * dedicated winners partition of an unkeyed scan.
     */
   private def winnersOf(p: InputPartition): Iterator[InternalRow] =
     morLayer match {
       case Some(bc) => p match {
         case GraftBucketPartition(_, b) =>
           bc.value.winners.iterator.filter(_._1 == b).map(_._2)
+        case GraftValuePartition(_, values) if bc.value.pvRouted =>
+          val l = bc.value
+          l.winners.iterator.zipWithIndex.collect {
+            case ((_, r), i) if l.winnerTuples(i) == values => r
+          }
         case GraftMorWinnersPartition =>
           bc.value.winners.iterator.map(_._2)
         case _ => Iterator.empty
@@ -786,8 +886,19 @@ private[sources] class GraftReaderFactory(
     // the vectorized parquet reader yields ColumnarBatch through the
     // InternalRow-typed iterator when returning_batch is set — the
     // same cast Spark's own FileSourceScanExec relies on
-    val it = filesOf(p).iterator.flatMap(f =>
+    val base = filesOf(p).iterator.flatMap(f =>
       readFunc(partitionedFile(f)).asInstanceOf[Iterator[ColumnarBatch]])
+    val it = morLayer match {
+      case None => base
+      case Some(bc) =>
+        // per-batch supersede probe + batch-side key-column pruning,
+        // then this partition's delta winners as built batches
+        val outTypes = readSchema.fields.take(outputLen).map(_.dataType)
+        val sup = bc.value.superseded
+        base.map(b => MorColumnar.filterBatch(b, sup, morKeyOrdinals,
+          morKeyTypes, outTypes)) ++
+          MorColumnar.rowBatches(winnersOf(p), outTypes)
+    }
     iteratorReader(it)
   }
 

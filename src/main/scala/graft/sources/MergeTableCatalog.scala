@@ -295,6 +295,11 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
                    ref: Option[String] = None) extends Table with SupportsRead
     with SupportsWrite with SupportsMetadataColumns with TruncatableTable {
 
+  /** Table root on disk — consulted by the skew-salting optimizer
+    * rule for the persisted ANALYZE histograms.
+    */
+  private[graft] def tablePath: String = path
+
   /** `TRUNCATE TABLE graft.db.t` — one empty-entry metadata commit
     * (history preserved, vacuum reclaims). Routes to the WAP branch
     * like every other write; refused on time-travel/ref pins.
@@ -530,8 +535,11 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         val (ok, rejected) = filters.partition(f => pinnedRelation.translate(f).isDefined)
         advisory = ok
+        // partition dirs are physical-named; translate each reference
+        // so filters on a RENAMED partition column still claim
         val (part, data) = ok.partition(f => f.references.nonEmpty &&
-          f.references.forall(r => meta.partitionCols.exists(_.equalsIgnoreCase(r))))
+          f.references.forall(r => meta.partitionCols.exists(
+            _.equalsIgnoreCase(pinnedRelation.physicalName(r)))))
         pushed = part
         rejected ++ data
       }
@@ -579,8 +587,10 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
           else if (meta.partitionCols.isEmpty) return None
           else {
             val kept = byDir.map { case (d, ms) =>
+              // dirs speak physical names — translate the filter first
               val vs = pushed.toSeq.map(f =>
-                PartitionFilters.exact(d, meta.partitionCols, f))
+                PartitionFilters.exact(d, meta.partitionCols,
+                  pinnedRelation.toPhysicalFilter(f)))
               if (vs.exists(_.contains(false))) Some(Seq.empty)
               else if (vs.forall(_.contains(true))) Some(ms)
               else None
@@ -606,8 +616,10 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
             case _: StructType | _: ArrayType | _: MapType => return None
             case _ =>
           }
+          // footer stats key PHYSICAL names (column mapping)
+          val pn = pinnedRelation.physicalName(n)
           val per = metas.map { m =>
-            if (!m.present(n)) Some(0L) else m.nulls.get(n).map(m.rows - _)
+            if (!m.present(pn)) Some(0L) else m.nulls.get(pn).map(m.rows - _)
           }
           if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
         }
@@ -625,14 +637,15 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
             case StringType => "s"
             case _ => return None
           }
+          val pn = pinnedRelation.physicalName(n) // stats are physical-keyed
           val per = metas.map { m =>
-            if (!m.present(n)) Some(None) // no rows with this column
-            else m.cols.get(n) match {
+            if (!m.present(pn)) Some(None) // no rows with this column
+            else m.cols.get(pn) match {
               case Some((mn, mx, t)) if t == wantTag => Some(Some(if (isMin) mn else mx))
               case Some(_) => None // tag/type drift: give up
               case None =>
                 // no range but provably all-null → contributes nothing
-                if (m.nulls.get(n).contains(m.rows)) Some(None) else None
+                if (m.nulls.get(pn).contains(m.rows)) Some(None) else None
             }
           }
           if (per.exists(_.isEmpty)) return None

@@ -519,21 +519,19 @@ class MergeTableRelation(
 
   /** Per-file footer metadata when the pinned snapshot can answer
     * aggregates from manifests alone (no MOR deltas / dv masks, every
-    * file accounted for, no active column mapping — stats are keyed
-    * by physical names). `Some(Nil)` for an uninitialized table: zero
-    * files aggregate to count 0 / min-max null. Consumed by the
-    * catalog's metadata-only aggregate pushdown.
-    */
-  private[sources] def aggregatable: Option[Seq[graft.cdc.FileStats.FileMeta]] =
-    aggregatableByDir.map(_.flatMap(_._2))
-
-  /** [[aggregatable]] grouped per entry dir (partition segments
-    * intact) — what partition-FILTERED metadata aggregation consumes.
+    * file accounted for), grouped per entry dir (partition segments
+    * intact) — what (partition-FILTERED) metadata aggregation
+    * consumes. `Some(Nil)` for an uninitialized table: zero files
+    * aggregate to count 0 / min-max null. Stats are PHYSICAL-keyed
+    * like the files themselves; an active column mapping does NOT
+    * disqualify a table (r14) — the aggregation planner translates
+    * each logical column through [[physicalName]]/[[toPhysicalFilter]]
+    * before consulting them, so renamed tables keep the O(manifest)
+    * count/min/max path.
     */
   private[sources] def aggregatableByDir
       : Option[Seq[(String, Seq[graft.cdc.FileStats.FileMeta])]] =
-    if (renameMap.nonEmpty) None
-    else if (!table.exists) Some(Nil)
+    if (!table.exists) Some(Nil)
     else table.aggregatableFilesByDir(
       version.map(table.entriesAtVersion).getOrElse(pinnedEntries))
 

@@ -1,0 +1,101 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.cdc.MergeTable
+
+/** Histogram-driven skew salting: ANALYZE's heavy-hitter bins change
+  * the SHUFFLE PLAN of joins whose skew default AQE cannot see (its
+  * byte thresholds — 256 MB/partition — never fire at these sizes,
+  * yet one reducer would still take ~90% of the rows). The rewrite
+  * must be result-identical and must decline broadcasts and
+  * histogram-less tables.
+  */
+class SaltSkewedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(db: String): Unit = {
+    MergeTable.drop(s"target/graft_warehouse/$db")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$db")
+  }
+
+  test("heavyValues reads the skew signal out of equi-height bins") {
+    import MergeTable.{Hist, HistBin}
+    // 10 bins of height 100 over 1000 rows: k=7 spans 9 bins (90%)
+    val h = Hist(100.0, Seq.fill(9)(HistBin(7, 7, 1)) :+ HistBin(8, 1000, 91))
+    assert(SaltSkewedJoin.heavyValues(h, 1000, 0.05) === Seq(7.0))
+    // a value at exactly one bin (10%) passes a 5% floor, fails 20%
+    val h2 = Hist(100.0, HistBin(3, 3, 1) +: Seq.fill(9)(HistBin(4, 1000, 100)))
+    assert(SaltSkewedJoin.heavyValues(h2, 1000, 0.05) === Seq(3.0))
+    assert(SaltSkewedJoin.heavyValues(h2, 1000, 0.2) === Nil)
+    // range bins never count, zero rows never divide
+    assert(SaltSkewedJoin.heavyValues(Hist(1.0, Seq(HistBin(1, 9, 5))), 10, 0.01) === Nil)
+    assert(SaltSkewedJoin.heavyValues(h, 0, 0.05) === Nil)
+  }
+
+  test("a histogram-flagged heavy key salts the shuffle join; results identical") {
+    fresh("ssj1")
+    spark.sql("""CREATE TABLE graft.ssj1.f (id BIGINT, k BIGINT)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("""CREATE TABLE graft.ssj1.d (id BIGINT, k BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    // 90% of fact rows share k=7 — the one-reducer key at any scale
+    (1 to 2000).map(i => (i.toLong, if (i % 10 == 0) i.toLong else 7L))
+      .toDF("id", "k").createOrReplaceTempView("ssj1_f")
+    (1 to 2000).map(i => (i.toLong, i.toLong, s"v$i"))
+      .toDF("id", "k", "v").createOrReplaceTempView("ssj1_d")
+    spark.sql("INSERT INTO graft.ssj1.f SELECT * FROM ssj1_f")
+    spark.sql("INSERT INTO graft.ssj1.d SELECT * FROM ssj1_d")
+    withSQLConf("graft.mergetable.histogramBins" -> "10") {
+      spark.sql("ANALYZE TABLE graft.ssj1.f COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val q = """SELECT f.id, d.v FROM graft.ssj1.f f
+               JOIN graft.ssj1.d d ON f.k = d.k"""
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val salted = spark.sql(q)
+      val plan = salted.queryExecution.optimizedPlan.toString
+      assert(plan.contains(SaltSkewedJoin.SaltCol),
+        s"histogram-flagged key must salt the join:\n$plan")
+      assert(plan.toLowerCase.contains("explode"),
+        s"the dim side must replicate heavy keys:\n$plan")
+      val saltedRows = salted.as[(Long, String)].collect().sorted.toSeq
+      // ground truth with the rewrite off
+      val plain = withSQLConf("graft.skew.salting.enabled" -> "false") {
+        val p = spark.sql(q)
+        assert(!p.queryExecution.optimizedPlan.toString.contains(SaltSkewedJoin.SaltCol))
+        p.as[(Long, String)].collect().sorted.toSeq
+      }
+      assert(saltedRows === plain, "salting must be result-identical")
+      // the heavy key's matches all present exactly once
+      assert(saltedRows.count(_._2 == "v7") === 1800)
+    }
+  }
+
+  test("broadcastable joins and histogram-less tables stay unsalted") {
+    fresh("ssj2")
+    spark.sql("""CREATE TABLE graft.ssj2.f (id BIGINT, k BIGINT)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("""CREATE TABLE graft.ssj2.d (id BIGINT, k BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    (1 to 500).map(i => (i.toLong, 7L)).toDF("id", "k")
+      .createOrReplaceTempView("ssj2_f")
+    (1 to 500).map(i => (i.toLong, i.toLong, s"v$i")).toDF("id", "k", "v")
+      .createOrReplaceTempView("ssj2_d")
+    spark.sql("INSERT INTO graft.ssj2.f SELECT * FROM ssj2_f")
+    spark.sql("INSERT INTO graft.ssj2.d SELECT * FROM ssj2_d")
+    val q = """SELECT f.id, d.v FROM graft.ssj2.f f
+               JOIN graft.ssj2.d d ON f.k = d.k"""
+    // no ANALYZE at all → no histogram → no salt even with no broadcast
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      assert(!spark.sql(q).queryExecution.optimizedPlan.toString
+        .contains(SaltSkewedJoin.SaltCol), "histogram-less table must not salt")
+    }
+    // histogram present but the dim broadcasts → no shuffle to salt
+    withSQLConf("graft.mergetable.histogramBins" -> "10") {
+      spark.sql("ANALYZE TABLE graft.ssj2.f COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    assert(!spark.sql(q).queryExecution.optimizedPlan.toString
+      .contains(SaltSkewedJoin.SaltCol), "broadcastable join must not salt")
+  }
+}

@@ -101,6 +101,45 @@ class AggregatePushdownSpec extends SparkSpec {
     assert(sum.as[Long].head() === 6L)
   }
 
+  test("renamed tables keep the metadata-only path (physical-keyed stats, r14)") {
+    fresh("aggdb9")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.aggdb9")
+    spark.sql("""CREATE TABLE graft.aggdb9.t (id BIGINT, v STRING, day STRING)
+                 TBLPROPERTIES('keys'='id') PARTITIONED BY (day)""")
+    spark.sql("""INSERT INTO graft.aggdb9.t VALUES
+                 (1, 'alpha', 'd1'), (2, NULL, 'd1'), (3, 'zed', 'd2')""")
+    // rename a DATA column and the PARTITION column: footer stats and
+    // dir names stay physical; the planner must translate
+    spark.sql("ALTER TABLE graft.aggdb9.t RENAME COLUMN v TO label")
+    spark.sql("ALTER TABLE graft.aggdb9.t RENAME COLUMN day TO event_day")
+    var recordsRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead += te.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val q = spark.sql(
+        """SELECT count(*) AS c, count(label) AS cl, min(label) AS mn,
+                  max(label) AS mx, max(id) AS mxid
+           FROM graft.aggdb9.t""")
+      assert(isMetadataScan(q),
+        s"renamed table lost the metadata agg path:\n${q.queryExecution.executedPlan}")
+      val r = q.head()
+      assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+      assert(r.getString(2) === "alpha" && r.getString(3) === "zed")
+      assert(r.getLong(4) === 3L)
+      // filtered on the RENAMED partition column — still metadata-only
+      val f = spark.sql(
+        "SELECT count(*) AS c FROM graft.aggdb9.t WHERE event_day = 'd1'")
+      assert(isMetadataScan(f),
+        s"renamed partition filter lost the path:\n${f.queryExecution.executedPlan}")
+      assert(f.head().getLong(0) === 2L)
+      Thread.sleep(500) // listener bus drains asynchronously
+      assert(recordsRead === 0L, "metadata aggregation must open zero data files")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("MOR snapshots with pending deltas are not metadata-aggregatable") {
     fresh("aggdb4")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.aggdb4")

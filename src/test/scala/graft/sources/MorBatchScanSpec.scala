@@ -123,7 +123,45 @@ class MorBatchScanSpec extends SparkSpec {
     assert(lo.as[(Long, Long)].collect() === Array((2L, 222L)))
   }
 
-  test("value-partitioned MOR serves through the Batch scan (packed, no SPJ claim)") {
+  test("co-partitioned MOR tables storage-partition-join with zero shuffles (r14)") {
+    fresh("morb9")
+    for (t <- Seq("l", "r")) {
+      spark.sql(s"""CREATE TABLE graft.morb9.$t (id BIGINT, day STRING, v BIGINT)
+                    TBLPROPERTIES('keys'='id', 'mode'='merge-on-read')
+                    PARTITIONED BY (day)""")
+      spark.sql(s"""INSERT INTO graft.morb9.$t
+        SELECT id, concat('d', id % 4), id * 10 FROM range(0, 120)""")
+    }
+    // pending deltas on BOTH sides: an update, a tombstone, and a
+    // winner landing in a BRAND-NEW partition value (no base dir)
+    val l = MergeTable.open(spark, "target/graft_warehouse/morb9/l")
+    val r = MergeTable.open(spark, "target/graft_warehouse/morb9/r")
+    l.upsert(Seq((5L, "d1", 555L), (900L, "d9", 9000L)).toDF("id", "day", "v"))
+    l.delete(Seq(7L).toDF("id"))
+    r.upsert(Seq((5L, "d1", 556L), (900L, "d9", 9001L)).toDF("id", "day", "v"))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val j = spark.sql(
+        """SELECT l.id, l.v AS lv, r.v AS rv
+          |FROM graft.morb9.l l JOIN graft.morb9.r r
+          |ON l.day = r.day AND l.id = r.id""".stripMargin)
+      val shuffleCount = j.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeLike => s }.size
+      assert(shuffleCount === 0,
+        s"pv-MOR tables must keep the storage-partitioned join:\n${j.queryExecution.executedPlan}")
+      val rows = j.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      // 120 common ids - 1 tombstoned + the new id 900 on both sides
+      assert(rows.length === 120, s"got ${rows.length}")
+      assert(rows.contains((5L, 555L, 556L)), "both sides' delta winners must meet")
+      assert(rows.contains((900L, 9000L, 9001L)),
+        "winners in a partition with NO base dir must still align")
+      assert(!rows.exists(_._1 == 7L), "tombstoned key must not join")
+    }
+  }
+
+  test("value-partitioned MOR rides keyed splits (winners in their tuple's split)") {
     fresh("morb5")
     spark.sql("""CREATE TABLE graft.morb5.t (id BIGINT, region STRING, amt BIGINT)
                  PARTITIONED BY (region)
@@ -145,6 +183,77 @@ class MorBatchScanSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L))
     assert(spark.table("graft.morb5.t").filter($"region" === "ap")
       .select("id", "amt").as[(Long, Long)].collect().toSeq === Seq((9L, 90L)))
+  }
+
+  test("hidden-day MOR routes winners by their derived granule (SPJ kept)") {
+    fresh("morb10")
+    for (t <- Seq("l", "r")) {
+      spark.sql(s"""CREATE TABLE graft.morb10.$t (id BIGINT, v BIGINT, ts TIMESTAMP_NTZ)
+                    TBLPROPERTIES('keys'='id', 'mode'='merge-on-read')
+                    PARTITIONED BY (days(ts))""")
+      spark.sql(s"""INSERT INTO graft.morb10.$t
+        SELECT id, id * 2, timestamp_ntz'2024-03-01 06:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT))
+        FROM range(0, 60)""")
+    }
+    val l = MergeTable.open(spark, "target/graft_warehouse/morb10/l")
+    val r = MergeTable.open(spark, "target/graft_warehouse/morb10/r")
+    // winners: one inside an existing day, one in a NEW day
+    l.upsert(Seq(
+      (4L, 444L, java.time.LocalDateTime.parse("2024-03-02T12:00:00")),
+      (700L, 7000L, java.time.LocalDateTime.parse("2024-06-15T01:00:00")))
+      .toDF("id", "v", "ts"))
+    r.upsert(Seq(
+      (700L, 7001L, java.time.LocalDateTime.parse("2024-06-15T23:00:00")))
+      .toDF("id", "v", "ts"))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val j = spark.sql(
+        """SELECT l.id, l.v AS lv, r.v AS rv
+          |FROM graft.morb10.l l JOIN graft.morb10.r r
+          |ON l.ts = r.ts AND l.id = r.id""".stripMargin)
+      val shuffleCount = j.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeLike => s }.size
+      assert(shuffleCount === 0,
+        s"hidden-day MOR tables must storage-partition-join:\n${j.queryExecution.executedPlan}")
+      val rows = j.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      // id 4 moved days on l only → its ts no longer matches r's; the
+      // untouched ids still align; 700 exists on both but at different
+      // times of the new day → no ts match either
+      assert(rows.size === 59, s"got ${rows.size}")
+      assert(!rows.exists(_._1 == 4L) && !rows.exists(_._1 == 700L))
+    }
+    // winner visibility sanity: day-filtered reads see the moved rows
+    assert(spark.table("graft.morb10.l")
+      .filter($"ts" >= "2024-06-15 00:00:00").select("id").as[Long].collect()
+      === Array(700L))
+  }
+
+  test("delete-only delta on a hidden-day MOR table still reads (no granule source in delta)") {
+    // a delete writes key columns + tombstone only — the delta union
+    // carries neither the derived granule nor its source column; the
+    // winner-tuple projection must stay resolvable (all rows are
+    // tombstones, so the typed-null tuple is never observed)
+    fresh("morb11")
+    spark.sql("""CREATE TABLE graft.morb11.t (id BIGINT, v BIGINT, ts TIMESTAMP_NTZ)
+                 TBLPROPERTIES('keys'='id', 'mode'='merge-on-read')
+                 PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO graft.morb11.t
+      SELECT id, id, timestamp_ntz'2024-03-01 06:00:00' + make_interval(0,0,0,CAST(id % 2 AS INT))
+      FROM range(0, 30)""")
+    val t = MergeTable.open(spark, "target/graft_warehouse/morb11/t")
+    t.delete(Seq(3L, 7L).toDF("id"))
+    val df = spark.table("graft.morb11.t")
+    assert(usesBatchScan(df), df.queryExecution.executedPlan.toString)
+    assert(df.count() === 28L)
+    assert(df.filter($"id" === 3L).isEmpty && df.filter($"id" === 8L).count() === 1)
+    // day-filter pruning still composes with the tombstone supersede:
+    // day 03-01 holds the 15 even ids; both deleted ids (3, 7) are odd
+    assert(spark.table("graft.morb11.t")
+      .filter($"ts" < "2024-03-02 00:00:00").count() === 15L)
+    assert(spark.table("graft.morb11.t")
+      .filter($"ts" >= "2024-03-02 00:00:00").count() === 13L)
   }
 
   test("schema evolution: a delta-added column null-fills base rows on the Batch path") {
@@ -178,22 +287,31 @@ class MorBatchScanSpec extends SparkSpec {
     assert(spark.table("graft.morb7.t").count() === 19L)
   }
 
-  test("compaction clears the delta layer and restores columnar batches") {
+  test("MOR scans stay COLUMNAR: per-batch supersede probe, parity with t.read() (r14)") {
     fresh("morb8")
     spark.sql("""CREATE TABLE graft.morb8.t (id BIGINT, v STRING)
                  TBLPROPERTIES('keys'='id', 'mode'='merge-on-read')""")
     spark.sql("INSERT INTO graft.morb8.t SELECT id, concat('v', id) FROM range(0, 50)")
     val t = MergeTable.open(spark, "target/graft_warehouse/morb8/t")
-    t.upsert(Seq((1L, "u1")).toDF("id", "v"))
+    t.upsert(Seq((1L, "u1"), (77L, "n77")).toDF("id", "v"))
+    t.delete(Seq(9L).toDF("id"))
     val morRead = spark.table("graft.morb8.t")
     assert(usesBatchScan(morRead), morRead.queryExecution.executedPlan.toString)
-    assert(!morRead.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
-      "a live delta layer must force the row-mode reader")
+    // the r14 columnar supersede probe: delta-bearing snapshots keep
+    // vectorized batches (hit-free batches pass through zero-copy)
+    assert(morRead.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"a live delta layer must keep the columnar reader:\n${morRead.queryExecution.executedPlan}")
+    // full parity with the V1-reconciled table read
+    assert(morRead.orderBy("id").as[(Long, String)].collect().toSeq
+      === t.read().orderBy("id").as[(Long, String)].collect().toSeq)
+    assert(morRead.count() === 50L) // 50 - 1 tombstone + 1 new
     t.compact()
     val cowRead = spark.table("graft.morb8.t")
     assert(usesBatchScan(cowRead), cowRead.queryExecution.executedPlan.toString)
     assert(cowRead.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
-      s"a compacted read must regain vectorized batches:\n${cowRead.queryExecution.executedPlan}")
+      s"a compacted read keeps vectorized batches:\n${cowRead.queryExecution.executedPlan}")
     assert(cowRead.count() === 50L)
+    assert(cowRead.orderBy("id").as[(Long, String)].collect().toSeq
+      === t.read().orderBy("id").as[(Long, String)].collect().toSeq)
   }
 }

@@ -86,6 +86,79 @@ class TableStatsSpec extends SparkSpec {
     assert(h.bins.sliding(2).forall { case Seq(a, b) => a.hi <= b.lo + 1e-9 })
   }
 
+  test("incremental ANALYZE: N folds ≈ full recompute, O(delta) rows read per fold (r14)") {
+    MergeTable.drop("target/graft_warehouse/ts5")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ts5")
+    spark.sql("""CREATE TABLE graft.ts5.t (id BIGINT, k BIGINT, s STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    def batch(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (i.toLong, i.toLong % 97, if (i % 7 == 0) null else s"s-$i"))
+      .toDF("id", "k", "s")
+    val t = MergeTable.open(spark, "target/graft_warehouse/ts5/t")
+    t.append(batch(0, 1000))
+    spark.sql("ANALYZE TABLE graft.ts5.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    // three append-commit folds; each must read only ITS delta
+    (1 to 3).foreach { r =>
+      t.append(batch(r * 1000, r * 1000 + 200))
+      var recordsRead = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          recordsRead += te.taskMetrics.inputMetrics.recordsRead
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        t.analyzeIncremental()
+        Thread.sleep(500) // listener bus drains asynchronously
+        assert(recordsRead <= 300L,
+          s"fold $r read $recordsRead records — must be O(delta=200), " +
+            s"not O(table=${1000 + r * 200})")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val inc = t.tableStats().get
+    val full = t.analyzeColumns() // ground truth at the same version
+    assert(inc.version === full.version)
+    assert(inc.rows === full.rows) // exact (footer row counts)
+    for (c <- Seq("id", "k", "s")) {
+      assert(inc.cols(c).nullCount === full.cols(c).nullCount, s"nulls($c)")
+      assert(inc.cols(c).min === full.cols(c).min, s"min($c)")
+      assert(inc.cols(c).max === full.cols(c).max, s"max($c)")
+      assert(inc.cols(c).maxLen === full.cols(c).maxLen, s"maxLen($c)")
+      // NDV: the union-of-sketches estimate must sit within sketch
+      // error of the EXACT distinct count (the full recompute's own
+      // HLL++ estimate carries ~5% rsd too, so truth is the fair bar)
+      val truth = spark.table("graft.ts5.t")
+        .select(c).na.drop().distinct().count().toDouble
+      val i0 = inc.cols(c).ndv.toDouble
+      assert(math.abs(i0 - truth) <= math.max(truth * 0.05, 2.0),
+        s"ndv($c): incremental $i0 vs exact $truth")
+    }
+    // the folded sketch persisted — the NEXT fold keeps merging
+    assert(inc.cols.values.forall(_.hllB64.isDefined))
+  }
+
+  test("incremental ANALYZE: re-observed values are idempotent; no prior stats → full") {
+    MergeTable.drop("target/graft_warehouse/ts6")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ts6")
+    spark.sql("""CREATE TABLE graft.ts6.t (id BIGINT, k BIGINT)
+                 TBLPROPERTIES('keys'='id', 'mode'='merge-on-read')""")
+    val t = MergeTable.open(spark, "target/graft_warehouse/ts6/t")
+    t.append((0 until 500).map(i => (i.toLong, i.toLong % 50)).toDF("id", "k"))
+    // no prior stats: incremental degrades to a full analyze (whose
+    // HLL++ ndv carries its own small error — the sketch is the truth
+    // carrier from here on)
+    val first = t.analyzeIncremental()
+    assert(first.rows === 500L)
+    assert(math.abs(first.cols("k").ndv - 50L) <= 5L, s"${first.cols("k").ndv}")
+    // upsert EXISTING keys with EXISTING k values — HLL union must not
+    // inflate the distinct counts (idempotent sketch algebra)
+    t.upsert((0 until 100).map(i => (i.toLong, i.toLong % 50)).toDF("id", "k"))
+    val folded = t.analyzeIncremental()
+    assert(folded.cols("k").ndv === 50L, "re-observed values must not inflate NDV")
+    assert(math.abs(folded.cols("id").ndv - 500L) <= 25L)
+    // histograms carry over from the last full pass (documented decay)
+    assert(folded.version > first.version)
+  }
+
   test("the served histogram changes CBO selectivity on the skewed column") {
     MergeTable.drop("target/graft_warehouse/ts4")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ts4")
