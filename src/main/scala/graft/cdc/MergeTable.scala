@@ -2989,7 +2989,16 @@ final class MergeTable(
       val probs = array((0 to numBins).map(i => lit(i.toDouble / numBins)): _*)
       percentile_approx(col(c).cast("double"), probs, lit(10000)).as(s"__pct_$c")
     }
-    val row = snap.agg(aggs.head, (aggs.tail ++ rangeAggs ++ histAggs): _*).head()
+    // a mergeable KLL quantile sketch rides along per histogram column
+    // — the persisted half incremental ANALYZE re-derives bin edges
+    // from (percentile_approx cannot be saved and merged)
+    val kllAggs = histCols.map { c =>
+      import org.apache.spark.sql.GraftSqlBridge
+      GraftSqlBridge.column(graft.functions.KllSketchAgg(
+        GraftSqlBridge.expression(col(c).cast("double"))).toAggregateExpression())
+        .as(s"__kll_$c")
+    }
+    val row = snap.agg(aggs.head, (aggs.tail ++ rangeAggs ++ histAggs ++ kllAggs): _*).head()
     val rows = row.getAs[Long]("__rows")
     // per-bin NDVs in ONE more pass: ApproxCountDistinctForIntervals
     // (the expression Spark's ANALYZE histogram uses) sketches every
@@ -3042,7 +3051,11 @@ final class MergeTable(
         nullCount = nulls, avgLen = avgLen, maxLen = maxLen, hist = hist,
         min = mn, max = mx,
         hllB64 = Option(row.getAs[Array[Byte]](s"__hll_$c"))
-          .map(java.util.Base64.getEncoder.encodeToString))
+          .map(java.util.Base64.getEncoder.encodeToString),
+        kllB64 =
+          if (!histCols.contains(c)) None
+          else Option(row.getAs[Array[Byte]](s"__kll_$c"))
+            .map(java.util.Base64.getEncoder.encodeToString))
     }.toMap
     val stats = MergeTable.TableStats(readVersion, rows, colStats)
     MergeTable.writeTableStats(tableStatsPath, stats)
@@ -3064,10 +3077,12 @@ final class MergeTable(
     *  - null counts / lengths / min-max: folded monotonically from
     *    the delta (exact under append; deletes can leave them
     *    conservative, like every engine's incremental stats);
-    *  - histograms: kept from the last FULL analyze (the skew signal
-    *    decays slowly; bin boundaries cannot be maintained
-    *    incrementally without a quantile sketch — run a full ANALYZE
-    *    to refresh them).
+    *  - histograms: re-derived from a persisted mergeable KLL quantile
+    *    sketch (`kllB64`) unioned with the delta's sketch — bin edges
+    *    stay fold-fresh with bounded rank error (~1.65% at k=200), so
+    *    the heavy-hitter signal CBO and the skew-salting rule read
+    *    never decays; pre-KLL stats keep their old bins until the
+    *    next full pass.
     *
     * Falls back to a full [[analyzeColumns]] when no prior stats (or
     * pre-r14 stats without sketches) exist.
@@ -3107,6 +3122,12 @@ final class MergeTable(
     }).toSet
     val numericCols = analyzed.filter(c => prev.cols(c).min.isDefined ||
       prev.cols(c).max.isDefined)
+    // histogram columns whose persisted KLL sketch can absorb the
+    // delta: their bin edges re-derive from the MERGED sketch, so
+    // incremental histograms do not decay (pre-KLL stats keep the old
+    // bins until the next full pass)
+    val kllCols = analyzed.filter(c =>
+      prev.cols(c).kllB64.isDefined && prev.cols(c).hist.isDefined).toSet
     val aggs = count(lit(1)).as("__rows") +: analyzed.flatMap { c =>
       val base = Seq(
         hll_sketch_agg(col(c).cast("string"), MergeTable.hllLgK(spark)).as(s"__hll_$c"),
@@ -3117,10 +3138,17 @@ final class MergeTable(
       val rng = if (!numericCols.contains(c)) Nil else Seq(
         min(col(c)).cast("double").as(s"__min_$c"),
         max(col(c)).cast("double").as(s"__max2_$c"))
-      base ++ len ++ rng
+      val kll = if (!kllCols.contains(c)) Nil else {
+        import org.apache.spark.sql.GraftSqlBridge
+        Seq(GraftSqlBridge.column(graft.functions.KllSketchAgg(
+          GraftSqlBridge.expression(col(c).cast("double"))).toAggregateExpression())
+          .as(s"__kll_$c"))
+      }
+      base ++ len ++ rng ++ kll
     }
     val row = delta.agg(aggs.head, aggs.tail: _*).head()
     val deltaRows = row.getAs[Long]("__rows")
+    val newRows = statsRowCount.getOrElse(prev.rows + deltaRows)
     val cols = prev.cols.map { case (c, p) =>
       // a stats column the delta files don't carry reads as NULL in
       // the added rows (schema-evolution backfill) — fold the nulls
@@ -3153,13 +3181,40 @@ final class MergeTable(
                   .map(_.asInstanceOf[Double]), lo = true),
                 widen(p.max, Option(row.getAs[Any](s"__max2_$c"))
                   .map(_.asInstanceOf[Double]), lo = false))
-        c -> p.copy(ndv = ndv, nullCount = p.nullCount + dNulls,
+        val newNulls = p.nullCount + dNulls
+        // histogram re-derivation from the MERGED KLL sketch: equal
+        // edges mark a heavy-hitter bin (ndv 1 by construction); the
+        // remaining distincts spread over the range bins — the same
+        // skew signal CBO and the salting rule read, now fold-fresh
+        val (hist2, kll2) =
+          if (!kllCols.contains(c)) (p.hist, p.kllB64)
+          else {
+            val prevBytes = java.util.Base64.getDecoder.decode(p.kllB64.get)
+            val mergedBytes = Option(row.getAs[Array[Byte]](s"__kll_$c"))
+              .map(d => graft.functions.KllSketchAgg.mergeBytes(prevBytes, d))
+              .getOrElse(prevBytes)
+            val numBins = p.hist.get.bins.length
+            val rebuilt = graft.functions.KllSketchAgg.edges(mergedBytes, numBins)
+              .map { eps =>
+                val heavyBins = (0 until numBins).count(i => eps(i) == eps(i + 1))
+                val rangeBins = math.max(numBins - heavyBins, 1)
+                val remaining = math.max(1L, ndv - heavyBins)
+                MergeTable.Hist(
+                  height = math.max(newRows - newNulls, 0L).toDouble / numBins,
+                  bins = (0 until numBins).map { i =>
+                    val bNdv = if (eps(i) == eps(i + 1)) 1L
+                    else math.max(1L, remaining / rangeBins)
+                    MergeTable.HistBin(eps(i), eps(i + 1), bNdv)
+                  })
+              }.orElse(p.hist)
+            (rebuilt, Some(java.util.Base64.getEncoder.encodeToString(mergedBytes)))
+          }
+        c -> p.copy(ndv = ndv, nullCount = newNulls,
           avgLen = avgLen, maxLen = maxLen, min = mn, max = mx,
-          hllB64 = Some(hll))
+          hist = hist2, hllB64 = Some(hll), kllB64 = kll2)
       }
     }
-    val stats = MergeTable.TableStats(curV,
-      statsRowCount.getOrElse(prev.rows + deltaRows), cols)
+    val stats = MergeTable.TableStats(curV, newRows, cols)
     MergeTable.writeTableStats(tableStatsPath, stats)
     stats
   }
@@ -4184,7 +4239,8 @@ object MergeTable {
                                maxLen: Long, hist: Option[Hist] = None,
                                min: Option[Double] = None,
                                max: Option[Double] = None,
-                               hllB64: Option[String] = None)
+                               hllB64: Option[String] = None,
+                               kllB64: Option[String] = None)
 
   /** Table-level ANALYZE result, stamped with the version it was
     * computed at (staleness is inspectable; serving stale stats is the
@@ -4204,6 +4260,7 @@ object MergeTable {
       s.min.foreach(cn.put("min", _))
       s.max.foreach(cn.put("max", _))
       s.hllB64.foreach(cn.put("hll", _))
+      s.kllB64.foreach(cn.put("kll", _))
       s.hist.foreach { h =>
         val hn = cn.putObject("hist")
         hn.put("height", h.height)
@@ -4270,7 +4327,8 @@ object MergeTable {
             e.getValue.get("maxLen").asLong, hist,
             Option(e.getValue.get("min")).map(_.asDouble),
             Option(e.getValue.get("max")).map(_.asDouble),
-            Option(e.getValue.get("hll")).map(_.asText))
+            Option(e.getValue.get("hll")).map(_.asText),
+            Option(e.getValue.get("kll")).map(_.asText))
         }.toMap))
     }
   }

@@ -180,7 +180,10 @@ private[sources] class MergeTableBatchScan(
   private val mor = relation.isMorSnapshot
   private val keyRefs: Seq[String] =
     if (!mor) Nil
-    else relation.keys.filterNot(k =>
+    // keys are stored under their original names; the ride-along
+    // columns must join the read schema under their LOGICAL names
+    // (identity when no mapping is active)
+    else relation.keys.map(relation.logicalName).filterNot(k =>
       requiredSchema.fieldNames.contains(k) || filterRefs.contains(k))
   private val readDataSchema = {
     val base = requiredSchema.fields ++ (filterRefs ++ keyRefs).map(fullSchema(_))
@@ -636,8 +639,10 @@ private[sources] class MergeTableBatchScan(
           // cast even present columns: a delta-only union can resolve a
           // column narrower than the full snapshot schema (unionByName
           // coercion), and the collected rows must lay out EXACTLY as
-          // readDataSchema declares
-          if (latest.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          // readDataSchema declares. Delta files speak PHYSICAL names
+          // (column mapping) — look up physical, surface logical.
+          val pn = relation.physicalName(f.name)
+          if (latest.columns.contains(pn)) col(pn).cast(f.dataType).as(f.name)
           else lit(null).cast(f.dataType).as(f.name)
         } :+ col(graft.cdc.MergeTable.TombstoneColName)
           .cast(org.apache.spark.sql.types.BooleanType).as(tombCol))
@@ -645,7 +650,14 @@ private[sources] class MergeTableBatchScan(
       // one bounded collect (≤ broadcastKeyLimit rows by the gate);
       // rows are copied — toRdd iterators reuse row buffers
       val collected = selected.queryExecution.toRdd.map(_.copy()).collect()
-      val keyOrdinals = relation.keys.map(readDataSchema.fieldIndex).toArray
+      // keys are stored under their ORIGINAL names — resolve through
+      // the mapping (identity when none) like every other key site
+      val keyOrdinals = relation.keys.map { k =>
+        val ln = relation.logicalName(k)
+        val i = readDataSchema.fields.indexWhere(_.name.equalsIgnoreCase(ln))
+        require(i >= 0, s"MOR key column $k missing from the read schema")
+        i
+      }.toArray
       val keyTypes = keyOrdinals.map(readDataSchema.fields(_).dataType)
       val tombOrd = readDataSchema.length
       // JVM-comparable tuple values matching partitionTuple's file parse

@@ -553,20 +553,25 @@ class MergeTableRelation(
     * physical names), checked anyway. Everything else falls back to
     * the V1 relation read.
     */
+  /** Whether an active column mapping is SAFE for the raw physical
+    * reader: every live logical column needs its OWN physical column —
+    * a re-ADD of a renamed-away name gives two logicals the same
+    * physical (the new column would read the old column's stale
+    * bytes), and a dropped physical colliding with a live one is the
+    * same trap. Unsafe shapes refuse back to the V1 read, which
+    * resolves through the mapping instead. Shared by the COW, dv, and
+    * MOR batch gates (r14 — dv masks are positional and the MOR layer
+    * translates names, so mapping alone no longer evicts them).
+    */
+  private[sources] def mappingSafe: Boolean = {
+    val phys = schema.fieldNames.map(physicalName)
+    phys.distinct.length == phys.length &&
+      MergeTable.readMeta(path).forall(
+        _.droppedColumns.forall(d => !phys.contains(d)))
+  }
+
   private[sources] def batchReadable: Boolean =
-    version.isEmpty && table.exists && statFiles.isDefined && {
-      // the raw reader resolves by PHYSICAL name, so every live
-      // logical column needs its OWN physical column: a re-ADD of a
-      // renamed-away name gives two logicals the same physical (the
-      // new column would read the old column's stale bytes), and a
-      // dropped physical colliding with a live one is the same trap —
-      // both refuse back to the V1 read, which resolves through the
-      // mapping instead
-      val phys = schema.fieldNames.map(physicalName)
-      phys.distinct.length == phys.length &&
-        MergeTable.readMeta(path).forall(
-          _.droppedColumns.forall(d => !phys.contains(d)))
-    }
+    version.isEmpty && table.exists && statFiles.isDefined && mappingSafe
 
   /** Whether the Batch fast path can serve this DELETION-VECTOR
     * snapshot: the same gates as [[batchReadable]] minus the
@@ -579,8 +584,7 @@ class MergeTableRelation(
     * without recorded stats refuse (size unknowable without a read).
     */
   private[sources] def batchReadableDv: Boolean =
-    version.isEmpty && table.exists && renameMap.isEmpty &&
-      MergeTable.readMeta(path).forall(_.droppedColumns.isEmpty) &&
+    version.isEmpty && table.exists && mappingSafe &&
       statFiles.isEmpty && statFilesDv.isDefined &&
       table.dvMaskRows(pinnedEntries).exists { n =>
         val limit = sqlContext.sparkSession.conf
@@ -616,8 +620,7 @@ class MergeTableRelation(
     * collide a live base row away).
     */
   private[sources] def batchReadableMor: Boolean =
-    version.isEmpty && table.exists && renameMap.isEmpty &&
-      MergeTable.readMeta(path).forall(_.droppedColumns.isEmpty) &&
+    version.isEmpty && table.exists && mappingSafe &&
       statFiles.isEmpty && statFilesDv.isEmpty && statFilesMor.isDefined &&
       morKeyTypesOk &&
       table.morDeltaRows(pinnedEntries).exists { n =>
@@ -636,7 +639,7 @@ class MergeTableRelation(
   private def morKeyTypesOk: Boolean = {
     import org.apache.spark.sql.types._
     keys.forall { k =>
-      schema.fields.find(_.name.equalsIgnoreCase(k)).map(_.dataType).exists {
+      schema.fields.find(_.name.equalsIgnoreCase(logicalName(k))).map(_.dataType).exists {
         case ByteType | ShortType | IntegerType | LongType | BooleanType |
              FloatType | DoubleType | StringType | DateType |
              TimestampType | TimestampNTZType => true

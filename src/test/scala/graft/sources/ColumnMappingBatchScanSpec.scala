@@ -89,6 +89,53 @@ class ColumnMappingBatchScanSpec extends SparkSpec {
     }
   }
 
+  test("dv snapshots keep the Batch path under a mapping (positional masks, r14)") {
+    fresh("cm6")
+    spark.sql("""CREATE TABLE graft.cm6.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id', 'mode'='deletion-vectors')""")
+    spark.sql("INSERT INTO graft.cm6.t SELECT id, concat('v', id) FROM range(0, 100)")
+    val t = MergeTable.open(spark, "target/graft_warehouse/cm6/t")
+    t.upsert(Seq((5L, "u5")).toDF("id", "v"))
+    t.delete(Seq(9L).toDF("id"))
+    spark.sql("ALTER TABLE graft.cm6.t RENAME COLUMN v TO val")
+    val df = spark.table("graft.cm6.t")
+    assert(usesBatchScan(df), df.queryExecution.executedPlan.toString)
+    assert(df.count() === 99L)
+    assert(df.filter($"id" === 5L).select("val").as[String].head() === "u5")
+    assert(df.filter($"id" === 9L).isEmpty)
+    // parity with the resolving table read
+    assert(df.orderBy("id").as[(Long, String)].collect().toSeq
+      === t.read().orderBy("id").as[(Long, String)].collect().toSeq
+        .map { case (i, v) => (i, v) })
+  }
+
+  test("MOR snapshots keep the Batch path under a mapping (r14)") {
+    fresh("cm7")
+    spark.sql("""CREATE TABLE graft.cm7.t (id BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id', 'mode'='merge-on-read')""")
+    spark.sql("INSERT INTO graft.cm7.t SELECT id, concat('v', id) FROM range(0, 100)")
+    val t = MergeTable.open(spark, "target/graft_warehouse/cm7/t")
+    t.upsert(Seq((3L, "u3"), (500L, "n500")).toDF("id", "v"))
+    t.delete(Seq(7L).toDF("id"))
+    // the delta layer must look up PHYSICAL names under the mapping
+    // (key columns are unrenamable by design — data columns map)
+    spark.sql("ALTER TABLE graft.cm7.t RENAME COLUMN v TO val")
+    val df = spark.table("graft.cm7.t")
+    assert(df.columns.toSeq === Seq("id", "val"))
+    assert(usesBatchScan(df), df.queryExecution.executedPlan.toString)
+    assert(df.count() === 100L) // 100 - 1 tombstone + 1 new
+    assert(df.filter($"id" === 3L).select("val").as[String].head() === "u3",
+      "delta winner must supersede under the mapping")
+    assert(df.filter($"id" === 7L).isEmpty, "tombstone must hold")
+    assert(df.filter($"id" === 500L).count() === 1L)
+    // projection that drops the renamed key still reconciles
+    val vs = spark.table("graft.cm7.t").select("val")
+    assert(usesBatchScan(vs), vs.queryExecution.executedPlan.toString)
+    val got = vs.as[String].collect().sorted
+    assert(got.length === 100 && got.contains("u3") && !got.contains("v3") &&
+      !got.contains("v7") && got.contains("n500"))
+  }
+
   test("drop-then-readd yields nulls, never the dropped column's stale bytes") {
     fresh("cm4")
     spark.sql("""CREATE TABLE graft.cm4.t (id BIGINT, v STRING)

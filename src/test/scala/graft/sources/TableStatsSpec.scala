@@ -159,6 +159,38 @@ class TableStatsSpec extends SparkSpec {
     assert(folded.version > first.version)
   }
 
+  test("incremental ANALYZE re-derives histograms from the merged KLL sketch (r14)") {
+    MergeTable.drop("target/graft_warehouse/ts7")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ts7")
+    spark.sql("""CREATE TABLE graft.ts7.t (id BIGINT, k BIGINT)
+                 TBLPROPERTIES('keys'='id')""")
+    val t = MergeTable.open(spark, "target/graft_warehouse/ts7/t")
+    // uniform k over 1..100 at the full pass — no heavy bins
+    t.append((0 until 1000).map(i => (i.toLong, (i % 100 + 1).toLong)).toDF("id", "k"))
+    withSQLConf("graft.mergetable.histogramBins" -> "10") {
+      spark.sql("ANALYZE TABLE graft.ts7.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val full = t.tableStats().get.cols("k")
+    assert(full.kllB64.isDefined, "full ANALYZE must persist the KLL registers")
+    val before = full.hist.get
+    assert(before.bins.count(b => b.lo == b.hi && b.lo == 7.0) <= 1,
+      s"uniform data must not pin k=7: ${before.bins.mkString("|")}")
+    // a delta that makes k=7 a 90%+ heavy hitter
+    t.append((10000 until 19000).map(i => (i.toLong, 7L)).toDF("id", "k"))
+    val folded = t.analyzeIncremental()
+    val after = folded.cols("k").hist.get
+    assert(after.bins.length === before.bins.length, "bin count must hold")
+    val heavy = after.bins.count(b => b.lo == 7.0 && b.hi == 7.0)
+    assert(heavy >= 7,
+      s"the fold must surface the new heavy hitter: ${after.bins.mkString("|")}")
+    assert(after.bins.filter(b => b.lo == 7.0 && b.hi == 7.0).forall(_.ndv === 1L))
+    // height tracks the folded row count (10000 non-null rows / 10 bins)
+    assert(math.abs(after.height - 1000.0) < 1e-6, s"height ${after.height}")
+    // and the merged registers persisted for the NEXT fold
+    assert(folded.cols("k").kllB64.isDefined)
+    assert(folded.cols("k").kllB64 !== full.kllB64)
+  }
+
   test("the served histogram changes CBO selectivity on the skewed column") {
     MergeTable.drop("target/graft_warehouse/ts4")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ts4")
