@@ -880,9 +880,7 @@ final class MergeTable(
   private def withDerived(df: DataFrame): DataFrame =
     derivedPartitions.foldLeft(df) { case (d, (c, src)) =>
       if (d.columns.contains(c)) d
-      else if (c.endsWith("_month"))
-        d.withColumn(c, date_format(col(src), "yyyy-MM"))
-      else d.withColumn(c, to_date(col(src)).cast("string"))
+      else d.withColumn(c, MergeTable.derivedColumn(c, col(src)))
     }
 
   /** physical → logical rename at every public read surface: data
@@ -3076,7 +3074,10 @@ final class MergeTable(
     *    else prev + delta;
     *  - null counts / lengths / min-max: folded monotonically from
     *    the delta (exact under append; deletes can leave them
-    *    conservative, like every engine's incremental stats);
+    *    conservative, like every engine's incremental stats). Commits
+    *    that REPLACED entries (COW rewrites, compaction) would
+    *    double-count re-contained rows, so they degrade to the full
+    *    pass — only the pure-append shapes fold;
     *  - histograms: re-derived from a persisted mergeable KLL quantile
     *    sketch (`kllB64`) unioned with the delta's sketch — bin edges
     *    stay fold-fresh with bounded rank error (~1.65% at k=200), so
@@ -3099,14 +3100,27 @@ final class MergeTable(
     val dataTags = Set("base", "pv", "pb", "delta")
     def dataEntries(s: Seq[(String, String)]) =
       s.filter(e => dataTags(e._1) || e._1.matches("b\\d+"))
-    val prevSet = dataEntries(entriesAtVersion(prev.version)).toSet
-    val added = dataEntries(es).filterNot(prevSet)
+    // the stats version's manifest may have been EXPIRED since — the
+    // fold base is gone, so degrade to the full pass (the documented
+    // no-prior-stats contract), never a crash
+    val prevSet =
+      try dataEntries(entriesAtVersion(prev.version)).toSet
+      catch { case _: IllegalArgumentException => return analyzeColumns() }
+    val cur = dataEntries(es)
+    val added = cur.filterNot(prevSet)
+    val removed = prevSet -- cur.toSet
     if (added.isEmpty) { // deletes only: counts tighten, sketches hold
       val s = prev.copy(version = curV,
         rows = statsRowCount.getOrElse(prev.rows))
       MergeTable.writeTableStats(tableStatsPath, s)
       return s
     }
+    // entries REPLACED (COW upsert/delete rewrites, compaction): the
+    // "added" dirs re-contain surviving old rows, so folding them
+    // would double-count nulls, length weight, and KLL mass. Only the
+    // pure-append shapes (appends; MOR deltas) fold incrementally —
+    // anything that rewrote takes the full pass.
+    if (removed.nonEmpty) return analyzeColumns()
     // O(delta): ONLY the added dirs are read, logical-named like the
     // full pass; MOR tombstones carry no values and fold out
     val raw = toLogical(readDirs(added.map(_._2)))
@@ -3120,8 +3134,17 @@ final class MergeTable(
       case StringType | BinaryType => true
       case _ => false
     }).toSet
-    val numericCols = analyzed.filter(c => prev.cols(c).min.isDefined ||
-      prev.cols(c).max.isDefined)
+    // type-gated like the full pass (NOT prev-min/max-gated: a column
+    // all-null at full-ANALYZE time must still pick up bounds from
+    // later deltas — widen(None, v) self-heals)
+    val numericCols = analyzed.filter { c =>
+      import org.apache.spark.sql.types._
+      delta.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | _: DecimalType => true
+        case _ => false
+      }
+    }
     // histogram columns whose persisted KLL sketch can absorb the
     // delta: their bin edges re-derive from the MERGED sketch, so
     // incremental histograms do not decay (pre-KLL stats keep the old
@@ -4277,6 +4300,18 @@ object MergeTable {
     Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** The ONE logical-plan-side derivation of a hidden partition column
+    * from its source Column — shared by the write path (withDerived)
+    * and the Batch scan's MOR winner-tuple derivation, so the two can
+    * never diverge (the executor-side byte twin is
+    * `GraftGranule.render`; the granularity rides the derived column's
+    * name suffix, fixed at CREATE).
+    */
+  private[graft] def derivedColumn(c: String,
+      src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (c.endsWith("_month")) date_format(src, "yyyy-MM")
+    else to_date(src).cast("string")
 
   /** HLL precision (DataSketches lgConfigK) used by ANALYZE sketches;
     * must stay stable across full and incremental passes of one table

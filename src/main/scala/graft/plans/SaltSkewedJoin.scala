@@ -79,7 +79,7 @@ case class SaltSkewedJoin(session: SparkSession) extends Rule[LogicalPlan] {
             rel.output.exists(_.exprId == attr.exprId) =>
         rel.table.asInstanceOf[MergeTableV2].tablePath
     }.toSeq.flatMap { path =>
-      MergeTable.statsAt(path).toSeq.flatMap { st =>
+      statsCached(path).toSeq.flatMap { st =>
         st.cols.collectFirst { case (c, cs) if c.equalsIgnoreCase(attr.name) => cs }
           .flatMap(_.hist).toSeq.flatMap(h => heavyValues(h, st.rows, minShare))
       }
@@ -150,6 +150,24 @@ case class SaltSkewedJoin(session: SparkSession) extends Rule[LogicalPlan] {
 private[graft] object SaltSkewedJoin {
   private[plans] val SaltCol = "_graft_skew_salt"
   private[plans] val SaltedTag = TreeNodeTag[Boolean]("graft.salted")
+
+  // the optimizer's fixed-point batch re-runs this rule several times
+  // per query, and the stats JSON now carries fat sketch registers —
+  // memoize per (path, file mtime) so each stats file parses once per
+  // ANALYZE generation, not once per optimization pass
+  private val statsMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long), Option[MergeTable.TableStats]]()
+
+  private[plans] def statsCached(path: String): Option[MergeTable.TableStats] = {
+    val f = java.nio.file.Paths.get(path).resolve("stats")
+      .resolve("_TABLE_STATS.json")
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(f).toMillis
+      catch { case _: java.io.IOException => return None }
+    if (statsMemo.size > 1024) statsMemo.clear() // unbounded-growth guard
+    statsMemo.computeIfAbsent((path, mtime), _ => MergeTable.statsAt(path))
+  }
 
   private[plans] def integralOrFloat(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |

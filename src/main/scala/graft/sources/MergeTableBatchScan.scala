@@ -275,6 +275,16 @@ private[sources] class MergeTableBatchScan(
     * Types mirror the write gate (string/integral/boolean only);
     * `__HIVE_DEFAULT_PARTITION__` is the null partition.
     */
+  /** The declared type of one partition column as the SCAN OUTPUT
+    * sees it — partition columns are stored under physical names
+    * (dirs never rename), the schema is logical, so the lookup maps
+    * through the relation's column mapping (identity when none).
+    * None for derived (hidden) columns, whose tuple value is always
+    * the granule STRING.
+    */
+  private def partitionColType(c: String): Option[org.apache.spark.sql.types.DataType] =
+    fullSchema.find(_.name == relation.logicalName(c)).map(_.dataType)
+
   private def partitionTuple(p: java.nio.file.Path): Option[Seq[Any]] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.types._
@@ -284,13 +294,13 @@ private[sources] class MergeTableBatchScan(
         .findFirstMatchIn(path).map { m =>
           val raw = ExternalCatalogUtils.unescapePathName(m.group(1))
           if (raw == "__HIVE_DEFAULT_PARTITION__") null
-          else fullSchema.find(_.name == c).map(_.dataType) match {
+          else partitionColType(c) match {
             case Some(ByteType) => raw.toByte
             case Some(ShortType) => raw.toShort
             case Some(IntegerType) => raw.toInt
             case Some(LongType) => raw.toLong
             case Some(BooleanType) => raw.toBoolean
-            case _ => raw // string partition columns
+            case _ => raw // string and derived (granule) partition columns
           }
         }
     }
@@ -597,10 +607,12 @@ private[sources] class MergeTableBatchScan(
       // file-path parse produces — anything else (a date-typed
       // partition col, should the write gate ever admit one) would
       // mis-align winner tuples against file tuples, so it refuses
-      // routing instead
+      // routing instead. Types resolve LOGICAL-side like the file
+      // parse itself (partitionColType) — renamed partition columns
+      // keep their declared type, never fall to the string branch.
       val pvTypesOk = relation.partitionCols.forall { c =>
         derivedPartitionsMap.contains(c) ||
-          fullSchema.find(_.name == c).map(_.dataType).exists {
+          partitionColType(c).exists {
             case org.apache.spark.sql.types.ByteType |
                  org.apache.spark.sql.types.ShortType |
                  org.apache.spark.sql.types.IntegerType |
@@ -609,31 +621,37 @@ private[sources] class MergeTableBatchScan(
             case _ => false
           }
       }
-      val pvRouting = relation.numBuckets.isEmpty &&
+      val pvRouted = relation.numBuckets.isEmpty &&
         relation.partitionCols.nonEmpty && pvTypesOk
       val tupleTypes: Seq[org.apache.spark.sql.types.DataType] =
         relation.partitionCols.map { c =>
           if (derivedPartitionsMap.contains(c)) StringType
-          else fullSchema.find(_.name == c).map(_.dataType).getOrElse(StringType)
+          else partitionColType(c).getOrElse(StringType)
         }
-      def tupleColsOf(cols: Seq[String]): Option[Seq[org.apache.spark.sql.Column]] =
-        if (!pvRouting) Some(Nil)
-        else try Some(relation.partitionCols.zipWithIndex.map { case (c, i) =>
-          val e = derivedPartitionsMap.get(c) match {
-            case Some(_) if cols.contains(c) => col(c).cast(StringType)
-            // a delete-only delta layer carries neither the derived nor
-            // the source column — its rows are all tombstones (never
-            // winners), so a typed null keeps the projection resolvable
-            case Some(src) if !cols.contains(src) => lit(null).cast(StringType)
-            case Some(src) if c.endsWith("_month") => date_format(col(src), "yyyy-MM")
-            case Some(src) => to_date(col(src)).cast(StringType)
-            case None if cols.contains(c) => col(c).cast(tupleTypes(i))
-            case None => lit(null).cast(tupleTypes(i))
+      // every branch below is total by construction (column-presence
+      // checks, typed nulls) — there is no failure mode to fall back
+      // from: a delete-only delta layer carries neither the derived
+      // nor the source column, and its rows are all tombstones (never
+      // winners), so a typed null keeps the projection resolvable.
+      // Delta files speak PHYSICAL names.
+      val tupleCols: Seq[org.apache.spark.sql.Column] =
+        if (!pvRouted) Nil
+        else {
+          val cols = latest.columns.toSeq
+          relation.partitionCols.zipWithIndex.map { case (c, i) =>
+            val e = derivedPartitionsMap.get(c) match {
+              case Some(_) if cols.contains(c) => col(c).cast(StringType)
+              case Some(src) if !cols.contains(src) => lit(null).cast(StringType)
+              // the ONE shared derivation rule (write-side withDerived
+              // calls the same helper — the two can never diverge)
+              case Some(src) => graft.cdc.MergeTable.derivedColumn(c, col(src))
+              case None => // identity: c IS the stored (physical) name
+                if (cols.contains(c)) col(c).cast(tupleTypes(i))
+                else lit(null).cast(tupleTypes(i))
+            }
+            e.as(s"_graft_pt_$i")
           }
-          e.as(s"_graft_pt_$i")
-        }) catch { case scala.util.control.NonFatal(_) => None }
-      val tupleCols = tupleColsOf(latest.columns.toSeq)
-      val pvRouted = pvRouting && tupleCols.isDefined
+        }
       val selected = latest.select(
         ((readDataSchema.fields.map { f =>
           // cast even present columns: a delta-only union can resolve a
@@ -646,7 +664,7 @@ private[sources] class MergeTableBatchScan(
           else lit(null).cast(f.dataType).as(f.name)
         } :+ col(graft.cdc.MergeTable.TombstoneColName)
           .cast(org.apache.spark.sql.types.BooleanType).as(tombCol))
-          ++ tupleCols.getOrElse(Nil)).toIndexedSeq: _*)
+          ++ tupleCols).toIndexedSeq: _*)
       // one bounded collect (≤ broadcastKeyLimit rows by the gate);
       // rows are copied — toRdd iterators reuse row buffers
       val collected = selected.queryExecution.toRdd.map(_.copy()).collect()

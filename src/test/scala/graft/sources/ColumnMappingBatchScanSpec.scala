@@ -136,6 +136,36 @@ class ColumnMappingBatchScanSpec extends SparkSpec {
       !got.contains("v7") && got.contains("n500"))
   }
 
+  test("a renamed INT identity partition column keeps typed partition keys (r14)") {
+    // partition dirs stay physical-named; the tuple TYPE must resolve
+    // through the mapping — a string-typed tuple under an int-typed
+    // reported transform would break KeyGroupedPartitioning grouping
+    fresh("cm8")
+    for (t <- Seq("l", "r")) {
+      spark.sql(s"""CREATE TABLE graft.cm8.$t (id BIGINT, bucket_no INT, v BIGINT)
+                    TBLPROPERTIES('keys'='id') PARTITIONED BY (bucket_no)""")
+      spark.sql(s"""INSERT INTO graft.cm8.$t
+        SELECT id, CAST(id % 4 AS INT), id * 10 FROM range(0, 80)""")
+      spark.sql(s"ALTER TABLE graft.cm8.$t RENAME COLUMN bucket_no TO cell")
+    }
+    val df = spark.table("graft.cm8.l")
+    assert(usesBatchScan(df), df.queryExecution.executedPlan.toString)
+    assert(df.count() === 80L)
+    assert(df.filter($"cell" === 2).count() === 20L)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        """SELECT l.id, l.v + r.v AS s FROM graft.cm8.l l
+          |JOIN graft.cm8.r r ON l.cell = r.cell AND l.id = r.id""".stripMargin)
+      val shuffles = j.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeLike => s }.size
+      assert(shuffles === 0,
+        s"renamed int-partitioned tables must keep SPJ:\n${j.queryExecution.executedPlan}")
+      assert(j.count() === 80L)
+    }
+  }
+
   test("drop-then-readd yields nulls, never the dropped column's stale bytes") {
     fresh("cm4")
     spark.sql("""CREATE TABLE graft.cm4.t (id BIGINT, v STRING)
