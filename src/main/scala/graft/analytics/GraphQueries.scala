@@ -630,7 +630,64 @@ object GraphQueries extends QueryModule {
       |FROM sp GROUP BY 1, 2
       |ORDER BY dist, node_t, node_id""".stripMargin
 
+  // -- local clustering coefficient ------------------------------------------
+
+  /** Local clustering coefficient of the parts co-order graph:
+    * LCC(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — "how clique-like is
+    * this part's neighborhood", the community-structure probe next to
+    * the raw triangle counts. Reuses the degree-tilted edge-iterator
+    * triangle enumeration (each triangle found exactly once, fwd
+    * lists bounded O(√m) by the tilt) plus one degree aggregation;
+    * parts with degree ≥2 and no triangles surface with LCC 0.
+    */
+  private def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val bp = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val half = graft.Caches.register(bp.as("x").join(bp.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("u"), col("y.pk").as("v")).distinct())
+    val deg = half.select(col("u").as("part"))
+      .unionAll(half.select(col("v").as("part")))
+      .groupBy("part").agg(count(lit(1)).as("d"))
+    val tri = triangleCorners(orientByDegree(half))
+    deg.filter(col("d") >= 2)
+      .join(tri, Seq("part"), "left")
+      .select(col("part"), col("d"),
+        coalesce(col("n_triangles"), lit(0L)).as("tri"),
+        round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+          (col("d") * (col("d") - 1)), 6).as("lcc"))
+      .orderBy(desc("lcc"), desc("d"), col("part"))
+      .limit(15)
+  }
+
+  private val clusteringCoeffSql =
+    """WITH bp AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT x.pk AS u, y.pk AS v
+      |  FROM bp x JOIN bp y ON x.ok = y.ok AND x.pk < y.pk),
+      |deg AS (
+      |  SELECT part, count(*)::BIGINT AS d FROM (
+      |    SELECT u AS part FROM edges UNION ALL SELECT v FROM edges) n
+      |  GROUP BY 1),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM edges e1
+      |  JOIN edges e2 ON e1.v = e2.u
+      |  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v),
+      |corners AS (
+      |  SELECT a AS part FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri),
+      |tc AS (SELECT part, count(*)::BIGINT AS tri FROM corners GROUP BY 1)
+      |SELECT deg.part, d, COALESCE(tc.tri, 0)::BIGINT AS tri,
+      |  round(2.0 * COALESCE(tc.tri, 0) / (d * (d - 1)), 6) AS lcc
+      |FROM deg LEFT JOIN tc ON deg.part = tc.part
+      |WHERE d >= 2
+      |ORDER BY lcc DESC, d DESC, deg.part LIMIT 15""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("graph_clustering_coeff", clusteringCoeff, Some(clusteringCoeffSql)),
     QueryDef("graph_bfs_layers", bfsLayers, Some(bfsLayersSql)),
     QueryDef("graph_sssp_bounded", ssspBounded, Some(ssspBoundedSql)),
     QueryDef("graph_pagerank", pagerank, Some(pagerankSql)),

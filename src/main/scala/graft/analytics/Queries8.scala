@@ -448,7 +448,191 @@ object Queries8 extends QueryModule {
       |FROM ranked CROSS JOIN t
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- Wald–Wolfowitz runs test on the daily order series ------------------------
+
+  /** Runs test of the daily order-count series against its median —
+    * the randomness probe that catches regime shifts and autocorrelated
+    * feeds (too FEW runs) or oscillating ones (too many). The series is
+    * calendar-bounded; adjacency is by present-day ORDER (row index via
+    * PrefixSum — no global window), ties at the median discard per the
+    * standard test, and the z-statistic is a deterministic function of
+    * exact integer (runs, n1, n2).
+    */
+  private def runsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val med = daily.agg(expr("percentile(c, 0.5)").as("med"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("c") =!= col("med"))
+      .select(col("day"), (col("c") > col("med")).cast("int").as("sgn"))
+      .withColumn("_one", lit(1L))
+    val idx = graft.ops.PrefixSum.runningTotalGlobal(signed, Seq("day"), "_one", "i")
+    val changes = idx.as("a")
+      .join(idx.select(col("i").as("i2"), col("sgn").as("sgn2")).as("b"),
+        col("i") + 1 === col("i2"))
+      .agg(sum((col("sgn") =!= col("sgn2")).cast("long")).as("chg"))
+    val counts = idx.agg(
+      sum(col("sgn")).as("n1"),
+      sum(lit(1L) - col("sgn")).as("n2"))
+    counts.crossJoin(broadcast(changes))
+      .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        (col("chg") + 1).as("runs"),
+        round({
+          val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+          val r = (col("chg") + 1).cast("double")
+          val mu = lit(2.0) * n1 * n2 / (n1 + n2) + 1.0
+          val s2 = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2)) /
+            ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+          // degenerate series (one-sided, or too short for a positive
+          // variance) have no defined z — NULL on both engines
+          when(col("n1") > 0 && col("n2") > 0 &&
+            lit(2L) * col("n1") * col("n2") > col("n1") + col("n2"),
+            (r - mu) / sqrt(s2))
+        }, 4).as("z"))
+  }
+
+  private val runsTestSql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, count(*)::BIGINT AS c
+      |  FROM orders GROUP BY 1),
+      |med AS (SELECT quantile_cont(c, 0.5) AS med FROM daily),
+      |signed AS (
+      |  SELECT day, CAST(c > med AS INT) AS sgn,
+      |    row_number() OVER (ORDER BY day) AS i
+      |  FROM daily CROSS JOIN med WHERE c <> med),
+      |chg AS (
+      |  SELECT CAST(sum(CASE WHEN a.sgn <> b.sgn THEN 1 ELSE 0 END) AS BIGINT) AS chg
+      |  FROM signed a JOIN signed b ON a.i + 1 = b.i),
+      |cnt AS (
+      |  SELECT CAST(sum(sgn) AS BIGINT) AS n1,
+      |    CAST(sum(1 - sgn) AS BIGINT) AS n2 FROM signed)
+      |SELECT n1, n2, chg + 1 AS runs,
+      |  CASE WHEN n1 > 0 AND n2 > 0 AND 2*n1*n2 > n1 + n2 THEN
+      |    round(((chg + 1) - (2.0*n1*n2/(n1+n2) + 1.0))
+      |      / sqrt((2.0*n1*n2*(2.0*n1*n2 - n1 - n2))
+      |             / ((n1+n2)*(n1+n2)*(n1+n2-1.0))), 4)
+      |  END AS z
+      |FROM cnt CROSS JOIN chg""".stripMargin
+
+  // -- Jensen–Shannon divergence between source vocabularies ----------------------
+
+  /** Pairwise Jensen–Shannon divergence between the sources' word
+    * distributions — "do these corpora speak the same language", the
+    * symmetric bounded cousin of KL used for corpus mixing decisions.
+    * The word×source grid zero-fills absences so one-sided words
+    * contribute their full p·ln2; source pairs are a bounded triangle.
+    */
+  private def jsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+    val counts = toks.groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy("source").agg(sum(col("cnt")).as("tc"))
+    val grid = counts.select("w").distinct()
+      .crossJoin(broadcast(tot))
+      .join(counts, Seq("source", "w"), "left")
+      .select(col("source"), col("w"),
+        (coalesce(col("cnt"), lit(0L)).cast("double") / col("tc")).as("p"))
+    val pairs = grid.as("a")
+      .join(grid.select(col("source").as("sb"), col("w"),
+        col("p").as("q")).as("b"), Seq("w"))
+      .filter(col("source") < col("sb"))
+    def term(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      when(x > 0.0, x * log(lit(2.0) * x / (x + y))).otherwise(lit(0.0))
+    pairs.groupBy(col("source").as("source_a"), col("sb").as("source_b"))
+      .agg(round(lit(0.5) * sum(term(col("p"), col("q")) +
+        term(col("q"), col("p"))), 6).as("js"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val jsDivergenceSql =
+    """WITH toks AS (
+      |  SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |  FROM documents),
+      |counts AS (
+      |  SELECT source, w, count(*)::BIGINT AS cnt FROM toks
+      |  WHERE length(w) >= 2 GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tc FROM counts GROUP BY 1),
+      |grid AS (
+      |  SELECT t.source, v.w, COALESCE(c.cnt, 0)::DOUBLE / t.tc AS p
+      |  FROM (SELECT DISTINCT w FROM counts) v
+      |  CROSS JOIN tot t
+      |  LEFT JOIN counts c ON c.source = t.source AND c.w = v.w),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, a.p AS p, b.p AS q
+      |  FROM grid a JOIN grid b ON a.w = b.w AND a.source < b.source)
+      |SELECT source_a, source_b,
+      |  round(0.5 * sum(
+      |    (CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0 END) +
+      |    (CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0 END)), 6) AS js
+      |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -- traffic concentration across hours ------------------------------------------
+
+  /** Gini coefficient of the hourly traffic distribution — one number
+    * for "how peaked is the load curve" (0 = flat, →1 = one rush
+    * hour), the capacity-planning companion of `events_hourly_kl`.
+    * The 24-bin domain is bounded, so the exact pairwise |xi−xj| form
+    * is a ≤24² self-join over an aggregate; every term is an exact
+    * integer until the final division.
+    */
+  private def trafficGini(s: SparkSession, dir: String): DataFrame = {
+    val hours = Tables.events(s, dir)
+      .groupBy(hour(col("ts")).as("h")).agg(count(lit(1)).as("c"))
+    val pairs = hours.as("a")
+      .join(hours.select(col("h").as("h2"), col("c").as("c2")).as("b"), lit(true))
+    pairs.agg(
+        sum(abs(col("c") - col("c2"))).as("num"),
+        count(lit(1)).as("n2"),
+        sum(col("c")).as("sc"))
+      .select(round(col("num").cast("double") /
+        (lit(2.0) * sqrt(col("n2").cast("double")) * col("sc")), 6).as("hour_gini"))
+  }
+
+  private val trafficGiniSql =
+    """WITH hours AS (
+      |  SELECT hour(ts) AS h, count(*)::BIGINT AS c FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(sum(abs(a.c - b.c)) AS BIGINT) AS num,
+      |    count(*)::BIGINT AS n2, CAST(sum(a.c) AS BIGINT) AS sc
+      |  FROM hours a CROSS JOIN hours b)
+      |SELECT round(num::DOUBLE / (2.0 * sqrt(n2::DOUBLE) * sc), 6) AS hour_gini
+      |FROM p""".stripMargin
+
+  // -- log-normal fit of document lengths --------------------------------------------
+
+  /** Log-normal parameters of each source's document-length
+    * distribution (μ, σ of ln n_chars) — the two numbers that
+    * summarize a corpus's length profile and feed packing/chunking
+    * budgets; natural text is famously log-normal. One aggregation;
+    * moments are sums the engines fold identically to rounding.
+    */
+  private def lengthLognormal(s: SparkSession, dir: String): DataFrame = {
+    val ln = Tables.documents(s, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("source"), log(col("n_chars").cast("double")).as("x"))
+    ln.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("x")), 4).as("ln_mu"),
+        round(sqrt(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))), 4)
+          .as("ln_sigma"))
+      .orderBy("source")
+  }
+
+  private val lengthLognormalSql =
+    """WITH l AS (
+      |  SELECT source, ln(n_chars::DOUBLE) AS x FROM documents WHERE n_chars > 0)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  round(avg(x), 4) AS ln_mu,
+      |  round(sqrt(avg(x*x) - avg(x)*avg(x)), 4) AS ln_sigma
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("orders_runs_test", runsTest, Some(runsTestSql)),
+    QueryDef("docs_js_divergence", jsDivergence, Some(jsDivergenceSql)),
+    QueryDef("events_hour_gini", trafficGini, Some(trafficGiniSql)),
+    QueryDef("docs_length_lognormal", lengthLognormal, Some(lengthLognormalSql)),
     QueryDef("parts_skyline", partsSkyline, Some(partsSkylineSql)),
     QueryDef("events_benford", benford, Some(benfordSql)),
     QueryDef("docs_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),

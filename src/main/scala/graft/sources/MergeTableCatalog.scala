@@ -886,7 +886,7 @@ private[sources] class MergeTableMetadataTable(ident: Identifier, path: String,
 private[sources] object MergeTableMetadataTable {
   import org.apache.spark.sql.types._
 
-  val Kinds: Set[String] = Set("files", "history", "refs", "manifests")
+  val Kinds: Set[String] = Set("files", "history", "refs", "manifests", "stats")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
@@ -904,6 +904,24 @@ private[sources] object MergeTableMetadataTable {
       StructField("bytes", LongType),
       StructField("entries", IntegerType),
       StructField("segment_refs", IntegerType)))
+    // the ANALYZE surface: what the CBO, the skew-salting rule, and
+    // incremental folds are actually working from — per column, with
+    // the sketch-register presence that decides whether the NEXT
+    // ANALYZE can fold incrementally
+    case "stats" => StructType(Seq(
+      StructField("column", StringType),
+      StructField("ndv", LongType),
+      StructField("null_count", LongType),
+      StructField("avg_len", LongType),
+      StructField("max_len", LongType),
+      StructField("min", DoubleType),
+      StructField("max", DoubleType),
+      StructField("hist_bins", IntegerType),
+      StructField("heavy_bins", IntegerType),
+      StructField("has_ndv_sketch", BooleanType),
+      StructField("has_quantile_sketch", BooleanType),
+      StructField("stats_version", LongType),
+      StructField("table_rows", LongType)))
     case "history" => StructType(Seq(
       StructField("version", LongType),
       StructField("committed_at", TimestampType),
@@ -953,6 +971,17 @@ private[sources] object MergeTableMetadataTable {
           Row(v, mkind, MergeTable.chainDepthOf(m), Files.size(m),
             MergeTable.resolveManifestIn(m).count(e => !meta.contains(e._1)),
             raw.count(_._1 == "s"))
+        }
+      case "stats" =>
+        t.tableStats().toSeq.flatMap { st =>
+          st.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+            Row(c, cs.ndv, cs.nullCount, cs.avgLen, cs.maxLen,
+              cs.min.map(Double.box).orNull, cs.max.map(Double.box).orNull,
+              cs.hist.map(_.bins.length).getOrElse(0),
+              cs.hist.map(_.bins.count(b => b.lo == b.hi)).getOrElse(0),
+              cs.hllB64.isDefined, cs.kllB64.isDefined,
+              st.version, st.rows)
+          }
         }
       case "refs" =>
         val main = Row("main", "branch", base.versions().lastOption.getOrElse(0L))

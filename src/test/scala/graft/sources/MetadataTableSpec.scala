@@ -117,6 +117,35 @@ class MetadataTableSpec extends SparkSpec {
       .as[String].collect().toSet === ops.toSet)
   }
 
+  test("stats inspection table surfaces the ANALYZE state per column (r14)") {
+    fresh("meta9")
+    spark.sql("""CREATE TABLE graft.meta9.t (id BIGINT, k BIGINT, s STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    (0 until 500).map(i => (i.toLong, if (i % 10 == 0) i.toLong else 7L,
+        if (i % 5 == 0) null else s"v$i"))
+      .toDF("id", "k", "s").createOrReplaceTempView("meta9_src")
+    spark.sql("INSERT INTO graft.meta9.t SELECT * FROM meta9_src")
+    // no ANALYZE yet → empty surface, not an error
+    assert(spark.table("graft.meta9.t.stats").isEmpty)
+    withSQLConf("graft.mergetable.histogramBins" -> "10") {
+      spark.sql("ANALYZE TABLE graft.meta9.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val rows = spark.table("graft.meta9.t.stats").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("id", "k", "s"))
+    val k = rows("k")
+    assert(k.getLong(2) === 0L) // null_count
+    assert(k.getDouble(5) === 0.0 && k.getDouble(6) === 490.0) // min/max
+    assert(k.getInt(7) === 10, "hist_bins")
+    assert(k.getInt(8) >= 7, "the heavy hitter must show as heavy [v,v] bins")
+    assert(k.getBoolean(9) && k.getBoolean(10), "both sketch registers persisted")
+    assert(k.getLong(12) === 500L) // table_rows
+    assert(rows("s").getLong(2) === 100L) // exact nulls
+    assert(rows("s").getInt(7) === 0, "strings carry no histogram")
+    // stats_version tracks the ANALYZE-time snapshot
+    assert(rows("id").getLong(11) >= 1L)
+  }
+
   test("a real table named files shadows the metadata surface") {
     fresh("meta4")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta4.t")
