@@ -71,6 +71,41 @@ class SaltSkewedJoinSpec extends SparkSpec {
     }
   }
 
+  test("multi-conjunct joins salt the heavy key; the other predicates ride along") {
+    fresh("ssj3")
+    spark.sql("""CREATE TABLE graft.ssj3.f (id BIGINT, k BIGINT, grp BIGINT)
+                 TBLPROPERTIES('keys'='id')""")
+    spark.sql("""CREATE TABLE graft.ssj3.d (id BIGINT, k BIGINT, grp BIGINT, v STRING)
+                 TBLPROPERTIES('keys'='id')""")
+    (1 to 2000).map(i => (i.toLong, if (i % 10 == 0) i.toLong else 7L, i.toLong % 3))
+      .toDF("id", "k", "grp").createOrReplaceTempView("ssj3_f")
+    (1 to 2000).map(i => (i.toLong, i.toLong, i.toLong % 3, s"v$i"))
+      .toDF("id", "k", "grp", "v").createOrReplaceTempView("ssj3_d")
+    spark.sql("INSERT INTO graft.ssj3.f SELECT * FROM ssj3_f")
+    spark.sql("INSERT INTO graft.ssj3.d SELECT * FROM ssj3_d")
+    withSQLConf("graft.mergetable.histogramBins" -> "10") {
+      spark.sql("ANALYZE TABLE graft.ssj3.f COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val q = """SELECT f.id, d.v FROM graft.ssj3.f f
+               JOIN graft.ssj3.d d ON f.k = d.k AND f.grp = d.grp AND f.id < 1500"""
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val salted = spark.sql(q)
+      assert(salted.queryExecution.optimizedPlan.toString
+        .contains(SaltSkewedJoin.SaltCol),
+        s"heavy key in a multi-conjunct join must still salt:\n${salted.queryExecution.optimizedPlan}")
+      val got = salted.as[(Long, String)].collect().sorted.toSeq
+      val plain = withSQLConf("graft.skew.salting.enabled" -> "false") {
+        spark.sql(q).as[(Long, String)].collect().sorted.toSeq
+      }
+      assert(got === plain, "extra equi/range conjuncts must not change results")
+      // ground truth spot check: k=7 on f matches only d.id=7 and only
+      // when grp aligns (7 % 3 == 1)
+      assert(got.count(_._2 == "v7") ===
+        (1 to 1499).count(i => i % 10 != 0 && i % 3 == 1))
+    }
+  }
+
   test("broadcastable joins and histogram-less tables stay unsalted") {
     fresh("ssj2")
     spark.sql("""CREATE TABLE graft.ssj2.f (id BIGINT, k BIGINT)
