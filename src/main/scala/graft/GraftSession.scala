@@ -37,6 +37,11 @@ object GraftSession {
       // missing some bucket ids)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // a join on (id, k) over tables bucketed on id is still
+      // co-located by the id hash — don't demand the FULL join key
+      // set as partition keys before skipping the shuffle (real CDC
+      // joins carry extra equi conjuncts beside the table key)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

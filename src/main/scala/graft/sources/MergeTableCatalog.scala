@@ -300,6 +300,12 @@ class MergeTableV2(ident: Identifier, path: String, meta: MergeTable.Meta,
     */
   private[graft] def tablePath: String = path
 
+  /** Table meta (keys/buckets/partitioning) — consulted by the
+    * skew-salting rule's storage-partitioned-join guard, which must
+    * decline to salt a join the engine would plan shuffle-free.
+    */
+  private[graft] def tableMeta: MergeTable.Meta = meta
+
   /** `TRUNCATE TABLE graft.db.t` — one empty-entry metadata commit
     * (history preserved, vacuum reclaims). Routes to the WAP branch
     * like every other write; refused on time-travel/ref pins.
