@@ -2640,7 +2640,11 @@ final class MergeTable(
           commitScoped(es, dropped.map(e => leafOf(e._2)).toSet, Nil,
             { case (t, d) => if (partTags(t)) Some(leafOf(d)) else None },
             validateKeys = None, baseVersion = baseV)
-          Some(dropped.size)
+          // report LOGICAL partitions dropped: on the composed pb layout
+          // each partition leaf holds one entry per bucket cell, and the
+          // per-entry count would read e.g. 8 for one dropped partition
+          Some(dropped.map(e =>
+            leafOf(e._2).replaceAll("/_graft_bucket=\\d+$", "")).toSet.size)
         }
       }
     }
@@ -3076,8 +3080,10 @@ final class MergeTable(
     *    the delta (exact under append; deletes can leave them
     *    conservative, like every engine's incremental stats). Commits
     *    that REPLACED entries (COW rewrites, compaction) would
-    *    double-count re-contained rows, so they degrade to the full
-    *    pass — only the pure-append shapes fold;
+    *    double-count re-contained rows, and a MOR delta committed by
+    *    an UPSERT supersedes base rows the prior stats still count —
+    *    both degrade to the full pass; only commits whose recorded op
+    *    is `append` fold;
     *  - histograms: re-derived from a persisted mergeable KLL quantile
     *    sketch (`kllB64`) unioned with the delta's sketch — bin edges
     *    stay fold-fresh with bounded rank error (~1.65% at k=200), so
@@ -3118,9 +3124,21 @@ final class MergeTable(
     // entries REPLACED (COW upsert/delete rewrites, compaction): the
     // "added" dirs re-contain surviving old rows, so folding them
     // would double-count nulls, length weight, and KLL mass. Only the
-    // pure-append shapes (appends; MOR deltas) fold incrementally —
-    // anything that rewrote takes the full pass.
+    // pure-append shapes fold incrementally — anything that rewrote
+    // takes the full pass.
     if (removed.nonEmpty) return analyzeColumns()
+    // a MOR delta committed by an UPSERT supersedes base rows that the
+    // previous stats still count (row count, null counts, KLL mass all
+    // double-count the re-written keys) — only commits whose recorded
+    // op is `append` (caller asserts new rows) are fold-safe. The op
+    // label is verbatim per manifest; a missing manifest (expired
+    // in-between version) degrades to the full pass like the fold base.
+    val opsSince =
+      try versions().filter(v => v > prev.version && v <= curV).map(v =>
+        parseManifest(manifestPath(v))
+          .collectFirst { case ("op", name) => name }.getOrElse(""))
+      catch { case _: Exception => return analyzeColumns() }
+    if (!opsSince.forall(_ == "append")) return analyzeColumns()
     // O(delta): ONLY the added dirs are read, logical-named like the
     // full pass; MOR tombstones carry no values and fold out
     val raw = toLogical(readDirs(added.map(_._2)))

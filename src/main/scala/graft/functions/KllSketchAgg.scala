@@ -32,6 +32,15 @@ case class KllSketchAgg(
 
   require(k >= 8 && k <= 65535, "graft_kll_sketch k out of range")
 
+  // update() casts the child's value straight to Double — demand the
+  // type at analysis time so misuse fails in planning, not mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_kll_sketch requires a DOUBLE child, got ${child.dataType.sql}")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType

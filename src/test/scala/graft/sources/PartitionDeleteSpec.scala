@@ -112,10 +112,10 @@ class PartitionDeleteSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      // the returned count is LEAF CELLS (one per live bucket of the
-      // partition), and the whole partition must vanish metadata-only
+      // the returned count is LOGICAL partitions (bucket cells of one
+      // leaf collapse to 1), and the whole partition vanishes metadata-only
       assert(spark.sql("ALTER TABLE graft.pd6.t DROP PARTITION (grp = 'red')")
-        .head().getLong(0) >= 1L)
+        .head().getLong(0) === 1L)
       Thread.sleep(500)
       assert(recordsRead === 0L, "composed DROP PARTITION must open zero data files")
     } finally spark.sparkContext.removeSparkListener(listener)

@@ -149,11 +149,15 @@ class TableStatsSpec extends SparkSpec {
     val first = t.analyzeIncremental()
     assert(first.rows === 500L)
     assert(math.abs(first.cols("k").ndv - 50L) <= 5L, s"${first.cols("k").ndv}")
-    // upsert EXISTING keys with EXISTING k values — HLL union must not
-    // inflate the distinct counts (idempotent sketch algebra)
+    // upsert EXISTING keys with EXISTING k values — the delta
+    // supersedes base rows the prior stats still count, so the fold
+    // degrades to a full pass: counts stay EXACT (600 would mean the
+    // superseded keys were double-counted) and NDV stays ~50
     t.upsert((0 until 100).map(i => (i.toLong, i.toLong % 50)).toDF("id", "k"))
     val folded = t.analyzeIncremental()
-    assert(folded.cols("k").ndv === 50L, "re-observed values must not inflate NDV")
+    assert(folded.rows === 500L, "superseded keys must not double-count")
+    assert(math.abs(folded.cols("k").ndv - 50L) <= 5L,
+      "re-observed values must not inflate NDV")
     assert(math.abs(folded.cols("id").ndv - 500L) <= 25L)
     // histograms carry over from the last full pass (documented decay)
     assert(folded.version > first.version)
