@@ -17,6 +17,10 @@ run / fork := true
 // ship C.UTF-8, so match that for the forked JVMs
 Test / envVars ++= Map("LANG" -> "C.UTF-8", "LC_ALL" -> "C.UTF-8")
 run / envVars ++= Map("LANG" -> "C.UTF-8", "LC_ALL" -> "C.UTF-8")
+// raw stdout for forked runMain: sbt's LoggedOutput prefixes every
+// line with "[info] ", so Bench's JSON artifact line never started
+// with '{' — a driver-side startswith parse can't see it otherwise
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 scalacOptions ++= Seq("-encoding", "UTF-8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
