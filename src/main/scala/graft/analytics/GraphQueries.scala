@@ -33,11 +33,12 @@ object GraphQueries extends QueryModule {
   private def pagerank(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    // checkpoint before symmetrizing — the union's first (cache-fill)
-    // evaluation would otherwise run the join+distinct twice
+    // LAZY checkpoint before symmetrizing: cuts the plan so the
+    // union's two arms share one join+distinct (same RDD → computed
+    // once), without the eager variant's extra blocking job
     val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val fwd = pairs.select(lit("c").as("src_t"), col("c").as("src_id"),
       lit("s").as("dst_t"), col("su").as("dst_id"))
     val rev = pairs.select(lit("s").as("src_t"), col("su").as("src_id"),
@@ -111,8 +112,9 @@ object GraphQueries extends QueryModule {
     * the bounded-heap TopK operator.
     */
   private def itemCf(s: SparkSession, dir: String): DataFrame = {
-    val bp = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // cached: bp feeds the co-occurrence self-join twice plus freq
+    val bp = graft.Caches.register(Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
     val freq = graft.Caches.register(
       bp.groupBy("pk").agg(count(lit(1)).as("f")))
     val pairs = bp.as("a").join(bp.as("b"),
@@ -180,9 +182,12 @@ object GraphQueries extends QueryModule {
     // the orientation join — cache it or the (expensive) derivation
     // upstream runs twice
     val half = graft.Caches.register(half0)
-    val deg = half.select(col("u").as("n"))
+    // cached: deg feeds BOTH broadcast sides (du, dv) below — each
+    // broadcast build is its own job, so an uncached deg would run
+    // the degree aggregation twice
+    val deg = graft.Caches.register(half.select(col("u").as("n"))
       .unionAll(half.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+      .groupBy("n").agg(count(lit(1)).as("d")))
     // deg is bounded by the NODE count (two longs per node), orders of
     // magnitude under the edge list the wedge join scales with — the
     // broadcast keeps both degree attachments map-side. (At a node
@@ -218,8 +223,11 @@ object GraphQueries extends QueryModule {
     // collect needs no cap — and the adjacency frame (nodes, not
     // edges) broadcasts under the size guard; above it the joins fall
     // back to shuffles and the bound still holds per task.
-    val adj = edges.groupBy(col("a").as("n"))
-      .agg(sort_array(collect_list(col("b"))).as("fwd"))
+    // cached: adj feeds BOTH broadcast sides (fa, fb) — each
+    // broadcast build is its own job, so an uncached adj would run
+    // the collect_list aggregation twice
+    val adj = graft.Caches.register(edges.groupBy(col("a").as("n"))
+      .agg(sort_array(collect_list(col("b"))).as("fwd")))
     val small = edges.count() <= 5000000L // free: edges is cached
     def side(d: DataFrame): DataFrame = if (small) broadcast(d) else d
     val fa = side(adj.select(col("n").as("a"), col("fwd").as("fa")))
@@ -256,8 +264,9 @@ object GraphQueries extends QueryModule {
     * enumeration strategies agreeing is itself part of the check.
     */
   private def triangles(s: SparkSession, dir: String): DataFrame = {
-    val bp = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // cached: bp feeds both sides of the basket self-join
+    val bp = graft.Caches.register(Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
     val half = bp.as("x").join(bp.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("u"), col("y.pk").as("v")).distinct()
@@ -367,11 +376,12 @@ object GraphQueries extends QueryModule {
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    // checkpoint before symmetrizing: the union scans pairs twice, and
-    // pairs is the expensive stage (join + distinct over lineitem)
+    // LAZY checkpoint before symmetrizing: the union scans pairs
+    // twice, and pairs is the expensive stage (join + distinct over
+    // lineitem) — the checkpoint dedupes it without a blocking job
     val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val fwd = pairs.select(lit("c").as("src_t"), col("c").as("src_id"),
       lit("s").as("dst_t"), col("su").as("dst_id"))
     val rev = pairs.select(lit("s").as("src_t"), col("su").as("src_id"),
@@ -523,7 +533,7 @@ object GraphQueries extends QueryModule {
     val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val fwd = pairs.select(lit("c").as("src_t"), col("c").as("src_id"),
       lit("s").as("dst_t"), col("su").as("dst_id"))
     val rev = pairs.select(lit("s").as("src_t"), col("su").as("src_id"),
@@ -534,18 +544,24 @@ object GraphQueries extends QueryModule {
     val seedId = ord.agg(min("o_custkey")).head().getLong(0)
     // checkpointed seed: an opaque LogicalRDD — Spark 4.1's
     // PushDownLeftSemiAntiJoin invalidates the plan when the visited
-    // anti-join is pushed into this literal projection otherwise
+    // anti-join is pushed into this literal projection otherwise.
+    // All loop checkpoints are LAZY: no control-flow action reads
+    // them mid-loop, so the whole bounded walk executes as ONE job
+    // at the final action instead of 2 blocking jobs per round —
+    // the plan is still cut to LogicalRDDs round by round, and each
+    // round's `next` is shared (frontier join + visited union) via
+    // the checkpoint RDD, never recomputed
     var visited = s.range(1).select(lit("c").as("node_t"),
-      lit(seedId).as("node_id"), lit(0L).as("dist")).localCheckpoint(true)
-    var frontier = visited.select("node_t", "node_id").localCheckpoint(true)
+      lit(seedId).as("node_id"), lit(0L).as("dist")).localCheckpoint(false)
+    var frontier = visited.select("node_t", "node_id")
     for (d <- 1 to BfsRounds) {
       val next = edges
         .join(frontier, col("src_t") === col("node_t") && col("src_id") === col("node_id"))
         .select(col("dst_t").as("node_t"), col("dst_id").as("node_id")).distinct()
         .join(visited.select("node_t", "node_id"), Seq("node_t", "node_id"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       visited = visited.unionAll(next.withColumn("dist", lit(d.toLong)))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       frontier = next
     }
     visited.orderBy(col("dist"), col("node_t"), col("node_id"))
@@ -588,15 +604,19 @@ object GraphQueries extends QueryModule {
     val weighted = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("su"))
       .agg((countDistinct(col("l_orderkey")) + lit(1L)).as("w"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val fwd = weighted.select(lit("c").as("src_t"), col("c").as("src_id"),
       lit("s").as("dst_t"), col("su").as("dst_id"), col("w"))
     val rev = weighted.select(lit("s").as("src_t"), col("su").as("src_id"),
       lit("c").as("dst_t"), col("c").as("dst_id"), col("w"))
     val edges = graft.Caches.register(fwd.unionAll(rev))
     val seedId = ord.agg(min("o_custkey")).head().getLong(0)
+    // LAZY per-round checkpoints (see bfsLayers): the K relaxation
+    // rounds execute as one job at the final action; each round's
+    // dist is shared by the next round's join AND union through the
+    // checkpoint RDD, and the plan is still cut round by round
     var dist = s.range(1).select(lit("c").as("node_t"),
-      lit(seedId).as("node_id"), lit(0L).as("d")).localCheckpoint(true)
+      lit(seedId).as("node_id"), lit(0L).as("d")).localCheckpoint(false)
     for (_ <- 1 to BfsRounds) {
       val relaxed = edges
         .join(dist, col("src_t") === col("node_t") && col("src_id") === col("node_id"))
@@ -604,7 +624,7 @@ object GraphQueries extends QueryModule {
           (col("d") + col("w")).as("d"))
       dist = dist.unionAll(relaxed)
         .groupBy("node_t", "node_id").agg(min("d").as("d"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     dist.select(col("node_t"), col("node_id"), col("d").as("dist"))
       .orderBy(col("dist"), col("node_t"), col("node_id"))
@@ -641,8 +661,9 @@ object GraphQueries extends QueryModule {
     * parts with degree ≥2 and no triangles surface with LCC 0.
     */
   private def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
-    val bp = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // cached: bp feeds both sides of the basket self-join
+    val bp = graft.Caches.register(Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
     val half = graft.Caches.register(bp.as("x").join(bp.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("u"), col("y.pk").as("v")).distinct())

@@ -124,8 +124,12 @@ object Queries6 extends QueryModule {
     * is engine-specific; the counts are not.
     */
   private def profileLineitem(s: SparkSession, dir: String): DataFrame =
+    // parallel(): the expand-based multi-distinct multiplies every row
+    // 11× BEFORE the first exchange, and the single-file testdata scan
+    // pins that to 3 splits — restore worker parallelism ahead of it
+    // (no-op at production split counts)
     graft.ops.Profile.columns(
-      t(s, dir, "lineitem"),
+      Tables.parallel(t(s, dir, "lineitem")),
       numericCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
       otherCols = Seq("l_returnflag", "l_linestatus", "l_shipdate"))

@@ -175,9 +175,10 @@ object Queries7 extends QueryModule {
     * counts, never all supplier pairs).
     */
   private def adamicAdar(s: SparkSession, dir: String): DataFrame = {
-    val sp = t(s, dir, "lineitem")
+    // cached: sp feeds both wedge-join sides AND the degree aggregation
+    val sp = graft.Caches.register(t(s, dir, "lineitem")
       .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
-      .distinct()
+      .distinct())
     val deg = sp.groupBy(col("p")).agg(count(lit(1)).as("d"))
     sp.as("a")
       .join(sp.withColumnRenamed("sk", "sk2").as("b"), Seq("p"))

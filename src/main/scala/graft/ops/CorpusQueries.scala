@@ -771,16 +771,21 @@ object CorpusQueries extends QueryModule {
     */
   private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
+    // the word array is hoisted to a column: referencing `wl` inside
+    // the transform lambda evaluates the split ONCE per row — inlining
+    // split(trim(text)) in the lambda body re-split the text per
+    // ELEMENT (O(words²) per doc, the query's dominant CPU)
     val bigrams = when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(expr(
-        "transform(sequence(0, size(split(trim(text), '\\\\s+')) - 2), " +
-          "i -> concat(element_at(split(trim(text), '\\\\s+'), i + 1), ' ', " +
-          "element_at(split(trim(text), '\\\\s+'), i + 2)))"))
-    val perBucket = docs(s, dir)
+        "transform(sequence(0, size(wl) - 2), " +
+          "i -> concat(element_at(wl, i + 1), ' ', element_at(wl, i + 2)))"))
+    // cached: perBucket feeds the bucket totals AND the final re-join
+    val perBucket = graft.Caches.register(docs(s, dir)
+      .withColumn("wl", split(trim(col("text")), "\\s+"))
       .select(col("doc_id"), col("lang"), explode(bigrams).as("g"))
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long") % 256).as("b"))
-      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n")))
     val dec = "decimal(38,0)"
     val buckets = perBucket.groupBy("b").agg(
       sum("n").cast(dec).as("c_b"),

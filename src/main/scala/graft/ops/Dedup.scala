@@ -240,11 +240,14 @@ object Dedup {
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
+      // agreement is computed BEFORE the cross-band dedup: it is a
+      // pure function of the pair, so every banded copy carries the
+      // same value — and the dedup exchange then moves 3 longs per
+      // candidate instead of two full 64-long signatures (§2.3:
+      // shuffle metadata, not payloads)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        call_function("graft_sig_agreement", col("a.sig"), col("b.sig")).as("agree"))
       .dropDuplicates("doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        call_function("graft_sig_agreement", col("sig_a"), col("sig_b")).as("agree"))
   }
 
   // ---- transitive dup clusters ------------------------------------------
@@ -441,8 +444,13 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b") // a pair may share several bands
+      // τ-filter BEFORE the cross-band dedup: hamming is a pure
+      // function of the pair, so every banded copy passes or fails
+      // together — filtering first cuts the dropDuplicates exchange
+      // from all intra-bucket candidates to just the near-dups
+      // (measured sf0.1: 1.5M candidate rows → ~600 before the shuffle)
       .filter(col("hamming") <= tau)
+      .dropDuplicates("doc_a", "doc_b") // a pair may share several bands
   }
 
   /** Continuous-ingest NEAR-dup: the [[incrementalKeep]] shape for
@@ -667,8 +675,10 @@ object Dedup {
       .join(hits.select(col("_h"), col("_id").as("doc_b")), "_h")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sh = docs.select(col(idCol).as("_id"),
-      array_distinct(transform(wordShingles(col(textCol), k), s => xxhash64(s))).as("_sh"))
+    // cached: sh attaches to BOTH pair sides — uncached, the shingle
+    // derivation (and the docs transform feeding it) evaluates twice
+    val sh = graft.Caches.register(docs.select(col(idCol).as("_id"),
+      array_distinct(transform(wordShingles(col(textCol), k), s => xxhash64(s))).as("_sh")))
     pairs
       .join(sh.select(col("_id").as("doc_a"), col("_sh").as("sh_a")), "doc_a")
       .join(sh.select(col("_id").as("doc_b"), col("_sh").as("sh_b")), "doc_b")
@@ -694,8 +704,9 @@ object Dedup {
     // therefore Jaccard) are preserved modulo xxhash64 collisions
     // (~n^2/2^64, negligible), and the per-pair union/intersect works
     // on 8-byte keys instead of full shingle strings
-    val sh = docs.select(col(idCol).as("_id"),
-      array_distinct(transform(wordShingles(col(textCol), k), s => xxhash64(s))).as("_sh"))
+    // cached: attached to both pair sides (see containmentPairs)
+    val sh = graft.Caches.register(docs.select(col(idCol).as("_id"),
+      array_distinct(transform(wordShingles(col(textCol), k), s => xxhash64(s))).as("_sh")))
     pairs
       .join(sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sh", "sh_b"), "doc_b")

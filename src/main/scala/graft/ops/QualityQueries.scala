@@ -276,11 +276,14 @@ object QualityQueries extends QueryModule {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         regexp_replace(col("text"), "^\\S+\\s+\\S+\\s+", "").as("text"))
     val corpus = base.unionByName(clones)
-    val grams = corpus
+    // cached: grams feeds BOTH the vocabulary rank and the per-doc
+    // token arrays — uncached, the explode+md5+distinct (the query's
+    // dominant stage) evaluates twice
+    val grams = graft.Caches.register(corpus
       .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 3)).as("g"))
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("h"))
-      .distinct()
+      .distinct())
     val vocab = grams.groupBy("h").agg(count(lit(1)).as("df"))
       .withColumn("_g", lit(1)).withColumn("_one", lit(1L))
     val ranked = PrefixSum.runningTotal(vocab, "_g", Seq("df", "h"), "_one", "rk")
