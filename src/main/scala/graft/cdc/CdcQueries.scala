@@ -56,9 +56,15 @@ object CdcQueries extends QueryModule {
 
   private def debeziumParse(s: SparkSession, dir: String): DataFrame = {
     val parsed = Debezium.parse(debeziumEnvelopes(s, dir))
-    CdcModel.decodePayload(parsed, Debezium.eventsPayloadSchema,
-        keep = Seq("opclass", "db", "tbl", "ts_ms"))
-      .select("opclass", "db", "tbl", "ts_ms", "event_id", "user_id", "event_type", "value")
+    // cached before the global sort: range partitioning SAMPLES its
+    // child to pick bounds, and with no exchange below the sort that
+    // sample pass re-runs the whole map-side JSON parse — the cache
+    // makes the second pass a read (the frame is genuinely consumed
+    // twice: once to sample, once to sort)
+    graft.Caches.register(
+      CdcModel.decodePayload(parsed, Debezium.eventsPayloadSchema,
+          keep = Seq("opclass", "db", "tbl", "ts_ms"))
+        .select("opclass", "db", "tbl", "ts_ms", "event_id", "user_id", "event_type", "value"))
       .orderBy("event_id")
   }
 
@@ -74,9 +80,11 @@ object CdcQueries extends QueryModule {
 
   private def dmsParse(s: SparkSession, dir: String): DataFrame = {
     val parsed = Dms.parse(Dms.synthesizeFromEvents(Tables.parallel(events(s, dir))))
-    CdcModel.decodePayload(parsed, Debezium.eventsPayloadSchema,
-        keep = Seq("opclass", "db", "tbl", "ts_ms"))
-      .select("opclass", "db", "tbl", "ts_ms", "event_id", "user_id", "event_type", "value")
+    // cached before the global sort — see debeziumParse
+    graft.Caches.register(
+      CdcModel.decodePayload(parsed, Debezium.eventsPayloadSchema,
+          keep = Seq("opclass", "db", "tbl", "ts_ms"))
+        .select("opclass", "db", "tbl", "ts_ms", "event_id", "user_id", "event_type", "value"))
       .orderBy("event_id")
   }
 

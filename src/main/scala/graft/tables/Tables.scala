@@ -7,8 +7,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * all column pruning / filter pushdown flows through these.
   */
 object Tables {
+  // memoized base relations: `spark.read.parquet` pays driver-side
+  // file listing + footer schema inference on EVERY call, and a
+  // 246-query suite re-resolves the same 10 immutable testdata files
+  // hundreds of times. The memo returns the already-analyzed
+  // DataFrame (no data is cached — scans still stream from parquet);
+  // keyed by session so a restarted session re-resolves.
+  private val relMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relMemo.getOrElseUpdate(
+      (System.identityHashCode(spark), s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
     * natively; with `spark.sql.legacy.parquet.nanosAsLong=true` it
