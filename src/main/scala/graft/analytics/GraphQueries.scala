@@ -112,9 +112,12 @@ object GraphQueries extends QueryModule {
     * the bounded-heap TopK operator.
     */
   private def itemCf(s: SparkSession, dir: String): DataFrame = {
-    // cached: bp feeds the co-occurrence self-join twice plus freq
-    val bp = graft.Caches.register(Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+    // NOT cached: the self-join sides and freq are identical subtrees
+    // whose exchanges Spark already reuses (ReuseExchange) — an r15
+    // cache attempt here ADDED a materialization pass and regressed
+    // the query (profiled 1.76 s -> 2.9 s); see OPTIMIZATION_r15.md
+    val bp = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val freq = graft.Caches.register(
       bp.groupBy("pk").agg(count(lit(1)).as("f")))
     val pairs = bp.as("a").join(bp.as("b"),
