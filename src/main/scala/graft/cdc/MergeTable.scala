@@ -823,10 +823,90 @@ final class MergeTable(
   private def keySet(changes: DataFrame, dedup: Boolean = false): DataFrame = {
     val projected = changes.select(keys.map(col): _*)
     val k = if (dedup) projected.distinct() else projected
-    val limit = spark.conf.getOption("graft.mergetable.broadcastKeyLimit")
-      .map(_.toLong).getOrElse(4000000L)
+    val limit = broadcastKeyLimit
     val small = k.limit(math.min(limit + 1, Int.MaxValue.toLong).toInt).count() <= limit
     if (small) broadcast(k) else k
+  }
+
+  private def broadcastKeyLimit: Long =
+    spark.conf.getOption("graft.mergetable.broadcastKeyLimit")
+      .map(_.toLong).getOrElse(4000000L)
+
+  /** Everything the scoped-merge paths need to know about a batch,
+    * from ONE bounded collect: the buckets its keys hash into, the
+    * leaf dirs its rows land in, and its distinct key set as a
+    * driver-local relation. Before this, each was its own Spark job —
+    * bucket collect, leaf collect, broadcast-size probe count, plus a
+    * fresh broadcast BUILD of the key set per consuming join — and
+    * every one of them re-evaluated the whole batch subtree (for the
+    * CDC gates, a window over the change stream, re-run 4-6× per
+    * commit). The local-relation key set makes each downstream
+    * broadcast build a driver-side LocalTableScan, no batch recompute.
+    */
+  private final case class BatchSummary(
+      buckets: Set[Long], leaves: Set[String], keySet: DataFrame)
+
+  /** One job over the batch: distinct (partition cols…, bucket, keys…)
+    * rows, abandoned (None) past `broadcastKeyLimit` rows so an
+    * unbounded batch keeps the per-value multi-job path instead of
+    * pulling itself onto the driver — the same memory bound the
+    * broadcast key set already implied.
+    */
+  private def batchSummary(changes: DataFrame, withPartitions: Boolean,
+      withBucket: Boolean, renderLeaves: Boolean = false): Option[BatchSummary] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val pcols = if (withPartitions) partitionCols else Nil
+    val sel = pcols.map(col) ++
+      (if (withBucket) Seq(bucketExpr.as(BucketCol)) else Nil) ++ keys.map(col)
+    val projected = changes.select(sel: _*).distinct()
+    val limit = broadcastKeyLimit
+    val rows = projected.limit(math.min(limit + 1, Int.MaxValue.toLong).toInt).collect()
+    if (rows.length > limit) return None
+    val projSchema = projected.schema
+    val bIdx = pcols.size
+    val kOff = pcols.size + (if (withBucket) 1 else 0)
+    val buckets =
+      if (withBucket) rows.map(_.getLong(bIdx)).toSet else Set.empty[Long]
+    // leaf names rendered EXACTLY like composedLeafNames /
+    // partitionLeafNames (escapePathName over toString — aligned with
+    // Spark's partition-dir naming by requirePartitionable's type gate)
+    val leaves =
+      if (!renderLeaves) Set.empty[String]
+      else rows.map { r =>
+        val parts = pcols.zipWithIndex.map { case (c, i) =>
+          val v = r.get(i)
+          val rendered =
+            if (v == null) "__HIVE_DEFAULT_PARTITION__"
+            else ExternalCatalogUtils.escapePathName(v.toString)
+          s"$PartPrefix$c=$rendered"
+        }.mkString("/")
+        if (withBucket) s"$parts/$BucketCol=${r.getLong(bIdx)}" else parts
+      }.toSet
+    // a key may appear under several partition tuples — dedupe by the
+    // key VALUES (Seq equality handles nulls), never by Row identity
+    val keyVals = rows.map(r => (kOff until projSchema.length).map(r.get)).distinct
+    val keyRows: Seq[org.apache.spark.sql.Row] =
+      keyVals.map(org.apache.spark.sql.Row.fromSeq).toSeq
+    val ksLocal = spark.createDataFrame(keyRows.asJava,
+      org.apache.spark.sql.types.StructType(projSchema.drop(kOff)))
+    Some(BatchSummary(buckets, leaves, broadcast(ksLocal)))
+  }
+
+  /** Exact row count of a just-written data dir, served from the
+    * footer stats [[recordStats]] persisted at write time — a
+    * driver-side JSON read instead of a Spark count job. None unless
+    * the stats cover EVERY parquet file in the dir (stats are
+    * advisory; a partial sum could undercount and must never be
+    * served), so callers fall back to the count job.
+    */
+  private def statsRowCount(dir: String): Option[Long] = {
+    val base = dataDir.resolve(dir)
+    FileStats.readFull(rootPath, dir).flatMap { full =>
+      val files = FileStats.listParquetFiles(base).map(f => base.relativize(f).toString)
+      if (files.nonEmpty && files.forall(full.contains)) Some(files.map(full(_).rows).sum)
+      else if (files.isEmpty) Some(0L)
+      else None
+    }
   }
 
   // -- read ----------------------------------------------------------------
@@ -1396,10 +1476,15 @@ final class MergeTable(
     if (dvDirs.isEmpty) scan
     else {
       val mask = readDirs(dvDirs).select(FileCol, PosCol)
-      val limit = spark.conf.getOption("graft.mergetable.broadcastKeyLimit")
-        .map(_.toLong).getOrElse(4000000L)
-      val small = mask
-        .limit(math.min(limit + 1, Int.MaxValue.toLong).toInt).count() <= limit
+      val limit = broadcastKeyLimit
+      // mask size from the dv dirs' commit-time footer stats (exact
+      // row counts, driver-side) — the count job only runs when some
+      // dir's stats are missing/partial (stats are advisory)
+      val dvRows = dvDirs.map(statsRowCount)
+      val small =
+        if (dvRows.forall(_.isDefined)) dvRows.flatten.sum <= limit
+        else mask
+          .limit(math.min(limit + 1, Int.MaxValue.toLong).toInt).count() <= limit
       scan.join(if (small) broadcast(mask) else mask,
         Seq(FileCol, PosCol), "left_anti")
     }
@@ -1438,9 +1523,12 @@ final class MergeTable(
       .join(changeKeys, keys, "left_semi")
       .select(FileCol, PosCol)
     val dir = writeData(masked)
-    if (spark.read.parquet(dataDir.resolve(dir).toString).count() > 0)
-      Some("dv" -> dir)
-    else None
+    // emptiness from the footer stats recordStats just persisted — a
+    // driver-side JSON read, not a count job (stats are advisory, so
+    // a missing/partial stats file falls back to the count)
+    val n = statsRowCount(dir).getOrElse(
+      spark.read.parquet(dataDir.resolve(dir).toString).count())
+    if (n > 0) Some("dv" -> dir) else None
   }
 
   // -- CHECK constraints ---------------------------------------------------
@@ -1861,13 +1949,20 @@ final class MergeTable(
         // the superseding).
         val es = entries()
         val baseV = readVersion // writeMask re-reads the manifest below
-        val scope = numBuckets.map(_ => affectedBuckets(changes))
-        val dv = writeMask(keySet(changes, dedup = true), scope)
+        // one bounded collect serves the key set AND the bucket scope
+        // (the old path ran a probe count, a bucket collect, and TWO
+        // key-set derivations — each re-evaluating the batch)
+        val summary = batchSummary(changes,
+          withPartitions = false, withBucket = numBuckets.isDefined)
+        val ks = summary.map(_.keySet).getOrElse(keySet(changes, dedup = true))
+        val scope = numBuckets.map(_ =>
+          summary.map(_.buckets).getOrElse(affectedBuckets(changes)))
+        val dv = writeMask(ks, scope)
         val appended =
           if (numBuckets.isDefined) writeBucketed(changes)
           else Seq("base" -> writeData(changes))
         commitAppend(es, dv.toSeq ++ appended,
-          validateKeys = Some(keySet(changes, dedup = true)),
+          validateKeys = Some(ks),
           baseVersion = baseV)
         maybeCompact()
       }
@@ -1903,7 +1998,12 @@ final class MergeTable(
         if (!exists) changes
         else {
           val current = rewriteSource()
-          val keep = current.join(keySet(changes), keys, "left_anti")
+          // the local-relation key set spares the write job a second
+          // evaluation of the batch inside its broadcast build (anti-
+          // join semantics are dedup-insensitive)
+          val ks = batchSummary(changes, withPartitions = false, withBucket = false)
+            .map(_.keySet).getOrElse(keySet(changes))
+          val keep = current.join(ks, keys, "left_anti")
           changes.unionByName(keep, allowMissingColumns = true)
         }
       commit(ledgerEntries(es) ++ Seq("base" -> writeData(result)))
@@ -1931,11 +2031,15 @@ final class MergeTable(
         // position scan touches only the keys' buckets.
         val es = entries()
         val baseV = readVersion // writeMask re-reads the manifest below
-        val scope = numBuckets.map(_ => affectedBuckets(deleteKeys))
-        writeMask(keySet(deleteKeys, dedup = true), scope)
+        val summary = batchSummary(deleteKeys,
+          withPartitions = false, withBucket = numBuckets.isDefined)
+        val ks = summary.map(_.keySet).getOrElse(keySet(deleteKeys, dedup = true))
+        val scope = numBuckets.map(_ =>
+          summary.map(_.buckets).getOrElse(affectedBuckets(deleteKeys)))
+        writeMask(ks, scope)
           .foreach { dv =>
             commitAppend(es, Seq(dv),
-              validateKeys = Some(keySet(deleteKeys, dedup = true)),
+              validateKeys = Some(ks),
               baseVersion = baseV)
             maybeCompact()
           }
@@ -1949,7 +2053,9 @@ final class MergeTable(
       case _ if numBuckets.isDefined => bucketedMerge(deleteKeys, isDelete = true)
       case _ =>
         val es = entries()
-        val result = rewriteSource().join(keySet(deleteKeys, dedup = true), keys, "left_anti")
+        val ks = batchSummary(deleteKeys, withPartitions = false, withBucket = false)
+          .map(_.keySet).getOrElse(keySet(deleteKeys, dedup = true))
+        val result = rewriteSource().join(ks, keys, "left_anti")
         commit(ledgerEntries(es) ++ Seq("base" -> writeData(result)))
     }
   }
@@ -1961,8 +2067,13 @@ final class MergeTable(
   private def bucketedMerge(changes: DataFrame, isDelete: Boolean): Unit = {
     val n = numBuckets.get
     val tagged = changes.withColumn(BucketCol, bucketExpr)
-    val affected = tagged.select(BucketCol).distinct()
-      .collect().map(_.getLong(0)).toSet // bounded by numBuckets
+    // one collect serves the touched-bucket set AND the key set (the
+    // old path collected buckets, probe-counted the key set, and
+    // rebuilt its broadcast per consuming join)
+    val summary = batchSummary(changes, withPartitions = false, withBucket = true)
+    val affected = summary.map(_.buckets).getOrElse(
+      tagged.select(BucketCol).distinct()
+        .collect().map(_.getLong(0)).toSet) // bounded by numBuckets
     val currentSeq = entries()
     val current = currentSeq.toMap // tag -> dir; bucket entries are b<i>
     // only b<digits> tags are bucket entries; a non-bucketed layout
@@ -1976,14 +2087,15 @@ final class MergeTable(
     val base =
       if (affectedDirs.isEmpty) None
       else Some(readDirs(affectedDirs.map(_._2)).withColumn(BucketCol, bucketExpr))
+    lazy val ks = summary.map(_.keySet).getOrElse(keySet(tagged, dedup = true))
     val result =
       if (isDelete)
-        base.map(_.join(keySet(tagged, dedup = true), keys, "left_anti"))
+        base.map(_.join(ks, keys, "left_anti"))
           .getOrElse(return)
       else base match {
         case None => tagged
         case Some(b) =>
-          val keep = b.join(keySet(tagged), keys, "left_anti")
+          val keep = b.join(ks, keys, "left_anti")
           tagged.unionByName(keep, allowMissingColumns = true)
       }
     val dir = UUID.randomUUID().toString
@@ -2115,7 +2227,12 @@ final class MergeTable(
     require(current.forall(_._1 == "pv"),
       s"table at $root has a non-partitioned layout; migrate before opening with partitionCols")
     def leafOf(entryDir: String): String = entryDir.split("/", 2)(1)
-    val ks = keySet(changes, dedup = true)
+    // one collect serves the key set and the landing leaf names (the
+    // old path probe-counted the key set, collected leaf names in a
+    // second job, and rebuilt the key-set broadcast per consuming join)
+    val summary = batchSummary(changes, withPartitions = !isDelete,
+      withBucket = false, renderLeaves = !isDelete)
+    val ks = summary.map(_.keySet).getOrElse(keySet(changes, dedup = true))
     // leaf attribution from the file path Spark itself wrote — exact
     // by construction, one scan restricted to the batch's key set
     val holders: Set[String] =
@@ -2131,7 +2248,8 @@ final class MergeTable(
           "/$", "").as("_graft_leaf"))
         .distinct().collect().map(_.getString(0)).toSet
     val affected = holders ++
-      (if (isDelete) Set.empty[String] else partitionLeafNames(changes))
+      (if (isDelete) Set.empty[String]
+      else summary.map(_.leaves).getOrElse(partitionLeafNames(changes)))
     if (isDelete && affected.isEmpty) return // nothing held these keys
     val affectedDirs = current.filter(e => affected.contains(leafOf(e._2)))
     val base =
@@ -2247,13 +2365,20 @@ final class MergeTable(
       s"table at $root has a non-composed layout; migrate before opening " +
         "with both partitionCols and numBuckets")
     def scopeOf(d: String): String = composedScopeOf(d)
-    val ks = keySet(changes, dedup = true)
-    val bs = affectedBuckets(changes)
+    // one collect serves the key set, the bucket cut AND the landing
+    // cell names (the old path ran a probe count, a bucket collect and
+    // a leaf collect — each re-evaluating the batch — plus a fresh
+    // key-set broadcast build per consuming join)
+    val summary = batchSummary(changes, withPartitions = !isDelete,
+      withBucket = true, renderLeaves = !isDelete)
+    val ks = summary.map(_.keySet).getOrElse(keySet(changes, dedup = true))
+    val bs = summary.map(_.buckets).getOrElse(affectedBuckets(changes))
     val candidates = current.filter(e =>
       e._1 == "pb" && bucketIdOf(e._2).exists(bs.contains))
     val holders = composedHolders(candidates, ks)
     val affected = holders ++
-      (if (isDelete) Set.empty[String] else composedLeafNames(changes))
+      (if (isDelete) Set.empty[String]
+      else summary.map(_.leaves).getOrElse(composedLeafNames(changes)))
     if (isDelete && affected.isEmpty) return // nothing held these keys
     val affectedDirs = current.filter(e =>
       e._1 == "pb" && affected.contains(scopeOf(e._2)))
@@ -2291,8 +2416,12 @@ final class MergeTable(
     val pbEntries = es.filter(_._1 == "pb")
     def scopeOf(d: String): String = composedScopeOf(d)
     val deltas = readDirs(deltaEntries.map(_._2))
-    val ks = keySet(deltas, dedup = true)
-    val bs = affectedBuckets(deltas)
+    // one bounded collect serves the key set AND the bucket cut (see
+    // batchSummary; the landing-cell collect below runs on `live`, a
+    // different frame, so it stays its own job)
+    val summary = batchSummary(deltas, withPartitions = false, withBucket = true)
+    val ks = summary.map(_.keySet).getOrElse(keySet(deltas, dedup = true))
+    val bs = summary.map(_.buckets).getOrElse(affectedBuckets(deltas))
     val candidates = pbEntries.filter(e => bucketIdOf(e._2).exists(bs.contains))
     val holders = composedHolders(candidates, ks)
     val live =
@@ -2369,7 +2498,10 @@ final class MergeTable(
     val pvEntries = es.filter(_._1 == "pv")
     def leafOf(d: String): String = d.split("/", 2)(1)
     val deltas = readDirs(deltaEntries.map(_._2))
-    val ks = keySet(deltas, dedup = true)
+    // one bounded collect replaces the key-set probe count and the
+    // per-join broadcast rebuilds (see batchSummary)
+    val ks = batchSummary(deltas, withPartitions = false, withBucket = false)
+      .map(_.keySet).getOrElse(keySet(deltas, dedup = true))
     // old homes: leaf attribution from the file path Spark itself
     // wrote, one key-restricted scan of the partition bases
     val holders: Set[String] =
