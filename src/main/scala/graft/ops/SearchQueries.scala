@@ -34,9 +34,13 @@ object SearchQueries extends QueryModule {
     */
   private def tfidfTopk(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val tf = d
+    // cached: tf feeds BOTH the df aggregation and the score join —
+    // uncached, the tokenize+explode+(doc,term) aggregation (the
+    // query's dominant stage) plans as two map-output writes of the
+    // same subtree
+    val tf = graft.Caches.register(d
       .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
     // vocabulary scales with the corpus: term→df is a plain shuffle
@@ -93,10 +97,21 @@ object SearchQueries extends QueryModule {
     * Shared by the standalone search query and the hybrid-RRF leg. */
   private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val terms = d.select(col("doc_id"),
-      explode(TextAnalysis.words(col("text"))).as("term"))
-    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val qtf = terms.filter(col("term").isInCollection(QueryTerms))
+    // tokenized ONCE per doc and cached: the old shape exploded the
+    // full token stream twice (doc-length aggregation + query-term
+    // counts), paying the regex tokenization — this query's dominant
+    // compute — twice
+    val toks = graft.Caches.register(
+      d.select(col("doc_id"), TextAnalysis.words(col("text")).as("ws")))
+    // doc length = token count, per ROW from the array — no explode,
+    // no aggregation shuffle at all; size(null)=-1 and the >0 filter
+    // reproduce the old explode's drop of token-less docs exactly
+    val dl = toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    // cut to the query vocabulary INSIDE the array, explode only the
+    // matches (the old shape exploded every token before filtering)
+    val qtf = toks.select(col("doc_id"),
+        explode(filter(col("ws"), t => t.isInCollection(QueryTerms))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = qtf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
