@@ -43,7 +43,12 @@ object GraphQueries extends QueryModule {
       lit("s").as("dst_t"), col("su").as("dst_id"))
     val rev = pairs.select(lit("s").as("src_t"), col("su").as("src_id"),
       lit("c").as("dst_t"), col("c").as("dst_id"))
-    val edges = graft.Caches.register(fwd.unionAll(rev))
+    // cached CO-PARTITIONED on the per-round join key (guide §2.4):
+    // every round joins edges on (src_t, src_id), so one up-front
+    // shuffle into the cache replaces an edges exchange per round —
+    // the degree aggregation below also rides the same partitioning
+    val edges = graft.Caches.register(
+      fwd.unionAll(rev).repartition(col("src_t"), col("src_id")))
     val deg = graft.Caches.register(
       edges.groupBy("src_t", "src_id").agg(count(lit(1)).as("outdeg")))
     val n = deg.count() // node count: every node has out-edges by symmetry
@@ -311,7 +316,20 @@ object GraphQueries extends QueryModule {
     * declarative and lets the oracle replay it round for round.
     */
   private[analytics] def peelCore(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var edges = graft.Caches.register(edges0)
+    // CO-PARTITIONED on (src_t, src_id) — the key of every round's
+    // degree aggregation and src-side semi-join (guide §2.4) — cached
+    // and MATERIALIZED up front: only a materialized cache exposes
+    // its partitioning to the planner (checkpoints and unmaterialized
+    // caches report unknown partitioning under AQE). Each round's
+    // survivors are ALSO count()-materialized so the next round's
+    // degree aggregation plans exchange-free: the dst-side semi-join
+    // runs FIRST and the src-side one LAST (intersective filters —
+    // order cannot change the result), so survivors come out
+    // partitioned by (src_t, src_id) whether the alive side
+    // broadcasts (partitioning flows through) or shuffles.
+    var edges = graft.Caches.register(
+      edges0.repartition(col("src_t"), col("src_id")))
+    edges.count()
     for (_ <- 1 to rounds) {
       // alive attaches to BOTH endpoints — cache it or the degree
       // aggregation runs twice per round
@@ -320,8 +338,9 @@ object GraphQueries extends QueryModule {
         .select(col("src_t"), col("src_id")))
       val aliveDst = alive.select(col("src_t").as("dst_t"), col("src_id").as("dst_id"))
       edges = graft.Caches.register(
-        edges.join(alive, Seq("src_t", "src_id"), "left_semi")
-          .join(aliveDst, Seq("dst_t", "dst_id"), "left_semi"))
+        edges.join(aliveDst, Seq("dst_t", "dst_id"), "left_semi")
+          .join(alive, Seq("src_t", "src_id"), "left_semi"))
+      edges.count()
     }
     edges
   }
@@ -343,6 +362,15 @@ object GraphQueries extends QueryModule {
     */
   private[analytics] def peelCoreFixpoint(edges0: DataFrame, k: Int,
       maxRounds: Int = 40): DataFrame = {
+    // unlike [[peelCore]]'s bounded unroll, this while-loop MUST
+    // checkpoint each round: the logical plan of round N references
+    // round N-1 three times (degree agg + two semi-joins), so without
+    // plan truncation the tree grows 3^rounds-fold — cache
+    // substitution only trims the PHYSICAL plan, and a 40-round run
+    // OOMs the driver just WALKING the logical tree. The checkpoint
+    // hides the partitioning from the planner, so the co-partitioning
+    // trick peelCore uses does not apply here; the per-round counts
+    // are control flow, exactly as before.
     var edges = edges0.localCheckpoint(true)
     var n = edges.count()
     var converged = n == 0L
@@ -541,7 +569,16 @@ object GraphQueries extends QueryModule {
       lit("s").as("dst_t"), col("su").as("dst_id"))
     val rev = pairs.select(lit("s").as("src_t"), col("su").as("src_id"),
       lit("c").as("dst_t"), col("c").as("dst_id"))
-    val edges = graft.Caches.register(fwd.unionAll(rev))
+    // CO-PARTITIONED on the frontier-join key, cached, and
+    // MATERIALIZED before the loop (guide §2.4): only a materialized
+    // cache exposes its hash partitioning to the planner (checkpoints
+    // and unmaterialized caches report unknown partitioning under
+    // AQE), so the one count() buys every round an exchange-free
+    // edges side in the frontier join — one blocking job total,
+    // against an edge-list re-shuffle per round.
+    val edges = graft.Caches.register(
+      fwd.unionAll(rev).repartition(col("src_t"), col("src_id")))
+    edges.count()
     // seed: the lowest customer id that HAS orders — deterministic on
     // both engines, and guaranteed a non-trivial neighborhood
     val seedId = ord.agg(min("o_custkey")).head().getLong(0)
@@ -612,7 +649,12 @@ object GraphQueries extends QueryModule {
       lit("s").as("dst_t"), col("su").as("dst_id"), col("w"))
     val rev = weighted.select(lit("s").as("src_t"), col("su").as("src_id"),
       lit("c").as("dst_t"), col("c").as("dst_id"), col("w"))
-    val edges = graft.Caches.register(fwd.unionAll(rev))
+    // CO-PARTITIONED on the relaxation-join key, cached and
+    // materialized before the loop — see bfsLayers: one blocking
+    // count() buys every relaxation round an exchange-free edges side
+    val edges = graft.Caches.register(
+      fwd.unionAll(rev).repartition(col("src_t"), col("src_id")))
+    edges.count()
     val seedId = ord.agg(min("o_custkey")).head().getLong(0)
     // LAZY per-round checkpoints (see bfsLayers): the K relaxation
     // rounds execute as one job at the final action; each round's

@@ -324,15 +324,19 @@ object Queries8 extends QueryModule {
     val toks = Tables.documents(s, dir)
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(length(col("w")) >= 2)
-    val freqs = toks.groupBy("w").agg(count(lit(1)).as("freq"))
+    // cached: freqs feeds the total aggregation AND the top-1000 cut —
+    // uncached, the corpus tokenize+count runs twice
+    val freqs = graft.Caches.register(
+      toks.groupBy("w").agg(count(lit(1)).as("freq")))
     val total = freqs.agg(sum(col("freq")).as("total_tokens"))
     val top = freqs.orderBy(desc("freq"), col("w")).limit(1000)
       .withColumn("_neg", -col("freq"))
       .withColumn("_one", lit(1L))
-    val ranked = graft.ops.PrefixSum.runningTotalGlobal(
-      top, Seq("_neg", "w"), "_one", "i")
-    val cum = graft.ops.PrefixSum.runningTotalGlobal(
-      ranked, Seq("_neg", "w"), "freq", "cum_freq")
+    // rank and cumulative frequency share one prefix-sum pass (same
+    // order) — see lorenzDeciles
+    val cum = graft.ops.PrefixSum.runningTotals(
+      top.withColumn("_psg", lit(0)), "_psg", Seq("_neg", "w"),
+      Seq("_one" -> "i", "freq" -> "cum_freq")).drop("_psg")
     cum.filter(col("i").isin(5L, 10L, 20L))
       .crossJoin(broadcast(total))
       .select(col("i").as("top_n"), col("cum_freq").as("covered_tokens"),
@@ -410,15 +414,17 @@ object Queries8 extends QueryModule {
     * PrefixSum range shuffles (no global window, no single reducer).
     */
   private def lorenzDeciles(s: SparkSession, dir: String): DataFrame = {
-    val rev = t(s, dir, "lineitem")
+    // cached: rev feeds the prefix-sum pass AND the totals aggregation
+    val rev = graft.Caches.register(t(s, dir, "lineitem")
       .groupBy(col("l_suppkey").as("sk"))
       .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .cast("long").as("rev"))
-      .withColumn("_one", lit(1L))
-    val ranked = graft.ops.PrefixSum.runningTotalGlobal(
-      rev, Seq("rev", "sk"), "_one", "i")
-    val cum = graft.ops.PrefixSum.runningTotalGlobal(
-      ranked, Seq("rev", "sk"), "rev", "cum_rev")
+      .withColumn("_one", lit(1L)))
+    // rank AND cumulative revenue share one prefix-sum pass (same
+    // order): one range shuffle + one subtotal collect, not two each
+    val cum = graft.ops.PrefixSum.runningTotals(
+      rev.withColumn("_psg", lit(0)), "_psg", Seq("rev", "sk"),
+      Seq("_one" -> "i", "rev" -> "cum_rev")).drop("_psg")
     val totals = rev.agg(count(lit(1)).as("n"), sum(col("rev")).as("tot"))
     cum.crossJoin(broadcast(totals))
       .withColumn("decile", expr("((i * 10 - 1) DIV n) + 1"))

@@ -147,9 +147,10 @@ object SeriesQueries extends QueryModule {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("_g", lit(1)).withColumn("_one", lit(1L))
-    val run = PrefixSum.runningTotal(
-      PrefixSum.runningTotal(daily, "_g", Seq("day"), "cnt", "s_k"),
-      "_g", Seq("day"), "_one", "k")
+    // cumulative count AND day index share one prefix-sum pass (same
+    // order): one range shuffle + one subtotal collect, not two each
+    val run = PrefixSum.runningTotals(daily, "_g", Seq("day"),
+      Seq("cnt" -> "s_k", "_one" -> "k"))
     val tot = run.agg(max(col("s_k")).as("s_n"), max(col("k")).as("n"))
     run.crossJoin(broadcast(tot))
       .select(col("day"), col("cnt"), col("s_k"), col("k"),

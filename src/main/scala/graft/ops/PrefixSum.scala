@@ -51,44 +51,67 @@ object PrefixSum {
   }
 
   def runningTotal(df: DataFrame, groupCol: String, orderCols: Seq[String],
-                   valueCol: String, cumCol: String): DataFrame = {
+                   valueCol: String, cumCol: String): DataFrame =
+    runningTotals(df, groupCol, orderCols, Seq(valueCol -> cumCol))
+
+  /** Several running totals over the SAME (group, order) in ONE pass —
+    * a rank (`_one` column) and a cumulative value, say. N chained
+    * [[runningTotal]] calls pay N range shuffles, N pinned caches and
+    * N subtotal collect jobs; sharing the order they fuse into one of
+    * each (guide §2.4: operations keyed the same way share one
+    * exchange). `valueCols` maps value column → output column.
+    */
+  def runningTotals(df: DataFrame, groupCol: String, orderCols: Seq[String],
+                    valueCols: Seq[(String, String)]): DataFrame = {
     val sortCols = (groupCol +: orderCols).map(col)
     val parts = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     // pin the physical partitioning: range boundaries come from
     // sampling, so the subtotal pass and the accumulation pass must
     // observe the SAME partitions (registered → harness unpersists)
     val pinned = graft.Caches.register(parts)
-    // pass 1: per-(partition, group) subtotals — P × |groups| rows,
-    // bounded by the shuffle partition count, never by data size
-    val subtotals = pinned
+    // pass 1: per-(partition, group) subtotals of EVERY value column —
+    // P × |groups| rows, bounded by the shuffle partition count
+    val aggs = valueCols.map { case (v, _) => sum(col(v)).as(s"_sub_$v") }
+    val rows = pinned
       .groupBy(spark_partition_id().as("_pid"), col(groupCol).as("_grp"))
-      .agg(sum(col(valueCol)).as("_sub"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => (r.getInt(0), r.get(1)) -> r.getLong(2))
-    // exclusive prefix per group over ascending partition id
-    val offsets: Map[(Int, Any), Long] = subtotals
-      .groupBy(_._1._2)
+    // exclusive prefixes per group over ascending partition id, one
+    // vector of offsets per (partition, group)
+    val offsets: Map[(Int, Any), List[Long]] = rows
+      .groupBy(_.get(1))
       .flatMap { case (_, parts) =>
-        var acc = 0L
-        parts.sortBy(_._1._1).map { case ((pid, g), sub) =>
-          val off = acc; acc += sub; (pid, g) -> off
+        val accs = Array.fill(valueCols.length)(0L)
+        parts.sortBy(_.getInt(0)).map { r =>
+          val off = accs.toList
+          var i = 0
+          while (i < accs.length) { accs(i) += r.getLong(2 + i); i += 1 }
+          (r.getInt(0), r.get(1)) -> off
         }
       }
     val bc = df.sparkSession.sparkContext.broadcast(offsets)
     val groupIdx = pinned.schema.fieldIndex(groupCol)
-    val valueIdx = pinned.schema.fieldIndex(valueCol)
-    val outSchema = StructType(pinned.schema.fields :+ StructField(cumCol, LongType, nullable = false))
-    // pass 2: partition-local running sum seeded by the broadcast
-    // offset — a narrow map over the pinned partitions, no shuffle
+    val valueIdxs = valueCols.map { case (v, _) => pinned.schema.fieldIndex(v) }.toArray
+    val outSchema = StructType(pinned.schema.fields ++
+      valueCols.map { case (_, c) => StructField(c, LongType, nullable = false) })
+    // pass 2: partition-local running sums seeded by the broadcast
+    // offsets — a narrow map over the pinned partitions, no shuffle
     pinned.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var cur: Any = None
-      var acc = 0L
+      val accs = Array.fill(valueIdxs.length)(0L)
       it.map { r =>
         val g = r.get(groupIdx)
-        if (cur != g) { cur = g; acc = bc.value.getOrElse((pid, g), 0L) }
-        acc += r.getLong(valueIdx)
-        Row.fromSeq(r.toSeq :+ acc)
+        if (cur != g) {
+          cur = g
+          val off = bc.value.getOrElse((pid, g), Nil)
+          var i = 0
+          while (i < accs.length) { accs(i) = if (off.isEmpty) 0L else off(i); i += 1 }
+        }
+        var i = 0
+        while (i < accs.length) { accs(i) += r.getLong(valueIdxs(i)); i += 1 }
+        // accs is reused across rows — copy the snapshot into the row
+        Row.fromSeq(r.toSeq ++ accs.toList)
       }
     }(Encoders.row(outSchema))
   }
